@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Stable, engine-portable hashes used by the dedup / LSH operators.
+  *
+  * All hashes derive from md5 over UTF-8 so an external ANSI-SQL engine
+  * can reproduce them exactly (`('0x' || substr(md5(x),1,14))::bigint`
+  * in DuckDB == `conv(substr(md5(x),1,14), 16, 10)` here) — that makes
+  * MinHash/LSH results oracle-checkable instead of
+  * implementation-defined. md5 is codegen'd (no Scala UDF) and cheap
+  * relative to the shuffle these operators feed.
+  */
+object HashFunctions {
+
+  /** 56-bit stable hash of a string column (14 hex digits of md5 —
+    * fits a signed long with headroom).
+    */
+  def stableHash56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash families for MinHash —
+    * h_i(x) = stableHash56(i || ':' || x).
+    */
+  def seededHash56(seed: Int, c: Column): Column =
+    stableHash56(concat(lit(s"$seed:"), c))
+
+  /** Content fingerprint: md5 hex of the raw string. */
+  def contentHash(c: Column): Column = md5(c)
+
+  /** Normalized fingerprint: lower-case, whitespace collapsed — the
+    * "document fingerprinting" form that survives trivial edits.
+    */
+  def normalizedFingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Whitespace tokenization shared by the text + dedup operators.
+    * `\s+` on the trimmed string matches DuckDB's
+    * `regexp_split_to_array(trim(x), '\s+')`.
+    */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+}

@@ -1,0 +1,70 @@
+package graft.qpu
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
+
+/** Cache QPU: LRU result cache
+  * (reference: internal/qpu_classes/cache/cache.go +
+  * cache/lruCache/lruCache.go — caches query responses keyed by the
+  * query string, LRU-evicted, invalidated on upstream notifications).
+  *
+  * Spark-first form: the cached value is not a serialized response but
+  * the *dataset itself*, pinned with `persist(MEMORY_AND_DISK)` across
+  * the cluster — so a hit serves from executor block storage and still
+  * benefits from pushdown of further predicates layered on top. The
+  * registry is LRU over logical-plan keys; eviction unpersists.
+  * `invalidate` covers the reference's subscribe-driven invalidation.
+  */
+final class QueryCache(maxEntries: Int = 32) {
+  private val entries = mutable.LinkedHashMap.empty[String, DataFrame]
+  private var hitCnt = 0L
+  private var missCnt = 0L
+
+  def hits: Long = hitCnt
+  def misses: Long = missCnt
+  def size: Int = entries.size
+
+  def getOrCache(key: String, build: => DataFrame): DataFrame = synchronized {
+    entries.remove(key) match {
+      case Some(df) =>
+        hitCnt += 1
+        entries.put(key, df) // re-insert → most-recently-used
+        df
+      case None =>
+        missCnt += 1
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        entries.put(key, df)
+        if (entries.size > maxEntries) {
+          val (oldKey, oldDf) = entries.head
+          oldDf.unpersist(blocking = false)
+          entries.remove(oldKey)
+        }
+        df
+    }
+  }
+
+  def invalidate(key: String): Unit = synchronized {
+    entries.remove(key).foreach(_.unpersist(blocking = false))
+  }
+
+  def clear(): Unit = synchronized {
+    entries.valuesIterator.foreach(_.unpersist(blocking = false))
+    entries.clear()
+  }
+}
+
+object QueryCache {
+  /** Shared default instance (one per JVM, like the reference's one
+    * cache service per deployment).
+    */
+  lazy val default: QueryCache = new QueryCache()
+}
+
+/** Cache QPU node for graph composition: keyed by the child plan. */
+final case class CacheQpu(input: Qpu, cache: QueryCache = QueryCache.default) extends Qpu {
+  def toDF: DataFrame = {
+    val child = input.toDF
+    cache.getOrCache(child.queryExecution.logical.canonicalized.toString, child)
+  }
+}

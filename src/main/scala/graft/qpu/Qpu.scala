@@ -1,0 +1,162 @@
+package graft.qpu
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-native re-expression of the reference's QPU graph
+  * (reference: /root/reference/internal/qpu_classes, Documentation.md).
+  *
+  * In the reference, each QPU is a network service holding materialized
+  * state, and a query plan is a DAG of such services wired by gRPC
+  * streams. Here each QPU is a *declarative transform* over a
+  * `DataFrame`; composing QPUs composes logical plans, and Catalyst
+  * collapses the whole graph into one distributed physical plan —
+  * filters reach the parquet scan, joins pick broadcast/shuffle
+  * strategies, aggregation is map-side partial. No RPC hops, no
+  * per-operator state services.
+  *
+  * Scale notes (100 TB): every transform here stays inside
+  * whole-stage codegen; nothing collects to the driver. See each
+  * subclass's scaladoc for its shuffle/pushdown behavior.
+  */
+trait Qpu {
+  def toDF: DataFrame
+}
+
+/** A predicate in the reference's query model
+  * (reference: internal/queries/queries.go:SatisfiesPredicate — EQ,
+  * RANGE `[lb, ub)`, ISNULL, ISNOTNULL).
+  */
+sealed trait Predicate { def toColumn: Column }
+final case class Eq(attr: String, value: Any) extends Predicate {
+  def toColumn: Column = col(attr) === lit(value)
+}
+/** Half-open range `[lb, ub)` — matches the reference's RANGE compare. */
+final case class Range(attr: String, lb: Any, ub: Any) extends Predicate {
+  def toColumn: Column = col(attr) >= lit(lb) && col(attr) < lit(ub)
+}
+final case class IsNull(attr: String) extends Predicate {
+  def toColumn: Column = col(attr).isNull
+}
+final case class IsNotNull(attr: String) extends Predicate {
+  def toColumn: Column = col(attr).isNotNull
+}
+
+/** Datastore driver QPU: source abstraction
+  * (reference: internal/qpu_classes/datastore_driver/datastoredriver.go).
+  * Batch snapshot = a parquet scan; the subscribe path lives in
+  * [[graft.streaming.Subscribe]]. Projection here is applied *before*
+  * any downstream op so Catalyst prunes columns at the scan
+  * (ReadSchema shrinks — verified in QpuSpec).
+  */
+final case class DatastoreQpu(spark: SparkSession, dir: String, table: String,
+                              projection: Seq[String] = Nil) extends Qpu {
+  def toDF: DataFrame = {
+    val df = graft.Tables.load(spark, dir, table)
+    if (projection.isEmpty) df else df.select(projection.map(col): _*)
+  }
+}
+
+/** Wrap an existing DataFrame as a QPU graph node (for composing with
+  * non-parquet sources or mid-graph results).
+  */
+final case class DataFrameQpu(df: DataFrame) extends Qpu { def toDF: DataFrame = df }
+
+/** Filter QPU (reference: queries.go:SatisfiesPredicate). Predicates are
+  * plain Catalyst expressions, so they push down to the scan
+  * (PushedFilters) instead of evaluating per-record in the service layer
+  * like the reference does.
+  */
+final case class FilterQpu(input: Qpu, predicates: Seq[Predicate]) extends Qpu {
+  def toDF: DataFrame =
+    predicates.foldLeft(input.toDF)((df, p) => df.filter(p.toColumn))
+}
+
+/** Index QPU: secondary-attribute index with EQ + range lookup
+  * (reference: internal/qpu_classes/inMemIndex/inMemIndex.go:519
+  * `lookup` / bTree `AscendRange`).
+  *
+  * The reference maintains a B-tree per indexed attribute and serves
+  * ordered range scans from it. On Spark the equivalent *read path* is a
+  * filter that prunes at the scan (parquet row-group min/max stats) plus
+  * a sort on the indexed attribute; the equivalent *materialized* form
+  * at 100 TB is `materialize()`: parquet repartitioned by range on the
+  * key and sorted within partitions, so lookups touch only matching
+  * files (partition + row-group pruning), exactly what the B-tree buys
+  * the reference on one node.
+  */
+final case class IndexQpu(input: Qpu, attr: String) extends Qpu {
+  def toDF: DataFrame = input.toDF
+
+  /** EQ lookup (reference: AttributePredicate_EQ). */
+  def point(value: Any): DataFrame = input.toDF.filter(col(attr) === lit(value))
+
+  /** Range lookup `[lb, ub)`, ordered by the indexed attribute
+    * (reference: AscendRange).
+    */
+  def range(lb: Any, ub: Any): DataFrame =
+    input.toDF.filter(col(attr) >= lit(lb) && col(attr) < lit(ub)).sort(col(attr))
+
+  /** Top-k by the indexed attribute, descending — the reference's
+    * lobsters `vote_sum` ranking read. Spark plans order-by+limit as
+    * TakeOrderedAndProject: per-partition top-k, no global sort.
+    */
+  def topK(k: Int, tiebreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(attr).desc +: tiebreak.map(col(_).asc))
+    input.toDF.orderBy(order: _*).limit(k)
+  }
+
+  /** Write the index as a range-partitioned, sorted parquet dataset —
+    * the scale path for repeated lookups (file-level pruning).
+    */
+  def materialize(path: String, numPartitions: Int = 32): Unit =
+    input.toDF.repartitionByRange(numPartitions, col(attr))
+      .sortWithinPartitions(attr)
+      .write.mode("overwrite").parquet(path)
+}
+
+/** Sum QPU: incremental `sum(attr) group by key`
+  * (reference: internal/qpu_classes/sum/sum.go — state keyed by the
+  * group-by attribute, emits `<attr>_sum`).
+  * Batch form = hash aggregation with map-side partial combine (one
+  * shuffle of the partial sums, not the rows). The continuously
+  * maintained form is [[graft.streaming.Subscribe.incrementalSum]].
+  */
+final case class SumQpu(input: Qpu, aggAttr: String, groupBy: String) extends Qpu {
+  def toDF: DataFrame =
+    input.toDF.groupBy(col(groupBy)).agg(sum(col(aggAttr)).as(s"${aggAttr}_sum"))
+}
+
+/** Join QPU: 2-table equi-join materialization
+  * (reference: internal/qpu_classes/join/join.go — joins two input
+  * streams on per-table join attributes into one state table keyed by
+  * the join attribute alias).
+  * `broadcastRight` marks the dimension side for a broadcast-hash join
+  * (no shuffle of the fact side) — the right call whenever the right
+  * side fits in executor memory, which holds for all the star-schema
+  * dimensions here at any scale factor.
+  */
+final case class JoinQpu(left: Qpu, right: Qpu,
+                         leftAttr: String, rightAttr: String,
+                         joinAlias: String = "",
+                         broadcastRight: Boolean = false) extends Qpu {
+  def toDF: DataFrame = {
+    val l = left.toDF
+    val r0 = right.toDF
+    val r = if (broadcastRight) broadcast(r0) else r0
+    val joined = l.join(r, l(leftAttr) === r(rightAttr))
+    val dropped = joined.drop(r(rightAttr))
+    if (joinAlias.isEmpty) dropped else dropped.withColumnRenamed(leftAttr, joinAlias)
+  }
+}
+
+/** Router QPU: scatter-gather
+  * (reference: internal/qpu_classes/router/router.go — fans a query to
+  * all adjacent QPUs and concatenates their responses).
+  * Children are unioned by name; Spark schedules every child's scan in
+  * parallel and pushes any downstream predicate into each branch, so
+  * "routing" costs nothing at plan time.
+  */
+final case class RouterQpu(children: Seq[Qpu]) extends Qpu {
+  def toDF: DataFrame = children.map(_.toDF).reduce(_.unionByName(_))
+}
