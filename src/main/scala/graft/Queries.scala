@@ -1,7 +1,8 @@
 package graft
 
 import graft.api.ProteusQL
-import graft.operators.AsOf
+import graft.functions.TextFunctions
+import graft.operators.{AsOf, Dedup, Multimodal, Sessionize, Similarity}
 import graft.qpu._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -149,7 +150,275 @@ object Queries {
       Some("SELECT user_id, event_id, event_type, value FROM (" +
         "SELECT user_id, event_id, event_type, value, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
-        "FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t WHERE rn = 1"))
+        "FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t WHERE rn = 1")),
+
+    // ------------- §2.3 LLM-data-pipeline operators -------------
+
+    // §2.3/28 — exact dedup by content hash
+    "dedup_exact" -> QueryDef(
+      (s, d) => Dedup.exact(ds(s, d, "documents").toDF, "doc_id", "text"),
+      Some("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, " +
+        "count(*) AS dup_cnt FROM documents GROUP BY 1")),
+
+    // §2.3/29 — normalized-fingerprint dedup
+    "dedup_fingerprint" -> QueryDef(
+      (s, d) => Dedup.fingerprint(ds(s, d, "documents").toDF, "doc_id", "text"),
+      Some("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, " +
+        "min(doc_id) AS canonical_id, count(*) AS dup_cnt FROM documents GROUP BY 1")),
+
+    // §2.3/30 — word-set Jaccard >= 0.8 near-dup pairs within source buckets
+    "dedup_jaccard" -> QueryDef(
+      (s, d) => Dedup.jaccardPairs(ds(s, d, "documents").toDF,
+        "doc_id", "text", "source", num = 4, den = 5),
+      Some("""WITH t AS (SELECT doc_id, source,
+        |  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.toks, b.toks)) AS inter_size,
+        |  len(list_distinct(a.toks || b.toks)) AS union_size
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) * 5 >=
+        |      len(list_distinct(a.toks || b.toks)) * 4""".stripMargin)),
+
+    // §2.3/31 — MinHash (8 hashes) + LSH (2 bands x 4 rows) + exact
+    // Jaccard >= 0.9 confirmation
+    "dedup_minhash" -> QueryDef(
+      (s, d) => Dedup.minhashDedup(ds(s, d, "documents").toDF,
+        "doc_id", "text", bands = 2, rowsPerBand = 4, num = 9, den = 10),
+      Some {
+        val mh = (0 until 8).map(i =>
+          s"list_min(list_transform(toks, w -> ('0x' || substring(md5('$i:' || w), 1, 14))::bigint)) AS m$i")
+          .mkString(", ")
+        s"""WITH t AS (SELECT doc_id,
+           |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |sigs AS (SELECT doc_id, $mh FROM t),
+           |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
+           |    (a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3) OR
+           |    (a.m4 = b.m4 AND a.m5 = b.m5 AND a.m6 = b.m6 AND a.m7 = b.m7)))
+           |SELECT doc_a, doc_b,
+           |  len(list_intersect(ta.toks, tb.toks)) AS inter_size,
+           |  len(list_distinct(ta.toks || tb.toks)) AS union_size
+           |FROM cand JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id
+           |WHERE len(list_intersect(ta.toks, tb.toks)) * 10 >=
+           |      len(list_distinct(ta.toks || tb.toks)) * 9""".stripMargin
+      }),
+
+    // §2.3/32 — SimHash near-dup pairs (hamming <= 8); not
+    // ANSI-SQL-expressible → rows-only check + SimHashSpec
+    "dedup_simhash" -> QueryDef(
+      (s, d) => Dedup.simhashPairs(ds(s, d, "documents").toDF,
+        "doc_id", "text", maxHamming = 8),
+      None),
+
+    // §2.3/33 — embedding-cosine near-dup pairs within label buckets
+    "dedup_embed" -> QueryDef(
+      (s, d) => Similarity.nearDupPairs(ds(s, d, "embeddings").toDF,
+        "vec_id", "embedding", "label", threshold = 0.3),
+      Some("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3")),
+
+    // §2.3/34 — brute-force cosine top-k ANN (query set: vec_id < 5)
+    "sim_ann_topk" -> QueryDef(
+      (s, d) => {
+        val emb = ds(s, d, "embeddings").toDF
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS nid,
+        |  list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS c
+        |  FROM q JOIN embeddings ON vec_id <> qid)
+        |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        |  FROM s) t WHERE rank <= 10""".stripMargin)),
+
+    // §2.3/35 — LSH-bucketed ANN (scale path); recall vs brute force is
+    // asserted in SimilaritySpec → rows-only here
+    "sim_ann_lsh" -> QueryDef(
+      (s, d) => {
+        val emb = ds(s, d, "embeddings").toDF
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, dim = 64, planes = 4)
+      },
+      None),
+
+    // §2.3/36 — language ID heuristic
+    "text_langid" -> QueryDef(
+      (s, d) => ds(s, d, "documents").toDF
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred")),
+      Some("""SELECT doc_id, CASE
+        |  WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |  WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('the','and','of','to','a','in','is','it'))) >=
+        |       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('el','la','de','los','que','y')))
+        |   AND len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('the','and','of','to','a','in','is','it'))) > 0 THEN 'en'
+        |  WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('el','la','de','los','que','y'))) >
+        |       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('the','and','of','to','a','in','is','it'))) THEN 'es'
+        |  ELSE 'unknown' END AS lang_pred FROM documents""".stripMargin)),
+
+    // §2.3/37 — quality scoring (integer signals + gate)
+    "text_quality" -> QueryDef(
+      (s, d) => {
+        val sig = TextFunctions.qualitySignals(col("text"), col("n_chars"))
+          .map { case (n, c) => c.as(n) }
+        ds(s, d, "documents").toDF.select((col("doc_id") +: sig): _*)
+      },
+      Some("""SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+        |  len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t IN ('the','and','of','to','a','in','is','it'))) AS n_stopwords,
+        |  (len(regexp_split_to_array(trim(text), '\s+')) >= 5 AND
+        |   len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5 <= n_chars AND
+        |   len(regexp_extract_all(text, '[0-9]')) * 4 <= n_chars) AS is_quality
+        |FROM documents""".stripMargin)),
+
+    // §2.3/38 — token counting (whitespace + BPE-ish regex)
+    "text_tokens" -> QueryDef(
+      (s, d) => ds(s, d, "documents").toDF.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens")),
+      Some("SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens " +
+        "FROM documents")),
+
+    // §2.3/39 — document fingerprinting
+    "text_fingerprint" -> QueryDef(
+      (s, d) => ds(s, d, "documents").toDF.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint")),
+      Some("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) " +
+        "AS fingerprint FROM documents")),
+
+    // §2.3/40 — multimodal plumbing: payload attach → partition-batched
+    // stub decode (schema/batching real, codec stubbed) → rows-only
+    "multimodal_decode" -> QueryDef(
+      (s, d) => Multimodal.decodeStub(s,
+        Multimodal.attachFakePayload(ds(s, d, "documents").toDF, "doc_id", "text"))
+        .toDF.select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum")),
+      None),
+
+    // ------------- §2.2 OLAP depth -------------
+
+    // §2.2/20 — TPC-H Q1 shape
+    "q1_agg" -> QueryDef(
+      (s, d) => ds(s, d, "lineitem").toDF
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          avg("l_quantity").as("avg_qty"),
+          avg("l_extendedprice").as("avg_price"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty, sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price,
+        |  avg(l_discount) AS avg_disc, count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // §2.2/21 — Q3 shape: 3-way join + agg + topk (dimension broadcast)
+    "q3_shipping" -> QueryDef(
+      (s, d) => {
+        val cust = ds(s, d, "customer").toDF.filter(col("c_mktsegment") === "BUILDING")
+        val ord = ds(s, d, "orders").toDF
+        val li = ds(s, d, "lineitem").toDF
+        broadcast(cust).join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // §2.2/22 — Q5 shape: 6-way join, dimensions broadcast
+    "q5_local_supplier" -> QueryDef(
+      (s, d) => {
+        val region = ds(s, d, "region").toDF.filter(col("r_name") === "ASIA")
+        val nation = ds(s, d, "nation").toDF
+        val cust = ds(s, d, "customer").toDF
+        val supp = ds(s, d, "supplier").toDF
+        val ord = ds(s, d, "orders").toDF
+        val li = ds(s, d, "lineitem").toDF
+        ord.join(li, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      },
+      Some("""SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin)),
+
+    // §2.2/23 — window functions: running spend per customer
+    "q_window_running" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        ds(s, d, "orders").toDF.select(col("o_orderkey"), col("o_custkey"),
+          sum("o_totalprice").over(w).as("running_spend"))
+      },
+      Some("SELECT o_orderkey, o_custkey, sum(o_totalprice) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS running_spend " +
+        "FROM orders")),
+
+    // §2.2/24 — distinct aggregation
+    "q_distinct" -> QueryDef(
+      (s, d) => ds(s, d, "lineitem").toDF.groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("distinct_parts")),
+      Some("SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts " +
+        "FROM lineitem GROUP BY l_returnflag")),
+
+    // §2.2/25 — JSON extraction from events.props
+    "q_json_extract" -> QueryDef(
+      (s, d) => ds(s, d, "events").toDF
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy("k_val").agg(count(lit(1)).as("cnt")),
+      Some("SELECT json_extract_string(props, '$.k')::BIGINT AS k_val, count(*) AS cnt " +
+        "FROM events GROUP BY 1")),
+
+    // §2.2/26 — event-time tumbling window (hourly)
+    "q_events_window" -> QueryDef(
+      (s, d) => ds(s, d, "events").toDF
+        .groupBy(expr("(unix_timestamp(ts) div 3600) * 3600").as("win_start"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("value_sum")),
+      Some("SELECT (floor(epoch(ts) / 3600))::BIGINT * 3600 AS win_start, " +
+        "count(*) AS n_events, sum(value) AS value_sum FROM events GROUP BY 1")),
+
+    // §2.2/27 — sessionization (30-minute gap)
+    "q_sessionize" -> QueryDef(
+      (s, d) => Sessionize.sessions(ds(s, d, "events").toDF, "user_id", "ts", 1800),
+      Some("""SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ep) AS session_start, max(ep) AS session_end,
+        |  max(ep) - min(ep) AS duration_sec FROM (
+        |  SELECT user_id, ep, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |  FROM (SELECT user_id, ts, floor(epoch(ts))::BIGINT AS ep,
+        |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM events) x) y
+        |GROUP BY user_id, session_id""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

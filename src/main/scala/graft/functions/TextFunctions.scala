@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the large-scale training-data pipeline:
+  * token counting, quality signals, language ID, fingerprinting. All
+  * pure `functions._` chains (codegen'd, pushdown-friendly); the
+  * heuristics are deterministic so an ANSI-SQL oracle can replay them.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (duplicates kept). */
+  def tokens(c: Column): Column = HashFunctions.tokens(c)
+
+  /** Distinct token set — the unit for Jaccard/MinHash dedup. */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token — a cheap, stable proxy
+    * for LLM tokenizer counts.
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0)))
+
+  def digitCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[0-9]"), lit(0)))
+
+  val stopwordsEn: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  private val stopwordsEs = Seq("el", "la", "de", "los", "que", "y")
+
+  /** Stopword token occurrences (duplicates counted). */
+  def stopwordCount(c: Column): Column = {
+    val stop = array(stopwordsEn.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(stop, t)))
+  }
+
+  /** Quality gate on integer signals only (threshold math stays exact
+    * across engines): enough tokens, limited punctuation density,
+    * limited digit density.
+    */
+  def qualitySignals(c: Column, nChars: Column): Seq[(String, Column)] = Seq(
+    "n_tokens" -> tokenCount(c),
+    "n_bpe_tokens" -> bpeTokenCount(c),
+    "n_punct" -> punctCount(c),
+    "n_digits" -> digitCount(c),
+    "n_stopwords" -> stopwordCount(c),
+    "is_quality" -> (tokenCount(c) >= 5 &&
+      punctCount(c) * 5 <= nChars &&
+      digitCount(c) * 4 <= nChars))
+
+  /** Language ID by stopword/script hits — the classic cheap n-gram
+    * heuristic. CJK codepoints trump Latin stopword scores.
+    */
+  def langId(c: Column): Column = {
+    def hits(words: Seq[String]): Column = {
+      val stop = array(words.map(lit): _*)
+      size(filter(tokens(c), t => array_contains(stop, t)))
+    }
+    val enScore = hits(stopwordsEn)
+    val esScore = hits(stopwordsEs)
+    val cjk = size(regexp_extract_all(c, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    when(cjk > 0, lit("zh"))
+      .when(enScore >= esScore && enScore > 0, lit("en"))
+      .when(esScore > enScore, lit("es"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Normalized document fingerprint (md5 of lower-cased,
+    * whitespace-collapsed text) — survives trivial edits.
+    */
+  def fingerprint(c: Column): Column = HashFunctions.normalizedFingerprint(c)
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale story: `bruteForceTopK` is the exact baseline — a
+  * broadcast-join of the (small) query set against the corpus, so the
+  * corpus is scanned once, never shuffled, and the top-k per query is
+  * a window over query-id partitions. `lshTopK` is the 100-TB path:
+  * random-hyperplane buckets bound each query's candidate set; recall
+  * is tunable with planes/probes (verified against brute force in
+  * SimilaritySpec).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors by cosine for each row of `queries`.
+    * Output: (query_id, neighbor_id, rank) — rank by cosine desc,
+    * neighbor id asc on ties.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's hyperplane bucket;
+    * exact cosine ranks within the bucket. Trades recall for touching
+    * only ~corpus/2^planes rows per query.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              dim: Int, planes: Int): DataFrame = {
+    val bucket = VectorFunctions.hyperplaneBucket(col(vecCol), dim, planes)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), bucket.as("qb")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), bucket.as("cb"))
+    val scored = q.join(c, col("qb") === col("cb") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: cosine > threshold within a
+    * bucket column (e.g. cluster label) — shuffle on the bucket, pairs
+    * only inside it.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   bucketCol: String, threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(bucketCol).as("bucket"), col(vecCol).as("v"))
+    t.as("a").join(t.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") > threshold)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+  }
+}
