@@ -34,20 +34,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** LSH-bucketed ANN: candidates share the query's hyperplane bucket;
-    * exact cosine ranks within the bucket. Trades recall for touching
-    * only ~corpus/2^planes rows per query.
+  /** LSH-bucketed ANN with OR-amplification: `tables` independent
+    * hyperplane families; a corpus row is a candidate if it shares the
+    * query's bucket in ANY table (recall ≈ 1-(1-p)^tables), then exact
+    * cosine ranks the candidates. Each query touches
+    * ~tables * corpus / 2^planes rows instead of the whole corpus —
+    * the knob to turn at 100 TB.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              dim: Int, planes: Int): DataFrame = {
-    val bucket = VectorFunctions.hyperplaneBucket(col(vecCol), dim, planes)
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"), bucket.as("qb")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), bucket.as("cb"))
-    val scored = q.join(c, col("qb") === col("cb") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+              dim: Int, planes: Int, tables: Int = 4): DataFrame = {
+    def buckets(vc: String) = array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        VectorFunctions.hyperplaneBucket(col(vc), dim, planes, seedOffset = t * planes).as("b"))): _*)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(buckets(vecCol)).as("qbk")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      explode(buckets(vecCol)).as("cbk"))
+    val cand = q.join(c,
+        col("qbk.t") === col("cbk.t") && col("qbk.b") === col("cbk.b") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Subscribe-side semantics (reference: the QPU stream protocol in
+  * internal/libqpu + responseStream — State records for catch-up,
+  * Delta records for updates, EndOfStream marking catch-up done;
+  * sum.go and join.go consume such streams and maintain state).
+  *
+  * Structured Streaming gives the same contract natively: a streaming
+  * source replays history (catch-up == State records) and then tails
+  * (Delta records); watermarks bound state. The operators below are the
+  * continuous forms of SumQpu / JoinQpu: distributed state store,
+  * update-mode output = the reference's delta notifications to
+  * subscribers.
+  */
+object Subscribe {
+
+  /** One change record — the Spark shape of the reference's
+    * LogOperation (table, record id, vector-clock ts, attribute map).
+    */
+  final case class CdcRecord(table: String, key: Long, ts: java.sql.Timestamp,
+                             attrs: Map[String, String])
+
+  /** Continuous SumQpu (reference: sum.go processRecordInMem): running
+    * `sum(valueCol) group by keyCol` over an update stream. Update
+    * output mode emits exactly the reference's per-delta notifications
+    * (the changed group's new sum).
+    */
+  def incrementalSum(updates: DataFrame, keyCol: String, valCol: String): DataFrame =
+    updates.groupBy(col(keyCol))
+      .agg(sum(col(valCol)).as(s"${valCol}_sum"))
+
+  /** Windowed variant with a watermark so state is bounded at scale —
+    * the 100-TB-stream form of the same aggregation.
+    */
+  def windowedSum(updates: DataFrame, tsCol: String, keyCol: String,
+                  valCol: String, window: String, watermark: String): DataFrame =
+    updates.withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(sum(col(valCol)).as(s"${valCol}_sum"))
+
+  final case class JoinSideState(left: Map[String, String], right: Map[String, String])
+  final case class JoinedRow(key: Long, attrs: Map[String, String], complete: Boolean)
+
+  /** Continuous JoinQpu (reference: join.go — state keyed by the join
+    * attribute; each incoming record upserts its table's attributes;
+    * the materialized row is the merge of both sides).
+    *
+    * flatMapGroupsWithState keeps one merged-attribute map per join
+    * key in the state store (per-key partitioned — scales with
+    * executors, not driver memory) and emits the refreshed row on
+    * every upsert, like the reference's delta push.
+    */
+  def materializedJoin(spark: SparkSession, updates: Dataset[CdcRecord],
+                       leftTable: String): Dataset[JoinedRow] = {
+    import spark.implicits._
+    updates.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, recs: Iterator[CdcRecord], state: GroupState[JoinSideState]) =>
+          var s = state.getOption.getOrElse(JoinSideState(Map.empty, Map.empty))
+          recs.foreach { r =>
+            s = if (r.table == leftTable) s.copy(left = s.left ++ r.attrs)
+                else s.copy(right = s.right ++ r.attrs)
+          }
+          state.update(s)
+          Iterator.single(JoinedRow(key, s.left ++ s.right,
+            complete = s.left.nonEmpty && s.right.nonEmpty))
+      }
+  }
+
+  /** Snapshot-and-subscribe (reference: queries.go
+    * NewQuerySnapshotAndSubscribe — catch-up then tail): in Structured
+    * Streaming the source itself replays from the earliest offset, so
+    * the same continuous query covers both phases; this helper just
+    * documents the mapping and applies the filter/projection that the
+    * reference's query AST would.
+    */
+  def snapshotAndSubscribe(stream: DataFrame, projection: Seq[String],
+                           isNotNull: Seq[String]): DataFrame = {
+    val filtered = isNotNull.foldLeft(stream)((df, a) => df.filter(col(a).isNotNull))
+    if (projection.isEmpty) filtered else filtered.select(projection.map(col): _*)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+      (2L, "the quick brown fox jumps over the lazy dog", "s1"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat", "s1"), // near dup of 1
+      (4L, "completely different words entirely unrelated text", "s1"),
+      (5L, "THE  QUICK brown fox jumps over the lazy dog", "s2")  // fp dup of 1
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("exact dedup groups identical content and elects min id") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .filter(col("dup_cnt") > 1).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("canonical_id") === 1L)
+    assert(r.head.getAs[Long]("dup_cnt") === 2L)
+  }
+
+  test("fingerprint dedup also collapses case/whitespace variants") {
+    val r = Dedup.fingerprint(docs, "doc_id", "text")
+      .filter(col("dup_cnt") > 1).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("dup_cnt") === 3L) // 1, 2, and 5
+  }
+
+  test("jaccard pairs finds the near-dup inside its bucket only") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair")
+    assert(pairs.contains((1L, 3L)), "near dup pair (7/9 jaccard)")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "bucket s2 is isolated")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "dissimilar doc excluded")
+  }
+
+  test("minhash LSH surfaces near-dups and confirmation filters the rest") {
+    val r = Dedup.minhashDedup(docs, "doc_id", "text",
+      bands = 2, rowsPerBand = 4, num = 9, den = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.contains((1L, 2L)), "identical docs must survive LSH + confirm")
+    assert(!r.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, distinct far") {
+    val sims = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) === sims(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(3L)) < ham(sims(1L), sims(4L)),
+      "near-dup must be closer than unrelated doc")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+
+  private lazy val emb = Tables.load(spark, sf(), "embeddings")
+
+  test("brute-force topk ranks an identical vector first") {
+    import spark.implicits._
+    val base = emb.limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // plant an exact copy of vec 0 with a new id
+    val planted = (base :+ (9999L, base.head._2)).toSeq.toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(planted,
+      planted.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") === 9999L,
+      "exact copy must rank 1 with cosine 1")
+  }
+
+  test("LSH ANN recall vs brute force is usable (>= 0.3 at 4 planes x 4 tables)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
+      dim = 64, planes = 4, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low — LSH bucketing broken")
+    // and LSH must actually restrict candidates: buckets ≈ corpus/2^planes
+    assert(approx.size <= exact.size)
+  }
+
+  test("near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", "label", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall(p => p._1 < p._2), "each pair emitted once, ordered")
+  }
+}

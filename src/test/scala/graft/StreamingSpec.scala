@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.Subscribe
+import graft.streaming.Subscribe.CdcRecord
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("incremental sum over a stream matches the batch sum and updates on deltas") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val sums = Subscribe.incrementalSum(
+      input.toDF().toDF("user_id", "value"), "user_id", "value")
+    val q = sums.writeStream.format("memory").queryName("sums")
+      .outputMode("complete").start()
+    try {
+      // catch-up batch (the reference's State records)
+      input.addData((1L, 10.0), (1L, 5.0), (2L, 7.0))
+      q.processAllAvailable()
+      val afterCatchup = spark.table("sums").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(afterCatchup === Map(1L -> 15.0, 2L -> 7.0))
+      // delta (subscribe notification)
+      input.addData((1L, 1.0))
+      q.processAllAvailable()
+      val afterDelta = spark.table("sums").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(afterDelta(1L) === 16.0)
+    } finally q.stop()
+  }
+
+  test("materialized join upserts per-key state from both tables") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[CdcRecord]
+    val joined = Subscribe.materializedJoin(spark, input.toDS(), leftTable = "story")
+    val q = joined.toDF().writeStream.format("memory").queryName("joined")
+      .outputMode("update").start()
+    try {
+      input.addData(CdcRecord("story", 1L, ts(0), Map("title" -> "a")))
+      q.processAllAvailable()
+      input.addData(CdcRecord("vote", 1L, ts(1), Map("vote_sum" -> "3")))
+      q.processAllAvailable()
+      val rows = spark.table("joined").collect()
+      val last = rows.last
+      assert(last.getAs[Boolean]("complete"))
+      val attrs = last.getAs[Map[String, String]]("attrs")
+      assert(attrs === Map("title" -> "a", "vote_sum" -> "3"))
+      // delta on an existing key refreshes the merged row
+      input.addData(CdcRecord("vote", 1L, ts(2), Map("vote_sum" -> "4")))
+      q.processAllAvailable()
+      val refreshed = spark.table("joined").collect().last.getAs[Map[String, String]]("attrs")
+      assert(refreshed("vote_sum") === "4")
+    } finally q.stop()
+  }
+
+  test("windowed sum with watermark bounds state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sums = Subscribe.windowedSum(input.toDF().toDF("ts", "user_id", "value"),
+      "ts", "user_id", "value", "1 hour", "2 hours")
+    val q = sums.writeStream.format("memory").queryName("wsums")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(0), 1L, 2.0), (ts(1800), 1L, 3.0), (ts(3700), 1L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("wsums").collect()
+      val byWindow = rows.map(r => r.getStruct(0).getTimestamp(0).getTime / 1000 -> r.getDouble(2)).toMap
+      assert(byWindow(0L) === 5.0, "first hour sums 2+3")
+      assert(byWindow(3600L) === 4.0)
+    } finally q.stop()
+  }
+}
