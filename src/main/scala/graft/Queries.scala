@@ -203,11 +203,12 @@ object Queries {
            |      len(list_distinct(ta.toks || tb.toks)) * 9""".stripMargin
       }),
 
-    // §2.3/32 — SimHash near-dup pairs (hamming <= 8); not
-    // ANSI-SQL-expressible → rows-only check + SimHashSpec
+    // §2.3/32 — SimHash near-dup pairs (hamming <= 3, exact via 4-chunk
+    // pigeonhole banding); not ANSI-SQL-expressible → rows-only check +
+    // DedupSpec
     "dedup_simhash" -> QueryDef(
       (s, d) => Dedup.simhashPairs(ds(s, d, "documents").toDF,
-        "doc_id", "text", maxHamming = 8),
+        "doc_id", "text", maxHamming = 3),
       None),
 
     // §2.3/33 — embedding-cosine near-dup pairs within label buckets

@@ -23,6 +23,13 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd native cosine over `array<float>` (see
+    * [[graft.plans.CosineSimilarity]]) — same accumulation order and
+    * result as [[cosine]], ~an order of magnitude faster in pair joins.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity(a, b)
+
   /** Random-hyperplane LSH bucket id: `numPlanes` sign bits, planes
     * derived deterministically from md5 so buckets are reproducible
     * across runs/engines. Plane p component j = ±1 by one md5 bit.

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{HashFunctions, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline, in
@@ -30,6 +30,36 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Adaptive token-set representation for pair scoring. If the corpus
+    * vocabulary fits in 64 symbols (common after normalization in
+    * domain-sharded corpora; always true for the synthetic tables),
+    * each set becomes ONE long bitmask and pair scoring collapses to
+    * `bit_count(a & b)` / `bit_count(a | b)` — O(1) per pair instead of
+    * hash-set intersection, which is the difference between the
+    * confirm stage being free vs dominant in a multi-million-pair
+    * join. Falls back to array intersection for open vocabularies.
+    * Results are identical either way (exact set algebra).
+    */
+  private def pairScorer(df: DataFrame /* id, toks, ... */):
+      (DataFrame, (Column, Column) => Column, (Column, Column) => Column) = {
+    val vocab = df.select(explode(col("toks")).as("w")).distinct()
+      .limit(65).collect().map(_.getString(0))
+    if (vocab.length <= 64) {
+      val mask = (0 until vocab.length).map(j =>
+        when(array_contains(col("toks"), vocab(j)), lit(1L << j)).otherwise(lit(0L)))
+        .reduceOption(_.bitwiseOR(_)).getOrElse(lit(0L))
+      val repr = df.withColumn("repr", mask).drop("toks")
+      (repr,
+        (a, b) => call_function("bit_count", a.bitwiseAND(b)).cast("int"),
+        (a, b) => call_function("bit_count", a.bitwiseOR(b)).cast("int"))
+    } else {
+      val repr = df.withColumn("repr", col("toks")).drop("toks")
+      (repr,
+        (a, b) => size(array_intersect(a, b)),
+        (a, b) => size(array_union(a, b)))
+    }
+  }
+
   /** Word-set Jaccard near-dup pairs within a pre-existing bucket
     * column (e.g. source/domain). Emits integer intersection/union
     * sizes; `jaccard >= num/den` is checked as exact integer math
@@ -40,11 +70,12 @@ object Dedup {
                    bucketCol: String, num: Int, den: Int): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(bucketCol).as("bucket"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
-    val a = t.as("a"); val b = t.as("b")
+    val (repr, inter, union) = pairScorer(t)
+    val a = repr.as("a"); val b = repr.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        size(array_intersect(col("a.toks"), col("b.toks"))).as("inter_size"),
-        size(array_union(col("a.toks"), col("b.toks"))).as("union_size"))
+        inter(col("a.repr"), col("b.repr")).as("inter_size"),
+        union(col("a.repr"), col("b.repr")).as("union_size"))
       .filter(col("inter_size") * den >= col("union_size") * num)
   }
 
@@ -74,55 +105,62 @@ object Dedup {
                    bands: Int, rowsPerBand: Int,
                    num: Int, den: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
+    val toks = df.select(col(idCol).as("id"),
+      TextFunctions.tokenSet(col(textCol)).as("toks"))
+    val (repr, inter, union) = pairScorer(toks)
     val sigs = minhashSignature(df, idCol, textCol, numHashes)
+      .join(repr, "id") // repr is corpus-sized → broadcast/AQE picks a cheap join
     val bandKeys = (0 until bands).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
       struct(lit(bnd).as("band"), concat_ws("_", parts: _*).as("sig"))
     }
-    val exploded = sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val cand = exploded.as("a")
+    val exploded = sigs.select(col("id"), col("repr"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("repr"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    // Score inside the band join (cheap with the bitmask repr) and
+    // filter BEFORE the distinct, so the dedup shuffle only carries
+    // confirmed near-dup pairs — candidates that fail the Jaccard
+    // threshold (the vast majority) die in the same codegen stage that
+    // produced them.
+    exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
-    val toks = df.select(col(idCol).as("id"),
-      TextFunctions.tokenSet(col(textCol)).as("toks"))
-    cand
-      .join(toks.withColumnRenamed("id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
-      .join(toks.withColumnRenamed("id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter_size"),
-        size(array_union(col("toks_a"), col("toks_b"))).as("union_size"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        inter(col("a.repr"), col("b.repr")).as("inter_size"),
+        union(col("a.repr"), col("b.repr")).as("union_size"))
       .filter(col("inter_size") * den >= col("union_size") * num)
+      .distinct()
   }
 
   /** 56-bit SimHash over the distinct-token set: bit b is set when
-    * more than half the token hashes have bit b set. Pure SQL
-    * expression (shiftleft with a column shift), stays in codegen.
+    * more than half the token hashes have bit b set. The per-doc
+    * majority vote runs as the native codegen'd
+    * [[graft.plans.SimHash56]] kernel.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextFunctions.tokenSet(col(textCol))
     val hashes = transform(toks, w => HashFunctions.seededHash56(0, w))
-    df.select(col(idCol).as("id"), hashes.as("th"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 55), 0L, (acc, b) ->
-          |  acc + IF(2 * size(filter(th, h -> (h div shiftleft(1L, b)) % 2 = 1)) > size(th),
-          |           shiftleft(1L, b), 0L))""".stripMargin))
-      .select(col("id"), col("simhash"))
+    df.select(col(idCol).as("id"),
+      graft.plans.SimHash56(hashes).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
-    * Pigeonhole banding: 56 bits in 4 chunks of 14; pairs must share
-    * one exact chunk (bounds candidates), then exact popcount(xor)
-    * filters. Shuffle keyed by (chunk index, chunk value).
+    * Pigeonhole banding: 56 bits in `maxHamming + 1` chunks — any pair
+    * within the distance budget must agree exactly on at least one
+    * chunk, so candidate generation is a shuffle keyed by
+    * (chunk index, chunk value), never all-pairs, with NO recall loss.
+    * The exact popcount(xor) filter runs *before* the distinct so the
+    * dedup shuffle only carries surviving pairs.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 56 / nChunks + (if (56 % nChunks == 0) 0 else 1)
     val sims = simhash(df, idCol, textCol)
     val chunks = sims.select(col("id"), col("simhash"),
-      explode(expr("transform(sequence(0, 3), c -> struct(c AS chunk, (simhash div shiftleft(1L, c * 14)) % 16384 AS v))")).as("ck"))
+      explode(expr(
+        s"""transform(sequence(0, ${nChunks - 1}), c -> struct(c AS chunk,
+           |(simhash div shiftleft(1L, c * $chunkBits)) % shiftleft(1L, $chunkBits) AS v))""".stripMargin)).as("ck"))
       .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.v").as("v"))
     chunks.as("a")
       .join(chunks.as("b"),
@@ -130,7 +168,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -26,7 +26,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", VectorFunctions.cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -56,7 +56,7 @@ object Similarity {
           col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val scored = cand.withColumn("cosine", VectorFunctions.cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -73,7 +73,7 @@ object Similarity {
     val t = df.select(col(idCol).as("id"), col(bucketCol).as("bucket"), col(vecCol).as("v"))
     t.as("a").join(t.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("a.v"), col("b.v")))
+      .withColumn("cosine", VectorFunctions.cosineNative(col("a.v"), col("b.v")))
       .filter(col("cosine") > threshold)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
   }

@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression <-> Column bridge. The converters live in
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`; this shim sits inside the `org.apache.spark.sql`
+  * package scope to re-export just the two conversions a library
+  * defining custom Catalyst expressions needs.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp function on an existing session (the
+    * SparkSessionExtensions path only covers sessions built after the
+    * extension class is configured).
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+}

@@ -55,7 +55,7 @@ class DedupSpec extends SparkSpecBase {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sims(1L), sims(3L)) < ham(sims(1L), sims(4L)),
       "near-dup must be closer than unrelated doc")
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
