@@ -110,9 +110,12 @@ object Dedup {
     val (repr, inter, union) = pairScorer(toks)
     val sigs = minhashSignature(df, idCol, textCol, numHashes)
       .join(repr, "id") // repr is corpus-sized → broadcast/AQE picks a cheap join
+    // 8-byte band signature (xxhash64 of the band's minhashes) instead
+    // of a concatenated string — smaller shuffle, cheaper key compares;
+    // the Jaccard confirm step squashes the ~2^-64 collision risk.
     val bandKeys = (0 until bands).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band"), concat_ws("_", parts: _*).as("sig"))
+      struct(lit(bnd).as("band"), xxhash64(parts: _*).as("sig"))
     }
     val exploded = sigs.select(col("id"), col("repr"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("repr"), col("bk.band").as("band"), col("bk.sig").as("sig"))

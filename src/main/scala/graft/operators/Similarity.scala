@@ -44,15 +44,14 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               dim: Int, planes: Int, tables: Int = 4): DataFrame = {
-    def buckets(vc: String) = array((0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        VectorFunctions.hyperplaneBucket(col(vc), dim, planes, seedOffset = t * planes).as("b"))): _*)
+    def buckets(vc: String) =
+      posexplode(graft.plans.HyperplaneBuckets(col(vc), dim, planes, tables))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(buckets(vecCol)).as("qbk")))
+      buckets(vecCol).as(Seq("qt", "qb"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      explode(buckets(vecCol)).as("cbk"))
+      buckets(vecCol).as(Seq("ct", "cb")))
     val cand = q.join(c,
-        col("qbk.t") === col("cbk.t") && col("qbk.b") === col("cbk.b") &&
+        col("qt") === col("ct") && col("qb") === col("cb") &&
           col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
       .dropDuplicates("query_id", "neighbor_id")
