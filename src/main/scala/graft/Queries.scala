@@ -2,7 +2,7 @@ package graft
 
 import graft.api.ProteusQL
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Dedup, Multimodal, Sessionize, Similarity}
+import graft.operators.{AsOf, Dedup, Multimodal, Sessionize, Similarity, SkewJoin}
 import graft.qpu._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -406,6 +406,14 @@ object Queries {
         .agg(count(lit(1)).as("n_events"), sum("value").as("value_sum")),
       Some("SELECT (floor(epoch(ts) / 3600))::BIGINT * 3600 AS win_start, " +
         "count(*) AS n_events, sum(value) AS value_sum FROM events GROUP BY 1")),
+
+    // §2.2/41 — salted join under skew: result must equal the plain join
+    "q_skew_salted" -> QueryDef(
+      (s, d) => SkewJoin.saltedJoin(ds(s, d, "orders").toDF, ds(s, d, "customer").toDF,
+        "o_custkey", "c_custkey", saltFactor = 8)
+        .select("o_orderkey", "o_custkey", "c_name"),
+      Some("SELECT o_orderkey, o_custkey, c_name FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey")),
 
     // §2.2/27 — sessionization (30-minute gap)
     "q_sessionize" -> QueryDef(

@@ -43,16 +43,31 @@ final case class IsNotNull(attr: String) extends Predicate {
 }
 
 /** Datastore driver QPU: source abstraction
-  * (reference: internal/qpu_classes/datastore_driver/datastoredriver.go).
-  * Batch snapshot = a parquet scan; the subscribe path lives in
-  * [[graft.streaming.Subscribe]]. Projection here is applied *before*
-  * any downstream op so Catalyst prunes columns at the scan
-  * (ReadSchema shrinks — verified in QpuSpec).
+  * (reference: internal/qpu_classes/datastore_driver/datastoredriver.go —
+  * one driver per store kind: s3/store.go, mysql/store.go, mock/store.go).
+  * Batch snapshot = a scan in any Spark-supported format; the subscribe
+  * path lives in [[graft.streaming.Subscribe]]. Projection here is
+  * applied *before* any downstream op so Catalyst prunes columns at the
+  * scan (ReadSchema shrinks — verified in QpuSpec).
   */
 final case class DatastoreQpu(spark: SparkSession, dir: String, table: String,
                               projection: Seq[String] = Nil) extends Qpu {
   def toDF: DataFrame = {
     val df = graft.Tables.load(spark, dir, table)
+    if (projection.isEmpty) df else df.select(projection.map(col): _*)
+  }
+}
+
+/** Format-generic datastore driver (the reference's per-store driver
+  * plugins map to Spark DataSource formats — parquet, csv, json, orc,
+  * jdbc...). `options` passes through to the reader, e.g. header/
+  * inferSchema for csv or a jdbc url for the MySQL-equivalent path.
+  */
+final case class FormatSourceQpu(spark: SparkSession, format: String, path: String,
+                                 options: Map[String, String] = Map.empty,
+                                 projection: Seq[String] = Nil) extends Qpu {
+  def toDF: DataFrame = {
+    val df = spark.read.format(format).options(options).load(path)
     if (projection.isEmpty) df else df.select(projection.map(col): _*)
   }
 }

@@ -71,6 +71,24 @@ object Subscribe {
       }
   }
 
+  /** Streaming read of a stored table — the datastore driver's
+    * subscribe path (reference: datastoredriver.go ProcessQuerySubscribe;
+    * s3/mysql drivers emit update streams). The file source replays
+    * existing files (catch-up) and tails new arrivals; schema comes
+    * from the batch footer, with the same TIMESTAMP(NANOS) repair as
+    * [[graft.Tables.load]].
+    */
+  def subscribeTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$table.parquet")
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(dir)
+    if (table == "events" &&
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else stream
+  }
+
   /** Snapshot-and-subscribe (reference: queries.go
     * NewQuerySnapshotAndSubscribe — catch-up then tail): in Structured
     * Streaming the source itself replays from the earliest offset, so

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.SkewJoin
+import graft.qpu._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpecBase {
+
+  test("format-generic source reads csv and json identically to parquet") {
+    val tmp = Files.createTempDirectory("graft-src").toString
+    val nation = Tables.load(spark, sf(), "nation")
+    nation.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    nation.write.mode("overwrite").json(s"$tmp/nation_json")
+
+    val fromCsv = FormatSourceQpu(spark, "csv", s"$tmp/nation_csv",
+      Map("header" -> "true", "inferSchema" -> "true")).toDF
+    val fromJson = FormatSourceQpu(spark, "json", s"$tmp/nation_json").toDF
+    assert(fromCsv.count() === nation.count())
+    assert(fromJson.count() === nation.count())
+    val names = nation.select("n_name").collect().map(_.getString(0)).toSet
+    assert(fromCsv.select("n_name").collect().map(_.getString(0)).toSet === names)
+    assert(fromJson.select("n_name").collect().map(_.getString(0)).toSet === names)
+  }
+
+  test("salted join equals the plain join under heavy key skew") {
+    import spark.implicits._
+    // 10k rows, 90% on one hot key
+    val large = (1 to 10000).map(i => (if (i % 10 == 0) i.toLong % 25 else 7L, i)).toDF("k", "v")
+    val small = (0L to 24L).map(k => (k, s"dim_$k")).toDF("k2", "name")
+    val plain = large.join(small, large("k") === small("k2")).count()
+    val salted = SkewJoin.saltedJoin(large, small, "k", "k2", saltFactor = 8).count()
+    assert(salted === plain)
+  }
+
+  test("keySkew surfaces the hot key") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (if (i % 5 == 0) i.toLong else 7L, i)).toDF("k", "v")
+    val top = SkewJoin.keySkew(df, col("k"), 1).head()
+    assert(top.getAs[Long]("key") === 7L)
+    assert(top.getAs[Double]("share") > 0.7)
+  }
+
+  test("materialized index prunes files on point lookups") {
+    val tmp = Files.createTempDirectory("graft-idx").toString
+    val idx = IndexQpu(DatastoreQpu(spark, sf(), "lineitem"), "l_partkey")
+    idx.materialize(s"$tmp/li_by_partkey", numPartitions = 8)
+    val reread = spark.read.parquet(s"$tmp/li_by_partkey")
+    // range partitioning on the key → a point lookup hits ~1/8 of rows
+    val probed = reread.filter(col("l_partkey") === 1L)
+    assert(probed.count() ===
+      Tables.load(spark, sf(), "lineitem").filter(col("l_partkey") === 1L).count())
+    val pushed = probed.queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") && pushed.contains("l_partkey"))
+  }
+}

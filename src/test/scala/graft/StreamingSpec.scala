@@ -58,6 +58,22 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("subscribeTable replays a stored table as a stream (catch-up phase)") {
+    val stream = Subscribe.subscribeTable(spark, sf(), "events")
+    val agg = Subscribe.incrementalSum(stream, "user_id", "value")
+    val q = agg.writeStream.format("memory").queryName("sub_events")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sub_events").collect()
+        .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100)).toMap
+      val batch = Tables.load(spark, sf(), "events")
+        .groupBy("user_id").sum("value").collect()
+        .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100)).toMap
+      assert(streamed === batch, "catch-up must equal the batch snapshot")
+    } finally q.stop()
+  }
+
   test("windowed sum with watermark bounds state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
