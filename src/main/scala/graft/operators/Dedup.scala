@@ -123,16 +123,29 @@ object Dedup {
     // filter BEFORE the distinct, so the dedup shuffle only carries
     // confirmed near-dup pairs — candidates that fail the Jaccard
     // threshold (the vast majority) die in the same codegen stage that
-    // produced them.
-    exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
+    // produced them. The self-join is salted (saltedSelfJoin) because a
+    // popular band signature otherwise serializes its g^2 pair work
+    // into one task.
+    saltedSelfJoin(exploded, Seq("band", "sig"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         inter(col("a.repr"), col("b.repr")).as("inter_size"),
         union(col("a.repr"), col("b.repr")).as("union_size"))
       .filter(col("inter_size") * den >= col("union_size") * num)
       .distinct()
+  }
+
+  /** Skew-proof `a.key == b.key AND a.id < b.id` self-join: the left
+    * side gets a deterministic salt from its id, the right side is
+    * replicated over all salts, so one hot key's pair generation
+    * spreads across `saltFactor` tasks instead of one straggler. Each
+    * qualifying pair appears exactly once (the left row's salt owns it).
+    */
+  private def saltedSelfJoin(df: DataFrame, keys: Seq[String],
+                             saltFactor: Int = 16): DataFrame = {
+    val a = df.withColumn("__salt", pmod(xxhash64(col("id")), lit(saltFactor)).cast("int")).as("a")
+    val b = df.withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1)))).as("b")
+    val keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    a.join(b, keyCond && col("a.__salt") === col("b.__salt") && col("a.id") < col("b.id"))
   }
 
   /** 56-bit SimHash over the distinct-token set: bit b is set when
@@ -165,10 +178,7 @@ object Dedup {
         s"""transform(sequence(0, ${nChunks - 1}), c -> struct(c AS chunk,
            |(simhash div shiftleft(1L, c * $chunkBits)) % shiftleft(1L, $chunkBits) AS v))""".stripMargin)).as("ck"))
       .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.v").as("v"))
-    chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
-          col("a.id") < col("b.id"))
+    saltedSelfJoin(chunks, Seq("chunk", "v"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
