@@ -2,7 +2,7 @@ package graft
 
 import graft.api.ProteusQL
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Dedup, Multimodal, Sessionize, Similarity, SkewJoin}
+import graft.operators.{AsOf, Dedup, Multimodal, Sessionize, Similarity, SkewJoin, TfIdf}
 import graft.qpu._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -303,6 +303,39 @@ object Queries {
       (s, d) => Multimodal.decodeStub(s,
         Multimodal.attachFakePayload(ds(s, d, "documents").toDF, "doc_id", "text"))
         .toDF.select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum")),
+      None),
+
+    // §2.3/44 — char-5-gram shingle Jaccard >= 0.7 within (source, lang)
+    "dedup_shingle" -> QueryDef(
+      (s, d) => Dedup.shinglePairs(ds(s, d, "documents").toDF,
+        "doc_id", "text", Seq("source", "lang"), k = 5, num = 7, den = 10),
+      Some("""WITH t AS (SELECT doc_id, source, lang,
+        |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+        |    i -> substring(text, i, 5))) AS toks FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.toks, b.toks)) AS inter_size,
+        |  len(list_distinct(a.toks || b.toks)) AS union_size
+        |FROM t a JOIN t b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) * 10 >=
+        |      len(list_distinct(a.toks || b.toks)) * 7""".stripMargin)),
+
+    // §2.3/45 — TF-IDF weighting over the corpus
+    "text_tfidf" -> QueryDef(
+      (s, d) => TfIdf.tfidf(ds(s, d, "documents").toDF, "doc_id", "text"),
+      Some("""WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf_cnt FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df_cnt FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf_cnt, df_cnt,
+        |  tf_cnt * ln(n_docs / df_cnt) AS tfidf
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin)),
+
+    // §2.3/46 — approximate distinct (HLL++): algorithm-specific values,
+    // accuracy asserted vs exact in ApproxSpec → rows-only
+    "q_approx_users" -> QueryDef(
+      (s, d) => ds(s, d, "events").toDF.groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users")),
       None),
 
     // ------------- §2.2 OLAP depth -------------

@@ -75,4 +75,15 @@ object TextFunctions {
     * whitespace-collapsed text) — survives trivial edits.
     */
   def fingerprint(c: Column): Column = HashFunctions.normalizedFingerprint(c)
+
+  /** Distinct character k-shingles — the n-gram unit for shingle-based
+    * near-dup detection (robust to word-boundary edits where word sets
+    * are not). Empty result for texts shorter than k (guarded: Spark's
+    * `sequence(1, 0)` would count DOWN, not produce an empty range).
+    */
+  def charShingles(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      array_distinct(transform(sequence(lit(1), length(c) - (k - 1)),
+        i => c.substr(i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
 }

@@ -53,10 +53,14 @@ object Dedup {
         (a, b) => call_function("bit_count", a.bitwiseAND(b)).cast("int"),
         (a, b) => call_function("bit_count", a.bitwiseOR(b)).cast("int"))
     } else {
-      val repr = df.withColumn("repr", col("toks")).drop("toks")
+      // Open vocabulary: sorted 64-bit hash arrays + native merge loop
+      // (graft.plans.SortedIntersectCount). 64-bit collisions within a
+      // compared pair (~|set|^2 / 2^65) are negligible.
+      val repr = df.withColumn("repr",
+        sort_array(array_distinct(transform(col("toks"), w => xxhash64(w))))).drop("toks")
       (repr,
-        (a, b) => size(array_intersect(a, b)),
-        (a, b) => size(array_union(a, b)))
+        (a, b) => graft.plans.SortedIntersectCount(a, b),
+        (a, b) => size(a) + size(b) - graft.plans.SortedIntersectCount(a, b))
     }
   }
 
@@ -73,6 +77,29 @@ object Dedup {
     val (repr, inter, union) = pairScorer(t)
     val a = repr.as("a"); val b = repr.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        inter(col("a.repr"), col("b.repr")).as("inter_size"),
+        union(col("a.repr"), col("b.repr")).as("union_size"))
+      .filter(col("inter_size") * den >= col("union_size") * num)
+  }
+
+  /** Character-k-shingle Jaccard near-dup pairs within composite
+    * buckets — the n-gram flavor of [[jaccardPairs]] (robust to
+    * word-boundary edits). Shingle vocabularies are open, so scoring
+    * uses the array path of [[pairScorer]].
+    */
+  def shinglePairs(df: DataFrame, idCol: String, textCol: String,
+                   bucketCols: Seq[String], k: Int,
+                   num: Int, den: Int): DataFrame = {
+    val t = df.select((col(idCol).as("id") +: bucketCols.map(col)) :+
+      TextFunctions.charShingles(col(textCol), k).as("toks"): _*)
+    val (repr0, inter, union) = pairScorer(t)
+    // corpus-sized (one row per doc); persist so the self-join doesn't
+    // recompute shingling + hashing + sort for each side
+    val repr = repr0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = repr.as("a"); val b = repr.as("b")
+    val bucketCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    a.join(b, bucketCond && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         inter(col("a.repr"), col("b.repr")).as("inter_size"),
         union(col("a.repr"), col("b.repr")).as("union_size"))

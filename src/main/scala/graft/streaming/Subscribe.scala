@@ -89,6 +89,16 @@ object Subscribe {
     else stream
   }
 
+  /** Streaming exact dedup for continuous ingest: drop rows whose key
+    * columns were already seen, with a watermark bounding the dedup
+    * state (the unbounded-state version would OOM a 100-TB stream).
+    * This is the streaming twin of [[graft.operators.Dedup.exact]].
+    */
+  def streamingDedup(stream: DataFrame, tsCol: String, watermark: String,
+                     keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Snapshot-and-subscribe (reference: queries.go
     * NewQuerySnapshotAndSubscribe — catch-up then tail): in Structured
     * Streaming the source itself replays from the earliest offset, so

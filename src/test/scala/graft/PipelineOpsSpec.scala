@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, TfIdf}
+import graft.streaming.Subscribe
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpecBase {
+
+  test("charShingles: correct set, short-text guard") {
+    import spark.implicits._
+    val r = Seq("abcdef", "ab").toDF("text")
+      .select(TextFunctions.charShingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(r(0) === Set("abc", "bcd", "cde", "def"))
+    assert(r(1) === Set.empty, "text shorter than k must give an empty set, not a reversed range")
+  }
+
+  test("shinglePairs finds near-dups robust to word-boundary edits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s", "en"),
+      (2L, "the quick brown foxjumps over the lazy dog", "s", "en"), // space removed
+      (3L, "unrelated content entirely different words here", "s", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val pairs = Dedup.shinglePairs(docs, "doc_id", "text", Seq("source", "lang"), 5, 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("tfidf: rare tokens outweigh common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common word"),
+      (3L, "common word extra")
+    ).toDF("doc_id", "text")
+    val r = TfIdf.tfidf(docs, "doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1)) -> (x.getLong(2), x.getDouble(4))).toMap
+    assert(r((1L, "common"))._1 === 2L)
+    assert(math.abs(r((1L, "common"))._2) < 1e-12, "df == N => idf 0")
+    assert(r((1L, "rare"))._2 > r((2L, "word"))._2, "rarer token must score higher")
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = Subscribe.streamingDedup(
+      input.toDF().toDF("ts", "doc_id"), "ts", "1 hour", Seq("doc_id"))
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      input.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      input.addData((ts(3), 1L), (ts(4), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").collect().map(_.getLong(1)).sorted
+      assert(ids === Array(1L, 2L, 3L), "duplicate doc_id 1 must be dropped")
+    } finally q.stop()
+  }
+
+  test("approx distinct users within 5% of exact") {
+    val approx = Queries.asMap("q_approx_users").build(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sf(), "events").groupBy("event_type")
+      .agg(countDistinct("user_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) <= math.max(1L, (ex * 0.05).toLong),
+        s"$k: approx ${approx(k)} vs exact $ex")
+    }
+  }
+}
