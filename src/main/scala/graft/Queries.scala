@@ -152,6 +152,24 @@ object Queries {
         "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
         "FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t WHERE rn = 1")),
 
+    // §2.1/47 — versioned index read (reference: inMemIndex keeps
+    // vector-clock versioned postings): index lookup over the as-of-T
+    // snapshot — latest state per user at T, then a range probe on the
+    // indexed attribute
+    "q_index_asof" -> QueryDef(
+      (s, d) => {
+        val snap = AsOf.snapshotAsOf(ds(s, d, "events").toDF,
+          "ts", lit("2024-01-15 00:00:00").cast("timestamp"),
+          key = Seq("user_id"), tiebreak = Seq("event_id"))
+        IndexQpu(DataFrameQpu(snap), "value").range(100.0, 200.0)
+          .select("user_id", "event_id", "value")
+      },
+      Some("""SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t
+        |WHERE rn = 1 AND value >= 100.0 AND value < 200.0 ORDER BY value""".stripMargin)),
+
     // ------------- §2.3 LLM-data-pipeline operators -------------
 
     // §2.3/28 — exact dedup by content hash

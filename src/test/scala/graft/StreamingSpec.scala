@@ -74,6 +74,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("router QPU fans over streaming children too") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val left = MemoryStream[(Long, String)]
+    val right = MemoryStream[(Long, String)]
+    val routed = graft.qpu.RouterQpu(Seq(
+      graft.qpu.DataFrameQpu(left.toDF().toDF("id", "v")),
+      graft.qpu.DataFrameQpu(right.toDF().toDF("id", "v")))).toDF
+    val q = routed.writeStream.format("memory").queryName("routed")
+      .outputMode("append").start()
+    try {
+      left.addData((1L, "a")); right.addData((2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+      assert(spark.table("routed").count() === 3)
+    } finally q.stop()
+  }
+
+  test("cache invalidates when the subscribed stream delivers updates") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cache = new graft.qpu.QueryCache()
+    val base = Tables.load(spark, sf(), "nation")
+    cache.getOrCache("nations", base)
+    assert(cache.size === 1)
+    // the reference's cache QPU subscribes to its upstream and evicts on
+    // notification (cache.go WaitInvalidate); here the notification
+    // stream drives invalidate via foreachBatch
+    val updates = MemoryStream[Long]
+    val q = updates.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) cache.invalidate("nations")
+      }.start()
+    try {
+      updates.addData(1L)
+      q.processAllAvailable()
+      assert(cache.size === 0, "update notification must evict the cached entry")
+    } finally q.stop()
+  }
+
   test("windowed sum with watermark bounds state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
