@@ -466,6 +466,40 @@ object Queries {
       Some("SELECT o_orderkey, o_custkey, c_name FROM orders " +
         "JOIN customer ON o_custkey = c_custkey")),
 
+    // §2.2/51 — pivot / crosstab: users x event types
+    "q_pivot" -> QueryDef(
+      (s, d) => ds(s, d, "events").toDF.groupBy("user_id")
+        .pivot("event_type", eventTypes).agg(count(lit(1)))
+        .na.fill(0, eventTypes),
+      Some("SELECT user_id, " + eventTypes.map(t =>
+        s"count(*) FILTER (event_type = '$t') AS $t").mkString(", ") +
+        " FROM events GROUP BY user_id")),
+
+    // §2.2/52 — rollup with subtotal rows
+    "q_rollup" -> QueryDef(
+      (s, d) => ds(s, d, "orders").toDF
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total")),
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, " +
+        "sum(o_totalprice) AS total FROM orders " +
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)")),
+
+    // §2.2/53 — anti join: customers with no orders
+    "q_anti_join" -> QueryDef(
+      (s, d) => ds(s, d, "customer").toDF.join(ds(s, d, "orders").toDF,
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)")),
+
+    // §2.2/54 — interpolated percentiles per group
+    "q_percentile" -> QueryDef(
+      (s, d) => ds(s, d, "events").toDF.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95")),
+      Some("SELECT event_type, quantile_cont(value, 0.5) AS p50, " +
+        "quantile_cont(value, 0.95) AS p95 FROM events GROUP BY event_type")),
+
     // §2.2/27 — sessionization (30-minute gap)
     "q_sessionize" -> QueryDef(
       (s, d) => Sessionize.sessions(ds(s, d, "events").toDF, "user_id", "ts", 1800),
