@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Map-side-combinable top-k selection: keeps a bounded, sorted
+  * (score desc, id asc) buffer of size k per group, merged pairwise.
+  *
+  * Why not `row_number() over (partition by group order by score)`: the
+  * window form shuffles EVERY candidate row to its group's single task
+  * and sorts there — at corpus scale that is one straggler task per
+  * query holding ~corpus rows. This aggregator reduces each partition
+  * to k rows before the shuffle (classic TakeOrdered-per-key), so the
+  * shuffle carries `groups * k` rows regardless of corpus size.
+  * Selection order (score desc, id asc) is total, so results are
+  * deterministic and identical to the window form.
+  */
+class TopKAgg(k: Int) extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+
+  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  private def insert(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] = {
+    if (buf.size >= k && better(buf.last, x)) buf
+    else {
+      val (pre, post) = buf.span(better(_, x))
+      (pre ++ (x +: post)).take(k)
+    }
+  }
+
+  override def zero: Seq[(Long, Double)] = Vector.empty
+  override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
+    insert(buf, x)
+  override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
+  override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Double)]] = bufferEncoder
+}
+
+object TopKAgg {
+  /** Column form: `topK(k)(idCol, scoreCol)` → array<struct<_1,_2>>
+    * sorted best-first.
+    */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAgg(k))
+    (id, score) => fn(id, score)
+  }
+}

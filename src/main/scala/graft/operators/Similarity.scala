@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -27,12 +26,20 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosineNative(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, k)
   }
+
+  /** Rank the best k candidates per query with the map-side-combinable
+    * [[graft.functions.TopKAgg]] — each partition reduces to k rows
+    * before the shuffle, so a query's candidates never funnel through
+    * one task (the `row_number` window form would).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(k)(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb._1").as("neighbor_id"),
+        (col("pos") + 1).as("rank"))
 
   /** LSH-bucketed ANN with OR-amplification: `tables` independent
     * hyperplane families; a corpus row is a candidate if it shares the
@@ -56,11 +63,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand.withColumn("cosine", VectorFunctions.cosineNative(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine > threshold within a
