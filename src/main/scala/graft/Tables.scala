@@ -32,4 +32,9 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` works over them. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Typed loader: `loadAs[graft.model.Lineitem](spark, dir, "lineitem")`. */
+  def loadAs[T: org.apache.spark.sql.Encoder](spark: SparkSession, dir: String,
+                                              name: String): org.apache.spark.sql.Dataset[T] =
+    load(spark, dir, name).as[T]
 }
