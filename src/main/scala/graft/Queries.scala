@@ -262,6 +262,16 @@ object Queries {
       },
       None),
 
+    // §2.3/55 — IVF coarse-quantizer ANN (scale path #2); recall vs
+    // brute force asserted in SimilaritySpec → rows-only
+    "sim_ann_ivf" -> QueryDef(
+      (s, d) => {
+        val emb = ds(s, d, "embeddings").toDF
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, cells = 16, nprobe = 2)
+      },
+      None),
+
     // §2.3/36 — language ID heuristic
     "text_langid" -> QueryDef(
       (s, d) => ds(s, d, "documents").toDF

@@ -66,6 +66,46 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path, as an
+    * alternative to [[lshTopK]]: the corpus is partitioned into `cells`
+    * Voronoi cells around deterministically chosen seed centroids
+    * (lowest xxhash64(id) — stable across runs); a query probes its
+    * `nprobe` nearest cells only. All joins against the centroid table
+    * broadcast (it has `cells` rows); the corpus is scanned, assigned,
+    * and grouped once.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              cells: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(cells)
+      .withColumn("cell", row_number().over(Window.orderBy("h")) - 1)
+      .drop("h")
+
+    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("cscore", VectorFunctions.cosineNative(col(vec), col("cvec")))
+        .groupBy(col(id))
+        .agg(graft.functions.TopKAgg.topK(probes)(col("cell"), col("cscore")).as("top"))
+        .select(col(id), explode(col("top._1")).as("cell"))
+
+    val corpusCells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id", "cv", probes = 1), "neighbor_id")
+    val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        "query_id", "qv", probes = nprobe), "query_id")
+
+    val scored = broadcast(queryCells)
+      .join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", VectorFunctions.cosineNative(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: cosine > threshold within a
     * bucket column (e.g. cluster label) — shuffle on the bucket, pairs
     * only inside it.

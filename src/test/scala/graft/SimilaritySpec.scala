@@ -33,6 +33,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(approx.size <= exact.size)
   }
 
+  test("IVF ANN recall vs brute force is usable and candidates are bounded") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+      cells = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low — IVF assignment broken")
+    assert(ivf.size <= exact.size)
+  }
+
   test("near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", "label", 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
