@@ -22,12 +22,16 @@ object Tables {
     * a proper timestamp at µs precision (`div` keeps it exact — the
     * generator emits µs-granularity values).
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    repairNanosTs(spark.read.parquet(s"$dir/$name.parquet"), name)
+
+  /** Shared TIMESTAMP(NANOS) repair — used by the batch loader and the
+    * streaming subscribe path so the two can't diverge.
+    */
+  def repairNanosTs(df: DataFrame, name: String): DataFrame =
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
-  }
 
   /** Register every table as a temp view so `spark.sql` works over them. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions.udaf
   */
 class TopKAgg(k: Int) extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
 
-  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+  private def better(a: (Long, Double), b: (Long, Double)): Boolean = {
+    // NaN scores (e.g. cosine of a zero vector) rank LAST,
+    // deterministically — plain `>` would leave them unordered and
+    // merge-order-dependent.
+    val aN = a._2.isNaN; val bN = b._2.isNaN
+    if (aN != bN) bN
+    else {
+      val cmp = java.lang.Double.compare(a._2, b._2)
+      cmp > 0 || (cmp == 0 && a._1 < b._1)
+    }
+  }
 
   private def insert(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] = {
     if (buf.size >= k && better(buf.last, x)) buf

@@ -30,19 +30,11 @@ object VectorFunctions {
   def cosineNative(a: Column, b: Column): Column =
     graft.plans.CosineSimilarity(a, b)
 
-  /** Random-hyperplane LSH bucket id: `numPlanes` sign bits, planes
-    * derived deterministically from md5 so buckets are reproducible
-    * across runs/engines. Plane p component j = ±1 by one md5 bit.
+  /** Random-hyperplane LSH bucket ids: see the native
+    * [[graft.plans.HyperplaneBuckets]] kernel (one fused loop per row;
+    * deterministic splitmix64 sign matrix). Exposed here so operator
+    * code has one entry point for vector primitives.
     */
-  def hyperplaneBucket(v: Column, dim: Int, numPlanes: Int, seedOffset: Int = 0): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      // sign of sum_j v[j] * s_pj, s_pj = ±1 from a stable hash bit
-      val signed = aggregate(
-        zip_with(d(v), sequence(lit(0), lit(dim - 1)), (x, j) =>
-          x * (HashFunctions.seededHash56(seedOffset + p, j.cast("string")) % 2 * 2 - 1).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(signed > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
-    }
-    bits.reduce(_ + _)
-  }
+  def hyperplaneBuckets(v: Column, dim: Int, planes: Int, tables: Int): Column =
+    graft.plans.HyperplaneBuckets(v, dim, planes, tables)
 }

@@ -94,8 +94,11 @@ object Dedup {
     val t = df.select((col(idCol).as("id") +: bucketCols.map(col)) :+
       TextFunctions.charShingles(col(textCol), k).as("toks"): _*)
     val (repr0, inter, union) = pairScorer(t)
-    // corpus-sized (one row per doc); persist so the self-join doesn't
-    // recompute shingling + hashing + sort for each side
+    // Corpus-sized (one row per doc); persist so the self-join doesn't
+    // recompute shingling + hashing + sort for each side. The pin lives
+    // until Spark's storage LRU evicts it or the caller runs
+    // spark.catalog.clearCache() — a long-lived session invoking this
+    // repeatedly over many corpora should do the latter between runs.
     val repr = repr0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = repr.as("a"); val b = repr.as("b")
     val bucketCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
@@ -110,12 +113,19 @@ object Dedup {
     * families, min over the distinct-token set.
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       numHashes: Int): DataFrame = {
-    val toks = TextFunctions.tokenSet(col(textCol))
+                       numHashes: Int): DataFrame =
+    minhashSignatureFromTokens(
+      df.select(col(idCol).as("id"), TextFunctions.tokenSet(col(textCol)).as("toks")),
+      numHashes)
+
+  /** Signature from an already-tokenized (id, toks) frame — avoids
+    * re-tokenizing when the caller needs the token sets anyway.
+    */
+  def minhashSignatureFromTokens(toks: DataFrame, numHashes: Int): DataFrame = {
     val sig = (0 until numHashes).map { i =>
-      array_min(transform(toks, w => HashFunctions.seededHash56(i, w))).as(s"m$i")
+      array_min(transform(col("toks"), w => HashFunctions.seededHash56(i, w))).as(s"m$i")
     }
-    df.select((col(idCol).as("id") +: sig): _*)
+    toks.select((col("id") +: sig): _*)
   }
 
   /** MinHash + banded LSH + exact-Jaccard confirmation.
@@ -135,7 +145,7 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
     val (repr, inter, union) = pairScorer(toks)
-    val sigs = minhashSignature(df, idCol, textCol, numHashes)
+    val sigs = minhashSignatureFromTokens(toks, numHashes)
       .join(repr, "id") // repr is corpus-sized → broadcast/AQE picks a cheap join
     // 8-byte band signature (xxhash64 of the band's minhashes) instead
     // of a concatenated string — smaller shuffle, cheaper key compares;
@@ -198,12 +208,20 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
-    val chunkBits = 56 / nChunks + (if (56 % nChunks == 0) 0 else 1)
+    require(nChunks >= 2 && nChunks <= 56, s"maxHamming must be in [1, 55], got $maxHamming")
+    // Spread the 56 bits evenly (floor + remainder): a uniform ceil
+    // width would leave later chunks with few or ZERO real bits, whose
+    // constant chunk values degenerate into an all-pairs join.
+    val base = 56 / nChunks; val rem = 56 % nChunks
+    val widths = (0 until nChunks).map(c => base + (if (c < rem) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val sims = simhash(df, idCol, textCol)
+    val chunkStructs = (0 until nChunks).map { c =>
+      struct(lit(c).as("chunk"),
+        expr(s"(simhash div ${1L << starts(c)}L) % ${1L << widths(c)}L").as("v"))
+    }
     val chunks = sims.select(col("id"), col("simhash"),
-      explode(expr(
-        s"""transform(sequence(0, ${nChunks - 1}), c -> struct(c AS chunk,
-           |(simhash div shiftleft(1L, c * $chunkBits)) % shiftleft(1L, $chunkBits) AS v))""".stripMargin)).as("ck"))
+        explode(array(chunkStructs: _*)).as("ck"))
       .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.v").as("v"))
     saltedSelfJoin(chunks, Seq("chunk", "v"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),

@@ -17,7 +17,11 @@ import scala.collection.mutable
   * `invalidate` covers the reference's subscribe-driven invalidation.
   */
 final class QueryCache(maxEntries: Int = 32) {
-  private val entries = mutable.LinkedHashMap.empty[String, DataFrame]
+  // Keys are compared with equals(): string keys for client queries,
+  // canonicalized LogicalPlans (structural equality) for plan-keyed
+  // entries — NOT plan.toString, which Spark truncates past
+  // spark.sql.debug.maxToStringFields and would collide distinct plans.
+  private val entries = mutable.LinkedHashMap.empty[Any, DataFrame]
   private var hitCnt = 0L
   private var missCnt = 0L
 
@@ -25,7 +29,7 @@ final class QueryCache(maxEntries: Int = 32) {
   def misses: Long = missCnt
   def size: Int = entries.size
 
-  def getOrCache(key: String, build: => DataFrame): DataFrame = synchronized {
+  def getOrCache(key: Any, build: => DataFrame): DataFrame = synchronized {
     entries.remove(key) match {
       case Some(df) =>
         hitCnt += 1
@@ -44,7 +48,7 @@ final class QueryCache(maxEntries: Int = 32) {
     }
   }
 
-  def invalidate(key: String): Unit = synchronized {
+  def invalidate(key: Any): Unit = synchronized {
     entries.remove(key).foreach(_.unpersist(blocking = false))
   }
 
@@ -65,6 +69,6 @@ object QueryCache {
 final case class CacheQpu(input: Qpu, cache: QueryCache = QueryCache.default) extends Qpu {
   def toDF: DataFrame = {
     val child = input.toDF
-    cache.getOrCache(child.queryExecution.logical.canonicalized.toString, child)
+    cache.getOrCache(child.queryExecution.logical.canonicalized, child)
   }
 }

@@ -83,10 +83,7 @@ object Subscribe {
     val stream = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", s"$table.parquet")
       .parquet(dir)
-    if (table == "events" &&
-        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else stream
+    graft.Tables.repairNanosTs(stream, table)
   }
 
   /** Streaming exact dedup for continuous ingest: drop rows whose key

@@ -27,6 +27,25 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(math.abs(self.getDouble(0) - 1.0) < 1e-12 && math.abs(self.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("ragged pair returns null, matching the portable form") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(VectorFunctions.cosineNative(col("a"), col("b"))).head()
+    assert(r.isNullAt(0), "length mismatch must be null, not a truncated score")
+  }
+
+  test("NaN cosine (zero vector) ranks last in top-k, deterministically") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 0.0f)), // zero vector → NaN cosine
+      (3L, Seq(0.8f, 0.2f))).toDF("vec_id", "embedding")
+    val top = graft.operators.Similarity.bruteForceTopK(corpus,
+      corpus.filter(col("vec_id") === 0L), "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(top === Array(1L, 3L, 2L), "NaN-scored neighbor must rank after real scores")
+  }
+
   test("cosine_sim is SQL-callable after registration") {
     graft.plans.GraftExtensions.register(spark)
     Tables.load(spark, sf(), "embeddings").createOrReplaceTempView("emb_ext")

@@ -59,4 +59,16 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("simhash banding distributes bits for any hamming budget (no degenerate chunk)") {
+    // maxHamming=10 → 11 chunks; with ceil-width chunking the last chunks
+    // would cover zero real bits and degenerate into an all-pairs join
+    for (mh <- Seq(1, 3, 10, 13)) {
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = mh)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"identical docs must pair at maxHamming=$mh")
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L) || mh > 20,
+        s"unrelated doc must not pair at maxHamming=$mh")
+    }
+  }
 }
