@@ -42,10 +42,23 @@ object ProteusQL {
 
   /** SQL entry point covering (and exceeding) the reference's parser
     * subset: registers the scale-factor tables and hands the statement
-    * to Spark SQL.
+    * to Spark SQL. Parsed/analyzed plans are memoized per
+    * (session, dir, statement) — the reference keeps the same
+    * statement→AST LRU in front of its parser
+    * (internal/apiprocessor/apiprocessor.go sqlToASTCache).
     */
   def sql(spark: SparkSession, dir: String, statement: String): DataFrame = {
-    Tables.registerAll(spark, dir)
-    spark.sql(statement)
+    val key = (System.identityHashCode(spark), dir, statement)
+    planCache.synchronized {
+      val df = planCache.getOrElseUpdate(key, {
+        Tables.registerAll(spark, dir)
+        spark.sql(statement)
+      })
+      if (planCache.size > 128) planCache.remove(planCache.head._1)
+      df
+    }
   }
+
+  private val planCache =
+    scala.collection.mutable.LinkedHashMap.empty[(Int, String, String), DataFrame]
 }

@@ -40,11 +40,14 @@ object Dedup {
     * join. Falls back to array intersection for open vocabularies.
     * Results are identical either way (exact set algebra).
     */
-  private def pairScorer(df: DataFrame /* id, toks, ... */):
+  private def pairScorer(df: DataFrame /* id, toks, ... */,
+                         assumeOpenVocab: Boolean = false):
       (DataFrame, (Column, Column) => Column, (Column, Column) => Column) = {
-    val vocab = df.select(explode(col("toks")).as("w")).distinct()
-      .limit(65).collect().map(_.getString(0))
-    if (vocab.length <= 64) {
+    val vocab =
+      if (assumeOpenVocab) Array.empty[String] // skip the probe job
+      else df.select(explode(col("toks")).as("w")).distinct()
+        .limit(65).collect().map(_.getString(0))
+    if (!assumeOpenVocab && vocab.length <= 64) {
       val mask = (0 until vocab.length).map(j =>
         when(array_contains(col("toks"), vocab(j)), lit(1L << j)).otherwise(lit(0L)))
         .reduceOption(_.bitwiseOR(_)).getOrElse(lit(0L))
@@ -93,7 +96,9 @@ object Dedup {
                    num: Int, den: Int): DataFrame = {
     val t = df.select((col(idCol).as("id") +: bucketCols.map(col)) :+
       TextFunctions.charShingles(col(textCol), k).as("toks"): _*)
-    val (repr0, inter, union) = pairScorer(t)
+    // char shingles are open-vocabulary by construction — don't pay the
+    // ≤64-symbol probe job
+    val (repr0, inter, union) = pairScorer(t, assumeOpenVocab = true)
     // Corpus-sized (one row per doc); persist so the self-join doesn't
     // recompute shingling + hashing + sort for each side. The pin lives
     // until Spark's storage LRU evicts it or the caller runs
