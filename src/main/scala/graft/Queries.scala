@@ -510,6 +510,51 @@ object Queries {
       Some("SELECT event_type, quantile_cont(value, 0.5) AS p50, " +
         "quantile_cont(value, 0.95) AS p95 FROM events GROUP BY event_type")),
 
+    // §2.2/57 — cube (all grouping-set combinations)
+    "q_cube" -> QueryDef(
+      (s, d) => ds(s, d, "events").toDF.cube("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt")),
+      Some("SELECT event_type, user_id, count(*) AS cnt FROM events " +
+        "GROUP BY CUBE (event_type, user_id)")),
+
+    // §2.2/58 — semi join: customers that do have orders
+    "q_semi_join" -> QueryDef(
+      (s, d) => ds(s, d, "customer").toDF.join(ds(s, d, "orders").toDF,
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("SELECT c_custkey, c_name FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)")),
+
+    // §2.3/59 — fuzzy matching by edit distance (bounded id range keeps
+    // the demo quadratic term small; the operator composes with any
+    // LSH/bucketing prefilter for scale)
+    "q_editdist" -> QueryDef(
+      (s, d) => {
+        val t = ds(s, d, "documents").toDF.filter(col("doc_id") < 100)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+        t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            levenshtein(col("a.prefix"), col("b.prefix")).as("dist"))
+          .filter(col("dist") <= 15)
+      },
+      Some("""WITH t AS (SELECT doc_id, substring(text, 1, 40) AS prefix
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.prefix, b.prefix) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 15""".stripMargin)),
+
+    // §2.2/60 — calendar extraction and grouping
+    "q_date_parts" -> QueryDef(
+      (s, d) => ds(s, d, "orders").toDF
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total")),
+      Some("SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
+        "dayofweek(o_orderdate) + 1 AS dow, count(*) AS cnt, " +
+        "sum(o_totalprice) AS total FROM orders GROUP BY 1, 2, 3")),
+
     // §2.2/27 — sessionization (30-minute gap)
     "q_sessionize" -> QueryDef(
       (s, d) => Sessionize.sessions(ds(s, d, "events").toDF, "user_id", "ts", 1800),
