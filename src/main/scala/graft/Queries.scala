@@ -221,6 +221,33 @@ object Queries {
            |      len(list_distinct(ta.toks || tb.toks)) * 9""".stripMargin
       }),
 
+    // §2.3/61 — MinHash near-dup clustering: O(n) cluster assignment via
+    // bounded min-label propagation; oracle replays the same 5
+    // propagation rounds as chained CTEs
+    "dedup_cluster" -> QueryDef(
+      (s, d) => Dedup.minhashClusters(ds(s, d, "documents").toDF,
+        "doc_id", "text", bands = 2, rowsPerBand = 4, iterations = 5),
+      Some {
+        val mh = (0 until 8).map(i =>
+          s"list_min(list_transform(toks, w -> ('0x' || substring(md5('$i:' || w), 1, 14))::bigint)) AS m$i")
+          .mkString(", ")
+        def band(b: Int) = (0 until 4).map(r => s"m${b * 4 + r}::varchar").mkString(" || '_' || ")
+        val iters = (0 until 5).map { k =>
+          s"""bmin$k AS (SELECT band, sig, min(label) AS bmin FROM mem
+             |  JOIN l$k USING (id) GROUP BY band, sig),
+             |l${k + 1} AS (SELECT id, min(bmin) AS label FROM mem
+             |  JOIN bmin$k USING (band, sig) GROUP BY id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (SELECT doc_id,
+           |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |sigs AS (SELECT doc_id, $mh FROM toks),
+           |mem AS (SELECT doc_id AS id, 0 AS band, ${band(0)} AS sig FROM sigs
+           |  UNION ALL SELECT doc_id AS id, 1 AS band, ${band(1)} AS sig FROM sigs),
+           |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
+           |$iters
+           |SELECT id AS doc_id, label AS cluster_id FROM l5""".stripMargin
+      }),
+
     // §2.3/32 — SimHash near-dup pairs (hamming <= 3, exact via 4-chunk
     // pigeonhole banding); not ANSI-SQL-expressible → rows-only check +
     // DedupSpec

@@ -48,6 +48,23 @@ class DedupSpec extends SparkSpecBase {
     assert(!r.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash clustering: copies collapse to one cluster, O(n) output") {
+    import spark.implicits._
+    // 3 copies of doc 1's text under new ids + an unrelated doc
+    val corpus = docs.union(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "s3"),
+      (11L, "the quick brown fox jumps over the lazy dog", "s3")
+    ).toDF("doc_id", "text", "source"))
+    val clusters = Dedup.minhashClusters(corpus, "doc_id", "text",
+      bands = 2, rowsPerBand = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size === corpus.count(), "one row per document")
+    assert(clusters(1L) === clusters(2L) && clusters(1L) === clusters(10L) &&
+      clusters(1L) === clusters(11L), "all copies share a cluster")
+    assert(clusters(1L) === 1L, "cluster id is the component's min doc id")
+    assert(clusters(4L) !== clusters(1L), "unrelated doc stays apart")
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
