@@ -299,6 +299,13 @@ object Queries {
       },
       None),
 
+    // §2.3/62 — embedding near-dup clustering over LSH buckets (O(n)
+    // output); connectivity depends on the native sign matrix → rows-only
+    "sim_embed_cluster" -> QueryDef(
+      (s, d) => Similarity.nearDupClusters(ds(s, d, "embeddings").toDF,
+        "vec_id", "embedding", dim = 64, planes = 8, tables = 2),
+      None),
+
     // §2.3/36 — language ID heuristic
     "text_langid" -> QueryDef(
       (s, d) => ds(s, d, "documents").toDF

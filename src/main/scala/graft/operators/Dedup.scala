@@ -216,16 +216,8 @@ object Dedup {
     }
     val membership = sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = membership.select(col("id")).distinct()
-      .withColumn("label", col("id"))
-    for (_ <- 0 until iterations) {
-      val bucketMin = membership.join(labels, "id")
-        .groupBy("band", "sig").agg(min("label").as("bmin"))
-      labels = membership.join(bucketMin, Seq("band", "sig"))
-        .groupBy("id").agg(min("bmin").as("label"))
-    }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    ConnectedComponents.propagateMinLabel(membership, Seq("band", "sig"), iterations)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** 56-bit SimHash over the distinct-token set: bit b is set when

@@ -106,6 +106,21 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Embedding near-dup CLUSTERING: O(n) cluster assignment over the
+    * multi-table LSH bucket graph (vectors sharing any hyperplane
+    * bucket in any table join a component) — the scalable output
+    * contract, mirroring [[graft.operators.Dedup.minhashClusters]].
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, planes: Int, tables: Int = 4,
+                      iterations: Int = 5): DataFrame = {
+    val membership = df.select(col(idCol).as("id"),
+        posexplode(graft.plans.HyperplaneBuckets(col(vecCol), dim, planes, tables))
+          .as(Seq("t", "b")))
+    ConnectedComponents.propagateMinLabel(membership, Seq("t", "b"), iterations)
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine > threshold within a
     * bucket column (e.g. cluster label) — shuffle on the bucket, pairs
     * only inside it.

@@ -74,6 +74,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming session windows mirror the batch sessionizer") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sessions = input.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(org.apache.spark.sql.functions.col("ts"), "30 minutes"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("ssw")
+      .outputMode("complete").start()
+    try {
+      // two events 10 min apart (one session), then one 2h later (new session)
+      input.addData((ts(0), 1L, 1.0), (ts(600), 1L, 1.0), (ts(7800), 1L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssw").collect()
+      assert(rows.length === 2, "gap > 30min must open a second session")
+      assert(rows.map(_.getAs[Long]("n_events")).sorted.sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+
   test("router QPU fans over streaming children too") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
