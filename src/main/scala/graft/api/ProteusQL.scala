@@ -42,23 +42,29 @@ object ProteusQL {
 
   /** SQL entry point covering (and exceeding) the reference's parser
     * subset: registers the scale-factor tables and hands the statement
-    * to Spark SQL. Parsed/analyzed plans are memoized per
-    * (session, dir, statement) — the reference keeps the same
-    * statement→AST LRU in front of its parser
-    * (internal/apiprocessor/apiprocessor.go sqlToASTCache).
+    * to Spark SQL. The statement→AST parse is memoized (LRU 128),
+    * mirroring the reference's sqlToASTCache
+    * (internal/apiprocessor/apiprocessor.go). Only the UNRESOLVED plan
+    * is cached — analysis (catalog binding, file listing) reruns per
+    * call, so cached statements always see current data.
     */
   def sql(spark: SparkSession, dir: String, statement: String): DataFrame = {
-    val key = (System.identityHashCode(spark), dir, statement)
-    planCache.synchronized {
-      val df = planCache.getOrElseUpdate(key, {
-        Tables.registerAll(spark, dir)
-        spark.sql(statement)
-      })
-      if (planCache.size > 128) planCache.remove(planCache.head._1)
-      df
+    Tables.registerAll(spark, dir)
+    val ast = astCache.synchronized {
+      astCache.remove(statement) match {
+        case Some(plan) =>
+          astCache.put(statement, plan) // re-insert → most-recently-used
+          plan
+        case None =>
+          val plan = org.apache.spark.sql.graftbridge.Bridge.parsePlan(spark, statement)
+          astCache.put(statement, plan)
+          if (astCache.size > 128) astCache.remove(astCache.head._1)
+          plan
+      }
     }
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, ast)
   }
 
-  private val planCache =
-    scala.collection.mutable.LinkedHashMap.empty[(Int, String, String), DataFrame]
+  private val astCache = scala.collection.mutable.LinkedHashMap
+    .empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
 }

@@ -16,8 +16,11 @@ object Compact {
     */
   def writeSized(df: DataFrame, path: String, rowsPerFile: Long,
                  sortCols: Seq[String], estimatedRows: Long = -1L): Unit = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
     val rows = if (estimatedRows > 0) estimatedRows else df.count()
-    val files = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
+    // Long math + clamp: a huge rows/rowsPerFile ratio must not saturate
+    // Int and request ~2^31 partitions
+    val files = math.min((rows + rowsPerFile - 1) / rowsPerFile, 1000000L).max(1L).toInt
     val clustered =
       if (sortCols.isEmpty) df.repartition(files)
       else df.repartitionByRange(files, sortCols.map(col): _*)

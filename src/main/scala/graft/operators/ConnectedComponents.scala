@@ -4,29 +4,63 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Connected components over a bipartite id↔bucket membership graph by
-  * bounded alternating min-label propagation.
+  * alternating min-label propagation.
   *
-  * Input: one row per (id, bucket) membership; ids sharing any bucket
-  * end up in one component labeled by the component's min id. Each
-  * round is two hash aggregations (both map-side combinable), so the
-  * cost is `iterations × 2` shuffles of O(membership) rows — no
-  * quadratic pair materialization anywhere. Components of diameter
-  * ≤ 2^iterations converge; duplicate/near-dup clusters are
-  * near-cliques, so small iteration counts suffice.
+  * Each round is two hash aggregations (both map-side combinable) and
+  * advances labels ONE graph hop, so `propagateMinLabel(n)` resolves
+  * components of diameter <= n exactly; longer chains keep multiple
+  * labels (documented, bounded semantics — replayable round-for-round
+  * by an external oracle). Duplicate/near-dup clusters are
+  * near-cliques (diameter 1–2), so small fixed counts fit them.
+  * `propagateToFixpoint` iterates until no label changes when exact
+  * component minima matter regardless of shape.
+  *
+  * The membership frame is persisted for the duration of the
+  * computation; long-lived sessions running many clusterings should
+  * `spark.catalog.clearCache()` between corpora (Spark's storage LRU
+  * also evicts under pressure).
   */
 object ConnectedComponents {
 
-  /** `membership`: columns `id` plus `bucketCols`. Returns (id, label). */
+  /** `membership`: columns `id` plus `bucketCols`. Returns (id, label)
+    * after exactly `iterations` propagation rounds.
+    */
   def propagateMinLabel(membership: DataFrame, bucketCols: Seq[String],
                         iterations: Int): DataFrame = {
     val mem = membership.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = mem.select(col("id")).distinct().withColumn("label", col("id"))
-    for (_ <- 0 until iterations) {
-      val bucketMin = mem.join(labels, "id")
-        .groupBy(bucketCols.map(col): _*).agg(min("label").as("bmin"))
-      labels = mem.join(bucketMin, bucketCols)
-        .groupBy("id").agg(min("bmin").as("label"))
+    for (_ <- 0 until iterations) labels = round(mem, bucketCols, labels)
+    labels
+  }
+
+  /** Iterate until labels stop changing (checked with a cheap
+    * existence probe per round), capped at `maxIterations`.
+    */
+  def propagateToFixpoint(membership: DataFrame, bucketCols: Seq[String],
+                          maxIterations: Int = 20): DataFrame = {
+    val mem = membership.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = mem.select(col("id")).distinct().withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var converged = false
+    while (i < maxIterations && !converged) {
+      val next = round(mem, bucketCols, labels)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.as("n").join(labels.as("p"), "id")
+        .filter(col("n.label") =!= col("p.label"))
+        .limit(1).isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      i += 1
     }
     labels
+  }
+
+  private def round(mem: DataFrame, bucketCols: Seq[String],
+                    labels: DataFrame): DataFrame = {
+    val bucketMin = mem.join(labels, "id")
+      .groupBy(bucketCols.map(col): _*).agg(min("label").as("bmin"))
+    mem.join(bucketMin, bucketCols)
+      .groupBy("id").agg(min("bmin").as("label"))
   }
 }

@@ -200,9 +200,12 @@ object Dedup {
     * Here each (band, signature) bucket contributes only its
     * membership, and connected components are resolved by alternating
     * min-label propagation over the bipartite doc↔bucket graph —
-    * `iterations` rounds of two map-side-combinable aggregations each;
-    * components of diameter ≤ 2^iterations converge (duplicate
-    * clusters are near-cliques, so 3–5 rounds is plenty in practice).
+    * `iterations` rounds of two map-side-combinable aggregations each,
+    * one graph hop per round. Duplicate clusters are near-cliques
+    * (diameter 1–2), which the default 5 rounds covers with margin;
+    * for arbitrary-shape components use
+    * [[ConnectedComponents.propagateToFixpoint]]. Fixed rounds keep
+    * the result replayable by the round-for-round SQL oracle.
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
                       bands: Int, rowsPerBand: Int,
@@ -243,7 +246,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
-    require(nChunks >= 2 && nChunks <= 56, s"maxHamming must be in [1, 55], got $maxHamming")
+    require(nChunks >= 1 && nChunks <= 56, s"maxHamming must be in [0, 55], got $maxHamming")
     // Spread the 56 bits evenly (floor + remainder): a uniform ceil
     // width would leave later chunks with few or ZERO real bits, whose
     // constant chunk values degenerate into an all-pairs join.

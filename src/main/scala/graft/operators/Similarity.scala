@@ -35,7 +35,11 @@ object Similarity {
     * one task (the `row_number` window form would).
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("query_id")
+    scored
+      // ragged vector pairs score null (CosineSimilarity contract); the
+      // aggregator's (Long, Double) input encoder would throw on them
+      .filter(col("cosine").isNotNull)
+      .groupBy("query_id")
       .agg(graft.functions.TopKAgg.topK(k)(col("neighbor_id"), col("cosine")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nb")))
       .select(col("query_id"), col("nb._1").as("neighbor_id"),
@@ -77,26 +81,28 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               cells: Int = 16, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = corpus
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), xxhash64(col(idCol)).as("h"))
+    // One scan picks the <= `cells` seed centroids; collecting them to
+    // the driver is bounded by construction and lets cell assignment be
+    // a single inline expression per row — no cross join, no shuffle,
+    // no recomputed centroid subtree.
+    val centroids: Array[Seq[Float]] = corpus
+      .select(col(vecCol), xxhash64(col(idCol)).as("h"))
       .orderBy("h").limit(cells)
-      .withColumn("cell", row_number().over(Window.orderBy("h")) - 1)
-      .drop("h")
+      .collect().map(_.getSeq[Float](0))
 
-    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("cscore", VectorFunctions.cosineNative(col(vec), col("cvec")))
-        .groupBy(col(id))
-        .agg(graft.functions.TopKAgg.topK(probes)(col("cell"), col("cscore")).as("top"))
-        .select(col(id), explode(col("top._1")).as("cell"))
+    def cellScores(vec: String) = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(VectorFunctions.cosineNative(col(vec), typedlit(cv)).as("s"),
+        lit(i).as("cell"))
+    }: _*)
+    // argmax by (score, cell): array_max on struct orders by first field
+    def bestCell(vec: String) = array_max(cellScores(vec)).getField("cell")
+    def topCells(vec: String, probes: Int) =
+      slice(reverse(array_sort(cellScores(vec))), 1, probes).getField("cell")
 
-    val corpusCells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .join(assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-        "neighbor_id", "cv", probes = 1), "neighbor_id")
-    val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-        "query_id", "qv", probes = nprobe), "query_id")
+    val corpusCells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      bestCell(vecCol).as("cell"))
+    val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(topCells(vecCol, nprobe)).as("cell"))
 
     val scored = broadcast(queryCells)
       .join(corpusCells, Seq("cell"))

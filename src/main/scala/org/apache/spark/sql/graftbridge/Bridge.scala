@@ -21,4 +21,17 @@ object Bridge {
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Parse a SQL statement to its unresolved logical plan (no analysis,
+    * no file listing — safe to cache across data changes).
+    */
+  def parsePlan(spark: org.apache.spark.sql.SparkSession,
+                statement: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.sessionState.sqlParser.parsePlan(statement)
+
+  /** Analyze + wrap a logical plan against the CURRENT session state. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

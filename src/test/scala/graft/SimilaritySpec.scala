@@ -45,6 +45,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivf.size <= exact.size)
   }
 
+  test("a ragged vector in the corpus is skipped, not a job-aborting null") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)), // ragged → null cosine
+      (3L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus,
+      corpus.filter(col("vec_id") === 0L), "vec_id", "embedding", 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(top === Set(1L, 3L), "ragged neighbor must be dropped, others ranked")
+  }
+
+  test("connected components: fixed rounds cover cliques, fixpoint covers chains") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // chain graph: buckets b1..b9 each link consecutive ids 1..10
+    val mem = (1L to 9L).flatMap(b => Seq(b -> s"b$b", (b + 1) -> s"b$b"))
+      .toDF("id", "bucket")
+    val bounded = ConnectedComponents.propagateMinLabel(mem, Seq("bucket"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded(10L) !== 1L, "diameter-9 chain cannot converge in 3 one-hop rounds")
+    val exact = ConnectedComponents.propagateToFixpoint(mem, Seq("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 10L).forall(exact(_) == 1L), "fixpoint must label the whole chain")
+  }
+
   test("near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", "label", 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
