@@ -589,6 +589,38 @@ object Queries {
         "dayofweek(o_orderdate) + 1 AS dow, count(*) AS cnt, " +
         "sum(o_totalprice) AS total FROM orders GROUP BY 1, 2, 3")),
 
+    // §2.2/64 — ordered string aggregation
+    "q_string_agg" -> QueryDef(
+      (s, d) => ds(s, d, "nation").toDF.groupBy("n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list("n_name"))).as("nations")),
+      Some("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations " +
+        "FROM nation GROUP BY n_regionkey")),
+
+    // §2.2/65 — set operations (EXCEPT/INTERSECT)
+    "q_setops" -> QueryDef(
+      (s, d) => {
+        val buyers = ds(s, d, "orders").toDF.select(col("o_custkey").as("custkey"))
+        val bigSpenders = ds(s, d, "orders").toDF
+          .filter(col("o_totalprice") > 300000.0).select(col("o_custkey").as("custkey"))
+        buyers.distinct().exceptAll(bigSpenders.distinct())
+      },
+      Some("SELECT DISTINCT o_custkey AS custkey FROM orders EXCEPT " +
+        "SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000.0")),
+
+    // §2.2/66 — moving average over a bounded rows frame
+    "q_moving_avg" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-3, 0)
+        ds(s, d, "orders").toDF.select(col("o_orderkey"), col("o_custkey"),
+          avg("o_totalprice").over(w).as("avg_last4"))
+      },
+      Some("SELECT o_orderkey, o_custkey, avg(o_totalprice) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS avg_last4 FROM orders")),
+
     // §2.2/27 — sessionization (30-minute gap)
     "q_sessionize" -> QueryDef(
       (s, d) => Sessionize.sessions(ds(s, d, "events").toDF, "user_id", "ts", 1800),
