@@ -14,13 +14,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state timing: one untimed warmup executes the query end to
-    // end (JIT + codegen + file-footer caches), then the timed run.
+    // end (JIT + codegen + file-footer caches), then min of two timed
+    // runs (drops one-off GC/scheduler noise).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       } catch { case _: Throwable => name -> -1.0 }
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
