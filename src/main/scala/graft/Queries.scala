@@ -602,10 +602,10 @@ object Queries {
         val buyers = ds(s, d, "orders").toDF.select(col("o_custkey").as("custkey"))
         val bigSpenders = ds(s, d, "orders").toDF
           .filter(col("o_totalprice") > 300000.0).select(col("o_custkey").as("custkey"))
-        buyers.distinct().exceptAll(bigSpenders.distinct())
+        buyers.except(bigSpenders) // Dataset.except == SQL EXCEPT (distinct)
       },
-      Some("SELECT DISTINCT o_custkey AS custkey FROM orders EXCEPT " +
-        "SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000.0")),
+      Some("SELECT o_custkey AS custkey FROM orders EXCEPT " +
+        "SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0")),
 
     // §2.2/66 — moving average over a bounded rows frame
     "q_moving_avg" -> QueryDef(

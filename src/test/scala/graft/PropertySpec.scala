@@ -22,11 +22,17 @@ class PropertySpec extends SparkSpecBase {
         Gen.oneOf(Gen.choose(-5.0, 5.0), Gen.const(Double.NaN))))
       k <- Gen.choose(1, 8)
       splits <- Gen.choose(1, 5)
-    } yield (items, k, splits)
-    check(Prop.forAll(gen) { case (items, k, splits) =>
-      val agg = new TopKAgg(k)
-      // simulate partitioned reduce + arbitrary merge order
+      partKeys <- Gen.listOfN(splits + 1, Gen.choose(0, 1000000))
+    } yield {
       val parts = items.grouped(math.max(1, items.size / splits)).toList
+      // permute the merge order with generated (seeded, shrinkable) keys
+      val shuffled = parts.zipAll(partKeys.take(parts.size), Nil, 0)
+        .sortBy(_._2).map(_._1)
+      (items, k, shuffled)
+    }
+    check(Prop.forAll(gen) { case (items, k, parts) =>
+      val agg = new TopKAgg(k)
+      // simulate partitioned reduce + a genuinely varied merge order
       val merged = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
         .foldLeft(agg.zero)(agg.merge)
       // reference: total order (score desc NaN-last, id asc), take k
@@ -45,26 +51,31 @@ class PropertySpec extends SparkSpecBase {
       a <- Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted)
       b <- Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted)
     } yield (a, b)
-    val cases = Gen.listOfN(60, gen).sample.get
-    val df = cases.toDF("a", "b")
-    val got = df.select(graft.plans.SortedIntersectCount(col("a"), col("b"))).collect()
-      .map(_.getInt(0))
-    val want = cases.map { case (a, b) => a.toSet.intersect(b.toSet).size }
-    assert(got.toSeq === want)
+    // property runs through forAll (seeded, shrinking); Spark evaluates
+    // each counterexample candidate through the native kernel
+    check(Prop.forAll(Gen.listOfN(12, gen)) { cases =>
+      val df = cases.toDF("a", "b")
+      val got = df.select(graft.plans.SortedIntersectCount(col("a"), col("b"))).collect()
+        .map(_.getInt(0)).toSeq
+      val want = cases.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+      (got == want) :| s"got $got, want $want"
+    })
   }
 
   test("SimHash56 is permutation-invariant and within range") {
     import spark.implicits._
-    val gen = Gen.listOf(Gen.choose(0L, (1L << 56) - 1))
-    val cases = Gen.listOfN(40, gen).sample.get
-    val both = cases.map(l => (l, scala.util.Random.shuffle(l)))
-    val df = both.toDF("a", "b")
-    val rows = df.select(
-      graft.plans.SimHash56(col("a")).as("sa"),
-      graft.plans.SimHash56(col("b")).as("sb")).collect()
-    rows.foreach { r =>
-      assert(r.getLong(0) === r.getLong(1), "simhash must not depend on token order")
-      assert(r.getLong(0) >= 0 && r.getLong(0) < (1L << 56))
-    }
+    val gen = for {
+      l <- Gen.listOf(Gen.choose(0L, (1L << 56) - 1))
+      keys <- Gen.listOfN(l.size, Gen.choose(0, 1000000))
+    } yield (l, l.zip(keys).sortBy(_._2).map(_._1)) // seeded permutation
+    check(Prop.forAll(Gen.listOfN(10, gen)) { both =>
+      val df = both.toDF("a", "b")
+      val rows = df.select(
+        graft.plans.SimHash56(col("a")).as("sa"),
+        graft.plans.SimHash56(col("b")).as("sb")).collect()
+      rows.forall { r =>
+        r.getLong(0) == r.getLong(1) && r.getLong(0) >= 0 && r.getLong(0) < (1L << 56)
+      } :| "simhash must be order-invariant and 56-bit"
+    })
   }
 }
