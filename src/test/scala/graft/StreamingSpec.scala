@@ -74,6 +74,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    val joined = clicks.toDF().toDF("cts", "user")
+      .withWatermark("cts", "1 hour")
+      .join(buys.toDF().toDF("bts", "buyer").withWatermark("bts", "1 hour"),
+        expr("user = buyer AND bts BETWEEN cts AND cts + INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      // base is well past epoch: rows AT the initial watermark (epoch 0)
+      // would be dropped as late
+      val base = 1000000L
+      clicks.addData((ts(base), 1L), (ts(base), 2L))
+      buys.addData((ts(base + 600), 1L), (ts(base + 7200), 2L)) // 10 min ok; 2h too late
+      q.processAllAvailable()
+      val users = spark.table("ssj").collect().map(_.getLong(1))
+      assert(users.toSeq === Seq(1L), "only the purchase within 30 minutes joins")
+    } finally q.stop()
+  }
+
   test("streaming session windows mirror the batch sessionizer") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
