@@ -2,7 +2,7 @@ package graft
 
 import graft.api.ProteusQL
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Dedup, Multimodal, Sessionize, Similarity, SkewJoin, TfIdf}
+import graft.operators.{AsOf, Dedup, Multimodal, Sampling, Sessionize, Similarity, SkewJoin, TfIdf}
 import graft.qpu._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -399,6 +399,46 @@ object Queries {
       (s, d) => ds(s, d, "events").toDF.groupBy("event_type")
         .agg(approx_count_distinct("user_id").as("approx_users")),
       None),
+
+    // §2.3/68 — deterministic hash sampling (the stable train/test
+    // split): 10% bucket of documents by md5-derived id hash
+    "q_hash_sample" -> QueryDef(
+      (s, d) => Sampling.hashBucketSample(ds(s, d, "documents").toDF,
+        "doc_id", lo = 0, hi = 10).select("doc_id", "lang", "source"),
+      Some("SELECT doc_id, lang, source FROM documents WHERE " +
+        "('0x' || substring(md5(doc_id::varchar), 1, 14))::bigint % 100 < 10")),
+
+    // §2.3/69 — group-wise top-n (quality filtering: keep the 3 longest
+    // docs per source), ranked by the map-side-combinable TopKAgg
+    "q_topn_per_group" -> QueryDef(
+      (s, d) => ds(s, d, "documents").toDF
+        .groupBy("source")
+        .agg(graft.functions.TopKAgg.topK(3)(col("doc_id"),
+          col("n_chars").cast("double")).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("source"), col("t._1").as("doc_id"), (col("pos") + 1).as("rank")),
+      Some("""SELECT source, doc_id, rank FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents) t WHERE rank <= 3""".stripMargin)),
+
+    // §2.3/70 — column profiling (data-quality stats per column)
+    "q_profile" -> QueryDef(
+      (s, d) => {
+        val t = ds(s, d, "orders").toDF
+        Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
+          t.agg(lit(c).as("col_name"),
+            (count(lit(1)) - count(col(c))).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("double").as("min_val"),
+            max(col(c)).cast("double").as("max_val"))
+        }.reduce(_.unionByName(_))
+      },
+      Some(Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
+        s"SELECT '$c' AS col_name, count(*) - count($c) AS n_null, " +
+          s"count(DISTINCT $c) AS n_distinct, min($c)::double AS min_val, " +
+          s"max($c)::double AS max_val FROM orders"
+      }.mkString(" UNION ALL "))),
 
     // ------------- §2.2 OLAP depth -------------
 

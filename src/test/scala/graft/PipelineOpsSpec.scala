@@ -62,6 +62,21 @@ class PipelineOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("hash split is disjoint, exhaustive, and stable under repartitioning") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf(), "documents")
+    val (train, test) = Sampling.trainTestSplit(docs, "doc_id", testPct = 20)
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val testIds = test.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((trainIds & testIds).isEmpty, "splits must be disjoint")
+    assert(trainIds.size + testIds.size === docs.count(), "splits must be exhaustive")
+    val (train2, _) = Sampling.trainTestSplit(docs.repartition(13), "doc_id", testPct = 20)
+    assert(train2.select("doc_id").collect().map(_.getLong(0)).toSet === trainIds,
+      "membership must not depend on partitioning")
+    val frac = testIds.size.toDouble / docs.count()
+    assert(frac > 0.1 && frac < 0.3, s"test fraction $frac far from 20%")
+  }
+
   test("approx distinct users within 5% of exact") {
     val approx = Queries.asMap("q_approx_users").build(spark, sf())
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
