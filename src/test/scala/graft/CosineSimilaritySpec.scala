@@ -46,6 +46,14 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(top === Array(1L, 3L, 2L), "NaN-scored neighbor must rank after real scores")
   }
 
+  test("SelfCosineFold rewrites cosine_sim(x, x) to a literal") {
+    val df = emb.select(VectorFunctions.cosineNative(col("embedding"), col("embedding")).as("c"))
+    val folded = graft.plans.SelfCosineFold(df.queryExecution.analyzed)
+    assert(!folded.toString.contains("cosine_sim"),
+      "self-similarity must constant-fold out of the plan")
+    assert(folded.toString.contains("1.0"))
+  }
+
   test("cosine_sim is SQL-callable after registration") {
     graft.plans.GraftExtensions.register(spark)
     Tables.load(spark, sf(), "embeddings").createOrReplaceTempView("emb_ext")
