@@ -422,17 +422,23 @@ object Queries {
         |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents) t WHERE rank <= 3""".stripMargin)),
 
-    // §2.3/70 — column profiling (data-quality stats per column)
+    // §2.3/70 — column profiling (data-quality stats per column) in ONE
+    // scan: all columns' stats in a single aggregation, unpivoted with
+    // stack() — profiling n columns must not cost n table scans
     "q_profile" -> QueryDef(
       (s, d) => {
-        val t = ds(s, d, "orders").toDF
-        Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
-          t.agg(lit(c).as("col_name"),
-            (count(lit(1)) - count(col(c))).as("n_null"),
-            countDistinct(col(c)).as("n_distinct"),
-            min(col(c)).cast("double").as("min_val"),
-            max(col(c)).cast("double").as("max_val"))
-        }.reduce(_.unionByName(_))
+        val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+        val aggs = cols.flatMap { c =>
+          Seq((count(lit(1)) - count(col(c))).as(s"${c}_nn"),
+            countDistinct(col(c)).as(s"${c}_nd"),
+            min(col(c)).cast("double").as(s"${c}_mn"),
+            max(col(c)).cast("double").as(s"${c}_mx"))
+        }
+        val stackArgs = cols.map(c =>
+          s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
+        ds(s, d, "orders").toDF.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+            "(col_name, n_null, n_distinct, min_val, max_val)")
       },
       Some(Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
         s"SELECT '$c' AS col_name, count(*) - count($c) AS n_null, " +

@@ -2,19 +2,22 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
 
-/** Optimizer rule: `cosine_sim(x, x)` is 1.0 by definition (for any
-  * non-degenerate x) — fold it so self-similarity terms vanish from
-  * pair-join plans instead of running the dot-product kernel per row.
+/** Optimizer rule: `sorted_intersect_count(x, x)` is the element count
+  * of x — the merge loop over two identical arrays matches every
+  * element, sorted or not. `Size` preserves null semantics exactly
+  * (null in → null out, matching the expression's null-intolerance),
+  * so the rewrite is sound for every input, unlike a naive
+  * `cosine_sim(x, x) → 1.0` fold would be (null → 1.0, zero vector's
+  * NaN → 1.0).
   */
-object SelfCosineFold extends Rule[LogicalPlan] {
+object SelfIntersectFold extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case CosineSimilarity(a, b) if a.semanticEquals(b) && a.deterministic =>
-      Literal(1.0, DoubleType)
+    case SortedIntersectCount(a, b) if a.semanticEquals(b) && a.deterministic =>
+      Size(a)
   }
 }
 
@@ -29,13 +32,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
-    ext.injectOptimizerRule(_ => SelfCosineFold)
+    ext.injectOptimizerRule(_ => SelfIntersectFold)
   }
 }
 
 object GraftExtensions {
-  /** Same registrations applied to an already-running session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Same registrations applied to an already-running session (keeps
+    * the two enablement paths equivalent).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, "cosine_sim",
       children => CosineSimilarity(children(0), children(1)))
+    if (!spark.experimental.extraOptimizations.contains(SelfIntersectFold))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SelfIntersectFold
+  }
 }

@@ -46,12 +46,16 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(top === Array(1L, 3L, 2L), "NaN-scored neighbor must rank after real scores")
   }
 
-  test("SelfCosineFold rewrites cosine_sim(x, x) to a literal") {
-    val df = emb.select(VectorFunctions.cosineNative(col("embedding"), col("embedding")).as("c"))
-    val folded = graft.plans.SelfCosineFold(df.queryExecution.analyzed)
-    assert(!folded.toString.contains("cosine_sim"),
-      "self-similarity must constant-fold out of the plan")
-    assert(folded.toString.contains("1.0"))
+  test("SelfIntersectFold rewrites sorted_intersect_count(x, x) to size(x)") {
+    import spark.implicits._
+    val df = Seq(Seq(1L, 2L, 3L), null).toDF("a")
+      .select(graft.plans.SortedIntersectCount(col("a"), col("a")).as("c"))
+    val folded = graft.plans.SelfIntersectFold(df.queryExecution.analyzed)
+    assert(!folded.toString.contains("sorted_intersect_count"),
+      "self-intersection must fold out of the plan")
+    // soundness: the fold preserves null semantics end-to-end
+    val rows = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, folded).collect()
+    assert(rows.map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq === Seq(3, -1))
   }
 
   test("cosine_sim is SQL-callable after registration") {

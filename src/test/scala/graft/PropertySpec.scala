@@ -22,15 +22,15 @@ class PropertySpec extends SparkSpecBase {
         Gen.oneOf(Gen.choose(-5.0, 5.0), Gen.const(Double.NaN))))
       k <- Gen.choose(1, 8)
       splits <- Gen.choose(1, 5)
-      partKeys <- Gen.listOfN(splits + 1, Gen.choose(0, 1000000))
+      partKeys <- Gen.listOfN(64, Gen.choose(0, 1000000)) // >= max part count
     } yield {
       val parts = items.grouped(math.max(1, items.size / splits)).toList
-      // permute the merge order with generated (seeded, shrinkable) keys
-      val shuffled = parts.zipAll(partKeys.take(parts.size), Nil, 0)
-        .sortBy(_._2).map(_._1)
+      // permute the merge order with generated keys
+      val shuffled = parts.zip(partKeys).sortBy(_._2).map(_._1)
       (items, k, shuffled)
     }
-    check(Prop.forAll(gen) { case (items, k, parts) =>
+    // no shrinking: (items, parts) must stay a consistent partition
+    check(Prop.forAllNoShrink(gen) { case (items, k, parts) =>
       val agg = new TopKAgg(k)
       // simulate partitioned reduce + a genuinely varied merge order
       val merged = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
@@ -51,15 +51,15 @@ class PropertySpec extends SparkSpecBase {
       a <- Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted)
       b <- Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted)
     } yield (a, b)
-    // property runs through forAll (seeded, shrinking); Spark evaluates
-    // each counterexample candidate through the native kernel
-    check(Prop.forAll(Gen.listOfN(12, gen)) { cases =>
-      val df = cases.toDF("a", "b")
-      val got = df.select(graft.plans.SortedIntersectCount(col("a"), col("b"))).collect()
-        .map(_.getInt(0)).toSeq
-      val want = cases.map { case (a, b) => a.toSet.intersect(b.toSet).size }
-      (got == want) :| s"got $got, want $want"
-    })
+    // fixed-seed batch: one Spark job evaluates every generated case
+    // (a per-iteration forAll would launch 200 jobs); seed recorded for
+    // reproducibility
+    val cases = sampleN(200, gen, seed = 41L)
+    val df = cases.toDF("a", "b")
+    val got = df.select(graft.plans.SortedIntersectCount(col("a"), col("b"))).collect()
+      .map(_.getInt(0)).toSeq
+    val want = cases.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    assert(got === want)
   }
 
   test("SimHash56 is permutation-invariant and within range") {
@@ -68,14 +68,25 @@ class PropertySpec extends SparkSpecBase {
       l <- Gen.listOf(Gen.choose(0L, (1L << 56) - 1))
       keys <- Gen.listOfN(l.size, Gen.choose(0, 1000000))
     } yield (l, l.zip(keys).sortBy(_._2).map(_._1)) // seeded permutation
-    check(Prop.forAll(Gen.listOfN(10, gen)) { both =>
-      val df = both.toDF("a", "b")
-      val rows = df.select(
-        graft.plans.SimHash56(col("a")).as("sa"),
-        graft.plans.SimHash56(col("b")).as("sb")).collect()
-      rows.forall { r =>
-        r.getLong(0) == r.getLong(1) && r.getLong(0) >= 0 && r.getLong(0) < (1L << 56)
-      } :| "simhash must be order-invariant and 56-bit"
-    })
+    val both = sampleN(200, gen, seed = 42L)
+    val df = both.toDF("a", "b")
+    val rows = df.select(
+      graft.plans.SimHash56(col("a")).as("sa"),
+      graft.plans.SimHash56(col("b")).as("sb")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), "simhash must not depend on token order")
+      assert(r.getLong(0) >= 0 && r.getLong(0) < (1L << 56))
+    }
+  }
+
+  /** Deterministic batch sampling with an explicit seed (reproducible
+    * without ScalaCheck's runner).
+    */
+  private def sampleN[T](n: Int, gen: Gen[T], seed: Long): List[T] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(org.scalacheck.rng.Seed(seed))(_.next)
+      .map(s => gen.apply(params, s))
+      .collect { case Some(v) => v }
+      .take(n).toList
   }
 }
