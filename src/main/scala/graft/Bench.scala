@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,24 +15,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state timing: one untimed warmup executes the query end to
-    // end (JIT + codegen + file-footer caches), then min of two timed
-    // runs (drops one-off GC/scheduler noise).
+    // end (JIT + codegen + file-footer caches), then median of three
+    // timed runs (robust to one-off GC/scheduler noise in either
+    // direction, unlike min-of-2).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count()
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
+        }.sorted
+        name -> times(1)
       } catch { case _: Throwable => name -> -1.0 }
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries carry the -1 sentinel; they must not SHRINK the total
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // sbt wraps stdout in [info]/[error] noise the driver can't always
+    // strip — also drop the line in a file for machine consumption.
+    Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json + "\n")
     spark.stop()
   }
 }

@@ -673,7 +673,7 @@ object Queries {
       Some("""SELECT user_id, session_id, count(*) AS n_events,
         |  min(ep) AS session_start, max(ep) AS session_end,
         |  max(ep) - min(ep) AS duration_sec FROM (
-        |  SELECT user_id, ep, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |  SELECT user_id, ep, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
         |  FROM (SELECT user_id, ts, floor(epoch(ts))::BIGINT AS ep,
         |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)

@@ -15,26 +15,30 @@ import org.apache.spark.sql.functions._
   * `propagateToFixpoint` iterates until no label changes when exact
   * component minima matter regardless of shape.
   *
-  * The membership frame is persisted for the duration of the
-  * computation; long-lived sessions running many clusterings should
-  * `spark.catalog.clearCache()` between corpora (Spark's storage LRU
-  * also evicts under pressure).
+  * The membership frame is persisted only for the duration of the
+  * computation: both entry points eagerly materialize the final
+  * (id, label) frame — which is persisted, O(n) rows × 2 columns —
+  * then drop the membership pin before returning. The caller owns the
+  * returned cache and should `unpersist()` it when done (the standard
+  * `Dataset.cache()` contract); nothing internal stays pinned.
   */
 object ConnectedComponents {
 
   /** `membership`: columns `id` plus `bucketCols`. Returns (id, label)
-    * after exactly `iterations` propagation rounds.
+    * after exactly `iterations` propagation rounds. The result is
+    * persisted and materialized; internal pins are released.
     */
   def propagateMinLabel(membership: DataFrame, bucketCols: Seq[String],
                         iterations: Int): DataFrame = {
     val mem = membership.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = mem.select(col("id")).distinct().withColumn("label", col("id"))
     for (_ <- 0 until iterations) labels = round(mem, bucketCols, labels)
-    labels
+    materializeAndRelease(labels, mem)
   }
 
   /** Iterate until labels stop changing (checked with a cheap
-    * existence probe per round), capped at `maxIterations`.
+    * existence probe per round), capped at `maxIterations`. The result
+    * is persisted and materialized; internal pins are released.
     */
   def propagateToFixpoint(membership: DataFrame, bucketCols: Seq[String],
                           maxIterations: Int = 20): DataFrame = {
@@ -53,7 +57,22 @@ object ConnectedComponents {
       labels = next
       i += 1
     }
-    labels
+    materializeAndRelease(labels, mem)
+  }
+
+  /** Force the final labels into their own cache, then release the
+    * membership pin — if the labels cache is later evicted, lineage
+    * recomputes from the (unpinned) source, which is correct, just
+    * slower.
+    */
+  private def materializeAndRelease(labels: DataFrame, mem: DataFrame): DataFrame = {
+    val out =
+      if (labels.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else labels
+    out.count()
+    mem.unpersist(blocking = false)
+    out
   }
 
   private def round(mem: DataFrame, bucketCols: Seq[String],

@@ -93,25 +93,38 @@ object Dedup {
     */
   def shinglePairs(df: DataFrame, idCol: String, textCol: String,
                    bucketCols: Seq[String], k: Int,
-                   num: Int, den: Int): DataFrame = {
+                   num: Int, den: Int): DataFrame =
+    shinglePairsReleasable(df, idCol, textCol, bucketCols, k, num, den,
+      persistRepr = false)._1
+
+  /** As [[shinglePairs]], but persists the corpus-sized shingle
+    * representation so the self-join doesn't shingle+hash+sort each
+    * side separately, and returns a `release` callback that drops the
+    * pin deterministically once the caller has consumed the pairs.
+    * (The plain [[shinglePairs]] skips the persist: recomputing the
+    * representation twice beats leaving an unbounded cache pin in a
+    * long-lived session.)
+    */
+  def shinglePairsReleasable(df: DataFrame, idCol: String, textCol: String,
+                             bucketCols: Seq[String], k: Int,
+                             num: Int, den: Int,
+                             persistRepr: Boolean = true): (DataFrame, () => Unit) = {
     val t = df.select((col(idCol).as("id") +: bucketCols.map(col)) :+
       TextFunctions.charShingles(col(textCol), k).as("toks"): _*)
     // char shingles are open-vocabulary by construction — don't pay the
     // ≤64-symbol probe job
     val (repr0, inter, union) = pairScorer(t, assumeOpenVocab = true)
-    // Corpus-sized (one row per doc); persist so the self-join doesn't
-    // recompute shingling + hashing + sort for each side. The pin lives
-    // until Spark's storage LRU evicts it or the caller runs
-    // spark.catalog.clearCache() — a long-lived session invoking this
-    // repeatedly over many corpora should do the latter between runs.
-    val repr = repr0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repr =
+      if (persistRepr) repr0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else repr0
     val a = repr.as("a"); val b = repr.as("b")
     val bucketCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    a.join(b, bucketCond && col("a.id") < col("b.id"))
+    val pairs = a.join(b, bucketCond && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         inter(col("a.repr"), col("b.repr")).as("inter_size"),
         union(col("a.repr"), col("b.repr")).as("union_size"))
       .filter(col("inter_size") * den >= col("union_size") * num)
+    (pairs, () => { if (persistRepr) repr.unpersist(); () })
   }
 
   /** MinHash signature: `numHashes` independent md5-derived hash
@@ -176,16 +189,34 @@ object Dedup {
       .distinct()
   }
 
-  /** Skew-proof `a.key == b.key AND a.id < b.id` self-join: the left
-    * side gets a deterministic salt from its id, the right side is
-    * replicated over all salts, so one hot key's pair generation
-    * spreads across `saltFactor` tasks instead of one straggler. Each
-    * qualifying pair appears exactly once (the left row's salt owns it).
+  /** Skew-proof `a.key == b.key AND a.id < b.id` self-join with
+    * two-pass SELECTIVE salting.
+    *
+    * Pass 1 is a map-side-combinable count per bucket; only buckets
+    * with more than `hotThreshold` members are salted (left side:
+    * deterministic salt from the id; right side: replicated
+    * `saltFactor`×), spreading a hot bucket's g² pair generation over
+    * `saltFactor` tasks. Cold buckets — the overwhelming majority in
+    * any real banding — pass through with salt 0 and NO replication,
+    * so the shuffled volume stays ~1× the input instead of
+    * `saltFactor`× (blanket salting replicates the whole right side;
+    * at 100 TB that replication IS the shuffle bill). Each qualifying
+    * pair appears exactly once (the left row's salt owns it), and the
+    * output is identical to blanket salting (`hotThreshold = 0`) —
+    * asserted in DedupSpec.
     */
-  private def saltedSelfJoin(df: DataFrame, keys: Seq[String],
-                             saltFactor: Int = 16): DataFrame = {
-    val a = df.withColumn("__salt", pmod(xxhash64(col("id")), lit(saltFactor)).cast("int")).as("a")
-    val b = df.withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1)))).as("b")
+  private[graft] def saltedSelfJoin(df: DataFrame, keys: Seq[String],
+                                    saltFactor: Int = 16,
+                                    hotThreshold: Int = 1000): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg((count(lit(1)) > hotThreshold).as("__hot"))
+    val tagged = df.join(counts, keys)
+    val a = tagged.withColumn("__salt",
+      when(col("__hot"), pmod(xxhash64(col("id")), lit(saltFactor)))
+        .otherwise(lit(0)).cast("int")).as("a")
+    val b = tagged.withColumn("__salt",
+      explode(when(col("__hot"), sequence(lit(0), lit(saltFactor - 1)))
+        .otherwise(array(lit(0))))).as("b")
     val keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
     a.join(b, keyCond && col("a.__salt") === col("b.__salt") && col("a.id") < col("b.id"))
   }

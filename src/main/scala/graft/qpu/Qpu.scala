@@ -168,10 +168,44 @@ final case class JoinQpu(left: Qpu, right: Qpu,
 /** Router QPU: scatter-gather
   * (reference: internal/qpu_classes/router/router.go — fans a query to
   * all adjacent QPUs and concatenates their responses).
-  * Children are unioned by name; Spark schedules every child's scan in
-  * parallel and pushes any downstream predicate into each branch, so
-  * "routing" costs nothing at plan time.
+  *
+  * Children that are pure predicate filters over the SAME datastore
+  * source are planned as ONE scan: a pushable disjunctive filter,
+  * then one output row per *matching child* (array + explode), so
+  * scatter-gather over n same-source children costs one scan instead
+  * of n while preserving exact union-all multiplicity when child
+  * predicates overlap. The reference pays this n× tax per query (each
+  * child QPU re-reads its store); at 100 TB a 5-child router over one
+  * table must not scan it 5×. Children over genuinely distinct
+  * sources keep their own scans, scheduled in parallel as before.
   */
 final case class RouterQpu(children: Seq[Qpu]) extends Qpu {
-  def toDF: DataFrame = children.map(_.toDF).reduce(_.unionByName(_))
+  def toDF: DataFrame = {
+    val keyed: Seq[(Option[DatastoreQpu], Qpu)] = children.map {
+      case f @ FilterQpu(src: DatastoreQpu, _) => (Some(src), f)
+      case q => (None, q)
+    }
+    val seen = scala.collection.mutable.Set.empty[DatastoreQpu]
+    val dfs = keyed.flatMap {
+      case (Some(src), _) if !seen.contains(src) =>
+        seen += src
+        val preds = keyed.collect {
+          case (Some(s), FilterQpu(_, ps)) if s == src =>
+            ps.map(_.toColumn).reduceOption(_ && _).getOrElse(lit(true))
+        }
+        if (preds.size == 1) Some(src.toDF.filter(preds.head))
+        else {
+          // one row per matching child; matched-child indices computed
+          // once per row, empty array rows die at the (pushed) OR filter
+          val hits = preds.zipWithIndex.map { case (c, i) => when(c, lit(i)) }
+          Some(src.toDF
+            .filter(preds.reduce(_ || _))
+            .withColumn("__router_child", explode(array_compact(array(hits: _*))))
+            .drop("__router_child"))
+        }
+      case (Some(_), _) => None // merged into its source group's scan
+      case (None, q) => Some(q.toDF)
+    }
+    dfs.reduce(_.unionByName(_))
+  }
 }

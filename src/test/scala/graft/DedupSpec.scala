@@ -77,6 +77,40 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("selective salting emits the same pairs as blanket salting") {
+    import spark.implicits._
+    // A deliberately hot bucket (40 rows of one key) + cold buckets, so
+    // the selective path exercises BOTH the salted and unsalted branch.
+    val rows = (1L to 40L).map(i => (i, "hot")) ++
+      Seq((101L, "c1"), (102L, "c1"), (103L, "c2"), (104L, "c2"), (105L, "c3"))
+    val df = rows.toDF("id", "k")
+    def pairs(hotThreshold: Int) =
+      Dedup.saltedSelfJoin(df, Seq("k"), saltFactor = 4, hotThreshold = hotThreshold)
+        .select(col("a.id"), col("b.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val selective = pairs(hotThreshold = 10) // hot bucket salted, cold pass through
+    val blanket = pairs(hotThreshold = 0)    // everything salted (old behavior)
+    val expected = (for {
+      (i, ki) <- rows; (j, kj) <- rows if ki == kj && i < j
+    } yield (i, j)).toSet
+    assert(selective === expected)
+    assert(blanket === expected)
+  }
+
+  test("shinglePairsReleasable release() drops the cache pin") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (prs, release) = Dedup.shinglePairsReleasable(
+      docs.withColumn("lang", lit("en")), "doc_id", "text",
+      Seq("source", "lang"), k = 5, num = 7, den = 10)
+    val out = prs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "representation should be pinned while in use")
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "release() must unpersist the internal pin")
+  }
+
   test("simhash banding distributes bits for any hamming budget (no degenerate chunk)") {
     // maxHamming=10 → 11 chunks; with ceil-width chunking the last chunks
     // would cover zero real bits and degenerate into an all-pairs join

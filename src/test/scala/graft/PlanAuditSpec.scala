@@ -41,6 +41,36 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"))
   }
 
+  test("q_router_union: same-source children merge into a single scan") {
+    val p = plan("q_router_union")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      "5 same-source router children must plan as ONE scan, not 5")
+    assert(!p.contains("Union"),
+      "merged children need no union branches")
+  }
+
+  test("router keeps separate scans for genuinely distinct sources") {
+    import graft.qpu._
+    // same table through two DIFFERENT source nodes (datastore driver vs
+    // format-generic driver) — no merge, two scans, union still valid
+    val r = RouterQpu(Seq(
+      FilterQpu(DatastoreQpu(spark, sf(), "orders"), Seq(Eq("o_orderstatus", "F"))),
+      FilterQpu(FormatSourceQpu(spark, "parquet", s"${sf()}/orders.parquet"),
+        Seq(Eq("o_orderstatus", "O")))
+    ))
+    val p = r.toDF.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size === 2)
+  }
+
+  test("router merge preserves union-all multiplicity for overlapping predicates") {
+    import graft.qpu._
+    val lo = FilterQpu(DatastoreQpu(spark, sf(), "orders"), Seq(Range("o_custkey", 0L, 100L)))
+    val hi = FilterQpu(DatastoreQpu(spark, sf(), "orders"), Seq(Range("o_custkey", 50L, 150L)))
+    val merged = RouterQpu(Seq(lo, hi)).toDF.count()
+    val unioned = lo.toDF.unionByName(hi.toDF).count()
+    assert(merged === unioned, "rows matching two children must appear twice")
+  }
+
   test("sim_ann_topk: corpus is scanned, never shuffled (broadcast NLJ)") {
     val p = plan("sim_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
