@@ -170,6 +170,43 @@ object Queries {
         |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t
         |WHERE rn = 1 AND value >= 100.0 AND value < 200.0 ORDER BY value""".stripMargin)),
 
+    // §2.1/71 — config-driven graph assembly (reference: qpuGraph.go +
+    // configs/*.toml): the flagship sum→join→topk DAG deployed from the
+    // bundled JSON graph document instead of code; must match the
+    // programmatic q_graph_flagship oracle exactly
+    "q_graph_config" -> QueryDef(
+      (s, d) => GraphConfig.fromResource(s, "/graft/flagship.json", d).toDF,
+      Some("SELECT custkey, c_name, order_cnt, total_spent FROM " +
+        "(SELECT o_custkey AS custkey, count(*) AS order_cnt, sum(o_totalprice) AS total_spent " +
+        "FROM orders GROUP BY o_custkey) j JOIN customer ON custkey = c_custkey " +
+        "ORDER BY order_cnt DESC, custkey LIMIT 20")),
+
+    // §2.1/72 — version-diff read (reference: inMemIndex versioned
+    // postings): created/updated keys between the as-of-T1 and as-of-T2
+    // index states ("deleted" is structurally impossible in an
+    // append-only event log but the operator handles it)
+    "q_asof_diff" -> QueryDef(
+      (s, d) => AsOf.snapshotDiff(ds(s, d, "events").toDF, "ts",
+        lit("2024-01-10 00:00:00").cast("timestamp"),
+        lit("2024-01-15 00:00:00").cast("timestamp"),
+        key = Seq("user_id"), tiebreak = Seq("event_id")),
+      Some("""WITH s1 AS (SELECT user_id, ts, event_id FROM (
+        |  SELECT user_id, ts, event_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00') x WHERE rn = 1),
+        |s2 AS (SELECT user_id, ts, event_id FROM (
+        |  SELECT user_id, ts, event_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') x WHERE rn = 1)
+        |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'created'
+        |       WHEN s2.user_id IS NULL THEN 'deleted'
+        |       WHEN s1.ts <> s2.ts OR s1.event_id <> s2.event_id THEN 'updated'
+        |  END AS change
+        |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE NOT (s1.user_id IS NOT NULL AND s2.user_id IS NOT NULL
+        |  AND s1.ts = s2.ts AND s1.event_id = s2.event_id)""".stripMargin)),
+
     // ------------- §2.3 LLM-data-pipeline operators -------------
 
     // §2.3/28 — exact dedup by content hash
@@ -605,24 +642,34 @@ object Queries {
       Some("SELECT c_custkey, c_name FROM customer " +
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)")),
 
-    // §2.3/59 — fuzzy matching by edit distance (bounded id range keeps
-    // the demo quadratic term small; the operator composes with any
-    // LSH/bucketing prefilter for scale)
+    // §2.3/59 — fuzzy matching by edit distance over the WHOLE corpus:
+    // MinHash-LSH candidate generation on char-5-shingles of the
+    // 40-char prefix (4 bands x 2 rows), then exact levenshtein
+    // confirm. The oracle replays the identical prefilter (same
+    // md5-derived minhashes), so the hash compare proves the scalable
+    // path end to end — no id cap, no cartesian.
     "q_editdist" -> QueryDef(
-      (s, d) => {
-        val t = ds(s, d, "documents").toDF.filter(col("doc_id") < 100)
-          .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
-        t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            levenshtein(col("a.prefix"), col("b.prefix")).as("dist"))
-          .filter(col("dist") <= 15)
-      },
-      Some("""WITH t AS (SELECT doc_id, substring(text, 1, 40) AS prefix
-        |  FROM documents WHERE doc_id < 100)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  levenshtein(a.prefix, b.prefix) AS dist
-        |FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |WHERE levenshtein(a.prefix, b.prefix) <= 15""".stripMargin)),
+      (s, d) => Dedup.editDistancePairs(ds(s, d, "documents").toDF,
+        "doc_id", "text", maxDist = 8, prefixLen = 40,
+        shingleK = 5, bands = 4, rowsPerBand = 2),
+      Some {
+        val mh = (0 until 8).map(i =>
+          s"list_min(list_transform(toks, w -> ('0x' || substring(md5('$i:' || w), 1, 14))::bigint)) AS m$i")
+          .mkString(", ")
+        val bandEq = (0 until 4).map(b =>
+          s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
+          .mkString(" OR ")
+        s"""WITH t AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents),
+           |tok AS (SELECT doc_id, prefix,
+           |  list_distinct(list_transform(generate_series(1, greatest(length(prefix) - 4, 0)),
+           |    i -> substring(prefix, i, 5))) AS toks FROM t),
+           |sigs AS (SELECT doc_id, prefix, $mh FROM tok),
+           |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.prefix AS pa, b.prefix AS pb
+           |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandEq))
+           |SELECT DISTINCT doc_a, doc_b, levenshtein(pa, pb) AS dist
+           |FROM cand WHERE levenshtein(pa, pb) <= 8""".stripMargin
+      }),
 
     // §2.2/60 — calendar extraction and grouping
     "q_date_parts" -> QueryDef(

@@ -27,6 +27,8 @@ object ScaleProbe {
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs, $rows rows")
     }
     time("dedup_exact")(Dedup.exact(big, "doc_id", "text").count())
+    time("editdist_pairs")(Dedup.editDistancePairs(big, "doc_id", "text",
+      maxDist = 8).count())
     time("minhash_clusters")(Dedup.minhashClusters(big, "doc_id", "text", 2, 4).count())
     if (factor <= 10) {
       // pair-emission output grows with the SQUARE of duplicate

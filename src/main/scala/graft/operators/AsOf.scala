@@ -28,4 +28,33 @@ object AsOf {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Version-diff read (reference: inMemIndex.go:523-645 — postings
+    * carry vector-clock versions, so an index can be read at two
+    * different timestamps): which keys were created / updated /
+    * deleted between the snapshot at `t1` and the snapshot at `t2`.
+    *
+    * A key's version identity is the (event time, tiebreak) of its
+    * winning record — two snapshots disagree exactly when a newer
+    * record arrived in between. Both snapshots are one pruned scan +
+    * one keyed window each; the diff is a co-partitioned full outer
+    * join on the key, so nothing here exceeds the cost of two as-of
+    * reads. Keys unchanged between the snapshots are dropped (the
+    * output is the delta, O(changes), not O(keys)).
+    */
+  def snapshotDiff(df: DataFrame, timeCol: String, t1: Column, t2: Column,
+                   key: Seq[String], tiebreak: Seq[String]): DataFrame = {
+    val ver = struct((timeCol +: tiebreak).map(col): _*)
+    val s1 = snapshotAsOf(df, timeCol, t1, key, tiebreak)
+      .select(key.map(col) :+ ver.as("__v1"): _*)
+    val s2 = snapshotAsOf(df, timeCol, t2, key, tiebreak)
+      .select(key.map(col) :+ ver.as("__v2"): _*)
+    s1.join(s2, key, "full_outer")
+      .withColumn("change",
+        when(col("__v1").isNull, lit("created"))
+          .when(col("__v2").isNull, lit("deleted"))
+          .when(!(col("__v1") <=> col("__v2")), lit("updated")))
+      .filter(col("change").isNotNull) // unchanged keys fall out of the delta
+      .select(key.map(col) :+ col("change"): _*)
+  }
 }

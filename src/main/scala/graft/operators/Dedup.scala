@@ -146,6 +146,18 @@ object Dedup {
     toks.select((col("id") +: sig): _*)
   }
 
+  /** Banded LSH keys over an already-computed minhash signature frame:
+    * one `(band, sig)` struct per band, where `sig` is the 8-byte
+    * xxhash64 of the band's minhashes (smaller shuffle than a
+    * concatenated string key; any downstream confirm step squashes the
+    * ~2^-64 collision risk).
+    */
+  private def bandKeyStructs(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { bnd =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"), xxhash64(parts: _*).as("sig"))
+    }
+
   /** MinHash + banded LSH + exact-Jaccard confirmation.
     *
     * Candidates: ids sharing all `rowsPerBand` minhashes of at least
@@ -165,13 +177,7 @@ object Dedup {
     val (repr, inter, union) = pairScorer(toks)
     val sigs = minhashSignatureFromTokens(toks, numHashes)
       .join(repr, "id") // repr is corpus-sized → broadcast/AQE picks a cheap join
-    // 8-byte band signature (xxhash64 of the band's minhashes) instead
-    // of a concatenated string — smaller shuffle, cheaper key compares;
-    // the Jaccard confirm step squashes the ~2^-64 collision risk.
-    val bandKeys = (0 until bands).map { bnd =>
-      val parts = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band"), xxhash64(parts: _*).as("sig"))
-    }
+    val bandKeys = bandKeyStructs(bands, rowsPerBand)
     val exploded = sigs.select(col("id"), col("repr"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("repr"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     // Score inside the band join (cheap with the bitmask repr) and
@@ -244,11 +250,7 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
     val sigs = minhashSignatureFromTokens(toks, bands * rowsPerBand)
-    val bandKeys = (0 until bands).map { bnd =>
-      val parts = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band"), xxhash64(parts: _*).as("sig"))
-    }
-    val membership = sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+    val membership = sigs.select(col("id"), explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     ConnectedComponents.propagateMinLabel(membership, Seq("band", "sig"), iterations)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -274,6 +276,46 @@ object Dedup {
     * The exact popcount(xor) filter runs *before* the distinct so the
     * dedup shuffle only carries surviving pairs.
     */
+  /** Edit-distance fuzzy matching at corpus scale: near-identical
+    * texts (levenshtein on the first `prefixLen` chars <= `maxDist`)
+    * WITHOUT an all-pairs join.
+    *
+    * Candidate generation is MinHash+LSH over char-`shingleK`-grams of
+    * the prefix — a shuffle keyed by (band, band-signature), so cost is
+    * linear in the corpus plus quadratic only inside colliding buckets
+    * (the same contract as [[minhashDedup]]; hot buckets are handled by
+    * the selective salt). Recall follows the LSH s-curve over shingle
+    * Jaccard: strings within a small edit distance share almost all
+    * their shingles (one edit disturbs at most `shingleK` shingles), so
+    * true near-matches collide in some band with probability ~1, while
+    * unrelated strings never form a candidate. Confirmation is the
+    * exact `levenshtein` on the bounded prefix, before the distinct, so
+    * the dedup shuffle carries only confirmed pairs.
+    *
+    * The previous form of this operator was a demo-capped cartesian
+    * (`doc_id < 100`); this one drops the cap — ScaleProbe shows the
+    * sub-quadratic growth.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, prefixLen: Int = 40,
+                        shingleK: Int = 5,
+                        bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val t = df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("prefix"))
+    val toks = t.select(col("id"),
+      TextFunctions.charShingles(col("prefix"), shingleK).as("toks"))
+    val sigs = minhashSignatureFromTokens(toks, bands * rowsPerBand).join(t, "id")
+    val exploded = sigs.select(col("id"), col("prefix"),
+        explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
+      .select(col("id"), col("prefix"),
+        col("bk.band").as("band"), col("bk.sig").as("sig"))
+    saltedSelfJoin(exploded, Seq("band", "sig"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        levenshtein(col("a.prefix"), col("b.prefix")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1

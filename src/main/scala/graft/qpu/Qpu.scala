@@ -61,13 +61,16 @@ final case class DatastoreQpu(spark: SparkSession, dir: String, table: String,
 /** Format-generic datastore driver (the reference's per-store driver
   * plugins map to Spark DataSource formats — parquet, csv, json, orc,
   * jdbc...). `options` passes through to the reader, e.g. header/
-  * inferSchema for csv or a jdbc url for the MySQL-equivalent path.
+  * inferSchema for csv, or url/dbtable/driver for the jdbc path (the
+  * reference's MySQL driver, mysql/store.go); path-less formats like
+  * jdbc pass `path = ""`.
   */
-final case class FormatSourceQpu(spark: SparkSession, format: String, path: String,
+final case class FormatSourceQpu(spark: SparkSession, format: String, path: String = "",
                                  options: Map[String, String] = Map.empty,
                                  projection: Seq[String] = Nil) extends Qpu {
   def toDF: DataFrame = {
-    val df = spark.read.format(format).options(options).load(path)
+    val reader = spark.read.format(format).options(options)
+    val df = if (path.isEmpty) reader.load() else reader.load(path)
     if (projection.isEmpty) df else df.select(projection.map(col): _*)
   }
 }

@@ -77,6 +77,18 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("editDistancePairs: LSH candidates surface near matches, no cartesian") {
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
+      maxDist = 8, prefixLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), "identical docs must match at distance 0")
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 === 0)
+    assert(keys.contains((1L, 3L)), "shared 40-char prefix must match")
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not even become a candidate")
+  }
+
   test("selective salting emits the same pairs as blanket salting") {
     import spark.implicits._
     // A deliberately hot bucket (40 rows of one key) + cold buckets, so

@@ -1,0 +1,67 @@
+package graft
+
+import graft.qpu.GraphConfig
+import org.apache.spark.sql.functions._
+
+class GraphConfigSpec extends SparkSpecBase {
+
+  test("flagship graph deployed from config matches the programmatic graph") {
+    val fromConfig = GraphConfig.fromResource(spark, "/graft/flagship.json", sf())
+      .toDF.collect().map(_.toSeq)
+    val programmatic = Queries.asMap("q_graph_flagship").build(spark, sf())
+      .collect().map(_.toSeq)
+    assert(fromConfig.length === 20)
+    assert(fromConfig.toSeq === programmatic.toSeq)
+  }
+
+  test("filter + router + cache operators assemble from json") {
+    val json = """{
+      "root": "routed",
+      "qpus": {
+        "events": {"operator": "datastore", "table": "events"},
+        "clicks": {"operator": "filter", "children": ["events"],
+          "predicates": [{"op": "eq", "attr": "event_type", "value": "click"}]},
+        "purchases": {"operator": "filter", "children": ["events"],
+          "predicates": [{"op": "eq", "attr": "event_type", "value": "purchase"},
+                         {"op": "range", "attr": "value", "lb": 0.0, "ub": 1000000.0}]},
+        "routed": {"operator": "router", "children": ["clicks", "purchases"],
+          "projection": ["event_id", "event_type", "value"]}
+      }
+    }"""
+    val df = GraphConfig.fromJson(spark, json, sf()).toDF
+    val types = df.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types === Set("click", "purchase"))
+    // both children filter the same datastore source → single merged scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size === 1)
+  }
+
+  test("index range + point lookups assemble from json") {
+    val json = """{
+      "root": "probe",
+      "qpus": {
+        "orders": {"operator": "datastore", "table": "orders"},
+        "probe": {"operator": "index", "children": ["orders"],
+          "attribute": "o_totalprice", "lbound": 1000.0, "ubound": 20000.0,
+          "projection": ["o_orderkey", "o_totalprice"]}
+      }
+    }"""
+    val got = GraphConfig.fromJson(spark, json, sf()).toDF
+    val want = Queries.asMap("q_index_range").build(spark, sf())
+    assert(got.collect().map(_.toSeq).toSeq === want.collect().map(_.toSeq).toSeq)
+  }
+
+  test("malformed configs fail fast with a useful message") {
+    val cycle = """{"root": "a", "qpus": {
+      "a": {"operator": "cache", "children": ["b"]},
+      "b": {"operator": "cache", "children": ["a"]}}}"""
+    val e1 = intercept[IllegalArgumentException](
+      GraphConfig.fromJson(spark, cycle, sf()))
+    assert(e1.getMessage.contains("cycle"))
+    val unknown = """{"root": "x", "qpus": {"x": {"operator": "teleport"}}}"""
+    val e2 = intercept[IllegalArgumentException](
+      GraphConfig.fromJson(spark, unknown, sf()))
+    assert(e2.getMessage.contains("teleport"))
+  }
+}

@@ -23,6 +23,35 @@ class SourcesSpec extends SparkSpecBase {
     assert(fromJson.select("n_name").collect().map(_.getString(0)).toSet === names)
   }
 
+  test("jdbc datastore driver: snapshot read + predicate pushdown into the store") {
+    // The reference's MySQL driver (mysql/store.go) = Spark's jdbc
+    // source; embedded Derby stands in for the SQL store.
+    val db = s"${Files.createTempDirectory("graft-jdbc")}/store"
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE stories (story_id INT, title VARCHAR(64), vote_sum INT)")
+      Seq((1, "spark", 42), (2, "catalyst", 17), (3, "tungsten", 5)).foreach { case (i, t, v) =>
+        st.execute(s"INSERT INTO stories VALUES ($i, '$t', $v)")
+      }
+    } finally conn.close()
+
+    val src = FormatSourceQpu(spark, "jdbc", options = Map(
+      "url" -> s"jdbc:derby:$db",
+      "dbtable" -> "stories",
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    assert(src.toDF.count() === 3)
+
+    // EQ/RANGE predicates through the QPU layer must reach the store
+    // (JDBC pushdown), not filter post-transfer
+    val filtered = FilterQpu(src, Seq(Range("VOTE_SUM", 10, 100)))
+    assert(filtered.toDF.collect().map(_.getAs[String]("TITLE")).toSet ===
+      Set("spark", "catalyst"))
+    val plan = filtered.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.toLowerCase.contains("vote_sum"),
+      s"range predicate must push into the jdbc scan:\n$plan")
+  }
+
   test("salted join equals the plain join under heavy key skew") {
     import spark.implicits._
     // 10k rows, 90% on one hot key

@@ -58,6 +58,49 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("jdbc-backed CDC: SQL-store snapshot catch-up then binlog-style tail") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The reference's MySQL datastore driver tails a binlog after a
+    // snapshot scan (mysql/store.go). Stand-in: an embedded Derby
+    // store read through the jdbc source supplies the catch-up State
+    // records; the MemoryStream supplies the tail Delta records.
+    val db = s"${java.nio.file.Files.createTempDirectory("graft-cdc")}/store"
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE stories (story_id INT, title VARCHAR(64))")
+      st.execute("INSERT INTO stories VALUES (1, 'spark')")
+      st.execute("INSERT INTO stories VALUES (2, 'catalyst')")
+    } finally conn.close()
+
+    val snapshot = graft.qpu.FormatSourceQpu(spark, "jdbc", options = Map(
+      "url" -> s"jdbc:derby:$db",
+      "dbtable" -> "stories",
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver")).toDF
+      .collect().map(r => CdcRecord("story", r.getInt(0).toLong, ts(0),
+        Map("title" -> r.getString(1))))
+
+    val input = MemoryStream[CdcRecord]
+    val joined = Subscribe.materializedJoin(spark, input.toDS(), leftTable = "story")
+    val q = joined.toDF().writeStream.format("memory").queryName("cdc_joined")
+      .outputMode("update").start()
+    try {
+      input.addData(snapshot.toSeq) // catch-up == the store's snapshot scan
+      q.processAllAvailable()
+      assert(spark.table("cdc_joined").collect()
+        .map(_.getAs[Long]("key")).toSet === Set(1L, 2L))
+      // tail: vote deltas upsert into the materialized join state
+      input.addData(CdcRecord("vote", 2L, ts(1), Map("vote_sum" -> "9")))
+      q.processAllAvailable()
+      val row2 = spark.table("cdc_joined").collect()
+        .filter(_.getAs[Long]("key") == 2L).last
+      assert(row2.getAs[Boolean]("complete"))
+      assert(row2.getAs[Map[String, String]]("attrs") ===
+        Map("title" -> "catalyst", "vote_sum" -> "9"))
+    } finally q.stop()
+  }
+
   test("subscribeTable replays a stored table as a stream (catch-up phase)") {
     val stream = Subscribe.subscribeTable(spark, sf(), "events")
     val agg = Subscribe.incrementalSum(stream, "user_id", "value")
