@@ -207,7 +207,87 @@ object Queries {
         |WHERE NOT (s1.user_id IS NOT NULL AND s2.user_id IS NOT NULL
         |  AND s1.ts = s2.ts AND s1.event_id = s2.event_id)""".stripMargin)),
 
+    // §2.2/74 — as-of join (temporal attribution): each purchase event
+    // joined to the same user's latest click at or before it;
+    // implemented as union+window (one shuffle, no inequality join)
+    "q_asof_join" -> QueryDef(
+      (s, d) => {
+        val ev = ds(s, d, "events").toDF
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        AsOf.asofJoin(purchases, clicks, "user_id", "user_id", "ts", "click_ts",
+          rightCols = Seq("click_id", "click_ts"), rightTiebreak = Seq("click_id"))
+          .select(col("purchase_id"), col("user_id"), col("click_id"),
+            (unix_timestamp(col("ts")) - unix_timestamp(col("click_ts"))).as("gap_sec"))
+      },
+      Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT p.purchase_id, p.user_id, c.click_id,
+        |    floor(epoch(p.ts))::BIGINT - floor(epoch(c.ts))::BIGINT AS gap_sec,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.ts DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT purchase_id, user_id, click_id, gap_sec FROM j WHERE rn = 1""".stripMargin)),
+
     // ------------- §2.3 LLM-data-pipeline operators -------------
+
+    // §2.3/75 — PII scrubbing (emails / IPv4 / phone runs → typed
+    // placeholders); pure regexp_replace chain, oracle replays the
+    // same RE2-compatible patterns
+    "text_pii" -> QueryDef(
+      (s, d) => ds(s, d, "documents").toDF.select(col("doc_id"),
+        TextFunctions.scrubPii(col("text")).as("scrubbed"),
+        TextFunctions.piiCount(col("text")).as("n_pii")),
+      Some {
+        import TextFunctions.{piiEmailRe, piiIpRe, piiPhoneRe}
+        s"""SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$piiEmailRe', '<EMAIL>', 'g'),
+           |    '$piiIpRe', '<IP>', 'g'),
+           |    '$piiPhoneRe', '<PHONE>', 'g') AS scrubbed,
+           |  len(regexp_extract_all(
+           |    regexp_replace(regexp_replace(regexp_replace(text,
+           |      '$piiEmailRe', '<EMAIL>', 'g'),
+           |      '$piiIpRe', '<IP>', 'g'),
+           |      '$piiPhoneRe', '<PHONE>', 'g'),
+           |    '<EMAIL>|<IP>|<PHONE>')) AS n_pii
+           |FROM documents""".stripMargin
+      }),
+
+    // §2.3/76 — repetition signals (Gopher-style quality rules):
+    // top-token occurrences + duplicate-bigram count per document
+    "text_repetition" -> QueryDef(
+      (s, d) => {
+        val sig = TextFunctions.repetitionSignals(col("text"))
+          .map { case (n, c) => c.as(n) }
+        ds(s, d, "documents").toDF.select((col("doc_id") +: sig): _*)
+      },
+      Some("""SELECT doc_id, len(toks) AS n_tokens,
+        |  coalesce(list_max(list_transform(list_distinct(toks),
+        |    w -> len(list_filter(toks, t -> t = w)))), 0) AS top_token_cnt,
+        |  len(bigrams) - len(list_distinct(bigrams)) AS dup_bigram_cnt
+        |FROM (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) >= 2 THEN list_transform(
+        |    generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])
+        |  ELSE []::VARCHAR[] END AS bigrams
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents) a) b""".stripMargin)),
+
+    // §2.3/77 — stratified deterministic sampling (domain mixing):
+    // per-source keep rates on the stable id hash, map-side only
+    "q_stratified_sample" -> QueryDef(
+      (s, d) => Sampling.stratifiedHashSample(ds(s, d, "documents").toDF,
+        "doc_id", "source", Map("src0" -> 50, "src1" -> 20, "src2" -> 80),
+        defaultPct = 10).select("doc_id", "source", "lang"),
+      Some("""SELECT doc_id, source, lang FROM documents
+        |WHERE ('0x' || substring(md5(doc_id::varchar), 1, 14))::bigint % 100 <
+        |  CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 20
+        |    WHEN 'src2' THEN 80 ELSE 10 END""".stripMargin)),
 
     // §2.3/28 — exact dedup by content hash
     "dedup_exact" -> QueryDef(
@@ -644,20 +724,22 @@ object Queries {
 
     // §2.3/59 — fuzzy matching by edit distance over the WHOLE corpus:
     // MinHash-LSH candidate generation on char-5-shingles of the
-    // 40-char prefix (4 bands x 2 rows), then exact levenshtein
+    // 40-char prefix (4 bands x 4 rows — the 4-row bands keep random
+    // pairs out; see Dedup.editDistancePairs), then exact levenshtein
     // confirm. The oracle replays the identical prefilter (same
     // md5-derived minhashes), so the hash compare proves the scalable
     // path end to end — no id cap, no cartesian.
     "q_editdist" -> QueryDef(
       (s, d) => Dedup.editDistancePairs(ds(s, d, "documents").toDF,
         "doc_id", "text", maxDist = 8, prefixLen = 40,
-        shingleK = 5, bands = 4, rowsPerBand = 2),
+        shingleK = 5, bands = 4, rowsPerBand = 4),
       Some {
-        val mh = (0 until 8).map(i =>
+        val mh = (0 until 16).map(i =>
           s"list_min(list_transform(toks, w -> ('0x' || substring(md5('$i:' || w), 1, 14))::bigint)) AS m$i")
           .mkString(", ")
         val bandEq = (0 until 4).map(b =>
-          s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
+          (0 until 4).map(r => s"a.m${4 * b + r} = b.m${4 * b + r}")
+            .mkString("(", " AND ", ")"))
           .mkString(" OR ")
         s"""WITH t AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents),
            |tok AS (SELECT doc_id, prefix,

@@ -76,6 +76,56 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column = HashFunctions.normalizedFingerprint(c)
 
+  // PII patterns kept RE2-compatible (no lookarounds/backrefs) so the
+  // DuckDB oracle replays them verbatim. Order matters: emails before
+  // phones (an email's digits must not half-match the phone pattern),
+  // IPs before phones (dotted quads contain phone-length digit runs).
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val piiPhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** PII scrubbing for training corpora: emails, IPv4 addresses, and
+    * phone-like digit runs replaced with typed placeholder tokens.
+    * Pure codegen'd regexp_replace chain — one pass per pattern, no
+    * UDF, trivially distributed.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(piiEmailRe), lit("<EMAIL>")),
+        lit(piiIpRe), lit("<IP>")),
+      lit(piiPhoneRe), lit("<PHONE>"))
+
+  /** Count of PII placeholders a scrub would insert. */
+  def piiCount(c: Column): Column =
+    size(regexp_extract_all(scrubPii(c), lit("<EMAIL>|<IP>|<PHONE>"), lit(0)))
+
+  /** Repetition signals (Gopher-style quality rules): how much of the
+    * document is the same thing said again.
+    *
+    * - `top_token_cnt`  — occurrences of the most frequent token
+    *   (divide by n_tokens for the "fraction in most common word" rule)
+    * - `dup_bigram_cnt` — bigram occurrences beyond the first
+    *   (n_bigrams - distinct_bigrams; /n_bigrams = duplicate-bigram
+    *   fraction)
+    *
+    * Per-document array math only (the inner top-token scan is
+    * O(distinct·n) on a single doc's tokens — bounded by doc length,
+    * embarrassingly parallel, no shuffle).
+    */
+  def repetitionSignals(c: Column): Seq[(String, Column)] = {
+    val toks = tokens(c)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Seq(
+      "n_tokens" -> size(toks),
+      "top_token_cnt" -> coalesce(array_max(transform(array_distinct(toks),
+        w => size(filter(toks, t => t === w)))), lit(0)),
+      "dup_bigram_cnt" -> (size(bigrams) - size(array_distinct(bigrams))))
+  }
+
   /** Distinct character k-shingles — the n-gram unit for shingle-based
     * near-dup detection (robust to word-boundary edits where word sets
     * are not). Empty result for texts shorter than k (guarded: Spark's

@@ -29,6 +29,45 @@ object AsOf {
       .drop("__rn")
   }
 
+  /** As-of join (temporal join): each left row picks the LATEST right
+    * row of the same key with `rightTs <= leftTs` (left-outer: a left
+    * row with no prior right row keeps nulls). The classic attribution
+    * / point-in-time-lookup operator; Spark has no native form.
+    *
+    * Scale shape: NOT an inequality join (which Catalyst would plan as
+    * a per-key cartesian). Both sides are unioned and windowed — one
+    * shuffle on the key, one sort within partitions, then each left
+    * row reads the running `last(right, ignoreNulls)` — identical cost
+    * to a sort-merge join regardless of how many right rows precede
+    * each left row. Ties on (key, ts): right rows sort before left
+    * rows (<= is inclusive) and `rightTiebreak` makes the winning
+    * right row deterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String],
+               rightTiebreak: Seq[String] = Nil): DataFrame = {
+    val rvCols = (rightCols ++ rightTiebreak).distinct
+    val rvType = right.select(rvCols.map(col): _*).schema
+    val lrowType = left.schema
+    val l2 = left.select(col(leftKey).as("__k"), col(leftTs).as("__t"),
+      lit(1).as("__side"), lit(null).cast(rvType).as("__rv"),
+      struct(left.columns.map(col): _*).as("__lrow"))
+    val r2 = right.select(col(rightKey).as("__k"), col(rightTs).as("__t"),
+      lit(0).as("__side"), struct(rvCols.map(col): _*).as("__rv"),
+      lit(null).cast(lrowType).as("__lrow"))
+    val order = col("__t").asc +: col("__side").asc +:
+      rightTiebreak.map(c => col(s"__rv.$c").asc)
+    val w = Window.partitionBy("__k").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__lrow.$c")) ++
+        rightCols.map(c => col(s"__match.$c")): _*)
+  }
+
   /** Version-diff read (reference: inMemIndex.go:523-645 — postings
     * carry vector-clock versions, so an index can be read at two
     * different timestamps): which keys were created / updated /

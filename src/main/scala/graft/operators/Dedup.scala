@@ -94,16 +94,19 @@ object Dedup {
   def shinglePairs(df: DataFrame, idCol: String, textCol: String,
                    bucketCols: Seq[String], k: Int,
                    num: Int, den: Int): DataFrame =
-    shinglePairsReleasable(df, idCol, textCol, bucketCols, k, num, den,
-      persistRepr = false)._1
+    shinglePairsReleasable(df, idCol, textCol, bucketCols, k, num, den)._1
 
-  /** As [[shinglePairs]], but persists the corpus-sized shingle
-    * representation so the self-join doesn't shingle+hash+sort each
-    * side separately, and returns a `release` callback that drops the
-    * pin deterministically once the caller has consumed the pairs.
-    * (The plain [[shinglePairs]] skips the persist: recomputing the
-    * representation twice beats leaving an unbounded cache pin in a
-    * long-lived session.)
+  /** [[shinglePairs]] plus the deterministic cleanup handle.
+    *
+    * The corpus-sized shingle representation is persisted so the
+    * self-join doesn't shingle+hash+sort each side separately (3×
+    * faster at sf0.1); `release()` drops that pin once the caller has
+    * consumed the pairs. Long-lived sessions running many corpora
+    * should use this variant and call `release()` between runs — the
+    * plain [[shinglePairs]] leaves the pin to Spark's storage LRU
+    * (fine for job-scoped sessions, unbounded otherwise). Pass
+    * `persistRepr = false` to trade the double computation for zero
+    * cache footprint.
     */
   def shinglePairsReleasable(df: DataFrame, idCol: String, textCol: String,
                              bucketCols: Seq[String], k: Int,
@@ -292,6 +295,13 @@ object Dedup {
     * exact `levenshtein` on the bounded prefix, before the distinct, so
     * the dedup shuffle carries only confirmed pairs.
     *
+    * `rowsPerBand` is the selectivity knob: band collision probability
+    * is Jaccard^rowsPerBand, and short prefixes over a small character
+    * vocabulary give RANDOM pairs substantial Jaccard — at sf0.1,
+    * 2-row bands admit 422k candidate pairs where 4-row bands admit
+    * 1.9k with the same near-match coverage. Keep rowsPerBand >= 4 for
+    * prefix shingles.
+    *
     * The previous form of this operator was a demo-capped cartesian
     * (`doc_id < 100`); this one drops the cap — ScaleProbe shows the
     * sub-quadratic growth.
@@ -299,7 +309,7 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, prefixLen: Int = 40,
                         shingleK: Int = 5,
-                        bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+                        bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val t = df.select(col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("prefix"))
     val toks = t.select(col("id"),

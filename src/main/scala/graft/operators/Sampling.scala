@@ -26,6 +26,23 @@ object Sampling {
       hashBucketSample(df, idCol, 0, testPct))
   }
 
+  /** Stratified (per-group) deterministic sampling — domain mixing for
+    * a training corpus: each group keeps `rates(group)` percent of its
+    * rows (groups absent from `rates` keep `defaultPct`). Membership
+    * is the same stable id hash as [[hashBucketSample]], so re-runs,
+    * engines, and cluster sizes all agree, and a row's fate never
+    * depends on which other rows exist. Pure map-side filter — no
+    * shuffle, no per-group count pass.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, groupCol: String,
+                           rates: Map[String, Int],
+                           defaultPct: Int = 0): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (g, p)) =>
+      when(col(groupCol) === lit(g), lit(p)).otherwise(acc)
+    }
+    df.filter(bucket(idCol, 100) < pct)
+  }
+
   private def bucket(idCol: String, den: Int) =
     HashFunctions.stableHash56(col(idCol).cast("string")) % den
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpecBase {
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("asofJoin picks the latest right row at or before each left row") {
+    import spark.implicits._
+    val trades = Seq((1L, ts(10), "t1"), (1L, ts(20), "t2"), (2L, ts(10), "t3"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1L, ts(5), 100.0), (1L, ts(10), 101.0), (1L, ts(15), 102.0),
+      (2L, ts(50), 999.0))
+      .toDF("k", "qt", "px")
+    val got = AsOf.asofJoin(trades, quotes, "k", "k", "t", "qt",
+      rightCols = Seq("px"), rightTiebreak = Seq("px"))
+      .select("trade", "px").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got("t1") === Some(101.0), "equal timestamps match (<= is inclusive)")
+    assert(got("t2") === Some(102.0), "latest prior quote wins")
+    assert(got("t3") === None, "no prior right row -> left-outer null")
+  }
+
+  test("asofJoin tie on (key, ts) resolves by the tiebreak, deterministically") {
+    import spark.implicits._
+    val left = Seq((1L, ts(10), "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts(10), 7L), (1L, ts(10), 9L), (1L, ts(10), 8L))
+      .toDF("k", "qt", "rid")
+    val got = AsOf.asofJoin(left, right, "k", "k", "t", "qt",
+      rightCols = Seq("rid"), rightTiebreak = Seq("rid"))
+      .select("rid").head().getLong(0)
+    assert(got === 9L, "max tiebreak wins among equal timestamps")
+  }
+
+  test("snapshotDiff classifies created/updated and drops unchanged keys") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, ts(5), 100L),   // before t1, unchanged after -> dropped
+      (2L, ts(5), 101L),   // before t1, updated between t1 and t2
+      (2L, ts(15), 102L),
+      (3L, ts(15), 103L)   // first seen between t1 and t2 -> created
+    ).toDF("user_id", "ts", "event_id")
+    val got = AsOf.snapshotDiff(log, "ts",
+      lit(ts(10)), lit(ts(20)), key = Seq("user_id"), tiebreak = Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "updated", 3L -> "created"))
+  }
+}

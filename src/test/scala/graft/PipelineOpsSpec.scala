@@ -77,6 +77,33 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(frac > 0.1 && frac < 0.3, s"test fraction $frac far from 20%")
   }
 
+  test("stratified sample honors per-group rates and nests like bucket ranges") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf(), "documents")
+    val rates = Map("src0" -> 100, "src1" -> 50, "src2" -> 0)
+    val got = Sampling.stratifiedHashSample(docs, "doc_id", "source", rates,
+      defaultPct = 10)
+    val bySource = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") === totals("src0"), "rate 100 keeps everything")
+    assert(!bySource.contains("src2"), "rate 0 keeps nothing")
+    // rate p is exactly buckets [0, p): the 50% group is a SUBSET of
+    // what a 100% rate would keep, and identical across partitionings
+    val ids50 = got.filter(col("source") === "src1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.stratifiedHashSample(docs.repartition(7), "doc_id",
+      "source", rates, defaultPct = 10)
+      .filter(col("source") === "src1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === ids50, "membership must not depend on partitioning")
+    assert(ids50.subsetOf(
+      Sampling.hashBucketSample(docs, "doc_id", 0, 50)
+        .select("doc_id").collect().map(_.getLong(0)).toSet),
+      "per-group rate p must equal the global [0,p) bucket within the group")
+  }
+
   test("approx distinct users within 5% of exact") {
     val approx = Queries.asMap("q_approx_users").build(spark, sf())
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

