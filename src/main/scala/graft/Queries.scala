@@ -321,11 +321,14 @@ object Queries {
         "doc_id", "text", bands = 2, rowsPerBand = 4, num = 9, den = 10),
       Some {
         val mh = (0 until 8).map(i =>
-          s"list_min(list_transform(toks, w -> ('0x' || substring(md5('$i:' || w), 1, 14))::bigint)) AS m$i")
+          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
           .mkString(", ")
         s"""WITH t AS (SELECT doc_id,
            |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
-           |sigs AS (SELECT doc_id, $mh FROM t),
+           |hp AS (SELECT doc_id, list_transform(toks, w ->
+           |  [('0x' || substring(md5(w), 1, 14))::bigint,
+           |   ('0x' || substring(md5(w), 15, 14))::bigint]) AS hs FROM t),
+           |sigs AS (SELECT doc_id, $mh FROM hp),
            |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
            |    (a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3) OR
@@ -346,7 +349,7 @@ object Queries {
         "doc_id", "text", bands = 2, rowsPerBand = 4, iterations = 5),
       Some {
         val mh = (0 until 8).map(i =>
-          s"list_min(list_transform(toks, w -> ('0x' || substring(md5('$i:' || w), 1, 14))::bigint)) AS m$i")
+          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
           .mkString(", ")
         def band(b: Int) = (0 until 4).map(r => s"m${b * 4 + r}::varchar").mkString(" || '_' || ")
         val iters = (0 until 5).map { k =>
@@ -357,7 +360,10 @@ object Queries {
         }.mkString(",\n")
         s"""WITH toks AS (SELECT doc_id,
            |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
-           |sigs AS (SELECT doc_id, $mh FROM toks),
+           |hp AS (SELECT doc_id, list_transform(toks, w ->
+           |  [('0x' || substring(md5(w), 1, 14))::bigint,
+           |   ('0x' || substring(md5(w), 15, 14))::bigint]) AS hs FROM toks),
+           |sigs AS (SELECT doc_id, $mh FROM hp),
            |mem AS (SELECT doc_id AS id, 0 AS band, ${band(0)} AS sig FROM sigs
            |  UNION ALL SELECT doc_id AS id, 1 AS band, ${band(1)} AS sig FROM sigs),
            |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
@@ -735,7 +741,7 @@ object Queries {
         shingleK = 5, bands = 4, rowsPerBand = 4),
       Some {
         val mh = (0 until 16).map(i =>
-          s"list_min(list_transform(toks, w -> ('0x' || substring(md5('$i:' || w), 1, 14))::bigint)) AS m$i")
+          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
           .mkString(", ")
         val bandEq = (0 until 4).map(b =>
           (0 until 4).map(r => s"a.m${4 * b + r} = b.m${4 * b + r}")
@@ -745,7 +751,10 @@ object Queries {
            |tok AS (SELECT doc_id, prefix,
            |  list_distinct(list_transform(generate_series(1, greatest(length(prefix) - 4, 0)),
            |    i -> substring(prefix, i, 5))) AS toks FROM t),
-           |sigs AS (SELECT doc_id, prefix, $mh FROM tok),
+           |hp AS (SELECT doc_id, prefix, list_transform(toks, w ->
+           |  [('0x' || substring(md5(w), 1, 14))::bigint,
+           |   ('0x' || substring(md5(w), 15, 14))::bigint]) AS hs FROM tok),
+           |sigs AS (SELECT doc_id, prefix, $mh FROM hp),
            |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |    a.prefix AS pa, b.prefix AS pb
            |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandEq))

@@ -26,6 +26,23 @@ object HashFunctions {
   def seededHash56(seed: Int, c: Column): Column =
     stableHash56(concat(lit(s"$seed:"), c))
 
+  /** Kirsch–Mitzenmacher two-hash family: ONE md5 per input yields
+    * (h1, h2) = (hex[1..14], hex[15..28]) and every seeded hash is
+    * h_i = (h1 + i*h2) mod 2^56 — k hash families for the price of one
+    * digest, the standard construction for MinHash/Bloom filters. With
+    * 16 minhash seeds this cuts the signature stage's md5 calls 16×.
+    * No overflow: h1, h2 < 2^56 and i <= 63 keeps h1 + i*h2 < 2^62
+    * (DuckDB, which errors on BIGINT overflow, replays it verbatim).
+    */
+  def kmHashPair(c: Column): Column = {
+    val hex = md5(c)
+    struct(conv(substring(hex, 1, 14), 16, 10).cast("long").as("h1"),
+      conv(substring(hex, 15, 14), 16, 10).cast("long").as("h2"))
+  }
+
+  def kmHash(pair: Column, seed: Int): Column =
+    (pair.getField("h1") + lit(seed.toLong) * pair.getField("h2")) % lit(1L << 56)
+
   /** Content fingerprint: md5 hex of the raw string. */
   def contentHash(c: Column): Column = md5(c)
 

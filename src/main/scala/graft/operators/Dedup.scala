@@ -141,12 +141,19 @@ object Dedup {
 
   /** Signature from an already-tokenized (id, toks) frame — avoids
     * re-tokenizing when the caller needs the token sets anyway.
+    *
+    * One md5 per token (Kirsch–Mitzenmacher pairs, materialized in
+    * their own projection so CollapseProject can't inline the digest
+    * into every seed's expression), then `numHashes` cheap arithmetic
+    * mins over the pair array.
     */
   def minhashSignatureFromTokens(toks: DataFrame, numHashes: Int): DataFrame = {
+    val withPairs = toks.withColumn("__hs",
+      transform(col("toks"), w => HashFunctions.kmHashPair(w)))
     val sig = (0 until numHashes).map { i =>
-      array_min(transform(col("toks"), w => HashFunctions.seededHash56(i, w))).as(s"m$i")
+      array_min(transform(col("__hs"), h => HashFunctions.kmHash(h, i))).as(s"m$i")
     }
-    toks.select((col("id") +: sig): _*)
+    withPairs.select((col("id") +: sig): _*)
   }
 
   /** Banded LSH keys over an already-computed minhash signature frame:
