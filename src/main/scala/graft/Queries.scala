@@ -2,7 +2,7 @@ package graft
 
 import graft.api.ProteusQL
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Dedup, Multimodal, Sampling, Sessionize, Similarity, SkewJoin, TfIdf}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, TfIdf}
 import graft.qpu._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -233,6 +233,51 @@ object Queries {
         |      ORDER BY c.ts DESC, c.click_id DESC) AS rn
         |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
         |SELECT purchase_id, user_id, click_id, gap_sec FROM j WHERE rn = 1""".stripMargin)),
+
+    // §2.2/78 — range (interval) join: every event equi-joined to its
+    // containing session interval through fixed-width time buckets —
+    // no inequality join, no cartesian (see RangeJoin scaladoc)
+    "q_range_join" -> QueryDef(
+      (s, d) => {
+        val ev = ds(s, d, "events").toDF
+        val sessions = Sessionize.sessions(ev, "user_id", "ts", 1800)
+        val points = ev.select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ep"))
+        RangeJoin.pointInInterval(points, sessions, "user_id", "user_id",
+          "ep", "session_start", "session_end", bucketWidth = 3600)
+          .select(col("event_id"), col("p.user_id").as("user_id"),
+            col("session_id"), col("n_events"))
+      },
+      Some("""WITH s AS (SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ep) AS session_start, max(ep) AS session_end FROM (
+        |  SELECT user_id, ep, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, ts, floor(epoch(ts))::BIGINT AS ep,
+        |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM events) x) y
+        |GROUP BY user_id, session_id),
+        |e AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ep FROM events)
+        |SELECT e.event_id, e.user_id, s.session_id, s.n_events
+        |FROM e JOIN s ON e.user_id = s.user_id
+        |  AND e.ep BETWEEN s.session_start AND s.session_end""".stripMargin)),
+
+    // §2.2/79 — value-based window frame (RANGE): trailing-hour sum of
+    // event values per user; equal timestamps share a frame, so the
+    // result is deterministic under any tie order
+    "q_range_frame" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ep"))
+          .rangeBetween(-3600, Window.currentRow)
+        ds(s, d, "events").toDF
+          .withColumn("ep", unix_timestamp(col("ts")))
+          .select(col("event_id"), col("user_id"), col("ep"),
+            sum("value").over(w).as("hour_sum"))
+      },
+      Some("SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ep, " +
+        "sum(value) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_sum FROM events")),
 
     // ------------- §2.3 LLM-data-pipeline operators -------------
 

@@ -35,6 +35,25 @@ class AsOfSpec extends SparkSpecBase {
     assert(got === 9L, "max tiebreak wins among equal timestamps")
   }
 
+  test("range join meets each (point, interval) pair exactly once, no cartesian") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    val points = Seq((1L, 10L, "a"), (1L, 250L, "b"), (1L, 999L, "c"), (2L, 10L, "d"))
+      .toDF("k", "t", "tag")
+    // interval spanning many buckets (width 100) + a disjoint one
+    val ivs = Seq((1L, 5L, 300L, "i1"), (1L, 400L, 450L, "i2"), (2L, 500L, 600L, "i3"))
+      .toDF("k", "s", "e", "iv")
+    val got = RangeJoin.pointInInterval(points, ivs, "k", "k", "t", "s", "e",
+      bucketWidth = 100)
+      .select("tag", "iv").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a", "i1"), ("b", "i1")),
+      "multi-bucket interval must match once per contained point, nothing else")
+    val plan = RangeJoin.pointInInterval(points, ivs, "k", "k", "t", "s", "e", 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "range join must plan as an equi-join on (key, bucket)")
+  }
+
   test("snapshotDiff classifies created/updated and drops unchanged keys") {
     import spark.implicits._
     val log = Seq(
