@@ -49,7 +49,17 @@ object ProteusQL {
     * call, so cached statements always see current data.
     */
   def sql(spark: SparkSession, dir: String, statement: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    // registerAll reads every table's parquet footer (~0.5s of pure
+    // metadata I/O) — only re-register when this session last saw a
+    // DIFFERENT scale-factor dir. Data refreshes (new files under the
+    // same dir) need an explicit Tables.registerAll: a temp view pins
+    // its file listing at registration time either way.
+    lastRegisteredDir.synchronized {
+      if (!lastRegisteredDir.get(spark).contains(dir)) {
+        Tables.registerAll(spark, dir)
+        lastRegisteredDir(spark) = dir
+      }
+    }
     val ast = astCache.synchronized {
       astCache.remove(statement) match {
         case Some(plan) =>
@@ -67,4 +77,7 @@ object ProteusQL {
 
   private val astCache = scala.collection.mutable.LinkedHashMap
     .empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+
+  private val lastRegisteredDir =
+    scala.collection.mutable.Map.empty[SparkSession, String]
 }

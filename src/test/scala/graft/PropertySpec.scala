@@ -79,6 +79,58 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("asofJoin equals the brute-force temporal lookup on random data") {
+    import spark.implicits._
+    // one dataset, many keys — each key is an independent random case
+    // (ties, empty right sides, no prior match) evaluated in ONE job
+    val gen = for {
+      key <- Gen.choose(0L, 60L)
+      t <- Gen.choose(0L, 30L)
+      id <- Gen.choose(0L, 1000000L)
+    } yield (key, t, id)
+    val lefts = sampleN(400, gen, seed = 7L).distinct
+    val rights = sampleN(400, gen, seed = 11L).distinct
+    val l = lefts.toDF("k", "t", "lid")
+    val r = rights.map { case (k, t, id) => (k, t, id, id * 2.0) }
+      .toDF("k", "rt", "rid", "v")
+    val got = graft.operators.AsOf.asofJoin(l, r, "k", "k", "t", "rt",
+      rightCols = Seq("rid", "v"), rightTiebreak = Seq("rid"))
+      .select("lid", "rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    val want = lefts.map { case (k, t, lid) =>
+      val cands = rights.filter(rr => rr._1 == k && rr._2 <= t)
+      lid -> (if (cands.isEmpty) -1L else cands.maxBy(rr => (rr._2, rr._3))._3)
+    }.toMap
+    assert(got === want)
+  }
+
+  test("bucketed range join equals the brute-force interval scan on random data") {
+    import spark.implicits._
+    val pGen = for {
+      key <- Gen.choose(0L, 40L); t <- Gen.choose(0L, 200L)
+      id <- Gen.choose(0L, 1000000L)
+    } yield (key, t, id)
+    val ivGen = for {
+      key <- Gen.choose(0L, 40L); s <- Gen.choose(0L, 200L)
+      len <- Gen.choose(0L, 80L); id <- Gen.choose(0L, 1000000L)
+    } yield (key, s, s + len, id)
+    val points = sampleN(300, pGen, seed = 13L).distinct
+    val ivs = sampleN(150, ivGen, seed = 17L).distinct
+    for (width <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = graft.operators.RangeJoin.pointInInterval(
+        points.toDF("k", "t", "pid"), ivs.toDF("k", "s", "e", "ivid"),
+        "k", "k", "t", "s", "e", bucketWidth = width)
+        .select("pid", "ivid").collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      val want = for {
+        (pk, t, pid) <- points; (ik, s, e, ivid) <- ivs
+        if pk == ik && t >= s && t <= e
+      } yield (pid, ivid)
+      assert(got.sorted.toSeq === want.sorted,
+        s"width=$width: pairs must match brute force exactly (incl. multiplicity)")
+    }
+  }
+
   /** Deterministic batch sampling with an explicit seed (reproducible
     * without ScalaCheck's runner).
     */
