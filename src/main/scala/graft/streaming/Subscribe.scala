@@ -71,6 +71,53 @@ object Subscribe {
       }
   }
 
+  final case class EnrichedProbe(key: Long, probeTs: java.sql.Timestamp,
+                                 attrs: Map[String, String],
+                                 versionTs: Option[java.sql.Timestamp])
+
+  /** Continuous as-of enrichment — the streaming twin of
+    * [[graft.operators.AsOf.asofJoin]]: one merged [[CdcRecord]]
+    * stream carries both dimension versions (`table == dimTable`) and
+    * probe records (any other table); each probe is answered with the
+    * latest dimension version whose ts <= the probe's ts.
+    *
+    * State per key is the version history, pruned to the newest
+    * `maxVersions` entries (bounded state — the 100-TB-stream
+    * requirement; versions older than the retention window cannot win
+    * an as-of lookup against in-order probes). A probe that arrives
+    * before its matching version emits with the best version known AT
+    * ARRIVAL (`versionTs` = None if none) — the same answer the
+    * reference's versioned index would give a read at that moment.
+    */
+  def streamingAsOfJoin(spark: SparkSession, updates: Dataset[CdcRecord],
+                        dimTable: String,
+                        maxVersions: Int = 32): Dataset[EnrichedProbe] = {
+    import spark.implicits._
+    updates.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, recs: Iterator[CdcRecord],
+         state: GroupState[List[(java.sql.Timestamp, Map[String, String])]]) =>
+          var versions = state.getOption.getOrElse(Nil) // newest-first
+          val out = scala.collection.mutable.ListBuffer.empty[EnrichedProbe]
+          // within a micro-batch, apply records in event-time order so
+          // a version and a probe arriving together resolve correctly
+          recs.toSeq.sortBy(_.ts.getTime).foreach { r =>
+            if (r.table == dimTable) {
+              versions = ((r.ts, r.attrs) :: versions)
+                .sortBy(-_._1.getTime).take(maxVersions)
+            } else {
+              versions.find(!_._1.after(r.ts)) match {
+                case Some((vts, attrs)) =>
+                  out += EnrichedProbe(key, r.ts, attrs, Some(vts))
+                case None => out += EnrichedProbe(key, r.ts, Map.empty, None)
+              }
+            }
+          }
+          state.update(versions)
+          out.iterator
+      }
+  }
+
   /** Streaming read of a stored table — the datastore driver's
     * subscribe path (reference: datastoredriver.go ProcessQuerySubscribe;
     * s3/mysql drivers emit update streams). The file source replays

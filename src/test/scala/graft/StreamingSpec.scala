@@ -101,6 +101,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming as-of join answers probes with the latest version at arrival") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[CdcRecord]
+    val enriched = Subscribe.streamingAsOfJoin(spark, input.toDS(), dimTable = "dim")
+    val q = enriched.toDF().writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // two versions + one probe between them, all in one batch: the
+      // in-batch event-time ordering must resolve the probe to v1
+      input.addData(
+        CdcRecord("dim", 1L, ts(10), Map("price" -> "100")),
+        CdcRecord("probe", 1L, ts(15), Map.empty),
+        CdcRecord("dim", 1L, ts(20), Map("price" -> "200")))
+      q.processAllAvailable()
+      // later probe sees v2; a probe before any version gets None
+      input.addData(
+        CdcRecord("probe", 1L, ts(25), Map.empty),
+        CdcRecord("probe", 2L, ts(5), Map.empty))
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream").collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[java.sql.Timestamp]("probeTs").getTime / 1000,
+          r.getAs[Map[String, String]]("attrs").get("price"))).toSet
+      assert(rows === Set(
+        (1L, 15L, Some("100")),
+        (1L, 25L, Some("200")),
+        (2L, 5L, None)))
+    } finally q.stop()
+  }
+
   test("subscribeTable replays a stored table as a stream (catch-up phase)") {
     val stream = Subscribe.subscribeTable(spark, sf(), "events")
     val agg = Subscribe.incrementalSum(stream, "user_id", "value")
