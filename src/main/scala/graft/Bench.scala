@@ -17,11 +17,17 @@ object Bench {
     // Steady-state timing: one untimed warmup executes the query end to
     // end (JIT + codegen + file-footer caches), then median of three
     // timed runs (robust to one-off GC/scheduler noise in either
-    // direction, unlike min-of-2).
+    // direction, unlike min-of-2). Dataset caches are dropped before
+    // every run: operators that persist internally (clustering labels,
+    // shingle representations) produce plan-identical caches across
+    // invocations, and without the clear the timed runs would read the
+    // warmup's cache instead of executing the operator.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
+        spark.catalog.clearCache()
         fn(spark, sfDir).count()
         val times = (1 to 3).map { _ =>
+          spark.catalog.clearCache()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9

@@ -55,9 +55,9 @@ object ProteusQL {
     // same dir) need an explicit Tables.registerAll: a temp view pins
     // its file listing at registration time either way.
     lastRegisteredDir.synchronized {
-      if (!lastRegisteredDir.get(spark).contains(dir)) {
+      if (lastRegisteredDir.get(spark) != dir) {
         Tables.registerAll(spark, dir)
-        lastRegisteredDir(spark) = dir
+        lastRegisteredDir.put(spark, dir)
       }
     }
     val ast = astCache.synchronized {
@@ -78,6 +78,8 @@ object ProteusQL {
   private val astCache = scala.collection.mutable.LinkedHashMap
     .empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
 
+  // weak keys: a stopped session must be collectable, not pinned by
+  // this registry for the life of the process
   private val lastRegisteredDir =
-    scala.collection.mutable.Map.empty[SparkSession, String]
+    new java.util.WeakHashMap[SparkSession, String]()
 }

@@ -40,8 +40,13 @@ object HashFunctions {
       conv(substring(hex, 15, 14), 16, 10).cast("long").as("h2"))
   }
 
-  def kmHash(pair: Column, seed: Int): Column =
+  def kmHash(pair: Column, seed: Int): Column = {
+    // h1 + seed*h2 < 2^56 + 127*2^56 = 2^63 stays in Long; beyond 127
+    // Spark would silently wrap negative while DuckDB raises — fail
+    // fast here instead of diverging between engines
+    require(seed >= 0 && seed <= 127, s"km seed must be in [0, 127], got $seed")
     (pair.getField("h1") + lit(seed.toLong) * pair.getField("h2")) % lit(1L << 56)
+  }
 
   /** Content fingerprint: md5 hex of the raw string. */
   def contentHash(c: Column): Column = md5(c)

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * (id, label) frame — which is persisted, O(n) rows × 2 columns —
   * then drop the membership pin before returning. The caller owns the
   * returned cache and should `unpersist()` it when done (the standard
-  * `Dataset.cache()` contract); nothing internal stays pinned.
+  * `Dataset.cache()` contract); nothing internal stays pinned. Note
+  * that unpersisting a TRANSFORMED view of the result (e.g. after a
+  * rename) does not release the underlying entry — unpersist the
+  * returned frame itself, or `spark.catalog.clearCache()`.
   */
 object ConnectedComponents {
 

@@ -224,9 +224,16 @@ object Dedup {
   private[graft] def saltedSelfJoin(df: DataFrame, keys: Seq[String],
                                     saltFactor: Int = 16,
                                     hotThreshold: Int = 1000): DataFrame = {
-    val counts = df.groupBy(keys.map(col): _*)
+    // the input lineage (tokenize + hash + explode for the LSH callers)
+    // would otherwise run 3x — once for the counts pass and once per
+    // join side; pinning it trades bands×corpus of storage for the
+    // recompute (job-scoped sessions: Spark's LRU or the harness's
+    // clearCache releases it; cf. shinglePairsReleasable for the
+    // deterministic-release pattern)
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = pinned.groupBy(keys.map(col): _*)
       .agg((count(lit(1)) > hotThreshold).as("__hot"))
-    val tagged = df.join(counts, keys)
+    val tagged = pinned.join(counts, keys)
     val a = tagged.withColumn("__salt",
       when(col("__hot"), pmod(xxhash64(col("id")), lit(saltFactor)))
         .otherwise(lit(0)).cast("int")).as("a")
@@ -319,8 +326,15 @@ object Dedup {
                         bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val t = df.select(col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("prefix"))
+    // texts shorter than shingleK have NO shingles → all-NULL minhash
+    // signatures. Spark's xxhash64 skips NULLs, which would give every
+    // such doc ONE shared band key (an n² clique of false candidates
+    // the SQL oracle, where NULL = NULL is NULL, never emits). They
+    // cannot be banded, so they are excluded — callers wanting them
+    // can length-bucket the sub-shingle stragglers separately.
     val toks = t.select(col("id"),
       TextFunctions.charShingles(col("prefix"), shingleK).as("toks"))
+      .filter(size(col("toks")) > 0)
     val sigs = minhashSignatureFromTokens(toks, bands * rowsPerBand).join(t, "id")
     val exploded = sigs.select(col("id"), col("prefix"),
         explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))

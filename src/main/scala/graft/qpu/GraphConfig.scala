@@ -93,6 +93,7 @@ object GraphConfig {
       building += name
       val n = qpus.get(name)
       require(n != null, s"config references unknown qpu '$name'")
+      require(n.hasNonNull("operator"), s"qpu '$name' needs an 'operator'")
       val children = strSeq(n, "children")
       def child(i: Int): Qpu = {
         require(children.size > i, s"qpu '$name' needs child $i")
@@ -102,10 +103,13 @@ object GraphConfig {
         case "datastore" =>
           DatastoreQpu(spark, dir, n.get("table").asText())
         case "filter" =>
+          require(n.hasNonNull("predicates"), s"filter qpu '$name' needs a 'predicates' array")
           FilterQpu(child(0),
             n.get("predicates").elements().asScala.map(predicate).toSeq)
         case "aggregation" =>
+          require(n.hasNonNull("aggregates"), s"aggregation qpu '$name' needs an 'aggregates' array")
           val aggs = n.get("aggregates").elements().asScala.map(aggregate).toSeq
+          require(aggs.nonEmpty, s"aggregation qpu '$name' has an empty 'aggregates' array")
           DataFrameQpu(child(0).toDF
             .groupBy(strSeq(n, "groupBy").map(col): _*)
             .agg(aggs.head, aggs.tail: _*))
@@ -115,14 +119,16 @@ object GraphConfig {
             joinAlias = Option(n.get("alias")).map(_.asText()).getOrElse(""),
             broadcastRight = Option(n.get("broadcastRight")).exists(_.asBoolean()))
         case "index" =>
+          require(n.hasNonNull("attribute"), s"index qpu '$name' needs an 'attribute'")
           val idx = IndexQpu(child(0), n.get("attribute").asText())
           if (n.has("topk"))
             DataFrameQpu(idx.topK(n.get("topk").asInt(), strSeq(n, "tiebreak")))
           else if (n.has("point"))
             DataFrameQpu(idx.point(value(n.get("point"))))
-          else if (n.has("lbound"))
+          else if (n.has("lbound")) {
+            require(n.hasNonNull("ubound"), s"index qpu '$name' has 'lbound' but no 'ubound'")
             DataFrameQpu(idx.range(value(n.get("lbound")), value(n.get("ubound"))))
-          else idx
+          } else idx
         case "cache" => CacheQpu(child(0))
         case "router" => RouterQpu(children.map(build))
         case op => throw new IllegalArgumentException(s"unknown operator '$op'")
@@ -133,6 +139,7 @@ object GraphConfig {
       else DataFrameQpu(q.toDF.select(projection.map(col): _*))
     })
 
+    require(doc.hasNonNull("root"), "config must name a 'root' qpu")
     build(doc.get("root").asText())
   }
 }

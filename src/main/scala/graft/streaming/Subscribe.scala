@@ -99,21 +99,27 @@ object Subscribe {
          state: GroupState[List[(java.sql.Timestamp, Map[String, String])]]) =>
           var versions = state.getOption.getOrElse(Nil) // newest-first
           val out = scala.collection.mutable.ListBuffer.empty[EnrichedProbe]
-          // within a micro-batch, apply records in event-time order so
-          // a version and a probe arriving together resolve correctly
-          recs.toSeq.sortBy(_.ts.getTime).foreach { r =>
-            if (r.table == dimTable) {
-              versions = ((r.ts, r.attrs) :: versions)
-                .sortBy(-_._1.getTime).take(maxVersions)
-            } else {
-              versions.find(!_._1.after(r.ts)) match {
-                case Some((vts, attrs)) =>
-                  out += EnrichedProbe(key, r.ts, attrs, Some(vts))
-                case None => out += EnrichedProbe(key, r.ts, Map.empty, None)
+          // within a micro-batch, apply records in event-time order;
+          // at equal timestamps the version applies BEFORE the probe
+          // (ts <= probeTs is inclusive, same as the batch asofJoin's
+          // side ordering) — without the secondary key the resolution
+          // would follow arrival order, which streaming doesn't fix
+          recs.toSeq.sortBy(r => (r.ts.getTime, if (r.table == dimTable) 0 else 1))
+            .foreach { r =>
+              if (r.table == dimTable) {
+                versions = ((r.ts, r.attrs) :: versions)
+                  .sortBy(-_._1.getTime).take(maxVersions)
+              } else {
+                versions.find(!_._1.after(r.ts)) match {
+                  case Some((vts, attrs)) =>
+                    out += EnrichedProbe(key, r.ts, attrs, Some(vts))
+                  case None => out += EnrichedProbe(key, r.ts, Map.empty, None)
+                }
               }
             }
-          }
-          state.update(versions)
+          // probe-only keys must not pin an empty state entry forever
+          // (NoTimeout never evicts; absent and Nil read identically)
+          if (versions.nonEmpty) state.update(versions)
           out.iterator
       }
   }

@@ -78,7 +78,12 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("editDistancePairs: LSH candidates surface near matches, no cartesian") {
-    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
+    import spark.implicits._
+    // sub-shingle texts have NO signature: they must be excluded, not
+    // collapse into one NULL-keyed band bucket that pairs them all
+    val corpus = docs.union(Seq((20L, "abc", "s9"), (21L, "xyz", "s9"))
+      .toDF("doc_id", "text", "source"))
+    val pairs = Dedup.editDistancePairs(corpus, "doc_id", "text",
       maxDist = 8, prefixLen = 40)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val keys = pairs.map(p => (p._1, p._2)).toSet
@@ -87,6 +92,8 @@ class DedupSpec extends SparkSpecBase {
     assert(keys.contains((1L, 3L)), "shared 40-char prefix must match")
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L),
       "unrelated doc must not even become a candidate")
+    assert(!keys.exists(p => p._1 >= 20L || p._2 >= 20L),
+      "sub-shingle texts must not pair through NULL signatures")
   }
 
   test("selective salting emits the same pairs as blanket salting") {
