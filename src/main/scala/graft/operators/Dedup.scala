@@ -40,9 +40,13 @@ object Dedup {
     * join. Falls back to array intersection for open vocabularies.
     * Results are identical either way (exact set algebra).
     */
+  private final case class PairScorer(repr: DataFrame,
+                                       inter: (Column, Column) => Column,
+                                       union: (Column, Column) => Column,
+                                       setSize: Column => Column)
+
   private def pairScorer(df: DataFrame /* id, toks, ... */,
-                         assumeOpenVocab: Boolean = false):
-      (DataFrame, (Column, Column) => Column, (Column, Column) => Column) = {
+                         assumeOpenVocab: Boolean = false): PairScorer = {
     val vocab =
       if (assumeOpenVocab) Array.empty[String] // skip the probe job
       else df.select(explode(col("toks")).as("w")).distinct()
@@ -51,19 +55,19 @@ object Dedup {
       val mask = (0 until vocab.length).map(j =>
         when(array_contains(col("toks"), vocab(j)), lit(1L << j)).otherwise(lit(0L)))
         .reduceOption(_.bitwiseOR(_)).getOrElse(lit(0L))
-      val repr = df.withColumn("repr", mask).drop("toks")
-      (repr,
+      PairScorer(df.withColumn("repr", mask).drop("toks"),
         (a, b) => call_function("bit_count", a.bitwiseAND(b)).cast("int"),
-        (a, b) => call_function("bit_count", a.bitwiseOR(b)).cast("int"))
+        (a, b) => call_function("bit_count", a.bitwiseOR(b)).cast("int"),
+        a => call_function("bit_count", a).cast("int"))
     } else {
       // Open vocabulary: sorted 64-bit hash arrays + native merge loop
       // (graft.plans.SortedIntersectCount). 64-bit collisions within a
       // compared pair (~|set|^2 / 2^65) are negligible.
-      val repr = df.withColumn("repr",
-        sort_array(array_distinct(transform(col("toks"), w => xxhash64(w))))).drop("toks")
-      (repr,
+      PairScorer(df.withColumn("repr",
+          sort_array(array_distinct(transform(col("toks"), w => xxhash64(w))))).drop("toks"),
         (a, b) => graft.plans.SortedIntersectCount(a, b),
-        (a, b) => size(a) + size(b) - graft.plans.SortedIntersectCount(a, b))
+        (a, b) => size(a) + size(b) - graft.plans.SortedIntersectCount(a, b),
+        a => size(a))
     }
   }
 
@@ -77,13 +81,25 @@ object Dedup {
                    bucketCol: String, num: Int, den: Int): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(bucketCol).as("bucket"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
-    val (repr, inter, union) = pairScorer(t)
-    val a = repr.as("a"); val b = repr.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    val ps = pairScorer(t)
+    val a = ps.repr.as("a"); val b = ps.repr.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
+        sizeRatioPrefilter(ps, num, den))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        inter(col("a.repr"), col("b.repr")).as("inter_size"),
-        union(col("a.repr"), col("b.repr")).as("union_size"))
+        ps.inter(col("a.repr"), col("b.repr")).as("inter_size"),
+        ps.union(col("a.repr"), col("b.repr")).as("union_size"))
       .filter(col("inter_size") * den >= col("union_size") * num)
+  }
+
+  /** Jaccard >= num/den implies min(|A|,|B|)*den >= max(|A|,|B|)*num
+    * (|A∩B| <= min, |A∪B| >= max). Checking the sizes inside the join
+    * condition kills size-mismatched pairs BEFORE the per-pair
+    * intersect kernel runs; the exact filter downstream is unchanged,
+    * so this is purely a short-circuit (result-identical).
+    */
+  private def sizeRatioPrefilter(ps: PairScorer, num: Int, den: Int): Column = {
+    val sa = ps.setSize(col("a.repr")); val sb = ps.setSize(col("b.repr"))
+    least(sa, sb) * den >= greatest(sa, sb) * num
   }
 
   /** Character-k-shingle Jaccard near-dup pairs within composite
@@ -116,16 +132,17 @@ object Dedup {
       TextFunctions.charShingles(col(textCol), k).as("toks"): _*)
     // char shingles are open-vocabulary by construction — don't pay the
     // ≤64-symbol probe job
-    val (repr0, inter, union) = pairScorer(t, assumeOpenVocab = true)
+    val ps = pairScorer(t, assumeOpenVocab = true)
     val repr =
-      if (persistRepr) repr0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else repr0
+      if (persistRepr) ps.repr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ps.repr
     val a = repr.as("a"); val b = repr.as("b")
     val bucketCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    val pairs = a.join(b, bucketCond && col("a.id") < col("b.id"))
+    val pairs = a.join(b, bucketCond && col("a.id") < col("b.id") &&
+        sizeRatioPrefilter(ps, num, den))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        inter(col("a.repr"), col("b.repr")).as("inter_size"),
-        union(col("a.repr"), col("b.repr")).as("union_size"))
+        ps.inter(col("a.repr"), col("b.repr")).as("inter_size"),
+        ps.union(col("a.repr"), col("b.repr")).as("union_size"))
       .filter(col("inter_size") * den >= col("union_size") * num)
     (pairs, () => { if (persistRepr) repr.unpersist(); () })
   }
@@ -184,9 +201,9 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val toks = df.select(col(idCol).as("id"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
-    val (repr, inter, union) = pairScorer(toks)
+    val ps = pairScorer(toks)
     val sigs = minhashSignatureFromTokens(toks, numHashes)
-      .join(repr, "id") // repr is corpus-sized → broadcast/AQE picks a cheap join
+      .join(ps.repr, "id") // repr is corpus-sized → broadcast/AQE picks a cheap join
     val bandKeys = bandKeyStructs(bands, rowsPerBand)
     val exploded = sigs.select(col("id"), col("repr"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("repr"), col("bk.band").as("band"), col("bk.sig").as("sig"))
@@ -199,8 +216,8 @@ object Dedup {
     // into one task.
     saltedSelfJoin(exploded, Seq("band", "sig"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        inter(col("a.repr"), col("b.repr")).as("inter_size"),
-        union(col("a.repr"), col("b.repr")).as("union_size"))
+        ps.inter(col("a.repr"), col("b.repr")).as("inter_size"),
+        ps.union(col("a.repr"), col("b.repr")).as("union_size"))
       .filter(col("inter_size") * den >= col("union_size") * num)
       .distinct()
   }

@@ -23,6 +23,31 @@ class SourcesSpec extends SparkSpecBase {
     assert(fromJson.select("n_name").collect().map(_.getString(0)).toSet === names)
   }
 
+  test("orc source round-trips through the format-generic driver") {
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    val nation = Tables.load(spark, sf(), "nation")
+    nation.write.mode("overwrite").orc(s"$tmp/nation_orc")
+    val fromOrc = FormatSourceQpu(spark, "orc", s"$tmp/nation_orc").toDF
+    assert(fromOrc.count() === nation.count())
+    val plan = FilterQpu(FormatSourceQpu(spark, "orc", s"$tmp/nation_orc"),
+      Seq(Eq("n_regionkey", 1L))).toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      "predicates must push into the orc scan too")
+  }
+
+  test("hive-partitioned layout prunes partitions at the scan") {
+    val tmp = Files.createTempDirectory("graft-part").toString
+    Tables.load(spark, sf(), "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$tmp/events_by_type")
+    val probe = FilterQpu(FormatSourceQpu(spark, "parquet", s"$tmp/events_by_type"),
+      Seq(Eq("event_type", "click"))).toDF
+    assert(probe.count() ===
+      Tables.load(spark, sf(), "events").filter(col("event_type") === "click").count())
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"partition column predicate must prune directories, not filter rows:\n$plan")
+  }
+
   test("jdbc datastore driver: snapshot read + predicate pushdown into the store") {
     // The reference's MySQL driver (mysql/store.go) = Spark's jdbc
     // source; embedded Derby stands in for the SQL store.
