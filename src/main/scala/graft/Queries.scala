@@ -535,6 +535,24 @@ object Queries {
         .toDF.select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum")),
       None),
 
+    // §2.3/81 — winnowing fingerprints (rolling-hash document
+    // fingerprinting): windowed minima over positional 5-gram hashes,
+    // one (doc_id, fingerprint) row per selected hash
+    "text_winnow" -> QueryDef(
+      (s, d) => ds(s, d, "documents").toDF.select(col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("text"), k = 5, window = 8)).as("fp")),
+      Some("""SELECT doc_id, unnest(list_distinct(
+        |  CASE WHEN len(hs) >= 8 THEN list_transform(
+        |         generate_series(1, len(hs) - 7), j -> list_min(list_slice(hs, j, j + 7)))
+        |       WHEN len(hs) > 0 THEN [list_min(hs)]
+        |       ELSE []::BIGINT[] END)) AS fp
+        |FROM (SELECT doc_id, list_transform(grams,
+        |    g -> ('0x' || substring(md5(g), 1, 14))::bigint) AS hs
+        |  FROM (SELECT doc_id, CASE WHEN length(text) >= 5
+        |      THEN list_transform(generate_series(1, length(text) - 4),
+        |        i -> substring(text, i, 5))
+        |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b""".stripMargin)),
+
     // §2.3/44 — char-5-gram shingle Jaccard >= 0.7 within (source, lang)
     "dedup_shingle" -> QueryDef(
       (s, d) => Dedup.shinglePairs(ds(s, d, "documents").toDF,

@@ -76,6 +76,34 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column = HashFunctions.normalizedFingerprint(c)
 
+  /** Winnowing fingerprints (the Schleimer/Wilkerson/Aiken scheme
+    * behind MOSS): hash every positional character k-gram, then keep
+    * the minimum of each sliding window of `window` hashes — a
+    * position-robust fingerprint SET whose density is ~2/(window+1)
+    * regardless of document length. Guarantees any shared substring of
+    * length >= window + k - 1 contributes at least one common
+    * fingerprint, which is what makes it the standard near-copy /
+    * provenance primitive.
+    *
+    * Per-gram hashes are md5-derived ([[HashFunctions.stableHash56]])
+    * rather than an iteratively-rolled polynomial — same selection
+    * semantics, and an external SQL engine can replay it exactly.
+    * Documents shorter than the window contribute their global min;
+    * shorter than k, nothing.
+    */
+  def winnowFingerprints(c: Column, k: Int, window: Int): Column = {
+    val grams = when(length(c) >= k,
+      transform(sequence(lit(1), length(c) - (k - 1)), i => c.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+    val hs = transform(grams, g => HashFunctions.stableHash56(g))
+    val mins = when(size(hs) >= window,
+      transform(sequence(lit(1), size(hs) - (window - 1)),
+        j => array_min(slice(hs, j, lit(window)))))
+      .when(size(hs) > 0, array(array_min(hs)))
+      .otherwise(array().cast("array<bigint>"))
+    sort_array(array_distinct(mins))
+  }
+
   // PII patterns kept RE2-compatible (no lookarounds/backrefs) so the
   // DuckDB oracle replays them verbatim. Order matters: emails before
   // phones (an email's digits must not half-match the phone pattern),

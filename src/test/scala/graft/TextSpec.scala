@@ -46,6 +46,24 @@ class TextSpec extends SparkSpecBase {
     assert(evalInt("a@b.com and 1.2.3.4", piiCount(col("text"))) === 2)
   }
 
+  test("winnowing: shared substrings share fingerprints, short docs degrade gracefully") {
+    import spark.implicits._
+    def fps(t: String): Set[Long] =
+      one(t).select(winnowFingerprints(col("text"), 5, 8)).head()
+        .getSeq[Long](0).toSet
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    // same long substring embedded in different contexts → overlap
+    val shifted = "XXYYZZ " + base.drop(4)
+    assert(fps(base).intersect(fps(shifted)).nonEmpty,
+      "winnowing must fingerprint a long shared substring in both docs")
+    assert(fps("entirely unrelated words appear within this one")
+      .intersect(fps(base)).isEmpty, "unrelated docs should not collide")
+    assert(fps("tiny").isEmpty, "below k chars -> no fingerprints")
+    assert(fps("sixchars").size === 1, "below window -> global min only")
+    // density: ~2/(w+1) of the gram positions, far smaller than the doc
+    assert(fps(base).size < base.length / 3)
+  }
+
   test("repetition signals count top-token and duplicate bigrams") {
     def sig(t: String): Map[String, Int] = {
       val cols = repetitionSignals(col("text")).map { case (n, c) => c.cast("int").as(n) }
