@@ -8,13 +8,18 @@ import org.apache.spark.sql.functions._
   * sf0.1 documents corpus N× with distinct ids and times the dedup
   * operators, to check the candidate-generation cost curves hold
   * beyond the benchmark scale. Run:
-  * `sbt "runMain graft.ScaleProbe 10"`.
+  * `sbt "runMain graft.ScaleProbe 10"` — or
+  * `sbt "runMain graft.ScaleProbe 10 tpch"` for the OLAP-side probe
+  * (lineitem/orders replicated N×, q1/q3 shapes re-timed: checks the
+  * two-phase agg and broadcast-join plans keep scaling linearly when
+  * the fact tables grow).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.length > 1 && args(1) == "tpch") { tpch(spark, factor); spark.stop(); return }
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val big = (0 until factor).map { i =>
       base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
@@ -41,5 +46,47 @@ object ScaleProbe {
         Seq("source", "lang"), 5, 7, 10).count())
     }
     spark.stop()
+  }
+
+  /** OLAP-side probe: the Q1 multi-agg scan and Q3 join+agg+topk over
+    * an N×-replicated fact side (order/lineitem keys remapped to stay
+    * consistent; dimensions unchanged — exactly how a bigger cluster
+    * sees the same star schema).
+    */
+  private def tpch(spark: SparkSession, factor: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def rep(name: String, keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val base = Tables.load(spark, dir, name)
+      (0 until factor).map { i =>
+        keyCols.foldLeft(base)((df, k) =>
+          df.withColumn(k, col(k) + lit(i.toLong * 100000000L)))
+      }.reduce(_.unionByName(_))
+    }
+    val li = rep("lineitem", Seq("l_orderkey"))
+    val ord = rep("orders", Seq("o_orderkey"))
+    val cust = Tables.load(spark, dir, "customer")
+    println(s"lineitem=${li.count()} orders=${ord.count()}")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs, $rows rows")
+    }
+    time("q1_agg_shape")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))).count())
+    time("q3_shape") {
+      // o_custkey is NOT remapped: each customer simply owns N× orders
+      broadcast(cust.filter(col("c_mktsegment") === "BUILDING"))
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10).count()
+    }
+    time("flagship_shape") {
+      val sums = ord.groupBy("o_custkey")
+        .agg(count(lit(1)).as("order_cnt"), sum("o_totalprice").as("total_spent"))
+      sums.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .orderBy(col("order_cnt").desc, col("o_custkey")).limit(20).count()
+    }
   }
 }
