@@ -308,9 +308,11 @@ object Queries {
     // top-token occurrences + duplicate-bigram count per document
     "text_repetition" -> QueryDef(
       (s, d) => {
-        val sig = TextFunctions.repetitionSignals(col("text"))
+        val sig = TextFunctions.repetitionSignals(col("__toks"))
           .map { case (n, c) => c.as(n) }
-        ds(s, d, "documents").toDF.select((col("doc_id") +: sig): _*)
+        ds(s, d, "documents").toDF
+          .withColumn("__toks", TextFunctions.tokens(col("text")))
+          .select((col("doc_id") +: sig): _*)
       },
       Some("""SELECT doc_id, len(toks) AS n_tokens,
         |  coalesce(list_max(list_transform(list_distinct(toks),
@@ -539,8 +541,8 @@ object Queries {
     // fingerprinting): windowed minima over positional 5-gram hashes,
     // one (doc_id, fingerprint) row per selected hash
     "text_winnow" -> QueryDef(
-      (s, d) => ds(s, d, "documents").toDF.select(col("doc_id"),
-        explode(TextFunctions.winnowFingerprints(col("text"), k = 5, window = 8)).as("fp")),
+      (s, d) => Dedup.winnowFingerprints(ds(s, d, "documents").toDF,
+        "doc_id", "text", k = 5, window = 8),
       Some("""SELECT doc_id, unnest(list_distinct(
         |  CASE WHEN len(hs) >= 8 THEN list_transform(
         |         generate_series(1, len(hs) - 7), j -> list_min(list_slice(hs, j, j + 7)))

@@ -76,33 +76,15 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column = HashFunctions.normalizedFingerprint(c)
 
-  /** Winnowing fingerprints (the Schleimer/Wilkerson/Aiken scheme
-    * behind MOSS): hash every positional character k-gram, then keep
-    * the minimum of each sliding window of `window` hashes — a
-    * position-robust fingerprint SET whose density is ~2/(window+1)
-    * regardless of document length. Guarantees any shared substring of
-    * length >= window + k - 1 contributes at least one common
-    * fingerprint, which is what makes it the standard near-copy /
-    * provenance primitive.
-    *
-    * Per-gram hashes are md5-derived ([[HashFunctions.stableHash56]])
-    * rather than an iteratively-rolled polynomial — same selection
-    * semantics, and an external SQL engine can replay it exactly.
-    * Documents shorter than the window contribute their global min;
-    * shorter than k, nothing.
+  /** Positional character k-gram hashes (md5-derived, duplicates and
+    * order kept) — the input to winnowing fingerprint selection
+    * ([[graft.operators.Dedup.winnowFingerprints]]).
     */
-  def winnowFingerprints(c: Column, k: Int, window: Int): Column = {
-    val grams = when(length(c) >= k,
-      transform(sequence(lit(1), length(c) - (k - 1)), i => c.substr(i, lit(k))))
-      .otherwise(array().cast("array<string>"))
-    val hs = transform(grams, g => HashFunctions.stableHash56(g))
-    val mins = when(size(hs) >= window,
-      transform(sequence(lit(1), size(hs) - (window - 1)),
-        j => array_min(slice(hs, j, lit(window)))))
-      .when(size(hs) > 0, array(array_min(hs)))
+  def gramHashes(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      transform(sequence(lit(1), length(c) - (k - 1)),
+        i => HashFunctions.stableHash56(c.substr(i, lit(k)))))
       .otherwise(array().cast("array<bigint>"))
-    sort_array(array_distinct(mins))
-  }
 
   // PII patterns kept RE2-compatible (no lookarounds/backrefs) so the
   // DuckDB oracle replays them verbatim. Order matters: emails before
@@ -137,12 +119,15 @@ object TextFunctions {
     *   (n_bigrams - distinct_bigrams; /n_bigrams = duplicate-bigram
     *   fraction)
     *
-    * Per-document array math only (the inner top-token scan is
-    * O(distinct·n) on a single doc's tokens — bounded by doc length,
-    * embarrassingly parallel, no shuffle).
+    * `toks` must be a MATERIALIZED token-array column (a prior
+    * `withColumn` of [[tokens]]), not an inline tokenize expression:
+    * the lambdas capture it, and a captured non-attribute expression
+    * re-evaluates per array element — re-tokenizing the document once
+    * per token. With an attribute it's per-document array math only
+    * (the top-token scan is O(distinct·n) per doc, embarrassingly
+    * parallel, no shuffle).
     */
-  def repetitionSignals(c: Column): Seq[(String, Column)] = {
-    val toks = tokens(c)
+  def repetitionSignals(toks: Column): Seq[(String, Column)] = {
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))

@@ -364,6 +364,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing fingerprints (the Schleimer/Wilkerson/Aiken scheme
+    * behind MOSS): hash every positional character k-gram, keep the
+    * minimum of each sliding window of `window` hashes, emit the
+    * distinct (doc, fingerprint) set — density ~2/(window+1) of the
+    * gram positions regardless of document length, and any shared
+    * substring of length >= window + k - 1 contributes at least one
+    * common fingerprint (the standard near-copy/provenance primitive).
+    *
+    * Shape: gram hashes are exploded with positions and the sliding
+    * minimum is a windowed `min` over `rowsBetween(0, window-1)` —
+    * one shuffle on the doc id, parallel across documents. The naive
+    * expression form (`transform(..., j => array_min(slice(hs, ...)))`)
+    * re-evaluates the whole hash array per window position inside the
+    * lambda — O(n²) digests per document — which is why this is a
+    * DataFrame operator, not a Column function. Documents shorter than
+    * the window contribute their global min; shorter than k, nothing.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = df.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.gramHashes(col(textCol), k)).as(Seq("pos", "h")))
+    val sliding = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    val perDoc = Window.partitionBy("doc_id")
+    exploded
+      .withColumn("wmin", min("h").over(sliding))
+      .withColumn("n", count(lit(1)).over(perDoc))
+      // valid window starts: 0..n-window (0-based); short docs keep
+      // only pos 0, whose clipped frame is the global min
+      .filter(col("pos") <= greatest(col("n") - window, lit(0)))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1

@@ -47,10 +47,12 @@ class TextSpec extends SparkSpecBase {
   }
 
   test("winnowing: shared substrings share fingerprints, short docs degrade gracefully") {
+    import graft.operators.Dedup
     import spark.implicits._
     def fps(t: String): Set[Long] =
-      one(t).select(winnowFingerprints(col("text"), 5, 8)).head()
-        .getSeq[Long](0).toSet
+      Dedup.winnowFingerprints(Seq((1L, t)).toDF("doc_id", "text"),
+        "doc_id", "text", k = 5, window = 8)
+        .collect().map(_.getLong(1)).toSet
     val base = "the quick brown fox jumps over the lazy dog tonight"
     // same long substring embedded in different contexts → overlap
     val shifted = "XXYYZZ " + base.drop(4)
@@ -66,8 +68,8 @@ class TextSpec extends SparkSpecBase {
 
   test("repetition signals count top-token and duplicate bigrams") {
     def sig(t: String): Map[String, Int] = {
-      val cols = repetitionSignals(col("text")).map { case (n, c) => c.cast("int").as(n) }
-      val row = one(t).select(cols: _*).head()
+      val cols = repetitionSignals(col("__toks")).map { case (n, c) => c.cast("int").as(n) }
+      val row = one(t).withColumn("__toks", tokens(col("text"))).select(cols: _*).head()
       row.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> row.getInt(i) }.toMap
     }
     val r = sig("buy now buy now buy gold")
