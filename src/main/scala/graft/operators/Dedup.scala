@@ -30,6 +30,20 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Fan a narrow input out to the session's parallelism before
+    * CPU-heavy per-row work (md5 signatures, shingling). A small
+    * parquet file arrives as ONE partition (row-group granularity —
+    * `maxPartitionBytes` cannot split inside a row group), which
+    * serializes the whole signature stage onto one core; at real scale
+    * the input already has >= defaultParallelism partitions and this
+    * is a no-op. The shuffle moved is the raw text — strictly smaller
+    * than the signature work it unblocks.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Adaptive token-set representation for pair scoring. If the corpus
     * vocabulary fits in 64 symbols (common after normalization in
     * domain-sharded corpora; always true for the synthetic tables),
@@ -79,7 +93,7 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    bucketCol: String, num: Int, den: Int): DataFrame = {
-    val t = df.select(col(idCol).as("id"), col(bucketCol).as("bucket"),
+    val t = fanOut(df).select(col(idCol).as("id"), col(bucketCol).as("bucket"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
     val ps = pairScorer(t)
     val a = ps.repr.as("a"); val b = ps.repr.as("b")
@@ -128,7 +142,7 @@ object Dedup {
                              bucketCols: Seq[String], k: Int,
                              num: Int, den: Int,
                              persistRepr: Boolean = true): (DataFrame, () => Unit) = {
-    val t = df.select((col(idCol).as("id") +: bucketCols.map(col)) :+
+    val t = fanOut(df).select((col(idCol).as("id") +: bucketCols.map(col)) :+
       TextFunctions.charShingles(col(textCol), k).as("toks"): _*)
     // char shingles are open-vocabulary by construction — don't pay the
     // ≤64-symbol probe job
@@ -199,7 +213,7 @@ object Dedup {
                    bands: Int, rowsPerBand: Int,
                    num: Int, den: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val toks = df.select(col(idCol).as("id"),
+    val toks = fanOut(df).select(col(idCol).as("id"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
     val ps = pairScorer(toks)
     val sigs = minhashSignatureFromTokens(toks, numHashes)
@@ -281,7 +295,7 @@ object Dedup {
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
                       bands: Int, rowsPerBand: Int,
                       iterations: Int = 5): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    val toks = fanOut(df).select(col(idCol).as("id"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
     val sigs = minhashSignatureFromTokens(toks, bands * rowsPerBand)
     val membership = sigs.select(col("id"), explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
@@ -298,7 +312,7 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextFunctions.tokenSet(col(textCol))
     val hashes = transform(toks, w => HashFunctions.seededHash56(0, w))
-    df.select(col(idCol).as("id"),
+    fanOut(df).select(col(idCol).as("id"),
       graft.plans.SimHash56(hashes).as("simhash"))
   }
 
@@ -341,7 +355,7 @@ object Dedup {
                         maxDist: Int, prefixLen: Int = 40,
                         shingleK: Int = 5,
                         bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val t = df.select(col(idCol).as("id"),
+    val t = fanOut(df).select(col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("prefix"))
     // texts shorter than shingleK have NO shingles → all-NULL minhash
     // signatures. Spark's xxhash64 skips NULLs, which would give every
@@ -384,7 +398,7 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val exploded = df.select(col(idCol).as("doc_id"),
+    val exploded = fanOut(df).select(col(idCol).as("doc_id"),
         posexplode(TextFunctions.gramHashes(col(textCol), k)).as(Seq("pos", "h")))
     val sliding = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, window - 1)
