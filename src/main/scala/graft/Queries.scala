@@ -419,12 +419,31 @@ object Queries {
       }),
 
     // §2.3/32 — SimHash near-dup pairs (hamming <= 3, exact via 4-chunk
-    // pigeonhole banding); not ANSI-SQL-expressible → rows-only check +
-    // DedupSpec
+    // pigeonhole banding). The oracle replays the full pipeline: 56-bit
+    // strict-majority vote over md5-derived distinct-token hashes
+    // (ties → 0, same as the SimHash56 kernel), chunk-equality
+    // candidates, popcount(xor) confirm
     "dedup_simhash" -> QueryDef(
       (s, d) => Dedup.simhashPairs(ds(s, d, "documents").toDF,
         "doc_id", "text", maxHamming = 3),
-      None),
+      Some {
+        val bits = (0 until 56).map(b =>
+          s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $b) & 1) = 1)) > len(hs) " +
+            s"THEN (1::BIGINT << $b) ELSE 0 END").mkString(" + ")
+        // maxHamming=3 → 4 chunks of 56/4 = 14 bits each
+        val chunkEq = (0 until 4).map(c =>
+          s"((a.simhash >> ${14 * c}) & 16383) = ((b.simhash >> ${14 * c}) & 16383)")
+          .mkString(" OR ")
+        s"""WITH t AS (SELECT doc_id,
+           |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |hp AS (SELECT doc_id, list_transform(toks,
+           |  w -> ('0x' || substring(md5('0:' || w), 1, 14))::bigint) AS hs FROM t),
+           |sim AS (SELECT doc_id, $bits AS simhash FROM hp)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id AND ($chunkEq)
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+      }),
 
     // §2.3/33 — embedding-cosine near-dup pairs within label buckets
     "dedup_embed" -> QueryDef(
