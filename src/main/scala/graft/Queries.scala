@@ -21,6 +21,10 @@ object Queries {
 
   val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  // winnowing parameters shared by the Spark call and its SQL oracle
+  private val winnowK = 5
+  private val winnowW = 8
+
   val registry: Seq[(String, QueryDef)] = Seq(
 
     // §2.1/1 — datastore scan with projection pushdown
@@ -435,7 +439,8 @@ object Queries {
           s"((a.simhash >> ${14 * c}) & 16383) = ((b.simhash >> ${14 * c}) & 16383)")
           .mkString(" OR ")
         s"""WITH t AS (SELECT doc_id,
-           |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+           |  FROM documents WHERE text IS NOT NULL),
            |hp AS (SELECT doc_id, list_transform(toks,
            |  w -> ('0x' || substring(md5('0:' || w), 1, 14))::bigint) AS hs FROM t),
            |sim AS (SELECT doc_id, $bits AS simhash FROM hp)
@@ -561,18 +566,21 @@ object Queries {
     // one (doc_id, fingerprint) row per selected hash
     "text_winnow" -> QueryDef(
       (s, d) => Dedup.winnowFingerprints(ds(s, d, "documents").toDF,
-        "doc_id", "text", k = 5, window = 8),
-      Some("""SELECT doc_id, unnest(list_distinct(
-        |  CASE WHEN len(hs) >= 8 THEN list_transform(
-        |         generate_series(1, len(hs) - 7), j -> list_min(list_slice(hs, j, j + 7)))
-        |       WHEN len(hs) > 0 THEN [list_min(hs)]
-        |       ELSE []::BIGINT[] END)) AS fp
-        |FROM (SELECT doc_id, list_transform(grams,
-        |    g -> ('0x' || substring(md5(g), 1, 14))::bigint) AS hs
-        |  FROM (SELECT doc_id, CASE WHEN length(text) >= 5
-        |      THEN list_transform(generate_series(1, length(text) - 4),
-        |        i -> substring(text, i, 5))
-        |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b""".stripMargin)),
+        "doc_id", "text", k = winnowK, window = winnowW),
+      Some {
+        val (k, w) = (winnowK, winnowW)
+        s"""SELECT doc_id, unnest(list_distinct(
+           |  CASE WHEN len(hs) >= $w THEN list_transform(
+           |         generate_series(1, len(hs) - ${w - 1}), j -> list_min(list_slice(hs, j, j + ${w - 1})))
+           |       WHEN len(hs) > 0 THEN [list_min(hs)]
+           |       ELSE []::BIGINT[] END)) AS fp
+           |FROM (SELECT doc_id, list_transform(grams,
+           |    g -> ('0x' || substring(md5(g), 1, 14))::bigint) AS hs
+           |  FROM (SELECT doc_id, CASE WHEN length(text) >= $k
+           |      THEN list_transform(generate_series(1, length(text) - ${k - 1}),
+           |        i -> substring(text, i, $k))
+           |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b""".stripMargin
+      }),
 
     // §2.3/44 — char-5-gram shingle Jaccard >= 0.7 within (source, lang)
     "dedup_shingle" -> QueryDef(

@@ -35,13 +35,22 @@ object Dedup {
     * parquet file arrives as ONE partition (row-group granularity —
     * `maxPartitionBytes` cannot split inside a row group), which
     * serializes the whole signature stage onto one core; at real scale
-    * the input already has >= defaultParallelism partitions and this
-    * is a no-op. The shuffle moved is the raw text — strictly smaller
-    * than the signature work it unblocks.
+    * the input is already wide and this is a no-op.
+    *
+    * The narrowness probe is METADATA-ONLY — optimizer statistics
+    * (file sizes), never `.rdd`/partition counts, which under AQE
+    * would eagerly materialize upstream stages just to count
+    * partitions and then run them again for the real job. Inputs whose
+    * estimated size cannot feed ~8 MB to every core are repartitioned;
+    * anything bigger keeps its layout.
     */
   private def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val smallInput =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(target.toLong * 8L * 1024 * 1024)
+      catch { case _: Throwable => false }
+    if (smallInput) df.repartition(target) else df
   }
 
   /** Adaptive token-set representation for pair scoring. If the corpus
@@ -54,6 +63,19 @@ object Dedup {
     * join. Falls back to array intersection for open vocabularies.
     * Results are identical either way (exact set algebra).
     */
+  // most-recent internal cache pins from saltedSelfJoin; bounded so
+  // repeated invocations in one session cannot grow storage unbounded
+  private val recentPins = new java.util.ArrayDeque[DataFrame]()
+  private val maxPins = 4
+
+  private def registerPin(df: DataFrame): DataFrame = recentPins.synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    recentPins.addLast(p)
+    while (recentPins.size > maxPins)
+      recentPins.removeFirst().unpersist(blocking = false)
+    p
+  }
+
   private final case class PairScorer(repr: DataFrame,
                                        inter: (Column, Column) => Column,
                                        union: (Column, Column) => Column,
@@ -213,8 +235,12 @@ object Dedup {
                    bands: Int, rowsPerBand: Int,
                    num: Int, den: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // NULL text → NULL token set → NULL minhashes; xxhash64 would give
+    // every such doc ONE shared band key (an n² clique the SQL oracle,
+    // where NULL = NULL is NULL, never emits) — drop them up front
     val toks = fanOut(df).select(col(idCol).as("id"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull)
     val ps = pairScorer(toks)
     val sigs = minhashSignatureFromTokens(toks, numHashes)
       .join(ps.repr, "id") // repr is corpus-sized → broadcast/AQE picks a cheap join
@@ -258,10 +284,11 @@ object Dedup {
     // the input lineage (tokenize + hash + explode for the LSH callers)
     // would otherwise run 3x — once for the counts pass and once per
     // join side; pinning it trades bands×corpus of storage for the
-    // recompute (job-scoped sessions: Spark's LRU or the harness's
-    // clearCache releases it; cf. shinglePairsReleasable for the
-    // deterministic-release pattern)
-    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // recompute. The pin is registered in a small bounded LRU so a
+    // long-lived session invoking these operators repeatedly cannot
+    // accumulate storage without limit (an evicted pin only costs the
+    // lineage recompute if that old query re-executes).
+    val pinned = registerPin(df)
     val counts = pinned.groupBy(keys.map(col): _*)
       .agg((count(lit(1)) > hotThreshold).as("__hot"))
     val tagged = pinned.join(counts, keys)
@@ -295,12 +322,19 @@ object Dedup {
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
                       bands: Int, rowsPerBand: Int,
                       iterations: Int = 5): DataFrame = {
-    val toks = fanOut(df).select(col(idCol).as("id"),
+    val allToks = fanOut(df).select(col(idCol).as("id"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
+    // NULL text cannot be banded; such docs are their own singleton
+    // clusters (matching the SQL oracle, where their NULL band
+    // signature never matches and the label stays the doc's own id)
+    val toks = allToks.filter(col("toks").isNotNull)
     val sigs = minhashSignatureFromTokens(toks, bands * rowsPerBand)
     val membership = sigs.select(col("id"), explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    ConnectedComponents.propagateMinLabel(membership, Seq("band", "sig"), iterations)
+    val labels = ConnectedComponents.propagateMinLabel(membership, Seq("band", "sig"), iterations)
+    val singletons = allToks.filter(col("toks").isNull)
+      .select(col("id"), col("id").as("label"))
+    labels.unionByName(singletons)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -61,6 +61,13 @@ object GraphConfig {
     def strSeq(n: JsonNode, field: String): Seq[String] =
       Option(n.get(field)).map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
 
+    // every operator's required fields go through this so a missing
+    // field always names the qpu and the field, never a bare NPE
+    def req(n: JsonNode, name: String, field: String): JsonNode = {
+      require(n.hasNonNull(field), s"qpu '$name' needs a '$field'")
+      n.get(field)
+    }
+
     // JSON scalars → the Scala types the predicate/lookup builders lit()
     def value(n: JsonNode): Any =
       if (n.isIntegralNumber) n.asLong()
@@ -68,7 +75,13 @@ object GraphConfig {
       else if (n.isBoolean) n.asBoolean()
       else n.asText()
 
-    def predicate(n: JsonNode): Predicate = n.get("op").asText() match {
+    def predicate(n: JsonNode): Predicate = {
+      require(n.hasNonNull("op") && n.hasNonNull("attr"),
+        s"predicate needs 'op' and 'attr': $n")
+      predicateOf(n)
+    }
+
+    def predicateOf(n: JsonNode): Predicate = n.get("op").asText() match {
       case "eq" => Eq(n.get("attr").asText(), value(n.get("value")))
       case "range" => Range(n.get("attr").asText(), value(n.get("lb")), value(n.get("ub")))
       case "isnull" => IsNull(n.get("attr").asText())
@@ -77,6 +90,8 @@ object GraphConfig {
     }
 
     def aggregate(n: JsonNode): Column = {
+      require(n.hasNonNull("function") && n.hasNonNull("as"),
+        s"aggregate needs 'function' and 'as': $n")
       val as = n.get("as").asText()
       n.get("function").asText() match {
         case "count" => count(lit(1)).as(as)
@@ -101,34 +116,31 @@ object GraphConfig {
       }
       val q: Qpu = n.get("operator").asText() match {
         case "datastore" =>
-          DatastoreQpu(spark, dir, n.get("table").asText())
+          DatastoreQpu(spark, dir, req(n, name, "table").asText())
         case "filter" =>
-          require(n.hasNonNull("predicates"), s"filter qpu '$name' needs a 'predicates' array")
           FilterQpu(child(0),
-            n.get("predicates").elements().asScala.map(predicate).toSeq)
+            req(n, name, "predicates").elements().asScala.map(predicate).toSeq)
         case "aggregation" =>
-          require(n.hasNonNull("aggregates"), s"aggregation qpu '$name' needs an 'aggregates' array")
-          val aggs = n.get("aggregates").elements().asScala.map(aggregate).toSeq
+          val aggs = req(n, name, "aggregates").elements().asScala.map(aggregate).toSeq
           require(aggs.nonEmpty, s"aggregation qpu '$name' has an empty 'aggregates' array")
           DataFrameQpu(child(0).toDF
             .groupBy(strSeq(n, "groupBy").map(col): _*)
             .agg(aggs.head, aggs.tail: _*))
         case "join" =>
           JoinQpu(child(0), child(1),
-            n.get("leftAttr").asText(), n.get("rightAttr").asText(),
+            req(n, name, "leftAttr").asText(), req(n, name, "rightAttr").asText(),
             joinAlias = Option(n.get("alias")).map(_.asText()).getOrElse(""),
             broadcastRight = Option(n.get("broadcastRight")).exists(_.asBoolean()))
         case "index" =>
-          require(n.hasNonNull("attribute"), s"index qpu '$name' needs an 'attribute'")
-          val idx = IndexQpu(child(0), n.get("attribute").asText())
+          val idx = IndexQpu(child(0), req(n, name, "attribute").asText())
           if (n.has("topk"))
             DataFrameQpu(idx.topK(n.get("topk").asInt(), strSeq(n, "tiebreak")))
           else if (n.has("point"))
             DataFrameQpu(idx.point(value(n.get("point"))))
-          else if (n.has("lbound")) {
-            require(n.hasNonNull("ubound"), s"index qpu '$name' has 'lbound' but no 'ubound'")
-            DataFrameQpu(idx.range(value(n.get("lbound")), value(n.get("ubound"))))
-          } else idx
+          else if (n.has("lbound"))
+            DataFrameQpu(idx.range(value(n.get("lbound")),
+              value(req(n, name, "ubound"))))
+          else idx
         case "cache" => CacheQpu(child(0))
         case "router" => RouterQpu(children.map(build))
         case op => throw new IllegalArgumentException(s"unknown operator '$op'")

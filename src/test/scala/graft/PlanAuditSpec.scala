@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkSpecBase {
 
   test("q_filter_range: range predicate reaches the parquet scan") {
     val p = plan("q_filter_range")
-    assert(p.contains("PushedFilters") && p.contains("l_quantity"))
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined,
+      "the predicate must be inside the PushedFilters list, not just a residual Filter")
   }
 
   test("q_scan_projection: scan reads only the projected columns") {
