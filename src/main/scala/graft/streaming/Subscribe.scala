@@ -124,6 +124,47 @@ object Subscribe {
       }
   }
 
+  /** Continuous materialized view as a partitioned parquet table
+    * (reference: every QPU materializes its state and serves queries
+    * from it; here the state lands as a table any engine can scan).
+    *
+    * Each micro-batch UPSERTS: the batch's affected partitions are
+    * re-read, merged latest-per-(key) (event time + tiebreak decide
+    * the winner), and rewritten via dynamic partition overwrite —
+    * partitions the batch didn't touch are never rewritten, so the
+    * write cost tracks the change rate, not the table size. The
+    * merged frame is materialized before the overwrite so the
+    * read-modify-write never races its own delete. Parquet-only
+    * (no table format): the partition is the atomicity unit.
+    */
+  def parquetUpsertSink(updates: DataFrame, path: String, checkpoint: String,
+                        key: Seq[String], tsCol: String, tiebreak: Seq[String],
+                        partitionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val parts = batch.select(partitionCol).distinct().collect().map(_.get(0))
+        if (parts.nonEmpty) {
+          val existing =
+            try Some(spark.read.parquet(path).filter(col(partitionCol).isin(parts: _*)))
+            catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no table yet
+          val all = existing.fold(batch.toDF())(_.unionByName(batch.toDF()))
+          val order = (col(tsCol).desc +: tiebreak.map(col(_).desc))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(key.map(col): _*).orderBy(order: _*)
+          val merged = all.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          merged.count() // fully materialize BEFORE overwriting what we read
+          merged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+          merged.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming read of a stored table — the datastore driver's
     * subscribe path (reference: datastoredriver.go ProcessQuerySubscribe;
     * s3/mysql drivers emit update streams). The file source replays

@@ -131,6 +131,33 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("winnowing equals the brute-force windowed-minima reference on random strings") {
+    import spark.implicits._
+    val gen = for {
+      len <- Gen.choose(0, 60)
+      s <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+    } yield s
+    val texts = sampleN(120, gen, seed = 23L).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (k, w) = (3, 4)
+    val got = graft.operators.Dedup.winnowFingerprints(df, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (id, fps) => id -> fps.map(_._2).toSet }
+    def hash56(s: String): Long = {
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(14)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = texts.zipWithIndex.flatMap { case (t, i) =>
+      val hs = (0 to t.length - k).map(p => hash56(t.substring(p, p + k)))
+      val mins =
+        if (hs.isEmpty) Seq.empty
+        else if (hs.size < w) Seq(hs.min)
+        else hs.sliding(w).map(_.min).toSeq
+      if (mins.isEmpty) None else Some(i.toLong -> mins.toSet)
+    }.toMap
+    assert(got === want)
+  }
+
   /** Deterministic batch sampling with an explicit seed (reproducible
     * without ScalaCheck's runner).
     */

@@ -131,6 +131,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("parquet upsert sink maintains a latest-per-key table, untouched partitions intact") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val path = s"$dir/view"; val ckpt = s"$dir/ckpt"
+    val input = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    val q = Subscribe.parquetUpsertSink(
+      input.toDF().toDF("k", "part", "value", "ts"), path, ckpt,
+      key = Seq("k"), tsCol = "ts", tiebreak = Nil, partitionCol = "part")
+    try {
+      input.addData((1L, "p1", 10.0, ts(1)), (2L, "p2", 50.0, ts(1)))
+      q.processAllAvailable()
+      val p2FilesBefore = new java.io.File(s"$path/part=p2").listFiles().map(_.getName).toSet
+      // update k1, insert k3 — both in p1; p2 must not be rewritten
+      input.addData((1L, "p1", 11.0, ts(2)), (3L, "p1", 99.0, ts(2)))
+      q.processAllAvailable()
+      val state = spark.read.parquet(path).collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[Double]("value")).toMap
+      assert(state === Map(1L -> 11.0, 2L -> 50.0, 3L -> 99.0))
+      val p2FilesAfter = new java.io.File(s"$path/part=p2").listFiles().map(_.getName).toSet
+      assert(p2FilesAfter === p2FilesBefore,
+        "a partition the batch did not touch must keep its exact files")
+    } finally q.stop()
+  }
+
   test("subscribeTable replays a stored table as a stream (catch-up phase)") {
     val stream = Subscribe.subscribeTable(spark, sf(), "events")
     val agg = Subscribe.incrementalSum(stream, "user_id", "value")
