@@ -131,6 +131,38 @@ final case class IndexQpu(input: Qpu, attr: String) extends Qpu {
     input.toDF.repartitionByRange(numPartitions, col(attr))
       .sortWithinPartitions(attr)
       .write.mode("overwrite").parquet(path)
+
+  /** Two-dimensional index materialization: cluster the files along
+    * the Morton (Z-order) curve of `(attr, attr2)` so parquet min/max
+    * stats prune files for range predicates on EITHER or BOTH
+    * columns — a single-column sort leaves every file spanning the
+    * full range of the second column (ZOrderSpec measures the
+    * difference). Both columns are first quantized to non-negative
+    * longs by rank over `quantBits`-bit buckets.
+    */
+  def materializeZOrder(path: String, attr2: String,
+                        numPartitions: Int = 32, quantBits: Int = 16): Unit = {
+    val df = input.toDF
+    import graft.functions.SpaceFillingCurve
+    // quantize each dimension to [0, 2^quantBits) by min-max scaling —
+    // rank-free (no global sort), two cheap aggregates
+    val stats = df.agg(
+      min(col(attr).cast("double")).as("amin"), max(col(attr).cast("double")).as("amax"),
+      min(col(attr2).cast("double")).as("bmin"), max(col(attr2).cast("double")).as("bmax")
+    ).head()
+    val buckets = (1L << quantBits) - 1
+    def q(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * buckets).cast("long")
+    val z = SpaceFillingCurve.mortonInterleave(
+      q(attr, stats.getDouble(0), stats.getDouble(1)),
+      q(attr2, stats.getDouble(2), stats.getDouble(3)), bits = quantBits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }
 
 /** Sum QPU: incremental `sum(attr) group by key`

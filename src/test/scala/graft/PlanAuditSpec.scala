@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Plan-shape audits: the queries must not only return correct rows,
   * they must compile to the plan you'd want at 100 TB — dimension
   * broadcasts, map-side partial aggregation, pushdown, top-k without a
@@ -70,6 +72,34 @@ class PlanAuditSpec extends SparkSpecBase {
     val merged = RouterQpu(Seq(lo, hi)).toDF.count()
     val unioned = lo.toDF.unionByName(hi.toDF).count()
     assert(merged === unioned, "rows matching two children must appear twice")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB these thresholds stay at their defaults (creation side
+    // <= 10MB, application side >= 10GB scans) and Spark injects the
+    // bloom filter on its own; on test data the thresholds are lowered
+    // (and broadcast disabled to force the shuffle join the rule
+    // targets) to prove the knob works end to end.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val selective = Tables.load(spark, sf(), "orders")
+        .filter(col("o_totalprice") > 500000.0)
+      val li = Tables.load(spark, sf(), "lineitem")
+      val p = li.join(selective, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"expected a runtime bloom filter on the fact side:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("sim_ann_topk: corpus is scanned, never shuffled (broadcast NLJ)") {
