@@ -25,6 +25,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats.feature.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("real BMP round-trip: generated files decode to the exact expected pixels") {
+    val docs = Tables.load(spark, sf(), "documents").limit(20)
+    val (w, h) = (8, 6)
+    val imgs = Multimodal.attachBmpPayload(docs, "doc_id", w, h)
+    val feats = Multimodal.decodeBmp(spark, imgs).collect()
+    assert(feats.length === 20)
+    feats.foreach { f =>
+      assert(f.width === w && f.height === h && f.bpp === 24)
+      // independent expectation from the shared deterministic pixel fn
+      def mean(c: Int) = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pixel(f.doc_id, x, y, c)).sum.toDouble / (w * h)
+      assert(math.abs(f.mean_r - mean(0)) < 1e-9)
+      assert(math.abs(f.mean_g - mean(1)) < 1e-9)
+      assert(math.abs(f.mean_b - mean(2)) < 1e-9)
+      assert(f.thumb.length === 4)
+      assert(f.thumb.forall(v => v >= 0.0 && v <= 255.0))
+    }
+    // the payload really is a BMP file: signature + declared size match
+    val payload = imgs.head().payload
+    assert(payload(0) === 'B'.toByte && payload(1) === 'M'.toByte)
+    val declared = java.nio.ByteBuffer.wrap(payload, 2, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(declared === payload.length)
+  }
+
   test("frame sampling emits n frames of bounded size per doc") {
     val frames = Multimodal.frameSample(media.limit(10), n = 4, frameBytes = 16)
     assert(frames.count() === 40)
