@@ -104,6 +104,23 @@ class PipelineOpsSpec extends SparkSpecBase {
       "per-group rate p must equal the global [0,p) bucket within the group")
   }
 
+  test("count-min sketch: never underestimates, within eps*N of exact") {
+    import graft.operators.Sketches
+    val events = Tables.load(spark, sf(), "events")
+    val n = events.count()
+    val eps = 0.01
+    val cms = Sketches.countMin(events, col("user_id"), eps = eps, confidence = 0.99)
+    val exact = events.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Sketches.estimateAll(cms, exact.keys.toSeq)
+    exact.foreach { case (k, ex) =>
+      val e = est(k)
+      assert(e >= ex, s"count-min must never underestimate: key $k est $e < exact $ex")
+      assert(e <= ex + (eps * n).toLong,
+        s"key $k: est $e exceeds exact $ex + eps*N")
+    }
+  }
+
   test("approx distinct users within 5% of exact") {
     val approx = Queries.asMap("q_approx_users").build(spark, sf())
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
