@@ -20,6 +20,13 @@ object SpaceFillingCurve {
     * integral columns: bit i of `a` lands at position 2i, bit i of `b`
     * at 2i+1. A static sum of shift/mask terms — whole-stage codegen
     * folds it into one expression, no lambdas, no UDF.
+    *
+    * PRECONDITION: inputs must already lie in `[0, 2^bits)`. Larger
+    * values are silently truncated to their low bits (ids 0 and
+    * 2^bits get the SAME key — clustering quietly degrades) and
+    * negative values interleave sign bits into garbage. Quantize
+    * first — `IndexQpu.materializeZOrder` does min-max scaling into
+    * range and is the safe entry point for raw columns.
     */
   def mortonInterleave(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")

@@ -20,11 +20,18 @@ object AsOf {
     * winner deterministic when event times collide.
     */
   def snapshotAsOf(df: DataFrame, timeCol: String, asOf: Column,
+                   key: Seq[String], tiebreak: Seq[String]): DataFrame =
+    latestPerKey(df.filter(col(timeCol) <= asOf), timeCol, key, tiebreak)
+
+  /** The winning (newest) row per key — the single definition of
+    * "latest" shared by snapshots, diffs, and the streaming upsert
+    * sink, so tie-breaking can never silently diverge between them.
+    */
+  def latestPerKey(df: DataFrame, timeCol: String,
                    key: Seq[String], tiebreak: Seq[String]): DataFrame = {
     val order = (col(timeCol).desc +: tiebreak.map(col(_).desc))
     val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
-    df.filter(col(timeCol) <= asOf)
-      .withColumn("__rn", row_number().over(w))
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }

@@ -84,7 +84,7 @@ object Multimodal {
     }
   }
 
-  private[operators] def bmpBytes(docId: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def bmpBytes(docId: Long, w: Int, h: Int): Array[Byte] = {
     val rowSize = ((3 * w + 3) / 4) * 4
     val fileSize = 54 + rowSize * h
     val buf = java.nio.ByteBuffer.allocate(fileSize)
@@ -118,12 +118,17 @@ object Multimodal {
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         require(b.get(0) == 'B' && b.get(1) == 'M', s"doc ${r.doc_id}: not a BMP")
         val offset = b.getInt(10)
-        val w = b.getInt(18); val h = b.getInt(22)
+        val w = b.getInt(18)
+        val rawH = b.getInt(22) // negative height = top-down row order
         val bpp = b.getShort(28).toInt
         require(bpp == 24, s"doc ${r.doc_id}: only uncompressed 24-bit supported, got $bpp")
+        require(w > 0 && rawH != 0, s"doc ${r.doc_id}: degenerate dimensions ${w}x$rawH")
+        val topDown = rawH < 0
+        val h = math.abs(rawH)
         val rowSize = ((3 * w + 3) / 4) * 4
         def chan(x: Int, y: Int, c: Int): Int = { // c: 0=R 1=G 2=B
-          val pos = offset + (h - 1 - y) * rowSize + 3 * x + (2 - c)
+          val row = if (topDown) y else h - 1 - y
+          val pos = offset + row * rowSize + 3 * x + (2 - c)
           r.payload(pos) & 0xff
         }
         var sr = 0L; var sg = 0L; var sb = 0L

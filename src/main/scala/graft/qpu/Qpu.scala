@@ -144,12 +144,23 @@ final case class IndexQpu(input: Qpu, attr: String) extends Qpu {
                         numPartitions: Int = 32, quantBits: Int = 16): Unit = {
     val df = input.toDF
     import graft.functions.SpaceFillingCurve
+    Seq(attr, attr2).foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        || df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.DateType]
+        || df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType],
+        s"z-order needs orderable numeric/temporal columns; '$c' is " +
+          s"${df.schema(c).dataType.simpleString} — use materialize() for 1-D string keys")
+    }
     // quantize each dimension to [0, 2^quantBits) by min-max scaling —
     // rank-free (no global sort), two cheap aggregates
     val stats = df.agg(
       min(col(attr).cast("double")).as("amin"), max(col(attr).cast("double")).as("amax"),
       min(col(attr2).cast("double")).as("bmin"), max(col(attr2).cast("double")).as("bmax")
     ).head()
+    if (stats.isNullAt(0) || stats.isNullAt(2)) { // empty (or all-null) input
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val buckets = (1L << quantBits) - 1
     def q(c: String, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)

@@ -129,13 +129,20 @@ object Subscribe {
     * from it; here the state lands as a table any engine can scan).
     *
     * Each micro-batch UPSERTS: the batch's affected partitions are
-    * re-read, merged latest-per-(key) (event time + tiebreak decide
-    * the winner), and rewritten via dynamic partition overwrite —
-    * partitions the batch didn't touch are never rewritten, so the
-    * write cost tracks the change rate, not the table size. The
-    * merged frame is materialized before the overwrite so the
-    * read-modify-write never races its own delete. Parquet-only
-    * (no table format): the partition is the atomicity unit.
+    * re-read, merged latest-per-key ([[graft.operators.AsOf
+    * .latestPerKey]] — the same definition of "latest" as the batch
+    * snapshots), and rewritten with a write-scoped dynamic partition
+    * overwrite — partitions the batch didn't touch are never
+    * rewritten, so write cost tracks the change rate, not the table
+    * size. The merged frame is `localCheckpoint`ed before the
+    * overwrite: a persist would still recompute from the files being
+    * deleted if cache blocks were lost mid-write; the checkpoint
+    * severs that lineage.
+    *
+    * CONTRACT: `partitionCol` must be a pure function of `key` — a
+    * key that migrates between partitions would leave its old row
+    * behind (the partition is the atomicity unit; use a table format
+    * for cross-partition transactions).
     */
   def parquetUpsertSink(updates: DataFrame, path: String, checkpoint: String,
                         key: Seq[String], tsCol: String, tiebreak: Seq[String],
@@ -144,22 +151,27 @@ object Subscribe {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val parts = batch.select(partitionCol).distinct().collect().map(_.get(0))
         if (parts.nonEmpty) {
+          // explicit existence check — a blanket AnalysisException
+          // catch would also swallow schema/corruption failures and
+          // silently overwrite good partitions with batch-only rows
+          val hPath = new org.apache.hadoop.fs.Path(path)
+          val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val existing =
-            try Some(spark.read.parquet(path).filter(col(partitionCol).isin(parts: _*)))
-            catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no table yet
+            if (!fs.exists(hPath)) None
+            else {
+              val (nulls, nonNulls) = parts.partition(_ == null)
+              val cond = Option.when(nonNulls.nonEmpty)(col(partitionCol).isin(nonNulls: _*))
+                .toSeq ++ Option.when(nulls.nonEmpty)(col(partitionCol).isNull).toSeq
+              Some(spark.read.parquet(path).filter(cond.reduce(_ || _)))
+            }
           val all = existing.fold(batch.toDF())(_.unionByName(batch.toDF()))
-          val order = (col(tsCol).desc +: tiebreak.map(col(_).desc))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(key.map(col): _*).orderBy(order: _*)
-          val merged = all.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          merged.count() // fully materialize BEFORE overwriting what we read
-          merged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-          merged.unpersist(blocking = false)
+          val merged = graft.operators.AsOf.latestPerKey(all, tsCol, key, tiebreak)
+            .localCheckpoint(true) // eager; severs lineage from the files we overwrite
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic") // write-scoped, no session conf leak
+            .partitionBy(partitionCol).parquet(path)
         }
         ()
       }

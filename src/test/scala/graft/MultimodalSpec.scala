@@ -50,6 +50,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(declared === payload.length)
   }
 
+  test("top-down BMPs (negative height) decode identically to bottom-up") {
+    import spark.implicits._
+    val (w, h) = (8, 6)
+    val bottomUp = Multimodal.bmpBytes(7L, w, h)
+    // same image, top-down: negate height, reverse the pixel-row order
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val topDown = bottomUp.clone()
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -h)
+    for (y <- 0 until h)
+      System.arraycopy(bottomUp, 54 + (h - 1 - y) * rowSize,
+        topDown, 54 + y * rowSize, rowSize)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", bottomUp, w, h, 0L),
+      Multimodal.MediaRecord(2L, "image", topDown, w, h, 0L)).toDS()
+    val fs = Multimodal.decodeBmp(spark, media).collect().sortBy(_.doc_id)
+    assert(fs(0).mean_r === fs(1).mean_r && fs(0).mean_g === fs(1).mean_g)
+    assert(fs(0).thumb.toSeq === fs(1).thumb.toSeq,
+      "row order on disk must not change the decoded image")
+  }
+
   test("frame sampling emits n frames of bounded size per doc") {
     val frames = Multimodal.frameSample(media.limit(10), n = 4, frameBytes = 16)
     assert(frames.count() === 40)

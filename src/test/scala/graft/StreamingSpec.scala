@@ -153,6 +153,17 @@ class StreamingSpec extends SparkSpecBase {
       val p2FilesAfter = new java.io.File(s"$path/part=p2").listFiles().map(_.getName).toSet
       assert(p2FilesAfter === p2FilesBefore,
         "a partition the batch did not touch must keep its exact files")
+      // null partition values must be merged, not silently overwritten
+      // (a bare isin() drops nulls and would delete key 8 here)
+      input.addData((8L, null.asInstanceOf[String], 1.0, ts(3)))
+      q.processAllAvailable()
+      input.addData((9L, null.asInstanceOf[String], 2.0, ts(4)))
+      q.processAllAvailable()
+      val nullPart = spark.read.parquet(path)
+        .filter(col("part").isNull)
+        .collect().map(_.getAs[Long]("k")).toSet
+      assert(nullPart === Set(8L, 9L),
+        "existing null-partition keys must survive later null-partition batches")
     } finally q.stop()
   }
 

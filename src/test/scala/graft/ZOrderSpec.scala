@@ -48,4 +48,18 @@ class ZOrderSpec extends SparkSpecBase {
     assert(box(s"$tmp/linear") === expected)
     assert(box(s"$tmp/zorder") === expected)
   }
+
+  test("z-order rejects string columns with a useful message; empty input degrades") {
+    val tmp = Files.createTempDirectory("graft-z2").toString
+    val e = intercept[IllegalArgumentException] {
+      IndexQpu(DatastoreQpu(spark, sf(), "events"), "event_type")
+        .materializeZOrder(s"$tmp/bad", "value")
+    }
+    assert(e.getMessage.contains("event_type"))
+    // empty input: plain write, no NPE from null min/max stats
+    val empty = Tables.load(spark, sf(), "events").filter(col("user_id") < 0)
+    IndexQpu(graft.qpu.DataFrameQpu(empty), "user_id")
+      .materializeZOrder(s"$tmp/empty", "value")
+    assert(spark.read.parquet(s"$tmp/empty").count() === 0)
+  }
 }
