@@ -225,6 +225,67 @@ final case class JoinQpu(left: Qpu, right: Qpu,
   * table must not scan it 5×. Children over genuinely distinct
   * sources keep their own scans, scheduled in parallel as before.
   */
+/** Static intersection tests between predicates — the routing logic
+  * of [[PartitionedRouterQpu]]. Conservative: `true` whenever
+  * compatibility cannot be decided statically (different attributes,
+  * incomparable values), so routing never prunes a child that might
+  * hold matching records.
+  */
+object Predicates {
+  def mayIntersect(a: Predicate, b: Predicate): Boolean = (a, b) match {
+    case (Eq(x, v), Eq(y, w)) if x == y => cmp(v, w).forall(_ == 0)
+    case (Eq(x, v), Range(y, lb, ub)) if x == y => inRange(v, lb, ub)
+    case (Range(y, lb, ub), Eq(x, v)) if x == y => inRange(v, lb, ub)
+    case (Range(x, alb, aub), Range(y, blb, bub)) if x == y =>
+      cmp(alb, bub).forall(_ < 0) && cmp(blb, aub).forall(_ < 0)
+    case (IsNull(x), IsNotNull(y)) if x == y => false
+    case (IsNotNull(x), IsNull(y)) if x == y => false
+    case (IsNull(x), Eq(y, _)) if x == y => false
+    case (Eq(x, _), IsNull(y)) if x == y => false
+    case _ => true // different attributes / undecidable → don't prune
+  }
+
+  private def inRange(v: Any, lb: Any, ub: Any): Boolean =
+    cmp(v, lb).forall(_ >= 0) && cmp(v, ub).forall(_ < 0)
+
+  /** None = not statically comparable (conservative). */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Number, y: Number) => Some(x.doubleValue.compareTo(y.doubleValue))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+}
+
+/** A router child plus the coverage predicate declaring which records
+  * its store can hold (e.g. `Eq("region", "EU")` or
+  * `Range("ts", t0, t1)` for a time-sharded store).
+  */
+final case class RoutedChild(coverage: Predicate, qpu: Qpu)
+
+/** Metadata-routed scatter (reference: Documentation.md "Decentralized
+  * query processing protocol" + router.go — the reference's router
+  * forwards a query only to the children whose advertised state can
+  * answer it). `route(query)` statically drops children whose
+  * coverage cannot intersect the query predicate, so a point or range
+  * query scans only the covering shards instead of every child — the
+  * metadata-pruned complement to [[RouterQpu]]'s same-source scan
+  * merging. Undecidable cases keep the child (correctness over
+  * pruning).
+  */
+final case class PartitionedRouterQpu(children: Seq[RoutedChild]) extends Qpu {
+  /** Unrouted scatter-gather over every child. */
+  def toDF: DataFrame = RouterQpu(children.map(_.qpu)).toDF
+
+  /** Scan only children whose coverage may hold matching records; the
+    * query predicate is still applied (coverage may be coarser).
+    */
+  def route(query: Predicate): DataFrame = {
+    val covering = children.filter(c => Predicates.mayIntersect(c.coverage, query))
+    if (covering.isEmpty) toDF.filter(lit(false)) // provably empty, keep schema
+    else FilterQpu(RouterQpu(covering.map(_.qpu)), Seq(query)).toDF
+  }
+}
+
 final case class RouterQpu(children: Seq[Qpu]) extends Qpu {
   def toDF: DataFrame = {
     val keyed: Seq[(Option[DatastoreQpu], Qpu)] = children.map {
