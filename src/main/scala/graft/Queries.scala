@@ -608,6 +608,19 @@ object Queries {
         |  tf_cnt * ln(n_docs / df_cnt) AS tfidf
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin)),
 
+    // §2.3/87 — unigram surprisal (perplexity-style quality filter):
+    // avg(-ln p(token)) under the corpus's own unigram distribution
+    "text_surprisal" -> QueryDef(
+      (s, d) => TfIdf.unigramSurprisal(ds(s, d, "documents").toDF, "doc_id", "text"),
+      Some("""WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS total FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  avg(-ln(cnt / total)) AS avg_surprisal
+        |FROM tok JOIN freq USING (token) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin)),
+
     // §2.3/46 — approximate distinct (HLL++): algorithm-specific values,
     // accuracy asserted vs exact in ApproxSpec → rows-only
     "q_approx_users" -> QueryDef(

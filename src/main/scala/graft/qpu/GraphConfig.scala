@@ -143,6 +143,17 @@ object GraphConfig {
           else idx
         case "cache" => CacheQpu(child(0))
         case "router" => RouterQpu(children.map(build))
+        case "routed_router" =>
+          // per-child coverage predicates (the reference's advertised
+          // shard metadata); an optional "route" predicate resolves the
+          // node to only the covering children at assembly time
+          val coverages = req(n, name, "coverages").elements().asScala.map(predicate).toSeq
+          require(coverages.size == children.size,
+            s"qpu '$name': ${coverages.size} coverages for ${children.size} children")
+          val router = PartitionedRouterQpu(
+            coverages.zip(children.map(build)).map { case (c, q) => RoutedChild(c, q) })
+          if (n.hasNonNull("route")) DataFrameQpu(router.route(predicate(n.get("route"))))
+          else router
         case op => throw new IllegalArgumentException(s"unknown operator '$op'")
       }
       building -= name

@@ -52,6 +52,27 @@ class GraphConfigSpec extends SparkSpecBase {
     assert(got.collect().map(_.toSeq).toSeq === want.collect().map(_.toSeq).toSeq)
   }
 
+  test("routed router assembles from json and answers like the direct filter") {
+    val json = """{
+      "root": "routed",
+      "qpus": {
+        "events": {"operator": "datastore", "table": "events"},
+        "clicks": {"operator": "filter", "children": ["events"],
+          "predicates": [{"op": "eq", "attr": "event_type", "value": "click"}]},
+        "views": {"operator": "filter", "children": ["events"],
+          "predicates": [{"op": "eq", "attr": "event_type", "value": "view"}]},
+        "routed": {"operator": "routed_router", "children": ["clicks", "views"],
+          "coverages": [{"op": "eq", "attr": "event_type", "value": "click"},
+                        {"op": "eq", "attr": "event_type", "value": "view"}],
+          "route": {"op": "eq", "attr": "event_type", "value": "view"}}
+      }
+    }"""
+    val got = GraphConfig.fromJson(spark, json, sf()).toDF.count()
+    val want = Tables.load(spark, sf(), "events")
+      .filter(col("event_type") === "view").count()
+    assert(got === want)
+  }
+
   test("malformed configs fail fast with a useful message") {
     val cycle = """{"root": "a", "qpus": {
       "a": {"operator": "cache", "children": ["b"]},
