@@ -608,6 +608,28 @@ object Queries {
         |  tf_cnt * ln(n_docs / df_cnt) AS tfidf
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin)),
 
+    // §2.3/88 — the composed corpus-prep pipeline, end to end in ONE
+    // declarative plan: quality gate → exact dedup (keep canonical) →
+    // deterministic 50% sample. The flagship "switch your whole
+    // workflow over" demonstration; Catalyst fuses all three stages
+    "pipeline_corpus" -> QueryDef(
+      (s, d) => {
+        val docs = ds(s, d, "documents").toDF
+        val sig = TextFunctions.qualitySignals(col("text"), col("n_chars")).toMap
+        val quality = docs.filter(sig("is_quality"))
+        val canonical = Dedup.exact(quality, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id"))
+        Sampling.hashBucketSample(docs.join(canonical, "doc_id"), "doc_id", 0, 50)
+          .select("doc_id", "lang", "source")
+      },
+      Some("""WITH q AS (SELECT doc_id, text FROM documents WHERE
+        |  len(regexp_split_to_array(trim(text), '\s+')) >= 5 AND
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5 <= n_chars AND
+        |  len(regexp_extract_all(text, '[0-9]')) * 4 <= n_chars),
+        |d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text))
+        |SELECT doc_id, lang, source FROM documents JOIN d USING (doc_id)
+        |WHERE ('0x' || substring(md5(doc_id::varchar), 1, 14))::bigint % 100 < 50""".stripMargin)),
+
     // §2.3/87 — unigram surprisal (perplexity-style quality filter):
     // avg(-ln p(token)) under the corpus's own unigram distribution
     "text_surprisal" -> QueryDef(
