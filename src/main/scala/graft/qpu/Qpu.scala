@@ -211,20 +211,6 @@ final case class JoinQpu(left: Qpu, right: Qpu,
   }
 }
 
-/** Router QPU: scatter-gather
-  * (reference: internal/qpu_classes/router/router.go — fans a query to
-  * all adjacent QPUs and concatenates their responses).
-  *
-  * Children that are pure predicate filters over the SAME datastore
-  * source are planned as ONE scan: a pushable disjunctive filter,
-  * then one output row per *matching child* (array + explode), so
-  * scatter-gather over n same-source children costs one scan instead
-  * of n while preserving exact union-all multiplicity when child
-  * predicates overlap. The reference pays this n× tax per query (each
-  * child QPU re-reads its store); at 100 TB a 5-child router over one
-  * table must not scan it 5×. Children over genuinely distinct
-  * sources keep their own scans, scheduled in parallel as before.
-  */
 /** Static intersection tests between predicates — the routing logic
   * of [[PartitionedRouterQpu]]. Conservative: `true` whenever
   * compatibility cannot be decided statically (different attributes,
@@ -248,10 +234,23 @@ object Predicates {
   private def inRange(v: Any, lb: Any, ub: Any): Boolean =
     cmp(v, lb).forall(_ >= 0) && cmp(v, ub).forall(_ < 0)
 
-  /** None = not statically comparable (conservative). */
+  /** None = not statically comparable (conservative).
+    *
+    * Numbers compare through BigDecimal — doubleValue would round
+    * longs past 2^53 (nanosecond timestamps, snowflake ids) and could
+    * falsely prune a covering shard. Strings compare by UTF-8 bytes,
+    * matching Spark's UTF8String binary ordering (Java's compareTo is
+    * UTF-16 code-unit order, which disagrees beyond the BMP).
+    */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: Number, y: Number) => Some(x.doubleValue.compareTo(y.doubleValue))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Number, y: Number) =>
+      try Some(new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString)))
+      catch { case _: NumberFormatException => None } // NaN/Infinity
+    case (x: String, y: String) =>
+      Some(java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     case _ => None
   }
 }
@@ -273,6 +272,8 @@ final case class RoutedChild(coverage: Predicate, qpu: Qpu)
   * pruning).
   */
 final case class PartitionedRouterQpu(children: Seq[RoutedChild]) extends Qpu {
+  require(children.nonEmpty, "routed router needs at least one child")
+
   /** Unrouted scatter-gather over every child. */
   def toDF: DataFrame = RouterQpu(children.map(_.qpu)).toDF
 
@@ -281,12 +282,30 @@ final case class PartitionedRouterQpu(children: Seq[RoutedChild]) extends Qpu {
     */
   def route(query: Predicate): DataFrame = {
     val covering = children.filter(c => Predicates.mayIntersect(c.coverage, query))
-    if (covering.isEmpty) toDF.filter(lit(false)) // provably empty, keep schema
+    // provably empty: keep the schema from ONE child instead of
+    // resolving and unioning every shard just to filter it all out
+    if (covering.isEmpty) children.head.qpu.toDF.filter(lit(false))
     else FilterQpu(RouterQpu(covering.map(_.qpu)), Seq(query)).toDF
   }
 }
 
+/** Router QPU: scatter-gather
+  * (reference: internal/qpu_classes/router/router.go — fans a query to
+  * all adjacent QPUs and concatenates their responses).
+  *
+  * Children that are pure predicate filters over the SAME datastore
+  * source are planned as ONE scan: a pushable disjunctive filter,
+  * then one output row per *matching child* (array + explode), so
+  * scatter-gather over n same-source children costs one scan instead
+  * of n while preserving exact union-all multiplicity when child
+  * predicates overlap. The reference pays this n× tax per query (each
+  * child QPU re-reads its store); at 100 TB a 5-child router over one
+  * table must not scan it 5×. Children over genuinely distinct
+  * sources keep their own scans, scheduled in parallel as before.
+  */
 final case class RouterQpu(children: Seq[Qpu]) extends Qpu {
+  require(children.nonEmpty, "router needs at least one child")
+
   def toDF: DataFrame = {
     val keyed: Seq[(Option[DatastoreQpu], Qpu)] = children.map {
       case f @ FilterQpu(src: DatastoreQpu, _) => (Some(src), f)

@@ -31,6 +31,22 @@ class RoutedRouterSpec extends SparkSpecBase {
     assert("Scan parquet".r.findAllIn(full).size === 3)
   }
 
+  test("routing comparisons are exact for big longs and binary-ordered for strings") {
+    // doubleValue rounds 2^53+3 onto 2^53+4: float comparison would
+    // falsely prune the only covering shard (nanosecond timestamps and
+    // snowflake ids live up here)
+    val ub = 9007199254740996L
+    val v = 9007199254740995L
+    assert(Predicates.mayIntersect(Range("id", 0L, ub), Eq("id", v)),
+      "value strictly inside the range must not be pruned by double rounding")
+    assert(!Predicates.mayIntersect(Range("id", 0L, ub), Eq("id", ub)),
+      "half-open upper bound stays exclusive")
+    // Spark orders strings by UTF-8 bytes: U+1F600 (4-byte) sorts AFTER
+    // U+FFFD (3-byte); Java's UTF-16 compareTo says the opposite
+    assert(Predicates.mayIntersect(Range("s", "", "😀"), Eq("s", "�")),
+      "UTF-8 binary order must keep the shard that holds the record")
+  }
+
   test("range coverage prunes time/value-sharded children") {
     import spark.implicits._
     val a = Seq((1L, 50.0), (2L, 80.0)).toDF("id", "v")
