@@ -158,6 +158,41 @@ class PropertySpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("routing mayIntersect is sound: a shared witness value implies intersection") {
+    import graft.qpu._
+    val valGen: Gen[Any] = Gen.oneOf(
+      Gen.choose(Long.MinValue / 2, Long.MaxValue / 2).map(x => x: Any),
+      Gen.choose(-1e12, 1e12).map(x => x: Any),
+      Gen.alphaNumStr.map(x => x: Any))
+    def predGen(attr: String): Gen[Predicate] = Gen.oneOf(
+      valGen.map(Eq(attr, _)),
+      Gen.zip(valGen, valGen).map { case (a, b) => Range(attr, a, b) },
+      Gen.const(IsNotNull(attr)))
+    // pure-Scala evaluation mirroring the Column semantics for the
+    // statically-comparable cases (numbers, strings)
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Number, y: Number) =>
+        Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
+      case (x: String, y: String) =>
+        Some(java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case _ => None
+    }
+    def sat(p: Predicate, v: Any): Boolean = p match {
+      case Eq(_, w) => cmp(v, w).contains(0)
+      case Range(_, lb, ub) =>
+        cmp(v, lb).exists(_ >= 0) && cmp(v, ub).exists(_ < 0)
+      case IsNotNull(_) => true
+      case IsNull(_) => false
+    }
+    check(Prop.forAllNoShrink(Gen.zip(predGen("a"), predGen("a"), valGen)) {
+      case (p, q, v) =>
+        // soundness only: a witness satisfying both must not be pruned
+        !(sat(p, v) && sat(q, v)) || Predicates.mayIntersect(p, q)
+    })
+  }
+
   /** Deterministic batch sampling with an explicit seed (reproducible
     * without ScalaCheck's runner).
     */
