@@ -558,7 +558,7 @@ object Queries {
     "multimodal_decode" -> QueryDef(
       (s, d) => Multimodal.decodeStub(s,
         Multimodal.attachFakePayload(ds(s, d, "documents").toDF, "doc_id", "text"))
-        .toDF.select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum")),
+        .toDF().select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum")),
       None),
 
     // §2.3/81 — winnowing fingerprints (rolling-hash document

@@ -60,7 +60,7 @@ object AsOf {
     val lrowType = left.schema
     val l2 = left.select(col(leftKey).as("__k"), col(leftTs).as("__t"),
       lit(1).as("__side"), lit(null).cast(rvType).as("__rv"),
-      struct(left.columns.map(col): _*).as("__lrow"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__lrow"))
     val r2 = right.select(col(rightKey).as("__k"), col(rightTs).as("__t"),
       lit(0).as("__side"), struct(rvCols.map(col): _*).as("__rv"),
       lit(null).cast(lrowType).as("__lrow"))
@@ -71,7 +71,7 @@ object AsOf {
     l2.unionByName(r2)
       .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(c => col(s"__lrow.$c")) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"__lrow.$c")) ++
         rightCols.map(c => col(s"__match.$c")): _*)
   }
 

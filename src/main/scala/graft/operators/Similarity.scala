@@ -90,7 +90,7 @@ object Similarity {
       .orderBy("h").limit(cells)
       .collect().map(_.getSeq[Float](0))
 
-    def cellScores(vec: String) = array(centroids.zipWithIndex.map { case (cv, i) =>
+    def cellScores(vec: String) = array(centroids.toIndexedSeq.zipWithIndex.map { case (cv, i) =>
       struct(VectorFunctions.cosineNative(col(vec), typedlit(cv)).as("s"),
         lit(i).as("cell"))
     }: _*)

@@ -162,7 +162,7 @@ object Subscribe {
             if (!fs.exists(hPath)) None
             else {
               val (nulls, nonNulls) = parts.partition(_ == null)
-              val cond = Option.when(nonNulls.nonEmpty)(col(partitionCol).isin(nonNulls: _*))
+              val cond = Option.when(nonNulls.nonEmpty)(col(partitionCol).isin(nonNulls.toIndexedSeq: _*))
                 .toSeq ++ Option.when(nulls.nonEmpty)(col(partitionCol).isNull).toSeq
               Some(spark.read.parquet(path).filter(cond.reduce(_ || _)))
             }
