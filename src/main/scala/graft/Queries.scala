@@ -484,14 +484,38 @@ object Queries {
       None),
 
     // §2.3/55 — IVF coarse-quantizer ANN (scale path #2); recall vs
-    // brute force asserted in SimilaritySpec → rows-only
+    // brute force asserted in SimilaritySpec. The oracle replays the
+    // whole pipeline: md5-seeded centroid choice, argmax cell
+    // assignment (ties to the higher cell, like array_max over
+    // (score, cell) structs), nprobe cell probing, cosine top-k
     "sim_ann_ivf" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, cells = 16, nprobe = 2)
       },
-      None),
+      Some("""WITH c0 AS (SELECT vec_id, embedding,
+        |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, embedding AS cv
+        |  FROM c0 ORDER BY h LIMIT 16),
+        |scores AS (SELECT v.vec_id, c.cell,
+        |    list_cosine_similarity(v.embedding::DOUBLE[], c.cv::DOUBLE[]) AS s
+        |  FROM embeddings v CROSS JOIN cent c),
+        |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        |  FROM scores) x WHERE rn = 1),
+        |qcells AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        |  FROM scores WHERE vec_id < 5) x WHERE rn <= 2),
+        |cand AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+        |  FROM qcells q JOIN assign a USING (cell) WHERE a.vec_id <> q.query_id),
+        |scored AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS cosine
+        |  FROM cand JOIN embeddings qe ON qe.vec_id = query_id
+        |  JOIN embeddings ne ON ne.vec_id = neighbor_id)
+        |SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored) x WHERE rank <= 10""".stripMargin)),
 
     // §2.3/62 — embedding near-dup clustering over LSH buckets (O(n)
     // output); connectivity depends on the native sign matrix → rows-only

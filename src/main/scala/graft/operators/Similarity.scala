@@ -84,9 +84,11 @@ object Similarity {
     // One scan picks the <= `cells` seed centroids; collecting them to
     // the driver is bounded by construction and lets cell assignment be
     // a single inline expression per row — no cross join, no shuffle,
-    // no recomputed centroid subtree.
+    // no recomputed centroid subtree. The seed hash is md5-derived so
+    // an external SQL engine can replay the exact centroid choice.
     val centroids: Array[Seq[Float]] = corpus
-      .select(col(vecCol), xxhash64(col(idCol)).as("h"))
+      .select(col(vecCol),
+        graft.functions.HashFunctions.stableHash56(col(idCol).cast("string")).as("h"))
       .orderBy("h").limit(cells)
       .collect().map(_.getSeq[Float](0))
 
