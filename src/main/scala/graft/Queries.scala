@@ -577,12 +577,15 @@ object Queries {
       Some("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) " +
         "AS fingerprint FROM documents")),
 
-    // §2.3/40 — multimodal plumbing: payload attach → partition-batched
-    // stub decode (schema/batching real, codec stubbed) → rows-only
+    // §2.3/40 — multimodal: image rows carry REAL encoded files
+    // (PNG/JPEG via javax.imageio, hand-built BMP) and are decoded for
+    // real per partition; audio/video codecs remain the declared stub.
+    // Rows-only (DuckDB has no image decoder to replay against).
     "multimodal_decode" -> QueryDef(
-      (s, d) => Multimodal.decodeStub(s,
-        Multimodal.attachFakePayload(ds(s, d, "documents").toDF, "doc_id", "text"))
-        .toDF().select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum")),
+      (s, d) => Multimodal.decodeMedia(s,
+        Multimodal.attachMediaPayload(ds(s, d, "documents").toDF, "doc_id", "text").toDF)
+        .toDF().select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum"),
+          col("feature")),
       None),
 
     // §2.3/81 — winnowing fingerprints (rolling-hash document

@@ -9,15 +9,16 @@ import org.apache.spark.sql.functions._
   * analogue of `mapInPandas` — partition-sized batches, columnar in,
   * columnar out).
   *
-  * COMPRESSED codecs (jpeg/mp3/h264) are STUBBED — no codec libraries
-  * in this environment; `decodeStub` derives deterministic fake
-  * features from the payload bytes. The UNCOMPRESSED image path is
-  * REAL: [[attachBmpPayload]] builds valid 24-bit BMP files byte by
-  * byte and [[decodeBmp]] parses headers and pixel rows (bottom-up,
-  * 4-byte padded) into channel means + a grayscale thumbnail — the
-  * full decode contract (schema, batching, per-partition execution,
-  * feature shape) exercised with real bytes, so swapping in a codec
-  * library changes one function body, not the pipeline.
+  * The IMAGE path is REAL end to end: [[bmpBytes]] builds valid 24-bit
+  * BMP files byte by byte, [[imageBytes]] encodes JPEG/PNG/GIF through
+  * the JDK's `javax.imageio` (no external codec dependency), and
+  * [[decodeImage]] parses BMP headers/pixels by hand and everything
+  * else through `ImageIO.read` into channel means + a grayscale
+  * thumbnail. Only AUDIO/VIDEO codecs (mp3/h264) remain STUBBED — the
+  * JDK ships no decoder for them; those rows get deterministic
+  * payload-derived features so the pipeline stays runnable, and
+  * swapping in a codec library changes one function body, not the
+  * pipeline.
   */
 object Multimodal {
 
@@ -41,25 +42,68 @@ object Multimodal {
       (col(idCol) % 480 + 48).cast("int").as("height"),
       (col(idCol) * 40 % 90000).cast("long").as("duration_ms"))
 
-  /** Per-partition batch "decode": the real implementation would hand
-    * each partition's payloads to a codec; here the features are a
-    * deterministic function of the bytes. Runs as Dataset
-    * mapPartitions so the batch shape (iterator-of-records per
-    * partition, no driver collect) matches a production decode.
+  /** Attach REAL media payloads: image rows carry actual encoded image
+    * files — rotating PNG, JPEG (both via `javax.imageio`) and
+    * hand-built BMP so every JDK-decodable format flows through the
+    * decode path — while audio/video rows carry opaque bytes (their
+    * codecs are the remaining declared stub). Executor-side map, no
+    * driver involvement; payloads are a deterministic function of the
+    * id so re-runs and repartitions produce identical bytes.
     */
-  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def attachMediaPayload(docs: DataFrame, idCol: String, textCol: String,
+                         width: Int = 8, height: Int = 6): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)].map {
+      case (id, text) =>
+        val kind = id % 3 match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val payload = kind match {
+          case "image" => id % 9 match {
+            case 0 => imageBytes(id, width, height, "png")
+            case 3 => imageBytes(id, width, height, "jpg")
+            case _ => bmpBytes(id, width, height)
+          }
+          case _ => Option(text).getOrElse("").getBytes("UTF-8")
+        }
+        MediaRecord(id, kind, payload, width, height, id * 40 % 90000)
+    }
+  }
+
+  /** Per-partition batch decode. Image rows run a REAL decode
+    * (hand-rolled BMP parse or `ImageIO.read` for JPEG/PNG/GIF); rows
+    * whose payload is not a decodable image — and all audio/video
+    * rows, whose codecs are the declared stub — get deterministic
+    * payload-derived features. Runs as Dataset mapPartitions so the
+    * batch shape (iterator-of-records per partition, no driver
+    * collect) matches a production decode.
+    */
+  def decodeMedia(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // decode in memory, no temp files
       it.map { r =>
         val sum = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
         val hex = sum.map("%02x".format(_)).mkString
-        // ??? real decode goes here (image resize / audio features / frame grab)
-        val fake = (0 until 4).map(i =>
+        def stub = (0 until 4).map(i =>
           java.lang.Long.parseLong(hex.substring(i * 4, i * 4 + 4), 16) / 65535.0).toArray
-        MediaFeatures(r.doc_id, r.kind, r.payload.length, hex, fake)
+        val feature = r.kind match {
+          case "image" => tryImageFeatures(r.doc_id, r.payload, 1, 1) match {
+            case Some(f) => Array(f.mean_r / 255.0, f.mean_g / 255.0, f.mean_b / 255.0,
+              (f.mean_r + f.mean_g + f.mean_b) / 765.0)
+            case None => stub // payload is not an image file (synthetic test bytes)
+          }
+          case _ => stub // mp3/h264 decode STUBBED: no codec in the JDK
+        }
+        MediaFeatures(r.doc_id, r.kind, r.payload.length, hex, feature)
       }
     }
   }
+
+  /** Back-compat name; audio/video are the only stubbed codecs now. */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] =
+    decodeMedia(spark, media)
 
   final case class ImageFeatures(doc_id: Long, width: Int, height: Int, bpp: Int,
                                  mean_r: Double, mean_g: Double, mean_b: Double,
@@ -104,56 +148,138 @@ object Multimodal {
     buf.array()
   }
 
-  /** REAL per-partition image decode: parse each BMP's header
-    * (dimensions, bit depth, pixel offset) and pixel rows, emit
-    * channel means and a `thumbW x thumbH` grayscale thumbnail by box
-    * averaging. Same mapPartitions batch shape as [[decodeStub]].
+  /** Encode the deterministic pixel pattern as a real compressed image
+    * file through the JDK's `javax.imageio` writers ("png", "jpg",
+    * "gif") — the test-payload counterpart of [[decodeImage]]'s
+    * `ImageIO.read` path.
+    */
+  private[graft] def imageBytes(docId: Long, w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (pixel(docId, x, y, 0) << 16) |
+        (pixel(docId, x, y, 1) << 8) | pixel(docId, x, y, 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no JDK writer for image format '$format'")
+    bos.toByteArray
+  }
+
+  /** Shared feature kernel: channel sums + box-averaged grayscale
+    * thumbnail over any pixel accessor (`chan(x, y, c)` with c: 0=R
+    * 1=G 2=B) — the BMP parser and the ImageIO path both feed it.
+    */
+  private def featuresFromPixels(docId: Long, w: Int, h: Int, bpp: Int,
+                                 thumbW: Int, thumbH: Int)
+                                (chan: (Int, Int, Int) => Int): ImageFeatures = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val thumb = new Array[Double](thumbW * thumbH)
+    val cnt = new Array[Int](thumbW * thumbH)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pr = chan(x, y, 0); val pg = chan(x, y, 1); val pb = chan(x, y, 2)
+        sr += pr; sg += pg; sb += pb
+        val cell = math.min(y * thumbH / h, thumbH - 1) * thumbW +
+          math.min(x * thumbW / w, thumbW - 1)
+        thumb(cell) += (pr + pg + pb) / 3.0
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ImageFeatures(docId, w, h, bpp,
+      sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+      thumb.indices.map(i => if (cnt(i) == 0) 0.0 else thumb(i) / cnt(i)).toArray)
+  }
+
+  /** Hand-rolled 24-bit BMP parse: header (dimensions, bit depth,
+    * pixel offset, bottom-up vs top-down) + padded pixel rows, with
+    * bounds checks so truncated/malformed files fail with a
+    * doc-id-labelled error instead of an index exception mid-partition.
+    */
+  private[graft] def bmpFeatures(docId: Long, payload: Array[Byte],
+                                 thumbW: Int, thumbH: Int): ImageFeatures = {
+    val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M',
+      s"doc $docId: not a BMP")
+    val offset = b.getInt(10)
+    val w = b.getInt(18)
+    val rawH = b.getInt(22) // negative height = top-down row order
+    val bpp = b.getShort(28).toInt
+    require(bpp == 24, s"doc $docId: only uncompressed 24-bit supported, got $bpp")
+    require(w > 0 && rawH != 0, s"doc $docId: degenerate dimensions ${w}x$rawH")
+    val topDown = rawH < 0
+    val h = math.abs(rawH)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    // a lying header must not read header bytes as pixels or run off the end
+    require(offset >= 54 && offset.toLong + rowSize.toLong * h <= payload.length,
+      s"doc $docId: truncated BMP (offset $offset, ${w}x$h, ${payload.length} bytes)")
+    featuresFromPixels(docId, w, h, bpp, thumbW, thumbH) { (x, y, c) =>
+      val row = if (topDown) y else h - 1 - y
+      payload(offset + row * rowSize + 3 * x + (2 - c)) & 0xff
+    }
+  }
+
+  /** JDK `ImageIO` decode (JPEG/PNG/GIF/BMP — whatever readers the JDK
+    * registers): one bulk `getRGB` grab, then the shared feature
+    * kernel.
+    */
+  private[graft] def imageioFeatures(docId: Long, payload: Array[Byte],
+                                     thumbW: Int, thumbH: Int): ImageFeatures = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(bi != null, s"doc $docId: no JDK reader recognises this image payload")
+    val w = bi.getWidth; val h = bi.getHeight
+    val argb = bi.getRGB(0, 0, w, h, null, 0, w) // one bulk grab, not per-pixel calls
+    featuresFromPixels(docId, w, h, bi.getColorModel.getPixelSize, thumbW, thumbH) {
+      (x, y, c) => (argb(y * w + x) >> (16 - 8 * c)) & 0xff
+    }
+  }
+
+  private[graft] def tryImageFeatures(docId: Long, payload: Array[Byte],
+                                      thumbW: Int, thumbH: Int): Option[ImageFeatures] =
+    if (payload.length >= 2 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
+      Some(bmpFeatures(docId, payload, thumbW, thumbH))
+    else if (payload.length >= 4 && isImageioMagic(payload))
+      Some(imageioFeatures(docId, payload, thumbW, thumbH))
+    else None
+
+  /** JPEG (ff d8), PNG (89 'P' 'N' 'G'), GIF ("GIF8") magic bytes. */
+  private def isImageioMagic(p: Array[Byte]): Boolean =
+    ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) ||
+      ((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
+
+  /** REAL per-partition image decode: BMPs through the hand-rolled
+    * parser, JPEG/PNG/GIF through the JDK's `javax.imageio` readers —
+    * all into channel means and a `thumbW x thumbH` grayscale
+    * thumbnail by box averaging. Same mapPartitions batch shape as
+    * [[decodeMedia]].
+    */
+  def decodeImage(spark: SparkSession, media: Dataset[MediaRecord],
+                  thumbW: Int = 2, thumbH: Int = 2): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        if (r.payload.length >= 2 && r.payload(0) == 'B'.toByte && r.payload(1) == 'M'.toByte)
+          bmpFeatures(r.doc_id, r.payload, thumbW, thumbH)
+        else imageioFeatures(r.doc_id, r.payload, thumbW, thumbH)
+      }
+    }
+  }
+
+  /** BMP-only decode — kept for callers that want the strict
+    * hand-parsed path; [[decodeImage]] is the general entry point.
     */
   def decodeBmp(spark: SparkSession, media: Dataset[MediaRecord],
                 thumbW: Int = 2, thumbH: Int = 2): Dataset[ImageFeatures] = {
     import spark.implicits._
-    media.mapPartitions { it =>
-      it.map { r =>
-        val b = java.nio.ByteBuffer.wrap(r.payload)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        require(b.get(0) == 'B' && b.get(1) == 'M', s"doc ${r.doc_id}: not a BMP")
-        val offset = b.getInt(10)
-        val w = b.getInt(18)
-        val rawH = b.getInt(22) // negative height = top-down row order
-        val bpp = b.getShort(28).toInt
-        require(bpp == 24, s"doc ${r.doc_id}: only uncompressed 24-bit supported, got $bpp")
-        require(w > 0 && rawH != 0, s"doc ${r.doc_id}: degenerate dimensions ${w}x$rawH")
-        val topDown = rawH < 0
-        val h = math.abs(rawH)
-        val rowSize = ((3 * w + 3) / 4) * 4
-        def chan(x: Int, y: Int, c: Int): Int = { // c: 0=R 1=G 2=B
-          val row = if (topDown) y else h - 1 - y
-          val pos = offset + row * rowSize + 3 * x + (2 - c)
-          r.payload(pos) & 0xff
-        }
-        var sr = 0L; var sg = 0L; var sb = 0L
-        val thumb = new Array[Double](thumbW * thumbH)
-        val cnt = new Array[Int](thumbW * thumbH)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val (pr, pg, pb) = (chan(x, y, 0), chan(x, y, 1), chan(x, y, 2))
-            sr += pr; sg += pg; sb += pb
-            val cell = math.min(y * thumbH / h, thumbH - 1) * thumbW +
-              math.min(x * thumbW / w, thumbW - 1)
-            thumb(cell) += (pr + pg + pb) / 3.0
-            cnt(cell) += 1
-            x += 1
-          }
-          y += 1
-        }
-        val n = w.toLong * h
-        ImageFeatures(r.doc_id, w, h, bpp,
-          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
-          thumb.indices.map(i => if (cnt(i) == 0) 0.0 else thumb(i) / cnt(i)).toArray)
-      }
-    }
+    media.mapPartitions(_.map(r => bmpFeatures(r.doc_id, r.payload, thumbW, thumbH)))
   }
 
   /** Frame sampling plumbing: slice `n` evenly spaced byte windows from

@@ -14,15 +14,91 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Seq("kind", "width", "height", "duration_ms").forall(sch.fieldNames.contains))
   }
 
-  test("stub decode is deterministic and partition-batched") {
-    val f1 = Multimodal.decodeStub(spark, media).collect()
+  test("media decode is deterministic and partition-batched") {
+    val f1 = Multimodal.decodeMedia(spark, media).collect()
       .map(f => f.doc_id -> f.checksum).toMap
-    val f2 = Multimodal.decodeStub(spark, media.repartition(7)).collect()
+    val f2 = Multimodal.decodeMedia(spark, media.repartition(7)).collect()
       .map(f => f.doc_id -> f.checksum).toMap
     assert(f1 === f2, "features must not depend on partitioning")
-    val feats = Multimodal.decodeStub(spark, media).head()
+    val feats = Multimodal.decodeMedia(spark, media).head()
     assert(feats.feature.length === 4)
     assert(feats.feature.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("image rows with real payloads decode for real; audio/video stay stubbed") {
+    val docs = Tables.load(spark, sf(), "documents").limit(60)
+    val mixed = Multimodal.attachMediaPayload(docs, "doc_id", "text")
+    val feats = Multimodal.decodeMedia(spark, mixed.toDF).collect()
+    val byId = feats.map(f => f.doc_id -> f).toMap
+    val imageIds = byId.keys.filter(_ % 3 == 0)
+    assert(imageIds.nonEmpty)
+    imageIds.foreach { id =>
+      // real decode: feature == channel means / 255 of the known pixel pattern
+      val truth = Multimodal.bmpFeatures(id, Multimodal.bmpBytes(id, 8, 6), 1, 1)
+      val f = byId(id)
+      val tol = if (id % 9 == 3) 0.04 else 1e-9 // JPEG rows: quantization tolerance
+      assert(math.abs(f.feature(0) - truth.mean_r / 255.0) < tol, s"doc $id mean_r")
+      assert(math.abs(f.feature(1) - truth.mean_g / 255.0) < tol, s"doc $id mean_g")
+      assert(math.abs(f.feature(2) - truth.mean_b / 255.0) < tol, s"doc $id mean_b")
+    }
+    // audio/video: deterministic payload-derived stub (codec genuinely absent)
+    val audio = byId.keys.filter(_ % 3 == 1)
+    audio.foreach(id => assert(byId(id).feature.length === 4))
+  }
+
+  test("PNG decodes via javax.imageio to the exact BMP ground truth") {
+    import spark.implicits._
+    val (w, h) = (8, 6)
+    val ids = Seq(3L, 12L, 21L)
+    val png = ids.map(id =>
+      Multimodal.MediaRecord(id, "image", Multimodal.imageBytes(id, w, h, "png"), w, h, 0L))
+    val feats = Multimodal.decodeImage(spark, png.toDS()).collect().sortBy(_.doc_id)
+    feats.foreach { f =>
+      val truth = Multimodal.bmpFeatures(f.doc_id, Multimodal.bmpBytes(f.doc_id, w, h), 2, 2)
+      assert(f.width === w && f.height === h)
+      assert(math.abs(f.mean_r - truth.mean_r) < 1e-9, s"doc ${f.doc_id} PNG mean_r")
+      assert(math.abs(f.mean_g - truth.mean_g) < 1e-9, s"doc ${f.doc_id} PNG mean_g")
+      assert(math.abs(f.mean_b - truth.mean_b) < 1e-9, s"doc ${f.doc_id} PNG mean_b")
+      assert(f.thumb.zip(truth.thumb).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+        s"doc ${f.doc_id} PNG thumbnail")
+    }
+  }
+
+  test("JPEG decodes via javax.imageio within quantization tolerance of ground truth") {
+    import spark.implicits._
+    val (w, h) = (8, 6)
+    val ids = Seq(6L, 15L, 24L)
+    val jpg = ids.map(id =>
+      Multimodal.MediaRecord(id, "image", Multimodal.imageBytes(id, w, h, "jpg"), w, h, 0L))
+    val feats = Multimodal.decodeImage(spark, jpg.toDS()).collect().sortBy(_.doc_id)
+    feats.foreach { f =>
+      val truth = Multimodal.bmpFeatures(f.doc_id, Multimodal.bmpBytes(f.doc_id, w, h), 2, 2)
+      assert(f.width === w && f.height === h)
+      assert(math.abs(f.mean_r - truth.mean_r) < 10.0, s"doc ${f.doc_id} JPEG mean_r " +
+        s"${f.mean_r} vs ${truth.mean_r}")
+      assert(math.abs(f.mean_g - truth.mean_g) < 10.0, s"doc ${f.doc_id} JPEG mean_g " +
+        s"${f.mean_g} vs ${truth.mean_g}")
+      assert(math.abs(f.mean_b - truth.mean_b) < 10.0, s"doc ${f.doc_id} JPEG mean_b " +
+        s"${f.mean_b} vs ${truth.mean_b}")
+      assert(f.thumb.zip(truth.thumb).forall { case (a, b) => math.abs(a - b) < 32.0 },
+        s"doc ${f.doc_id} JPEG thumbnail drifted past quantization tolerance")
+    }
+  }
+
+  test("truncated or lying BMP headers fail with a doc-id-labelled error") {
+    val good = Multimodal.bmpBytes(5L, 8, 6)
+    val truncated = good.take(80) // header intact, pixel rows missing
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.bmpFeatures(5L, truncated, 2, 2)
+    }
+    assert(e1.getMessage.contains("doc 5") && e1.getMessage.contains("truncated"))
+    val lyingOffset = good.clone() // offset < 54 would read header bytes as pixels
+    java.nio.ByteBuffer.wrap(lyingOffset).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, 8)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.bmpFeatures(5L, lyingOffset, 2, 2)
+    }
+    assert(e2.getMessage.contains("doc 5"))
   }
 
   test("real BMP round-trip: generated files decode to the exact expected pixels") {
