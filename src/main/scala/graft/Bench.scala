@@ -40,10 +40,13 @@ object Bench {
     // failed queries carry the -1 sentinel; they must not SHRINK the total
     val total = results.values.filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // sbt wraps stdout in [info]/[error] noise the driver can't always
-    // strip — also drop the line in a file for machine consumption.
-    Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json + "\n")
+    // Stop Spark BEFORE printing so the JSON is the process's final
+    // stdout line (Spark's shutdown logging goes to stderr, but order
+    // still matters for line-oriented parsers); build.sbt routes forked
+    // stdout through raw (no [info] prefix). Also drop the line in a
+    // file as the always-parseable artifact.
     spark.stop()
+    println(json)
+    Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json + "\n")
   }
 }

@@ -55,24 +55,35 @@ object AsOf {
                leftTs: String, rightTs: String,
                rightCols: Seq[String],
                rightTiebreak: Seq[String] = Nil): DataFrame = {
+    // internal plumbing columns use a namespaced prefix (and struct
+    // fields are extracted with getField, never "a.b" string paths) so
+    // user columns named "__k" — or containing dots — bind correctly
+    val P = "__graft_asof_"
+    require(!(left.columns ++ right.columns).exists(_.startsWith(P)),
+      s"column names starting with '$P' are reserved by asofJoin")
+    val (kc, tc, sc, rv, lrow, m) =
+      (s"${P}k", s"${P}t", s"${P}side", s"${P}rv", s"${P}lrow", s"${P}match")
+    // name-based references are backquoted so a dot in a user column
+    // name is a literal character, not a struct path
+    def q(c: String): Column = col(s"`${c.replace("`", "``")}`")
     val rvCols = (rightCols ++ rightTiebreak).distinct
-    val rvType = right.select(rvCols.map(col): _*).schema
+    val rvType = right.select(rvCols.map(q): _*).schema
     val lrowType = left.schema
-    val l2 = left.select(col(leftKey).as("__k"), col(leftTs).as("__t"),
-      lit(1).as("__side"), lit(null).cast(rvType).as("__rv"),
-      struct(left.columns.toIndexedSeq.map(col): _*).as("__lrow"))
-    val r2 = right.select(col(rightKey).as("__k"), col(rightTs).as("__t"),
-      lit(0).as("__side"), struct(rvCols.map(col): _*).as("__rv"),
-      lit(null).cast(lrowType).as("__lrow"))
-    val order = col("__t").asc +: col("__side").asc +:
-      rightTiebreak.map(c => col(s"__rv.$c").asc)
-    val w = Window.partitionBy("__k").orderBy(order: _*)
+    val l2 = left.select(q(leftKey).as(kc), q(leftTs).as(tc),
+      lit(1).as(sc), lit(null).cast(rvType).as(rv),
+      struct(left.columns.toIndexedSeq.map(q): _*).as(lrow))
+    val r2 = right.select(q(rightKey).as(kc), q(rightTs).as(tc),
+      lit(0).as(sc), struct(rvCols.map(q): _*).as(rv),
+      lit(null).cast(lrowType).as(lrow))
+    val order = col(tc).asc +: col(sc).asc +:
+      rightTiebreak.map(c => col(rv).getField(c).asc)
+    val w = Window.partitionBy(kc).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2)
-      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(left.columns.toIndexedSeq.map(c => col(s"__lrow.$c")) ++
-        rightCols.map(c => col(s"__match.$c")): _*)
+      .withColumn(m, last(col(rv), ignoreNulls = true).over(w))
+      .filter(col(sc) === 1)
+      .select(left.columns.toIndexedSeq.map(c => col(lrow).getField(c).as(c)) ++
+        rightCols.map(c => col(m).getField(c).as(c)): _*)
   }
 
   /** Version-diff read (reference: inMemIndex.go:523-645 — postings

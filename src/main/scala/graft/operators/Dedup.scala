@@ -76,6 +76,18 @@ object Dedup {
     p
   }
 
+  /** Drop every internal cache pin registered by the salted self-join
+    * operators. The pins are LRU-bounded (at most [[maxPins]]
+    * corpus-sized frames), but a long-lived session that is done with
+    * dedup work should release them eagerly rather than wait for
+    * later invocations (or storage-memory pressure) to evict them —
+    * the batch-job analogue of [[shinglePairsReleasable]]'s handle.
+    */
+  def releasePins(): Unit = recentPins.synchronized {
+    while (!recentPins.isEmpty)
+      recentPins.removeFirst().unpersist(blocking = false)
+  }
+
   private final case class PairScorer(repr: DataFrame,
                                        inter: (Column, Column) => Column,
                                        union: (Column, Column) => Column,
@@ -313,15 +325,18 @@ object Dedup {
     * membership, and connected components are resolved by alternating
     * min-label propagation over the bipartite doc↔bucket graph —
     * `iterations` rounds of two map-side-combinable aggregations each,
-    * one graph hop per round. Duplicate clusters are near-cliques
-    * (diameter 1–2), which the default 5 rounds covers with margin;
-    * for arbitrary-shape components use
+    * one graph hop plus a pointer jump per round (reach roughly
+    * doubles per round — see [[ConnectedComponents]]). The default 3
+    * jumped rounds land closer to the true components than the old 5
+    * plain rounds did, with 4 fewer membership-sized shuffles
+    * (DedupSpec pins 3-round == 5-round on the spec corpus). For
+    * arbitrary-shape components use
     * [[ConnectedComponents.propagateToFixpoint]]. Fixed rounds keep
     * the result replayable by the round-for-round SQL oracle.
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
                       bands: Int, rowsPerBand: Int,
-                      iterations: Int = 5): DataFrame = {
+                      iterations: Int = 3, shortcut: Boolean = true): DataFrame = {
     val allToks = fanOut(df).select(col(idCol).as("id"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
     // NULL text cannot be banded; such docs are their own singleton
@@ -331,7 +346,7 @@ object Dedup {
     val sigs = minhashSignatureFromTokens(toks, bands * rowsPerBand)
     val membership = sigs.select(col("id"), explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val labels = ConnectedComponents.propagateMinLabel(membership, Seq("band", "sig"), iterations)
+    val labels = ConnectedComponents.propagateMinLabel(membership, Seq("band", "sig"), iterations, shortcut)
     val singletons = allToks.filter(col("toks").isNull)
       .select(col("id"), col("id").as("label"))
     labels.unionByName(singletons)

@@ -121,7 +121,7 @@ object Similarity {
     */
   def nearDupClusters(df: DataFrame, idCol: String, vecCol: String,
                       dim: Int, planes: Int, tables: Int = 4,
-                      iterations: Int = 5): DataFrame = {
+                      iterations: Int = 3): DataFrame = {
     val membership = df.select(col(idCol).as("id"),
         posexplode(graft.plans.HyperplaneBuckets(col(vecCol), dim, planes, tables))
           .as(Seq("t", "b")))

@@ -81,24 +81,39 @@ object GraphConfig {
       predicateOf(n)
     }
 
-    def predicateOf(n: JsonNode): Predicate = n.get("op").asText() match {
-      case "eq" => Eq(n.get("attr").asText(), value(n.get("value")))
-      case "range" => Range(n.get("attr").asText(), value(n.get("lb")), value(n.get("ub")))
-      case "isnull" => IsNull(n.get("attr").asText())
-      case "isnotnull" => IsNotNull(n.get("attr").asText())
-      case op => throw new IllegalArgumentException(s"unknown predicate op '$op'")
+    def predicateOf(n: JsonNode): Predicate = {
+      // op-specific value fields go through the same named-error path
+      // as the structural fields — an 'eq' without 'value' (or 'range'
+      // without 'lb'/'ub') must say so, not NPE
+      def pv(field: String): Any = {
+        require(n.hasNonNull(field),
+          s"'${n.get("op").asText()}' predicate needs '$field': $n")
+        value(n.get(field))
+      }
+      n.get("op").asText() match {
+        case "eq" => Eq(n.get("attr").asText(), pv("value"))
+        case "range" => Range(n.get("attr").asText(), pv("lb"), pv("ub"))
+        case "isnull" => IsNull(n.get("attr").asText())
+        case "isnotnull" => IsNotNull(n.get("attr").asText())
+        case op => throw new IllegalArgumentException(s"unknown predicate op '$op'")
+      }
     }
 
     def aggregate(n: JsonNode): Column = {
       require(n.hasNonNull("function") && n.hasNonNull("as"),
         s"aggregate needs 'function' and 'as': $n")
       val as = n.get("as").asText()
+      def attr: Column = {
+        require(n.hasNonNull("attribute"),
+          s"aggregate '${n.get("function").asText()}' needs an 'attribute': $n")
+        col(n.get("attribute").asText())
+      }
       n.get("function").asText() match {
         case "count" => count(lit(1)).as(as)
-        case "sum" => sum(col(n.get("attribute").asText())).as(as)
-        case "min" => min(col(n.get("attribute").asText())).as(as)
-        case "max" => max(col(n.get("attribute").asText())).as(as)
-        case "avg" => avg(col(n.get("attribute").asText())).as(as)
+        case "sum" => sum(attr).as(as)
+        case "min" => min(attr).as(as)
+        case "max" => max(attr).as(as)
+        case "avg" => avg(attr).as(as)
         case f => throw new IllegalArgumentException(s"unknown aggregate '$f'")
       }
     }

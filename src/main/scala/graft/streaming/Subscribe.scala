@@ -146,36 +146,62 @@ object Subscribe {
     */
   def parquetUpsertSink(updates: DataFrame, path: String, checkpoint: String,
                         key: Seq[String], tsCol: String, tiebreak: Seq[String],
-                        partitionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+                        partitionCol: String,
+                        maxPartitionsPerBatch: Int = 4096): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val parts = batch.select(partitionCol).distinct().collect().map(_.get(0))
-        if (parts.nonEmpty) {
-          // explicit existence check — a blanket AnalysisException
-          // catch would also swallow schema/corruption failures and
-          // silently overwrite good partitions with batch-only rows
-          val hPath = new org.apache.hadoop.fs.Path(path)
-          val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val existing =
-            if (!fs.exists(hPath)) None
-            else {
-              val (nulls, nonNulls) = parts.partition(_ == null)
-              val cond = Option.when(nonNulls.nonEmpty)(col(partitionCol).isin(nonNulls.toIndexedSeq: _*))
-                .toSeq ++ Option.when(nulls.nonEmpty)(col(partitionCol).isNull).toSeq
-              Some(spark.read.parquet(path).filter(cond.reduce(_ || _)))
-            }
-          val all = existing.fold(batch.toDF())(_.unionByName(batch.toDF()))
-          val merged = graft.operators.AsOf.latestPerKey(all, tsCol, key, tiebreak)
-            .localCheckpoint(true) // eager; severs lineage from the files we overwrite
-          merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic") // write-scoped, no session conf leak
-            .partitionBy(partitionCol).parquet(path)
-        }
-        ()
+        upsertBatch(batch.toDF(), path, key, tsCol, tiebreak, partitionCol,
+          maxPartitionsPerBatch)
       }
       .start()
+
+  /** One micro-batch of the upsert — factored out so the
+    * partition-cardinality contract is directly testable. The distinct
+    * partition-value `collect` is driver-side by design (the values
+    * parameterize the read-back filter); it is bounded by
+    * `maxPartitionsPerBatch` with a named error rather than an OOM,
+    * because a mis-chosen `partitionCol` (e.g. the row key itself)
+    * would otherwise balloon the collect with the batch size.
+    */
+  private[graft] def upsertBatch(batch: DataFrame, path: String,
+                                 key: Seq[String], tsCol: String,
+                                 tiebreak: Seq[String], partitionCol: String,
+                                 maxPartitionsPerBatch: Int = 4096): Unit = {
+    val spark = batch.sparkSession
+    val parts = batch.select(partitionCol).distinct()
+      .limit(maxPartitionsPerBatch + 1).collect().map(_.get(0))
+    require(parts.length <= maxPartitionsPerBatch,
+      s"batch touches > $maxPartitionsPerBatch distinct '$partitionCol' partitions — " +
+        "partitionCol must be low-cardinality (a function of key, not the key itself); " +
+        "raise maxPartitionsPerBatch only if the table really has that many live partitions")
+    if (parts.nonEmpty) {
+      // explicit existence check — a blanket AnalysisException
+      // catch would also swallow schema/corruption failures and
+      // silently overwrite good partitions with batch-only rows
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val existing =
+        if (!fs.exists(hPath)) None
+        else {
+          val (nulls, nonNulls) = parts.partition(_ == null)
+          val cond = Option.when(nonNulls.nonEmpty)(col(partitionCol).isin(nonNulls.toIndexedSeq: _*))
+            .toSeq ++ Option.when(nulls.nonEmpty)(col(partitionCol).isNull).toSeq
+          // read back with the batch's schema pinned: partition-column
+          // type inference would otherwise retype numeric-looking
+          // string partition values ('01' -> int 1), making unionByName
+          // fail or — worse — coercing '01' to '1' and rewriting those
+          // rows into a different partition directory
+          Some(spark.read.schema(batch.schema).parquet(path).filter(cond.reduce(_ || _)))
+        }
+      val all = existing.fold(batch)(_.unionByName(batch))
+      val merged = graft.operators.AsOf.latestPerKey(all, tsCol, key, tiebreak)
+        .localCheckpoint(true) // eager; severs lineage from the files we overwrite
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // write-scoped, no session conf leak
+        .partitionBy(partitionCol).parquet(path)
+    }
+  }
 
   /** Streaming read of a stored table — the datastore driver's
     * subscribe path (reference: datastoredriver.go ProcessQuerySubscribe;

@@ -35,6 +35,24 @@ class AsOfSpec extends SparkSpecBase {
     assert(got === 9L, "max tiebreak wins among equal timestamps")
   }
 
+  test("asofJoin handles dotted column names and reserves its internal prefix") {
+    import spark.implicits._
+    // columns with dots mis-resolve under string-path extraction; the
+    // getField-based extraction must bind them correctly
+    val left = Seq((1L, ts(10), "x")).toDF("k", "t", "my.tag")
+    val right = Seq((1L, ts(5), 7.5)).toDF("k", "qt", "px.usd")
+    val got = AsOf.asofJoin(left, right, "k", "k", "t", "qt",
+      rightCols = Seq("px.usd"))
+    assert(got.columns.toSeq === Seq("k", "t", "my.tag", "px.usd"))
+    val row = got.head()
+    assert(row.getAs[String]("my.tag") === "x" && row.getAs[Double]("px.usd") === 7.5)
+    // a user column that collides with the internal namespace is refused
+    val bad = Seq((1L, ts(10), "x")).toDF("k", "t", "__graft_asof_lrow")
+    val e = intercept[IllegalArgumentException](
+      AsOf.asofJoin(bad, right, "k", "k", "t", "qt", rightCols = Seq("px.usd")))
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("range join meets each (point, interval) pair exactly once, no cartesian") {
     import graft.operators.RangeJoin
     import spark.implicits._

@@ -65,6 +65,21 @@ class DedupSpec extends SparkSpecBase {
     assert(clusters(4L) !== clusters(1L), "unrelated doc stays apart")
   }
 
+  test("3 jumped rounds reach the same clusters as 5 on the corpus") {
+    // With per-round pointer jumping, 3 rounds cover diameter 14 — the
+    // corpus's components (plain one-hop propagation still moved labels
+    // at round 6) are fully resolved, so 3 == 5 pins both the round
+    // count (4 fewer membership-sized shuffles than the old 5-round
+    // default) and fixpoint-exactness.
+    val corpus = Tables.load(spark, sf(), "documents")
+    def run(iters: Int) = Dedup.minhashClusters(corpus, "doc_id", "text",
+      bands = 2, rowsPerBand = 4, iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val three = run(3)
+    val five = run(5)
+    assert(three === five, "3-round labels must match 5-round labels")
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -85,4 +85,32 @@ class GraphConfigSpec extends SparkSpecBase {
       GraphConfig.fromJson(spark, unknown, sf()))
     assert(e2.getMessage.contains("teleport"))
   }
+
+  test("missing param VALUES fail with the named error, not an NPE") {
+    // an 'eq' without 'value'
+    val eqNoValue = """{"root": "f", "qpus": {
+      "d": {"operator": "datastore", "table": "customer"},
+      "f": {"operator": "filter", "children": ["d"],
+            "predicates": [{"op": "eq", "attr": "c_nationkey"}]}}}"""
+    val e1 = intercept[IllegalArgumentException](
+      GraphConfig.fromJson(spark, eqNoValue, sf()))
+    assert(e1.getMessage.contains("value"))
+    // a 'range' without 'lb'
+    val rangeNoLb = """{"root": "f", "qpus": {
+      "d": {"operator": "datastore", "table": "customer"},
+      "f": {"operator": "filter", "children": ["d"],
+            "predicates": [{"op": "range", "attr": "c_acctbal", "ub": 10}]}}}"""
+    val e2 = intercept[IllegalArgumentException](
+      GraphConfig.fromJson(spark, rangeNoLb, sf()))
+    assert(e2.getMessage.contains("lb"))
+    // a 'sum' aggregate without 'attribute'
+    val sumNoAttr = """{"root": "a", "qpus": {
+      "d": {"operator": "datastore", "table": "customer"},
+      "a": {"operator": "aggregation", "children": ["d"],
+            "groupBy": ["c_nationkey"],
+            "aggregates": [{"function": "sum", "as": "s"}]}}}"""
+    val e3 = intercept[IllegalArgumentException](
+      GraphConfig.fromJson(spark, sumNoAttr, sf()))
+    assert(e3.getMessage.contains("attribute"))
+  }
 }

@@ -63,9 +63,14 @@ class SimilaritySpec extends SparkSpecBase {
     // chain graph: buckets b1..b9 each link consecutive ids 1..10
     val mem = (1L to 9L).flatMap(b => Seq(b -> s"b$b", (b + 1) -> s"b$b"))
       .toDF("id", "bucket")
-    val bounded = ConnectedComponents.propagateMinLabel(mem, Seq("bucket"), 3)
+    val bounded = ConnectedComponents.propagateMinLabel(mem, Seq("bucket"), 3,
+      shortcut = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bounded(10L) !== 1L, "diameter-9 chain cannot converge in 3 one-hop rounds")
+    val jumped = ConnectedComponents.propagateMinLabel(mem, Seq("bucket"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 10L).forall(jumped(_) == 1L),
+      "pointer jumping doubles reach per round: 3 rounds cover diameter 14")
     val exact = ConnectedComponents.propagateToFixpoint(mem, Seq("bucket"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 10L).forall(exact(_) == 1L), "fixpoint must label the whole chain")

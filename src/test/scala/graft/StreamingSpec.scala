@@ -167,6 +167,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("upsert batch refuses a partition column with per-row cardinality") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-neg")
+    val batch = (1L to 50L).map(i => (i, s"part_$i", i * 1.0, ts(i)))
+      .toDF("k", "part", "value", "ts")
+    // partitionCol == key: every row is its own partition — the
+    // driver-side partition-value collect must stop with the named
+    // contract error instead of collecting without bound
+    val e = intercept[IllegalArgumentException] {
+      Subscribe.upsertBatch(batch, s"$dir/view", key = Seq("k"), tsCol = "ts",
+        tiebreak = Nil, partitionCol = "part", maxPartitionsPerBatch = 10)
+    }
+    assert(e.getMessage.contains("low-cardinality"))
+  }
+
+  test("upsert read-back keeps string partition values that look numeric") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-leadzero")
+    val path = s"$dir/view"
+    // '01' would be inferred as int 1 on read-back without the pinned
+    // schema, coercing rows into a different partition directory
+    val b1 = Seq((1L, "01", 10.0, ts(1)), (2L, "2", 20.0, ts(1)))
+      .toDF("k", "part", "value", "ts")
+    Subscribe.upsertBatch(b1, path, Seq("k"), "ts", Nil, "part")
+    val b2 = Seq((1L, "01", 11.0, ts(2))).toDF("k", "part", "value", "ts")
+    Subscribe.upsertBatch(b2, path, Seq("k"), "ts", Nil, "part")
+    val rows = spark.read.schema(b1.schema).parquet(path).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("part"), r.getAs[Double]("value")))
+      .toSet
+    assert(rows === Set((1L, "01", 11.0), (2L, "2", 20.0)),
+      "leading-zero partition value must stay '01' and hold exactly one row version")
+    assert(new java.io.File(s"$path/part=01").exists(), "partition dir keeps raw value")
+  }
+
   test("subscribeTable replays a stored table as a stream (catch-up phase)") {
     val stream = Subscribe.subscribeTable(spark, sf(), "events")
     val agg = Subscribe.incrementalSum(stream, "user_id", "value")
