@@ -768,7 +768,13 @@ object Queries {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
 
-    // §2.2/22 — Q5 shape: 6-way join, dimensions broadcast
+    // §2.2/22 — Q5 shape: 6-way join, dimensions broadcast.
+    // Round-2's 0.83s->2.01s bench delta was adjudicated with
+    // QueryMetrics.profile (round 3): six profiled runs, heavy query
+    // interleaved, all byte-identical — 766,030 records / 32,093 input
+    // bytes / 423 shuffle bytes each way, wall 0.97-1.43s. Data
+    // movement is constant; the spread is JVM/scheduler noise, not a
+    // plan or operator change.
     "q5_local_supplier" -> QueryDef(
       (s, d) => {
         val region = ds(s, d, "region").toDF.filter(col("r_name") === "ASIA")

@@ -107,4 +107,57 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"), "corpus x corpus cartesian would not scale")
   }
+
+  // ---- measured regression guards (QueryMetrics): these fail if a
+  // scale invariant is undone, not just if the plan string drifts ----
+
+  test("dedup_minhash: shuffle volume stays proportional to the input (selective salt)") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("dedup_minhash").build(spark, sf()).count()
+    }
+    // Selective salting's contract: cold buckets pass through with NO
+    // replication, so total shuffle writes stay within a small factor
+    // of the bytes scanned. Blanket 16x salt replication (the round-1
+    // bug) pushed shuffle writes to >10x input and would trip this.
+    assert(st.bytesRead > 0, "profile must observe the scan")
+    assert(st.shuffleBytesWritten <= 6L * st.bytesRead,
+      s"shuffle ${st.shuffleBytesWritten}B vs input ${st.bytesRead}B — " +
+        "salt replication is no longer volume-proportional")
+  }
+
+  test("q_router_union: reads the source table's rows exactly once") {
+    spark.catalog.clearCache()
+    val expected = Tables.load(spark, sf(), "orders").count()
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("q_router_union").build(spark, sf()).count()
+    }
+    // 5 same-source children must cost ONE scan of orders — recordsRead
+    // creeping toward a multiple of the table is the second-scan bug.
+    assert(st.recordsRead <= expected + expected / 2,
+      s"router read ${st.recordsRead} records for a $expected-row table — " +
+        "children are scanning the source more than once")
+  }
+
+  test("dedup_cluster: 3 jumped rounds shuffle less than the old 5 plain rounds") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sf(), "documents")
+    def shuffled(iters: Int, shortcut: Boolean): Long = {
+      spark.catalog.clearCache()
+      val (_, st) = QueryMetrics.profile(spark) {
+        Dedup.minhashClusters(docs, "doc_id", "text", 2, 4, iters, shortcut).count()
+      }
+      st.shuffleBytesWritten
+    }
+    val current = shuffled(3, shortcut = true) // the shipped default
+    val old5 = shuffled(5, shortcut = false) // round-2's configuration
+    // The round-3 change's invariant: per-round pointer jumps let 3
+    // rounds replace 5, and the label-sized jump shuffles must not eat
+    // the savings from the dropped membership-sized rounds. Reverting
+    // to more rounds (or jumping without dropping rounds) trips this.
+    assert(current < old5,
+      s"3 jumped rounds shuffled ${current}B, 5 plain rounds ${old5}B — " +
+        "the round reduction no longer pays for the jump joins")
+  }
 }
