@@ -478,14 +478,40 @@ object Queries {
         |  FROM s) t WHERE rank <= 10""".stripMargin)),
 
     // §2.3/35 — LSH-bucketed ANN (scale path); recall vs brute force is
-    // asserted in SimilaritySpec → rows-only here
+    // asserted in SimilaritySpec. FULL oracle: the md5-derived ±1 sign
+    // matrix, per-table bucket assignment (dot > 0 per plane), the
+    // any-table candidate union, and cosine top-k are all replayed in
+    // SQL. Sign multiplies are exact in float and both engines
+    // accumulate dots in index order, so buckets match bit-for-bit.
     "sim_ann_lsh" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, dim = 64, planes = 4)
       },
-      None),
+      Some("""WITH signs AS (
+        |  SELECT tp, j,
+        |    CASE WHEN (('0x' || substring(md5(tp || ':' || j), 1, 2))::int % 2) = 0
+        |         THEN -1.0 ELSE 1.0 END AS s
+        |  FROM range(16) AS t1(tp), range(64) AS t2(j)),
+        |svec AS (SELECT tp, list(s ORDER BY j) AS sv FROM signs GROUP BY tp),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |buckets AS (
+        |  SELECT e.vec_id, (sv.tp // 4)::BIGINT AS tbl,
+        |    sum(CASE WHEN list_inner_product(e.v, sv.sv) > 0
+        |             THEN 1 << (sv.tp % 4) ELSE 0 END)::BIGINT AS bucket
+        |  FROM emb e CROSS JOIN svec sv
+        |  GROUP BY e.vec_id, sv.tp // 4),
+        |cand AS (
+        |  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS nid
+        |  FROM buckets qb JOIN buckets cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+        |  WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
+        |s AS (
+        |  SELECT qid, nid, list_cosine_similarity(eq.v, ec.v) AS c
+        |  FROM cand JOIN emb eq ON eq.vec_id = qid JOIN emb ec ON ec.vec_id = nid)
+        |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        |  FROM s) t WHERE rank <= 10""".stripMargin)),
 
     // §2.3/55 — IVF coarse-quantizer ANN (scale path #2); recall vs
     // brute force asserted in SimilaritySpec. The oracle replays the

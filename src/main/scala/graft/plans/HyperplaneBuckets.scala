@@ -12,9 +12,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * from an `array<float>` vector in a single fused loop.
   *
   * The sign matrix (±1 per (plane, dimension)) is generated
-  * deterministically from a splitmix64-style mix of the plane/dim
-  * indices at plan time and shipped as a codegen reference object, so
-  * bucket assignments are stable across runs and cluster topologies.
+  * deterministically from md5 over the "plane:dim" index string at
+  * plan time and shipped as a codegen reference object, so bucket
+  * assignments are stable across runs and cluster topologies AND
+  * replayable by an external SQL engine (`('0x' ||
+  * substring(md5(p || ':' || j), 1, 2))::int % 2` reproduces each
+  * sign — the same md5-portability contract as HashFunctions). Sign
+  * multiplication is exact in float, and both engines accumulate the
+  * dot product in index order with a double accumulator, so the
+  * `dot > 0` threshold decides identically.
   * Replaces `tables * planes` interpreted `zip_with`/`aggregate`
   * reductions per row with `O(tables * planes * dim)` primitive
   * multiply-adds inside whole-stage codegen.
@@ -88,17 +94,19 @@ case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int, tables: I
 }
 
 object HyperplaneBuckets {
-  /** Deterministic ±1 sign matrix (splitmix64 finalizer over (plane, dim)). */
-  def signMatrix(dim: Int, numPlanes: Int): Array[Array[Float]] =
+  /** Deterministic ±1 sign matrix: parity of the first md5 byte of
+    * "plane:dim" (md5-derived like every other hash in graft, so an
+    * external SQL oracle can regenerate the exact matrix).
+    */
+  def signMatrix(dim: Int, numPlanes: Int): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(numPlanes) { p =>
       Array.tabulate(dim) { j =>
-        var z = (p.toLong << 32 | (j.toLong & 0xffffffffL)) + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z = z ^ (z >>> 31)
-        if ((z & 1L) == 0L) -1.0f else 1.0f
+        val h = md.digest(s"$p:$j".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) -1.0f else 1.0f
       }
     }
+  }
 
   def apply(vec: Column, dim: Int, planes: Int, tables: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(vec), dim, planes, tables))
