@@ -639,19 +639,38 @@ object Queries {
            |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b""".stripMargin
       }),
 
-    // §2.3/44 — char-5-gram shingle Jaccard >= 0.7 within (source, lang)
+    // §2.3/44 — char-5-gram shingle Jaccard >= 0.7 within (source, lang),
+    // candidates from a SECOND LSH level (4×2-banded minhash over the
+    // shingle sets, replayed band-for-band by the oracle) so a big
+    // bucket never implies a within-bucket cartesian
     "dedup_shingle" -> QueryDef(
       (s, d) => Dedup.shinglePairs(ds(s, d, "documents").toDF,
         "doc_id", "text", Seq("source", "lang"), k = 5, num = 7, den = 10),
-      Some("""WITH t AS (SELECT doc_id, source, lang,
-        |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
-        |    i -> substring(text, i, 5))) AS toks FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  len(list_intersect(a.toks, b.toks)) AS inter_size,
-        |  len(list_distinct(a.toks || b.toks)) AS union_size
-        |FROM t a JOIN t b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.toks, b.toks)) * 10 >=
-        |      len(list_distinct(a.toks || b.toks)) * 7""".stripMargin)),
+      Some {
+        val mh = (0 until 8).map(i =>
+          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
+          .mkString(", ")
+        val bandsCond = (0 until 4).map(b =>
+          s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
+          .mkString(" OR ")
+        s"""WITH t AS (SELECT doc_id, source, lang,
+           |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+           |    i -> substring(text, i, 5))) AS toks FROM documents),
+           |tn AS (SELECT * FROM t WHERE len(toks) > 0),
+           |hp AS (SELECT doc_id, source, lang, list_transform(toks, w ->
+           |  [('0x' || substring(md5(w), 1, 14))::bigint,
+           |   ('0x' || substring(md5(w), 15, 14))::bigint]) AS hs FROM tn),
+           |sigs AS (SELECT doc_id, source, lang, $mh FROM hp),
+           |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sigs a JOIN sigs b ON a.source = b.source AND a.lang = b.lang
+           |    AND a.doc_id < b.doc_id AND ($bandsCond))
+           |SELECT doc_a, doc_b,
+           |  len(list_intersect(ta.toks, tb.toks)) AS inter_size,
+           |  len(list_distinct(ta.toks || tb.toks)) AS union_size
+           |FROM cand JOIN tn ta ON doc_a = ta.doc_id JOIN tn tb ON doc_b = tb.doc_id
+           |WHERE len(list_intersect(ta.toks, tb.toks)) * 10 >=
+           |      len(list_distinct(ta.toks || tb.toks)) * 7""".stripMargin
+      }),
 
     // §2.3/45 — TF-IDF weighting over the corpus
     "text_tfidf" -> QueryDef(

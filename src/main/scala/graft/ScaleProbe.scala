@@ -44,6 +44,12 @@ object ScaleProbe {
       time("simhash")(Dedup.simhashPairs(big, "doc_id", "text", 3).count())
       time("shingle")(Dedup.shinglePairs(big, "doc_id", "text",
         Seq("source", "lang"), 5, 7, 10).count())
+      // num=0/den=1 disables the Jaccard confirm, so this counts the
+      // banded LSH CANDIDATE pairs themselves — the number that must
+      // stay bounded as the corpus grows now that candidates come from
+      // shingle-minhash bands instead of bucket membership alone
+      time("shingle_candidates")(Dedup.shinglePairs(big, "doc_id", "text",
+        Seq("source", "lang"), 5, 0, 1).count())
     }
     spark.stop()
   }

@@ -157,42 +157,62 @@ object Dedup {
     */
   def shinglePairs(df: DataFrame, idCol: String, textCol: String,
                    bucketCols: Seq[String], k: Int,
-                   num: Int, den: Int): DataFrame =
-    shinglePairsReleasable(df, idCol, textCol, bucketCols, k, num, den)._1
+                   num: Int, den: Int,
+                   bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    shinglePairsReleasable(df, idCol, textCol, bucketCols, k, num, den,
+      bands, rowsPerBand)._1
 
   /** [[shinglePairs]] plus the deterministic cleanup handle.
     *
-    * The corpus-sized shingle representation is persisted so the
-    * self-join doesn't shingle+hash+sort each side separately (3×
-    * faster at sf0.1); `release()` drops that pin once the caller has
+    * Candidate generation is a SECOND LSH level, not bucket membership
+    * alone: minhash signatures over the shingle sets are banded
+    * (`bands`×`rowsPerBand`) inside each composite bucket, so a huge
+    * (source, lang) bucket no longer implies a quadratic within-bucket
+    * join — candidates are pairs agreeing on a full band of shingle
+    * minhashes, exactly like [[minhashDedup]]'s word-level banding,
+    * and the hot-band self-join is selectively salted. The default
+    * 4×2 banding catches a Jaccard-0.7 pair with p ≈ 0.93 (0.9987 at
+    * J = 0.9); the external oracle replays the identical banding so
+    * the recall contract is part of the replayed semantics. Empty
+    * shingle sets (text shorter than `k`) are dropped: their Jaccard
+    * is 0/0 and their all-NULL signatures would otherwise collide
+    * into one band clique the SQL replay never emits.
+    *
+    * The banded+scored representation is pinned for the duration of
+    * the self-join; `release()` drops that pin once the caller has
     * consumed the pairs. Long-lived sessions running many corpora
     * should use this variant and call `release()` between runs — the
-    * plain [[shinglePairs]] leaves the pin to Spark's storage LRU
-    * (fine for job-scoped sessions, unbounded otherwise). Pass
-    * `persistRepr = false` to trade the double computation for zero
-    * cache footprint.
+    * plain [[shinglePairs]] leaves the pin to the bounded internal
+    * LRU ([[releasePins]] drops those eagerly).
     */
   def shinglePairsReleasable(df: DataFrame, idCol: String, textCol: String,
                              bucketCols: Seq[String], k: Int,
                              num: Int, den: Int,
-                             persistRepr: Boolean = true): (DataFrame, () => Unit) = {
+                             bands: Int = 4, rowsPerBand: Int = 2): (DataFrame, () => Unit) = {
     val t = fanOut(df).select((col(idCol).as("id") +: bucketCols.map(col)) :+
       TextFunctions.charShingles(col(textCol), k).as("toks"): _*)
+      .filter(size(col("toks")) > 0)
     // char shingles are open-vocabulary by construction — don't pay the
     // ≤64-symbol probe job
     val ps = pairScorer(t, assumeOpenVocab = true)
-    val repr =
-      if (persistRepr) ps.repr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else ps.repr
-    val a = repr.as("a"); val b = repr.as("b")
-    val bucketCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    val pairs = a.join(b, bucketCond && col("a.id") < col("b.id") &&
-        sizeRatioPrefilter(ps, num, den))
+    val sigs = minhashSignatureFromTokens(t.select(col("id"), col("toks")),
+      bands * rowsPerBand)
+    val bandKeys = bandKeyStructs(bands, rowsPerBand)
+    val exploded = ps.repr.join(sigs, "id")
+      .select((col("id") +: col("repr") +: bucketCols.map(col)) :+
+        explode(array(bandKeys: _*)).as("bk"): _*)
+      .select((col("id") +: col("repr") +: bucketCols.map(col)) :+
+        col("bk.band").as("band") :+ col("bk.sig").as("sig"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = saltedSelfJoin(exploded, bucketCols ++ Seq("band", "sig"),
+        pinInput = false)
+      .filter(sizeRatioPrefilter(ps, num, den))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         ps.inter(col("a.repr"), col("b.repr")).as("inter_size"),
         ps.union(col("a.repr"), col("b.repr")).as("union_size"))
       .filter(col("inter_size") * den >= col("union_size") * num)
-    (pairs, () => { if (persistRepr) repr.unpersist(); () })
+      .distinct()
+    (pairs, () => { exploded.unpersist(); () })
   }
 
   /** MinHash signature: `numHashes` independent md5-derived hash
@@ -292,15 +312,18 @@ object Dedup {
     */
   private[graft] def saltedSelfJoin(df: DataFrame, keys: Seq[String],
                                     saltFactor: Int = 16,
-                                    hotThreshold: Int = 1000): DataFrame = {
+                                    hotThreshold: Int = 1000,
+                                    pinInput: Boolean = true): DataFrame = {
     // the input lineage (tokenize + hash + explode for the LSH callers)
     // would otherwise run 3x — once for the counts pass and once per
     // join side; pinning it trades bands×corpus of storage for the
     // recompute. The pin is registered in a small bounded LRU so a
     // long-lived session invoking these operators repeatedly cannot
     // accumulate storage without limit (an evicted pin only costs the
-    // lineage recompute if that old query re-executes).
-    val pinned = registerPin(df)
+    // lineage recompute if that old query re-executes). Callers that
+    // persist the input themselves (and own its release) pass
+    // pinInput = false.
+    val pinned = if (pinInput) registerPin(df) else df
     val counts = pinned.groupBy(keys.map(col): _*)
       .agg((count(lit(1)) > hotThreshold).as("__hot"))
     val tagged = pinned.join(counts, keys)
