@@ -32,3 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Keep sbt's "[success] Total time ..." trailer off stdout: the bench
+// driver reads the LAST stdout line, which must be graft.Bench's JSON
+// (rounds 1-3 all ended with "parsed": null because the success line
+// printed after it).
+Global / showSuccess := false

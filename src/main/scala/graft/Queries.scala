@@ -2,7 +2,7 @@ package graft
 
 import graft.api.ProteusQL
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, TfIdf}
+import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, Sketches, TfIdf}
 import graft.qpu._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -548,11 +548,41 @@ object Queries {
         |  FROM scored) x WHERE rank <= 10""".stripMargin)),
 
     // §2.3/62 — embedding near-dup clustering over LSH buckets (O(n)
-    // output); connectivity depends on the native sign matrix → rows-only
+    // output). FULL oracle (graduated from rows-only in round 4): the
+    // md5-derived ±1 sign matrix is regenerated in SQL exactly as in
+    // sim_ann_lsh's oracle (16 hyperplanes = 2 tables × 8 planes,
+    // bucket bit p set when the double-accumulated dot product > 0),
+    // and the 3 min-label hop+jump rounds are replayed as chained CTEs
+    // exactly as in dedup_cluster's oracle.
     "sim_embed_cluster" -> QueryDef(
       (s, d) => Similarity.nearDupClusters(ds(s, d, "embeddings").toDF,
         "vec_id", "embedding", dim = 64, planes = 8, tables = 2),
-      None),
+      Some {
+        val iters = (0 until 3).map { k =>
+          s"""bmin$k AS (SELECT t, b, min(label) AS bmin FROM mem
+             |  JOIN l$k USING (id) GROUP BY t, b),
+             |p$k AS (SELECT id, min(bmin) AS label FROM mem
+             |  JOIN bmin$k USING (t, b) GROUP BY id),
+             |l${k + 1} AS (SELECT a.id AS id, b.label AS label
+             |  FROM p$k a JOIN p$k b ON a.label = b.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH signs AS (
+           |  SELECT tp, j,
+           |    CASE WHEN (('0x' || substring(md5(tp || ':' || j), 1, 2))::int % 2) = 0
+           |         THEN -1.0 ELSE 1.0 END AS s
+           |  FROM range(16) AS t1(tp), range(64) AS t2(j)),
+           |svec AS (SELECT tp, list(s ORDER BY j) AS sv FROM signs GROUP BY tp),
+           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |mem AS (
+           |  SELECT e.vec_id AS id, (sv.tp // 8)::BIGINT AS t,
+           |    sum(CASE WHEN list_inner_product(e.v, sv.sv) > 0
+           |             THEN 1 << (sv.tp % 8) ELSE 0 END)::BIGINT AS b
+           |  FROM emb e CROSS JOIN svec sv
+           |  GROUP BY e.vec_id, sv.tp // 8),
+           |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
+           |$iters
+           |SELECT id AS vec_id, label AS cluster_id FROM l3""".stripMargin
+      }),
 
     // §2.3/36 — language ID heuristic
     "text_langid" -> QueryDef(
@@ -610,12 +640,16 @@ object Queries {
     // §2.3/40 — multimodal: image rows carry REAL encoded files
     // (PNG/JPEG via javax.imageio, hand-built BMP) and are decoded for
     // real per partition; audio/video codecs remain the declared stub.
-    // Rows-only (DuckDB has no image decoder to replay against).
+    // Rows-only (DuckDB has no image decoder to replay against). The
+    // feature vector is emitted as SCALAR columns: the driver's
+    // rows-only check still sorts the dumped frame, and an array cell
+    // is unhashable/unsortable for it (round-3 red row).
     "multimodal_decode" -> QueryDef(
       (s, d) => Multimodal.decodeMedia(s,
         Multimodal.attachMediaPayload(ds(s, d, "documents").toDF, "doc_id", "text").toDF)
         .toDF().select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum"),
-          col("feature")),
+          col("feature")(0).as("f0"), col("feature")(1).as("f1"),
+          col("feature")(2).as("f2"), col("feature")(3).as("f3")),
       None),
 
     // §2.3/81 — winnowing fingerprints (rolling-hash document
@@ -725,6 +759,53 @@ object Queries {
       (s, d) => ds(s, d, "events").toDF.groupBy("event_type")
         .agg(approx_count_distinct("user_id").as("approx_users")),
       None),
+
+    // §2.3/90 — KMV (bottom-k) distinct-count sketch: unlike HLL++
+    // (q_approx_users, engine-private registers → rows-only), every
+    // step is md5-portable, so the ESTIMATE itself is oracled — the
+    // SQL replays the k smallest distinct 56-bit hashes per group and
+    // the same integer (k-1)*2^56 DIV h_(k) estimator
+    "q_kmv_distinct" -> QueryDef(
+      (s, d) => Sketches.kmvDistinct(ds(s, d, "events").toDF,
+        Seq("event_type"), "user_id", k = 64),
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substring(md5(user_id::VARCHAR), 1, 14))::bigint AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+        |k AS (SELECT event_type, count(*) AS cnt, max(hv) AS hk
+        |  FROM r WHERE rn <= 64 GROUP BY event_type)
+        |SELECT event_type, CASE WHEN cnt < 64 THEN cnt
+        |  ELSE (63 * (1::BIGINT << 56)) // hk END AS est_distinct
+        |FROM k""".stripMargin)),
+
+    // §2.3/91 — train/test n-gram decontamination: training docs
+    // sharing any word 3-gram with the held-out set (doc_id % 50 = 0
+    // stands in for a benchmark suite); the eval-side gram set is
+    // broadcast, the corpus is scanned once
+    "q_decontaminate" -> QueryDef(
+      (s, d) => {
+        val docs = ds(s, d, "documents").toDF
+        Decontaminate.ngramOverlap(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some {
+        val grams = """CASE WHEN len(toks) >= 3 THEN list_distinct(
+          |      list_transform(generate_series(1, len(toks) - 2),
+          |        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+          |    ELSE []::VARCHAR[] END""".stripMargin
+        s"""WITH tok AS (SELECT doc_id,
+           |    regexp_split_to_array(trim(text), '\\s+') AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |tg AS (SELECT DISTINCT unnest($grams) AS gram
+           |  FROM tok WHERE doc_id % 50 = 0),
+           |trg AS (SELECT doc_id, unnest($grams) AS gram
+           |  FROM tok WHERE doc_id % 50 <> 0)
+           |SELECT trg.doc_id, count(*) AS n_hit_grams
+           |FROM trg JOIN tg USING (gram) GROUP BY trg.doc_id""".stripMargin
+      }),
 
     // §2.3/68 — deterministic hash sampling (the stable train/test
     // split): 10% bucket of documents by md5-derived id hash

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Map-side-combinable k-minimum-values buffer: keeps the k smallest
+  * DISTINCT longs seen per group, merged pairwise — the aggregation
+  * kernel of the KMV distinct-count sketch.
+  *
+  * Why not `distinct` + `row_number() over (partition by group order
+  * by hash)`: that shape shuffles every distinct hash to its group's
+  * single task and sorts there — at corpus scale one straggler task
+  * per group holds ~cardinality rows. This aggregator reduces each
+  * partition to ≤ k values before the shuffle, so the shuffle carries
+  * `groups * k` longs regardless of corpus size, and the merge is
+  * associative/commutative (safe under partial aggregation). The
+  * result is the set of k global minima — deterministic, so an
+  * external SQL oracle can replay it with the window form over the
+  * same md5-derived hashes.
+  */
+class KMinAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  private def insert(buf: Seq[Long], x: Long): Seq[Long] = {
+    if (buf.size >= k && buf.last < x) buf // bounded: full and x too big
+    else if (buf.contains(x)) buf // KMV needs DISTINCT minima
+    else {
+      val (pre, post) = buf.span(_ < x)
+      (pre ++ (x +: post)).take(k)
+    }
+  }
+
+  override def zero: Seq[Long] = Vector.empty
+  override def reduce(buf: Seq[Long], x: Long): Seq[Long] = insert(buf, x)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
+}
+
+object KMinAgg {
+  /** Column form: `kMin(k)(hashCol)` → array<long>, the k smallest
+    * distinct values, ascending.
+    */
+  def kMin(k: Int): Column => Column = {
+    val fn = udaf(new KMinAgg(k))
+    h => fn(h)
+  }
+}

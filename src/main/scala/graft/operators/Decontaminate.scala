@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/test decontamination: flag training documents that share word
+  * n-grams with a held-out evaluation set — the standard hygiene pass
+  * before an LLM training run (the reference engine has no analogue;
+  * this is part of the brief's training-data-pipeline surface).
+  *
+  * Scale shape: the evaluation side of this check is always tiny
+  * (benchmark suites are megabytes) while the training side is the
+  * 100-TB corpus, so the contaminated-gram set is DISTINCT-ed and
+  * `broadcast()` — the training corpus is scanned ONCE, its exploded
+  * n-grams hash-probe the broadcast in the same codegen stage, and the
+  * per-doc tally is a map-side-combinable aggregate. No shuffle ever
+  * carries the corpus-sized gram explosion.
+  */
+object Decontaminate {
+
+  /** Distinct space-joined word `n`-grams of an ALREADY-MATERIALIZED
+    * token-array column. Takes the array column (not the raw text):
+    * a non-attribute expression captured inside the `transform` lambda
+    * would re-evaluate per element — O(tokens²) splits per document.
+    * Documents with fewer than `n` tokens (and NULL text, whose token
+    * array is NULL) yield an empty array.
+    */
+  private[graft] def wordNgramsFromTokens(toks: org.apache.spark.sql.Column,
+                                          n: Int): org.apache.spark.sql.Column =
+    array_distinct(when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>")))
+
+  private def docGrams(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(wordNgramsFromTokens(col("__toks"), n)).as("gram"))
+
+  /** Per-doc contamination tally: `(doc_id, n_hit_grams)` for every
+    * training document sharing at least one word `n`-gram with any
+    * document in `test`; `n_hit_grams` counts its DISTINCT overlapping
+    * grams. Training docs with no overlap are absent (the common case
+    * at scale — join-then-aggregate never materializes them).
+    */
+  def ngramOverlap(train: DataFrame, test: DataFrame, idCol: String,
+                   textCol: String, n: Int): DataFrame = {
+    val testGrams = docGrams(test, idCol, textCol, n)
+      .select("gram").distinct()
+    docGrams(Dedup.fanOut(train), idCol, textCol, n)
+      .join(broadcast(testGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  /** Scrub variant: the training frame with contaminated docs REMOVED —
+    * broadcast left-anti join on the flagged id set, single scan.
+    */
+  def removeContaminated(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val hits = ngramOverlap(train, test, idCol, textCol, n).select("doc_id")
+    train.join(broadcast(hits), train(idCol) === hits("doc_id"), "left_anti")
+  }
+}

@@ -44,7 +44,7 @@ object Dedup {
     * estimated size cannot feed ~8 MB to every core are repartitioned;
     * anything bigger keeps its layout.
     */
-  private def fanOut(df: DataFrame): DataFrame = {
+  private[operators] def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val smallInput =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes <
@@ -193,12 +193,15 @@ object Dedup {
       TextFunctions.charShingles(col(textCol), k).as("toks"): _*)
       .filter(size(col("toks")) > 0)
     // char shingles are open-vocabulary by construction — don't pay the
-    // ≤64-symbol probe job
-    val ps = pairScorer(t, assumeOpenVocab = true)
-    val sigs = minhashSignatureFromTokens(t.select(col("id"), col("toks")),
-      bands * rowsPerBand)
+    // ≤64-symbol probe job. Signatures and the scoring repr are
+    // computed ROW-WISE in one projection pipeline (withMinhashSignature
+    // then pairScorer) — joining two derivations of `t` back together
+    // on id would shuffle the whole corpus and run the shingling
+    // lineage once per side.
+    val ps = pairScorer(withMinhashSignature(t, bands * rowsPerBand),
+      assumeOpenVocab = true)
     val bandKeys = bandKeyStructs(bands, rowsPerBand)
-    val exploded = ps.repr.join(sigs, "id")
+    val exploded = ps.repr
       .select((col("id") +: col("repr") +: bucketCols.map(col)) :+
         explode(array(bandKeys: _*)).as("bk"): _*)
       .select((col("id") +: col("repr") +: bucketCols.map(col)) :+
@@ -232,13 +235,25 @@ object Dedup {
     * into every seed's expression), then `numHashes` cheap arithmetic
     * mins over the pair array.
     */
-  def minhashSignatureFromTokens(toks: DataFrame, numHashes: Int): DataFrame = {
-    val withPairs = toks.withColumn("__hs",
+  def minhashSignatureFromTokens(toks: DataFrame, numHashes: Int): DataFrame =
+    withMinhashSignature(toks, numHashes)
+      .select(col("id") +: (0 until numHashes).map(i => col(s"m$i")): _*)
+
+  /** Append `m0..m{n-1}` minhash columns row-wise to any frame carrying
+    * a `toks` array column, preserving every other column. Callers that
+    * need both the signatures and the token sets (or other payload
+    * columns like a match prefix) get everything in ONE narrow
+    * projection pipeline — the previous shape joined two derivations
+    * of the same frame back together on id, which paid a corpus-wide
+    * shuffle AND ran the tokenization lineage once per join side.
+    */
+  private[graft] def withMinhashSignature(df: DataFrame, numHashes: Int): DataFrame = {
+    val withPairs = df.withColumn("__hs",
       transform(col("toks"), w => HashFunctions.kmHashPair(w)))
     val sig = (0 until numHashes).map { i =>
       array_min(transform(col("__hs"), h => HashFunctions.kmHash(h, i))).as(s"m$i")
     }
-    withPairs.select((col("id") +: sig): _*)
+    withPairs.select(df.columns.map(col) ++ sig: _*)
   }
 
   /** Banded LSH keys over an already-computed minhash signature frame:
@@ -273,11 +288,10 @@ object Dedup {
     val toks = fanOut(df).select(col(idCol).as("id"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
       .filter(col("toks").isNotNull)
-    val ps = pairScorer(toks)
-    val sigs = minhashSignatureFromTokens(toks, numHashes)
-      .join(ps.repr, "id") // repr is corpus-sized → broadcast/AQE picks a cheap join
+    // signatures + scoring repr row-wise in one pipeline (no id join)
+    val ps = pairScorer(withMinhashSignature(toks, numHashes))
     val bandKeys = bandKeyStructs(bands, rowsPerBand)
-    val exploded = sigs.select(col("id"), col("repr"), explode(array(bandKeys: _*)).as("bk"))
+    val exploded = ps.repr.select(col("id"), col("repr"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("repr"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     // Score inside the band join (cheap with the bitmask repr) and
     // filter BEFORE the distinct, so the dedup shuffle only carries
@@ -435,10 +449,10 @@ object Dedup {
     // the SQL oracle, where NULL = NULL is NULL, never emits). They
     // cannot be banded, so they are excluded — callers wanting them
     // can length-bucket the sub-shingle stragglers separately.
-    val toks = t.select(col("id"),
+    val toks = t.select(col("id"), col("prefix"),
       TextFunctions.charShingles(col("prefix"), shingleK).as("toks"))
       .filter(size(col("toks")) > 0)
-    val sigs = minhashSignatureFromTokens(toks, bands * rowsPerBand).join(t, "id")
+    val sigs = withMinhashSignature(toks, bands * rowsPerBand).drop("toks")
     val exploded = sigs.select(col("id"), col("prefix"),
         explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
       .select(col("id"), col("prefix"),

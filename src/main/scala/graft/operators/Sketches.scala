@@ -34,4 +34,36 @@ object Sketches {
     */
   def estimateAll(sketch: CountMinSketch, probes: Seq[Any]): Map[Any, Long] =
     probes.map(p => p -> sketch.estimateCount(p)).toMap
+
+  /** KMV (k-minimum-values) distinct-count estimate per group: hash
+    * each value to 56 md5 bits, keep the k smallest distinct hashes
+    * per group ([[graft.functions.KMinAgg]] — partial-aggregated, the
+    * shuffle carries `groups * k` longs however large the corpus), and
+    * estimate cardinality as `(k-1) * 2^56 / h_(k)` — the classic
+    * bottom-k estimator (Bar-Yossef et al.; relative error
+    * ~1/sqrt(k-2)). Groups with fewer than k distinct values are
+    * EXACT (the buffer holds every hash).
+    *
+    * Unlike HLL++ (row 46), whose register layout is engine-private,
+    * every step here is md5-portable — an external SQL engine replays
+    * the identical estimate, so approx-distinct gets a full oracle.
+    * Integer math throughout: `(k-1) * 2^56` fits a signed long for
+    * k <= 128, and the division is integer `DIV` on both engines.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2 && k <= 128, s"kmv k must be in [2, 128], got $k")
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 14), 16, 10)
+      .cast("long")
+    // NULL values carry no cardinality signal and their NULL hash would
+    // reach the aggregator as a spurious zero — drop them (the SQL
+    // replay filters identically)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.KMinAgg.kMin(k)(h).as("__mins"))
+      .select(groupCols.map(col) :+
+        when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
+          .otherwise(expr(s"${(k - 1).toLong * (1L << 56)}L DIV element_at(__mins, $k)"))
+          .as("est_distinct"): _*)
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Decontaminate, Sketches}
+import org.apache.spark.sql.functions._
+
+/** KMV distinct sketch + n-gram decontamination (SURVEY rows 90, 91). */
+class KmvDecontaminateSpec extends SparkSpecBase {
+
+  test("kmvDistinct: exact below k, bounded error above k") {
+    import spark.implicits._
+    // group "small" has 40 distinct values (< k=64 → exact);
+    // group "big" has 5000 distinct values (estimator path)
+    val df = ((1 to 40).map(i => ("small", i.toLong)) ++
+      (1 to 5000).map(i => ("big", 100000L + i)) ++
+      (1 to 40).map(i => ("small", i.toLong))).toDF("grp", "v")
+    val r = Sketches.kmvDistinct(df, Seq("grp"), "v", k = 64)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("small") === 40L, "below-k groups must be exact (duplicates ignored)")
+    // relative error ~1/sqrt(k-2) ≈ 13%; allow 3 sigma
+    assert(math.abs(r("big") - 5000.0) / 5000.0 < 0.4,
+      s"KMV estimate ${r("big")} too far from 5000")
+  }
+
+  test("kmvDistinct: nulls carry no signal; result stable under repartition") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => ("g", java.lang.Long.valueOf(i % 100))).toDF("grp", "v")
+      .union(Seq(("g", null.asInstanceOf[java.lang.Long])).toDF("grp", "v"))
+    val a = Sketches.kmvDistinct(df, Seq("grp"), "v").collect()(0).getLong(1)
+    val b = Sketches.kmvDistinct(df.repartition(7), Seq("grp"), "v").collect()(0).getLong(1)
+    assert(math.abs(a - 100.0) / 100.0 < 0.5, s"estimate $a too far from 100")
+    assert(a === b, "KMV merge must be partition-order independent")
+  }
+
+  test("ngramOverlap flags exactly the docs sharing a 3-gram, with distinct counts") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta"), // shares "alpha beta gamma" + "beta gamma delta"
+      (2L, "no overlap at all here"),
+      (3L, "alpha beta gamma"), // shares one 3-gram
+      (4L, "tiny doc") // < 3 tokens → no grams
+    ).toDF("doc_id", "text")
+    val test = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val r = Decontaminate.ngramOverlap(train, test, "doc_id", "text", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("removeContaminated drops flagged docs only; eval side is broadcast") {
+    import spark.implicits._
+    val train = Seq((1L, "alpha beta gamma delta"), (2L, "clean text entirely"))
+      .toDF("doc_id", "text")
+    val test = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    val kept = Decontaminate.removeContaminated(train, test, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+    // the corpus-side join must probe a broadcast, not shuffle the corpus
+    val plan = Decontaminate.ngramOverlap(train, test, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-gram join should be broadcast, got:\n$plan")
+  }
+}
