@@ -673,6 +673,35 @@ object Queries {
            |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b""".stripMargin
       }),
 
+    // §2.3/92 — shared-substring provenance pairs: docs sharing >= 8
+    // winnowing fingerprints after a document-frequency gate (fp in
+    // > 64 docs = boilerplate, dropped). The oracle replays the
+    // text_winnow pipeline as a CTE, then the same df gate, self-join
+    // and threshold.
+    "q_substring_pairs" -> QueryDef(
+      (s, d) => Dedup.sharedSubstringPairs(ds(s, d, "documents").toDF,
+        "doc_id", "text", k = winnowK, window = winnowW,
+        minShared = 8, maxDf = 64),
+      Some {
+        val (k, w) = (winnowK, winnowW)
+        s"""WITH f AS (SELECT doc_id, unnest(list_distinct(
+           |  CASE WHEN len(hs) >= $w THEN list_transform(
+           |         generate_series(1, len(hs) - ${w - 1}), j -> list_min(list_slice(hs, j, j + ${w - 1})))
+           |       WHEN len(hs) > 0 THEN [list_min(hs)]
+           |       ELSE []::BIGINT[] END)) AS fp
+           |FROM (SELECT doc_id, list_transform(grams,
+           |    g -> ('0x' || substring(md5(g), 1, 14))::bigint) AS hs
+           |  FROM (SELECT doc_id, CASE WHEN length(text) >= $k
+           |      THEN list_transform(generate_series(1, length(text) - ${k - 1}),
+           |        i -> substring(text, i, $k))
+           |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b),
+           |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 64),
+           |g AS (SELECT doc_id, fp FROM f JOIN rare USING (fp))
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+           |FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 8""".stripMargin
+      }),
+
     // §2.3/44 — char-5-gram shingle Jaccard >= 0.7 within (source, lang),
     // candidates from a SECOND LSH level (4×2-banded minhash over the
     // shingle sets, replayed band-for-band by the oracle) so a big

@@ -53,6 +53,20 @@ object Decontaminate {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** Streaming contamination audit: every (doc_id, gram) hit of a
+    * document STREAM against the static eval-gram set — the quarantine
+    * log a continuously-ingesting pipeline tails. Stateless
+    * stream-static inner join (no watermark, no state store): each
+    * micro-batch explodes its grams and hash-probes the broadcast eval
+    * set in the same stage.
+    */
+  def contaminationAudit(stream: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame =
+    docGrams(stream, idCol, textCol, n)
+      .join(broadcast(docGrams(test, idCol, textCol, n).select("gram").distinct()),
+        "gram")
+      .select("doc_id", "gram")
+
   /** Scrub variant: the training frame with contaminated docs REMOVED —
     * broadcast left-anti join on the flagged id set, single scan.
     */

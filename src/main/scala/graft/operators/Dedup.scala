@@ -248,12 +248,17 @@ object Dedup {
     * shuffle AND ran the tokenization lineage once per join side.
     */
   private[graft] def withMinhashSignature(df: DataFrame, numHashes: Int): DataFrame = {
-    val withPairs = df.withColumn("__hs",
-      transform(col("toks"), w => HashFunctions.kmHashPair(w)))
-    val sig = (0 until numHashes).map { i =>
-      array_min(transform(col("__hs"), h => HashFunctions.kmHash(h, i))).as(s"m$i")
-    }
-    withPairs.select(df.columns.map(col) ++ sig: _*)
+    // the whole signature runs in the native MinhashSig kernel: ONE
+    // md5 digest per token (Kirsch–Mitzenmacher family) and all
+    // numHashes minima in a single fused loop, no per-token hex
+    // strings or intermediate pair array. Bit-identical to the
+    // interpreted chain transform(kmHashPair) + numHashes×array_min
+    // (MinhashKernelSpec proves it on the corpus), so every DuckDB
+    // oracle replays unchanged.
+    val withSig = df.withColumn("__sig",
+      graft.plans.MinhashSig(col("toks"), numHashes))
+    withSig.select(df.columns.map(col) ++
+      (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
   }
 
   /** Banded LSH keys over an already-computed minhash signature frame:
@@ -396,8 +401,11 @@ object Dedup {
     * [[graft.plans.SimHash56]] kernel.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextFunctions.tokenSet(col(textCol))
-    val hashes = transform(toks, w => HashFunctions.seededHash56(0, w))
+    // token hashing runs in the native Md5Hash56Array kernel (one
+    // digest per token, no hex-string allocation) — bit-identical to
+    // transform(toks, w => seededHash56(0, w)), proven in
+    // MinhashKernelSpec
+    val hashes = graft.plans.Md5Hash56Array(TextFunctions.tokenSet(col(textCol)), "0:")
     fanOut(df).select(col(idCol).as("id"),
       graft.plans.SimHash56(hashes).as("simhash"))
   }
@@ -497,6 +505,34 @@ object Dedup {
       .filter(col("pos") <= greatest(col("n") - window, lit(0)))
       .select(col("doc_id"), col("wmin").as("fp"))
       .distinct()
+  }
+
+  /** Shared-substring provenance pairs: documents sharing at least
+    * `minShared` winnowing fingerprints. Any common substring of
+    * length >= window + k - 1 contributes at least one shared
+    * fingerprint (the winnowing guarantee), so this is the scalable
+    * Spark-first analogue of suffix-array substring dedup — quote and
+    * boilerplate reuse surfaces WITHOUT any all-pairs text comparison.
+    *
+    * Scale shape: fingerprints occurring in more than `maxDf`
+    * documents are dropped first (a map-side-combinable document-
+    * frequency count — corpus-wide boilerplate like license headers
+    * carries no provenance signal and would otherwise form the hottest
+    * self-join buckets); the residual hot fingerprints are selectively
+    * salted by [[saltedSelfJoin]]. The pair contract is quadratic only
+    * in per-fingerprint multiplicity, bounded by `maxDf`.
+    */
+  def sharedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, window: Int,
+                           minShared: Int, maxDf: Int = 64): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, window)
+      .select(col("doc_id").as("id"), col("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    saltedSelfJoin(fps.join(rare, "fp"), Seq("fp"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

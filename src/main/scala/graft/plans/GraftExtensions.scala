@@ -21,28 +21,66 @@ object SelfIntersectFold extends Rule[LogicalPlan] {
   }
 }
 
-/** SparkSessionExtensions entry point: registers graft's native
-  * expressions under SQL names (so `spark.sql("... cosine_sim(a, b)
-  * ...")` works) and graft's optimizer rules. Enable with
+/** SparkSessionExtensions entry point: registers ALL of graft's native
+  * kernels under SQL names (so `spark.sql("... cosine_sim(a, b) ...")`
+  * works from pure SQL — including over the Thrift server / Spark
+  * Connect, where no Scala Column API is reachable) and graft's
+  * optimizer rules. Enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
     ext.injectOptimizerRule(_ => SelfIntersectFold)
   }
 }
 
 object GraftExtensions {
+
+  /** Shape-literal arguments (band counts, dimensions) must be plan
+    * constants — the kernels bake them into codegen.
+    */
+  private def intLit(name: String)(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name: expected an integer literal argument, got $other")
+  }
+
+  private def strLit(name: String)(e: Expression): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name: expected a string literal argument, got $other")
+  }
+
+  /** One SQL name per native kernel. */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> ((c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    "sorted_intersect_count" ->
+      ((c: Seq[Expression]) => SortedIntersectCount(c(0), c(1))),
+    "simhash56" -> ((c: Seq[Expression]) => SimHash56(c(0))),
+    "minhash_sig" -> ((c: Seq[Expression]) =>
+      MinhashSig(c(0), intLit("minhash_sig")(c(1)))),
+    "md5_hash56_array" -> ((c: Seq[Expression]) =>
+      Md5Hash56Array(c(0), strLit("md5_hash56_array")(c(1)))),
+    "hyperplane_buckets" -> ((c: Seq[Expression]) =>
+      HyperplaneBuckets(c(0), intLit("hyperplane_buckets")(c(1)),
+        intLit("hyperplane_buckets")(c(2)), intLit("hyperplane_buckets")(c(3)))),
+  )
+
   /** Same registrations applied to an already-running session (keeps
     * the two enablement paths equivalent).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, "cosine_sim",
-      children => CosineSimilarity(children(0), children(1)))
+    builders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, builder)
+    }
     if (!spark.experimental.extraOptimizations.contains(SelfIntersectFold))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SelfIntersectFold

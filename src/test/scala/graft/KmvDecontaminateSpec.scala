@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Decontaminate, Sketches}
+import graft.operators.{Decontaminate, Dedup, Sketches}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** KMV distinct sketch + n-gram decontamination (SURVEY rows 90, 91). */
@@ -58,5 +59,46 @@ class KmvDecontaminateSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"eval-gram join should be broadcast, got:\n$plan")
+  }
+
+  test("contaminationAudit: stream emits hits per micro-batch, clean docs silent") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val test = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    val audit = Decontaminate.contaminationAudit(
+      input.toDF().toDF("doc_id", "text"), test, "doc_id", "text", 3)
+    val q = audit.writeStream.format("memory").queryName("audit")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "x alpha beta gamma y"), (2L, "totally clean text here"))
+      q.processAllAvailable()
+      val hits = spark.table("audit").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(hits === Set((1L, "alpha beta gamma")))
+      // a later batch is probed independently (stateless join)
+      input.addData((3L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      assert(spark.table("audit").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("sharedSubstringPairs: common substring detected, boilerplate df-gated") {
+    import spark.implicits._
+    val shared = "the identical quoted passage travels between documents"
+    val boiler = "common boilerplate header"
+    val docs = Seq(
+      (1L, s"$boiler unique one $shared"),
+      (2L, s"$boiler unique words two padding $shared"),
+      (3L, s"$boiler completely different body content here"),
+      (4L, s"$boiler another unrelated body of text padding")
+    ).toDF("doc_id", "text")
+    // maxDf=2: the boilerplate prefix (in all 4 docs) is gated out, the
+    // shared passage (2 docs) survives → only (1,2) pairs
+    val pairs = Dedup.sharedSubstringPairs(docs, "doc_id", "text",
+      k = 5, window = 8, minShared = 3, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"expected only the quoted-passage pair, got $pairs")
   }
 }

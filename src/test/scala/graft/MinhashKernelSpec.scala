@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** The native MinhashSig / Md5Hash56Array kernels must be BIT-IDENTICAL
+  * to the interpreted HOF chains they replace — every DuckDB oracle
+  * replays the chain's md5 arithmetic, so any divergence is a red
+  * correctness row, not just a perf bug.
+  */
+class MinhashKernelSpec extends SparkSpecBase {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, ""), // empty text → single empty-string token
+      (4L, null.asInstanceOf[String]), // NULL text → NULL token array
+      (5L, "unicode tökens żółć 中文 test")
+    ).toDF("id", "text")
+  }
+
+  test("MinhashSig == transform(kmHashPair) + array_min chain, incl null/empty") {
+    val numHashes = 8
+    val toks = corpus.select(col("id"), TextFunctions.tokenSet(col("text")).as("toks"))
+    val chain = {
+      val withPairs = toks.withColumn("__hs",
+        transform(col("toks"), w => HashFunctions.kmHashPair(w)))
+      val sig = (0 until numHashes).map { i =>
+        array_min(transform(col("__hs"), h => HashFunctions.kmHash(h, i))).as(s"m$i")
+      }
+      withPairs.select(col("id") +: sig: _*)
+    }
+    val kernel = toks.withColumn("__sig", graft.plans.MinhashSig(col("toks"), numHashes))
+      .select(col("id") +:
+        (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
+    assert(kernel.exceptAll(chain).isEmpty && chain.exceptAll(kernel).isEmpty,
+      s"kernel:\n${kernel.collect().mkString("\n")}\nchain:\n${chain.collect().mkString("\n")}")
+  }
+
+  test("every native kernel is callable from pure SQL after registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT minhash_sig(array('a','b'), 4) AS sig,
+        |  simhash56(md5_hash56_array(array('a','b'), '0:')) AS sh,
+        |  sorted_intersect_count(array(1L, 2L, 3L), array(1L, 2L, 3L)) AS ic,
+        |  cosine_sim(array(cast(1.0 AS float), cast(0.0 AS float)),
+        |             array(cast(1.0 AS float), cast(0.0 AS float))) AS cs,
+        |  hyperplane_buckets(array(cast(1.0 AS float), cast(-0.5 AS float)),
+        |                     2, 4, 2) AS hb""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0).length === 4)
+    assert(r.getInt(2) === 3)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    assert(r.getSeq[Long](4).length === 2, "one bucket per hash table")
+  }
+
+  test("Md5Hash56Array == transform(seededHash56(0, _)) chain, incl null/empty") {
+    val toks = corpus.select(col("id"), TextFunctions.tokenSet(col("text")).as("toks"))
+    val chain = toks.select(col("id"),
+      transform(col("toks"), w => HashFunctions.seededHash56(0, w)).as("hs"))
+    val kernel = toks.select(col("id"),
+      graft.plans.Md5Hash56Array(col("toks"), "0:").as("hs"))
+    assert(kernel.exceptAll(chain).isEmpty && chain.exceptAll(kernel).isEmpty,
+      s"kernel:\n${kernel.collect().mkString("\n")}\nchain:\n${chain.collect().mkString("\n")}")
+  }
+}
