@@ -521,6 +521,14 @@ object Dedup {
     * self-join buckets); the residual hot fingerprints are selectively
     * salted by [[saltedSelfJoin]]. The pair contract is quadratic only
     * in per-fingerprint multiplicity, bounded by `maxDf`.
+    *
+    * Size `maxDf` as a corpus FRACTION, not a constant: on templated
+    * corpora a phrase's document frequency grows with the corpus, so a
+    * fixed threshold that works at one scale gates every true shared
+    * fingerprint at 10× (ScaleProbe holds the oracled query's ~13%
+    * fraction for exactly this reason). At 100 TB a sensible default
+    * is maxDf ≈ the largest duplicate-cluster size you still care to
+    * pair up — everything above it is boilerplate by definition.
     */
   def sharedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
                            k: Int, window: Int,
