@@ -160,4 +160,16 @@ class PlanAuditSpec extends SparkSpecBase {
       s"3 jumped rounds shuffled ${current}B, 5 plain rounds ${old5}B — " +
         "the round reduction no longer pays for the jump joins")
   }
+
+  test("q_kmv_distinct: ONE exchange, null filter pushed to the scan") {
+    val plan = Queries.asMap("q_kmv_distinct").build(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the KMinAgg contract: partial aggregation reduces every partition
+    // to <= k minima BEFORE the shuffle — a second exchange (or a
+    // distinct+window rewrite) means someone broke the map-side combine
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"expected exactly one Exchange, got:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id)]"),
+      s"null filter must reach the parquet scan:\n$plan")
+  }
 }
