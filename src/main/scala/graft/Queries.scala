@@ -674,14 +674,16 @@ object Queries {
       }),
 
     // §2.3/92 — shared-substring provenance pairs: docs sharing >= 8
-    // winnowing fingerprints after a document-frequency gate (fp in
-    // > 64 docs = boilerplate, dropped). The oracle replays the
-    // text_winnow pipeline as a CTE, then the same df gate, self-join
-    // and threshold.
+    // winnowing fingerprints after a CORPUS-RELATIVE document-frequency
+    // gate (fp in > 1/8 of the corpus = boilerplate, dropped — a
+    // fraction, because absolute phrase frequency grows with a
+    // templated corpus; a fixed 64 gates everything at sf0.1). The
+    // oracle replays the text_winnow pipeline as a CTE, then the same
+    // integer-math df gate, self-join and threshold.
     "q_substring_pairs" -> QueryDef(
-      (s, d) => Dedup.sharedSubstringPairs(ds(s, d, "documents").toDF,
+      (s, d) => Dedup.sharedSubstringPairsRelative(ds(s, d, "documents").toDF,
         "doc_id", "text", k = winnowK, window = winnowW,
-        minShared = 8, maxDf = 64),
+        minShared = 8, dfNum = 1, dfDen = 8),
       Some {
         val (k, w) = (winnowK, winnowW)
         s"""WITH f AS (SELECT doc_id, unnest(list_distinct(
@@ -695,7 +697,8 @@ object Queries {
            |      THEN list_transform(generate_series(1, length(text) - ${k - 1}),
            |        i -> substring(text, i, $k))
            |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b),
-           |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 64),
+           |rare AS (SELECT fp FROM f GROUP BY fp
+           |  HAVING count(*) * 8 <= (SELECT count(*) FROM documents) * 1),
            |g AS (SELECT doc_id, fp FROM f JOIN rare USING (fp))
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
            |FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -50,14 +50,12 @@ object ScaleProbe {
       // shingle-minhash bands instead of bucket membership alone
       time("shingle_candidates")(Dedup.shinglePairs(big, "doc_id", "text",
         Seq("source", "lang"), 5, 0, 1).count())
-      // pair contract again (fp-multiplicity²) but bounded by maxDf.
-      // The df gate is a corpus-FRACTION knob on templated corpora:
-      // the oracled sf0.01 query uses 64/500 docs ≈ 13%; hold that
-      // fraction here (and scale with replication) — an absolute 64
-      // on this 10×-bigger corpus gates every true shared fingerprint
-      // and returns zero pairs, which is the knob working, not a bug
-      time("substring_pairs")(Dedup.sharedSubstringPairs(big, "doc_id", "text",
-        k = 5, window = 8, minShared = 8, maxDf = 640 * factor).count())
+      // pair contract again (fp-multiplicity²), df gate held as a
+      // corpus fraction (1/8) — the scale-stable form; an absolute
+      // threshold gates every true shared fingerprint once the
+      // templated corpus outgrows it
+      time("substring_pairs")(Dedup.sharedSubstringPairsRelative(big,
+        "doc_id", "text", k = 5, window = 8, minShared = 8).count())
     }
     // linear contract: corpus-side grams scanned once; the eval-side
     // broadcast does NOT grow with replication (same distinct grams)

@@ -532,11 +532,34 @@ object Dedup {
     */
   def sharedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
                            k: Int, window: Int,
-                           minShared: Int, maxDf: Int = 64): DataFrame = {
+                           minShared: Int, maxDf: Int = 64): DataFrame =
+    substringPairsCore(df, idCol, textCol, k, window, minShared,
+      rare => rare.filter(col("__df") <= maxDf))
+
+  /** [[sharedSubstringPairs]] with the df gate expressed as a corpus
+    * FRACTION (`df * dfDen <= corpus_size * dfNum`) — the form that
+    * holds across scales on templated corpora, where any phrase's
+    * absolute document frequency grows with the corpus. The corpus
+    * size joins in as a broadcast one-row aggregate (no driver
+    * action), and the comparison is integer math, so an external SQL
+    * engine replays the gate exactly.
+    */
+  def sharedSubstringPairsRelative(df: DataFrame, idCol: String, textCol: String,
+                                   k: Int, window: Int, minShared: Int,
+                                   dfNum: Int = 1, dfDen: Int = 8): DataFrame = {
+    val total = df.select(count(lit(1)).as("__n"))
+    substringPairsCore(df, idCol, textCol, k, window, minShared,
+      rare => rare.crossJoin(broadcast(total))
+        .filter(col("__df") * dfDen <= col("__n") * dfNum))
+  }
+
+  private def substringPairsCore(df: DataFrame, idCol: String, textCol: String,
+                                 k: Int, window: Int, minShared: Int,
+                                 dfGate: DataFrame => DataFrame): DataFrame = {
     val fps = winnowFingerprints(df, idCol, textCol, k, window)
       .select(col("doc_id").as("id"), col("fp"))
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select("fp")
+    val rare = dfGate(fps.groupBy("fp").agg(count(lit(1)).as("__df")))
+      .select("fp")
     saltedSelfJoin(fps.join(rare, "fp"), Seq("fp"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
