@@ -20,8 +20,21 @@ import org.apache.spark.sql.functions.udaf
   * same md5-derived hashes.
   */
 class KMinAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  override def zero: Seq[Long] = Vector.empty
+  override def reduce(buf: Seq[Long], x: Long): Seq[Long] = KMinAgg.insert(buf, x, k)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    b.foldLeft(a)(KMinAgg.insert(_, _, k))
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
+}
 
-  private def insert(buf: Seq[Long], x: Long): Seq[Long] = {
+object KMinAgg {
+  /** Sorted-ascending bounded insert of a distinct value — shared by
+    * the batch aggregator and the streaming state update.
+    */
+  def insert(buf: Seq[Long], x: Long, k: Int): Seq[Long] = {
     if (buf.size >= k && buf.last < x) buf // bounded: full and x too big
     else if (buf.contains(x)) buf // KMV needs DISTINCT minima
     else {
@@ -30,16 +43,14 @@ class KMinAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     }
   }
 
-  override def zero: Seq[Long] = Vector.empty
-  override def reduce(buf: Seq[Long], x: Long): Seq[Long] = insert(buf, x)
-  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)
-  override def finish(buf: Seq[Long]): Seq[Long] = buf
-  override def bufferEncoder: Encoder[Seq[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
-  override def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
-}
+  /** Bottom-k estimator over a [[insert]]-maintained buffer: exact
+    * below k, else `(k-1) * 2^56 DIV h_(k)` (integer math, matching
+    * the SQL replay).
+    */
+  def estimate(buf: Seq[Long], k: Int): Long =
+    if (buf.size < k) buf.size.toLong
+    else (k - 1).toLong * (1L << 56) / buf.last
 
-object KMinAgg {
   /** Column form: `kMin(k)(hashCol)` → array<long>, the k smallest
     * distinct values, ascending.
     */

@@ -32,6 +32,29 @@ class KmvDecontaminateSpec extends SparkSpecBase {
     assert(a === b, "KMV merge must be partition-order independent")
   }
 
+  test("streamingKmvDistinct: bounded state tracks cardinality across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val est = graft.streaming.StreamingSketch.streamingKmvDistinct(
+      input.toDF().toDF("grp", "v"), "grp", "v", k = 64)
+    val q = est.writeStream.format("memory").queryName("kmvstream")
+      .outputMode("update").start()
+    try {
+      input.addData((1 to 30).map(i => ("a", i.toLong)): _*)
+      q.processAllAvailable()
+      assert(spark.table("kmvstream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("a" -> 30L),
+        "below-k estimates are exact")
+      // second batch overlaps the first: 20 genuinely new values; the
+      // state must dedup re-seen values, not recount them
+      input.addData((11 to 50).map(i => ("a", i.toLong)): _*)
+      q.processAllAvailable()
+      assert(spark.table("kmvstream").collect().map(_.getLong(1)).max === 50L,
+        "streaming estimate after two batches equals the true running distinct count")
+    } finally q.stop()
+  }
+
   test("ngramOverlap flags exactly the docs sharing a 3-gram, with distinct counts") {
     import spark.implicits._
     val train = Seq(
