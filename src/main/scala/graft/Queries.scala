@@ -705,6 +705,45 @@ object Queries {
            |GROUP BY 1, 2 HAVING count(*) >= 8""".stripMargin
       }),
 
+    // §2.3/96 — substring-provenance clustering: O(n) cluster labels
+    // over the (doc, winnow-fingerprint) graph — the scale contract
+    // when pairs aren't needed (mirrors dedup_cluster vs dedup_minhash).
+    // Oracle = winnow CTE + df gate + the same 3 hop+jump rounds.
+    "q_substring_clusters" -> QueryDef(
+      (s, d) => Dedup.substringClusters(ds(s, d, "documents").toDF,
+        "doc_id", "text", k = winnowK, window = winnowW),
+      Some {
+        val (k, w) = (winnowK, winnowW)
+        val iters = (0 until 3).map { i =>
+          s"""bmin$i AS (SELECT fp, min(label) AS bmin FROM mem
+             |  JOIN l$i USING (id) GROUP BY fp),
+             |p$i AS (SELECT id, min(bmin) AS label FROM mem
+             |  JOIN bmin$i USING (fp) GROUP BY id),
+             |l${i + 1} AS (SELECT a.id AS id, b.label AS label
+             |  FROM p$i a JOIN p$i b ON a.label = b.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH f AS (SELECT doc_id, unnest(list_distinct(
+           |  CASE WHEN len(hs) >= $w THEN list_transform(
+           |         generate_series(1, len(hs) - ${w - 1}), j -> list_min(list_slice(hs, j, j + ${w - 1})))
+           |       WHEN len(hs) > 0 THEN [list_min(hs)]
+           |       ELSE []::BIGINT[] END)) AS fp
+           |FROM (SELECT doc_id, list_transform(grams,
+           |    g -> ('0x' || substring(md5(g), 1, 14))::bigint) AS hs
+           |  FROM (SELECT doc_id, CASE WHEN length(text) >= $k
+           |      THEN list_transform(generate_series(1, length(text) - ${k - 1}),
+           |        i -> substring(text, i, $k))
+           |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b),
+           |rare AS (SELECT fp FROM f GROUP BY fp
+           |  HAVING count(*) * 8 <= (SELECT count(*) FROM documents) * 1),
+           |mem AS (SELECT f.doc_id AS id, f.fp FROM f JOIN rare USING (fp)),
+           |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
+           |$iters
+           |SELECT id AS doc_id, label AS cluster_id FROM l3
+           |UNION ALL
+           |SELECT doc_id, doc_id FROM documents
+           |  WHERE doc_id NOT IN (SELECT id FROM mem)""".stripMargin
+      }),
+
     // §2.3/44 — char-5-gram shingle Jaccard >= 0.7 within (source, lang),
     // candidates from a SECOND LSH level (4×2-banded minhash over the
     // shingle sets, replayed band-for-band by the oracle) so a big

@@ -553,6 +553,34 @@ object Dedup {
         .filter(col("__df") * dfDen <= col("__n") * dfNum))
   }
 
+  /** Substring-provenance CLUSTERING: connected components over the
+    * (doc, winnow-fingerprint) membership graph after the
+    * corpus-relative df gate — O(n) output rows where
+    * [[sharedSubstringPairsRelative]] is quadratic in fingerprint
+    * multiplicity, mirroring [[minhashClusters]] vs [[minhashDedup]].
+    * Docs whose fingerprints are all gated (or that have none — text
+    * shorter than k) become their own singleton clusters, so every
+    * input doc appears exactly once.
+    */
+  def substringClusters(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, window: Int,
+                        dfNum: Int = 1, dfDen: Int = 8,
+                        iterations: Int = 3): DataFrame = {
+    val ids = df.select(col(idCol).as("id"))
+    val fps = winnowFingerprints(df, idCol, textCol, k, window)
+      .select(col("doc_id").as("id"), col("fp"))
+    val total = df.select(count(lit(1)).as("__n"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(total))
+      .filter(col("__df") * dfDen <= col("__n") * dfNum).select("fp")
+    val membership = fps.join(rare, "fp").select(col("id"), col("fp"))
+    val labels = ConnectedComponents.propagateMinLabel(membership, Seq("fp"), iterations)
+    val singletons = ids.join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.unionByName(singletons)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   private def substringPairsCore(df: DataFrame, idCol: String, textCol: String,
                                  k: Int, window: Int, minShared: Int,
                                  dfGate: DataFrame => DataFrame): DataFrame = {

@@ -106,6 +106,25 @@ class KmvDecontaminateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("substringClusters: transitive provenance components, singletons kept") {
+    import spark.implicits._
+    val p1 = "a long shared passage number one that links documents"
+    val p2 = "a different shared passage number two that links again"
+    val docs = Seq(
+      (1L, s"unique alpha $p1"),
+      (2L, s"$p1 middle body $p2"), // bridges 1 and 3
+      (3L, s"$p2 unique omega"),
+      (4L, "entirely standalone text with no common passage")
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringClusters(docs, "doc_id", "text",
+      k = 5, window = 8, dfNum = 3, dfDen = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1) === 1L && r(2) === 1L && r(3) === 1L,
+      s"1-2-3 must be one transitive component, got $r")
+    assert(r(4) === 4L, "no shared passage → own singleton cluster")
+    assert(r.size === 4, "every input doc appears exactly once")
+  }
+
   test("sharedSubstringPairs: common substring detected, boilerplate df-gated") {
     import spark.implicits._
     val shared = "the identical quoted passage travels between documents"
