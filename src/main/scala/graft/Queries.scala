@@ -698,7 +698,8 @@ object Queries {
            |        i -> substring(text, i, $k))
            |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b),
            |rare AS (SELECT fp FROM f GROUP BY fp
-           |  HAVING count(*) * 8 <= (SELECT count(*) FROM documents) * 1),
+           |  HAVING count(*) >= 2
+           |    AND count(*) * 8 <= (SELECT count(*) FROM documents) * 1),
            |g AS (SELECT doc_id, fp FROM f JOIN rare USING (fp))
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
            |FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -734,7 +735,8 @@ object Queries {
            |        i -> substring(text, i, $k))
            |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b),
            |rare AS (SELECT fp FROM f GROUP BY fp
-           |  HAVING count(*) * 8 <= (SELECT count(*) FROM documents) * 1),
+           |  HAVING count(*) >= 2
+           |    AND count(*) * 8 <= (SELECT count(*) FROM documents) * 1),
            |mem AS (SELECT f.doc_id AS id, f.fp FROM f JOIN rare USING (fp)),
            |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
            |$iters

@@ -567,12 +567,25 @@ object Dedup {
                         dfNum: Int = 1, dfDen: Int = 8,
                         iterations: Int = 3): DataFrame = {
     val ids = df.select(col(idCol).as("id"))
+    // NOT pinned: caching the winnow output here was measured 15%
+    // SLOWER end to end — an InMemoryRelation in the join inputs
+    // blocks AQE's runtime join planning (canChangeCachedPlanOutput-
+    // Partitioning defaults false), which costs more than the one
+    // extra winnow recompute for the df-count pass
     val fps = winnowFingerprints(df, idCol, textCol, k, window)
       .select(col("doc_id").as("id"), col("fp"))
     val total = df.select(count(lit(1)).as("__n"))
+    // df >= 2: a fingerprint seen in ONE document cannot connect
+    // anything — dropping those (the overwhelming majority of
+    // fingerprints) shrinks the propagation membership to just the
+    // shared ones, with provably identical labels (a df-1 bucket's
+    // min is the doc's own label, which its shared buckets already
+    // contribute); docs left bucket-less fall to the singleton branch
+    // with the same own-id label propagation would give them
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(total))
-      .filter(col("__df") * dfDen <= col("__n") * dfNum).select("fp")
+      .filter(col("__df") >= 2 &&
+        col("__df") * dfDen <= col("__n") * dfNum).select("fp")
     val membership = fps.join(rare, "fp").select(col("id"), col("fp"))
     val labels = ConnectedComponents.propagateMinLabel(membership, Seq("fp"), iterations)
     val singletons = ids.join(labels.select("id"), Seq("id"), "left_anti")
@@ -584,9 +597,16 @@ object Dedup {
   private def substringPairsCore(df: DataFrame, idCol: String, textCol: String,
                                  k: Int, window: Int, minShared: Int,
                                  dfGate: DataFrame => DataFrame): DataFrame = {
+    // NOT pinned — see substringClusters: a cache barrier under the
+    // salted self-join disables AQE's runtime join planning and was
+    // measured 4x slower than recomputing the winnow lineage per side
     val fps = winnowFingerprints(df, idCol, textCol, k, window)
       .select(col("doc_id").as("id"), col("fp"))
-    val rare = dfGate(fps.groupBy("fp").agg(count(lit(1)).as("__df")))
+    // df >= 2 unconditionally: a fingerprint in one document forms no
+    // a.id < b.id pair — dropping the (majority) unique fingerprints
+    // shrinks the self-join input with identical output
+    val rare = dfGate(fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2))
       .select("fp")
     saltedSelfJoin(fps.join(rare, "fp"), Seq("fp"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
