@@ -36,10 +36,10 @@ object KMinAgg {
     */
   def insert(buf: Seq[Long], x: Long, k: Int): Seq[Long] = {
     if (buf.size >= k && buf.last < x) buf // bounded: full and x too big
-    else if (buf.contains(x)) buf // KMV needs DISTINCT minima
     else {
       val (pre, post) = buf.span(_ < x)
-      (pre ++ (x +: post)).take(k)
+      if (post.headOption.contains(x)) buf // KMV needs DISTINCT minima
+      else (pre ++ (x +: post)).take(k)
     }
   }
 

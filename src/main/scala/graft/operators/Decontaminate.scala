@@ -72,7 +72,11 @@ object Decontaminate {
     */
   def removeContaminated(train: DataFrame, test: DataFrame, idCol: String,
                          textCol: String, n: Int): DataFrame = {
+    // NO broadcast hint on the flagged set: unlike the eval-gram set
+    // (bounded by the tiny benchmark suite), the flagged-doc set is
+    // corpus-proportional on a heavily contaminated corpus — let AQE
+    // pick broadcast when it measures small, shuffle when it doesn't
     val hits = ngramOverlap(train, test, idCol, textCol, n).select("doc_id")
-    train.join(broadcast(hits), train(idCol) === hits("doc_id"), "left_anti")
+    train.join(hits, train(idCol) === hits("doc_id"), "left_anti")
   }
 }

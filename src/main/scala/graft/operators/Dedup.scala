@@ -567,11 +567,11 @@ object Dedup {
                         dfNum: Int = 1, dfDen: Int = 8,
                         iterations: Int = 3): DataFrame = {
     val ids = df.select(col(idCol).as("id"))
-    // NOT pinned: caching the winnow output here was measured 15%
-    // SLOWER end to end — an InMemoryRelation in the join inputs
-    // blocks AQE's runtime join planning (canChangeCachedPlanOutput-
-    // Partitioning defaults false), which costs more than the one
-    // extra winnow recompute for the df-count pass
+    // NOT pinned: propagateMinLabel pins the membership frame (whose
+    // lineage includes this winnow) — an additional cache layer
+    // UNDER that pin changes the membership plan's canonicalized form
+    // and was measured ~15% slower; the df-count pass's one winnow
+    // recompute is cheaper than the cache interference
     val fps = winnowFingerprints(df, idCol, textCol, k, window)
       .select(col("doc_id").as("id"), col("fp"))
     val total = df.select(count(lit(1)).as("__n"))
@@ -597,9 +597,14 @@ object Dedup {
   private def substringPairsCore(df: DataFrame, idCol: String, textCol: String,
                                  k: Int, window: Int, minShared: Int,
                                  dfGate: DataFrame => DataFrame): DataFrame = {
-    // NOT pinned — see substringClusters: a cache barrier under the
-    // salted self-join disables AQE's runtime join planning and was
-    // measured 4x slower than recomputing the winnow lineage per side
+    // Pinning is delegated to saltedSelfJoin's internal pin of the
+    // GATED frame (counts pass + both join sides read it — without it
+    // the winnow lineage runs 3x, measured 3.5s -> 17.5s at sf0.1).
+    // Do NOT additionally pin this fps frame: a second cache layer
+    // inside the pinned frame's lineage changes its canonicalized
+    // plan between registration and execution, the joined pin stops
+    // matching, and the whole query degrades to the no-pin 17.9s path
+    // (measured; see SURVEY round 4).
     val fps = winnowFingerprints(df, idCol, textCol, k, window)
       .select(col("doc_id").as("id"), col("fp"))
     // df >= 2 unconditionally: a fingerprint in one document forms no

@@ -59,19 +59,36 @@ object GraftExtensions {
       s"$name: expected a string literal argument, got $other")
   }
 
+  /** Fail a wrong-arity SQL call with the function name and expected
+    * signature instead of a bare IndexOutOfBoundsException from deep
+    * inside analysis — pure-SQL (Thrift/Connect) users see only this
+    * message.
+    */
+  private def arity(name: String, n: Int, sig: String)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    c => {
+      if (c.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments: $name($sig), got ${c.length}")
+      f(c)
+    }
+
   /** One SQL name per native kernel. */
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> ((c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    "cosine_sim" -> arity("cosine_sim", 2, "array<float>, array<float>")(
+      c => CosineSimilarity(c(0), c(1))),
     "sorted_intersect_count" ->
-      ((c: Seq[Expression]) => SortedIntersectCount(c(0), c(1))),
-    "simhash56" -> ((c: Seq[Expression]) => SimHash56(c(0))),
-    "minhash_sig" -> ((c: Seq[Expression]) =>
-      MinhashSig(c(0), intLit("minhash_sig")(c(1)))),
-    "md5_hash56_array" -> ((c: Seq[Expression]) =>
-      Md5Hash56Array(c(0), strLit("md5_hash56_array")(c(1)))),
-    "hyperplane_buckets" -> ((c: Seq[Expression]) =>
-      HyperplaneBuckets(c(0), intLit("hyperplane_buckets")(c(1)),
-        intLit("hyperplane_buckets")(c(2)), intLit("hyperplane_buckets")(c(3)))),
+      arity("sorted_intersect_count", 2, "array<bigint>, array<bigint>")(
+        c => SortedIntersectCount(c(0), c(1))),
+    "simhash56" -> arity("simhash56", 1, "array<bigint>")(c => SimHash56(c(0))),
+    "minhash_sig" -> arity("minhash_sig", 2, "array<string>, int literal")(
+      c => MinhashSig(c(0), intLit("minhash_sig")(c(1)))),
+    "md5_hash56_array" ->
+      arity("md5_hash56_array", 2, "array<string>, string literal")(
+        c => Md5Hash56Array(c(0), strLit("md5_hash56_array")(c(1)))),
+    "hyperplane_buckets" ->
+      arity("hyperplane_buckets", 4, "array<float>, dim, planes, tables (int literals)")(
+        c => HyperplaneBuckets(c(0), intLit("hyperplane_buckets")(c(1)),
+          intLit("hyperplane_buckets")(c(2)), intLit("hyperplane_buckets")(c(3)))),
   )
 
   /** Same registrations applied to an already-running session (keeps

@@ -28,6 +28,11 @@ object StreamingSketch {
     require(k >= 2 && k <= 128, s"kmv k must be in [2, 128], got $k")
     val spark = stream.sparkSession
     import spark.implicits._
+    // the state key rides as a string (one concrete encoder for any
+    // group type); cast back to the input column's type on the way
+    // out so the streaming schema matches batch kmvDistinct's — a
+    // caller unioning the two must not hit a long-vs-string mismatch
+    val groupType = stream.schema(groupCol).dataType
     stream
       .filter(col(valueCol).isNotNull) // NULLs carry no cardinality signal
       .select(col(groupCol).cast("string").as("g"),
@@ -44,5 +49,6 @@ object StreamingSketch {
           (key, KMinAgg.estimate(merged, k))
       }
       .toDF(groupCol, "est_distinct")
+      .withColumn(groupCol, col(groupCol).cast(groupType))
   }
 }
