@@ -2,7 +2,7 @@ package graft
 
 import graft.api.ProteusQL
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, Sketches, TfIdf}
+import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, Pack, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, Sketches, TfIdf}
 import graft.qpu._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -879,6 +879,22 @@ object Queries {
            |SELECT trg.doc_id, count(*) AS n_hit_grams
            |FROM trg JOIN tg USING (gram) GROUP BY trg.doc_id""".stripMargin
       }),
+
+    // §2.3/97 — sequence packing: whole documents assigned to
+    // fixed-token-budget batches per source (length-sorted offset
+    // packing — deterministic, one window shuffle; a batch exceeds
+    // the budget by at most its last doc). Oracle replays the window.
+    "q_pack_batches" -> QueryDef(
+      (s, d) => Pack.packByTokenBudget(ds(s, d, "documents").toDF,
+        "doc_id", "text", "source", budget = 4096),
+      Some("""SELECT doc_id, source, n_tokens,
+        |  (COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |     ORDER BY n_tokens DESC, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |   // 4096)::BIGINT AS batch_id
+        |FROM (SELECT doc_id, source,
+        |    COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0)::BIGINT AS n_tokens
+        |  FROM documents) t""".stripMargin)),
 
     // §2.3/68 — deterministic hash sampling (the stable train/test
     // split): 10% bucket of documents by md5-derived id hash

@@ -125,6 +125,29 @@ class KmvDecontaminateSpec extends SparkSpecBase {
     assert(r.size === 4, "every input doc appears exactly once")
   }
 
+  test("packByTokenBudget: batches respect budget + last-doc slack, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "s1" else "s2", ("tok " * (i % 37 + 1).toInt).trim))
+      .toDF("doc_id", "source", "text")
+    val packed = graft.operators.Pack.packByTokenBudget(docs, "doc_id", "text", "source", budget = 100)
+    val stats = graft.operators.Pack.batchStats(packed, "source").collect()
+    stats.foreach { r =>
+      assert(r.getLong(3) <= 100L + r.getInt(4) - 1,
+        s"batch ${r.get(1)} total ${r.getLong(3)} exceeds budget+slack (max doc ${r.getInt(4)})")
+    }
+    // batch ids dense from 0 per group
+    val perGroup = packed.collect().groupBy(_.getString(1))
+    perGroup.foreach { case (_, rows) =>
+      val ids = rows.map(_.getLong(3)).distinct.sorted
+      assert(ids.head === 0L && ids === (0L until ids.length).toArray.toSeq)
+    }
+    // partition-layout independence
+    val packed2 = graft.operators.Pack.packByTokenBudget(
+      docs.repartition(13), "doc_id", "text", "source", budget = 100)
+    assert(packed.exceptAll(packed2).isEmpty && packed2.exceptAll(packed).isEmpty)
+  }
+
   test("sharedSubstringPairs: common substring detected, boilerplate df-gated") {
     import spark.implicits._
     val shared = "the identical quoted passage travels between documents"
