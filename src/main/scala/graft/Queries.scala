@@ -2,7 +2,7 @@ package graft
 
 import graft.api.ProteusQL
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, Pack, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, Sketches, TfIdf}
+import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, Pack, Quantize, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, Sketches, TfIdf}
 import graft.qpu._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -583,6 +583,21 @@ object Queries {
            |$iters
            |SELECT id AS vec_id, label AS cluster_id FROM l3""".stripMargin
       }),
+
+    // §2.3/98 — int8 scalar quantization of embeddings (4 bytes/dim →
+    // 1): per-vector symmetric scale, codes replayed BIT-FOR-BIT in
+    // SQL (deterministic IEEE double chain: widen → *127/s → +0.5 →
+    // floor → clamp; no ties-dependent rounding mode)
+    "sim_quantize" -> QueryDef(
+      (s, d) => Quantize.scalarQuantize(ds(s, d, "embeddings").toDF,
+        "vec_id", "embedding"),
+      Some("""SELECT vec_id, i - 1 AS dim,
+        |  CASE WHEN s = 0 THEN 0
+        |    ELSE greatest(-127.0, least(127.0, floor(v[i] * 127.0 / s + 0.5)))::INT
+        |  END AS code
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+        |  FROM embeddings) t, generate_series(1, 64) AS g(i)""".stripMargin)),
 
     // §2.3/36 — language ID heuristic
     "text_langid" -> QueryDef(

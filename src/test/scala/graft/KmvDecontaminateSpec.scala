@@ -125,6 +125,35 @@ class KmvDecontaminateSpec extends SparkSpecBase {
     assert(r.size === 4, "every input doc appears exactly once")
   }
 
+  test("scalarQuantize: round-trip error bounded by scale/254, packed == exploded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.5f, 3.0f, 0.0f)),
+      (2L, Array(-2.0f, 2.0f, 1.999f, 0.001f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector → all-zero codes
+    ).toDF("vec_id", "embedding")
+    val packed = graft.operators.Quantize.scalarQuantizePacked(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    assert(packed(3L)._2 === Seq(0, 0, 0, 0))
+    // reconstruction error per dim <= scale/2 (= max|v|/254 per unit)
+    val orig = Map(1L -> Seq(0.5, -1.5, 3.0, 0.0), 2L -> Seq(-2.0, 2.0, 1.999, 0.001))
+    orig.foreach { case (id, v) =>
+      val (scale, codes) = packed(id)
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-9,
+          s"vec $id: $x reconstructed as ${c * scale} (scale $scale)")
+      }
+    }
+    // the exploded (oracled) form and the packed form must agree
+    val exploded = graft.operators.Quantize.scalarQuantize(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    packed.foreach { case (id, (_, codes)) =>
+      codes.zipWithIndex.foreach { case (c, i) =>
+        assert(exploded((id, i)) === c, s"packed/exploded disagree at ($id, $i)")
+      }
+    }
+  }
+
   test("packByTokenBudget: batches respect budget + last-doc slack, deterministic") {
     import spark.implicits._
     val docs = (1L to 200L).map(i =>
