@@ -352,6 +352,31 @@ object Queries {
       Some("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, " +
         "min(doc_id) AS canonical_id, count(*) AS dup_cnt FROM documents GROUP BY 1")),
 
+    // §2.3/99 — chunk-level exact dedup + document reconstruction
+    // (line dedup over 20-token chunks): chunks seen earlier in
+    // (doc_id, chunk_idx) order are dropped, survivors re-joined in
+    // order. The oracle replays the identical first-occurrence rule
+    // (min-struct owner per chunk hash).
+    "dedup_chunks" -> QueryDef(
+      (s, d) => Dedup.chunkDedup(ds(s, d, "documents").toDF,
+        "doc_id", "text", chunkTokens = 20),
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |chunks AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, (len(toks)-1)//20),
+        |      i -> {'i': i, 'c': array_to_string(list_slice(toks, i*20+1, i*20+20), ' ')})) AS u
+        |  FROM tok),
+        |occ AS (SELECT doc_id, u.i AS chunk_idx, u.c AS chunk, md5(u.c) AS h FROM chunks),
+        |own AS (SELECT h, min({'d': doc_id, 'i': chunk_idx}) AS w FROM occ GROUP BY h),
+        |kept AS (SELECT o.doc_id, o.chunk_idx, o.chunk,
+        |    (o.doc_id = w.d AND o.chunk_idx = w.i) AS is_first
+        |  FROM occ o JOIN own ON o.h = own.h)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  count(*) FILTER (is_first) AS n_kept,
+        |  coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE is_first), '')
+        |    AS dedup_text
+        |FROM kept GROUP BY doc_id""".stripMargin)),
+
     // §2.3/30 — word-set Jaccard >= 0.8 near-dup pairs within source buckets
     "dedup_jaccard" -> QueryDef(
       (s, d) => Dedup.jaccardPairs(ds(s, d, "documents").toDF,
@@ -841,6 +866,25 @@ object Queries {
         |FROM tok JOIN freq USING (token) CROSS JOIN n
         |GROUP BY doc_id""".stripMargin)),
 
+    // §2.3/101 — bigram LM surprisal (add-one smoothed conditional
+    // model trained on the corpus itself; the KenLM-style perplexity
+    // quality gate one rung above text_surprisal's unigram model)
+    "text_bigram_lm" -> QueryDef(
+      (s, d) => TfIdf.bigramSurprisal(ds(s, d, "documents").toDF, "doc_id", "text"),
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |v AS (SELECT count(DISTINCT t) AS vsz
+        |  FROM (SELECT unnest(toks) AS t FROM tok)),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |    i -> {'a': toks[i], 'b': toks[i+1]})) AS z FROM tok WHERE len(toks) >= 2),
+        |occ AS (SELECT doc_id, z.a AS w1, z.b AS w2 FROM bg),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  avg(-ln((c12 + 1.0) / (c1 + vsz))) AS avg_nll
+        |FROM occ JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin)),
+
     // §2.3/46 — approximate distinct (HLL++): algorithm-specific values,
     // accuracy asserted vs exact in ApproxSpec → rows-only
     "q_approx_users" -> QueryDef(
@@ -1153,6 +1197,43 @@ object Queries {
            |    a.prefix AS pa, b.prefix AS pb
            |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandEq))
            |SELECT DISTINCT doc_a, doc_b, levenshtein(pa, pb) AS dist
+           |FROM cand WHERE levenshtein(pa, pb) <= 8""".stripMargin
+      }),
+
+    // §2.3/100 — cross-table fuzzy join (record linkage): link the
+    // even-doc_id collection to the odd-doc_id collection by text
+    // prefix within edit distance 8, LSH-prefiltered exactly like
+    // q_editdist (the oracle replays the identical two-sided banding)
+    "q_fuzzy_join" -> QueryDef(
+      (s, d) => {
+        val docs = ds(s, d, "documents").toDF
+        Dedup.editDistanceJoin(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          maxDist = 8, prefixLen = 40, shingleK = 5, bands = 4, rowsPerBand = 4)
+      },
+      Some {
+        val mh = (0 until 16).map(i =>
+          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
+          .mkString(", ")
+        val bandEq = (0 until 4).map(b =>
+          (0 until 4).map(r => s"a.m${4 * b + r} = b.m${4 * b + r}")
+            .mkString("(", " AND ", ")"))
+          .mkString(" OR ")
+        s"""WITH t AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents),
+           |tok AS (SELECT doc_id, prefix,
+           |  list_distinct(list_transform(generate_series(1, greatest(length(prefix) - 4, 0)),
+           |    i -> substring(prefix, i, 5))) AS toks FROM t),
+           |hp AS (SELECT doc_id, prefix, list_transform(toks, w ->
+           |  [('0x' || substring(md5(w), 1, 14))::bigint,
+           |   ('0x' || substring(md5(w), 15, 14))::bigint]) AS hs FROM tok
+           |  WHERE len(toks) > 0),
+           |sigs AS (SELECT doc_id, prefix, $mh FROM hp),
+           |cand AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           |    a.prefix AS pa, b.prefix AS pb
+           |  FROM sigs a JOIN sigs b
+           |  ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 AND ($bandEq))
+           |SELECT DISTINCT left_id, right_id, levenshtein(pa, pb) AS dist
            |FROM cand WHERE levenshtein(pa, pb) <= 8""".stripMargin
       }),
 

@@ -472,6 +472,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-table fuzzy join (record linkage): LSH-prefiltered
+    * levenshtein match of two DIFFERENT frames on a string column —
+    * the entity-resolution primitive (link records across two
+    * snapshots/providers without a cartesian product). Candidate
+    * generation is the same banded char-shingle MinHash family as
+    * [[editDistancePairs]], computed identically on both sides so a
+    * true near-match collides in some band with the same s-curve
+    * probability; candidates are a plain (band, sig) equi-join —
+    * never all-pairs — and the exact `levenshtein` confirm runs
+    * before the distinct, so the dedup shuffle carries only confirmed
+    * links.
+    *
+    * Unlike the self-join there is no `a.id < b.id` constraint, so no
+    * custom salting is needed: a hot band signature is an ordinary
+    * skewed equi-join key, which AQE's skew-join split handles.
+    */
+  def editDistanceJoin(left: DataFrame, leftId: String, leftText: String,
+                       right: DataFrame, rightId: String, rightText: String,
+                       maxDist: Int, prefixLen: Int = 40, shingleK: Int = 5,
+                       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    // sub-shingle texts are excluded on BOTH sides for the same
+    // NULL-signature reason as editDistancePairs
+    def prep(df: DataFrame, id: String, text: String) = {
+      val t = fanOut(df).select(col(id).as("id"),
+        substring(col(text), 1, prefixLen).as("prefix"))
+      val toks = t.select(col("id"), col("prefix"),
+        TextFunctions.charShingles(col("prefix"), shingleK).as("toks"))
+        .filter(size(col("toks")) > 0)
+      withMinhashSignature(toks, bands * rowsPerBand).drop("toks")
+        .select(col("id"), col("prefix"),
+          explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
+        .select(col("id"), col("prefix"),
+          col("bk.band").as("band"), col("bk.sig").as("sig"))
+    }
+    prep(left, leftId, leftText).as("a")
+      .join(prep(right, rightId, rightText).as("b"), Seq("band", "sig"))
+      .select(col("a.id").as("left_id"), col("b.id").as("right_id"),
+        levenshtein(col("a.prefix"), col("b.prefix")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Winnowing fingerprints (the Schleimer/Wilkerson/Aiken scheme
     * behind MOSS): hash every positional character k-gram, keep the
     * minimum of each sliding window of `window` hashes, emit the
@@ -505,6 +547,59 @@ object Dedup {
       .filter(col("pos") <= greatest(col("n") - window, lit(0)))
       .select(col("doc_id"), col("wmin").as("fp"))
       .distinct()
+  }
+
+  /** Chunk-level exact dedup with document reconstruction (the
+    * line-dedup stage of CCNet/RefinedWeb-style corpus prep, adapted to
+    * fixed `chunkTokens`-token chunks because the synthetic corpus has
+    * no newline structure): every chunk that already occurred earlier
+    * in the corpus — "earlier" = smaller (doc_id, chunk_idx), a total
+    * order — is dropped, and each document's surviving chunks are
+    * re-joined in their original order. Unlike whole-document dedup
+    * (exact/minhash), this removes boilerplate *inside* otherwise
+    * unique documents.
+    *
+    * Scale shape: first-occurrence selection is a map-side-combinable
+    * `min(struct(doc_id, chunk_idx))` per chunk hash — NOT a
+    * `row_number` window, which would sort every occurrence of a hot
+    * boilerplate chunk inside one task; the min aggregate combines
+    * partially on the map side so a chunk appearing in half the corpus
+    * still reduces to one row per partition before the shuffle. The
+    * occurrence→owner join back on the hash is skew-handled by AQE
+    * (one owner row per hash, occurrences split across tasks). The
+    * occurrence frame feeds both the owner aggregate and the join, so
+    * it is pinned once at the fan-out point (same single-pin rule as
+    * [[saltedSelfJoin]] — an inner second pin would invalidate this
+    * one, see SURVEY §8 round-4 cache note).
+    *
+    * Output: (doc_id, n_chunks, n_kept, dedup_text) — docs whose every
+    * chunk was seen earlier come out with n_kept = 0 and empty text,
+    * so the caller can drop or keep them by policy.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 20): DataFrame = {
+    val c = chunkTokens
+    val occ = registerPin(fanOut(df)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), ((size(col("toks")) - 1) / c).cast("int")),
+          i => array_join(slice(col("toks"), i * c + 1, lit(c)), " ")))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("h", md5(col("chunk"))))
+    val owners = occ.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+    occ.join(owners, "h")
+      .withColumn("is_first",
+        col("doc_id") === col("w.doc_id") && col("chunk_idx") === col("w.chunk_idx"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("is_first"), 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("is_first"),
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("dedup_text"))
   }
 
   /** Shared-substring provenance pairs: documents sharing at least

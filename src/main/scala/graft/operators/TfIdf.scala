@@ -50,4 +50,43 @@ object TfIdf {
       .agg(count(lit(1)).as("n_tokens"),
         avg(-log(col("cnt") / col("total"))).as("avg_surprisal"))
   }
+
+  /** Bigram LM surprisal per document: `avg(-ln p(w_i | w_{i-1}))`
+    * under the corpus's own add-one-smoothed conditional bigram model
+    * `p = (c(w1,w2) + 1) / (c(w1·) + |V|)` — one step closer to the
+    * KenLM-perplexity quality filter than [[unigramSurprisal]]:
+    * word-salad documents whose individual tokens are common but whose
+    * TRANSITIONS are rare now score high.
+    *
+    * Scale shape: bigram occurrences come from a row-wise zip of the
+    * token array with its own tail (no self-join, no window); the
+    * count tables are aggregations of that same stream. Unlike the
+    * unigram table, the bigram table is vocabulary² -bounded and on a
+    * real corpus NOT broadcastable — the joins are left to AQE, which
+    * broadcasts them while they fit and falls back to shuffle joins
+    * (keyed by bigram, naturally spread) beyond that. The occurrence
+    * lineage is scan + split + zip — narrow, no shuffle — so its three
+    * consumers recompute it rather than pinning corpus-sized state.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    // |V| over ALL tokens (single-token docs contribute vocabulary
+    // even though they have no bigrams)
+    val vocab = toks.select(explode(col("toks")).as("t"))
+      .agg(countDistinct("t").as("vsz"))
+    val occ = toks.filter(col("toks").isNotNull && size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("z"))
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val c12 = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
+    occ.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log((col("c12") + 1.0) / (col("c1") + col("vsz")))).as("avg_nll"))
+  }
 }

@@ -40,6 +40,22 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "dissimilar doc excluded")
   }
 
+  test("chunkDedup drops repeated chunks, keeps first occurrence, rebuilds in order") {
+    import spark.implicits._
+    // chunk size 3: doc 1 = [A B], doc 2 = [B C] (B repeats), doc 3 = [A B] (all repeat)
+    val a = "alpha beta gamma"; val b = "delta epsilon zeta"; val c = "eta theta iota"
+    val in = Seq(
+      (1L, s"$a $b"), (2L, s"$b $c"), (3L, s"$a $b")
+    ).toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(in, "doc_id", "text", chunkTokens = 3)
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        (x.getAs[Long]("n_chunks"), x.getAs[Long]("n_kept"), x.getAs[String]("dedup_text"))))
+      .toMap
+    assert(r(1L) === ((2L, 2L, s"$a $b")), "doc 1 owns both its chunks")
+    assert(r(2L) === ((2L, 1L, c)), "doc 2 loses chunk B to doc 1, keeps C")
+    assert(r(3L) === ((2L, 0L, "")), "doc 3 is fully boilerplate")
+  }
+
   test("minhash LSH surfaces near-dups and confirmation filters the rest") {
     val r = Dedup.minhashDedup(docs, "doc_id", "text",
       bands = 2, rowsPerBand = 4, num = 9, den = 10)
@@ -109,6 +125,23 @@ class DedupSpec extends SparkSpecBase {
       "unrelated doc must not even become a candidate")
     assert(!keys.exists(p => p._1 >= 20L || p._2 >= 20L),
       "sub-shingle texts must not pair through NULL signatures")
+  }
+
+  test("editDistanceJoin links near-matches across two tables, no cartesian") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tail"),
+      (11L, "completely different words entirely unrelated text")
+    ).toDF("id", "t")
+    val right = Seq(
+      (20L, "the quick brown fox jumps over the hazy dog tail"), // 1 edit inside prefix 40
+      (21L, "zebra yankee xray whiskey victor uniform tango")
+    ).toDF("id", "t")
+    val links = Dedup.editDistanceJoin(left, "id", "t", right, "id", "t", maxDist = 4)
+      .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+        r.getAs[Int]("dist"))).toSet
+    assert(links.contains((10L, 20L, 1)), "near match must link")
+    assert(links.size === 1, "unrelated rows must not link")
   }
 
   test("selective salting emits the same pairs as blanket salting") {

@@ -66,6 +66,19 @@ class TextSpec extends SparkSpecBase {
     assert(fps(base).size < base.length / 3)
   }
 
+  test("bigram LM: rare transitions score higher than rehearsed ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y x y x y"), // transitions x->y, y->x dominate the corpus
+      (2L, "x p y q x r y s x t") // same unigrams present, unique transitions
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TfIdf.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Double]("avg_nll"))).toMap
+    assert(r(1L)._1 === 9L && r(2L)._1 === 9L, "n_tokens - 1 bigrams each")
+    assert(r(2L)._2 > r(1L)._2, "word-salad transitions must out-score rehearsed ones")
+  }
+
   test("repetition signals count top-token and duplicate bigrams") {
     def sig(t: String): Map[String, Int] = {
       val cols = repetitionSignals(col("__toks")).map { case (n, c) => c.cast("int").as(n) }
