@@ -340,6 +340,18 @@ object Queries {
         |  CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 20
         |    WHEN 'src2' THEN 80 ELSE 10 END""".stripMargin)),
 
+    // §2.3/104 — per-group cap (domain balancing): at most 10 docs per
+    // source, lowest 52-bit id hashes win; bottom-k aggregator, not a
+    // window (see Sampling.perGroupCap)
+    "q_domain_cap" -> QueryDef(
+      (s, d) => Sampling.perGroupCap(ds(s, d, "documents").toDF,
+        "source", "doc_id", cap = 10),
+      Some("""SELECT source, doc_id, rank FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint, doc_id)
+        |    AS rank
+        |  FROM documents) t WHERE rank <= 10""".stripMargin)),
+
     // §2.3/28 — exact dedup by content hash
     "dedup_exact" -> QueryDef(
       (s, d) => Dedup.exact(ds(s, d, "documents").toDF, "doc_id", "text"),
@@ -572,6 +584,46 @@ object Queries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM scored) x WHERE rank <= 10""".stripMargin)),
 
+    // §2.3/102 — product-quantization ANN: 16 subspaces × 16 cells
+    // (4 dims each — random md5-seeded codebooks need the finer grain;
+    // 8×8 quantized too coarsely for usable recall, see SimilaritySpec),
+    // argmin codes with lower-cell tie-break, ADC ranking with a
+    // fixed-order 16-term sum — every step replayed in SQL, output is
+    // integer ranks only
+    "sim_ann_pq" -> QueryDef(
+      (s, d) => {
+        val emb = ds(s, d, "embeddings").toDF
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, subspaces = 16, subDim = 4, cells = 16)
+      },
+      Some {
+        val codes = (0 until 16).map(j => s"min(cell) FILTER (j = $j) AS c$j").mkString(", ")
+        val joins = (0 until 16).map(j =>
+          s"  JOIN scores s$j ON s$j.vec_id = q.vec_id AND s$j.j = $j AND s$j.cell = x.c$j")
+          .mkString("\n")
+        val dsum = (0 until 16).map(j => s"s$j.dist").mkString(" + ")
+        s"""WITH c0 AS (SELECT vec_id, embedding,
+           |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM embeddings),
+           |don AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, embedding::DOUBLE[] AS cv
+           |  FROM c0 ORDER BY h LIMIT 16),
+           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |scores AS (SELECT e.vec_id, r.j, d.cell,
+           |    list_aggregate(list_transform(list_transform(generate_series(1, 4),
+           |      t -> e.v[r.j*4 + t] - d.cv[r.j*4 + t]), x -> x * x), 'sum') AS dist
+           |  FROM emb e CROSS JOIN range(16) AS r(j) CROSS JOIN don d),
+           |assign AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
+           |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, cell ASC) AS rn
+           |  FROM scores) z WHERE rn = 1),
+           |codes AS (SELECT vec_id, $codes FROM assign GROUP BY vec_id),
+           |adc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, $dsum AS d
+           |  FROM codes x CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+           |$joins
+           |  WHERE x.vec_id <> q.vec_id)
+           |SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank
+           |  FROM adc) z WHERE rank <= 10""".stripMargin
+      }),
+
     // §2.3/62 — embedding near-dup clustering over LSH buckets (O(n)
     // output). FULL oracle (graduated from rows-only in round 4): the
     // md5-derived ±1 sign matrix is regenerated in SQL exactly as in
@@ -607,6 +659,46 @@ object Queries {
            |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
            |$iters
            |SELECT id AS vec_id, label AS cluster_id FROM l3""".stripMargin
+      }),
+
+    // §2.3/103 — SemDeDup semantic dedup: one keep-flag row per vector;
+    // cluster reps kept, members at cosine >= 0.25 to their rep dropped.
+    // FULL oracle: sim_embed_cluster's sign-matrix + label-propagation
+    // CTEs, extended with the member→rep cosine comparison
+    "dedup_semantic" -> QueryDef(
+      (s, d) => Similarity.semanticDedup(ds(s, d, "embeddings").toDF,
+        "vec_id", "embedding", dim = 64, planes = 8, tables = 2,
+        threshold = 0.25, iterations = 3),
+      Some {
+        val iters = (0 until 3).map { k =>
+          s"""bmin$k AS (SELECT t, b, min(label) AS bmin FROM mem
+             |  JOIN l$k USING (id) GROUP BY t, b),
+             |p$k AS (SELECT id, min(bmin) AS label FROM mem
+             |  JOIN bmin$k USING (t, b) GROUP BY id),
+             |l${k + 1} AS (SELECT a.id AS id, b.label AS label
+             |  FROM p$k a JOIN p$k b ON a.label = b.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH signs AS (
+           |  SELECT tp, j,
+           |    CASE WHEN (('0x' || substring(md5(tp || ':' || j), 1, 2))::int % 2) = 0
+           |         THEN -1.0 ELSE 1.0 END AS s
+           |  FROM range(16) AS t1(tp), range(64) AS t2(j)),
+           |svec AS (SELECT tp, list(s ORDER BY j) AS sv FROM signs GROUP BY tp),
+           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |mem AS (
+           |  SELECT e.vec_id AS id, (sv.tp // 8)::BIGINT AS t,
+           |    sum(CASE WHEN list_inner_product(e.v, sv.sv) > 0
+           |             THEN 1 << (sv.tp % 8) ELSE 0 END)::BIGINT AS b
+           |  FROM emb e CROSS JOIN svec sv
+           |  GROUP BY e.vec_id, sv.tp // 8),
+           |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
+           |$iters,
+           |cl AS (SELECT id AS vec_id, label AS cluster_id FROM l3)
+           |SELECT c.vec_id, c.cluster_id,
+           |  (c.vec_id = c.cluster_id OR
+           |   list_cosine_similarity(m.v, r.v) < 0.25) AS is_kept
+           |FROM cl c JOIN emb m ON m.vec_id = c.vec_id
+           |JOIN emb r ON r.vec_id = c.cluster_id""".stripMargin
       }),
 
     // §2.3/98 — int8 scalar quantization of embeddings (4 bytes/dim →

@@ -43,6 +43,36 @@ object Sampling {
     df.filter(bucket(idCol, 100) < pct)
   }
 
+  /** Per-group CAP (domain balancing): keep at most `cap` rows per
+    * group — the "no domain may exceed N documents" rule of corpus
+    * mixing — selecting the rows with the smallest stable id hashes,
+    * so the kept subset is deterministic, engine-portable, and stable
+    * under corpus growth (a group's survivors only change when a new
+    * row hashes below its current cap-th hash).
+    *
+    * Scale shape: selection is the map-side-combinable bottom-k
+    * aggregator ([[graft.functions.TopKAgg]] on the negated hash), NOT
+    * a `row_number` window — a hot domain with billions of rows
+    * reduces to `cap` rows per partition before the shuffle instead of
+    * sorting the whole domain in one task. The hash is truncated to 52
+    * bits so its double representation in the aggregator is EXACT
+    * (56-bit values round in a 53-bit mantissa, which could reorder
+    * near-equal hashes vs. the integer-ordering oracle).
+    *
+    * Output: (group, id, rank) with rank 1..cap by (hash, id).
+    */
+  def perGroupCap(df: DataFrame, groupCol: String, idCol: String,
+                  cap: Int): DataFrame = {
+    val h52 = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    df.select(col(groupCol), col(idCol), h52.as("__h"))
+      .groupBy(groupCol)
+      .agg(graft.functions.TopKAgg.topK(cap)(col(idCol), -col("__h").cast("double"))
+        .as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(col(groupCol), col("nb._1").as(idCol), (col("pos") + 1).as("rank"))
+  }
+
   private def bucket(idCol: String, den: Int) =
     HashFunctions.stableHash56(col(idCol).cast("string")) % den
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -114,6 +114,71 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization ANN (PQ codes + asymmetric distance
+    * computation): each vector is compressed to `subspaces` one-byte
+    * codes — the codebook entry with the least L2² distance per
+    * subvector — and queries rank the whole corpus by the ADC
+    * approximation `Σ_j L2²(q_sub_j, codebook_j[code_j])` using their
+    * EXACT subvectors against the coded corpus. This is the
+    * corpus-scale ANN memory story beyond int8 scalar quantization
+    * (row 98): 64 float dims (256 B) → 16 code bytes per vector, so a
+    * 100-TB embedding corpus's index fits in cluster RAM. Subspace
+    * grain matters for UNTRAINED (md5-seeded) codebooks: 16 cells in a
+    * 4-dim subspace cover it usably, 16 cells in an 8-dim one do not
+    * (recall collapse, measured in SimilaritySpec) — with k-means
+    * training the classic 8×8 would work, but seeded codebooks keep
+    * the whole operator exactly replayable in SQL.
+    *
+    * Determinism for the oracle: codebook donors are the `cells`
+    * lowest md5(id) vectors (same seeding as [[ivfTopK]]); per-
+    * subspace argmin tie-breaks on the lower cell; the cross-subspace
+    * ADC sum is an explicit fixed-order per-subspace addition, replayed
+    * term-for-term in SQL.
+    *
+    * Shape: codes are one inline expression per corpus row (no
+    * shuffle); queries broadcast against the coded corpus exactly like
+    * [[bruteForceTopK]] — the scan-all-codes ADC of classic PQ — and
+    * the top-k reduction is the map-side-combinable TopKAgg.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             subspaces: Int = 16, subDim: Int = 4, cells: Int = 16): DataFrame = {
+    val donors: Array[Seq[Float]] = corpus
+      .select(col(vecCol),
+        graft.functions.HashFunctions.stableHash56(col(idCol).cast("string")).as("h"))
+      .orderBy("h").limit(cells)
+      .collect().map(_.getSeq[Float](0))
+    // codebook(j)(c) = donor c's j-th subvector, widened to double
+    val codebook: Array[Array[Seq[Double]]] = Array.tabulate(subspaces) { j =>
+      donors.map(_.slice(j * subDim, (j + 1) * subDim).map(_.toDouble).toSeq)
+    }
+    def sub(vec: String, j: Int): Column =
+      slice(col(vec).cast("array<double>"), j * subDim + 1, subDim)
+    def l2sq(vecSub: Column, cent: Seq[Double]): Column =
+      aggregate(zip_with(vecSub, typedlit(cent), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    // per-subspace code: argmin over cells by (dist, cell) — array_min
+    // on struct orders by first field, ties fall to the lower cell
+    def codeCol(vec: String, j: Int): Column =
+      array_min(array(codebook(j).zipWithIndex.map { case (cv, c) =>
+        struct(l2sq(sub(vec, j), cv).as("d"), lit(c).as("cell"))
+      }.toIndexedSeq: _*)).getField("cell")
+
+    val coded = corpus.select(col(idCol).as("neighbor_id") +:
+      (0 until subspaces).map(j => codeCol(vecCol, j).as(s"c$j")): _*)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    // ADC: the query's exact j-th subvector against the centroid its
+    // neighbor's j-th code names, summed in fixed j order
+    val adc = (0 until subspaces).map { j =>
+      val cents = typedlit(codebook(j).toSeq)
+      aggregate(zip_with(sub("qv", j), element_at(cents, col(s"c$j") + 1),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    }.reduceLeft(_ + _)
+    val scored = q.join(coded, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", -adc) // rankTopK ranks desc; negate the distance
+    rankTopK(scored, k)
+  }
+
   /** Embedding near-dup CLUSTERING: O(n) cluster assignment over the
     * multi-table LSH bucket graph (vectors sharing any hyperplane
     * bucket in any table join a component) — the scalable output
@@ -127,6 +192,36 @@ object Similarity {
           .as(Seq("t", "b")))
     ConnectedComponents.propagateMinLabel(membership, Seq("t", "b"), iterations)
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+  }
+
+  /** SemDeDup-style semantic dedup: inside each LSH near-dup cluster
+    * (from [[nearDupClusters]] — same md5-derived hyperplane family as
+    * `sim_embed_cluster`, so the whole pipeline replays in SQL), the
+    * cluster label's own vector is the representative and every other
+    * member whose cosine to it reaches `threshold` is marked dropped.
+    * This is the embedding-space answer to near-dup PAIR emission: the
+    * output is one row per vector (O(n), never quadratic) with a keep
+    * flag, which a corpus-prep pipeline applies as a filter.
+    *
+    * Shape: two equi-joins against the vector table — members on their
+    * own id, representatives on the cluster label. The rep side is one
+    * row per cluster, so a hot cluster is an ordinary skewed join key
+    * (AQE splits it); nothing here is pairwise. Output columns are id/
+    * label/boolean only — no floats — so the oracle compare is exact.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, planes: Int, tables: Int, threshold: Double,
+                    iterations: Int = 3): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, vecCol, dim, planes, tables, iterations)
+    val members = df.select(col(idCol).as("__mid"), col(vecCol).as("__mv"))
+    val reps = df.select(col(idCol).as("__rid"), col(vecCol).as("__rv"))
+    clusters
+      .join(members, col("vec_id") === col("__mid"))
+      .join(reps, col("cluster_id") === col("__rid"))
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id") ||
+          VectorFunctions.cosineNative(col("__mv"), col("__rv")) < threshold)
+          .as("is_kept"))
   }
 
   /** Embedding near-duplicate pairs: cosine > threshold within a

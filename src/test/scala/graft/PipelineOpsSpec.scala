@@ -104,6 +104,26 @@ class PipelineOpsSpec extends SparkSpecBase {
       "per-group rate p must equal the global [0,p) bucket within the group")
   }
 
+  test("perGroupCap keeps at most cap per group, equals the window form") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf(), "documents")
+    val capped = Sampling.perGroupCap(docs, "source", "doc_id", cap = 7)
+    val counts = capped.groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 7), "no group may exceed the cap")
+    assert(capped.count() < docs.count(), "cap must actually drop rows")
+    // the combinable bottom-k must select exactly what the window form would
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val windowed = docs.withColumn("__h", h)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("__h"), col("doc_id"))))
+      .filter(col("rank") <= 7)
+      .select("source", "doc_id", "rank")
+    assert(capped.except(windowed).isEmpty && windowed.except(capped).isEmpty,
+      "bottom-k aggregator and row_number window must agree exactly")
+  }
+
   test("count-min sketch: never underestimates, within eps*N of exact") {
     import graft.operators.Sketches
     val events = Tables.load(spark, sf(), "events")

@@ -45,6 +45,50 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivf.size <= exact.size)
   }
 
+  test("PQ ANN: exact copy codes identically and ranks at ADC distance 0; recall usable") {
+    import spark.implicits._
+    val base = emb.limit(64).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = (base :+ (9999L, base.head._2)).toSeq.toDF("vec_id", "embedding")
+    val q0 = planted.filter(col("vec_id") === 0L)
+    val top = Similarity.pqTopK(planted, q0, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    // the copy shares all 8 codes with the query, so its ADC distance is
+    // the query's own quantization error — minimal; with a 64-vector
+    // corpus nothing else shares all codes, so it must rank 1
+    assert(top.head.getAs[Long]("neighbor_id") === 9999L)
+    // recall vs exact L2 (the metric ADC approximates — cosine would
+    // be the wrong yardstick for unnormalized vectors)
+    val all = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def l2sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (for {
+      (qid, qv) <- all.filter(_._1 < 10)
+      (nid, _) <- all.filter(v => v._1 != qid)
+        .map(v => (v._1, l2sq(qv, v._2))).sortBy(p => (p._2, p._1)).take(10)
+    } yield (qid, nid)).toSet
+    val approx = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 10, subspaces = 16, subDim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ ADC recall vs exact L2 $recall collapsed")
+  }
+
+  test("semanticDedup keeps reps and distant members, drops in-cluster copies") {
+    import spark.implicits._
+    val v0 = Array.tabulate(64)(i => if (i == 0) 1f else 0.001f * i)
+    val v1 = v0.clone() // exact copy: same buckets, cosine 1 to the rep
+    val v2 = v0.map(-_) // antipode: every hyperplane sign flips -> other bucket
+    val df = Seq((0L, v0.toSeq), (1L, v1.toSeq), (2L, v2.toSeq))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(df, "vec_id", "embedding",
+      dim = 64, planes = 8, tables = 2, threshold = 0.9)
+      .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[Boolean]("is_kept")).toMap
+    assert(r(0L), "cluster rep is always kept")
+    assert(!r(1L), "exact copy of the rep is dropped")
+    assert(r(2L), "antipodal vector is its own singleton cluster")
+  }
+
   test("a ragged vector in the corpus is skipped, not a job-aborting null") {
     import spark.implicits._
     val corpus = Seq(
