@@ -389,6 +389,49 @@ object Queries {
         |    AS dedup_text
         |FROM kept GROUP BY doc_id""".stripMargin)),
 
+    // §2.3/105+106 — incremental ingestion dedup: the docs with
+    // doc_id % 5 = 0 are the "new batch", the rest the reference
+    // corpus; exact content-hash dups and minhashJoin near-dups
+    // (2 bands × 4 rows, Jaccard >= 0.9) are flagged per new doc.
+    // The oracle replays both probes (band equality on raw minhashes,
+    // exact set ops for the confirm — same replay as dedup_minhash).
+    "dedup_incremental" -> QueryDef(
+      (s, d) => {
+        val docs = ds(s, d, "documents").toDF
+        Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", bands = 2, rowsPerBand = 4, num = 9, den = 10)
+      },
+      Some {
+        val mh = (0 until 8).map(i =>
+          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
+          .mkString(", ")
+        val b0 = (0 until 4).map(r => s"a.m$r = b.m$r").mkString(" AND ")
+        val b1 = (4 until 8).map(r => s"a.m$r = b.m$r").mkString(" AND ")
+        s"""WITH t AS (SELECT doc_id,
+           |    list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |hp AS (SELECT doc_id, list_transform(toks, w ->
+           |  [('0x' || substring(md5(w), 1, 14))::bigint,
+           |   ('0x' || substring(md5(w), 15, 14))::bigint]) AS hs FROM t),
+           |sigs AS (SELECT doc_id, $mh FROM hp),
+           |cand AS (SELECT a.doc_id AS na, b.doc_id AS nb
+           |  FROM sigs a JOIN sigs b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+           |   AND (($b0) OR ($b1))),
+           |near AS (SELECT DISTINCT na AS doc_id FROM cand
+           |  JOIN t ta ON na = ta.doc_id JOIN t tb ON nb = tb.doc_id
+           |  WHERE len(list_intersect(ta.toks, tb.toks)) * 10 >=
+           |        len(list_distinct(ta.toks || tb.toks)) * 9),
+           |ex AS (SELECT DISTINCT n.doc_id FROM documents n JOIN documents r
+           |  ON n.doc_id % 5 = 0 AND r.doc_id % 5 <> 0 AND md5(n.text) = md5(r.text))
+           |SELECT d.doc_id,
+           |  d.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+           |  d.doc_id IN (SELECT doc_id FROM near) AS near_dup,
+           |  NOT (d.doc_id IN (SELECT doc_id FROM ex)
+           |    OR d.doc_id IN (SELECT doc_id FROM near)) AS is_kept
+           |FROM documents d WHERE d.doc_id % 5 = 0""".stripMargin
+      }),
+
     // §2.3/30 — word-set Jaccard >= 0.8 near-dup pairs within source buckets
     "dedup_jaccard" -> QueryDef(
       (s, d) => Dedup.jaccardPairs(ds(s, d, "documents").toDF,

@@ -472,6 +472,74 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-table MinHash near-dup join: word-set Jaccard >= num/den
+    * pairs BETWEEN two frames (never within one) — the incremental-
+    * ingestion primitive: band a new batch and an existing corpus with
+    * the same signature family, collide candidates on (band, band-key),
+    * confirm exact Jaccard before the distinct. The token-set scoring
+    * vocabulary is probed over the UNION of both sides, so a pair's
+    * intersection/union sizes are computed in one shared representation.
+    *
+    * Like [[editDistanceJoin]] there is no `a.id < b.id` constraint —
+    * sides are disjoint by construction — so hot bands are ordinary
+    * skewed equi-join keys (AQE splits them). The banded/exploded
+    * union frame feeds both side filters; it is pinned once at that
+    * fan-out point (single-pin rule).
+    */
+  def minhashJoin(left: DataFrame, leftId: String, leftText: String,
+                  right: DataFrame, rightId: String, rightText: String,
+                  bands: Int, rowsPerBand: Int, num: Int, den: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def prep(df: DataFrame, id: String, text: String, side: Int) =
+      fanOut(df).select(col(id).as("id"),
+        TextFunctions.tokenSet(col(text)).as("toks"))
+        .filter(col("toks").isNotNull)
+        .withColumn("side", lit(side))
+    val both = prep(left, leftId, leftText, 0)
+      .unionByName(prep(right, rightId, rightText, 1))
+    val ps = pairScorer(withMinhashSignature(both, numHashes))
+    val exploded = registerPin(ps.repr
+      .select(col("id"), col("side"), col("repr"),
+        explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
+      .select(col("id"), col("side"), col("repr"),
+        col("bk.band").as("band"), col("bk.sig").as("sig")))
+    val a = exploded.filter(col("side") === 0).drop("side").as("a")
+    val b = exploded.filter(col("side") === 1).drop("side").as("b")
+    a.join(b, Seq("band", "sig"))
+      .select(col("a.id").as("left_id"), col("b.id").as("right_id"),
+        ps.inter(col("a.repr"), col("b.repr")).as("inter_size"),
+        ps.union(col("a.repr"), col("b.repr")).as("union_size"))
+      .filter(col("inter_size") * den >= col("union_size") * num)
+      .distinct()
+  }
+
+  /** Incremental ingestion dedup: flag each NEW document against an
+    * existing REFERENCE corpus — exact duplicates by content hash
+    * (semi-join on md5), near-duplicates by [[minhashJoin]] at
+    * Jaccard >= num/den — and emit one row per new doc with
+    * (exact_dup, near_dup, is_kept). This is the nightly-crawl
+    * contract: the reference corpus is never rewritten, only probed,
+    * and the output is O(new batch), never pairwise.
+    */
+  def incrementalDedup(newDf: DataFrame, refDf: DataFrame,
+                       idCol: String, textCol: String,
+                       bands: Int, rowsPerBand: Int,
+                       num: Int, den: Int): DataFrame = {
+    val ex = newDf.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+      .join(refDf.select(md5(col(textCol)).as("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("__ex", lit(true))
+    val near = minhashJoin(newDf, idCol, textCol, refDf, idCol, textCol,
+      bands, rowsPerBand, num, den)
+      .select(col("left_id").as("doc_id")).distinct()
+      .withColumn("__nr", lit(true))
+    newDf.select(col(idCol).as("doc_id"))
+      .join(ex, Seq("doc_id"), "left").join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__ex"), lit(false)).as("exact_dup"),
+        coalesce(col("__nr"), lit(false)).as("near_dup"))
+      .withColumn("is_kept", !col("exact_dup") && !col("near_dup"))
+  }
+
   /** Cross-table fuzzy join (record linkage): LSH-prefiltered
     * levenshtein match of two DIFFERENT frames on a string column —
     * the entity-resolution primitive (link records across two

@@ -144,6 +144,28 @@ class DedupSpec extends SparkSpecBase {
     assert(links.size === 1, "unrelated rows must not link")
   }
 
+  test("incrementalDedup flags exact and near dups against a reference corpus") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog sleeping deeply tonight"),
+      (2L, "completely different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog sleeping deeply tonight"), // exact
+      (11L, "the quick brown fox jumps over the lazy dog sleeping deeply today"), // near
+      (12L, "zebra yankee xray whiskey victor uniform tango sierra")  // novel
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(fresh, ref, "doc_id", "text",
+      bands = 2, rowsPerBand = 4, num = 4, den = 5)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Boolean]("exact_dup"), x.getAs[Boolean]("near_dup"),
+          x.getAs[Boolean]("is_kept"))).toMap
+    assert(r(10L)._1, "identical text must flag exact_dup")
+    assert(!r(10L)._3, "exact dup must not be kept")
+    assert(r(11L)._2 && !r(11L)._1, "one-word change flags near but not exact")
+    assert(r(12L) === ((false, false, true)), "novel doc sails through")
+  }
+
   test("selective salting emits the same pairs as blanket salting") {
     import spark.implicits._
     // A deliberately hot bucket (40 rows of one key) + cold buckets, so
