@@ -62,6 +62,19 @@ object ScaleProbe {
     time("decontaminate")(graft.operators.Decontaminate.ngramOverlap(
       big.filter(col("doc_id") % 50 =!= 0), big.filter(col("doc_id") % 50 === 0),
       "doc_id", "text", 3).count())
+    // linear contracts, round-4 operators: chunk ownership is two
+    // combinable aggregates + one join; replication multiplies chunk
+    // multiplicity but never pairs anything
+    time("chunk_dedup")(Dedup.chunkDedup(big, "doc_id", "text").count())
+    // O(new batch) output; near-dup probe is banded, so candidate work
+    // grows with per-band multiplicity, not corpus²
+    time("incremental_dedup")(Dedup.incrementalDedup(
+      big.filter(col("doc_id") % 5 === 0), big.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", 2, 4, 9, 10).count())
+    // two count-table aggregates + joins, all shuffle-partitioned by
+    // bigram — no windows, no pairs
+    time("bigram_lm")(graft.operators.TfIdf.bigramSurprisal(
+      big, "doc_id", "text").count())
     spark.stop()
   }
 

@@ -513,6 +513,48 @@ object Dedup {
       .distinct()
   }
 
+  /** STREAMING near-dup probe: [[minhashJoin]]'s banded candidate
+    * generation as a stateless stream-static join — the quarantine log
+    * of a continuously-ingesting pipeline (the streaming face of
+    * [[incrementalDedup]], as `contaminationAudit` is for
+    * `ngramOverlap`). Each micro-batch signs and bands its documents
+    * row-wise (the MinhashSig kernel is a per-row expression, so it
+    * runs unchanged on a stream), joins the static banded reference,
+    * and confirms exact Jaccard inline — no watermark, no state store,
+    * nothing grows with stream length.
+    *
+    * Scoring uses the open-vocabulary sorted-hash-array representation
+    * on BOTH sides: the closed-vocab bitmask needs a corpus probe job,
+    * which a streaming plan cannot run. A (new_id, ref_id) pair is
+    * emitted once per colliding band (multiplicity is the price of
+    * statelessness; readers aggregate if they need distinct pairs).
+    */
+  def streamingNearDupProbe(stream: DataFrame, ref: DataFrame,
+                            idCol: String, textCol: String,
+                            bands: Int, rowsPerBand: Int,
+                            num: Int, den: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def banded(df: DataFrame, outId: String): (PairScorer, DataFrame) = {
+      val toks = df.select(col(idCol).as("id"),
+        TextFunctions.tokenSet(col(textCol)).as("toks"))
+        .filter(col("toks").isNotNull)
+      val ps = pairScorer(withMinhashSignature(toks, numHashes),
+        assumeOpenVocab = true)
+      (ps, ps.repr
+        .select(col("id").as(outId), col("repr").as(s"__${outId}_repr"),
+          explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
+        .select(col(outId), col(s"__${outId}_repr"),
+          col("bk.band").as("band"), col("bk.sig").as("sig")))
+    }
+    val (ps, refSide) = banded(ref, "ref_id")
+    val (_, streamSide) = banded(stream, "new_id")
+    streamSide.join(refSide, Seq("band", "sig"))
+      .select(col("new_id"), col("ref_id"),
+        ps.inter(col("__new_id_repr"), col("__ref_id_repr")).as("inter_size"),
+        ps.union(col("__new_id_repr"), col("__ref_id_repr")).as("union_size"))
+      .filter(col("inter_size") * den >= col("union_size") * num)
+  }
+
   /** Incremental ingestion dedup: flag each NEW document against an
     * existing REFERENCE corpus — exact duplicates by content hash
     * (semi-join on md5), near-duplicates by [[minhashJoin]] at

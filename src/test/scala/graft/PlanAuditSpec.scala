@@ -108,6 +108,35 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), "corpus x corpus cartesian would not scale")
   }
 
+  test("dedup_chunks: first-occurrence selection is a combinable aggregate, not a window") {
+    val p = plan("dedup_chunks")
+    assert(!p.contains("Window"),
+      "a row_number/min window would sort every hot chunk's occurrences in one task")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "min-owner must be partial + final hash aggregation")
+  }
+
+  test("q_domain_cap: bottom-k aggregation, no per-group window sort") {
+    val p = plan("q_domain_cap")
+    assert(!p.contains("Window"),
+      "the cap must come from the combinable bottom-k aggregator, not row_number")
+  }
+
+  test("sim_ann_pq: codes computed in the native kernel inside the corpus scan") {
+    val p = plan("sim_ann_pq")
+    assert(p.contains("pq_codes"), "coding must run in the PqCodes kernel")
+    assert(p.contains("pq_adc"), "ADC must run in the PqAdc kernel")
+    assert(!p.contains("CartesianProduct"), "query x corpus must broadcast, not cartesian")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      "interpreted HOF lambdas in the PQ path are the 3.3s regression")
+  }
+
+  test("dedup_incremental: reference corpus is probed, not windowed or cartesian") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    assert(p.contains("LeftSemi"), "exact-dup probe must be a semi join")
+  }
+
   // ---- measured regression guards (QueryMetrics): these fail if a
   // scale invariant is undone, not just if the plan string drifts ----
 

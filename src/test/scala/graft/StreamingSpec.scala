@@ -301,6 +301,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup probe flags incoming dups of the reference, stateless") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different reference content on another topic")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val probe = Dedup.streamingNearDupProbe(input.toDF().toDF("doc_id", "text"),
+      ref, "doc_id", "text", bands = 2, rowsPerBand = 4, num = 4, den = 5)
+    val q = probe.writeStream.format("memory").queryName("ndprobe")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+        (11L, "zebra yankee xray whiskey victor uniform tango"))      // novel
+      q.processAllAvailable()
+      val hits = spark.table("ndprobe").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits === Set((10L, 1L)), "only the duplicate pairs with its source")
+      // later batches probe independently — no state carried
+      input.addData((12L, "completely different reference content on another topic"))
+      q.processAllAvailable()
+      assert(spark.table("ndprobe").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet === Set((10L, 1L), (12L, 2L)))
+    } finally q.stop()
+  }
+
   test("windowed sum with watermark bounds state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
