@@ -1020,6 +1020,29 @@ object Queries {
         |FROM occ JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY doc_id""".stripMargin)),
 
+    // §2.3/108 — vocabulary induction: top-50 tokens by count with
+    // cumulative coverage (count desc, token asc — total order)
+    "text_vocab" -> QueryDef(
+      (s, d) => TfIdf.vocabTopN(ds(s, d, "documents").toDF, "text", topN = 50),
+      Some("""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |top AS (SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM cnt),
+        |lim AS (SELECT * FROM top WHERE rank <= 50)
+        |SELECT rank, token, cnt,
+        |  (sum(cnt) OVER (ORDER BY rank))::BIGINT AS cum_cnt FROM lim""".stripMargin)),
+
+    // §2.3/109 — per-source equi-width histogram of n_chars (10 global
+    // bins, integer-exact bucket arithmetic)
+    "q_histogram" -> QueryDef(
+      (s, d) => Sketches.histogram(ds(s, d, "documents").toDF,
+        "source", "n_chars", bins = 10),
+      Some("""WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents)
+        |SELECT source, least(9, ((n_chars - lo) * 10) // (hi - lo + 1)) AS bin,
+        |  count(*) AS cnt
+        |FROM documents CROSS JOIN mm GROUP BY 1, 2""".stripMargin)),
+
     // §2.3/46 — approximate distinct (HLL++): algorithm-specific values,
     // accuracy asserted vs exact in ApproxSpec → rows-only
     "q_approx_users" -> QueryDef(

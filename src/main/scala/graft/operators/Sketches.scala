@@ -66,4 +66,27 @@ object Sketches {
           .otherwise(expr(s"${(k - 1).toLong * (1L << 56)}L DIV element_at(__mins, $k)"))
           .as("est_distinct"): _*)
   }
+
+  /** Per-group equi-width histogram of an integer column: `bins`
+    * buckets spanning the GLOBAL [min, max] (edges from a one-row
+    * broadcast aggregate — no driver action, no second shuffle of the
+    * data), bucket index by integer-exact arithmetic
+    * `min(bins-1, (x - lo) * bins / (hi - lo + 1))`, counts map-side
+    * combinable. The distribution-profiling complement to q_profile's
+    * scalar stats.
+    *
+    * The division is double-precision but exact for any realistic
+    * integer column ((x-lo)*bins far below 2^53, and a 1-ulp quotient
+    * error cannot cross an integer boundary at these magnitudes), so
+    * an external engine's integer `//` computes identical buckets.
+    */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+                bins: Int): DataFrame = {
+    val mm = df.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    df.crossJoin(broadcast(mm))
+      .select(col(groupCol),
+        least(lit(bins - 1), ((col(valueCol) - col("__lo")) * bins /
+          (col("__hi") - col("__lo") + 1)).cast("long")).as("bin"))
+      .groupBy(groupCol, "bin").agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -51,6 +51,28 @@ object TfIdf {
         avg(-log(col("cnt") / col("total"))).as("avg_surprisal"))
   }
 
+  /** Vocabulary induction: the `topN` corpus tokens by frequency with
+    * cumulative-coverage counts — the first step of building a
+    * tokenizer (pick a vocab, measure what fraction of the token
+    * stream it covers; `cum_cnt / total` at rank r is the coverage of
+    * a size-r vocab). Deterministic order: count desc, token asc.
+    *
+    * Shape: one map-side-combinable count aggregate, then
+    * TakeOrdered for the top-N (never a global sort), then rank and
+    * running sum over the N survivors — a single-partition window
+    * BOUNDED BY topN, which is the one place a partition-less window
+    * is the right tool.
+    */
+  def vocabTopN(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum("cnt").over(w))
+  }
+
   /** Bigram LM surprisal per document: `avg(-ln p(w_i | w_{i-1}))`
     * under the corpus's own add-one-smoothed conditional bigram model
     * `p = (c(w1,w2) + 1) / (c(w1·) + |V|)` — one step closer to the

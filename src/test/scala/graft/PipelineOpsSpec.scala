@@ -124,6 +124,21 @@ class PipelineOpsSpec extends SparkSpecBase {
       "bottom-k aggregator and row_number window must agree exactly")
   }
 
+  test("histogram: bins partition the range, counts conserve, extremes land at the edges") {
+    import graft.operators.Sketches
+    val docs = Tables.load(spark, sf(), "documents")
+    val h = Sketches.histogram(docs, "source", "n_chars", bins = 10)
+    val rows = h.collect()
+    assert(rows.map(_.getAs[Long]("bin")).forall(b => b >= 0 && b <= 9))
+    assert(rows.map(_.getAs[Long]("cnt")).sum === docs.count(), "every row lands in a bin")
+    val minMax = docs.agg(min("n_chars"), max("n_chars")).head()
+    val loDoc = docs.filter(col("n_chars") === minMax.getLong(0)).select("source").head().getString(0)
+    val hiDoc = docs.filter(col("n_chars") === minMax.getLong(1)).select("source").head().getString(0)
+    val bySrcBin = rows.map(r => (r.getString(0), r.getAs[Long]("bin"))).toSet
+    assert(bySrcBin.contains((loDoc, 0L)), "the min value must land in bin 0")
+    assert(bySrcBin.contains((hiDoc, 9L)), "the max value must land in the last bin")
+  }
+
   test("count-min sketch: never underestimates, within eps*N of exact") {
     import graft.operators.Sketches
     val events = Tables.load(spark, sf(), "events")

@@ -79,6 +79,15 @@ class TextSpec extends SparkSpecBase {
     assert(r(2L)._2 > r(1L)._2, "word-salad transitions must out-score rehearsed ones")
   }
 
+  test("vocabTopN ranks by count with cumulative coverage") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a a a c b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val v = graft.operators.TfIdf.vocabTopN(docs, "text", topN = 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("token"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("cum_cnt")))
+    assert(v.toSeq === Seq((1, "a", 4L, 4L), (2, "b", 3L, 7L), (3, "c", 2L, 9L)))
+  }
+
   test("repetition signals count top-token and duplicate bigrams") {
     def sig(t: String): Map[String, Int] = {
       val cols = repetitionSignals(col("__toks")).map { case (n, c) => c.cast("int").as(n) }
