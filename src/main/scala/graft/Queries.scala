@@ -432,6 +432,42 @@ object Queries {
            |FROM documents d WHERE d.doc_id % 5 = 0""".stripMargin
       }),
 
+    // §2.3/110 — composed corpus-prep v2: quality gate → chunk-level
+    // dedup (drop fully-boilerplate docs) → per-source cap 15. The
+    // round-4 operator set chained as one Catalyst plan; the oracle
+    // replays quality CTE → chunk ownership → survivor set → capped
+    // hash ranking.
+    "pipeline_corpus_v2" -> QueryDef(
+      (s, d) => {
+        val docs = ds(s, d, "documents").toDF
+        val sig = TextFunctions.qualitySignals(col("text"), col("n_chars")).toMap
+        val quality = docs.filter(sig("is_quality"))
+        val survivors = Dedup.chunkDedup(quality, "doc_id", "text", chunkTokens = 20)
+          .filter(col("n_kept") > 0).select("doc_id")
+        Sampling.perGroupCap(
+          survivors.join(docs.select("doc_id", "source"), "doc_id"),
+          "source", "doc_id", cap = 15)
+      },
+      Some("""WITH q AS (SELECT doc_id, text, source FROM documents WHERE
+        |  len(regexp_split_to_array(trim(text), '\s+')) >= 5 AND
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5 <= n_chars AND
+        |  len(regexp_extract_all(text, '[0-9]')) * 4 <= n_chars),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM q WHERE text IS NOT NULL),
+        |chunks AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, (len(toks)-1)//20),
+        |      i -> {'i': i, 'c': array_to_string(list_slice(toks, i*20+1, i*20+20), ' ')})) AS u
+        |  FROM tok),
+        |occ AS (SELECT doc_id, u.i AS chunk_idx, md5(u.c) AS h FROM chunks),
+        |own AS (SELECT h, min({'d': doc_id, 'i': chunk_idx}) AS w FROM occ GROUP BY h),
+        |surv AS (SELECT DISTINCT w.d AS doc_id FROM own),
+        |sv AS (SELECT s.doc_id, q.source FROM surv s JOIN q USING (doc_id))
+        |SELECT source, doc_id, rank FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint, doc_id)
+        |    AS rank
+        |  FROM sv) t WHERE rank <= 15""".stripMargin)),
+
     // §2.3/30 — word-set Jaccard >= 0.8 near-dup pairs within source buckets
     "dedup_jaccard" -> QueryDef(
       (s, d) => Dedup.jaccardPairs(ds(s, d, "documents").toDF,
