@@ -481,6 +481,19 @@ object Queries {
         |WHERE len(list_intersect(a.toks, b.toks)) * 5 >=
         |      len(list_distinct(a.toks || b.toks)) * 4""".stripMargin)),
 
+    // §2.3/111 — directional containment pairs (quote/subset
+    // detection): |sub ∩ super| / |sub| >= 19/20 within source buckets
+    "dedup_containment" -> QueryDef(
+      (s, d) => Dedup.containmentPairs(ds(s, d, "documents").toDF,
+        "doc_id", "text", "source", num = 19, den = 20),
+      Some("""WITH t AS (SELECT doc_id, source,
+        |  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks FROM documents)
+        |SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
+        |  len(list_intersect(a.toks, b.toks)) AS inter_size,
+        |  len(a.toks) AS sub_size
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) * 20 >= len(a.toks) * 19""".stripMargin)),
+
     // §2.3/31 — MinHash (8 hashes) + LSH (2 bands x 4 rows) + exact
     // Jaccard >= 0.9 confirmation
     "dedup_minhash" -> QueryDef(

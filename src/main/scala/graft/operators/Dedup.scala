@@ -139,6 +139,30 @@ object Dedup {
       .filter(col("inter_size") * den >= col("union_size") * num)
   }
 
+  /** DIRECTIONAL containment pairs: (doc_sub, doc_super) where
+    * `|sub ∩ super| / |sub| >= num/den` within a bucket column —
+    * quote/subset detection, which symmetric Jaccard structurally
+    * misses (a tweet quoted inside an article has tiny Jaccard but
+    * containment ~1). Emits both directions when both hold; integer
+    * math only. The join-condition short-circuit mirrors
+    * [[sizeRatioPrefilter]]: `|super|*den >= |sub|*num` is implied by
+    * the containment threshold (`|super| >= |inter|`), so undersized
+    * supersets die before the per-pair intersect kernel runs.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       bucketCol: String, num: Int, den: Int): DataFrame = {
+    val t = fanOut(df).select(col(idCol).as("id"), col(bucketCol).as("bucket"),
+      TextFunctions.tokenSet(col(textCol)).as("toks"))
+    val ps = pairScorer(t)
+    val a = ps.repr.as("a"); val b = ps.repr.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id") &&
+        ps.setSize(col("b.repr")) * den >= ps.setSize(col("a.repr")) * num)
+      .select(col("a.id").as("doc_sub"), col("b.id").as("doc_super"),
+        ps.inter(col("a.repr"), col("b.repr")).as("inter_size"),
+        ps.setSize(col("a.repr")).as("sub_size"))
+      .filter(col("inter_size") * den >= col("sub_size") * num)
+  }
+
   /** Jaccard >= num/den implies min(|A|,|B|)*den >= max(|A|,|B|)*num
     * (|A∩B| <= min, |A∪B| >= max). Checking the sizes inside the join
     * condition kills size-mismatched pairs BEFORE the per-pair

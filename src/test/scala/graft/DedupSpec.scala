@@ -144,6 +144,39 @@ class DedupSpec extends SparkSpecBase {
     assert(links.size === 1, "unrelated rows must not link")
   }
 
+  test("containmentPairs is directional: the quote flags, the article doesn't") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "alpha beta gamma", "s1"), // fully contained in 2
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s1"),
+      (3L, "unrelated words entirely different content", "s1")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.containmentPairs(in, "doc_id", "text", "source", num = 9, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "the quote is contained in the article")
+    assert(!pairs.contains((2L, 1L)), "the article is NOT contained in the quote")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("chunkDedup conserves chunks: kept + dropped == total, global kept == distinct") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val r = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 20)
+    // per-doc: n_kept <= n_chunks; corpus-wide: total chunks conserved
+    assert(r.filter(col("n_kept") > col("n_chunks")).isEmpty)
+    val totals = r.agg(sum("n_chunks"), sum("n_kept")).head()
+    val expectedChunks = docs.select(
+      (((size(split(trim(col("text")), "\\s+")) - 1) / 20).cast("long") + 1).as("c"))
+      .agg(sum("c")).head().getLong(0)
+    assert(totals.getLong(0) === expectedChunks, "every chunk is accounted for")
+    // kept chunks across the corpus == distinct chunk hashes (each
+    // distinct chunk is kept exactly once, by exactly one owner)
+    val distinctChunks = docs.select(posexplode(transform(
+      sequence(lit(0), ((size(split(trim(col("text")), "\\s+")) - 1) / 20).cast("int")),
+      i => array_join(slice(split(trim(col("text")), "\\s+"), i * 20 + 1, lit(20)), " "))))
+      .select(col("col")).distinct().count()
+    assert(totals.getLong(1) === distinctChunks, "one keeper per distinct chunk")
+  }
+
   test("incrementalDedup flags exact and near dups against a reference corpus") {
     import spark.implicits._
     val ref = Seq(
