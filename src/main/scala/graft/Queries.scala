@@ -1082,6 +1082,22 @@ object Queries {
         |SELECT rank, token, cnt,
         |  (sum(cnt) OVER (ORDER BY rank))::BIGINT AS cum_cnt FROM lim""".stripMargin)),
 
+    // §2.3/112 — mergeable sampled-median sketch: bottom-64-hash
+    // uniform sample per source, exact integer median arithmetic over
+    // the sample (med2 = twice the median — no float interpolation)
+    "q_sampled_median" -> QueryDef(
+      (s, d) => Sketches.sampledMedian(ds(s, d, "documents").toDF,
+        "source", "doc_id", "n_chars", k = 64),
+      Some("""WITH h AS (SELECT source, n_chars,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint AS hv
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, n_chars) AS rn FROM h),
+        |s AS (SELECT source, list(n_chars ORDER BY n_chars) AS vals
+        |  FROM r WHERE rn <= 64 GROUP BY source)
+        |SELECT source, len(vals) AS n_sample,
+        |  vals[(len(vals)+1)//2] + vals[(len(vals)+2)//2] AS med2 FROM s""".stripMargin)),
+
     // §2.3/109 — per-source equi-width histogram of n_chars (10 global
     // bins, integer-exact bucket arithmetic)
     "q_histogram" -> QueryDef(

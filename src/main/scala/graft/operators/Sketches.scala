@@ -67,6 +67,38 @@ object Sketches {
           .as("est_distinct"): _*)
   }
 
+  /** Mergeable sampled-median sketch: per group, the rows whose stable
+    * 52-bit id hash is among the `k` smallest form a UNIFORM sample of
+    * the group (bottom-k sampling — the same principle as
+    * [[kmvDistinct]], keeping values instead of counting hashes), and
+    * the median estimate is the exact median of that sample. Groups
+    * with <= k rows are EXACT. State is k (value, hash) pairs per
+    * group however large the group — the bounded-memory alternative to
+    * a full per-group sort, and unlike `approx_percentile` every step
+    * (hash selection AND median arithmetic) replays in an external SQL
+    * engine.
+    *
+    * Output stays integral: `med2` = s(⌊(n+1)/2⌋) + s(⌈(n+1)/2⌉) over
+    * the ascending sample — twice the median, no float interpolation.
+    * Selection reuses [[graft.functions.TopKAgg]] on the negated hash
+    * (map-side-combinable; 52-bit hash exact in its double score).
+    */
+  def sampledMedian(df: DataFrame, groupCol: String, idCol: String,
+                    valueCol: String, k: Int = 64): DataFrame = {
+    val h52 = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val vals = array_sort(transform(col("__top"), t => t.getField("_1")))
+    val n = size(col("__vals"))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCol)
+      .agg(graft.functions.TopKAgg.topK(k)(
+        col(valueCol).cast("long"), -h52.cast("double")).as("__top"))
+      .withColumn("__vals", vals)
+      .select(col(groupCol), n.as("n_sample"),
+        (element_at(col("__vals"), ((n + 1) / 2).cast("int")) +
+          element_at(col("__vals"), ((n + 2) / 2).cast("int"))).as("med2"))
+  }
+
   /** Per-group equi-width histogram of an integer column: `bins`
     * buckets spanning the GLOBAL [min, max] (edges from a one-row
     * broadcast aggregate — no driver action, no second shuffle of the

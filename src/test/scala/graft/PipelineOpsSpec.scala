@@ -139,6 +139,32 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(bySrcBin.contains((hiDoc, 9L)), "the max value must land in the last bin")
   }
 
+  test("sampledMedian: exact when the sample covers the group, close when it doesn't") {
+    import graft.operators.Sketches
+    val docs = Tables.load(spark, sf(), "documents") // 25 docs/source at sf0.001
+    val est = Sketches.sampledMedian(docs, "source", "doc_id", "n_chars", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getAs[Int]("n_sample"), r.getAs[Long]("med2"))).toMap
+    val exact = docs.collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+      .groupBy(_._1).map { case (s, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val n = sorted.length
+        s -> (sorted((n + 1) / 2 - 1) + sorted((n + 2) / 2 - 1))
+      }
+    exact.foreach { case (s, m2) =>
+      assert(est(s)._1 <= 64)
+      // k=64 >= every sf0.001 group, so the sketch must be EXACT here
+      assert(est(s)._2 === m2, s"source $s sampled med2 ${est(s)._2} != exact $m2")
+    }
+    // undersampled path: k=8 still lands within the group's value range
+    val rough = Sketches.sampledMedian(docs, "source", "doc_id", "n_chars", k = 8)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("med2")).toMap
+    val ranges = docs.collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+      .groupBy(_._1).map { case (s, vs) => s -> (vs.map(_._2).min, vs.map(_._2).max) }
+    ranges.foreach { case (s, (lo, hi)) =>
+      assert(rough(s) >= 2 * lo && rough(s) <= 2 * hi, s"k=8 median for $s out of range")
+    }
+  }
+
   test("count-min sketch: never underestimates, within eps*N of exact") {
     import graft.operators.Sketches
     val events = Tables.load(spark, sf(), "events")
