@@ -716,6 +716,51 @@ object Queries {
            |  FROM adc) z WHERE rank <= 10""".stripMargin
       }),
 
+    // §2.3/113 — two-stage retrieval: PQ/ADC shortlist of 50 → exact
+    // cosine re-rank to top 10; oracle extends the sim_ann_pq replay
+    // with the exact-cosine re-rank over the shortlist
+    "sim_ann_rerank" -> QueryDef(
+      (s, d) => {
+        val emb = ds(s, d, "embeddings").toDF
+        Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, shortlist = 50)
+      },
+      Some {
+        val codes = (0 until 16).map(j => s"min(cell) FILTER (j = $j) AS c$j").mkString(", ")
+        val joins = (0 until 16).map(j =>
+          s"  JOIN scores s$j ON s$j.vec_id = q.vec_id AND s$j.j = $j AND s$j.cell = x.c$j")
+          .mkString("\n")
+        val dsum = (0 until 16).map(j => s"s$j.dist").mkString(" + ")
+        s"""WITH c0 AS (SELECT vec_id, embedding,
+           |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM embeddings),
+           |don AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, embedding::DOUBLE[] AS cv
+           |  FROM c0 ORDER BY h LIMIT 16),
+           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |scores AS (SELECT e.vec_id, r.j, d.cell,
+           |    list_aggregate(list_transform(list_transform(generate_series(1, 4),
+           |      t -> e.v[r.j*4 + t] - d.cv[r.j*4 + t]), x -> x * x), 'sum') AS dist
+           |  FROM emb e CROSS JOIN range(16) AS r(j) CROSS JOIN don d),
+           |assign AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
+           |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, cell ASC) AS rn
+           |  FROM scores) z WHERE rn = 1),
+           |codes AS (SELECT vec_id, $codes FROM assign GROUP BY vec_id),
+           |adc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, $dsum AS d
+           |  FROM codes x CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+           |$joins
+           |  WHERE x.vec_id <> q.vec_id),
+           |short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank
+           |  FROM adc) z WHERE rank <= 50),
+           |rr AS (SELECT s.query_id, s.neighbor_id,
+           |    list_cosine_similarity(qe.v, ne.v) AS cosine
+           |  FROM short s JOIN emb qe ON qe.vec_id = s.query_id
+           |  JOIN emb ne ON ne.vec_id = s.neighbor_id)
+           |SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+           |      AS rank
+           |  FROM rr) z WHERE rank <= 10""".stripMargin
+      }),
+
     // §2.3/62 — embedding near-dup clustering over LSH buckets (O(n)
     // output). FULL oracle (graduated from rows-only in round 4): the
     // md5-derived ±1 sign matrix is regenerated in SQL exactly as in

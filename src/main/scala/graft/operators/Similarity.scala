@@ -166,6 +166,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Two-stage retrieval: PQ/ADC shortlist → exact cosine re-rank —
+    * the production ANN serving pattern. Stage 1 scans only the
+    * 16-byte codes ([[pqTopK]], `shortlist` candidates per query);
+    * stage 2 fetches full vectors for ONLY the `queries × shortlist`
+    * survivors and re-ranks them exactly. At 100 TB the full-precision
+    * corpus stays in cheap storage and is touched `shortlist/corpus`
+    * of the time — the memory/recall trade both quantization rows
+    * (98, 102) exist to serve.
+    */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int, shortlist: Int,
+                   subspaces: Int = 16, subDim: Int = 4,
+                   cells: Int = 16): DataFrame = {
+    val short = pqTopK(corpus, queries, idCol, vecCol, shortlist,
+      subspaces, subDim, cells).select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // the shortlist frame is queries*shortlist rows — it broadcasts
+    // into the corpus-side fetch join
+    val scored = broadcast(short).join(q, "query_id").join(c, "neighbor_id")
+      .withColumn("cosine", VectorFunctions.cosineNative(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
   /** Embedding near-dup CLUSTERING: O(n) cluster assignment over the
     * multi-table LSH bucket graph (vectors sharing any hyperplane
     * bucket in any table join a component) — the scalable output

@@ -74,6 +74,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.3, s"PQ ADC recall vs exact L2 $recall collapsed")
   }
 
+  test("pqRerankTopK: exact re-rank lifts recall over raw ADC ranking") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      (exact & df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / exact.size
+    val adcOnly = recall(Similarity.pqTopK(emb, queries, "vec_id", "embedding", 10))
+    val reranked = recall(Similarity.pqRerankTopK(emb, queries, "vec_id", "embedding",
+      k = 10, shortlist = 30))
+    assert(reranked >= adcOnly,
+      s"re-rank recall $reranked must not trail raw ADC $adcOnly")
+    assert(reranked >= 0.4, s"two-stage recall $reranked collapsed")
+  }
+
   test("semanticDedup keeps reps and distant members, drops in-cluster copies") {
     import spark.implicits._
     val v0 = Array.tabulate(64)(i => if (i == 0) 1f else 0.001f * i)
