@@ -329,6 +329,41 @@ object Queries {
         |  FROM (SELECT doc_id,
         |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents) a) b""".stripMargin)),
 
+    // §2.3/114 — leakage-free cluster-aware split: test membership by
+    // the near-dup CLUSTER id's hash, so near-duplicates never
+    // straddle train/test. Oracle = dedup_cluster's replay + the
+    // stableHash56 % 100 bucket on the label.
+    "q_cluster_split" -> QueryDef(
+      (s, d) => Sampling.clusterAwareSplit(ds(s, d, "documents").toDF,
+        "doc_id", "text", testPct = 20),
+      Some {
+        val mh = (0 until 8).map(i =>
+          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
+          .mkString(", ")
+        def band(b: Int) = (0 until 4).map(r => s"m${b * 4 + r}::varchar").mkString(" || '_' || ")
+        val iters = (0 until 3).map { k =>
+          s"""bmin$k AS (SELECT band, sig, min(label) AS bmin FROM mem
+             |  JOIN l$k USING (id) GROUP BY band, sig),
+             |p$k AS (SELECT id, min(bmin) AS label FROM mem
+             |  JOIN bmin$k USING (band, sig) GROUP BY id),
+             |l${k + 1} AS (SELECT a.id AS id, b.label AS label
+             |  FROM p$k a JOIN p$k b ON a.label = b.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (SELECT doc_id,
+           |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |hp AS (SELECT doc_id, list_transform(toks, w ->
+           |  [('0x' || substring(md5(w), 1, 14))::bigint,
+           |   ('0x' || substring(md5(w), 15, 14))::bigint]) AS hs FROM toks),
+           |sigs AS (SELECT doc_id, $mh FROM hp),
+           |mem AS (SELECT doc_id AS id, 0 AS band, ${band(0)} AS sig FROM sigs
+           |  UNION ALL SELECT doc_id AS id, 1 AS band, ${band(1)} AS sig FROM sigs),
+           |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
+           |$iters
+           |SELECT id AS doc_id, label AS cluster_id,
+           |  ('0x' || substring(md5(label::varchar), 1, 14))::bigint % 100 < 20 AS is_test
+           |FROM l3""".stripMargin
+      }),
+
     // §2.3/77 — stratified deterministic sampling (domain mixing):
     // per-source keep rates on the stable id hash, map-side only
     "q_stratified_sample" -> QueryDef(

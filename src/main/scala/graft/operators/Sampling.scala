@@ -73,6 +73,25 @@ object Sampling {
       .select(col(groupCol), col("nb._1").as(idCol), (col("pos") + 1).as("rank"))
   }
 
+  /** Leakage-free train/test split: membership is decided by the
+    * stable hash of each document's NEAR-DUP CLUSTER id
+    * ([[Dedup.minhashClusters]]), not its own id — so a near-duplicate
+    * pair can never straddle the split and leak training text into
+    * evaluation (the failure mode of any per-row split on a
+    * deduplicated-in-name-only corpus). Split fractions hold in
+    * expectation over clusters; big clusters move as units, which is
+    * the point.
+    */
+  def clusterAwareSplit(df: DataFrame, idCol: String, textCol: String,
+                        testPct: Int, bands: Int = 2, rowsPerBand: Int = 4,
+                        iterations: Int = 3): DataFrame = {
+    require(testPct > 0 && testPct < 100)
+    Dedup.minhashClusters(df, idCol, textCol, bands, rowsPerBand, iterations)
+      .select(col("doc_id"), col("cluster_id"),
+        (HashFunctions.stableHash56(col("cluster_id").cast("string")) % 100 < testPct)
+          .as("is_test"))
+  }
+
   private def bucket(idCol: String, den: Int) =
     HashFunctions.stableHash56(col(idCol).cast("string")) % den
 }

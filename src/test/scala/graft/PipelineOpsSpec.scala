@@ -139,6 +139,25 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(bySrcBin.contains((hiDoc, 9L)), "the max value must land in the last bin")
   }
 
+  test("clusterAwareSplit: near-dups never straddle the split, fraction sane") {
+    import graft.operators.{Dedup, Sampling}
+    val docs = Tables.load(spark, sf(), "documents")
+    val split = Sampling.clusterAwareSplit(docs, "doc_id", "text", testPct = 20)
+    val side = split.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // every confirmed near-dup pair must be on ONE side
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text", 2, 4, 9, 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must contain near-dups for this test to bite")
+    pairs.foreach { case (a, b) =>
+      assert(side(a) === side(b), s"near-dup pair ($a,$b) straddles train/test")
+    }
+    // the 20% holds at CLUSTER granularity (clusters move as units —
+    // row-level fraction is legitimately lumpy when clusters are big)
+    val byCluster = split.collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    val cfrac = byCluster.values.count(identity).toDouble / byCluster.size
+    assert(cfrac > 0.1 && cfrac < 0.35, s"cluster-level test fraction $cfrac far from 20%")
+  }
+
   test("sampledMedian: exact when the sample covers the group, close when it doesn't") {
     import graft.operators.Sketches
     val docs = Tables.load(spark, sf(), "documents") // 25 docs/source at sf0.001
