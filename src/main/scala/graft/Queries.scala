@@ -25,6 +25,57 @@ object Queries {
   private val winnowK = 5
   private val winnowW = 8
 
+  // ---- shared oracle-SQL builders: each replayed CTE family lives in
+  // ONE place so the oracles cannot drift apart ----
+
+  /** Kirsch–Mitzenmacher minhash select list `m0..m{n-1}` over `hs`. */
+  private def mhSigSql(numHashes: Int): String =
+    (0 until numHashes).map(i =>
+      s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
+      .mkString(", ")
+
+  /** The hop+jump label-propagation rounds over a `mem(id, keyCols)`
+    * membership CTE with `l0` seeded — produces `l{rounds}`.
+    */
+  private def labelPropIters(keyCols: String, rounds: Int = 3): String =
+    (0 until rounds).map { k =>
+      s"""bmin$k AS (SELECT $keyCols, min(label) AS bmin FROM mem
+         |  JOIN l$k USING (id) GROUP BY $keyCols),
+         |p$k AS (SELECT id, min(bmin) AS label FROM mem
+         |  JOIN bmin$k USING ($keyCols) GROUP BY id),
+         |l${k + 1} AS (SELECT a.id AS id, b.label AS label
+         |  FROM p$k a JOIN p$k b ON a.label = b.id)""".stripMargin
+    }.mkString(",\n")
+
+  /** The sim_ann_pq replay through the `adc` CTE (codebook, codes,
+    * fixed-order ADC sums) — shared verbatim by sim_ann_pq and
+    * sim_ann_rerank so the two cannot diverge.
+    */
+  private lazy val pqAdcSql: String = {
+    val codes = (0 until 16).map(j => s"min(cell) FILTER (j = $j) AS c$j").mkString(", ")
+    val joins = (0 until 16).map(j =>
+      s"  JOIN scores s$j ON s$j.vec_id = q.vec_id AND s$j.j = $j AND s$j.cell = x.c$j")
+      .mkString("\n")
+    val dsum = (0 until 16).map(j => s"s$j.dist").mkString(" + ")
+    s"""c0 AS (SELECT vec_id, embedding,
+       |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM embeddings),
+       |don AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, embedding::DOUBLE[] AS cv
+       |  FROM c0 ORDER BY h LIMIT 16),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scores AS (SELECT e.vec_id, r.j, d.cell,
+       |    list_aggregate(list_transform(list_transform(generate_series(1, 4),
+       |      t -> e.v[r.j*4 + t] - d.cv[r.j*4 + t]), x -> x * x), 'sum') AS dist
+       |  FROM emb e CROSS JOIN range(16) AS r(j) CROSS JOIN don d),
+       |assign AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, cell ASC) AS rn
+       |  FROM scores) z WHERE rn = 1),
+       |codes AS (SELECT vec_id, $codes FROM assign GROUP BY vec_id),
+       |adc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, $dsum AS d
+       |  FROM codes x CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+       |$joins
+       |  WHERE x.vec_id <> q.vec_id)""".stripMargin
+  }
+
   val registry: Seq[(String, QueryDef)] = Seq(
 
     // §2.1/1 — datastore scan with projection pushdown
@@ -334,21 +385,15 @@ object Queries {
     // straddle train/test. Oracle = dedup_cluster's replay + the
     // stableHash56 % 100 bucket on the label.
     "q_cluster_split" -> QueryDef(
+      // bounded-rounds form (toFixpoint = false) so the oracle can
+      // replay round-for-round; the library DEFAULT is fixpoint, and
+      // DedupSpec pins 3 rounds == fixpoint on these corpora
       (s, d) => Sampling.clusterAwareSplit(ds(s, d, "documents").toDF,
-        "doc_id", "text", testPct = 20),
+        "doc_id", "text", testPct = 20, toFixpoint = false),
       Some {
-        val mh = (0 until 8).map(i =>
-          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
-          .mkString(", ")
+        val mh = mhSigSql(8)
         def band(b: Int) = (0 until 4).map(r => s"m${b * 4 + r}::varchar").mkString(" || '_' || ")
-        val iters = (0 until 3).map { k =>
-          s"""bmin$k AS (SELECT band, sig, min(label) AS bmin FROM mem
-             |  JOIN l$k USING (id) GROUP BY band, sig),
-             |p$k AS (SELECT id, min(bmin) AS label FROM mem
-             |  JOIN bmin$k USING (band, sig) GROUP BY id),
-             |l${k + 1} AS (SELECT a.id AS id, b.label AS label
-             |  FROM p$k a JOIN p$k b ON a.label = b.id)""".stripMargin
-        }.mkString(",\n")
+        val iters = labelPropIters("band, sig")
         s"""WITH toks AS (SELECT doc_id,
            |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
            |hp AS (SELECT doc_id, list_transform(toks, w ->
@@ -361,7 +406,11 @@ object Queries {
            |$iters
            |SELECT id AS doc_id, label AS cluster_id,
            |  ('0x' || substring(md5(label::varchar), 1, 14))::bigint % 100 < 20 AS is_test
-           |FROM l3""".stripMargin
+           |FROM l3
+           |UNION ALL
+           |SELECT doc_id, doc_id,
+           |  ('0x' || substring(md5(doc_id::varchar), 1, 14))::bigint % 100 < 20
+           |FROM documents WHERE text IS NULL""".stripMargin
       }),
 
     // §2.3/77 — stratified deterministic sampling (domain mixing):
@@ -439,9 +488,7 @@ object Queries {
           "doc_id", "text", bands = 2, rowsPerBand = 4, num = 9, den = 10)
       },
       Some {
-        val mh = (0 until 8).map(i =>
-          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
-          .mkString(", ")
+        val mh = mhSigSql(8)
         val b0 = (0 until 4).map(r => s"a.m$r = b.m$r").mkString(" AND ")
         val b1 = (4 until 8).map(r => s"a.m$r = b.m$r").mkString(" AND ")
         s"""WITH t AS (SELECT doc_id,
@@ -535,9 +582,7 @@ object Queries {
       (s, d) => Dedup.minhashDedup(ds(s, d, "documents").toDF,
         "doc_id", "text", bands = 2, rowsPerBand = 4, num = 9, den = 10),
       Some {
-        val mh = (0 until 8).map(i =>
-          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
-          .mkString(", ")
+        val mh = mhSigSql(8)
         s"""WITH t AS (SELECT doc_id,
            |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
            |hp AS (SELECT doc_id, list_transform(toks, w ->
@@ -565,18 +610,9 @@ object Queries {
       (s, d) => Dedup.minhashClusters(ds(s, d, "documents").toDF,
         "doc_id", "text", bands = 2, rowsPerBand = 4, iterations = 3),
       Some {
-        val mh = (0 until 8).map(i =>
-          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
-          .mkString(", ")
+        val mh = mhSigSql(8)
         def band(b: Int) = (0 until 4).map(r => s"m${b * 4 + r}::varchar").mkString(" || '_' || ")
-        val iters = (0 until 3).map { k =>
-          s"""bmin$k AS (SELECT band, sig, min(label) AS bmin FROM mem
-             |  JOIN l$k USING (id) GROUP BY band, sig),
-             |p$k AS (SELECT id, min(bmin) AS label FROM mem
-             |  JOIN bmin$k USING (band, sig) GROUP BY id),
-             |l${k + 1} AS (SELECT a.id AS id, b.label AS label
-             |  FROM p$k a JOIN p$k b ON a.label = b.id)""".stripMargin
-        }.mkString(",\n")
+        val iters = labelPropIters("band, sig")
         s"""WITH toks AS (SELECT doc_id,
            |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
            |hp AS (SELECT doc_id, list_transform(toks, w ->
@@ -587,7 +623,9 @@ object Queries {
            |  UNION ALL SELECT doc_id AS id, 1 AS band, ${band(1)} AS sig FROM sigs),
            |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
            |$iters
-           |SELECT id AS doc_id, label AS cluster_id FROM l3""".stripMargin
+           |SELECT id AS doc_id, label AS cluster_id FROM l3
+           |UNION ALL
+           |SELECT doc_id, doc_id FROM documents WHERE text IS NULL""".stripMargin
       }),
 
     // §2.3/32 — SimHash near-dup pairs (hamming <= 3, exact via 4-chunk
@@ -723,33 +761,10 @@ object Queries {
         Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, subspaces = 16, subDim = 4, cells = 16)
       },
-      Some {
-        val codes = (0 until 16).map(j => s"min(cell) FILTER (j = $j) AS c$j").mkString(", ")
-        val joins = (0 until 16).map(j =>
-          s"  JOIN scores s$j ON s$j.vec_id = q.vec_id AND s$j.j = $j AND s$j.cell = x.c$j")
-          .mkString("\n")
-        val dsum = (0 until 16).map(j => s"s$j.dist").mkString(" + ")
-        s"""WITH c0 AS (SELECT vec_id, embedding,
-           |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM embeddings),
-           |don AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, embedding::DOUBLE[] AS cv
-           |  FROM c0 ORDER BY h LIMIT 16),
-           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |scores AS (SELECT e.vec_id, r.j, d.cell,
-           |    list_aggregate(list_transform(list_transform(generate_series(1, 4),
-           |      t -> e.v[r.j*4 + t] - d.cv[r.j*4 + t]), x -> x * x), 'sum') AS dist
-           |  FROM emb e CROSS JOIN range(16) AS r(j) CROSS JOIN don d),
-           |assign AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
-           |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, cell ASC) AS rn
-           |  FROM scores) z WHERE rn = 1),
-           |codes AS (SELECT vec_id, $codes FROM assign GROUP BY vec_id),
-           |adc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, $dsum AS d
-           |  FROM codes x CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
-           |$joins
-           |  WHERE x.vec_id <> q.vec_id)
-           |SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank
-           |  FROM adc) z WHERE rank <= 10""".stripMargin
-      }),
+      Some(s"WITH $pqAdcSql\n" +
+        """SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank
+          |  FROM adc) z WHERE rank <= 10""".stripMargin)),
 
     // §2.3/113 — two-stage retrieval: PQ/ADC shortlist of 50 → exact
     // cosine re-rank to top 10; oracle extends the sim_ann_pq replay
@@ -760,30 +775,8 @@ object Queries {
         Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, shortlist = 50)
       },
-      Some {
-        val codes = (0 until 16).map(j => s"min(cell) FILTER (j = $j) AS c$j").mkString(", ")
-        val joins = (0 until 16).map(j =>
-          s"  JOIN scores s$j ON s$j.vec_id = q.vec_id AND s$j.j = $j AND s$j.cell = x.c$j")
-          .mkString("\n")
-        val dsum = (0 until 16).map(j => s"s$j.dist").mkString(" + ")
-        s"""WITH c0 AS (SELECT vec_id, embedding,
-           |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM embeddings),
-           |don AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, embedding::DOUBLE[] AS cv
-           |  FROM c0 ORDER BY h LIMIT 16),
-           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |scores AS (SELECT e.vec_id, r.j, d.cell,
-           |    list_aggregate(list_transform(list_transform(generate_series(1, 4),
-           |      t -> e.v[r.j*4 + t] - d.cv[r.j*4 + t]), x -> x * x), 'sum') AS dist
-           |  FROM emb e CROSS JOIN range(16) AS r(j) CROSS JOIN don d),
-           |assign AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
-           |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, cell ASC) AS rn
-           |  FROM scores) z WHERE rn = 1),
-           |codes AS (SELECT vec_id, $codes FROM assign GROUP BY vec_id),
-           |adc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, $dsum AS d
-           |  FROM codes x CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
-           |$joins
-           |  WHERE x.vec_id <> q.vec_id),
-           |short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+      Some(s"WITH $pqAdcSql,\n" +
+        """short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
            |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank
            |  FROM adc) z WHERE rank <= 50),
            |rr AS (SELECT s.query_id, s.neighbor_id,
@@ -793,8 +786,7 @@ object Queries {
            |SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id,
            |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
            |      AS rank
-           |  FROM rr) z WHERE rank <= 10""".stripMargin
-      }),
+           |  FROM rr) z WHERE rank <= 10""".stripMargin)),
 
     // §2.3/62 — embedding near-dup clustering over LSH buckets (O(n)
     // output). FULL oracle (graduated from rows-only in round 4): the
@@ -807,14 +799,7 @@ object Queries {
       (s, d) => Similarity.nearDupClusters(ds(s, d, "embeddings").toDF,
         "vec_id", "embedding", dim = 64, planes = 8, tables = 2),
       Some {
-        val iters = (0 until 3).map { k =>
-          s"""bmin$k AS (SELECT t, b, min(label) AS bmin FROM mem
-             |  JOIN l$k USING (id) GROUP BY t, b),
-             |p$k AS (SELECT id, min(bmin) AS label FROM mem
-             |  JOIN bmin$k USING (t, b) GROUP BY id),
-             |l${k + 1} AS (SELECT a.id AS id, b.label AS label
-             |  FROM p$k a JOIN p$k b ON a.label = b.id)""".stripMargin
-        }.mkString(",\n")
+        val iters = labelPropIters("t, b")
         s"""WITH signs AS (
            |  SELECT tp, j,
            |    CASE WHEN (('0x' || substring(md5(tp || ':' || j), 1, 2))::int % 2) = 0
@@ -842,14 +827,7 @@ object Queries {
         "vec_id", "embedding", dim = 64, planes = 8, tables = 2,
         threshold = 0.25, iterations = 3),
       Some {
-        val iters = (0 until 3).map { k =>
-          s"""bmin$k AS (SELECT t, b, min(label) AS bmin FROM mem
-             |  JOIN l$k USING (id) GROUP BY t, b),
-             |p$k AS (SELECT id, min(bmin) AS label FROM mem
-             |  JOIN bmin$k USING (t, b) GROUP BY id),
-             |l${k + 1} AS (SELECT a.id AS id, b.label AS label
-             |  FROM p$k a JOIN p$k b ON a.label = b.id)""".stripMargin
-        }.mkString(",\n")
+        val iters = labelPropIters("t, b")
         s"""WITH signs AS (
            |  SELECT tp, j,
            |    CASE WHEN (('0x' || substring(md5(tp || ':' || j), 1, 2))::int % 2) = 0
@@ -1019,14 +997,7 @@ object Queries {
         "doc_id", "text", k = winnowK, window = winnowW),
       Some {
         val (k, w) = (winnowK, winnowW)
-        val iters = (0 until 3).map { i =>
-          s"""bmin$i AS (SELECT fp, min(label) AS bmin FROM mem
-             |  JOIN l$i USING (id) GROUP BY fp),
-             |p$i AS (SELECT id, min(bmin) AS label FROM mem
-             |  JOIN bmin$i USING (fp) GROUP BY id),
-             |l${i + 1} AS (SELECT a.id AS id, b.label AS label
-             |  FROM p$i a JOIN p$i b ON a.label = b.id)""".stripMargin
-        }.mkString(",\n")
+        val iters = labelPropIters("fp")
         s"""WITH f AS (SELECT doc_id, unnest(list_distinct(
            |  CASE WHEN len(hs) >= $w THEN list_transform(
            |         generate_series(1, len(hs) - ${w - 1}), j -> list_min(list_slice(hs, j, j + ${w - 1})))
@@ -1058,9 +1029,7 @@ object Queries {
       (s, d) => Dedup.shinglePairs(ds(s, d, "documents").toDF,
         "doc_id", "text", Seq("source", "lang"), k = 5, num = 7, den = 10),
       Some {
-        val mh = (0 until 8).map(i =>
-          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
-          .mkString(", ")
+        val mh = mhSigSql(8)
         val bandsCond = (0 until 4).map(b =>
           s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
           .mkString(" OR ")
@@ -1481,9 +1450,7 @@ object Queries {
         "doc_id", "text", maxDist = 8, prefixLen = 40,
         shingleK = 5, bands = 4, rowsPerBand = 4),
       Some {
-        val mh = (0 until 16).map(i =>
-          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
-          .mkString(", ")
+        val mh = mhSigSql(16)
         val bandEq = (0 until 4).map(b =>
           (0 until 4).map(r => s"a.m${4 * b + r} = b.m${4 * b + r}")
             .mkString("(", " AND ", ")"))
@@ -1516,9 +1483,7 @@ object Queries {
           maxDist = 8, prefixLen = 40, shingleK = 5, bands = 4, rowsPerBand = 4)
       },
       Some {
-        val mh = (0 until 16).map(i =>
-          s"list_min(list_transform(hs, h -> (h[1] + $i * h[2]) % ${1L << 56})) AS m$i")
-          .mkString(", ")
+        val mh = mhSigSql(16)
         val bandEq = (0 until 4).map(b =>
           (0 until 4).map(r => s"a.m${4 * b + r} = b.m${4 * b + r}")
             .mkString("(", " AND ", ")"))

@@ -20,6 +20,15 @@ object HashFunctions {
   def stableHash56(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("long")
 
+  /** 52-bit variant (13 hex chars): for code paths that carry the hash
+    * through a DOUBLE (e.g. TopKAgg scores) — 52 bits are exactly
+    * representable in a 53-bit mantissa, where 56-bit values would
+    * round and could reorder near-equal hashes vs. an integer-ordering
+    * oracle.
+    */
+  def stableHash52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
   /** Seeded variant: independent hash families for MinHash —
     * h_i(x) = stableHash56(i || ':' || x).
     */

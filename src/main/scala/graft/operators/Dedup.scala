@@ -402,17 +402,24 @@ object Dedup {
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
                       bands: Int, rowsPerBand: Int,
-                      iterations: Int = 3, shortcut: Boolean = true): DataFrame = {
+                      iterations: Int = 3, shortcut: Boolean = true,
+                      toFixpoint: Boolean = false): DataFrame = {
     val allToks = fanOut(df).select(col(idCol).as("id"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
     // NULL text cannot be banded; such docs are their own singleton
-    // clusters (matching the SQL oracle, where their NULL band
-    // signature never matches and the label stays the doc's own id)
+    // clusters (the SQL oracle emits them via an explicit UNION —
+    // their NULL band signatures would otherwise silently drop out of
+    // its propagation joins, NULL = NULL never matching)
     val toks = allToks.filter(col("toks").isNotNull)
     val sigs = minhashSignatureFromTokens(toks, bands * rowsPerBand)
     val membership = sigs.select(col("id"), explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val labels = ConnectedComponents.propagateMinLabel(membership, Seq("band", "sig"), iterations, shortcut)
+    // toFixpoint: exact component minima whatever the component depth —
+    // the contract consumers like clusterAwareSplit need; the bounded
+    // hop+jump form is for round-for-round SQL replayability
+    val labels =
+      if (toFixpoint) ConnectedComponents.propagateToFixpoint(membership, Seq("band", "sig"))
+      else ConnectedComponents.propagateMinLabel(membership, Seq("band", "sig"), iterations, shortcut)
     val singletons = allToks.filter(col("toks").isNull)
       .select(col("id"), col("id").as("label"))
     labels.unionByName(singletons)

@@ -63,8 +63,7 @@ object Sampling {
     */
   def perGroupCap(df: DataFrame, groupCol: String, idCol: String,
                   cap: Int): DataFrame = {
-    val h52 = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
-      .cast("long")
+    val h52 = HashFunctions.stableHash52(col(idCol).cast("string"))
     df.select(col(groupCol), col(idCol), h52.as("__h"))
       .groupBy(groupCol)
       .agg(graft.functions.TopKAgg.topK(cap)(col(idCol), -col("__h").cast("double"))
@@ -81,12 +80,23 @@ object Sampling {
     * deduplicated-in-name-only corpus). Split fractions hold in
     * expectation over clusters; big clusters move as units, which is
     * the point.
+    *
+    * The no-straddle guarantee requires CONVERGED labels, so the
+    * default runs label propagation to fixpoint — a component deeper
+    * than the bounded hop+jump rounds would otherwise carry two
+    * labels, which can hash to opposite sides. `toFixpoint = false`
+    * trades that worst-case-depth guarantee for round-for-round SQL
+    * replayability (the oracled query's form; equivalent wherever the
+    * bounded rounds converge, which DedupSpec pins on the test
+    * corpora).
     */
   def clusterAwareSplit(df: DataFrame, idCol: String, textCol: String,
                         testPct: Int, bands: Int = 2, rowsPerBand: Int = 4,
-                        iterations: Int = 3): DataFrame = {
+                        iterations: Int = 3,
+                        toFixpoint: Boolean = true): DataFrame = {
     require(testPct > 0 && testPct < 100)
-    Dedup.minhashClusters(df, idCol, textCol, bands, rowsPerBand, iterations)
+    Dedup.minhashClusters(df, idCol, textCol, bands, rowsPerBand, iterations,
+      toFixpoint = toFixpoint)
       .select(col("doc_id"), col("cluster_id"),
         (HashFunctions.stableHash56(col("cluster_id").cast("string")) % 100 < testPct)
           .as("is_test"))

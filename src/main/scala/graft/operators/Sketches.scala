@@ -85,8 +85,7 @@ object Sketches {
     */
   def sampledMedian(df: DataFrame, groupCol: String, idCol: String,
                     valueCol: String, k: Int = 64): DataFrame = {
-    val h52 = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
-      .cast("long")
+    val h52 = graft.functions.HashFunctions.stableHash52(col(idCol).cast("string"))
     val vals = array_sort(transform(col("__top"), t => t.getField("_1")))
     val n = size(col("__vals"))
     df.filter(col(valueCol).isNotNull)

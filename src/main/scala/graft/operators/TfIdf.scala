@@ -104,7 +104,9 @@ object TfIdf {
         (x, y) => struct(x.as("w1"), y.as("w2")))).as("z"))
       .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
     val c12 = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // c(w1·) folds from the bigram table — vocabulary²-bounded — not by
+    // re-aggregating the corpus-sized occurrence stream a third time
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     occ.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")

@@ -53,7 +53,7 @@ class SimilaritySpec extends SparkSpecBase {
     val q0 = planted.filter(col("vec_id") === 0L)
     val top = Similarity.pqTopK(planted, q0, "vec_id", "embedding", k = 3)
       .orderBy("rank").collect()
-    // the copy shares all 8 codes with the query, so its ADC distance is
+    // the copy shares all 16 codes with the query, so its ADC distance is
     // the query's own quantization error — minimal; with a 64-vector
     // corpus nothing else shares all codes, so it must rank 1
     assert(top.head.getAs[Long]("neighbor_id") === 9999L)
