@@ -29,4 +29,28 @@ object Compact {
       .option("maxRecordsPerFile", rowsPerFile)
       .parquet(path)
   }
+
+  /** Deterministic training shards: every row lands in shard
+    * `stableHash56(id) % numShards` regardless of input partitioning or
+    * cluster size, and rows within a shard are written in `sortCols`
+    * order — so a training run reading shard k sees THE SAME example
+    * sequence on every rebuild (reproducible data delivery, the
+    * write-side complement of [[graft.operators.Pack]]'s batch
+    * assignment). Give `sortCols` a total order (include the id) or
+    * within-tie order follows the shuffle.
+    *
+    * All rows of one shard hash to one task, so each `__shard=k`
+    * directory is a single file whose row order IS the sort order.
+    */
+  def shardedWrite(df: DataFrame, path: String, idCol: String,
+                   numShards: Int, sortCols: Seq[String]): Unit = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    df.withColumn("__shard",
+        org.apache.spark.sql.functions.pmod(
+          graft.functions.HashFunctions.stableHash56(col(idCol).cast("string")),
+          org.apache.spark.sql.functions.lit(numShards)).cast("int"))
+      .repartition(numShards, col("__shard"))
+      .sortWithinPartitions((col("__shard") +: sortCols.map(col)): _*)
+      .write.mode("overwrite").partitionBy("__shard").parquet(path)
+  }
 }

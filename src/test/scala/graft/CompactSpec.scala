@@ -5,6 +5,27 @@ import java.nio.file.Files
 
 class CompactSpec extends SparkSpecBase {
 
+  test("shardedWrite: identical shard content AND order on every rebuild") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf(), "documents").select("doc_id", "source", "n_chars")
+    val p1 = Files.createTempDirectory("graft-shard1").toString
+    val p2 = Files.createTempDirectory("graft-shard2").toString
+    Compact.shardedWrite(docs, p1, "doc_id", numShards = 4, sortCols = Seq("doc_id"))
+    // second build from a differently-partitioned input
+    Compact.shardedWrite(docs.repartition(13), p2, "doc_id", numShards = 4,
+      sortCols = Seq("doc_id"))
+    var total = 0L
+    (0 until 4).foreach { k =>
+      val a = spark.read.parquet(s"$p1/__shard=$k").collect().map(_.toSeq).toSeq
+      val b = spark.read.parquet(s"$p2/__shard=$k").collect().map(_.toSeq).toSeq
+      assert(a === b, s"shard $k differs between rebuilds")
+      assert(a.map(_.head.asInstanceOf[Long]).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+        s"shard $k rows not in doc_id order")
+      total += a.size
+    }
+    assert(total === docs.count(), "shards must partition the corpus exactly")
+  }
+
   test("writeSized bounds rows per file and clusters on the sort column") {
     val tmp = Files.createTempDirectory("graft-compact").toString
     val li = Tables.load(spark, sf(), "lineitem") // ~6k rows at sf0.001
