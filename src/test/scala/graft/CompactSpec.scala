@@ -26,6 +26,23 @@ class CompactSpec extends SparkSpecBase {
     assert(total === docs.count(), "shards must partition the corpus exactly")
   }
 
+  test("shardedWrite: null ids get a deterministic shard; __shard collision rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val in = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c"))
+      .toDF("doc_id", "payload")
+    val p = Files.createTempDirectory("graft-shard-null").toString
+    Compact.shardedWrite(in, p, "doc_id", numShards = 2, sortCols = Seq("payload"))
+    val back = spark.read.parquet(p)
+    assert(back.count() === 3, "the null-id row must not be lost")
+    assert(!new java.io.File(p).list().exists(_.contains("HIVE_DEFAULT")),
+      "null id must hash via the sentinel, not the default partition")
+    val clash = in.withColumnRenamed("payload", "__shard")
+    intercept[IllegalArgumentException] {
+      Compact.shardedWrite(clash, p, "doc_id", 2, Nil)
+    }
+  }
+
   test("writeSized bounds rows per file and clusters on the sort column") {
     val tmp = Files.createTempDirectory("graft-compact").toString
     val li = Tables.load(spark, sf(), "lineitem") // ~6k rows at sf0.001
