@@ -1157,6 +1157,25 @@ object Queries {
         |  count(*) AS cnt
         |FROM documents CROSS JOIN mm GROUP BY 1, 2""".stripMargin)),
 
+    // §2.3/116 — trigram LM surprisal (top of the n-gram ladder:
+    // rows 87 unigram → 101 bigram → trigram context)
+    "text_trigram_lm" -> QueryDef(
+      (s, d) => TfIdf.trigramSurprisal(ds(s, d, "documents").toDF, "doc_id", "text"),
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |v AS (SELECT count(DISTINCT t) AS vsz
+        |  FROM (SELECT unnest(toks) AS t FROM tok)),
+        |tg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |    i -> {'a': toks[i], 'b': toks[i+1], 'c': toks[i+2]})) AS z
+        |  FROM tok WHERE len(toks) >= 3),
+        |occ AS (SELECT doc_id, z.a AS w1, z.b AS w2, z.c AS w3 FROM tg),
+        |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM occ GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, sum(c123)::BIGINT AS ctx FROM c123 GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  avg(-ln((c123 + 1.0) / (ctx + vsz))) AS avg_nll
+        |FROM occ JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2) CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin)),
+
     // §2.3/46 — approximate distinct (HLL++): algorithm-specific values,
     // accuracy asserted vs exact in ApproxSpec → rows-only
     "q_approx_users" -> QueryDef(

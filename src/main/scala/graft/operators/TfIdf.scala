@@ -113,4 +113,33 @@ object TfIdf {
       .agg(count(lit(1)).as("n_bigrams"),
         avg(-log((col("c12") + 1.0) / (col("c1") + col("vsz")))).as("avg_nll"))
   }
+
+  /** Trigram LM surprisal: `avg(-ln p(w3 | w1 w2))` with add-one
+    * smoothing `p = (c(w1w2w3) + 1) / (c(w1w2·) + |V|)` — the top of
+    * the n-gram quality ladder (rows 87 → 101 → this). Same shape as
+    * [[bigramSurprisal]]: row-wise zip against two shifted tails, the
+    * context count folded from the trigram table, joins left to AQE.
+    */
+  def trigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val vocab = toks.select(explode(col("toks")).as("t"))
+      .agg(countDistinct("t").as("vsz"))
+    val n = size(col("toks"))
+    val occ = toks.filter(col("toks").isNotNull && n >= 3)
+      .select(col("doc_id"), explode(zip_with(
+        zip_with(slice(col("toks"), lit(1), n - 2), slice(col("toks"), lit(2), n - 2),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(col("toks"), lit(3), n - 2),
+        (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"), c.as("w3"))))
+        .as("z"))
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"), col("z.w3").as("w3"))
+    val c123 = occ.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val c12 = c123.groupBy("w1", "w2").agg(sum("c123").as("ctx"))
+    occ.join(c123, Seq("w1", "w2", "w3")).join(c12, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        avg(-log((col("c123") + 1.0) / (col("ctx") + col("vsz")))).as("avg_nll"))
+  }
 }

@@ -79,6 +79,19 @@ class TextSpec extends SparkSpecBase {
     assert(r(2L)._2 > r(1L)._2, "word-salad transitions must out-score rehearsed ones")
   }
 
+  test("trigram LM: rehearsed 3-token contexts out-predict shuffled ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z x y z x y z x y z"), // the trigram (x,y,z) dominates
+      (2L, "x p z y x q z y x r z y") // same unigrams, unique trigrams
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TfIdf.trigramSurprisal(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_trigrams"), x.getAs[Double]("avg_nll"))).toMap
+    assert(r(1L)._1 === 10L && r(2L)._1 === 10L, "n_tokens - 2 trigrams each")
+    assert(r(2L)._2 > r(1L)._2, "unique transitions must out-score rehearsed ones")
+  }
+
   test("vocabTopN ranks by count with cumulative coverage") {
     import spark.implicits._
     val docs = Seq((1L, "b a a a c b"), (2L, "a b c d")).toDF("doc_id", "text")
