@@ -20,6 +20,7 @@ object ScaleProbe {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.length > 1 && args(1) == "tpch") { tpch(spark, factor); spark.stop(); return }
+    val r4Only = args.length > 1 && args(1) == "r4"
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val big = (0 until factor).map { i =>
       base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
@@ -31,6 +32,7 @@ object ScaleProbe {
       val rows = f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs, $rows rows")
     }
+    if (!r4Only) {
     time("dedup_exact")(Dedup.exact(big, "doc_id", "text").count())
     time("editdist_pairs")(Dedup.editDistancePairs(big, "doc_id", "text",
       maxDist = 8).count())
@@ -62,6 +64,7 @@ object ScaleProbe {
     time("decontaminate")(graft.operators.Decontaminate.ngramOverlap(
       big.filter(col("doc_id") % 50 =!= 0), big.filter(col("doc_id") % 50 === 0),
       "doc_id", "text", 3).count())
+    }
     // linear contracts, round-4 operators: chunk ownership is two
     // combinable aggregates + one join; replication multiplies chunk
     // multiplicity but never pairs anything
