@@ -18,6 +18,11 @@ object Dedup {
 
   /** Exact dedup: group by content hash, elect the smallest id as
     * canonical. One map-side-combined shuffle on the hash.
+    *
+    * NULL text hashes to NULL, and groupBy (like SQL GROUP BY — the
+    * oracle does the same) collects ALL null-text docs into one group;
+    * callers electing canonicals should filter nulls first if "no
+    * content" must not read as "same content".
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(HashFunctions.contentHash(col(textCol)).as("content_hash"))
@@ -53,22 +58,13 @@ object Dedup {
     if (smallInput) df.repartition(target) else df
   }
 
-  /** Adaptive token-set representation for pair scoring. If the corpus
-    * vocabulary fits in 64 symbols (common after normalization in
-    * domain-sharded corpora; always true for the synthetic tables),
-    * each set becomes ONE long bitmask and pair scoring collapses to
-    * `bit_count(a & b)` / `bit_count(a | b)` — O(1) per pair instead of
-    * hash-set intersection, which is the difference between the
-    * confirm stage being free vs dominant in a multi-million-pair
-    * join. Falls back to array intersection for open vocabularies.
-    * Results are identical either way (exact set algebra).
-    */
-  // most-recent internal cache pins from saltedSelfJoin; bounded so
-  // repeated invocations in one session cannot grow storage unbounded
+  // most-recent internal cache pins from the self-join/clustering
+  // operators; bounded so repeated invocations in one session cannot
+  // grow storage unbounded
   private val recentPins = new java.util.ArrayDeque[DataFrame]()
   private val maxPins = 4
 
-  private def registerPin(df: DataFrame): DataFrame = recentPins.synchronized {
+  private[operators] def registerPin(df: DataFrame): DataFrame = recentPins.synchronized {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     recentPins.addLast(p)
     while (recentPins.size > maxPins)
@@ -93,6 +89,18 @@ object Dedup {
                                        union: (Column, Column) => Column,
                                        setSize: Column => Column)
 
+  /** Adaptive token-set representation for pair scoring. If the corpus
+    * vocabulary fits in 64 symbols (common after normalization in
+    * domain-sharded corpora; always true for the synthetic tables),
+    * each set becomes ONE long bitmask and pair scoring collapses to
+    * `bit_count(a & b)` / `bit_count(a | b)` — O(1) per pair instead of
+    * hash-set intersection, which is the difference between the
+    * confirm stage being free vs dominant in a multi-million-pair
+    * join. Falls back to array intersection for open vocabularies.
+    * Results are identical either way (exact set algebra). NULL token
+    * sets must be filtered by the CALLER before the bitmask path: they
+    * fold to repr = 0 (an "empty set"), not NULL.
+    */
   private def pairScorer(df: DataFrame /* id, toks, ... */,
                          assumeOpenVocab: Boolean = false): PairScorer = {
     val vocab =
@@ -127,8 +135,13 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    bucketCol: String, num: Int, den: Int): DataFrame = {
+    // NULL text → NULL token set, which the bitmask repr would fold to
+    // "empty set" (repr 0) and emit 0/0-Jaccard pseudo-pairs the SQL
+    // oracle (where NULL never joins) does not — drop them up front,
+    // matching minhashDedup's policy
     val t = fanOut(df).select(col(idCol).as("id"), col(bucketCol).as("bucket"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull)
     val ps = pairScorer(t)
     val a = ps.repr.as("a"); val b = ps.repr.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
@@ -151,8 +164,11 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        bucketCol: String, num: Int, den: Int): DataFrame = {
+    // NULL token sets dropped for the same reason as jaccardPairs: a
+    // repr-0 row has sub_size 0 and would be "contained" in everything
     val t = fanOut(df).select(col(idCol).as("id"), col(bucketCol).as("bucket"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull)
     val ps = pairScorer(t)
     val a = ps.repr.as("a"); val b = ps.repr.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id") &&
@@ -230,8 +246,12 @@ object Dedup {
         explode(array(bandKeys: _*)).as("bk"): _*)
       .select((col("id") +: col("repr") +: bucketCols.map(col)) :+
         col("bk.band").as("band") :+ col("bk.sig").as("sig"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = saltedSelfJoin(exploded, bucketCols ++ Seq("band", "sig"),
+    // registerPin: the pin ALSO lands in the bounded LRU, so the plain
+    // shinglePairs wrapper (which discards the release handle) cannot
+    // leak it — release() just drops it earlier (double-unpersist is a
+    // no-op)
+    val pinned = registerPin(exploded)
+    val pairs = saltedSelfJoin(pinned, bucketCols ++ Seq("band", "sig"),
         pinInput = false)
       .filter(sizeRatioPrefilter(ps, num, den))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
@@ -239,7 +259,7 @@ object Dedup {
         ps.union(col("a.repr"), col("b.repr")).as("union_size"))
       .filter(col("inter_size") * den >= col("union_size") * num)
       .distinct()
-    (pairs, () => { exploded.unpersist(); () })
+    (pairs, () => { pinned.unpersist(); () })
   }
 
   /** MinHash signature: `numHashes` independent md5-derived hash
@@ -417,9 +437,14 @@ object Dedup {
     // toFixpoint: exact component minima whatever the component depth —
     // the contract consumers like clusterAwareSplit need; the bounded
     // hop+jump form is for round-for-round SQL replayability
-    val labels =
+    // registerPin: ConnectedComponents returns a PERSISTED labels frame
+    // whose cache the caller owns; routing it through the bounded LRU
+    // means repeated clustering runs cannot accumulate unreleasable
+    // cache entries (unpersisting the transformed view below would not
+    // release it)
+    val labels = registerPin(
       if (toFixpoint) ConnectedComponents.propagateToFixpoint(membership, Seq("band", "sig"))
-      else ConnectedComponents.propagateMinLabel(membership, Seq("band", "sig"), iterations, shortcut)
+      else ConnectedComponents.propagateMinLabel(membership, Seq("band", "sig"), iterations, shortcut))
     val singletons = allToks.filter(col("toks").isNull)
       .select(col("id"), col("id").as("label"))
     labels.unionByName(singletons)
@@ -441,14 +466,6 @@ object Dedup {
       graft.plans.SimHash56(hashes).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
-    * Pigeonhole banding: 56 bits in `maxHamming + 1` chunks — any pair
-    * within the distance budget must agree exactly on at least one
-    * chunk, so candidate generation is a shuffle keyed by
-    * (chunk index, chunk value), never all-pairs, with NO recall loss.
-    * The exact popcount(xor) filter runs *before* the distinct so the
-    * dedup shuffle only carries surviving pairs.
-    */
   /** Edit-distance fuzzy matching at corpus scale: near-identical
     * texts (levenshtein on the first `prefixLen` chars <= `maxDist`)
     * WITHOUT an all-pairs join.
@@ -598,8 +615,10 @@ object Dedup {
                        idCol: String, textCol: String,
                        bands: Int, rowsPerBand: Int,
                        num: Int, den: Int): DataFrame = {
-    val ex = newDf.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
-      .join(refDf.select(md5(col(textCol)).as("h")).distinct(), Seq("h"), "left_semi")
+    val ex = newDf.select(col(idCol).as("doc_id"),
+        HashFunctions.contentHash(col(textCol)).as("h"))
+      .join(refDf.select(HashFunctions.contentHash(col(textCol)).as("h")).distinct(),
+        Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("__ex", lit(true))
     val near = minhashJoin(newDf, idCol, textCol, refDf, idCol, textCol,
       bands, rowsPerBand, num, den)
@@ -715,7 +734,9 @@ object Dedup {
     *
     * Output: (doc_id, n_chunks, n_kept, dedup_text) — docs whose every
     * chunk was seen earlier come out with n_kept = 0 and empty text,
-    * so the caller can drop or keep them by policy.
+    * so the caller can drop or keep them by policy. NULL-text docs
+    * cannot be chunked and are ABSENT from the output (the oracle
+    * filters them identically); keep them upstream if they matter.
     */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 20): DataFrame = {
@@ -823,7 +844,8 @@ object Dedup {
       .filter(col("__df") >= 2 &&
         col("__df") * dfDen <= col("__n") * dfNum).select("fp")
     val membership = fps.join(rare, "fp").select(col("id"), col("fp"))
-    val labels = ConnectedComponents.propagateMinLabel(membership, Seq("fp"), iterations)
+    val labels = registerPin(
+      ConnectedComponents.propagateMinLabel(membership, Seq("fp"), iterations))
     val singletons = ids.join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
     labels.unionByName(singletons)
@@ -855,6 +877,14 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    * Pigeonhole banding: 56 bits in `maxHamming + 1` chunks — any pair
+    * within the distance budget must agree exactly on at least one
+    * chunk, so candidate generation is a shuffle keyed by
+    * (chunk index, chunk value), never all-pairs, with NO recall loss.
+    * The exact popcount(xor) filter runs *before* the distinct so the
+    * dedup shuffle only carries surviving pairs.
+    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1

@@ -201,7 +201,10 @@ object Similarity {
     val membership = df.select(col(idCol).as("id"),
         posexplode(graft.plans.HyperplaneBuckets(col(vecCol), dim, planes, tables))
           .as(Seq("t", "b")))
-    ConnectedComponents.propagateMinLabel(membership, Seq("t", "b"), iterations)
+    // the propagation result comes back PERSISTED (caller-owned cache);
+    // register it in Dedup's bounded pin LRU so repeated clustering
+    // runs cannot accumulate unreleasable entries
+    Dedup.registerPin(ConnectedComponents.propagateMinLabel(membership, Seq("t", "b"), iterations))
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
   }
 

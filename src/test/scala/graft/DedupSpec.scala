@@ -220,16 +220,18 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("shinglePairsReleasable release() drops the cache pin") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // track RDD id SETS, not counts: the pin now also lands in the
+    // bounded LRU, which may evict an older pin when this one arrives
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (prs, release) = Dedup.shinglePairsReleasable(
       docs.withColumn("lang", lit("en")), "doc_id", "text",
       Seq("source", "lang"), k = 5, num = 7, den = 10)
     val out = prs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.contains((1L, 2L)))
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
-      "representation should be pinned while in use")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "representation should be pinned while in use")
     release()
-    assert(spark.sparkContext.getPersistentRDDs.size === before,
+    assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty,
       "release() must unpersist the internal pin")
   }
 
