@@ -65,10 +65,18 @@ object QueryCache {
   lazy val default: QueryCache = new QueryCache()
 }
 
-/** Cache QPU node for graph composition: keyed by the child plan. */
+/** Cache QPU node for graph composition: keyed by the child plan PLUS
+  * its output column names — canonicalization strips aliases (that is
+  * what makes equivalent plans hit), so two queries differing ONLY in
+  * an output alias would otherwise collide and the hit would hand back
+  * a frame with the wrong schema (Spark's own CacheManager re-maps
+  * output attributes on such hits; this cache returns frames verbatim).
+  */
 final case class CacheQpu(input: Qpu, cache: QueryCache = QueryCache.default) extends Qpu {
   def toDF: DataFrame = {
     val child = input.toDF
-    cache.getOrCache(child.queryExecution.logical.canonicalized, child)
+    cache.getOrCache(
+      (child.queryExecution.logical.canonicalized, child.schema.fieldNames.toList),
+      child)
   }
 }

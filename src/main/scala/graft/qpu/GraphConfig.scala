@@ -148,14 +148,24 @@ object GraphConfig {
             broadcastRight = Option(n.get("broadcastRight")).exists(_.asBoolean()))
         case "index" =>
           val idx = IndexQpu(child(0), req(n, name, "attribute").asText())
-          if (n.has("topk"))
+          // explicit-null params and ubound-without-lbound must be named
+          // errors, not silent full-table passthroughs / limit(0)
+          Seq("topk", "point", "lbound", "ubound").foreach { f =>
+            require(!n.has(f) || n.hasNonNull(f),
+              s"qpu '$name': '$f' must not be null")
+          }
+          if (n.hasNonNull("topk"))
             DataFrameQpu(idx.topK(n.get("topk").asInt(), strSeq(n, "tiebreak")))
-          else if (n.has("point"))
+          else if (n.hasNonNull("point"))
             DataFrameQpu(idx.point(value(n.get("point"))))
-          else if (n.has("lbound"))
+          else if (n.hasNonNull("lbound"))
             DataFrameQpu(idx.range(value(n.get("lbound")),
               value(req(n, name, "ubound"))))
-          else idx
+          else {
+            require(!n.hasNonNull("ubound"),
+              s"qpu '$name' has 'ubound' without 'lbound'")
+            idx
+          }
         case "cache" => CacheQpu(child(0))
         case "router" => RouterQpu(children.map(build))
         case "routed_router" =>

@@ -151,11 +151,24 @@ final case class IndexQpu(input: Qpu, attr: String) extends Qpu {
         s"z-order needs orderable numeric/temporal columns; '$c' is " +
           s"${df.schema(c).dataType.simpleString} — use materialize() for 1-D string keys")
     }
+    // DATE cannot cast straight to double (disallowed in Spark 3/4);
+    // route it through timestamp. NaN would poison max() and then the
+    // ANSI cast-to-long — exclude it from the stats and pin NaN rows to
+    // the top bucket below (deterministic, keeps them clustered).
+    def asD(c: String): Column = {
+      val base =
+        if (df.schema(c).dataType == org.apache.spark.sql.types.DateType)
+          col(c).cast("timestamp").cast("double")
+        else col(c).cast("double")
+      base
+    }
+    def finite(c: String): Column =
+      when(isnan(asD(c)), lit(null)).otherwise(asD(c))
     // quantize each dimension to [0, 2^quantBits) by min-max scaling —
     // rank-free (no global sort), two cheap aggregates
     val stats = df.agg(
-      min(col(attr).cast("double")).as("amin"), max(col(attr).cast("double")).as("amax"),
-      min(col(attr2).cast("double")).as("bmin"), max(col(attr2).cast("double")).as("bmax")
+      min(finite(attr)).as("amin"), max(finite(attr)).as("amax"),
+      min(finite(attr2)).as("bmin"), max(finite(attr2)).as("bmax")
     ).head()
     if (stats.isNullAt(0) || stats.isNullAt(2)) { // empty (or all-null) input
       df.write.mode("overwrite").parquet(path)
@@ -164,7 +177,8 @@ final case class IndexQpu(input: Qpu, attr: String) extends Qpu {
     val buckets = (1L << quantBits) - 1
     def q(c: String, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
-      else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * buckets).cast("long")
+      else when(isnan(asD(c)), lit(buckets))
+        .otherwise(((asD(c) - lit(lo)) / lit(hi - lo) * buckets).cast("long"))
     val z = SpaceFillingCurve.mortonInterleave(
       q(attr, stats.getDouble(0), stats.getDouble(1)),
       q(attr2, stats.getDouble(2), stats.getDouble(3)), bits = quantBits)

@@ -104,11 +104,14 @@ object Subscribe {
           // (ts <= probeTs is inclusive, same as the batch asofJoin's
           // side ordering) — without the secondary key the resolution
           // would follow arrival order, which streaming doesn't fix
-          recs.toSeq.sortBy(r => (r.ts.getTime, if (r.table == dimTable) 0 else 1))
+          // (getTime, getNanos): full sub-millisecond precision — getTime
+          // alone truncates to ms and can order a stale version first
+          recs.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos,
+              if (r.table == dimTable) 0 else 1))
             .foreach { r =>
               if (r.table == dimTable) {
                 versions = ((r.ts, r.attrs) :: versions)
-                  .sortBy(-_._1.getTime).take(maxVersions)
+                  .sortWith((a, b) => a._1.compareTo(b._1) > 0).take(maxVersions)
               } else {
                 versions.find(!_._1.after(r.ts)) match {
                   case Some((vts, attrs)) =>
@@ -211,10 +214,19 @@ object Subscribe {
     * [[graft.Tables.load]].
     */
   def subscribeTable(spark: SparkSession, dir: String, table: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/$table.parquet")
-    val stream = spark.readStream.schema(raw.schema)
-      .option("pathGlobFilter", s"$table.parquet")
-      .parquet(dir)
+    val path = s"$dir/$table.parquet"
+    val raw = spark.read.parquet(path)
+    // single-FILE tables (the bundled testdata layout) need the glob so
+    // sibling tables in `dir` don't leak into the stream; a Spark-written
+    // DIRECTORY table of the same name holds part-*.parquet leaves the
+    // glob would silently exclude (zero-row stream) — stream the
+    // directory itself instead
+    val stream =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(raw.schema).parquet(path)
+      else spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", s"$table.parquet")
+        .parquet(dir)
     graft.Tables.repairNanosTs(stream, table)
   }
 

@@ -28,6 +28,23 @@ class CacheSpec extends SparkSpecBase {
     assert(cache.size === 0)
   }
 
+  test("plan-keyed cache does not serve hits across different output aliases") {
+    import org.apache.spark.sql.functions.col
+    // canonicalization strips aliases, so these two plans are
+    // sameResult-equal; the cache key must still tell them apart or the
+    // second caller gets a frame with the wrong column name
+    val base = Tables.load(spark, sf(), "region")
+    val c = new QueryCache()
+    val a = CacheQpu(DataFrameQpu(base.select(col("r_regionkey").as("ka"))), c).toDF
+    val b = CacheQpu(DataFrameQpu(base.select(col("r_regionkey").as("kb"))), c).toDF
+    assert(a.columns.toSeq === Seq("ka"))
+    assert(b.columns.toSeq === Seq("kb"),
+      "alias-only variant must not be served the cached frame verbatim")
+    // and the schema-aware key still HITS on the genuinely same query
+    val again = CacheQpu(DataFrameQpu(base.select(col("r_regionkey").as("ka"))), c).toDF
+    assert(again.columns.toSeq === Seq("ka") && c.hits >= 1)
+  }
+
   test("CacheQpu returns identical results for the same child plan") {
     val child = DatastoreQpu(spark, sf(), "nation")
     val cache = new QueryCache()

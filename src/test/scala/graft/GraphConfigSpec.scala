@@ -86,6 +86,24 @@ class GraphConfigSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("teleport"))
   }
 
+  test("index node: ubound without lbound and explicit-null params are named errors") {
+    val uboundOnly = """{"root": "i", "qpus": {
+      "d": {"operator": "datastore", "table": "orders"},
+      "i": {"operator": "index", "children": ["d"],
+            "attribute": "o_totalprice", "ubound": 100.0}}}"""
+    val e1 = intercept[IllegalArgumentException](
+      GraphConfig.fromJson(spark, uboundOnly, sf()))
+    assert(e1.getMessage.contains("ubound") && e1.getMessage.contains("lbound"),
+      s"got: ${e1.getMessage}")
+    val nullTopk = """{"root": "i", "qpus": {
+      "d": {"operator": "datastore", "table": "orders"},
+      "i": {"operator": "index", "children": ["d"],
+            "attribute": "o_totalprice", "topk": null}}}"""
+    val e2 = intercept[IllegalArgumentException](
+      GraphConfig.fromJson(spark, nullTopk, sf()))
+    assert(e2.getMessage.contains("topk"), s"got: ${e2.getMessage}")
+  }
+
   test("missing param VALUES fail with the named error, not an NPE") {
     // an 'eq' without 'value'
     val eqNoValue = """{"root": "f", "qpus": {
