@@ -51,4 +51,50 @@ object StreamingSketch {
       .toDF(groupCol, "est_distinct")
       .withColumn(groupCol, col(groupCol).cast(groupType))
   }
+
+  /** Continuous per-group median estimation: the bottom-k-by-hash
+    * uniform sample ([[graft.operators.Sketches.sampledMedian]]'s
+    * principle) maintained as `mapGroupsWithState` state. Selection
+    * order is (52-bit id hash, value) ascending — identical to the
+    * batch aggregator's (score desc, id asc) with score = -hash — so
+    * the streaming estimate EQUALS the batch estimate over the same
+    * prefix of the stream (spec-pinned). State per group is k
+    * (hash, value) pairs however long the stream runs; output stays
+    * integral (`med2` = twice the median). Run with output mode
+    * `update`.
+    */
+  def streamingSampledMedian(stream: DataFrame, groupCol: String,
+                             idCol: String, valueCol: String,
+                             k: Int = 64): DataFrame = {
+    require(k >= 1, s"sample size must be positive, got $k")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val groupType = stream.schema(groupCol).dataType
+    val ord = implicitly[Ordering[(Long, Long)]]
+    def insert(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
+      if (buf.size >= k && ord.lteq(buf.last, x)) buf
+      else {
+        val (pre, post) = buf.span(ord.lteq(_, x))
+        (pre ++ (x +: post)).take(k)
+      }
+    stream
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        graft.functions.HashFunctions.stableHash52(col(idCol).cast("string")).as("h"),
+        col(valueCol).cast("long").as("v"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[(Long, Long)], (String, Int, Long)](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val merged = rows.foldLeft(state.getOption.getOrElse(Seq.empty[(Long, Long)])) {
+            (buf, r) => insert(buf, (r._2, r._3))
+          }
+          state.update(merged)
+          val s = merged.map(_._2).sorted
+          val n = s.length
+          (key, n, s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1))
+      }
+      .toDF(groupCol, "n_sample", "med2")
+      .withColumn(groupCol, col(groupCol).cast(groupType))
+  }
 }

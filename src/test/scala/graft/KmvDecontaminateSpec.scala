@@ -84,6 +84,33 @@ class KmvDecontaminateSpec extends SparkSpecBase {
       s"eval-gram join should be broadcast, got:\n$plan")
   }
 
+  test("streamingSampledMedian equals the batch sketch over the same prefix") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = (1L to 200L).map(i => (s"g${i % 3}", i, i * 7 % 101))
+    val input = MemoryStream[(String, Long, Long)]
+    val est = graft.streaming.StreamingSketch.streamingSampledMedian(
+      input.toDF().toDF("grp", "id", "v"), "grp", "id", "v", k = 16)
+    val q = est.writeStream.format("memory").queryName("medstream")
+      .outputMode("update").start()
+    try {
+      input.addData(rows.take(120): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(120): _*) // state must merge across batches
+      q.processAllAvailable()
+      val streaming = spark.table("medstream").collect()
+        .map(r => (r.getString(0), (r.getInt(1), r.getLong(2))))
+        .groupBy(_._1).map { case (g, vs) => g -> vs.last._2 } // latest update per group
+      val batch = graft.operators.Sketches.sampledMedian(
+        rows.toDF("grp", "id", "v"), "grp", "id", "v", k = 16)
+        .collect().map(r => r.getString(0) -> (r.getAs[Int]("n_sample"), r.getAs[Long]("med2")))
+        .toMap
+      batch.foreach { case (g, bm) =>
+        assert(streaming(g) === bm, s"group $g: streaming != batch sketch")
+      }
+    } finally q.stop()
+  }
+
   test("contaminationAudit: stream emits hits per micro-batch, clean docs silent") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
