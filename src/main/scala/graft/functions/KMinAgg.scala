@@ -47,14 +47,19 @@ object KMinAgg {
     * below k, else `(k-1) * 2^56 DIV h_(k)` (integer math, matching
     * the SQL replay).
     */
-  def estimate(buf: Seq[Long], k: Int): Long =
+  def estimate(buf: Seq[Long], k: Int): Long = {
+    // (k-1) * 2^56 overflows signed 64-bit at k >= 129 — the bound is
+    // the kernel's, not just its call sites'
+    require(k >= 2 && k <= 128, s"kmv k must be in [2, 128], got $k")
     if (buf.size < k) buf.size.toLong
     else (k - 1).toLong * (1L << 56) / buf.last
+  }
 
   /** Column form: `kMin(k)(hashCol)` → array<long>, the k smallest
     * distinct values, ascending.
     */
   def kMin(k: Int): Column => Column = {
+    require(k >= 2 && k <= 128, s"kmv k must be in [2, 128], got $k")
     val fn = udaf(new KMinAgg(k))
     h => fn(h)
   }

@@ -19,7 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * 100-TB similarity join has to look like. Accumulation order
   * (sequential dot and norms, `dot/(√na·√nb)`) matches the
   * `zip_with`-based [[graft.functions.VectorFunctions.cosine]] and the
-  * DuckDB oracle, so swapping it in cannot change results.
+  * DuckDB oracle, so swapping it in cannot change results on clean
+  * inputs. Contract edges, explicit: a NULL ELEMENT anywhere in either
+  * array → NULL result (the lambda form null-propagates the same way;
+  * reading nulls as 0.0 would silently corrupt scores); a zero-norm
+  * vector → NaN (IEEE 0/0), which [[graft.functions.TopKAgg]] ranks
+  * LAST deterministically.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -47,6 +52,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // null element → null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -71,11 +77,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xi = (double) $a.getFloat($i);
          |    double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -8,16 +8,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule: `sorted_intersect_count(x, x)` is the element count
   * of x — the merge loop over two identical arrays matches every
-  * element, sorted or not. `Size` preserves null semantics exactly
-  * (null in → null out, matching the expression's null-intolerance),
-  * so the rewrite is sound for every input, unlike a naive
-  * `cosine_sim(x, x) → 1.0` fold would be (null → 1.0, zero vector's
-  * NaN → 1.0).
+  * element, sorted or not. `Size` must be constructed with
+  * `legacySizeOfNull = false`: the legacy mode (still the default
+  * through a conf) returns -1 for NULL input, which would CHANGE the
+  * query result (the kernel is null-intolerant → NULL out); the
+  * non-legacy form is null in → null out, making the rewrite sound
+  * for every input — unlike a naive `cosine_sim(x, x) → 1.0` fold
+  * (null → 1.0, zero vector's NaN → 1.0).
   */
 object SelfIntersectFold extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case SortedIntersectCount(a, b) if a.semanticEquals(b) && a.deterministic =>
-      Size(a)
+      Size(a, legacySizeOfNull = false)
   }
 }
 

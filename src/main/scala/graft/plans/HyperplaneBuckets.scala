@@ -28,6 +28,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int, tables: Int)
   extends UnaryExpression {
 
+  // planes caps at 63: `1L << p` wraps its shift count at 64, which
+  // would silently alias plane 64's vote onto bit 0 (same bug class
+  // mortonInterleave guards against)
+  require(dim >= 1, s"dim must be positive, got $dim")
+  require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
+  require(tables >= 1, s"tables must be positive, got $tables")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -39,9 +46,16 @@ case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int, tables: I
   @transient lazy val signs: Array[Array[Float]] =
     HyperplaneBuckets.signMatrix(dim, planes * tables)
 
+  // nullable: a vector shorter than dim cannot be bucketed — null,
+  // consistent with PqCodes/CosineSimilarity on dimension mismatch
+  // (silent prefix-truncation would bucket corrupt rows as if
+  // zero-padded)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
+    if (v.numElements() < dim) return null
+    val n = dim
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -73,19 +87,23 @@ case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int, tables: I
       val bucket = ctx.freshName("bucket")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $dim);
-         |long[] $out = new long[$tables];
-         |for (int $t = 0; $t < $tables; $t++) {
-         |  long $bucket = 0L;
-         |  for (int $p = 0; $p < $planes; $p++) {
-         |    float[] $s = $signsRef[$t * $planes + $p];
-         |    double $dot = 0.0;
-         |    for (int $j = 0; $j < $n; $j++) { $dot += $a.getFloat($j) * $s[$j]; }
-         |    if ($dot > 0) $bucket |= (1L << $p);
+         |if ($a.numElements() < $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $dim;
+         |  long[] $out = new long[$tables];
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    long $bucket = 0L;
+         |    for (int $p = 0; $p < $planes; $p++) {
+         |      float[] $s = $signsRef[$t * $planes + $p];
+         |      double $dot = 0.0;
+         |      for (int $j = 0; $j < $n; $j++) { $dot += $a.getFloat($j) * $s[$j]; }
+         |      if ($dot > 0) $bucket |= (1L << $p);
+         |    }
+         |    $out[$t] = $bucket;
          |  }
-         |  $out[$t] = $bucket;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

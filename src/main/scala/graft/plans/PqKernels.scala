@@ -54,6 +54,11 @@ case class PqCodes(child: Expression, codebook: PqKernels.Codebook)
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() < subspaces * subDim) return null
+    var z = 0
+    while (z < subspaces * subDim) { // null element → uncodeable
+      if (v.isNullAt(z)) return null
+      z += 1
+    }
     val out = new Array[Int](subspaces)
     var j = 0
     while (j < subspaces) {
@@ -90,26 +95,32 @@ case class PqCodes(child: Expression, codebook: PqKernels.Codebook)
       val best = ctx.freshName("best")
       val bestC = ctx.freshName("bestC")
       val cent = ctx.freshName("cent")
+      val z = ctx.freshName("z")
       s"""
          |if ($a.numElements() < ${subspaces * subDim}) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int[] $out = new int[$subspaces];
-         |  for (int $j = 0; $j < $subspaces; $j++) {
-         |    double $best = Double.POSITIVE_INFINITY;
-         |    int $bestC = 0;
-         |    for (int $c = 0; $c < $cbRef[$j].length; $c++) {
-         |      double[] $cent = $cbRef[$j][$c];
-         |      double $d = 0.0;
-         |      for (int $t = 0; $t < $subDim; $t++) {
-         |        double $diff = (double) $a.getFloat($j * $subDim + $t) - $cent[$t];
-         |        $d += $diff * $diff;
-         |      }
-         |      if ($d < $best) { $best = $d; $bestC = $c; }
-         |    }
-         |    $out[$j] = $bestC;
+         |  for (int $z = 0; $z < ${subspaces * subDim}; $z++) {
+         |    if ($a.isNullAt($z)) { ${ev.isNull} = true; break; }
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  if (!${ev.isNull}) {
+         |    int[] $out = new int[$subspaces];
+         |    for (int $j = 0; $j < $subspaces; $j++) {
+         |      double $best = Double.POSITIVE_INFINITY;
+         |      int $bestC = 0;
+         |      for (int $c = 0; $c < $cbRef[$j].length; $c++) {
+         |        double[] $cent = $cbRef[$j][$c];
+         |        double $d = 0.0;
+         |        for (int $t = 0; $t < $subDim; $t++) {
+         |          double $diff = (double) $a.getFloat($j * $subDim + $t) - $cent[$t];
+         |          $d += $diff * $diff;
+         |        }
+         |        if ($d < $best) { $best = $d; $bestC = $c; }
+         |      }
+         |      $out[$j] = $bestC;
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
          |}
        """.stripMargin
     })
@@ -149,8 +160,20 @@ case class PqAdc(left: Expression, right: Expression, codebook: PqKernels.Codebo
     val codes = cd.asInstanceOf[ArrayData]
     if (qv.numElements() < subspaces * subDim ||
       codes.numElements() < subspaces) return null
-    var total = 0.0
+    var z = 0
+    while (z < subspaces * subDim) {
+      if (qv.isNullAt(z)) return null
+      z += 1
+    }
     var j = 0
+    while (j < subspaces) { // foreign/null codes → null, not AIOOBE
+      if (codes.isNullAt(j)) return null
+      val cj = codes.getInt(j)
+      if (cj < 0 || cj >= codebook(j).length) return null
+      j += 1
+    }
+    var total = 0.0
+    j = 0
     while (j < subspaces) {
       val cent = codebook(j)(codes.getInt(j))
       var d = 0.0
@@ -175,22 +198,35 @@ case class PqAdc(left: Expression, right: Expression, codebook: PqKernels.Codebo
       val d = ctx.freshName("d")
       val diff = ctx.freshName("diff")
       val cent = ctx.freshName("cent")
+      val z = ctx.freshName("z")
+      val cj = ctx.freshName("cj")
       s"""
          |if ($q.numElements() < ${subspaces * subDim} ||
          |    $cd.numElements() < $subspaces) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $total = 0.0;
-         |  for (int $j = 0; $j < $subspaces; $j++) {
-         |    double[] $cent = $cbRef[$j][$cd.getInt($j)];
-         |    double $d = 0.0;
-         |    for (int $t = 0; $t < $subDim; $t++) {
-         |      double $diff = (double) $q.getFloat($j * $subDim + $t) - $cent[$t];
-         |      $d += $diff * $diff;
-         |    }
-         |    $total += $d;
+         |  for (int $z = 0; $z < ${subspaces * subDim}; $z++) {
+         |    if ($q.isNullAt($z)) { ${ev.isNull} = true; break; }
          |  }
-         |  ${ev.value} = $total;
+         |  for (int $z = 0; !${ev.isNull} && $z < $subspaces; $z++) {
+         |    // foreign/null codes -> null, not AIOOBE
+         |    if ($cd.isNullAt($z)) { ${ev.isNull} = true; break; }
+         |    int $cj = $cd.getInt($z);
+         |    if ($cj < 0 || $cj >= $cbRef[$z].length) { ${ev.isNull} = true; break; }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $total = 0.0;
+         |    for (int $j = 0; $j < $subspaces; $j++) {
+         |      double[] $cent = $cbRef[$j][$cd.getInt($j)];
+         |      double $d = 0.0;
+         |      for (int $t = 0; $t < $subDim; $t++) {
+         |        double $diff = (double) $q.getFloat($j * $subDim + $t) - $cent[$t];
+         |        $d += $diff * $diff;
+         |      }
+         |      $total += $d;
+         |    }
+         |    ${ev.value} = $total;
+         |  }
          |}
        """.stripMargin
     })

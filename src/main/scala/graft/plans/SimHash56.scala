@@ -32,16 +32,23 @@ case class SimHash56(child: Expression) extends UnaryExpression {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val cnt = new Array[Int](56)
+    // null elements (Md5Hash56Array preserves null tokens as null
+    // hashes) contribute NO votes — reading them as hash 0 would cast
+    // 56 phantom zero-bit votes each
+    var m = 0
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var b = 0
-      while (b < 56) { cnt(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      if (!arr.isNullAt(i)) {
+        m += 1
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 56) { cnt(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      }
       i += 1
     }
     var sim = 0L
     var b = 0
-    while (b < 56) { if (2 * cnt(b) > n) sim |= (1L << b); b += 1 }
+    while (b < 56) { if (2 * cnt(b) > m) sim |= (1L << b); b += 1 }
     sim
   }
 
@@ -53,15 +60,19 @@ case class SimHash56(child: Expression) extends UnaryExpression {
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val sim = ctx.freshName("sim")
+      val m = ctx.freshName("m")
       s"""
          |int $n = $a.numElements();
          |int[] $cnt = new int[56];
+         |int $m = 0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue; // null hash casts no votes
+         |  $m++;
          |  long $h = $a.getLong($i);
          |  for (int $b = 0; $b < 56; $b++) { $cnt[$b] += (int) (($h >>> $b) & 1L); }
          |}
          |long $sim = 0L;
-         |for (int $b = 0; $b < 56; $b++) { if (2 * $cnt[$b] > $n) $sim |= (1L << $b); }
+         |for (int $b = 0; $b < 56; $b++) { if (2 * $cnt[$b] > $m) $sim |= (1L << $b); }
          |${ev.value} = $sim;
        """.stripMargin
     })

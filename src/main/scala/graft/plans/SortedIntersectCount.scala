@@ -34,6 +34,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var cnt = 0
     while (i < nx && j < ny) {
+      // null elements (array_sort puts them LAST, where getLong would
+      // read 0 and break the ascending precondition) → null result,
+      // matching array_intersect's null-intolerant callers
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
       val xi = x.getLong(i); val yj = y.getLong(j)
       if (xi == yj) { cnt += 1; i += 1; j += 1 }
       else if (xi < yj) i += 1
@@ -52,11 +56,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $nx = $a.numElements(); int $ny = $b.numElements();
          |int $i = 0, $j = 0, $cnt = 0;
          |while ($i < $nx && $j < $ny) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
          |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
          |  if ($xi == $yj) { $cnt++; $i++; $j++; }
          |  else if ($xi < $yj) { $i++; } else { $j++; }
          |}
-         |${ev.value} = $cnt;
+         |if (!${ev.isNull}) { ${ev.value} = $cnt; }
        """.stripMargin
     })
 
