@@ -43,10 +43,17 @@ object Bench {
     // Stop Spark BEFORE printing so the JSON is the process's final
     // stdout line (Spark's shutdown logging goes to stderr, but order
     // still matters for line-oriented parsers); build.sbt routes forked
-    // stdout through raw (no [info] prefix). Also drop the line in a
-    // file as the always-parseable artifact.
+    // stdout through raw (no [info] prefix).
     spark.stop()
-    println(json)
+    // The full 90-query map (~2.4 kB) is written to BENCH.json; stdout
+    // gets a compact summary (<300 chars) as the FINAL line, because the
+    // driver parses only a 2 kB stdout tail and a longer final line
+    // starts mid-JSON.
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json + "\n")
+    val headline = Seq("q1_agg", "q3_shipping", "dedup_minhash", "q_substring_clusters")
+      .flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + f"$v%.3f"))
+      .mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.values.count(_ < 0)},"queries":$headline,"sf":"$sfDir","detail":"BENCH.json"}"""
+    println(summary)
   }
 }

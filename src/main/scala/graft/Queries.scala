@@ -806,7 +806,8 @@ object Queries {
            |         THEN -1.0 ELSE 1.0 END AS s
            |  FROM range(16) AS t1(tp), range(64) AS t2(j)),
            |svec AS (SELECT tp, list(s ORDER BY j) AS sv FROM signs GROUP BY tp),
-           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
            |mem AS (
            |  SELECT e.vec_id AS id, (sv.tp // 8)::BIGINT AS t,
            |    sum(CASE WHEN list_inner_product(e.v, sv.sv) > 0
@@ -815,7 +816,9 @@ object Queries {
            |  GROUP BY e.vec_id, sv.tp // 8),
            |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
            |$iters
-           |SELECT id AS vec_id, label AS cluster_id FROM l3""".stripMargin
+           |SELECT id AS vec_id, label AS cluster_id FROM l3
+           |UNION ALL SELECT vec_id, vec_id FROM embeddings
+           |  WHERE embedding IS NULL OR len(embedding) < 64""".stripMargin
       }),
 
     // §2.3/103 — SemDeDup semantic dedup: one keep-flag row per vector;
@@ -834,7 +837,8 @@ object Queries {
            |         THEN -1.0 ELSE 1.0 END AS s
            |  FROM range(16) AS t1(tp), range(64) AS t2(j)),
            |svec AS (SELECT tp, list(s ORDER BY j) AS sv FROM signs GROUP BY tp),
-           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
            |mem AS (
            |  SELECT e.vec_id AS id, (sv.tp // 8)::BIGINT AS t,
            |    sum(CASE WHEN list_inner_product(e.v, sv.sv) > 0
@@ -848,7 +852,9 @@ object Queries {
            |  (c.vec_id = c.cluster_id OR
            |   list_cosine_similarity(m.v, r.v) < 0.25) AS is_kept
            |FROM cl c JOIN emb m ON m.vec_id = c.vec_id
-           |JOIN emb r ON r.vec_id = c.cluster_id""".stripMargin
+           |JOIN emb r ON r.vec_id = c.cluster_id
+           |UNION ALL SELECT vec_id, vec_id, TRUE FROM embeddings
+           |  WHERE embedding IS NULL OR len(embedding) < 64""".stripMargin
       }),
 
     // §2.3/98 — int8 scalar quantization of embeddings (4 bytes/dim →
@@ -1155,7 +1161,8 @@ object Queries {
       Some("""WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents)
         |SELECT source, least(9, ((n_chars - lo) * 10) // (hi - lo + 1)) AS bin,
         |  count(*) AS cnt
-        |FROM documents CROSS JOIN mm GROUP BY 1, 2""".stripMargin)),
+        |FROM documents CROSS JOIN mm WHERE n_chars IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin)),
 
     // §2.3/116 — trigram LM surprisal (top of the n-gram ladder:
     // rows 87 unigram → 101 bigram → trigram context)

@@ -103,13 +103,28 @@ object Dedup {
     */
   private def pairScorer(df: DataFrame /* id, toks, ... */,
                          assumeOpenVocab: Boolean = false): PairScorer = {
-    val vocab =
-      if (assumeOpenVocab) Array.empty[String] // skip the probe job
-      else df.select(explode(col("toks")).as("w")).distinct()
-        .limit(65).collect().map(_.getString(0))
-    if (!assumeOpenVocab && vocab.length <= 64) {
-      val mask = (0 until vocab.length).map(j =>
-        when(array_contains(col("toks"), vocab(j)), lit(1L << j)).otherwise(lit(0L)))
+    // Two-stage probe: a naive corpus-wide `explode.distinct.limit(65)`
+    // collects 65 strings but the JOB behind it hash-aggregates every
+    // token of every document before limit fires — a corpus-sized scan
+    // at 100 TB just to learn the answer is "open vocabulary". Probe a
+    // 1000-row sample first: >64 distinct tokens there settles open
+    // vocab for free (a superset can only have more); only a closed-
+    // looking sample — where the bitmask payoff is plausible — pays
+    // the full confirming probe, which stays required for correctness
+    // (a sample alone could miss vocabulary and corrupt the masks).
+    val vocab: Option[Array[String]] =
+      if (assumeOpenVocab) None // skip both probe jobs
+      else {
+        val sample = df.limit(1000).select(explode(col("toks")).as("w"))
+          .distinct().limit(65).collect().map(_.getString(0))
+        if (sample.length > 64) None
+        else Some(df.select(explode(col("toks")).as("w")).distinct()
+          .limit(65).collect().map(_.getString(0)))
+      }
+    if (vocab.exists(_.length <= 64)) {
+      val vocabArr = vocab.get
+      val mask = (0 until vocabArr.length).map(j =>
+        when(array_contains(col("toks"), vocabArr(j)), lit(1L << j)).otherwise(lit(0L)))
         .reduceOption(_.bitwiseOR(_)).getOrElse(lit(0L))
       PairScorer(df.withColumn("repr", mask).drop("toks"),
         (a, b) => call_function("bit_count", a.bitwiseAND(b)).cast("int"),

@@ -143,7 +143,13 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
              subspaces: Int = 16, subDim: Int = 4, cells: Int = 16): DataFrame = {
+    // donors must be codable: a NULL embedding NPEs codebook
+    // construction and a vector shorter than subspaces*subDim would
+    // truncate centroids (then AIOOBE inside the PqCodes/PqAdc codegen
+    // loops for every row) — same null/length contract the kernels
+    // themselves enforce on corpus rows
     val donors: Array[Seq[Float]] = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) >= subspaces * subDim)
       .select(col(vecCol),
         graft.functions.HashFunctions.stableHash56(col(idCol).cast("string")).as("h"))
       .orderBy("h").limit(cells)
@@ -198,14 +204,22 @@ object Similarity {
   def nearDupClusters(df: DataFrame, idCol: String, vecCol: String,
                       dim: Int, planes: Int, tables: Int = 4,
                       iterations: Int = 3): DataFrame = {
-    val membership = df.select(col(idCol).as("id"),
-        posexplode(graft.plans.HyperplaneBuckets(col(vecCol), dim, planes, tables))
-          .as(Seq("t", "b")))
+    val bucketed = df.select(col(idCol).as("id"),
+      graft.plans.HyperplaneBuckets(col(vecCol), dim, planes, tables).as("__bk"))
+    val membership = bucketed.filter(col("__bk").isNotNull)
+      .select(col("id"), posexplode(col("__bk")).as(Seq("t", "b")))
     // the propagation result comes back PERSISTED (caller-owned cache);
     // register it in Dedup's bounded pin LRU so repeated clustering
     // runs cannot accumulate unreleasable entries
-    Dedup.registerPin(ConnectedComponents.propagateMinLabel(membership, Seq("t", "b"), iterations))
+    val clustered = Dedup
+      .registerPin(ConnectedComponents.propagateMinLabel(membership, Seq("t", "b"), iterations))
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+    // NULL/short vectors bucket to NULL and would vanish through
+    // posexplode — union them back as their own singleton clusters so
+    // the one-row-per-vector contract holds (mirrors
+    // Dedup.minhashClusters' NULL-text singleton fallback)
+    clustered.unionByName(bucketed.filter(col("__bk").isNull)
+      .select(col("id").as("vec_id"), col("id").as("cluster_id")))
   }
 
   /** SemDeDup-style semantic dedup: inside each LSH near-dup cluster

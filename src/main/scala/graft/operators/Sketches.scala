@@ -113,8 +113,13 @@ object Sketches {
     */
   def histogram(df: DataFrame, groupCol: String, valueCol: String,
                 bins: Int): DataFrame = {
-    val mm = df.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
-    df.crossJoin(broadcast(mm))
+    // NULL values must be dropped, not binned: the bucket expression is
+    // NULL for them, and least() in both Spark and DuckDB SKIPS null
+    // arguments, so least(bins-1, NULL) = bins-1 would silently count
+    // every NULL row in the TOP bin (min/max already ignore nulls)
+    val nn = df.filter(col(valueCol).isNotNull)
+    val mm = nn.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    nn.crossJoin(broadcast(mm))
       .select(col(groupCol),
         least(lit(bins - 1), ((col(valueCol) - col("__lo")) * bins /
           (col("__hi") - col("__lo") + 1)).cast("long")).as("bin"))

@@ -220,9 +220,14 @@ object Subscribe {
     // sibling tables in `dir` don't leak into the stream; a Spark-written
     // DIRECTORY table of the same name holds part-*.parquet leaves the
     // glob would silently exclude (zero-row stream) — stream the
-    // directory itself instead
+    // directory itself instead. The check goes through the Hadoop
+    // FileSystem resolved from the path's own scheme: java.io.File is
+    // always false on hdfs:// / s3a://, which would silently take the
+    // single-file branch and stream zero rows there.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val stream =
-      if (new java.io.File(path).isDirectory)
+      if (fs.getFileStatus(hPath).isDirectory)
         spark.readStream.schema(raw.schema).parquet(path)
       else spark.readStream.schema(raw.schema)
         .option("pathGlobFilter", s"$table.parquet")
