@@ -47,29 +47,69 @@ object Queries {
          |  FROM p$k a JOIN p$k b ON a.label = b.id)""".stripMargin
     }.mkString(",\n")
 
-  /** The sim_ann_pq replay through the `adc` CTE (codebook, codes,
-    * fixed-order ADC sums) — shared verbatim by sim_ann_pq and
-    * sim_ann_rerank so the two cannot diverge.
+  /** The sim_ann_pq replay through the `adc` CTE (seeded codebook, two
+    * scaled-integer-exact Lloyd's training rounds, codes, fixed-order
+    * ADC sums) — shared verbatim by sim_ann_pq and sim_ann_rerank so
+    * the two cannot diverge. Training means are
+    * `sum(floor(v * 2^20))::BIGINT / (2^20 * n)` — exact integers into
+    * one IEEE division — so both engines land on bit-identical
+    * codebooks (a plain avg(double) would drift with summation order).
     */
   private lazy val pqAdcSql: String = {
+    // One row per (vec, j) carrying the DISTANCE LIST over all 256
+    // cells (in cell order) — the classic-PQ cell count would make the
+    // flat (vec, j, cell) form 131M rows at sf0.01; the list form is
+    // 512k rows with the identical per-cell arithmetic (2.7s measured).
+    // argmin = list_position of the list min: first occurrence wins,
+    // which IS the kernel's lower-cell tie-break.
+    def scoresSql(name: String, cb: String) =
+      s"""$name AS (SELECT e.vec_id, b.j,
+         |    list_transform(b.cents, c ->
+         |      list_aggregate(list_transform(list_transform(generate_series(1, 4),
+         |        t -> e.v[b.j*4 + t] - c[t]), x -> x * x), 'sum')) AS dists
+         |  FROM emb e CROSS JOIN $cb b)""".stripMargin
+    def assignSql(name: String, sc: String) =
+      s"""$name AS (SELECT vec_id, j,
+         |  list_position(dists, list_min(dists)) - 1 AS cell FROM $sc)""".stripMargin
+    // one Lloyd's round: members' scaled-integer means; empty cells
+    // keep the previous centroid
+    def trainSql(i: Int): String = {
+      val sums = (0 until 4).map(t =>
+        s"sum(floor(e.v[a.j*4 + ${t + 1}] * 1048576.0)::BIGINT) AS s$t").mkString(", ")
+      val mean = (0 until 4).map(t => s"t.s$t / (1048576.0 * t.n)").mkString("[", ", ", "]")
+      s"""${scoresSql(s"sc$i", s"cb$i")},
+         |${assignSql(s"as$i", s"sc$i")},
+         |tr$i AS (SELECT a.j, a.cell, count(*) AS n, $sums
+         |  FROM as$i a JOIN emb e USING (vec_id) GROUP BY a.j, a.cell),
+         |cb${i + 1} AS (SELECT g.j,
+         |    list(CASE WHEN t.n IS NULL THEN g.cents[g.cell+1] ELSE $mean END
+         |         ORDER BY g.cell) AS cents
+         |  FROM (SELECT b.j, r.cell, b.cents FROM cb$i b CROSS JOIN range(256) AS r(cell)) g
+         |  LEFT JOIN tr$i t ON t.j = g.j AND t.cell = g.cell
+         |  GROUP BY g.j)""".stripMargin
+    }
     val codes = (0 until 16).map(j => s"min(cell) FILTER (j = $j) AS c$j").mkString(", ")
     val joins = (0 until 16).map(j =>
-      s"  JOIN scores s$j ON s$j.vec_id = q.vec_id AND s$j.j = $j AND s$j.cell = x.c$j")
-      .mkString("\n")
-    val dsum = (0 until 16).map(j => s"s$j.dist").mkString(" + ")
+      s"  JOIN scf s$j ON s$j.vec_id = q.vec_id AND s$j.j = $j").mkString("\n")
+    // ADC = the query's OWN distance list indexed by the corpus row's
+    // code, summed in ascending j (the kernel's fixed fold order)
+    val dsum = (0 until 16).map(j => s"s$j.dists[x.c$j + 1]").mkString(" + ")
     s"""c0 AS (SELECT vec_id, embedding,
-       |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM embeddings),
+       |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
        |don AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, embedding::DOUBLE[] AS cv
-       |  FROM c0 ORDER BY h LIMIT 16),
-       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |scores AS (SELECT e.vec_id, r.j, d.cell,
-       |    list_aggregate(list_transform(list_transform(generate_series(1, 4),
-       |      t -> e.v[r.j*4 + t] - d.cv[r.j*4 + t]), x -> x * x), 'sum') AS dist
-       |  FROM emb e CROSS JOIN range(16) AS r(j) CROSS JOIN don d),
-       |assign AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
-       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, cell ASC) AS rn
-       |  FROM scores) z WHERE rn = 1),
-       |codes AS (SELECT vec_id, $codes FROM assign GROUP BY vec_id),
+       |  FROM c0 ORDER BY h LIMIT 256),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+       |cb0 AS (SELECT r.j AS j,
+       |    list(list_transform(generate_series(1, 4), t -> d.cv[r.j*4 + t])
+       |         ORDER BY d.cell) AS cents
+       |  FROM don d CROSS JOIN range(16) AS r(j) GROUP BY r.j),
+       |${trainSql(0)},
+       |${trainSql(1)},
+       |${scoresSql("scf", "cb2")},
+       |${assignSql("asf", "scf")},
+       |codes AS (SELECT vec_id, $codes FROM asf GROUP BY vec_id),
        |adc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, $dsum AS d
        |  FROM codes x CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
        |$joins
@@ -759,7 +799,7 @@ object Queries {
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
         Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 10, subspaces = 16, subDim = 4, cells = 16)
+          "vec_id", "embedding", k = 10, subspaces = 16, subDim = 4, cells = 256)
       },
       Some(s"WITH $pqAdcSql\n" +
         """SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id,

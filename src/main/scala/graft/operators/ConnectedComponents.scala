@@ -41,12 +41,27 @@ object ConnectedComponents {
     * persisted and materialized; internal pins are released.
     */
   def propagateMinLabel(membership: DataFrame, bucketCols: Seq[String],
-                        iterations: Int, shortcut: Boolean = true): DataFrame = {
-    val mem = membership.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = mem.select(col("id")).distinct().withColumn("label", col("id"))
+                        iterations: Int, shortcut: Boolean = true,
+                        pinMembership: Boolean = true): DataFrame = {
+    // pinMembership = false is for callers whose membership frame is
+    // ALREADY materialized (cached or localCheckpoint'ed) — a second
+    // persist here would double-cache it
+    val mem =
+      if (pinMembership)
+        membership.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else membership
+    // null = the identity assignment label(id) = id: round 1 reads it
+    // symbolically (mem.withColumn) instead of materializing a distinct
+    // + join — two fewer chained stages on a path whose sf0.1 cost is
+    // scheduling latency, not data. (A converged-skip probe before the
+    // final round was tried and REVERTED: persisting the per-round
+    // jumped labels + the probe job cost 8.9s -> 12.6s at sf0.1
+    // because the probe never fires there and the extra cache
+    // materializations serialize the DAG.)
+    var labels: DataFrame = null
     val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (_ <- 0 until iterations) {
-      labels = round(mem, bucketCols, labels)
+    for (i <- 0 until iterations) {
+      labels = round(mem, bucketCols, Option(labels))
       if (shortcut) {
         // pin the hop output: the jump references it TWICE (both join
         // sides) — unpinned, each jump would re-execute the whole
@@ -56,8 +71,19 @@ object ConnectedComponents {
         labels = jump(hopped)
       }
     }
-    materializeAndRelease(labels, mem, pins.toSeq)
+    if (labels == null) // iterations == 0: identity assignment
+      labels = mem.select(col("id")).distinct().withColumn("label", col("id"))
+    materializeAndRelease(labels, if (pinMembership) Some(mem) else None, pins.toSeq)
   }
+
+  /** True iff no label differs between `curr` and `prev` (`prev ==
+    * null` means the identity assignment, where the check needs no
+    * join at all).
+    */
+  private def unchanged(curr: DataFrame, prev: DataFrame): Boolean =
+    if (prev == null) curr.filter(col("label") =!= col("id")).limit(1).isEmpty
+    else curr.as("n").join(prev.as("p"), "id")
+      .filter(col("n.label") =!= col("p.label")).limit(1).isEmpty
 
   /** Iterate until labels stop changing (checked with a cheap
     * existence probe per round), capped at `maxIterations`. The result
@@ -66,12 +92,11 @@ object ConnectedComponents {
   def propagateToFixpoint(membership: DataFrame, bucketCols: Seq[String],
                           maxIterations: Int = 20): DataFrame = {
     val mem = membership.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = mem.select(col("id")).distinct().withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels: DataFrame = null // null = identity assignment (see propagateMinLabel)
     var i = 0
     var converged = false
     while (i < maxIterations && !converged) {
-      val hopped = round(mem, bucketCols, labels)
+      val hopped = round(mem, bucketCols, Option(labels))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // localCheckpoint severs lineage each round: with jumping the
       // symbolic plan would otherwise double per round (the jump embeds
@@ -80,14 +105,14 @@ object ConnectedComponents {
       // dir if executor loss during the computation must be survivable.
       val next = jump(hopped).localCheckpoint(true)
       hopped.unpersist(blocking = false)
-      converged = next.as("n").join(labels.as("p"), "id")
-        .filter(col("n.label") =!= col("p.label"))
-        .limit(1).isEmpty
-      labels.unpersist(blocking = false)
+      converged = unchanged(next, labels)
+      if (labels != null) labels.unpersist(blocking = false)
       labels = next
       i += 1
     }
-    materializeAndRelease(labels, mem, Nil)
+    if (labels == null) // maxIterations == 0: identity assignment
+      labels = mem.select(col("id")).distinct().withColumn("label", col("id"))
+    materializeAndRelease(labels, Some(mem), Nil)
   }
 
   /** Force the final labels into their own cache, then release the
@@ -95,21 +120,27 @@ object ConnectedComponents {
     * recomputes from the (unpinned) source, which is correct, just
     * slower.
     */
-  private def materializeAndRelease(labels: DataFrame, mem: DataFrame,
+  private def materializeAndRelease(labels: DataFrame, mem: Option[DataFrame],
                                     pins: Seq[DataFrame]): DataFrame = {
     val out =
       if (labels.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else labels
     out.count()
-    mem.unpersist(blocking = false)
-    pins.foreach(_.unpersist(blocking = false))
+    mem.foreach(_.unpersist(blocking = false))
+    pins.filterNot(_ eq out).foreach(_.unpersist(blocking = false))
     out
   }
 
+  /** One propagation hop. `labels == None` means the identity
+    * assignment label(id) = id — expressed symbolically as a column,
+    * which is algebraically what joining the distinct-id identity
+    * frame would produce, minus that frame's distinct and join stages.
+    */
   private def round(mem: DataFrame, bucketCols: Seq[String],
-                    labels: DataFrame): DataFrame = {
-    val bucketMin = mem.join(labels, "id")
+                    labels: Option[DataFrame]): DataFrame = {
+    val withLabel = labels.fold(mem.withColumn("label", col("id")))(mem.join(_, "id"))
+    val bucketMin = withLabel
       .groupBy(bucketCols.map(col): _*).agg(min("label").as("bmin"))
     mem.join(bucketMin, bucketCols)
       .groupBy("id").agg(min("bmin").as("label"))

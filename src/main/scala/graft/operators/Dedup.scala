@@ -753,18 +753,25 @@ object Dedup {
     * cannot be chunked and are ABSENT from the output (the oracle
     * filters them identically); keep them upstream if they matter.
     */
-  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
-                 chunkTokens: Int = 20): DataFrame = {
-    val c = chunkTokens
-    val occ = registerPin(fanOut(df)
-      .select(col(idCol).as("doc_id"),
+  /** One row per `chunkTokens`-token chunk: (doc_id, chunk_idx, chunk,
+    * h) — the shared chunking expression of [[chunkDedup]] and
+    * [[streamingChunkProbe]] (pure per-row expressions, so it runs
+    * unchanged on a stream).
+    */
+  private def chunkOccurrences(df: DataFrame, idCol: String, textCol: String,
+                               c: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(col("toks").isNotNull)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), ((size(col("toks")) - 1) / c).cast("int")),
           i => array_join(slice(col("toks"), i * c + 1, lit(c)), " ")))
         .as(Seq("chunk_idx", "chunk")))
-      .withColumn("h", md5(col("chunk"))))
+      .withColumn("h", md5(col("chunk")))
+
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 20): DataFrame = {
+    val occ = registerPin(chunkOccurrences(fanOut(df), idCol, textCol, chunkTokens))
     val owners = occ.groupBy("h")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
     occ.join(owners, "h")
@@ -777,6 +784,35 @@ object Dedup {
           array_sort(collect_list(when(col("is_first"),
             struct(col("chunk_idx"), col("chunk"))))),
           s => s.getField("chunk")), " ").as("dedup_text"))
+  }
+
+  /** STREAMING chunk-dedup probe: each micro-batch's documents are
+    * chunked row-wise and probed against the STATIC reference corpus's
+    * chunk-ownership table — the continuous-ingestion form of
+    * [[chunkDedup]], as [[streamingNearDupProbe]] is for
+    * [[incrementalDedup]]. Stateless: a stream-static left join, no
+    * watermark, no state store, nothing grows with stream length.
+    *
+    * Output is one row per NEW chunk — (new_id, chunk_idx, h,
+    * ref_doc_id, is_novel) — where `ref_doc_id` is the reference
+    * owner (its first occurrence, [[chunkDedup]]'s min-struct owner
+    * contract) and `is_novel` marks chunks absent from the reference.
+    * Per-doc keep decisions aggregate downstream (per-key aggregation
+    * on a stream needs a watermark policy, which belongs to the
+    * caller); the flags themselves equal what batch [[chunkDedup]]
+    * over reference+batch would mark as first-seen-in-reference
+    * (StreamingSpec pins streaming == batch on the same prefix).
+    */
+  def streamingChunkProbe(stream: DataFrame, ref: DataFrame,
+                          idCol: String, textCol: String,
+                          chunkTokens: Int = 20): DataFrame = {
+    val owners = chunkOccurrences(ref, idCol, textCol, chunkTokens)
+      .groupBy("h").agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+      .select(col("h"), col("w.doc_id").as("ref_doc_id"))
+    chunkOccurrences(stream, idCol, textCol, chunkTokens)
+      .join(owners, Seq("h"), "left")
+      .select(col("doc_id").as("new_id"), col("chunk_idx"), col("h"),
+        col("ref_doc_id"), col("ref_doc_id").isNull.as("is_novel"))
   }
 
   /** Shared-substring provenance pairs: documents sharing at least
@@ -839,13 +875,19 @@ object Dedup {
                         dfNum: Int = 1, dfDen: Int = 8,
                         iterations: Int = 3): DataFrame = {
     val ids = df.select(col(idCol).as("id"))
-    // NOT pinned: propagateMinLabel pins the membership frame (whose
-    // lineage includes this winnow) — an additional cache layer
-    // UNDER that pin changes the membership plan's canonicalized form
-    // and was measured ~15% slower; the df-count pass's one winnow
-    // recompute is cheaper than the cache interference
-    val fps = winnowFingerprints(df, idCol, textCol, k, window)
+    // The winnow is the expensive leaf (positional k-gram hashes +
+    // windowed minima over every document) and BOTH the df-count pass
+    // and the membership need it. Pin it ONCE, and sever the membership
+    // frame's lineage with an eager localCheckpoint before handing it
+    // to propagation: a persist layered directly under the membership
+    // pin changes that plan's canonicalized form (measured ~15% slower
+    // in r4), but a checkpoint boundary makes the membership frame
+    // lineage-free, so the two caches cannot interfere — and the
+    // winnow now executes exactly once (it ran twice before, ~2s of
+    // the sf0.1 clean run).
+    val fps = registerPin(winnowFingerprints(df, idCol, textCol, k, window)
       .select(col("doc_id").as("id"), col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val total = df.select(count(lit(1)).as("__n"))
     // df >= 2: a fingerprint seen in ONE document cannot connect
     // anything — dropping those (the overwhelming majority of
@@ -859,8 +901,10 @@ object Dedup {
       .filter(col("__df") >= 2 &&
         col("__df") * dfDen <= col("__n") * dfNum).select("fp")
     val membership = fps.join(rare, "fp").select(col("id"), col("fp"))
-    val labels = registerPin(
-      ConnectedComponents.propagateMinLabel(membership, Seq("fp"), iterations))
+      .localCheckpoint(true) // eager: materializes fps once, severs lineage
+    fps.unpersist(blocking = false) // checkpoint holds the data now
+    val labels = registerPin(ConnectedComponents.propagateMinLabel(
+      membership, Seq("fp"), iterations, pinMembership = false))
     val singletons = ids.join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
     labels.unionByName(singletons)

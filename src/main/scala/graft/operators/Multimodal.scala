@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * the JDK's `javax.imageio` (no external codec dependency), and
   * [[decodeImage]] parses BMP headers/pixels by hand and everything
   * else through `ImageIO.read` into channel means + a grayscale
-  * thumbnail. Only AUDIO/VIDEO codecs (mp3/h264) remain STUBBED — the
-  * JDK ships no decoder for them; those rows get deterministic
-  * payload-derived features so the pipeline stays runnable, and
-  * swapping in a codec library changes one function body, not the
-  * pipeline.
+  * thumbnail. The AUDIO path is REAL too: [[wavBytes]] builds valid
+  * RIFF/WAVE PCM-16 files and [[decodeAudio]] reads them through the
+  * JDK's `javax.sound.sampled.AudioSystem` into sample-level features
+  * (duration, RMS, peak, channel count). Only VIDEO codecs (h264)
+  * remain STUBBED — the JDK ships no decoder; those rows get
+  * deterministic payload-derived features so the pipeline stays
+  * runnable, and swapping in a codec library changes one function
+  * body, not the pipeline.
   */
 object Multimodal {
 
@@ -65,19 +68,25 @@ object Multimodal {
             case 3 => imageBytes(id, width, height, "jpg")
             case _ => bmpBytes(id, width, height)
           }
+          case "audio" => wavBytes(id, sampleRate = 8000,
+            nSamples = 400 + (id % 37).toInt * 8, channels = 1 + (id % 2).toInt)
           case _ => Option(text).getOrElse("").getBytes("UTF-8")
         }
-        MediaRecord(id, kind, payload, width, height, id * 40 % 90000)
+        val durMs = if (kind == "audio")
+          (400 + (id % 37).toInt * 8) * 1000L / 8000 else id * 40 % 90000
+        MediaRecord(id, kind, payload, width, height, durMs)
     }
   }
 
   /** Per-partition batch decode. Image rows run a REAL decode
-    * (hand-rolled BMP parse or `ImageIO.read` for JPEG/PNG/GIF); rows
-    * whose payload is not a decodable image — and all audio/video
-    * rows, whose codecs are the declared stub — get deterministic
-    * payload-derived features. Runs as Dataset mapPartitions so the
-    * batch shape (iterator-of-records per partition, no driver
-    * collect) matches a production decode.
+    * (hand-rolled BMP parse or `ImageIO.read` for JPEG/PNG/GIF); audio
+    * rows with a RIFF/WAVE payload run a REAL decode through
+    * `javax.sound.sampled.AudioSystem` (duration/RMS/peak/channels);
+    * rows whose payload no JDK codec reads — and all video rows, whose
+    * codecs are the declared stub — get deterministic payload-derived
+    * features. Runs as Dataset mapPartitions so the batch shape
+    * (iterator-of-records per partition, no driver collect) matches a
+    * production decode.
     */
   def decodeMedia(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -94,7 +103,11 @@ object Multimodal {
               (f.mean_r + f.mean_g + f.mean_b) / 765.0)
             case None => stub // payload is not an image file (synthetic test bytes)
           }
-          case _ => stub // mp3/h264 decode STUBBED: no codec in the JDK
+          case "audio" if isWavMagic(r.payload) =>
+            val a = wavFeatures(r.doc_id, r.payload)
+            Array(a.rms, a.peak, math.min(a.duration_ms, 90000L) / 90000.0,
+              a.channels / 8.0)
+          case _ => stub // h264 video decode STUBBED: no codec in the JDK
         }
         MediaFeatures(r.doc_id, r.kind, r.payload.length, hex, feature)
       }
@@ -280,6 +293,89 @@ object Multimodal {
                 thumbW: Int = 2, thumbH: Int = 2): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.mapPartitions(_.map(r => bmpFeatures(r.doc_id, r.payload, thumbW, thumbH)))
+  }
+
+  final case class AudioFeatures(doc_id: Long, channels: Int, sample_rate: Int,
+                                 n_frames: Long, duration_ms: Long,
+                                 rms: Double, peak: Double)
+
+  /** Deterministic PCM-16 sample value in [-32768, 32767] — shared by
+    * the generator and the spec's independent expectation (the audio
+    * analogue of [[pixel]]).
+    */
+  def sampleVal(docId: Long, frame: Int, channel: Int): Short =
+    ((((docId * 131 + frame * 7 + channel * 101) % 65536) + 65536) % 65536 - 32768).toShort
+
+  /** Build a REAL RIFF/WAVE file (PCM, 16-bit little-endian,
+    * interleaved channels) with deterministic samples — a valid audio
+    * file any player opens, constructed without any codec library.
+    */
+  private[graft] def wavBytes(docId: Long, sampleRate: Int, nSamples: Int,
+                              channels: Int): Array[Byte] = {
+    val dataSize = nSamples * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      var c = 0
+      while (c < channels) { buf.putShort(sampleVal(docId, i, c)); c += 1 }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** RIFF....WAVE magic. */
+  private def isWavMagic(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL audio decode through the JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU — whatever readers the JDK registers): stream the
+    * frames, fold sample-level RMS and peak (normalized to [0,1]),
+    * report channels / sample rate / frame count / duration. mp3
+    * would need an external codec — those payloads fail here and take
+    * the declared-stub branch in [[decodeMedia]].
+    */
+  private[graft] def wavFeatures(docId: Long, payload: Array[Byte]): AudioFeatures = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16,
+        s"doc $docId: only PCM-16 supported, got ${fmt.getSampleSizeInBits}-bit")
+      val channels = fmt.getChannels
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2 // 16-bit samples across all channels
+      var i = 0; var sumSq = 0.0; var peak = 0L
+      val le = fmt.isBigEndian == false
+      while (i < n) {
+        val lo = bytes(2 * i).toInt; val hi = bytes(2 * i + 1).toInt
+        val s = if (le) (hi << 8) | (lo & 0xff) else (lo << 8) | (hi & 0xff)
+        sumSq += s.toDouble * s; if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+        i += 1
+      }
+      val frames = if (channels == 0) 0L else n.toLong / channels
+      val durMs = if (fmt.getSampleRate > 0) (frames * 1000L / fmt.getSampleRate.toLong) else 0L
+      AudioFeatures(docId, channels, fmt.getSampleRate.toInt, frames, durMs,
+        if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0, peak / 32768.0)
+    } finally in.close()
+  }
+
+  /** REAL per-partition audio decode — the `javax.sound.sampled`
+    * counterpart of [[decodeImage]]; same mapPartitions batch shape.
+    */
+  def decodeAudio(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(r => wavFeatures(r.doc_id, r.payload)))
   }
 
   /** Frame sampling plumbing: slice `n` evenly spaced byte windows from

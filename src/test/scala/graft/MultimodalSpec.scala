@@ -25,7 +25,7 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats.feature.forall(v => v >= 0.0 && v <= 1.0))
   }
 
-  test("image rows with real payloads decode for real; audio/video stay stubbed") {
+  test("image and audio rows with real payloads decode for real; video stays stubbed") {
     val docs = Tables.load(spark, sf(), "documents").limit(60)
     val mixed = Multimodal.attachMediaPayload(docs, "doc_id", "text")
     val feats = Multimodal.decodeMedia(spark, mixed.toDF).collect()
@@ -41,9 +41,50 @@ class MultimodalSpec extends SparkSpecBase {
       assert(math.abs(f.feature(1) - truth.mean_g / 255.0) < tol, s"doc $id mean_g")
       assert(math.abs(f.feature(2) - truth.mean_b / 255.0) < tol, s"doc $id mean_b")
     }
-    // audio/video: deterministic payload-derived stub (codec genuinely absent)
-    val audio = byId.keys.filter(_ % 3 == 1)
-    audio.foreach(id => assert(byId(id).feature.length === 4))
+    // audio: REAL decode — feature(0) is the RMS of the known sample
+    // pattern, independently recomputed here from the shared sample fn
+    val audioIds = byId.keys.filter(_ % 3 == 1)
+    assert(audioIds.nonEmpty)
+    audioIds.foreach { id =>
+      val nSamples = 400 + (id % 37).toInt * 8
+      val channels = 1 + (id % 2).toInt
+      val all = for (i <- 0 until nSamples; c <- 0 until channels)
+        yield Multimodal.sampleVal(id, i, c).toDouble
+      val rms = math.sqrt(all.map(s => s * s).sum / all.size) / 32768.0
+      assert(math.abs(byId(id).feature(0) - rms) < 1e-9, s"doc $id audio rms")
+      assert(byId(id).feature(3) === channels / 8.0, s"doc $id audio channels")
+    }
+    // video: deterministic payload-derived stub (codec genuinely absent)
+    val video = byId.keys.filter(_ % 3 == 2)
+    video.foreach(id => assert(byId(id).feature.length === 4))
+  }
+
+  test("real WAV round-trip: generated files decode via javax.sound to exact features") {
+    import spark.implicits._
+    val recs = Seq(1L, 4L, 7L).map { id =>
+      val (n, ch) = (320 + id.toInt * 16, 1 + (id % 2).toInt)
+      Multimodal.MediaRecord(id, "audio",
+        Multimodal.wavBytes(id, 8000, n, ch), 0, 0, n * 1000L / 8000)
+    }
+    val feats = Multimodal.decodeAudio(spark, recs.toDS()).collect().sortBy(_.doc_id)
+    feats.foreach { a =>
+      val n = 320 + a.doc_id.toInt * 16
+      val ch = 1 + (a.doc_id % 2).toInt
+      assert(a.channels === ch && a.sample_rate === 8000)
+      assert(a.n_frames === n.toLong, s"doc ${a.doc_id} frame count")
+      assert(a.duration_ms === n * 1000L / 8000)
+      val all = for (i <- 0 until n; c <- 0 until ch)
+        yield Multimodal.sampleVal(a.doc_id, i, c).toDouble
+      val rms = math.sqrt(all.map(s => s * s).sum / all.size) / 32768.0
+      assert(math.abs(a.rms - rms) < 1e-12, s"doc ${a.doc_id} rms")
+      assert(a.peak === all.map(math.abs).max / 32768.0, s"doc ${a.doc_id} peak")
+    }
+    // the payload really is a WAV file: RIFF magic + declared size match
+    val payload = recs.head.payload
+    assert(payload.take(4).map(_.toChar).mkString === "RIFF")
+    val declared = java.nio.ByteBuffer.wrap(payload, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(declared + 8 === payload.length)
   }
 
   test("PNG decodes via javax.imageio to the exact BMP ground truth") {

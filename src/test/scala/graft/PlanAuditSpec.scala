@@ -190,6 +190,63 @@ class PlanAuditSpec extends SparkSpecBase {
         "the round reduction no longer pays for the jump joins")
   }
 
+  // The three round-4 heavies: their task-metric volumes are exactly
+  // reproducible (AdjudicateQ measured identical byte signatures across
+  // interleaved runs), so the ceilings are measured-at-sf0.001 + ~30%
+  // headroom — a reintroduced exchange, window, or second winnow pass
+  // lands far above them.
+
+  test("q_substring_clusters: winnow runs once, shuffles stay membership-sized") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("q_substring_clusters").build(spark, sf()).count()
+    }
+    // measured: shufW 3.20MB, bytesRead 7.85MB, records 87.6k. The r5
+    // restructure pinned the winnow (it executed TWICE inside the
+    // membership materialization: join side + df-count side) and
+    // specialized the identity first round; undoing either inflates
+    // input bytes / shuffle volume past these.
+    assert(st.shuffleBytesWritten <= 4L * 1000 * 1000,
+      s"shuffle ${st.shuffleBytesWritten}B — an extra membership-sized exchange crept in")
+    assert(st.bytesRead <= 10L * 1000 * 1000,
+      s"input ${st.bytesRead}B — the winnow lineage is executing more than once")
+  }
+
+  test("dedup_chunks: shuffle volume stays at the single-pin measured level") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("dedup_chunks").build(spark, sf()).count()
+    }
+    // measured: shufW 223KB — the owner aggregate + join on the pinned
+    // occurrence frame; losing the pin or adding an exchange doubles it
+    assert(st.shuffleBytesWritten <= 300L * 1000,
+      s"shuffle ${st.shuffleBytesWritten}B — chunk dedup grew an exchange")
+  }
+
+  test("pipeline_corpus_v2: composed pipeline holds its measured shuffle budget") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("pipeline_corpus_v2").build(spark, sf()).count()
+    }
+    // measured: shufW 260KB across the whole composed pipeline
+    assert(st.shuffleBytesWritten <= 340L * 1000,
+      s"shuffle ${st.shuffleBytesWritten}B — the composed pipeline grew an exchange")
+  }
+
+  test("dedup_jaccard: vocabulary probe reads a sample, not the corpus") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("dedup_jaccard").build(spark, sf()).count() // build runs the probe
+    }
+    // measured: 1500 records = 3 passes over the 500-doc corpus (the
+    // bounded sample probe + the two join sides). The old corpus-wide
+    // explode.distinct.limit(65) probe added a full extra pass — and at
+    // 100 TB would hash-aggregate every token just to learn the
+    // vocabulary is open.
+    assert(st.recordsRead <= 1800,
+      s"${st.recordsRead} records read — the vocab probe is scanning the corpus again")
+  }
+
   test("q_kmv_distinct: ONE exchange, null filter pushed to the scan") {
     val plan = Queries.asMap("q_kmv_distinct").build(spark, sf())
       .queryExecution.executedPlan.toString

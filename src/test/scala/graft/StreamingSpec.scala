@@ -330,6 +330,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming chunk probe == batch probe on the same prefix, stateless") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mk = (n: Int) => (0 until n).map(i => s"tok$i").mkString(" ")
+    val ref = Seq(
+      (1L, mk(8) + " alpha beta gamma delta"), // chunks: tok0..tok3, tok4..tok7, alpha..delta
+      (2L, "epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, mk(4) + " iota kappa lambda mu"), // first chunk known (ref 1), second novel
+      (11L, "epsilon zeta eta theta"))        // fully known (ref 2)
+    val batch2 = Seq((12L, "nu xi omicron pi")) // fully novel
+    val input = MemoryStream[(Long, String)]
+    val probe = Dedup.streamingChunkProbe(input.toDF().toDF("doc_id", "text"),
+      ref, "doc_id", "text", chunkTokens = 4)
+    val q = probe.writeStream.format("memory").queryName("chunkprobe")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*) // later batches probe independently — no state
+      q.processAllAvailable()
+      val streamed = spark.table("chunkprobe").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getAs[Any]("ref_doc_id"),
+          r.getBoolean(4))).toSet
+      // the batch expectation over the SAME prefix: every chunk joined
+      // against the reference ownership table
+      val expected = Dedup.streamingChunkProbe((batch1 ++ batch2).toDF("doc_id", "text"),
+        ref, "doc_id", "text", chunkTokens = 4).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getAs[Any]("ref_doc_id"),
+          r.getBoolean(4))).toSet
+      assert(streamed === expected, "streaming flags must equal the batch probe")
+      assert(streamed((10L, 0, 1L, false)) && streamed((11L, 0, 2L, false)),
+        "known chunks carry their reference owner")
+      assert(streamed((10L, 1, null, true)) && streamed((12L, 0, null, true)),
+        "novel chunks are flagged with no owner")
+    } finally q.stop()
+  }
+
   test("windowed sum with watermark bounds state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
