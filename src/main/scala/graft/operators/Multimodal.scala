@@ -346,8 +346,15 @@ object Multimodal {
     * the declared-stub branch in [[decodeMedia]].
     */
   private[graft] def wavFeatures(docId: Long, payload: Array[Byte]): AudioFeatures = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    // doc-id-labelled failure for truncated/lying RIFF headers, like
+    // the BMP parser — an unlabelled UnsupportedAudioFileException
+    // mid-partition is undebuggable at corpus scale
+    val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"doc $docId: no JDK reader recognises this audio payload (${e.getMessage})")
+    }
     try {
       val fmt = in.getFormat
       require(fmt.getSampleSizeInBits == 16,

@@ -55,6 +55,11 @@ case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int, tables: I
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() < dim) return null
+    var z = 0
+    while (z < dim) { // null element reads as 0.0 — null out instead
+      if (v.isNullAt(z)) return null
+      z += 1
+    }
     val n = dim
     val out = new Array[Long](tables)
     var t = 0
@@ -86,10 +91,17 @@ case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int, tables: I
       val dot = ctx.freshName("dot")
       val bucket = ctx.freshName("bucket")
       val s = ctx.freshName("s")
+      val z = ctx.freshName("z")
       s"""
          |if ($a.numElements() < $dim) {
          |  ${ev.isNull} = true;
          |} else {
+         |  // null element reads as 0.0 — null out instead
+         |  for (int $z = 0; $z < $dim; $z++) {
+         |    if ($a.isNullAt($z)) { ${ev.isNull} = true; break; }
+         |  }
+         |}
+         |if (!${ev.isNull}) {
          |  int $n = $dim;
          |  long[] $out = new long[$tables];
          |  for (int $t = 0; $t < $tables; $t++) {

@@ -55,6 +55,20 @@ class MinhashKernelSpec extends SparkSpecBase {
     assert(r.getSeq[Long](4).length === 2, "one bucket per hash table")
   }
 
+  test("hyperplane_buckets: null element -> null output (no silent zero-read)") {
+    // ArrayData.getFloat reads a null element as 0.0 — the kernel must
+    // null out instead (the family contract every r4-reviewed kernel
+    // follows), so corrupt rows fall to the singleton branch of
+    // nearDupClusters rather than bucketing as if zero-padded
+    val r = spark.sql(
+      """SELECT hyperplane_buckets(array(cast(1.0 AS float), cast(NULL AS float)),
+        |                          2, 4, 2) AS hb,
+        |       hyperplane_buckets(cast(NULL AS array<float>), 2, 4, 2) AS hbn
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0), "null element must produce a NULL bucket array")
+    assert(r.isNullAt(1), "null input must produce a NULL bucket array")
+  }
+
   test("Md5Hash56Array == transform(seededHash56(0, _)) chain, incl null/empty") {
     val toks = corpus.select(col("id"), TextFunctions.tokenSet(col("text")).as("toks"))
     val chain = toks.select(col("id"),

@@ -126,6 +126,13 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("garbage audio payloads fail with a doc-id-labelled error") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.wavFeatures(7L, Array[Byte](1, 2, 3, 4))
+    }
+    assert(e.getMessage.contains("doc 7"))
+  }
+
   test("truncated or lying BMP headers fail with a doc-id-labelled error") {
     val good = Multimodal.bmpBytes(5L, 8, 6)
     val truncated = good.take(80) // header intact, pixel rows missing
