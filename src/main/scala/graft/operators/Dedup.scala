@@ -460,8 +460,12 @@ object Dedup {
     val labels = registerPin(
       if (toFixpoint) ConnectedComponents.propagateToFixpoint(membership, Seq("band", "sig"))
       else ConnectedComponents.propagateMinLabel(membership, Seq("band", "sig"), iterations, shortcut))
-    val singletons = allToks.filter(col("toks").isNull)
-      .select(col("id"), col("id").as("label"))
+    // toks = array_distinct(split(trim(text))) is NULL iff text is
+    // NULL, so the singleton filter reads the raw column — re-running
+    // the tokenize+distinct lineage over the whole corpus to find the
+    // null-text docs was a full second text pass
+    val singletons = df.filter(col(textCol).isNull)
+      .select(col(idCol).as("id"), col(idCol).as("label"))
     labels.unionByName(singletons)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
@@ -921,7 +925,12 @@ object Dedup {
     // inside the pinned frame's lineage changes its canonicalized
     // plan between registration and execution, the joined pin stops
     // matching, and the whole query degrades to the no-pin 17.9s path
-    // (measured; see SURVEY round 4).
+    // (measured; see SURVEY round 4). The substringClusters-style
+    // pin-winnow + eager-localCheckpoint rewrite was ALSO measured
+    // here and rejected: the checkpointed LogicalRDD feeds
+    // saltedSelfJoin without stats, its salting/broadcast decisions
+    // degrade, and the query went 6.3s -> 19.7s on the same box.
+    // The gated pin's one extra winnow pass is the cheapest shape.
     val fps = winnowFingerprints(df, idCol, textCol, k, window)
       .select(col("doc_id").as("id"), col("fp"))
     // df >= 2 unconditionally: a fingerprint in one document forms no

@@ -255,22 +255,28 @@ object Similarity {
   def nearDupClusters(df: DataFrame, idCol: String, vecCol: String,
                       dim: Int, planes: Int, tables: Int = 4,
                       iterations: Int = 3): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"),
-      graft.plans.HyperplaneBuckets(col(vecCol), dim, planes, tables).as("__bk"))
-    val membership = bucketed.filter(col("__bk").isNotNull)
-      .select(col("id"), posexplode(col("__bk")).as(Seq("t", "b")))
+    // posexplode of a NULL bucket array emits no rows, so un-bucketable
+    // vectors drop out of the membership on their own — no
+    // intermediate frame or filter needed
+    val membership = df.select(col(idCol).as("id"),
+      posexplode(graft.plans.HyperplaneBuckets(col(vecCol), dim, planes, tables))
+        .as(Seq("t", "b")))
     // the propagation result comes back PERSISTED (caller-owned cache);
     // register it in Dedup's bounded pin LRU so repeated clustering
     // runs cannot accumulate unreleasable entries
     val clustered = Dedup
       .registerPin(ConnectedComponents.propagateMinLabel(membership, Seq("t", "b"), iterations))
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
-    // NULL/short vectors bucket to NULL and would vanish through
+    // NULL/short/null-element vectors bucket to NULL and vanish through
     // posexplode — union them back as their own singleton clusters so
     // the one-row-per-vector contract holds (mirrors
-    // Dedup.minhashClusters' NULL-text singleton fallback)
-    clustered.unionByName(bucketed.filter(col("__bk").isNull)
-      .select(col("id").as("vec_id"), col("id").as("cluster_id")))
+    // Dedup.minhashClusters' NULL-text singleton fallback). The
+    // condition reads the RAW column — exactly the kernel's null
+    // contract — instead of re-running the 4096-mult kernel per row a
+    // second time just to test its nullness.
+    clustered.unionByName(df.filter(col(vecCol).isNull ||
+        size(col(vecCol)) < dim || exists(col(vecCol), _.isNull))
+      .select(col(idCol).as("vec_id"), col(idCol).as("cluster_id")))
   }
 
   /** SemDeDup-style semantic dedup: inside each LSH near-dup cluster
