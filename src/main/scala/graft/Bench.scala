@@ -50,8 +50,12 @@ object Bench {
     // driver parses only a 2 kB stdout tail and a longer final line
     // starts mid-JSON.
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json + "\n")
+    // Locale.ROOT: the default f-interpolator is locale-sensitive and a
+    // comma-decimal locale would corrupt the one JSON line the driver
+    // parses
     val headline = Seq("q1_agg", "q3_shipping", "dedup_minhash", "q_substring_clusters")
-      .flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + f"$v%.3f"))
+      .flatMap(k => results.get(k).map(v =>
+        s"\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)))
       .mkString("{", ",", "}")
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.values.count(_ < 0)},"queries":$headline,"sf":"$sfDir","detail":"BENCH.json"}"""
     println(summary)

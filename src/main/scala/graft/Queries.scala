@@ -96,11 +96,13 @@ object Queries {
     val dsum = (0 until 16).map(j => s"s$j.dists[x.c$j + 1]").mkString(" + ")
     s"""c0 AS (SELECT vec_id, embedding,
        |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+       |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
        |don AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, embedding::DOUBLE[] AS cv
        |  FROM c0 ORDER BY h LIMIT 256),
        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+       |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
        |cb0 AS (SELECT r.j AS j,
        |    list(list_transform(generate_series(1, 4), t -> d.cv[r.j*4 + t])
        |         ORDER BY d.cell) AS cents
@@ -847,7 +849,8 @@ object Queries {
            |  FROM range(16) AS t1(tp), range(64) AS t2(j)),
            |svec AS (SELECT tp, list(s ORDER BY j) AS sv FROM signs GROUP BY tp),
            |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+           |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+           |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
            |mem AS (
            |  SELECT e.vec_id AS id, (sv.tp // 8)::BIGINT AS t,
            |    sum(CASE WHEN list_inner_product(e.v, sv.sv) > 0
@@ -858,7 +861,8 @@ object Queries {
            |$iters
            |SELECT id AS vec_id, label AS cluster_id FROM l3
            |UNION ALL SELECT vec_id, vec_id FROM embeddings
-           |  WHERE embedding IS NULL OR len(embedding) < 64""".stripMargin
+           |  WHERE embedding IS NULL OR len(embedding) < 64
+           |    OR len(list_filter(embedding[1:64], x -> x IS NULL)) > 0""".stripMargin
       }),
 
     // §2.3/103 — SemDeDup semantic dedup: one keep-flag row per vector;
@@ -878,7 +882,8 @@ object Queries {
            |  FROM range(16) AS t1(tp), range(64) AS t2(j)),
            |svec AS (SELECT tp, list(s ORDER BY j) AS sv FROM signs GROUP BY tp),
            |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+           |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+           |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
            |mem AS (
            |  SELECT e.vec_id AS id, (sv.tp // 8)::BIGINT AS t,
            |    sum(CASE WHEN list_inner_product(e.v, sv.sv) > 0
@@ -894,7 +899,8 @@ object Queries {
            |FROM cl c JOIN emb m ON m.vec_id = c.vec_id
            |JOIN emb r ON r.vec_id = c.cluster_id
            |UNION ALL SELECT vec_id, vec_id, TRUE FROM embeddings
-           |  WHERE embedding IS NULL OR len(embedding) < 64""".stripMargin
+           |  WHERE embedding IS NULL OR len(embedding) < 64
+           |    OR len(list_filter(embedding[1:64], x -> x IS NULL)) > 0""".stripMargin
       }),
 
     // §2.3/98 — int8 scalar quantization of embeddings (4 bytes/dim →

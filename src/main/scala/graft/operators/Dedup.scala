@@ -889,9 +889,12 @@ object Dedup {
     // lineage-free, so the two caches cannot interfere — and the
     // winnow now executes exactly once (it ran twice before, ~2s of
     // the sf0.1 clean run).
-    val fps = registerPin(winnowFingerprints(df, idCol, textCol, k, window)
+    // plain persist, NOT registerPin: the lifetime is managed manually
+    // (unpersisted right after the checkpoint below), and a dead LRU
+    // slot would evict a LIVE pin from another query early
+    val fps = winnowFingerprints(df, idCol, textCol, k, window)
       .select(col("doc_id").as("id"), col("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = df.select(count(lit(1)).as("__n"))
     // df >= 2: a fingerprint seen in ONE document cannot connect
     // anything — dropping those (the overwhelming majority of
@@ -907,6 +910,12 @@ object Dedup {
     val membership = fps.join(rare, "fp").select(col("id"), col("fp"))
       .localCheckpoint(true) // eager: materializes fps once, severs lineage
     fps.unpersist(blocking = false) // checkpoint holds the data now
+    // The checkpoint's executor blocks stay allocated until the labels
+    // pin leaves the LRU and the driver GCs the RDD (ContextCleaner) —
+    // deliberately NOT released here: the checkpoint severed lineage,
+    // so dropping its blocks early would make a labels-cache eviction
+    // unrecoverable. The retained set is membership-sized (df>=2-gated,
+    // far below corpus), the same order as the labels cache itself.
     val labels = registerPin(ConnectedComponents.propagateMinLabel(
       membership, Seq("fp"), iterations, pinMembership = false))
     val singletons = ids.join(labels.select("id"), Seq("id"), "left_anti")

@@ -62,6 +62,9 @@ object Multimodal {
         val kind = id % 3 match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
+        // single source of truth for the audio sample count: payload
+        // and declared duration_ms must stay derivable from each other
+        val nSamples = 400 + (id % 37).toInt * 8
         val payload = kind match {
           case "image" => id % 9 match {
             case 0 => imageBytes(id, width, height, "png")
@@ -69,11 +72,11 @@ object Multimodal {
             case _ => bmpBytes(id, width, height)
           }
           case "audio" => wavBytes(id, sampleRate = 8000,
-            nSamples = 400 + (id % 37).toInt * 8, channels = 1 + (id % 2).toInt)
+            nSamples = nSamples, channels = 1 + (id % 2).toInt)
           case _ => Option(text).getOrElse("").getBytes("UTF-8")
         }
         val durMs = if (kind == "audio")
-          (400 + (id % 37).toInt * 8) * 1000L / 8000 else id * 40 % 90000
+          nSamples * 1000L / 8000 else id * 40 % 90000
         MediaRecord(id, kind, payload, width, height, durMs)
     }
   }

@@ -189,13 +189,16 @@ object Similarity {
              idCol: String, vecCol: String, k: Int,
              subspaces: Int = 16, subDim: Int = 4, cells: Int = 256,
              trainIters: Int = 2): DataFrame = {
-    // donors must be codable: a NULL embedding NPEs codebook
-    // construction and a vector shorter than subspaces*subDim would
-    // truncate centroids (then AIOOBE inside the PqCodes/PqAdc codegen
-    // loops for every row) — same null/length contract the kernels
-    // themselves enforce on corpus rows
+    // donors must be codable: a NULL embedding or a null ELEMENT in
+    // the coded prefix NPEs codebook construction (the driver-side
+    // slice unboxes java.lang.Float), and a vector shorter than
+    // subspaces*subDim would truncate centroids (then AIOOBE inside
+    // the PqCodes/PqAdc codegen loops for every row) — same
+    // null/length contract the kernels themselves enforce on corpus
+    // rows (PqCodes scans exactly the first subspaces*subDim elements)
     val usable = corpus
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) >= subspaces * subDim)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) >= subspaces * subDim &&
+        !exists(slice(col(vecCol), 1, subspaces * subDim), _.isNull))
     val donors: Array[Seq[Float]] = usable
       .select(col(vecCol),
         graft.functions.HashFunctions.stableHash56(col(idCol).cast("string")).as("h"))
@@ -273,9 +276,13 @@ object Similarity {
     // Dedup.minhashClusters' NULL-text singleton fallback). The
     // condition reads the RAW column — exactly the kernel's null
     // contract — instead of re-running the 4096-mult kernel per row a
-    // second time just to test its nullness.
+    // second time just to test its nullness. The null-element probe is
+    // over the first `dim` elements ONLY, matching the kernel's scan
+    // bound: a longer vector with a null past `dim` buckets fine, and
+    // testing the whole array would emit that row twice.
     clustered.unionByName(df.filter(col(vecCol).isNull ||
-        size(col(vecCol)) < dim || exists(col(vecCol), _.isNull))
+        size(col(vecCol)) < dim ||
+        exists(slice(col(vecCol), 1, dim), _.isNull))
       .select(col(idCol).as("vec_id"), col(idCol).as("cluster_id")))
   }
 

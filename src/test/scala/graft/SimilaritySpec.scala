@@ -150,4 +150,42 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.forall(p => p._1 < p._2), "each pair emitted once, ordered")
   }
+
+  test("nearDupClusters emits exactly one row per vector on every null shape") {
+    import spark.implicits._
+    val ok = Array.tabulate(4)(i => java.lang.Float.valueOf(i + 1f)).toSeq
+    val df = Seq(
+      0L -> ok,                                        // clean: clustered
+      1L -> null,                                      // NULL vector: singleton
+      2L -> ok.take(2),                                // short: singleton
+      3L -> Seq[java.lang.Float](null, 2f, 3f, 4f),    // null in prefix: singleton
+      4L -> (ok :+ null.asInstanceOf[java.lang.Float]) // null PAST dim: clustered once
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val rows = Similarity.nearDupClusters(df, "vec_id", "embedding",
+      dim = 4, planes = 4, tables = 2).collect()
+    val counts = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(counts == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1),
+      s"one-row-per-vector contract: $counts — a vector whose only null " +
+        "element is past dim must be clustered, not also emitted as a singleton")
+  }
+
+  test("pqTopK survives a null-element vector among the lowest-hash donor ids") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => java.lang.Float.valueOf(1f + i)).toSeq
+    // cells = 4 and 6 usable rows: every id is a donor CANDIDATE, so a
+    // null-element vector surviving the donor filter would NPE the
+    // driver-side codebook slice regardless of hash order
+    val corpus = (0L until 6L).map { id =>
+      if (id == 2L) id -> base.updated(3, null.asInstanceOf[java.lang.Float])
+      else id -> base.map(v => java.lang.Float.valueOf(v + id * 0.1f))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val r = Similarity.pqTopK(corpus, corpus.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, subspaces = 2, subDim = 4, cells = 4,
+      trainIters = 1).collect()
+    assert(r.nonEmpty, "query must rank codable neighbors")
+    assert(!r.map(_.getAs[Long]("neighbor_id")).contains(2L),
+      "the un-codable vector is excluded from results, not a crash")
+  }
 }
