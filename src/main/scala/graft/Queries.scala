@@ -478,6 +478,54 @@ object Queries {
         |    AS rank
         |  FROM documents) t WHERE rank <= 10""".stripMargin)),
 
+    // §2.3/118 — temperature-scaled mixture sampling (alpha = 0.5
+    // square-root scaling, the mBERT/XLM-R multilingual mixing
+    // recipe): head languages downsampled, tail languages boosted,
+    // overall keep fraction 40%. The probability chain is built from
+    // exactly-agreed integers (floor(sqrt(n)*2^20) weights), so both
+    // engines compute bit-identical thresholds.
+    "q_domain_mix" -> QueryDef(
+      (s, d) => Sampling.temperatureMix(ds(s, d, "documents").toDF,
+        "doc_id", "lang", num = 40, den = 100).select("doc_id", "lang"),
+      Some("""WITH counts AS (
+        |  SELECT lang AS g, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |w AS (SELECT g, n, floor(sqrt(n::DOUBLE) * 1048576)::BIGINT AS w FROM counts),
+        |tot AS (SELECT sum(w)::BIGINT AS tw, sum(n)::BIGINT AS tn FROM w),
+        |p AS (SELECT g, least(1.0,
+        |    ((40.0/100.0) * tn::DOUBLE * w::DOUBLE) / (tw::DOUBLE * n::DOUBLE)) AS p
+        |  FROM w CROSS JOIN tot)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |JOIN p ON d.lang IS NOT DISTINCT FROM p.g
+        |WHERE ('0x' || substring(md5(d.doc_id::varchar), 1, 13))::bigint::DOUBLE
+        |  < p.p * 4503599627370496.0""".stripMargin)),
+
+    // §2.3/119 — token-budget corpus selection: best documents by
+    // stopword-ratio score until 12k whitespace tokens are filled;
+    // greedy-prefix cut. The oracle is the SEMANTIC definition (one
+    // global running-sum window); the Spark side is the scale shape
+    // (bucketed cumulative + one boundary-bucket window) —
+    // SamplingSpec pins the two equal.
+    "q_token_budget" -> QueryDef(
+      (s, d) => {
+        val docs = ds(s, d, "documents").toDF
+        val scored = docs.select(col("doc_id"),
+          (TextFunctions.stopwordCount(col("text")).cast("double") /
+            TextFunctions.tokenCount(col("text")).cast("double")).as("score"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+        Sampling.tokenBudgetSelect(scored, "doc_id", "score", "toks",
+          budget = 12000L)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |    (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       x -> x IN ('the','and','of','to','a','in','is','it')))::DOUBLE
+        |     / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE) AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, n_tokens FROM r WHERE cum <= 12000""".stripMargin)),
+
     // §2.3/28 — exact dedup by content hash
     "dedup_exact" -> QueryDef(
       (s, d) => Dedup.exact(ds(s, d, "documents").toDF, "doc_id", "text"),

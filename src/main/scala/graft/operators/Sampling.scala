@@ -102,6 +102,117 @@ object Sampling {
           .as("is_test"))
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual /
+    * multi-domain data-mixing recipe (alpha = 0.5, i.e. square-root
+    * scaling as in mBERT/XLM-R): each group's keep probability is
+    * proportional to `sqrt(n_g) / n_g`, so head groups are downsampled
+    * and tail groups boosted, normalized so the OVERALL expected keep
+    * fraction is `num/den`. A group whose boosted probability exceeds
+    * 1 keeps everything (no upsampling — this is a filter).
+    *
+    * Engine-portable determinism: per-row membership is the stable
+    * 52-bit id hash against a per-group threshold, and the threshold
+    * chain is built from exactly-agreed integers — weights are
+    * `floor(sqrt(n) * 2^20)` BIGINTs (sqrt is correctly-rounded IEEE
+    * in both engines, the 2^20 scale is an exact power-of-two
+    * multiply), so their sums are order-independent, and the one
+    * double division happens on identical operands in an identical
+    * expression tree. NULL groups are real groups (null-safe join).
+    *
+    * Scale shape: one map-side-combinable count over the corpus, a
+    * group-cardinality-sized probability frame BROADCAST back, one
+    * filtered scan. No corpus shuffle at all.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+                     num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"fraction must be in (0,1]: $num/$den")
+    val counts = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double")) * lit(1048576.0)).cast("long"))
+    // totals via an unpartitioned window over the group-cardinality
+    // frame (bounded by construction) — a separate .agg would re-run
+    // the corpus count scan a second time. Integer sums, so the
+    // window's evaluation order cannot perturb them.
+    val totWin = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    // identical expression tree to the oracle SQL:
+    // least(1.0, ((num/den) * tn * w) / (tw * n))
+    val probs = counts
+      .withColumn("__tw", sum("__w").over(totWin))
+      .withColumn("__tn", sum("__n").over(totWin))
+      .select(col("__g"), least(lit(1.0),
+        ((lit(num.toDouble) / lit(den.toDouble)) *
+          col("__tn").cast("double") * col("__w").cast("double")) /
+          (col("__tw").cast("double") * col("__n").cast("double"))).as("__p"))
+    df.join(broadcast(probs), col(groupCol) <=> col("__g"))
+      .filter(HashFunctions.stableHash52(col(idCol).cast("string")).cast("double") <
+        col("__p") * lit(4503599627370496.0)) // 2^52: exact power-of-two scale
+      .drop("__g", "__p")
+  }
+
+  /** Token-budget corpus selection: walk the corpus in descending
+    * (score, id) order and keep documents while the running token sum
+    * stays within `budget` — "the best N tokens", the standard
+    * quality-ranked cut for assembling a fixed-size training mix.
+    * Greedy-prefix semantics: the first document that would overflow
+    * the budget stops the cut (later smaller documents are NOT
+    * back-filled — deterministic and engine-replayable, unlike
+    * knapsack). Rows with NULL score or NULL tokens are not
+    * selectable.
+    *
+    * Scale shape: a global sort is never materialized. Scores are
+    * range-bucketed (`floor(score * buckets)`, an exact power-of-two
+    * multiply at the default 1024), per-bucket token sums — one
+    * map-side-combinable aggregate — give a buckets-sized cumulative
+    * frame on which the budget boundary lands in EXACTLY ONE bucket
+    * (the desc-cumulative intervals partition the token line): every
+    * higher bucket is kept outright by a broadcast-join filter, every
+    * lower bucket dropped, and only the one boundary bucket (≈1/buckets
+    * of the corpus) pays a within-bucket running-sum window. The
+    * window over the tiny bucket frame itself is single-partition by
+    * construction (≤ `buckets` rows).
+    *
+    * Equivalence to the naive global window (`sum(tokens) OVER (ORDER
+    * BY score DESC, id)`) holds because bucketing is monotone in
+    * score; SamplingSpec pins the two shapes equal row-for-row.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budget: Long,
+                        buckets: Int = 1024): DataFrame = {
+    require(budget >= 0 && buckets >= 1)
+    import org.apache.spark.sql.expressions.Window
+    // pinned: the scored frame feeds the per-bucket aggregate, the
+    // fully-kept join side, and the boundary window — unpinned, the
+    // (potentially regex-heavy) scoring lineage would run three times
+    val base = Dedup.registerPin(
+      df.filter(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
+        .select(col(idCol).as("__id"), col(scoreCol).as("__s"),
+          col(tokensCol).cast("long").as("__t"))
+        .withColumn("__b", least(lit(buckets - 1),
+          greatest(lit(0), floor(col("__s") * lit(buckets)).cast("int")))))
+    val perBucket = base.groupBy("__b").agg(sum("__t").as("__btoks"))
+    // tokens in all STRICTLY HIGHER buckets — a ≤buckets-row frame;
+    // the unpartitioned window is bounded by construction
+    val above = perBucket.withColumn("__above",
+      coalesce(sum(col("__btoks")).over(
+        Window.orderBy(col("__b").desc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val withCum = base.join(broadcast(above), "__b")
+    val fullyKept = withCum.filter(col("__above") + col("__btoks") <= budget)
+      .select(col("__id"), col("__t"))
+    // exactly one bucket straddles the budget; only its docs pay the
+    // within-bucket ordering
+    val boundary = withCum
+      .filter(col("__above") <= budget && col("__above") + col("__btoks") > budget)
+      .withColumn("__cum", col("__above") + sum(col("__t")).over(
+        Window.partitionBy("__b").orderBy(col("__s").desc, col("__id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__cum") <= budget)
+      .select(col("__id"), col("__t"))
+    fullyKept.unionByName(boundary)
+      .select(col("__id").as(idCol), col("__t").as("n_tokens"))
+  }
+
   private def bucket(idCol: String, den: Int) =
     HashFunctions.stableHash56(col(idCol).cast("string")) % den
 }

@@ -124,6 +124,56 @@ class PipelineOpsSpec extends SparkSpecBase {
       "bottom-k aggregator and row_number window must agree exactly")
   }
 
+  test("temperatureMix boosts tail groups, downsamples head, hits the overall fraction") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf(), "documents")
+    val kept = Sampling.temperatureMix(docs, "doc_id", "lang", num = 40, den = 100)
+    val n = docs.count().toDouble
+    val k = kept.count().toDouble
+    assert(k / n > 0.25 && k / n < 0.55,
+      s"overall keep ${k / n} should track the 40% target in expectation")
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val head = byLang.maxBy(_._2)._1
+    val tail = byLang.minBy(_._2)._1
+    val headRate = keptByLang.getOrElse(head, 0L).toDouble / byLang(head)
+    val tailRate = keptByLang.getOrElse(tail, 0L).toDouble / byLang(tail)
+    assert(headRate < tailRate,
+      s"sqrt scaling must downsample the head ($head at $headRate) harder " +
+        s"than the tail ($tail at $tailRate)")
+    // determinism: membership is a pure function of id and group counts
+    val again = Sampling.temperatureMix(docs, "doc_id", "lang", 40, 100)
+      .select("doc_id")
+    assert(kept.select("doc_id").except(again).isEmpty &&
+      again.except(kept.select("doc_id")).isEmpty)
+  }
+
+  test("tokenBudgetSelect: bucketed shape equals the global running-sum window") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // adversarial corpus: score ties, a zero-token row, scores at the
+    // bucket clamp edges (0.0 and 1.0), and ids out of score order
+    val rows = (1L to 200L).map { id =>
+      val score = (id % 17).toDouble / 16.0 // includes exact 0.0 and 1.0
+      val toks = if (id % 31 == 0) 0L else (id % 13) + 1
+      (id, score, toks)
+    }
+    val df = rows.toDF("doc_id", "score", "toks")
+    for (budget <- Seq(0L, 137L, 500L, 100000L)) {
+      val fast = Sampling.tokenBudgetSelect(df, "doc_id", "score", "toks", budget)
+      val naive = df.withColumn("cum", sum(col("toks")).over(
+          Window.orderBy(col("score").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") <= budget)
+        .select(col("doc_id"), col("toks").as("n_tokens"))
+      assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty,
+        s"bucketed selection must equal the semantic window at budget=$budget")
+    }
+  }
+
   test("histogram: bins partition the range, counts conserve, extremes land at the edges") {
     import graft.operators.Sketches
     val docs = Tables.load(spark, sf(), "documents")
