@@ -233,6 +233,37 @@ class PlanAuditSpec extends SparkSpecBase {
       s"shuffle ${st.shuffleBytesWritten}B — the composed pipeline grew an exchange")
   }
 
+  test("q_domain_mix: zero corpus shuffle — only the group-count exchange moves") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("q_domain_mix").build(spark, sf()).count()
+    }
+    // measured: shufW 587B (the group-cardinality count exchange),
+    // records 1000 = counts scan + fact scan. A corpus-sized shuffle
+    // (e.g. the join stopping to broadcast) or a second count scan
+    // (totals falling out of the window form) lands far above.
+    assert(st.shuffleBytesWritten <= 5L * 1000,
+      s"shuffle ${st.shuffleBytesWritten}B — the mix should shuffle only group counts")
+    assert(st.recordsRead <= 1200,
+      s"${st.recordsRead} records read — the counts lineage is scanning twice")
+  }
+
+  test("q_token_budget: corpus is scored once, only bucket frames shuffle") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("q_token_budget").build(spark, sf()).count()
+    }
+    // measured: records 504 (ONE pass over the 500-doc corpus via the
+    // pinned scored base + the bucket frame), shufW 9.7KB (pin +
+    // per-bucket aggregate + the one boundary-bucket window exchange).
+    // Losing the pin re-runs the scoring regex per consumer (3x
+    // records); a global window would shuffle every scored row.
+    assert(st.recordsRead <= 700,
+      s"${st.recordsRead} records read — the scored base is being recomputed")
+    assert(st.shuffleBytesWritten <= 15L * 1000,
+      s"shuffle ${st.shuffleBytesWritten}B — more than bucket frames are moving")
+  }
+
   test("dedup_jaccard: vocabulary probe reads a sample, not the corpus") {
     spark.catalog.clearCache()
     val (_, st) = QueryMetrics.profile(spark) {
