@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.HashFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling — the way a training
@@ -124,7 +124,17 @@ object Sampling {
     * filtered scan. No corpus shuffle at all.
     */
   def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
-                     num: Int, den: Int): DataFrame = {
+                     num: Int, den: Int): DataFrame =
+    df.join(broadcast(mixProbabilities(df, groupCol, num, den)),
+        col(groupCol) <=> col("__g"))
+      .filter(mixKeep(idCol, col("__p")))
+      .drop("__g", "__p")
+
+  /** The (group, keep-probability) frame behind [[temperatureMix]] —
+    * group-cardinality-sized, broadcastable.
+    */
+  private def mixProbabilities(df: DataFrame, groupCol: String,
+                               num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"fraction must be in (0,1]: $num/$den")
     val counts = df.groupBy(col(groupCol).as("__g"))
       .agg(count(lit(1)).as("__n"))
@@ -137,18 +147,38 @@ object Sampling {
       .rowsBetween(Long.MinValue, Long.MaxValue)
     // identical expression tree to the oracle SQL:
     // least(1.0, ((num/den) * tn * w) / (tw * n))
-    val probs = counts
+    counts
       .withColumn("__tw", sum("__w").over(totWin))
       .withColumn("__tn", sum("__n").over(totWin))
       .select(col("__g"), least(lit(1.0),
         ((lit(num.toDouble) / lit(den.toDouble)) *
           col("__tn").cast("double") * col("__w").cast("double")) /
           (col("__tw").cast("double") * col("__n").cast("double"))).as("__p"))
-    df.join(broadcast(probs), col(groupCol) <=> col("__g"))
-      .filter(HashFunctions.stableHash52(col(idCol).cast("string")).cast("double") <
-        col("__p") * lit(4503599627370496.0)) // 2^52: exact power-of-two scale
-      .drop("__g", "__p")
   }
+
+  private def mixKeep(idCol: String, p: Column): Column =
+    HashFunctions.stableHash52(col(idCol).cast("string")).cast("double") <
+      p * lit(4503599627370496.0) // 2^52: exact power-of-two scale
+
+  /** Continuous-ingestion form of [[temperatureMix]]: the REFERENCE
+    * corpus fixes the per-group keep thresholds, and each micro-batch
+    * row is flagged against them — a stateless stream-static broadcast
+    * join + per-row hash compare, so it runs under Structured Streaming
+    * append mode with no state store at all (the same probe contract as
+    * [[Dedup.streamingNearDupProbe]] / streamingChunkProbe: emit a
+    * flag, let the sink decide). A group the reference has never seen
+    * carries keep probability 1 — brand-new domains are all tail by
+    * definition. Batch == streaming on the same prefix because
+    * membership is a pure function of (id, reference counts);
+    * StreamingSpec pins it.
+    */
+  def streamingMixProbe(stream: DataFrame, ref: DataFrame,
+                        idCol: String, groupCol: String,
+                        num: Int, den: Int): DataFrame =
+    stream.join(broadcast(mixProbabilities(ref, groupCol, num, den)),
+        col(groupCol) <=> col("__g"), "left")
+      .select(col(idCol), col(groupCol),
+        mixKeep(idCol, coalesce(col("__p"), lit(1.0))).as("is_kept"))
 
   /** Token-budget corpus selection: walk the corpus in descending
     * (score, id) order and keep documents while the running token sum

@@ -370,6 +370,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming mix probe: thresholds from the reference, batch == streaming, unseen groups kept") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    implicit val sc = spark.sqlContext
+    // reference corpus with a skewed group: 30 'en', 5 'fr'
+    val ref = ((1L to 30L).map(_ -> "en") ++ (31L to 35L).map(_ -> "fr"))
+      .toDF("doc_id", "lang")
+    val input = MemoryStream[(Long, String)]
+    val probe = Sampling.streamingMixProbe(input.toDF().toDF("doc_id", "lang"),
+      ref, "doc_id", "lang", num = 50, den = 100)
+    val q = probe.writeStream.format("memory").queryName("mixprobe")
+      .outputMode("append").start()
+    val batch1 = (100L to 140L).map(id => id -> (if (id % 7 == 0) "fr" else "en"))
+    val batch2 = Seq(200L -> "de", 201L -> "de") // group the reference never saw
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mixprobe").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      val expected = Sampling.streamingMixProbe(
+        (batch1 ++ batch2).toDF("doc_id", "lang"), ref, "doc_id", "lang", 50, 100)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      assert(streamed === expected, "streaming flags must equal the batch probe")
+      assert(streamed((200L, "de", true)) && streamed((201L, "de", true)),
+        "groups unseen in the reference keep everything (p = 1)")
+      val keptEn = streamed.count(t => t._2 == "en" && t._3)
+      val keptFr = streamed.count(t => t._2 == "fr" && t._3)
+      assert(keptEn > 0 && keptFr > 0, "both reference groups must pass some rows")
+    } finally q.stop()
+  }
+
   test("windowed sum with watermark bounds state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
