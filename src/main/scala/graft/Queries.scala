@@ -504,7 +504,7 @@ object Queries {
     // greedy-prefix cut. The oracle is the SEMANTIC definition (one
     // global running-sum window); the Spark side is the scale shape
     // (bucketed cumulative + one boundary-bucket window) —
-    // SamplingSpec pins the two equal.
+    // PipelineOpsSpec pins the two equal.
     "q_token_budget" -> QueryDef(
       (s, d) => {
         val docs = ds(s, d, "documents").toDF

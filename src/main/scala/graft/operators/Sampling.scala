@@ -174,11 +174,15 @@ object Sampling {
     */
   def streamingMixProbe(stream: DataFrame, ref: DataFrame,
                         idCol: String, groupCol: String,
-                        num: Int, den: Int): DataFrame =
-    stream.join(broadcast(mixProbabilities(ref, groupCol, num, den)),
-        col(groupCol) <=> col("__g"), "left")
+                        num: Int, den: Int): DataFrame = {
+    // the static side of a stream-static join re-evaluates per trigger
+    // — pinned, the reference count scan runs once instead of once per
+    // micro-batch (the frame itself is group-cardinality-sized)
+    val probs = Dedup.registerPin(mixProbabilities(ref, groupCol, num, den))
+    stream.join(broadcast(probs), col(groupCol) <=> col("__g"), "left")
       .select(col(idCol), col(groupCol),
         mixKeep(idCol, coalesce(col("__p"), lit(1.0))).as("is_kept"))
+  }
 
   /** Token-budget corpus selection: walk the corpus in descending
     * (score, id) order and keep documents while the running token sum
@@ -204,7 +208,11 @@ object Sampling {
     *
     * Equivalence to the naive global window (`sum(tokens) OVER (ORDER
     * BY score DESC, id)`) holds because bucketing is monotone in
-    * score; SamplingSpec pins the two shapes equal row-for-row.
+    * score; PipelineOpsSpec pins the two shapes equal row-for-row.
+    * NaN scores are NOT selectable (filtered with NULLs): the global
+    * window would rank NaN first — engines disagree on little else as
+    * reliably as NaN — so the contract excludes it rather than
+    * spending budget on unorderable rows.
     */
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
                         tokensCol: String, budget: Long,
@@ -213,13 +221,17 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     // pinned: the scored frame feeds the per-bucket aggregate, the
     // fully-kept join side, and the boundary window — unpinned, the
-    // (potentially regex-heavy) scoring lineage would run three times
+    // (potentially regex-heavy) scoring lineage would run three times.
+    // The clamp runs BEFORE the int cast: floor(score*buckets) on an
+    // unbounded score (raw perplexity, token counts) overflows the int
+    // narrowing and would wrap the BEST rows into bucket 0.
     val base = Dedup.registerPin(
-      df.filter(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
+      df.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)) &&
+          col(tokensCol).isNotNull)
         .select(col(idCol).as("__id"), col(scoreCol).as("__s"),
           col(tokensCol).cast("long").as("__t"))
-        .withColumn("__b", least(lit(buckets - 1),
-          greatest(lit(0), floor(col("__s") * lit(buckets)).cast("int")))))
+        .withColumn("__b", least(lit(buckets - 1).cast("double"),
+          greatest(lit(0.0), floor(col("__s") * lit(buckets)))).cast("int")))
     val perBucket = base.groupBy("__b").agg(sum("__t").as("__btoks"))
     // tokens in all STRICTLY HIGHER buckets — a ≤buckets-row frame;
     // the unpartitioned window is bounded by construction

@@ -172,6 +172,25 @@ class PipelineOpsSpec extends SparkSpecBase {
       assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty,
         s"bucketed selection must equal the semantic window at budget=$budget")
     }
+    // unbounded scores (raw perplexity scale): floor(score*buckets)
+    // exceeds Int range — the clamp must run BEFORE the int cast, or
+    // the best rows wrap negative into bucket 0 and get dropped
+    val big = (1L to 50L).map(id => (id, id.toDouble * 1e7, id % 5 + 1L))
+      .toDF("doc_id", "score", "toks")
+    val fastBig = Sampling.tokenBudgetSelect(big, "doc_id", "score", "toks", 60L)
+    val naiveBig = big.withColumn("cum", sum(col("toks")).over(
+        Window.orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= 60L)
+      .select(col("doc_id"), col("toks").as("n_tokens"))
+    assert(fastBig.except(naiveBig).isEmpty && naiveBig.except(fastBig).isEmpty,
+      "unbounded scores must clamp into the top bucket, not wrap to bucket 0")
+    // NaN scores are contractually unselectable
+    val withNan = Seq((1L, 0.5, 10L), (2L, Double.NaN, 10L), (3L, 0.9, 10L))
+      .toDF("doc_id", "score", "toks")
+    val keptIds = Sampling.tokenBudgetSelect(withNan, "doc_id", "score", "toks", 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds === Set(1L, 3L), "NaN-scored rows must not consume budget")
   }
 
   test("histogram: bins partition the range, counts conserve, extremes land at the edges") {
