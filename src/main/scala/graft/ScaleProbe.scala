@@ -78,6 +78,21 @@ object ScaleProbe {
     // bigram — no windows, no pairs
     time("bigram_lm")(graft.operators.TfIdf.bigramSurprisal(
       big, "doc_id", "text").count())
+    // zero corpus shuffle: one combinable count + broadcast probs +
+    // filtered scan — must track the scan linearly
+    time("temperature_mix")(graft.operators.Sampling.temperatureMix(
+      big, "doc_id", "lang", 40, 100).count())
+    // one scoring pass (pinned) + bucket frames; budget scaled with the
+    // corpus so the boundary bucket stays interior
+    time("token_budget") {
+      val scored = big.select(col("doc_id"),
+        (graft.functions.TextFunctions.stopwordCount(col("text")).cast("double") /
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("double"))
+          .as("score"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+      graft.operators.Sampling.tokenBudgetSelect(scored, "doc_id", "score", "toks",
+        budget = 120000L * factor).count()
+    }
     spark.stop()
   }
 
