@@ -25,7 +25,7 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats.feature.forall(v => v >= 0.0 && v <= 1.0))
   }
 
-  test("image and audio rows with real payloads decode for real; video stays stubbed") {
+  test("image, audio and video rows with real payloads decode for real") {
     val docs = Tables.load(spark, sf(), "documents").limit(60)
     val mixed = Multimodal.attachMediaPayload(docs, "doc_id", "text")
     val feats = Multimodal.decodeMedia(spark, mixed.toDF).collect()
@@ -54,9 +54,49 @@ class MultimodalSpec extends SparkSpecBase {
       assert(math.abs(byId(id).feature(0) - rms) < 1e-9, s"doc $id audio rms")
       assert(byId(id).feature(3) === channels / 8.0, s"doc $id audio channels")
     }
-    // video: deterministic payload-derived stub (codec genuinely absent)
+    // video: REAL container parse + frame-sample + per-frame BMP
+    // decode — mean luma of the sampled frames recomputed here from
+    // the shared pixel fn (frame f of doc d seeds pixels with d*1009+f)
     val video = byId.keys.filter(_ % 3 == 2)
-    video.foreach(id => assert(byId(id).feature.length === 4))
+    assert(video.nonEmpty)
+    video.foreach { id =>
+      val nFrames = 6 + (id % 5).toInt * 2
+      val sampledFrames = 0 until nFrames by 4
+      val luma = sampledFrames.map { f =>
+        val seed = id * 1009 + f
+        (for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3)
+          yield Multimodal.pixel(seed, x, y, c)).sum / (3.0 * 48)
+      }.sum / sampledFrames.size
+      assert(math.abs(byId(id).feature(0) - luma / 255.0) < 1e-9, s"doc $id video luma")
+      assert(byId(id).feature(1) === nFrames / 64.0, s"doc $id frame count")
+      assert(byId(id).feature(2) === sampledFrames.size / 16.0, s"doc $id sampled count")
+    }
+  }
+
+  test("GVID round-trip: container parse, stride sampling, doc-labelled truncation") {
+    import spark.implicits._
+    val recs = Seq(2L, 5L, 11L).map { id =>
+      Multimodal.MediaRecord(id, "video",
+        Multimodal.gvidBytes(id, 8, 6, nFrames = 9, fps = 25), 8, 6, 9 * 1000L / 25)
+    }
+    val feats = Multimodal.decodeVideo(spark, recs.toDS(), stride = 3)
+      .collect().sortBy(_.doc_id)
+    feats.foreach { v =>
+      assert(v.n_frames === 9 && v.fps === 25 && v.duration_ms === 360L)
+      assert(v.sampled === 3, "stride 3 over 9 frames samples frames 0, 3, 6")
+      val luma = Seq(0, 3, 6).map { f =>
+        (for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3)
+          yield Multimodal.pixel(v.doc_id * 1009 + f, x, y, c)).sum / (3.0 * 48)
+      }.sum / 3
+      assert(math.abs(v.mean_luma - luma) < 1e-9, s"doc ${v.doc_id} sampled luma")
+    }
+    // the container is bounds-checked: chopping the last frame fails
+    // with the doc id, not an index exception mid-partition
+    val good = Multimodal.gvidBytes(3L, 8, 6, 4, 25)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.gvidFeatures(3L, good.take(good.length - 10))
+    }
+    assert(e.getMessage.contains("doc 3") && e.getMessage.contains("truncated"))
   }
 
   test("real WAV round-trip: generated files decode via javax.sound to exact features") {
