@@ -526,6 +526,74 @@ object Queries {
         |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
         |SELECT doc_id, n_tokens FROM r WHERE cum <= 12000""".stripMargin)),
 
+    // §2.3/121 — deterministic epoch shuffle: seeded-hash permutation
+    // materialized as (shard, position); the training-order operator.
+    // Re-running with the same seed reproduces the exact sequence.
+    "q_epoch_shuffle" -> QueryDef(
+      (s, d) => Sampling.epochShuffle(ds(s, d, "documents").toDF,
+        "doc_id", seed = 7, numShards = 8),
+      Some("""WITH h AS (SELECT doc_id,
+        |    ('0x' || substring(md5('7:' || doc_id::varchar), 1, 14))::bigint AS h
+        |  FROM documents)
+        |SELECT doc_id, (h % 8)::INT AS shard,
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS position
+        |FROM h""".stripMargin)),
+
+    // §2.3/122 — sliding-window token chunking (RAG / long-doc prep):
+    // 30-token windows every 15 tokens — overlapping halves so no
+    // boundary context is lost; last window may be short
+    "q_chunk_windows" -> QueryDef(
+      (s, d) => Pack.slidingWindows(ds(s, d, "documents").toDF,
+        "doc_id", "text", windowTokens = 30, strideTokens = 15),
+      Some("""WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, unnest(list_transform(generate_series(0, (len(toks)-1)//15),
+        |    i -> {'w': i,
+        |          'n': len(list_slice(toks, i*15+1, i*15+30)),
+        |          'c': array_to_string(list_slice(toks, i*15+1, i*15+30), ' ')})) AS u
+        |  FROM tok)
+        |SELECT doc_id, u.w AS window_no, u.n AS n_tokens, u.c AS chunk FROM w"""
+        .stripMargin)),
+
+    // §2.3/123 — per-group quantile cut: the best 30% of every
+    // language by stopword-ratio score. The oracle is the SEMANTIC
+    // per-group window; the Spark side is the window-free bucketed
+    // shape (PipelineOpsSpec pins them equal).
+    "q_quantile_cut" -> QueryDef(
+      (s, d) => {
+        val docs = ds(s, d, "documents").toDF
+        val scored = docs.select(col("doc_id"), col("lang"),
+          (TextFunctions.stopwordCount(col("text")).cast("double") /
+            TextFunctions.tokenCount(col("text")).cast("double")).as("score"))
+        Sampling.quantileCut(scored, "doc_id", "score", "lang",
+          num = 30, den = 100)
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+        |    (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       x -> x IN ('the','and','of','to','a','in','is','it')))::DOUBLE
+        |     / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE) AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT lang, count(*)::BIGINT AS n FROM t GROUP BY lang),
+        |r AS (SELECT t.doc_id, t.lang,
+        |    row_number() OVER (PARTITION BY t.lang ORDER BY s DESC, doc_id) AS rk,
+        |    c.n FROM t JOIN c ON t.lang IS NOT DISTINCT FROM c.lang)
+        |SELECT doc_id, lang FROM r WHERE rk <= (n * 30) // 100""".stripMargin)),
+
+    // §2.3/124 — repetition-based upsampling mix: tail languages
+    // repeated toward the head count (capped 4×), tagged rep_no —
+    // the upsampling complement of q_domain_mix's filter
+    "q_upsample_mix" -> QueryDef(
+      (s, d) => Sampling.upsampleMix(ds(s, d, "documents").toDF,
+        "doc_id", "lang", maxRepeat = 4),
+      Some("""WITH c AS (SELECT lang AS g, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY lang),
+        |m AS (SELECT max(n) AS mx FROM c),
+        |r AS (SELECT g, least(4, (mx + n - 1) // n) AS rep FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.lang, unnest(generate_series(0, r.rep - 1))::INT AS rep_no
+        |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.g"""
+        .stripMargin)),
+
     // §2.3/28 — exact dedup by content hash
     "dedup_exact" -> QueryDef(
       (s, d) => Dedup.exact(ds(s, d, "documents").toDF, "doc_id", "text"),

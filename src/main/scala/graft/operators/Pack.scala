@@ -42,6 +42,43 @@ object Pack {
       .drop("__prev")
   }
 
+  /** Sliding-window token chunking — context-window preparation (RAG
+    * indexing, long-document training): each document's token sequence
+    * is cut into windows of `windowTokens` tokens starting every
+    * `strideTokens` (stride < window ⇒ overlapping windows, the
+    * standard boundary-context trick). Windows cover every token: the
+    * last window starts at the last stride boundary before the end and
+    * may be short. Output (doc_id, window_no, n_tokens, chunk); NULL
+    * text cannot be chunked and is absent (the
+    * [[graft.operators.Dedup.chunkDedup]] contract).
+    *
+    * Scale shape: pure per-row codegen'd expressions (split /
+    * sequence / slice / posexplode) — no shuffle, no UDF, no state;
+    * output size is corpus tokens × window/stride, which is the
+    * caller's overlap budget, not a plan property.
+    */
+  def slidingWindows(df: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens >= 1 && strideTokens >= 1,
+      s"window/stride must be >= 1, got $windowTokens/$strideTokens")
+    require(strideTokens <= windowTokens,
+      s"stride > window would skip tokens: $strideTokens > $windowTokens")
+    df.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0),
+            ((size(col("toks")) - 1) / strideTokens).cast("int")),
+          i => struct(
+            size(slice(col("toks"), i * strideTokens + 1, lit(windowTokens)))
+              .as("n"),
+            array_join(slice(col("toks"), i * strideTokens + 1,
+              lit(windowTokens)), " ").as("c"))))
+        .as(Seq("window_no", "w")))
+      .select(col("doc_id"), col("window_no"), col("w.n").as("n_tokens"),
+        col("w.c").as("chunk"))
+  }
+
   /** Per-batch summary — the number a capacity planner wants: batch
     * sizes and token totals (total <= budget + the batch's largest
     * doc, by the packing contract).

@@ -255,6 +255,125 @@ object Sampling {
       .select(col("__id").as(idCol), col("__t").as("n_tokens"))
   }
 
+  /** Deterministic epoch shuffle — the training-ORDER operator: a
+    * reproducible pseudo-random permutation of the corpus per epoch,
+    * materialized as (shard, position) so a trainer streams shard
+    * files in position order and two runs of the same epoch read
+    * identical sequences. The permutation key is the seeded stable
+    * hash `h = md5(seed:id)`, so changing the seed reshuffles
+    * everything and changing nothing reshuffles nothing —
+    * `df.orderBy(rand())` can guarantee neither.
+    *
+    * Scale shape: a GLOBAL shuffle order is exactly one distributed
+    * sort, and this runs it as such — shard assignment is a map-side
+    * `h % numShards`, and only the within-shard (h, id) sort pays a
+    * shuffle, each shard sorting independently. Size `numShards` so a
+    * shard fits a task (corpus/numShards rows); no global ordering is
+    * ever materialized on one node.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Int,
+                   numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol),
+        HashFunctions.seededHash56(seed, col(idCol).cast("string")).as("__h"))
+      .withColumn("shard", (col("__h") % numShards).cast("int"))
+      .withColumn("position", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__h"), col(idCol))))
+      .drop("__h")
+  }
+
+  /** Per-group quantile cut: keep each group's top `num/den` fraction
+    * of rows by score — "the best 30% of every domain", the
+    * group-relative form of [[tokenBudgetSelect]]'s global cut. Keep
+    * count is `floor(n_g * num / den)` (exact integers, so both
+    * engines agree on every group's cutoff), rank is (score DESC, id)
+    * within the group. NULL/NaN scores are not selectable; a NULL
+    * group is a real group.
+    *
+    * Scale shape: the same window-free bucketed selection as
+    * [[tokenBudgetSelect]], generalized per group — per-(group,
+    * score-bucket) counts (one map-side-combinable aggregate), a
+    * groups×buckets cumulative frame broadcast back, and only each
+    * group's single boundary bucket pays a within-bucket rank. A hot
+    * domain with billions of rows never sorts: ~1/buckets of it ranks.
+    * Equivalence to the per-group global window holds because
+    * bucketing is monotone in score and the (score DESC, id)
+    * tie-break is identical inside a bucket; PipelineOpsSpec pins the
+    * shapes equal.
+    */
+  def quantileCut(df: DataFrame, idCol: String, scoreCol: String,
+                  groupCol: String, num: Int, den: Int,
+                  buckets: Int = 1024): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"fraction must be in (0,1]: $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    // clamp BEFORE the int cast, as tokenBudgetSelect: an unbounded
+    // score would overflow the narrowing and wrap the best rows down
+    val base = Dedup.registerPin(
+      df.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
+        .select(col(idCol).as("__id"), col(groupCol).as("__g"),
+          col(scoreCol).as("__s"))
+        .withColumn("__b", least(lit(buckets - 1).cast("double"),
+          greatest(lit(0.0), floor(col("__s") * lit(buckets)))).cast("int")))
+    val perBucket = base.groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
+      // rows in strictly higher buckets of the same group, and the
+      // group's keep count — both over the groups×buckets frame
+      // (bounded by construction), not the corpus
+      .withColumn("__above", coalesce(sum(col("__c")).over(
+        Window.partitionBy("__g").orderBy(col("__b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__tot", sum(col("__c")).over(
+        Window.partitionBy("__g").rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("__k", expr(s"(__tot * $num) DIV $den"))
+    val joined = base.join(broadcast(perBucket.select(col("__g").as("__pg"),
+        col("__b").as("__pb"), col("__c"), col("__above"), col("__k"))),
+      col("__g") <=> col("__pg") && col("__b") === col("__pb"))
+    val fullyKept = joined.filter(col("__above") + col("__c") <= col("__k"))
+      .select(col("__id"), col("__g"))
+    // exactly one bucket per group straddles its cutoff; only its rows
+    // pay the within-bucket ordering
+    val boundary = joined
+      .filter(col("__above") < col("__k") && col("__above") + col("__c") > col("__k"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__g", "__b").orderBy(col("__s").desc, col("__id"))))
+      .filter(col("__above") + col("__rk") <= col("__k"))
+      .select(col("__id"), col("__g"))
+    fullyKept.unionByName(boundary)
+      .select(col("__id").as(idCol), col("__g").as(groupCol))
+  }
+
+  /** Repetition-based upsampling mix — the other half of corpus
+    * balancing: [[temperatureMix]] can only FILTER (downsample); a
+    * training mix that wants tail domains seen as often as the head
+    * REPEATS them. Each group's rows are emitted `rep_g =
+    * min(maxRepeat, ceil(max_n / n_g))` times (head group once, a
+    * group 1/3 the size three times), tagged (id, group, rep_no) so
+    * the trainer can salt each repetition's shuffle position. Exact
+    * integer arithmetic throughout — both engines agree on every
+    * factor. `maxRepeat` caps tiny groups: repeating a 40-row domain
+    * 10⁶× is a bug, not balance.
+    *
+    * Scale shape: one map-side-combinable count, a group-cardinality
+    * factor frame broadcast back, and a map-side `explode(sequence)`
+    * — zero corpus shuffle, like [[temperatureMix]].
+    */
+  def upsampleMix(df: DataFrame, idCol: String, groupCol: String,
+                  maxRepeat: Int): DataFrame = {
+    require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
+    import org.apache.spark.sql.expressions.Window
+    val totWin = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    // max over the group-cardinality frame via window, not a second
+    // agg — the corpus count scan must run once (temperatureMix rule)
+    val factors = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__mx", max(col("__n")).over(totWin))
+      .select(col("__g"),
+        expr(s"cast(least($maxRepeat, (__mx + __n - 1) DIV __n) as int)").as("__rep"))
+    df.join(broadcast(factors), col(groupCol) <=> col("__g"))
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(0), col("__rep") - 1)).as("rep_no"))
+  }
+
   private def bucket(idCol: String, den: Int) =
     HashFunctions.stableHash56(col(idCol).cast("string")) % den
 }

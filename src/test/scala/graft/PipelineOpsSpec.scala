@@ -281,4 +281,103 @@ class PipelineOpsSpec extends SparkSpecBase {
         s"$k: approx ${approx(k)} vs exact $ex")
     }
   }
+
+  test("epochShuffle: a reproducible permutation with dense per-shard positions") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf(), "documents")
+    val e7 = Sampling.epochShuffle(docs, "doc_id", seed = 7, numShards = 8)
+    assert(e7.count() === docs.count(),
+      "a shuffle is a permutation: every row, exactly once")
+    // positions are dense 1..n within each shard — a trainer can
+    // stream shard files in position order with no gaps
+    e7.groupBy("shard").agg(count(lit(1)).as("n"), min("position").as("mn"),
+        max("position").as("mx")).collect().foreach { r =>
+      assert(r.getAs[Int]("mn") === 1 && r.getAs[Int]("mx").toLong === r.getAs[Long]("n"),
+        s"shard ${r.get(0)}: positions must be dense 1..n")
+    }
+    // same seed reproduces the exact sequence; a new seed reshuffles
+    val again = Sampling.epochShuffle(docs, "doc_id", seed = 7, numShards = 8)
+    assert(e7.except(again).isEmpty && again.except(e7).isEmpty,
+      "same seed must reproduce the identical epoch order")
+    val e8 = Sampling.epochShuffle(docs, "doc_id", seed = 8, numShards = 8)
+    assert(e8.except(e7).count() > 0, "a new seed must produce a new permutation")
+  }
+
+  test("slidingWindows: full token coverage, stride overlap, short tail window") {
+    import graft.operators.Pack
+    import spark.implicits._
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "solo"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val w = Pack.slidingWindows(docs, "doc_id", "text",
+      windowTokens = 4, strideTokens = 2).collect()
+    val d1 = w.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    assert(d1.map(_.getString(3)).toSeq ===
+      Seq("t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6", "t6"),
+      "windows start at every stride boundary; the tail window is short, not dropped")
+    assert(d1.map(_.getInt(2)).toSeq === Seq(4, 4, 3, 1))
+    // coverage: the first `stride` tokens of each window, concatenated,
+    // rebuild the document — nothing skipped, nothing reordered
+    assert(d1.flatMap(_.getString(3).split(" ").take(2)).toSeq ===
+      Seq("t0", "t1", "t2", "t3", "t4", "t5", "t6"))
+    assert(w.filter(_.getLong(0) == 2L).map(_.getString(3)).toSeq === Seq("solo"))
+    assert(!w.exists(_.getLong(0) == 3L), "NULL text cannot be chunked")
+    // corpus invariant: windows per doc = (tokens-1)/stride + 1
+    val corpus = Tables.load(spark, sf(), "documents")
+    val nWin = Pack.slidingWindows(corpus, "doc_id", "text", 30, 15)
+      .groupBy("doc_id").count()
+    val expected = corpus.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        (((graft.functions.TextFunctions.tokenCount(col("text")) - 1) / 15)
+          .cast("long") + 1).as("count"))
+    assert(nWin.except(expected).isEmpty && expected.except(nWin).isEmpty)
+  }
+
+  test("quantileCut: bucketed shape equals the per-group window, exact keep counts") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // adversarial: score ties across groups, a NULL group, a NaN row,
+    // clamp-edge scores (0.0, 1.0), and a group too small to keep any
+    val rows = (1L to 300L).map { id =>
+      val g = if (id % 7 == 0) null else s"g${id % 3}"
+      (id, g, (id % 11).toDouble / 10.0)
+    } ++ Seq((301L, "g0", Double.NaN), (302L, "tiny", 0.9), (303L, "tiny", 0.1))
+    val df = rows.toDF("doc_id", "grp", "score")
+    val fast = Sampling.quantileCut(df, "doc_id", "score", "grp", num = 30, den = 100)
+    val naive = df.filter(col("score").isNotNull && !isnan(col("score")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("grp").orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .filter(col("rk") <= expr("(n * 30) DIV 100"))
+      .select("doc_id", "grp")
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty,
+      "bucketed selection must equal the per-group window exactly")
+    val kept = fast.collect()
+    assert(!kept.exists(_.getLong(0) === 301L), "NaN scores are unselectable")
+    assert(!kept.exists(r => r.getLong(0) === 302L || r.getLong(0) === 303L),
+      "floor(2 * 30/100) = 0: a 2-row group keeps nothing")
+    assert(kept.exists(r => r.isNullAt(1)), "a NULL group is a real group")
+  }
+
+  test("upsampleMix: factors balance toward the head, capped, counts multiply exactly") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf(), "documents")
+    val up = Sampling.upsampleMix(docs, "doc_id", "lang", maxRepeat = 4)
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mx = byLang.values.max
+    val upByLang = up.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (g, n) =>
+      val rep = math.min(4L, (mx + n - 1) / n)
+      assert(upByLang(g) === n * rep,
+        s"$g: expected $n rows x factor $rep, got ${upByLang(g)}")
+    }
+    val head = byLang.maxBy(_._2)._1
+    assert(upByLang(head) === byLang(head), "the head group is never repeated")
+    // every copy is tagged: rep_no is dense 0..rep-1 per row
+    val reps = up.filter(col("lang") === lit(head)).select("rep_no").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(reps === Set(0))
+  }
 }
