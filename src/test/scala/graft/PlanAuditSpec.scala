@@ -289,4 +289,68 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters: [IsNotNull(user_id)]"),
       s"null filter must reach the parquet scan:\n$plan")
   }
+
+  // the round-5 delivery/mixing queries: measured byte/record budgets
+  // (toRdd.count() — a plain count() would let Catalyst prune the very
+  // windows and payloads under audit) with ~40% headroom
+
+  test("q_epoch_shuffle: one corpus pass, only the shard exchange moves") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("q_epoch_shuffle").build(spark, sf())
+        .queryExecution.toRdd.count()
+    }
+    // measured: records 500 (one scan), shufW 8.3KB — the single
+    // shard-partitioned (id, hash) exchange feeding the position sort.
+    // A global orderBy (range exchange + a second pass) lands far above.
+    assert(st.recordsRead <= 600,
+      s"${st.recordsRead} records read — the corpus is scanned twice")
+    assert(st.shuffleBytesWritten <= 12L * 1000,
+      s"shuffle ${st.shuffleBytesWritten}B — more than the shard exchange is moving")
+  }
+
+  test("q_chunk_windows: pure per-row chunking — zero shuffle") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("q_chunk_windows").build(spark, sf())
+        .queryExecution.toRdd.count()
+    }
+    // measured: records 500, shufW 0 — split/sequence/slice/posexplode
+    // are all map-side. ANY exchange here is a regression.
+    assert(st.shuffleBytesWritten === 0L,
+      s"shuffle ${st.shuffleBytesWritten}B — sliding windows must not shuffle")
+    assert(st.recordsRead <= 600,
+      s"${st.recordsRead} records read — the corpus is scanned twice")
+  }
+
+  test("q_quantile_cut: corpus scored once, only bucket frames shuffle") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("q_quantile_cut").build(spark, sf())
+        .queryExecution.toRdd.count()
+    }
+    // measured: records 504 (the pinned scored base + bucket frame),
+    // shufW 12.3KB (pin + per-(group,bucket) aggregate + the boundary
+    // rank). Losing the pin re-runs the scoring regex per consumer; a
+    // per-group global window would shuffle every scored row.
+    assert(st.recordsRead <= 700,
+      s"${st.recordsRead} records read — the scored base is being recomputed")
+    assert(st.shuffleBytesWritten <= 18L * 1000,
+      s"shuffle ${st.shuffleBytesWritten}B — more than bucket frames are moving")
+  }
+
+  test("q_upsample_mix: zero corpus shuffle — only group counts move") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("q_upsample_mix").build(spark, sf())
+        .queryExecution.toRdd.count()
+    }
+    // measured: records 1000 = counts scan + fact scan (the
+    // q_domain_mix shape), shufW 386B — the group-cardinality count
+    // exchange. The repetition explode itself is map-side.
+    assert(st.recordsRead <= 1200,
+      s"${st.recordsRead} records read — the counts lineage is scanning twice")
+    assert(st.shuffleBytesWritten <= 5L * 1000,
+      s"shuffle ${st.shuffleBytesWritten}B — the mix should shuffle only group counts")
+  }
 }
