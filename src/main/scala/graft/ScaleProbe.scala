@@ -93,6 +93,29 @@ object ScaleProbe {
       graft.operators.Sampling.tokenBudgetSelect(scored, "doc_id", "score", "toks",
         budget = 120000L * factor).count()
     }
+    // round-5 delivery/mixing operators. toRdd.count() throughout: a
+    // plain count() lets Catalyst prune the windows/payloads under test.
+    // one map-side shard assignment + independent within-shard sorts —
+    // the global shuffle order as a distributed sort; must be linear
+    time("epoch_shuffle")(graft.operators.Sampling.epochShuffle(
+      big, "doc_id", seed = 7, numShards = 64).queryExecution.toRdd.count())
+    // pure per-row expressions, zero shuffle; output = tokens x W/S
+    time("chunk_windows")(graft.operators.Pack.slidingWindows(
+      big, "doc_id", "text", 30, 15).queryExecution.toRdd.count())
+    // one pinned scoring pass + group-bucket frames; only each group's
+    // boundary bucket ranks
+    time("quantile_cut") {
+      val scored = big.select(col("doc_id"), col("lang"),
+        (graft.functions.TextFunctions.stopwordCount(col("text")).cast("double") /
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("double"))
+          .as("score"))
+      graft.operators.Sampling.quantileCut(scored, "doc_id", "score", "lang",
+        30, 100).queryExecution.toRdd.count()
+    }
+    // one combinable count + broadcast factors + map-side explode —
+    // zero corpus shuffle, like temperature_mix
+    time("upsample_mix")(graft.operators.Sampling.upsampleMix(
+      big, "doc_id", "lang", maxRepeat = 4).queryExecution.toRdd.count())
     spark.stop()
   }
 
