@@ -594,6 +594,40 @@ object Queries {
         |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.g"""
         .stripMargin)),
 
+    // §2.3/126 — delivery integrity manifest: per-shard (n_rows,
+    // xor_hash) under shardedWrite's shard rule; XOR-combined row
+    // digests, so the manifest is order-insensitive and one-scan
+    "q_shard_manifest" -> QueryDef(
+      (s, d) => graft.operators.Compact.shardManifest(
+        ds(s, d, "documents").toDF, "doc_id", "text", numShards = 16),
+      Some("""WITH r AS (SELECT
+        |    ('0x' || substring(md5(coalesce(doc_id::varchar, chr(0) || 'graft-null-id')), 1, 14))::bigint % 16 AS shard,
+        |    ('0x' || substring(md5(
+        |       coalesce(doc_id::varchar, chr(0) || 'graft-null-id') || ':' ||
+        |       coalesce(length(text), -1)::varchar || ':' || coalesce(text, '')), 1, 14))::bigint AS h
+        |  FROM documents)
+        |SELECT shard::INT AS shard, count(*) AS n_rows, bit_xor(h) AS xor_hash
+        |FROM r GROUP BY shard""".stripMargin)),
+
+    // §2.3/127 — hard-negative mining: each query vector's 10 most
+    // similar corpus vectors with a DIFFERENT label — broadcast
+    // queries, one corpus scan, combinable top-k (bruteForceTopK's
+    // shape with the label exclusion in the join)
+    "sim_hard_negatives" -> QueryDef(
+      (s, d) => {
+        val emb = ds(s, d, "embeddings").toDF
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 10)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 5 AND label IS NOT NULL),
+        |s AS (SELECT qid, vec_id AS nid,
+        |  list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS c
+        |  FROM q JOIN embeddings ON label IS NOT NULL AND label <> ql)
+        |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        |  FROM s) t WHERE rank <= 10""".stripMargin)),
+
     // §2.3/28 — exact dedup by content hash
     "dedup_exact" -> QueryDef(
       (s, d) => Dedup.exact(ds(s, d, "documents").toDF, "doc_id", "text"),

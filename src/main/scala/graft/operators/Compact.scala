@@ -67,4 +67,38 @@ object Compact {
       .sortWithinPartitions((col("__shard") +: sortCols.map(col)): _*)
       .write.mode("overwrite").partitionBy("__shard").parquet(path)
   }
+
+  /** Delivery integrity manifest: per-shard (n_rows, xor_hash) over
+    * the SAME shard assignment as [[shardedWrite]] (stable id hash %
+    * numShards, null-id sentinel included), so a consumer can audit a
+    * delivered dataset against the manifest — or two deliveries
+    * against each other — without re-reading either in any particular
+    * order. The row digest folds the id, the payload length, and the
+    * payload (length is the NULL≠'' discriminator), and shard digests
+    * combine by XOR: order-INSENSITIVE by design, so no sort, no
+    * collect, and the aggregate combines map-side — the manifest of
+    * 100 TB costs one scan and one tiny shuffle.
+    *
+    * Contract: any single-row change, addition, or removal flips
+    * (n_rows, xor_hash). This is drift detection, not cryptography —
+    * an adversary who can insert row PAIRS can cancel the XOR (the
+    * count still moves); training-data delivery doesn't have
+    * adversaries inside the write path.
+    */
+  def shardManifest(df: DataFrame, idCol: String, payloadCol: String,
+                    numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    import org.apache.spark.sql.functions.{coalesce, concat_ws, count, expr,
+      length, lit, pmod}
+    val sid = coalesce(col(idCol).cast("string"), lit("\u0000graft-null-id"))
+    val rowHash = graft.functions.HashFunctions.stableHash56(concat_ws(":",
+      sid, coalesce(length(col(payloadCol)), lit(-1)),
+      coalesce(col(payloadCol), lit(""))))
+    df.select(
+        pmod(graft.functions.HashFunctions.stableHash56(sid), lit(numShards))
+          .cast("int").as("shard"),
+        rowHash.as("__h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("xor_hash"))
+  }
 }

@@ -304,7 +304,17 @@ object Sampling {
     */
   def quantileCut(df: DataFrame, idCol: String, scoreCol: String,
                   groupCol: String, num: Int, den: Int,
-                  buckets: Int = 1024): DataFrame = {
+                  buckets: Int = 1024): DataFrame =
+    quantileCutScored(df, idCol, scoreCol, groupCol, num, den, buckets)
+      .select(col("__id").as(idCol), col("__g").as(groupCol))
+
+  /** [[quantileCut]] with the score retained — (__id, __g, __s) — for
+    * consumers that need the kept rows' scores (e.g. the per-group
+    * threshold frame behind [[streamingQualityProbe]]).
+    */
+  private def quantileCutScored(df: DataFrame, idCol: String, scoreCol: String,
+                                groupCol: String, num: Int, den: Int,
+                                buckets: Int = 1024): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"fraction must be in (0,1]: $num/$den")
     import org.apache.spark.sql.expressions.Window
     // clamp BEFORE the int cast, as tokenBudgetSelect: an unbounded
@@ -329,7 +339,7 @@ object Sampling {
         col("__b").as("__pb"), col("__c"), col("__above"), col("__k"))),
       col("__g") <=> col("__pg") && col("__b") === col("__pb"))
     val fullyKept = joined.filter(col("__above") + col("__c") <= col("__k"))
-      .select(col("__id"), col("__g"))
+      .select(col("__id"), col("__g"), col("__s"))
     // exactly one bucket per group straddles its cutoff; only its rows
     // pay the within-bucket ordering
     val boundary = joined
@@ -337,9 +347,35 @@ object Sampling {
       .withColumn("__rk", row_number().over(
         Window.partitionBy("__g", "__b").orderBy(col("__s").desc, col("__id"))))
       .filter(col("__above") + col("__rk") <= col("__k"))
-      .select(col("__id"), col("__g"))
+      .select(col("__id"), col("__g"), col("__s"))
     fullyKept.unionByName(boundary)
-      .select(col("__id").as(idCol), col("__g").as(groupCol))
+  }
+
+  /** Continuous-ingestion form of [[quantileCut]]: the REFERENCE
+    * corpus fixes each group's quality bar — the LOWEST score its
+    * quantile cut keeps — and each micro-batch row is flagged against
+    * it by a stateless stream-static broadcast join (the
+    * [[streamingMixProbe]] contract: no state store, emit a flag, let
+    * the sink decide). THRESHOLD semantics, deliberately: a new row
+    * tying the reference boundary is kept, because a rank inside the
+    * reference corpus is meaningless for a row that isn't in it.
+    * Groups the reference never saw — or whose cut kept nothing
+    * (floor(n·num/den) = 0) — have no defined bar and keep everything
+    * with a valid score; NULL/NaN scores are never kept
+    * ([[quantileCut]]'s unselectable contract).
+    */
+  def streamingQualityProbe(stream: DataFrame, ref: DataFrame,
+                            idCol: String, scoreCol: String, groupCol: String,
+                            num: Int, den: Int): DataFrame = {
+    // pinned: the static side of a stream-static join re-evaluates per
+    // trigger; the threshold frame is group-cardinality-sized
+    val thr = Dedup.registerPin(
+      quantileCutScored(ref, idCol, scoreCol, groupCol, num, den)
+        .groupBy(col("__g")).agg(min(col("__s")).as("__thr")))
+    stream.join(broadcast(thr), col(groupCol) <=> col("__g"), "left")
+      .select(col(idCol), col(groupCol),
+        (col(scoreCol).isNotNull && !isnan(col(scoreCol)) &&
+          coalesce(col(scoreCol) >= col("__thr"), lit(true))).as("is_kept"))
   }
 
   /** Repetition-based upsampling mix — the other half of corpus

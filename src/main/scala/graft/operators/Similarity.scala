@@ -29,6 +29,28 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive / retrieval training: each
+    * query's k most-similar corpus vectors with a DIFFERENT label —
+    * "close but wrong", the negatives that actually move a margin
+    * loss (random negatives are trivially separable). Same broadcast +
+    * combinable top-k shape as [[bruteForceTopK]]: the corpus is
+    * scanned once, never shuffled, and each partition reduces to k
+    * candidates before the per-query merge. NULL labels are never
+    * mined, on either side: unknown is not known-different.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("ql")))
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("cl"))
+    val scored = q.join(c, col("cl") =!= col("ql"))
+      .withColumn("cosine", VectorFunctions.cosineNative(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
   /** Rank the best k candidates per query with the map-side-combinable
     * [[graft.functions.TopKAgg]] — each partition reduces to k rows
     * before the shuffle, so a query's candidates never funnel through

@@ -43,6 +43,36 @@ class CompactSpec extends SparkSpecBase {
     }
   }
 
+  test("shardManifest: partition-insensitive, single-row-change-sensitive, shard-consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf(), "documents").select("doc_id", "text")
+    val m1 = Compact.shardManifest(docs, "doc_id", "text", numShards = 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // order/partitioning insensitivity: XOR combination means the same
+    // rows give the same manifest from any layout
+    val m2 = Compact.shardManifest(docs.repartition(13), "doc_id", "text", 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m1 === m2, "the manifest must not depend on input partitioning")
+    assert(m1.values.map(_._1).sum === docs.count(), "counts partition the corpus")
+    // a single-row payload edit flips exactly its shard's hash, and
+    // only the hash — counts are untouched
+    val tweaked = docs.withColumn("text",
+      when(col("doc_id") === 7L, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    val m3 = Compact.shardManifest(tweaked, "doc_id", "text", 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m3.count { case (k, v) => m1(k) != v } === 1,
+      "one changed row must flip exactly one shard digest")
+    assert(m1.map { case (k, v) => k -> v._1 } === m3.map { case (k, v) => k -> v._1 })
+    // NULL payload and empty payload are different deliveries
+    val a = Seq((1L, Some("")), (2L, Some("x"))).toDF("doc_id", "text")
+    val b = Seq((1L, None: Option[String]), (2L, Some("x"))).toDF("doc_id", "text")
+    val ha = Compact.shardManifest(a, "doc_id", "text", 1).collect()(0).getLong(2)
+    val hb = Compact.shardManifest(b, "doc_id", "text", 1).collect()(0).getLong(2)
+    assert(ha !== hb, "the length discriminator must separate NULL from ''")
+  }
+
   test("writeSized bounds rows per file and clusters on the sort column") {
     val tmp = Files.createTempDirectory("graft-compact").toString
     val li = Tables.load(spark, sf(), "lineitem") // ~6k rows at sf0.001

@@ -403,6 +403,65 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming quality probe: reference quantile bar, batch == streaming, edge scores") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    implicit val sc = spark.sqlContext
+    // reference: 10 'en' docs scored 0.0..0.9 — the 30% cut keeps the
+    // top 3 (0.9, 0.8, 0.7), so the quality bar is 0.7; 'tiny' keeps
+    // floor(2*0.3)=0 rows, so it has NO bar
+    val ref = ((1L to 10L).map(id => (id, "en", (id - 1).toDouble / 10.0)) ++
+      Seq((11L, "tiny", 0.5), (12L, "tiny", 0.6))).toDF("doc_id", "lang", "score")
+    val input = MemoryStream[(Long, String, Double)]
+    val probe = Sampling.streamingQualityProbe(
+      input.toDF().toDF("doc_id", "lang", "score"), ref,
+      "doc_id", "score", "lang", num = 30, den = 100)
+    val q = probe.writeStream.format("memory").queryName("qualprobe")
+      .outputMode("append").start()
+    val batch1 = Seq((100L, "en", 0.71), (101L, "en", 0.7), (102L, "en", 0.69),
+      (103L, "en", Double.NaN))
+    val batch2 = Seq((200L, "de", 0.01), (201L, "tiny", 0.0))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qualprobe").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(streamed === Map(100L -> true, 101L -> true, 102L -> false,
+        103L -> false, 200L -> true, 201L -> true),
+        "threshold semantics: ties kept, below-bar dropped, NaN never kept, " +
+          "unseen/empty-cut groups keep everything")
+      val batchFlags = Sampling.streamingQualityProbe(
+        (batch1 ++ batch2).toDF("doc_id", "lang", "score"), ref,
+        "doc_id", "score", "lang", 30, 100)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(streamed === batchFlags, "streaming flags must equal the batch probe")
+    } finally q.stop()
+  }
+
+  test("sliding windows run unchanged on a stream — stateless per-row chunking") {
+    import spark.implicits._
+    import graft.operators.Pack
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val windows = Pack.slidingWindows(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", windowTokens = 4, strideTokens = 2)
+    val q = windows.writeStream.format("memory").queryName("slidewin")
+      .outputMode("append").start()
+    val docs = Seq(1L -> "t0 t1 t2 t3 t4 t5 t6", 2L -> "solo")
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("slidewin").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+      val batch = Pack.slidingWindows(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 4, 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+      assert(streamed === batch, "chunking is per-row, so streaming == batch exactly")
+    } finally q.stop()
+  }
+
   test("windowed sum with watermark bounds state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
