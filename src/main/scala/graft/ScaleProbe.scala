@@ -116,6 +116,10 @@ object ScaleProbe {
     // zero corpus shuffle, like temperature_mix
     time("upsample_mix")(graft.operators.Sampling.upsampleMix(
       big, "doc_id", "lang", maxRepeat = 4).queryExecution.toRdd.count())
+    // XOR digests combine map-side: the shuffle is ≤numShards partial
+    // rows per task no matter the corpus size — must track the scan
+    time("shard_manifest")(graft.operators.Compact.shardManifest(
+      big, "doc_id", "text", numShards = 64).queryExecution.toRdd.count())
     spark.stop()
   }
 

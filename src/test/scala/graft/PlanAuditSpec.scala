@@ -353,4 +353,39 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(st.shuffleBytesWritten <= 5L * 1000,
       s"shuffle ${st.shuffleBytesWritten}B — the mix should shuffle only group counts")
   }
+
+  test("q_shard_manifest: one scan, only partial shard digests shuffle") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("q_shard_manifest").build(spark, sf())
+        .queryExecution.toRdd.count()
+    }
+    // measured: records 500 (one scan), shufW 561B — the partial
+    // (shard, count, xor) rows, ≤numShards per task. A manifest that
+    // shuffled row digests instead of combined ones lands in the MBs.
+    assert(st.recordsRead <= 600,
+      s"${st.recordsRead} records read — the corpus is scanned twice")
+    assert(st.shuffleBytesWritten <= 2L * 1000,
+      s"shuffle ${st.shuffleBytesWritten}B — XOR must combine map-side; " +
+        "only numShards partial rows per task may move")
+  }
+
+  test("sim_hard_negatives: queries broadcast, corpus never shuffles, top-k combines") {
+    val p = plan("sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the label-excluded query set must broadcast against one corpus scan")
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("sim_hard_negatives").build(spark, sf())
+        .queryExecution.toRdd.count()
+    }
+    // measured: records 1000 (query scan + corpus scan of the same
+    // table), shufW 1.1KB — per-partition top-k survivors only; the
+    // queries × corpus scored product itself never moves.
+    assert(st.recordsRead <= 1200,
+      s"${st.recordsRead} records read — a side is being scanned twice")
+    assert(st.shuffleBytesWritten <= 5L * 1000,
+      s"shuffle ${st.shuffleBytesWritten}B — more than per-partition " +
+        "top-k survivors are moving (the scored cross product must not shuffle)")
+  }
 }
