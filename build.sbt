@@ -31,6 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~100 bench queries x whole-stage codegen fills the JDK's default
+  // 240MB reserved code cache mid-run; once full the JIT stops
+  // compiling and the late (alphabetically last) queries run partly
+  // interpreted — measured as 4-8x slowdowns on q_substring_*/text_*
+  // with early queries unaffected. Headroom keeps the JIT on.
+  "-XX:ReservedCodeCacheSize=1g",
 )
 // Keep sbt's "[success] Total time ..." trailer off stdout: the bench
 // driver reads the LAST stdout line, which must be graft.Bench's JSON

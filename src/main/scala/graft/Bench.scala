@@ -22,7 +22,13 @@ object Bench {
     // shingle representations) produce plan-identical caches across
     // invocations, and without the clear the timed runs would read the
     // warmup's cache instead of executing the operator.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run — for
+    // adjudicating one query's number without the other 97 in the JVM
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       try {
         spark.catalog.clearCache()
         fn(spark, sfDir).count()
