@@ -626,7 +626,7 @@ object Queries {
         |  FROM q JOIN embeddings ON label IS NOT NULL AND label <> ql)
         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
-        |  FROM s) t WHERE rank <= 10""".stripMargin)),
+        |  FROM s WHERE c IS NOT NULL) t WHERE rank <= 10""".stripMargin)),
 
     // §2.3/28 — exact dedup by content hash
     "dedup_exact" -> QueryDef(
@@ -869,7 +869,7 @@ object Queries {
         |  FROM q JOIN embeddings ON vec_id <> qid)
         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
-        |  FROM s) t WHERE rank <= 10""".stripMargin)),
+        |  FROM s WHERE c IS NOT NULL) t WHERE rank <= 10""".stripMargin)),
 
     // §2.3/35 — LSH-bucketed ANN (scale path); recall vs brute force is
     // asserted in SimilaritySpec. FULL oracle: the md5-derived ±1 sign
@@ -905,7 +905,7 @@ object Queries {
         |  FROM cand JOIN emb eq ON eq.vec_id = qid JOIN emb ec ON ec.vec_id = nid)
         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
-        |  FROM s) t WHERE rank <= 10""".stripMargin)),
+        |  FROM s WHERE c IS NOT NULL) t WHERE rank <= 10""".stripMargin)),
 
     // §2.3/55 — IVF coarse-quantizer ANN (scale path #2); recall vs
     // brute force asserted in SimilaritySpec. The oracle replays the
