@@ -466,6 +466,19 @@ object Queries {
         |  CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 20
         |    WHEN 'src2' THEN 80 ELSE 10 END""".stripMargin)),
 
+    // §2.3/128 — exact-k deterministic uniform sample: the 137 docs
+    // with the smallest seeded id hashes, via the window-free bucketed
+    // selection (only the boundary hash bucket ranks)
+    "q_exact_sample" -> QueryDef(
+      (s, d) => Sampling.exactKSample(ds(s, d, "documents").toDF,
+        "doc_id", k = 137, seed = 7),
+      Some("""WITH h AS (SELECT doc_id,
+        |    ('0x' || substring(md5('7:' || doc_id::varchar), 1, 14))::bigint AS hh
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY hh, doc_id) AS rn FROM h) t
+        |WHERE rn <= 137""".stripMargin)),
+
     // §2.3/104 — per-group cap (domain balancing): at most 10 docs per
     // source, lowest 52-bit id hashes win; bottom-k aggregator, not a
     // window (see Sampling.perGroupCap)

@@ -351,6 +351,63 @@ object Sampling {
     fullyKept.unionByName(boundary)
   }
 
+  /** Exact-k deterministic uniform sample: the k rows with the
+    * smallest seeded id hashes — "give me exactly 10k eval documents",
+    * reproducible across engines, re-runs and cluster sizes, and
+    * stable under corpus growth (a sampled row leaves only when a new
+    * row hashes below the current k-th smallest hash). The same
+    * membership family as [[hashBucketSample]], but COUNT-exact
+    * instead of fraction-in-expectation — the difference that matters
+    * when the deliverable is "exactly k", not "about 1%".
+    *
+    * Scale shape: the window-free bucketed selection of
+    * [[quantileCut]], globalized. Hashes are uniform, so fixed-width
+    * hash buckets are balanced: per-bucket counts (one combinable
+    * aggregate producing ≤`buckets` rows), the cumulative frame
+    * broadcast back, and ONLY the single bucket straddling the k-th
+    * hash pays a within-bucket rank (~1/buckets of the corpus). Every
+    * other row is a map-side keep/drop. No global sort, and no
+    * TopKAgg buffer — its O(k) insert is for per-group caps, not a
+    * k-in-the-millions global sample.
+    *
+    * NULL ids are excluded (a row the id hash cannot identify cannot
+    * be deterministically sampled); ids are assumed unique — duplicate
+    * ids share a hash, so a boundary falling between two copies would
+    * be engine-order-dependent. k ≥ corpus keeps every row.
+    */
+  def exactKSample(df: DataFrame, idCol: String, k: Long,
+                   seed: Int = 0, buckets: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(buckets > 1, s"buckets must exceed 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    // integer DIV: 56-bit hashes exceed a double's 53-bit mantissa, so
+    // float division could misbucket near-boundary hashes vs the oracle
+    val width = (1L << 56) / buckets
+    val base = Dedup.registerPin(
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("__id"),
+          HashFunctions.seededHash56(seed, col(idCol).cast("string")).as("__h"))
+        .withColumn("__b",
+          least(lit(buckets - 1L), expr(s"__h DIV $width")).cast("int")))
+    val frame = base.groupBy("__b").agg(count(lit(1)).as("__c"))
+      // the cumulative runs over the ≤buckets-row frame, not the corpus
+      .withColumn("__above", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val joined = base.join(broadcast(frame.select(col("__b").as("__fb"),
+        col("__c"), col("__above"))), col("__b") === col("__fb"))
+    val fullyKept = joined.filter(col("__above") + col("__c") <= k)
+      .select("__id")
+    // at most one bucket straddles the k-th hash; only its rows rank
+    val boundary = joined
+      .filter(col("__above") < k && col("__above") + col("__c") > k)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__b").orderBy(col("__h"), col("__id"))))
+      .filter(col("__above") + col("__rk") <= k)
+      .select("__id")
+    fullyKept.unionByName(boundary).select(col("__id").as(idCol))
+  }
+
   /** Continuous-ingestion form of [[quantileCut]]: the REFERENCE
     * corpus fixes each group's quality bar — the LOWEST score its
     * quantile cut keeps — and each micro-batch row is flagged against

@@ -359,6 +359,34 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(kept.exists(r => r.isNullAt(1)), "a NULL group is a real group")
   }
 
+  test("exactKSample: exactly k, equals the global window form, partition/seed contracts") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.HashFunctions
+    import spark.implicits._
+    val df = ((1L to 400L).map(id => Some(id)) :+ (None: Option[Long]))
+      .toDF("doc_id")
+    val fast = Sampling.exactKSample(df, "doc_id", k = 57, seed = 7)
+    assert(fast.count() === 57L, "the sample must have exactly k rows")
+    val naive = df.filter(col("doc_id").isNotNull)
+      .withColumn("h", HashFunctions.seededHash56(7, col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= 57).select("doc_id")
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty,
+      "bucketed selection must equal the global bottom-k window exactly")
+    // partitioning must not change membership
+    val repart = Sampling.exactKSample(df.repartition(13), "doc_id", 57, seed = 7)
+    assert(fast.except(repart).isEmpty && repart.except(fast).isEmpty,
+      "the sample must not depend on input partitioning")
+    // a different seed is a different (same-size) sample
+    val reseeded = Sampling.exactKSample(df, "doc_id", 57, seed = 8)
+    assert(reseeded.count() === 57L)
+    assert(reseeded.except(fast).count() > 0, "seeds must give independent samples")
+    // k >= corpus keeps every identifiable row; the NULL id never appears
+    assert(Sampling.exactKSample(df, "doc_id", 1000, seed = 7).count() === 400L,
+      "k past the corpus keeps all non-NULL-id rows")
+  }
+
   test("upsampleMix: factors balance toward the head, capped, counts multiply exactly") {
     import graft.operators.Sampling
     val docs = Tables.load(spark, sf(), "documents")

@@ -370,6 +370,22 @@ class PlanAuditSpec extends SparkSpecBase {
         "only numShards partial rows per task may move")
   }
 
+  test("q_exact_sample: one pinned hash pass, only the bucket frame and boundary rank shuffle") {
+    spark.catalog.clearCache()
+    val (_, st) = QueryMetrics.profile(spark) {
+      Queries.asMap("q_exact_sample").build(spark, sf())
+        .queryExecution.toRdd.count()
+    }
+    // measured: records 503 (the pinned hash pass + bucket frame),
+    // shufW 14.3KB (pin + per-bucket counts + the boundary rank). A
+    // global bottom-k sort would move every hashed row.
+    assert(st.recordsRead <= 700,
+      s"${st.recordsRead} records read — the hashed base is being recomputed")
+    assert(st.shuffleBytesWritten <= 20L * 1000,
+      s"shuffle ${st.shuffleBytesWritten}B — more than the bucket frame " +
+        "and one boundary bucket is moving")
+  }
+
   test("sim_hard_negatives: queries broadcast, corpus never shuffles, top-k combines") {
     val p = plan("sim_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin"),
