@@ -120,6 +120,11 @@ object ScaleProbe {
     // rows per task no matter the corpus size — must track the scan
     time("shard_manifest")(graft.operators.Compact.shardManifest(
       big, "doc_id", "text", numShards = 64).queryExecution.toRdd.count())
+    // only the boundary hash bucket ranks (~1/1024 of the corpus); k
+    // scaled with the corpus so the boundary stays interior
+    time("exact_sample")(graft.operators.Sampling.exactKSample(
+      big, "doc_id", k = 997L * factor, seed = 7)
+      .queryExecution.toRdd.count())
     spark.stop()
   }
 
