@@ -55,7 +55,10 @@ object Bench {
     // gets a compact summary (<300 chars) as the FINAL line, because the
     // driver parses only a 2 kB stdout tail and a longer final line
     // starts mid-JSON.
-    Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json + "\n")
+    // a BENCH_ONLY-restricted run must not clobber the last FULL run's
+    // artifact (the stdout summary's "detail" pointer target)
+    val defaultOut = if (only.isDefined) "BENCH_partial.json" else "BENCH.json"
+    Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)), json + "\n")
     // Locale.ROOT: the default f-interpolator is locale-sensitive and a
     // comma-decimal locale would corrupt the one JSON line the driver
     // parses
@@ -63,7 +66,8 @@ object Bench {
       .flatMap(k => results.get(k).map(v =>
         s"\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)))
       .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.values.count(_ < 0)},"queries":$headline,"sf":"$sfDir","detail":"BENCH.json"}"""
+    val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.values.count(_ < 0)},"queries":$headline,"sf":"$sfDir","detail":"$outName"}"""
     println(summary)
   }
 }

@@ -72,16 +72,39 @@ object Dedup {
     p
   }
 
+  // static-side frames of RUNNING streaming queries. Deliberately NOT
+  // the eviction LRU above: four later batch registrations would
+  // unpersist a live stream's static frame and silently revert it to
+  // per-trigger recompute for the stream's remaining lifetime. These
+  // are few (one per started probe), caller-scoped, and released only
+  // by releasePins() or session stop.
+  private val streamPins = new java.util.ArrayDeque[DataFrame]()
+
+  private[operators] def registerStreamPin(df: DataFrame): DataFrame =
+    streamPins.synchronized {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      streamPins.addLast(p)
+      p
+    }
+
   /** Drop every internal cache pin registered by the salted self-join
-    * operators. The pins are LRU-bounded (at most [[maxPins]]
-    * corpus-sized frames), but a long-lived session that is done with
-    * dedup work should release them eagerly rather than wait for
-    * later invocations (or storage-memory pressure) to evict them —
-    * the batch-job analogue of [[shinglePairsReleasable]]'s handle.
+    * operators, and every streaming static-side pin. The batch pins
+    * are LRU-bounded (at most [[maxPins]] corpus-sized frames), but a
+    * long-lived session that is done with dedup work should release
+    * them eagerly rather than wait for later invocations (or
+    * storage-memory pressure) to evict them — the batch-job analogue
+    * of [[shinglePairsReleasable]]'s handle. Call only after the
+    * streams using [[registerStreamPin]]ned frames have stopped.
     */
-  def releasePins(): Unit = recentPins.synchronized {
-    while (!recentPins.isEmpty)
-      recentPins.removeFirst().unpersist(blocking = false)
+  def releasePins(): Unit = {
+    recentPins.synchronized {
+      while (!recentPins.isEmpty)
+        recentPins.removeFirst().unpersist(blocking = false)
+    }
+    streamPins.synchronized {
+      while (!streamPins.isEmpty)
+        streamPins.removeFirst().unpersist(blocking = false)
+    }
   }
 
   private final case class PairScorer(repr: DataFrame,
@@ -613,7 +636,10 @@ object Dedup {
         .select(col(outId), col(s"__${outId}_repr"),
           col("bk.band").as("band"), col("bk.sig").as("sig")))
     }
-    val (ps, refSide) = banded(ref, "ref_id")
+    val (ps, refSideRaw) = banded(ref, "ref_id")
+    // stream pin: the banded reference is corpus-scale (sign + band
+    // every reference doc) and would re-execute per micro-batch
+    val refSide = registerStreamPin(refSideRaw)
     val (_, streamSide) = banded(stream, "new_id")
     streamSide.join(refSide, Seq("band", "sig"))
       .select(col("new_id"), col("ref_id"),
@@ -810,9 +836,13 @@ object Dedup {
   def streamingChunkProbe(stream: DataFrame, ref: DataFrame,
                           idCol: String, textCol: String,
                           chunkTokens: Int = 20): DataFrame = {
-    val owners = chunkOccurrences(ref, idCol, textCol, chunkTokens)
-      .groupBy("h").agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
-      .select(col("h"), col("w.doc_id").as("ref_doc_id"))
+    // stream pin: the static side re-evaluates per trigger, and this
+    // one is CORPUS-scale (the whole reference chunked + an ownership
+    // shuffle) — unpinned, every micro-batch would pay it again
+    val owners = registerStreamPin(
+      chunkOccurrences(ref, idCol, textCol, chunkTokens)
+        .groupBy("h").agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+        .select(col("h"), col("w.doc_id").as("ref_doc_id")))
     chunkOccurrences(stream, idCol, textCol, chunkTokens)
       .join(owners, Seq("h"), "left")
       .select(col("doc_id").as("new_id"), col("chunk_idx"), col("h"),

@@ -114,16 +114,25 @@ object Multimodal {
               (f.mean_r + f.mean_g + f.mean_b) / 765.0)
             case None => stub // payload is not an image file (synthetic test bytes)
           }
+          // Try: a magic-check pass does not guarantee a decodable
+          // payload (8/24-bit or float WAV, truncated GVID index) —
+          // the bulk-decode contract is stub fallback, not a 4x task
+          // retry that kills the whole job. wavFeatures/gvidFeatures
+          // still throw doc-labelled errors when called directly.
           case "audio" if isWavMagic(r.payload) =>
-            val a = wavFeatures(r.doc_id, r.payload)
-            Array(a.rms, a.peak, math.min(a.duration_ms, 90000L) / 90000.0,
-              a.channels / 8.0)
+            scala.util.Try {
+              val a = wavFeatures(r.doc_id, r.payload)
+              Array(a.rms, a.peak, math.min(a.duration_ms, 90000L) / 90000.0,
+                a.channels / 8.0)
+            }.getOrElse(stub)
           case "video" if isGvidMagic(r.payload) =>
             // real container parse + frame-sample + per-frame BMP
             // decode; only real-world codecs (h264) remain stubbed
-            val v = gvidFeatures(r.doc_id, r.payload)
-            Array(v.mean_luma / 255.0, v.n_frames / 64.0, v.sampled / 16.0,
-              math.min(v.duration_ms, 90000L) / 90000.0)
+            scala.util.Try {
+              val v = gvidFeatures(r.doc_id, r.payload)
+              Array(v.mean_luma / 255.0, v.n_frames / 64.0, v.sampled / 16.0,
+                math.min(v.duration_ms, 90000L) / 90000.0)
+            }.getOrElse(stub)
           case _ => stub // non-GVID video (h264): no codec in the JDK
         }
         MediaFeatures(r.doc_id, r.kind, r.payload.length, hex, feature)

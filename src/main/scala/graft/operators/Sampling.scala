@@ -175,10 +175,12 @@ object Sampling {
   def streamingMixProbe(stream: DataFrame, ref: DataFrame,
                         idCol: String, groupCol: String,
                         num: Int, den: Int): DataFrame = {
-    // the static side of a stream-static join re-evaluates per trigger
-    // — pinned, the reference count scan runs once instead of once per
-    // micro-batch (the frame itself is group-cardinality-sized)
-    val probs = Dedup.registerPin(mixProbabilities(ref, groupCol, num, den))
+    // stream pin (NOT the batch LRU — four later batch registrations
+    // would unpersist a live stream's static frame): the static side
+    // of a stream-static join re-evaluates per trigger, so pinned the
+    // reference count scan runs once instead of once per micro-batch
+    // (the frame itself is group-cardinality-sized)
+    val probs = Dedup.registerStreamPin(mixProbabilities(ref, groupCol, num, den))
     stream.join(broadcast(probs), col(groupCol) <=> col("__g"), "left")
       .select(col(idCol), col(groupCol),
         mixKeep(idCol, coalesce(col("__p"), lit(1.0))).as("is_kept"))
@@ -424,9 +426,10 @@ object Sampling {
   def streamingQualityProbe(stream: DataFrame, ref: DataFrame,
                             idCol: String, scoreCol: String, groupCol: String,
                             num: Int, den: Int): DataFrame = {
-    // pinned: the static side of a stream-static join re-evaluates per
-    // trigger; the threshold frame is group-cardinality-sized
-    val thr = Dedup.registerPin(
+    // stream pin (NOT the batch LRU — see streamingMixProbe): the
+    // static side re-evaluates per trigger; the threshold frame is
+    // group-cardinality-sized
+    val thr = Dedup.registerStreamPin(
       quantileCutScored(ref, idCol, scoreCol, groupCol, num, den)
         .groupBy(col("__g")).agg(min(col("__s")).as("__thr")))
     stream.join(broadcast(thr), col(groupCol) <=> col("__g"), "left")
