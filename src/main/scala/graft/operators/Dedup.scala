@@ -64,7 +64,7 @@ object Dedup {
   private val recentPins = new java.util.ArrayDeque[DataFrame]()
   private val maxPins = 4
 
-  private[operators] def registerPin(df: DataFrame): DataFrame = recentPins.synchronized {
+  private[graft] def registerPin(df: DataFrame): DataFrame = recentPins.synchronized {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     recentPins.addLast(p)
     while (recentPins.size > maxPins)
@@ -80,7 +80,7 @@ object Dedup {
   // by releasePins() or session stop.
   private val streamPins = new java.util.ArrayDeque[DataFrame]()
 
-  private[operators] def registerStreamPin(df: DataFrame): DataFrame =
+  private[graft] def registerStreamPin(df: DataFrame): DataFrame =
     streamPins.synchronized {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       streamPins.addLast(p)

@@ -16,6 +16,23 @@ class DedupSpec extends SparkSpecBase {
     ).toDF("doc_id", "text", "source")
   }
 
+  test("stream pins survive batch LRU cycling; releasePins clears both sets") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    Dedup.releasePins()
+    val streamStatic = Dedup.registerStreamPin(Seq(1L, 2L).toDF("x"))
+    streamStatic.count()
+    assert(streamStatic.storageLevel !== StorageLevel.NONE,
+      "a stream pin must be persisted")
+    // five batch registrations cycle the whole 4-entry LRU
+    (1 to 5).foreach(i => Dedup.registerPin(Seq(i.toLong).toDF("y")).count())
+    assert(streamStatic.storageLevel !== StorageLevel.NONE,
+      "cycling the batch pin LRU must not evict a live stream's static frame")
+    Dedup.releasePins()
+    assert(streamStatic.storageLevel === StorageLevel.NONE,
+      "releasePins must drop stream pins once their streams are stopped")
+  }
+
   test("exact dedup groups identical content and elects min id") {
     val r = Dedup.exact(docs, "doc_id", "text")
       .filter(col("dup_cnt") > 1).collect()
