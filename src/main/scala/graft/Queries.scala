@@ -1446,6 +1446,35 @@ object Queries {
            |FROM trg JOIN tg USING (gram) GROUP BY trg.doc_id""".stripMargin
       }),
 
+    // §2.3/129 — blocked-Bloom decontamination: the scale path when
+    // the eval gram set outgrows a broadcast. The exact confirm join
+    // erases the prefilter's false positives, so the output — and the
+    // oracle — is exactly q_decontaminate's; `words` is deliberately
+    // tiny here so the fp path is actually exercised before confirm
+    "q_decontaminate_bloom" -> QueryDef(
+      (s, d) => {
+        val docs = ds(s, d, "documents").toDF
+        Decontaminate.ngramOverlapBloom(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, words = 256)
+      },
+      Some {
+        val grams = """CASE WHEN len(toks) >= 3 THEN list_distinct(
+          |      list_transform(generate_series(1, len(toks) - 2),
+          |        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+          |    ELSE []::VARCHAR[] END""".stripMargin
+        s"""WITH tok AS (SELECT doc_id,
+           |    regexp_split_to_array(trim(text), '\\s+') AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |tg AS (SELECT DISTINCT unnest($grams) AS gram
+           |  FROM tok WHERE doc_id % 50 = 0),
+           |trg AS (SELECT doc_id, unnest($grams) AS gram
+           |  FROM tok WHERE doc_id % 50 <> 0)
+           |SELECT trg.doc_id, count(*) AS n_hit_grams
+           |FROM trg JOIN tg USING (gram) GROUP BY trg.doc_id""".stripMargin
+      }),
+
     // §2.3/97 — sequence packing: whole documents assigned to
     // fixed-token-budget batches per source (length-sorted offset
     // packing — deterministic, one window shuffle; a batch exceeds

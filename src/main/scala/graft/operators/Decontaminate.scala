@@ -53,6 +53,45 @@ object Decontaminate {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** [[ngramOverlap]] for evaluation sets too big to broadcast as raw
+    * grams: a register-blocked Bloom prefilter (the Parquet/Impala
+    * split-block design, simplified to one 64-bit block) compacts ANY
+    * number of eval grams into a fixed ≤`words`-row (word_idx, bits)
+    * frame — a few MB broadcast no matter the eval-set size. Each
+    * gram maps to ONE word (h1 mod words) and k=4 bits within it
+    * (6-bit chunks of h2), so membership is a single broadcast-join +
+    * `(bits & mask) = mask` test in the corpus scan stage. Candidates
+    * (true hits + false positives, ~(1-(1-k/64)^k·load)ᵏ of the
+    * corpus grams) then pay the EXACT shuffle-join confirm against the
+    * real gram set — only candidates move, and false positives die
+    * there, so the output is bit-identical to [[ngramOverlap]] and
+    * replays on the same oracle. Size `words` ≈ eval grams / 6 for a
+    * ~1% fp rate (k=4 at ~9.6 bits/key).
+    */
+  def ngramOverlapBloom(train: DataFrame, test: DataFrame, idCol: String,
+                        textCol: String, n: Int,
+                        words: Int = 1 << 16): DataFrame = {
+    require(words > 0, s"words must be positive, got $words")
+    import graft.functions.HashFunctions
+    def wordAndMask(df: DataFrame) = df
+      .withColumn("__w", pmod(HashFunctions.seededHash56(1, col("gram")), lit(words)))
+      .withColumn("__h2", HashFunctions.seededHash56(2, col("gram")))
+      .withColumn("__m", expr((0 until 4).map(j =>
+        s"shiftleft(1L, cast(shiftright(__h2, ${6 * j}) & 63L as int))")
+        .mkString(" | ")))
+    val testGrams = docGrams(test, idCol, textCol, n).select("gram").distinct()
+    val bloom = wordAndMask(testGrams)
+      .groupBy("__w").agg(expr("bit_or(__m)").as("__bits"))
+    val candidates = wordAndMask(docGrams(Dedup.fanOut(train), idCol, textCol, n))
+      .join(broadcast(bloom), "__w")
+      .filter(col("__bits").bitwiseAND(col("__m")) === col("__m"))
+      .select("doc_id", "gram")
+    // exact confirm: candidates ⋈ real grams — shuffle carries only
+    // prefilter survivors on the corpus side, never the full explosion
+    candidates.join(testGrams, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
+  }
+
   /** Streaming contamination audit: every (doc_id, gram) hit of a
     * document STREAM against the static eval-gram set — the quarantine
     * log a continuously-ingesting pipeline tails. Stateless

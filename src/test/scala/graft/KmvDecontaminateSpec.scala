@@ -69,6 +69,30 @@ class KmvDecontaminateSpec extends SparkSpecBase {
     assert(r === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("ngramOverlapBloom equals ngramOverlap exactly — even with a saturated bloom") {
+    import spark.implicits._
+    val train = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val test = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val exact = Decontaminate.ngramOverlap(train, test, "doc_id", "text", 3)
+    // realistic sizing: the prefilter admits few false positives
+    val bloom = Decontaminate.ngramOverlapBloom(train, test, "doc_id", "text", 3,
+      words = 4096)
+    assert(bloom.except(exact).isEmpty && exact.except(bloom).isEmpty,
+      "the confirm join must erase every bloom false positive")
+    // words=1 saturates every bit of the single block: everything is a
+    // candidate and correctness must come entirely from the confirm
+    val saturated = Decontaminate.ngramOverlapBloom(train, test, "doc_id", "text", 3,
+      words = 1)
+    assert(saturated.except(exact).isEmpty && exact.except(saturated).isEmpty,
+      "a fully saturated bloom must still confirm to the exact result")
+    // the corpus-side prefilter probes a broadcast ≤words-row frame
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bloom frame join should be broadcast, got:\n$plan")
+  }
+
   test("removeContaminated drops flagged docs only; eval side is broadcast") {
     import spark.implicits._
     val train = Seq((1L, "alpha beta gamma delta"), (2L, "clean text entirely"))
