@@ -125,6 +125,11 @@ object ScaleProbe {
     time("exact_sample")(graft.operators.Sampling.exactKSample(
       big, "doc_id", k = 997L * factor, seed = 7)
       .queryExecution.toRdd.count())
+    // the bloom frame is ≤words rows whatever the eval size; corpus
+    // grams probe it in-stage and only candidates reach the confirm
+    time("decontaminate_bloom")(graft.operators.Decontaminate.ngramOverlapBloom(
+      big.filter(col("doc_id") % 50 =!= 0), big.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", 3, words = 1 << 16).queryExecution.toRdd.count())
     spark.stop()
   }
 
