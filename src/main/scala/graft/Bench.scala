@@ -43,6 +43,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftLogging.quietBoundedWindowWarnings()
     // Ceilings: repo-root bench_ceilings.json (generated from the last
     // adjudicated clean run). A query absent from the map (newly added
     // since the last regeneration) gets a permissive default so new work

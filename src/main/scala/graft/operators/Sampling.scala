@@ -142,7 +142,9 @@ object Sampling {
     // totals via an unpartitioned window over the group-cardinality
     // frame (bounded by construction) — a separate .agg would re-run
     // the corpus count scan a second time. Integer sums, so the
-    // window's evaluation order cannot perturb them.
+    // window's evaluation order cannot perturb them. (Constant
+    // partition keys are stripped by the optimizer; the bounded-frame
+    // allowlist is asserted in PlanAuditSpec.)
     val totWin = org.apache.spark.sql.expressions.Window
       .rowsBetween(Long.MinValue, Long.MaxValue)
     // identical expression tree to the oracle SQL:
@@ -236,7 +238,8 @@ object Sampling {
           greatest(lit(0.0), floor(col("__s") * lit(buckets)))).cast("int")))
     val perBucket = base.groupBy("__b").agg(sum("__t").as("__btoks"))
     // tokens in all STRICTLY HIGHER buckets — a ≤buckets-row frame;
-    // the unpartitioned window is bounded by construction
+    // the unpartitioned window is bounded by construction (allowlisted
+    // in PlanAuditSpec's bounded-global-window assert)
     val above = perBucket.withColumn("__above",
       coalesce(sum(col("__btoks")).over(
         Window.orderBy(col("__b").desc).rowsBetween(Window.unboundedPreceding, -1)),

@@ -65,6 +65,11 @@ object TfIdf {
     */
   def vocabTopN(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Deliberately unpartitioned: the frame is ≤topN rows after the
+    // limit, so one partition is correct. Constant partition keys
+    // (lit(0), cnt*0) do not survive the optimizer's foldable-partition
+    // elimination, so the declared allowlist lives in PlanAuditSpec's
+    // bounded-global-window assert instead.
     val w = Window.orderBy(col("cnt").desc, col("token"))
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))

@@ -404,4 +404,34 @@ class PlanAuditSpec extends SparkSpecBase {
       s"shuffle ${st.shuffleBytesWritten}B — more than per-partition " +
         "top-k survivors are moving (the scored cross product must not shuffle)")
   }
+
+  test("partition-less Windows appear ONLY in the declared bounded-frame allowlist") {
+    // Every intentionally-global window in the library runs over a
+    // frame bounded by CONSTRUCTION, never the corpus: vocabTopN ranks
+    // the ≤topN survivors of a limit; the sampling/selection operators
+    // cumulate over a ≤buckets or group-cardinality frame. Constant
+    // partition keys (lit(0), col*0 on non-nullable columns) are
+    // stripped by the optimizer's foldable-partition elimination, so
+    // the declaration lives HERE: any query outside this allowlist
+    // that plans a partition-less Window is an unbounded global sort
+    // in disguise and fails the build. GraftLogging downgrades
+    // WindowExec's no-partition warning on the strength of this
+    // assert.
+    val allow = Set(
+      "text_vocab",      // vocabTopN: rank over ≤topN rows post-limit
+      "q_domain_mix",    // temperatureMix: totals over group-cardinality frame
+      "q_token_budget",  // tokenBudget: cumsum over ≤buckets frame
+      "q_exact_sample",  // exactKSample: cumsum over ≤buckets frame
+      "q_upsample_mix")  // upsampleMix: max over group-cardinality frame
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = Queries.registry.flatMap { case (name, q) =>
+      val df = q.build(spark, sf())
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => name
+      }
+    }.distinct
+    val outside = offenders.filterNot(allow)
+    assert(outside.isEmpty,
+      s"partition-less Window OUTSIDE the bounded-frame allowlist: ${outside.mkString(", ")}")
+  }
 }
