@@ -1134,20 +1134,44 @@ object Queries {
       Some("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) " +
         "AS fingerprint FROM documents")),
 
-    // §2.3/40 — multimodal: image rows carry REAL encoded files
-    // (PNG/JPEG via javax.imageio, hand-built BMP) and are decoded for
-    // real per partition; audio/video codecs remain the declared stub.
-    // Rows-only (DuckDB has no image decoder to replay against). The
-    // feature vector is emitted as SCALAR columns: the driver's
-    // rows-only check still sorts the dumped frame, and an array cell
-    // is unhashable/unsortable for it (round-3 red row).
+    // §2.3/40 — multimodal decode, ORACLED: image rows carry REAL
+    // encoded files (PNG/JPEG via javax.imageio, hand-built BMP),
+    // audio rows real RIFF/WAVE, video rows the GVID container of BMP
+    // frames — all decoded for real per partition (only real-world
+    // video codecs like h264 remain the declared stub). DuckDB cannot
+    // decode images, but every payload derives from the closed-form
+    // pixel()/sampleVal() seed formulas, so the audit row IS
+    // SQL-replayable: codec/kind/container sizes and the lossless
+    // feature come straight from doc_id arithmetic, and decode_ok
+    // (decoded features == independent closed-form expectation; exact
+    // for lossless codecs, measured-tolerance for JPEG) is pinned TRUE
+    // by the oracle — an encode/decode regression now turns into a
+    // driver-visible hash mismatch instead of a rows-only shrug.
     "multimodal_decode" -> QueryDef(
-      (s, d) => Multimodal.decodeMedia(s,
-        Multimodal.attachMediaPayload(ds(s, d, "documents").toDF, "doc_id", "text").toDF)
-        .toDF().select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum"),
-          col("feature")(0).as("f0"), col("feature")(1).as("f1"),
-          col("feature")(2).as("f2"), col("feature")(3).as("f3")),
-      None),
+      (s, d) => Multimodal.decodeAudit(s,
+        Multimodal.attachMediaPayload(ds(s, d, "documents").toDF, "doc_id", "text")).toDF(),
+      Some("""WITH m AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |           CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 3 THEN 'jpg' ELSE 'bmp' END
+        |         WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'gvid' END AS codec
+        |  FROM documents),
+        |img AS (SELECT m.doc_id,
+        |    sum((m.doc_id * 31 + x * 7 + y * 13) % 256) AS s_r,
+        |    sum((m.doc_id * 31 + x * 7 + y * 13 + 101) % 256) AS s_g,
+        |    sum((m.doc_id * 31 + x * 7 + y * 13 + 202) % 256) AS s_b
+        |  FROM m, generate_series(0, 7) gx(x), generate_series(0, 5) gy(y)
+        |  WHERE m.kind = 'image' GROUP BY m.doc_id)
+        |SELECT m.doc_id, m.kind, m.codec,
+        |  (CASE m.codec WHEN 'bmp' THEN 198
+        |     WHEN 'wav' THEN 44 + (400 + (m.doc_id % 37) * 8) * 2 * (1 + m.doc_id % 2)
+        |     WHEN 'gvid' THEN 16 + (6 + (m.doc_id % 5) * 2) * 202 END)::BIGINT AS n_bytes,
+        |  TRUE AS decode_ok,
+        |  CASE WHEN m.codec = 'jpg' THEN NULL
+        |       WHEN m.kind = 'image' THEN (img.s_r + img.s_g + img.s_b) / 48.0 / 765.0
+        |       WHEN m.kind = 'audio' THEN (1 + m.doc_id % 2) / 8.0
+        |       ELSE ((6 + (m.doc_id % 5) * 2) * 1000 // 25) / 90000.0 END AS f3
+        |FROM m LEFT JOIN img ON m.doc_id = img.doc_id""".stripMargin)),
 
     // §2.3/81 — winnowing fingerprints (rolling-hash document
     // fingerprinting): windowed minima over positional 5-gram hashes,
@@ -1392,12 +1416,40 @@ object Queries {
         |FROM occ JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2) CROSS JOIN v
         |GROUP BY doc_id""".stripMargin)),
 
-    // §2.3/46 — approximate distinct (HLL++): algorithm-specific values,
-    // accuracy asserted vs exact in ApproxSpec → rows-only
+    // §2.3/46 — approximate distinct (HLL++), ORACLED: HLL register
+    // values are engine-private (DuckDB's HLL ≠ Spark's), so the row
+    // carries (a) hll_ok — the HLL++ estimate lands within 3x its
+    // configured rsd of the exact count, pinned TRUE by the oracle, so
+    // an estimator regression is a driver-visible hash mismatch — and
+    // (b) the md5-portable KMV (bottom-k) estimate, replayed exactly
+    // in SQL (k=128 here; the dedicated KMV row q_kmv_distinct uses
+    // k=64). The exact countDistinct referee is per-group and
+    // map-side-combinable; at 100 TB you'd sample-audit instead, but
+    // the contract column is what makes the approximation checkable.
     "q_approx_users" -> QueryDef(
-      (s, d) => ds(s, d, "events").toDF.groupBy("event_type")
-        .agg(approx_count_distinct("user_id").as("approx_users")),
-      None),
+      (s, d) => {
+        val ev = ds(s, d, "events").toDF
+        val hll = ev.groupBy("event_type")
+          .agg(approx_count_distinct("user_id", 0.05).as("__approx"),
+            countDistinct(col("user_id")).as("__exact"))
+          .select(col("event_type"),
+            (abs(col("__approx") - col("__exact")) <=
+              lit(0.15) * col("__exact")).as("hll_ok"))
+        val kmv = Sketches.kmvDistinct(ev, Seq("event_type"), "user_id", k = 128)
+          .withColumnRenamed("est_distinct", "approx_users_kmv")
+        hll.join(kmv, Seq("event_type"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substring(md5(user_id::VARCHAR), 1, 14))::bigint AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+        |k AS (SELECT event_type, count(*) AS cnt, max(hv) AS hk
+        |  FROM r WHERE rn <= 128 GROUP BY event_type)
+        |SELECT event_type, TRUE AS hll_ok,
+        |  CASE WHEN cnt < 128 THEN cnt
+        |    ELSE (127 * (1::BIGINT << 56)) // hk END AS approx_users_kmv
+        |FROM k""".stripMargin)),
 
     // §2.3/90 — KMV (bottom-k) distinct-count sketch: unlike HLL++
     // (q_approx_users, engine-private registers → rows-only), every

@@ -99,44 +99,46 @@ object Multimodal {
     * (iterator-of-records per partition, no driver collect) matches a
     * production decode.
     */
+  private[graft] def decodeOne(r: MediaRecord): MediaFeatures = {
+    val sum = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+    val hex = sum.map("%02x".format(_)).mkString
+    def stub = (0 until 4).map(i =>
+      java.lang.Long.parseLong(hex.substring(i * 4, i * 4 + 4), 16) / 65535.0).toArray
+    val feature = r.kind match {
+      case "image" => tryImageFeatures(r.doc_id, r.payload, 1, 1) match {
+        case Some(f) => Array(f.mean_r / 255.0, f.mean_g / 255.0, f.mean_b / 255.0,
+          (f.mean_r + f.mean_g + f.mean_b) / 765.0)
+        case None => stub // payload is not an image file (synthetic test bytes)
+      }
+      // Try: a magic-check pass does not guarantee a decodable
+      // payload (8/24-bit or float WAV, truncated GVID index) —
+      // the bulk-decode contract is stub fallback, not a 4x task
+      // retry that kills the whole job. wavFeatures/gvidFeatures
+      // still throw doc-labelled errors when called directly.
+      case "audio" if isWavMagic(r.payload) =>
+        scala.util.Try {
+          val a = wavFeatures(r.doc_id, r.payload)
+          Array(a.rms, a.peak, math.min(a.duration_ms, 90000L) / 90000.0,
+            a.channels / 8.0)
+        }.getOrElse(stub)
+      case "video" if isGvidMagic(r.payload) =>
+        // real container parse + frame-sample + per-frame BMP
+        // decode; only real-world codecs (h264) remain stubbed
+        scala.util.Try {
+          val v = gvidFeatures(r.doc_id, r.payload)
+          Array(v.mean_luma / 255.0, v.n_frames / 64.0, v.sampled / 16.0,
+            math.min(v.duration_ms, 90000L) / 90000.0)
+        }.getOrElse(stub)
+      case _ => stub // non-GVID video (h264): no codec in the JDK
+    }
+    MediaFeatures(r.doc_id, r.kind, r.payload.length, hex, feature)
+  }
+
   def decodeMedia(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // decode in memory, no temp files
-      it.map { r =>
-        val sum = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
-        val hex = sum.map("%02x".format(_)).mkString
-        def stub = (0 until 4).map(i =>
-          java.lang.Long.parseLong(hex.substring(i * 4, i * 4 + 4), 16) / 65535.0).toArray
-        val feature = r.kind match {
-          case "image" => tryImageFeatures(r.doc_id, r.payload, 1, 1) match {
-            case Some(f) => Array(f.mean_r / 255.0, f.mean_g / 255.0, f.mean_b / 255.0,
-              (f.mean_r + f.mean_g + f.mean_b) / 765.0)
-            case None => stub // payload is not an image file (synthetic test bytes)
-          }
-          // Try: a magic-check pass does not guarantee a decodable
-          // payload (8/24-bit or float WAV, truncated GVID index) —
-          // the bulk-decode contract is stub fallback, not a 4x task
-          // retry that kills the whole job. wavFeatures/gvidFeatures
-          // still throw doc-labelled errors when called directly.
-          case "audio" if isWavMagic(r.payload) =>
-            scala.util.Try {
-              val a = wavFeatures(r.doc_id, r.payload)
-              Array(a.rms, a.peak, math.min(a.duration_ms, 90000L) / 90000.0,
-                a.channels / 8.0)
-            }.getOrElse(stub)
-          case "video" if isGvidMagic(r.payload) =>
-            // real container parse + frame-sample + per-frame BMP
-            // decode; only real-world codecs (h264) remain stubbed
-            scala.util.Try {
-              val v = gvidFeatures(r.doc_id, r.payload)
-              Array(v.mean_luma / 255.0, v.n_frames / 64.0, v.sampled / 16.0,
-                math.min(v.duration_ms, 90000L) / 90000.0)
-            }.getOrElse(stub)
-          case _ => stub // non-GVID video (h264): no codec in the JDK
-        }
-        MediaFeatures(r.doc_id, r.kind, r.payload.length, hex, feature)
-      }
+      it.map(decodeOne)
     }
   }
 
@@ -145,6 +147,150 @@ object Multimodal {
     */
   def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] =
     decodeMedia(spark, media)
+
+  // ---- decode audit: the oracle-checkable face of the decode path ------
+
+  final case class MediaAudit(doc_id: Long, kind: String, codec: String,
+                              n_bytes: Option[Long], decode_ok: Boolean,
+                              f3: Option[Double])
+
+  /** Container/codec family from payload magic bytes — derived from
+    * the BYTES, not the id, so a generation bug that emits the wrong
+    * format surfaces as a codec mismatch in [[decodeAudit]].
+    */
+  private[graft] def codecOf(p: Array[Byte]): String =
+    if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+    else if (p.length >= 4 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') "png"
+    else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpg"
+    else if (isWavMagic(p)) "wav"
+    else if (isGvidMagic(p)) "gvid"
+    else "unknown"
+
+  /** INDEPENDENT closed-form expectation of [[decodeOne]]'s feature
+    * vector for an [[attachMediaPayload]] record: recomputed from the
+    * deterministic [[pixel]]/[[sampleVal]] seed formulas alone — the
+    * payload bytes are never touched, so this path shares no code with
+    * encode (ByteBuffer/ImageIO writers) or decode (parsers/readers).
+    * Exact for the lossless codecs (BMP/PNG round-trip pixels, WAV is
+    * PCM-16 verbatim, GVID frames are BMP); JPEG is lossy, so its rows
+    * compare within a measured tolerance instead.
+    */
+  private[graft] def expectedFeature(docId: Long, w: Int = 8, h: Int = 6): Array[Double] =
+    (docId % 3) match {
+      case 0 => // image: channel means over the deterministic pixel grid
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sr += pixel(docId, x, y, 0); sg += pixel(docId, x, y, 1)
+            sb += pixel(docId, x, y, 2); x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+        Array(mr / 255.0, mg / 255.0, mb / 255.0, (mr + mg + mb) / 765.0)
+      case 1 => // audio: RMS/peak over the deterministic PCM samples
+        val nSamples = 400 + (docId % 37).toInt * 8
+        val channels = 1 + (docId % 2).toInt
+        var i = 0; var sumSq = 0.0; var peak = 0L
+        while (i < nSamples) {
+          var c = 0
+          while (c < channels) {
+            val s = sampleVal(docId, i, c).toInt
+            sumSq += s.toDouble * s
+            if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+            c += 1
+          }
+          i += 1
+        }
+        val nTot = nSamples * channels
+        val durMs = nSamples * 1000L / 8000
+        Array(math.sqrt(sumSq / nTot) / 32768.0, peak / 32768.0,
+          math.min(durMs, 90000L) / 90000.0, channels / 8.0)
+      case _ => // video: luma means over every 4th deterministic frame
+        val nFrames = 6 + (docId % 5).toInt * 2
+        val fps = 25
+        var lumaSum = 0.0; var sampled = 0; var f = 0
+        while (f < nFrames) {
+          val seed = docId * 1009 + f
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sr += pixel(seed, x, y, 0); sg += pixel(seed, x, y, 1)
+              sb += pixel(seed, x, y, 2); x += 1
+            }
+            y += 1
+          }
+          val n = w.toDouble * h
+          lumaSum += (sr / n + sg / n + sb / n) / 3.0
+          sampled += 1
+          f += 4
+        }
+        val durMs = nFrames * 1000L / fps
+        Array((if (sampled == 0) 0.0 else lumaSum / sampled) / 255.0,
+          nFrames / 64.0, sampled / 16.0, math.min(durMs, 90000L) / 90000.0)
+    }
+
+  /** JPEG's lossy bound on normalized channel-mean features: measured
+    * max deviation on the synthetic 8x6 noise payloads is ~0.028
+    * (high-frequency noise is the worst case for JPEG quantization);
+    * 0.1 leaves >3x margin while still catching a decode that fell
+    * back to the md5-stub path (uniform random features miss the
+    * expectation by >0.1 in at least one of 4 components for all rows
+    * jointly with near-certainty).
+    */
+  private val JpegTol = 0.1
+
+  /** The driver-facing decode audit: run the REAL decode, then check
+    * every row against [[expectedFeature]] and the payload-structure
+    * contracts. All output columns are replayable in plain SQL from
+    * doc_id (codec/kind formulas, exact container sizes for the
+    * hand-built formats, the duration/channel feature), and decode_ok
+    * pins the non-replayable part — an oracle asserting TRUE turns any
+    * decode/encode regression into a driver-visible hash mismatch
+    * instead of a rows-only shrug.
+    */
+  def decodeAudit(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaAudit] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val mf = decodeOne(r)
+        val codec = codecOf(r.payload)
+        val lossless = codec != "jpg"
+        val exp = expectedFeature(r.doc_id)
+        val tol = if (lossless) 1e-9 else JpegTol
+        val featOk = mf.feature.length == 4 &&
+          mf.feature.zip(exp).forall { case (g, e) => math.abs(g - e) <= tol }
+        val expBytes: Option[Long] = codec match {
+          case "bmp" => Some(54L + ((3 * 8 + 3) / 4 * 4).toLong * 6)
+          case "wav" =>
+            val nSamples = 400 + (r.doc_id % 37) * 8
+            Some(44L + nSamples * 2 * (1 + r.doc_id % 2))
+          case "gvid" =>
+            val nFrames = 6 + (r.doc_id % 5) * 2
+            Some(16L + nFrames * (4L + 54L + ((3 * 8 + 3) / 4 * 4).toLong * 6))
+          case _ => None // PNG/JPEG sizes are encoder-dependent
+        }
+        val expCodec = (r.doc_id % 3, r.doc_id % 9) match {
+          case (0, 0) => "png"
+          case (0, 3) => "jpg"
+          case (0, _) => "bmp"
+          case (1, _) => "wav"
+          case _      => "gvid"
+        }
+        val ok = featOk && codec == expCodec && mf.checksum.length == 32 &&
+          expBytes.forall(_ == mf.n_bytes.toLong)
+        MediaAudit(r.doc_id, r.kind, codec,
+          expBytes.map(_ => mf.n_bytes.toLong), ok,
+          if (lossless) Some(mf.feature(3)) else None)
+      }
+    }
+  }
 
   final case class ImageFeatures(doc_id: Long, width: Int, height: Int, bpp: Int,
                                  mean_r: Double, mean_g: Double, mean_b: Double,

@@ -241,4 +241,30 @@ class MultimodalSpec extends SparkSpecBase {
     val sizes = frames.select(length(col("frame"))).collect().map(_.getInt(0))
     assert(sizes.forall(_ <= 16))
   }
+
+  test("decode audit: every row passes; JPEG deviation inside the declared bound") {
+    val docs = Tables.load(spark, sf(), "documents").limit(200)
+    val audit = Multimodal.decodeAudit(spark,
+      Multimodal.attachMediaPayload(docs, "doc_id", "text")).collect()
+    assert(audit.length === 200)
+    val bad = audit.filterNot(_.decode_ok).map(_.doc_id)
+    assert(bad.isEmpty, s"decode audit failed for docs: ${bad.mkString(", ")}")
+    // codecs are derived from payload MAGIC, so all five families
+    // actually flowed through the audit
+    assert(audit.map(_.codec).toSet === Set("png", "jpg", "bmp", "wav", "gvid"))
+    // the lossy rows: measure the real JPEG deviation against the
+    // closed-form expectation and pin it at half the JpegTol the audit
+    // uses (measured 0.028 on this JDK) — if a JDK change widens
+    // encoder error, this fails before decode_ok ever goes red
+    val media = Multimodal.attachMediaPayload(docs, "doc_id", "text").collect()
+      .filter(r => r.doc_id % 9 == 3 && r.kind == "image")
+    assert(media.nonEmpty)
+    val maxDev = media.map { r =>
+      val got = Multimodal.decodeOne(r).feature
+      val exp = Multimodal.expectedFeature(r.doc_id)
+      got.zip(exp).map { case (g, e) => math.abs(g - e) }.max
+    }.max
+    assert(maxDev <= 0.05, f"JPEG deviation $maxDev%.5f exceeds 0.05 — " +
+      "JpegTol (0.1) margin eroded")
+  }
 }
