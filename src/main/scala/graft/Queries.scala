@@ -1154,7 +1154,8 @@ object Queries {
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |    CASE WHEN doc_id % 3 = 0 THEN
         |           CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 3 THEN 'jpg' ELSE 'bmp' END
-        |         WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'gvid' END AS codec
+        |         WHEN doc_id % 3 = 1 THEN 'wav'
+        |         WHEN doc_id % 9 = 2 THEN 'avi' ELSE 'gvid' END AS codec
         |  FROM documents),
         |img AS (SELECT m.doc_id,
         |    sum((m.doc_id * 31 + x * 7 + y * 13) % 256) AS s_r,

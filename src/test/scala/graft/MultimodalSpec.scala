@@ -67,7 +67,9 @@ class MultimodalSpec extends SparkSpecBase {
         (for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3)
           yield Multimodal.pixel(seed, x, y, c)).sum / (3.0 * 48)
       }.sum / sampledFrames.size
-      assert(math.abs(byId(id).feature(0) - luma / 255.0) < 1e-9, s"doc $id video luma")
+      // MJPEG-AVI rows (id%9=2) decode real JPEG frames: lossy tolerance
+      val tol = if (id % 9 == 2) 0.04 else 1e-9
+      assert(math.abs(byId(id).feature(0) - luma / 255.0) < tol, s"doc $id video luma")
       assert(byId(id).feature(1) === nFrames / 64.0, s"doc $id frame count")
       assert(byId(id).feature(2) === sampledFrames.size / 16.0, s"doc $id sampled count")
     }
@@ -242,6 +244,35 @@ class MultimodalSpec extends SparkSpecBase {
     assert(sizes.forall(_ <= 16))
   }
 
+  test("MJPEG-AVI round-trip: real RIFF container, real JPEG frames, stride sampling") {
+    val (w, h, nFrames, fps) = (8, 6, 10, 25)
+    val avi = Multimodal.aviMjpegBytes(7L, w, h, nFrames, fps)
+    assert(Multimodal.isAviMagic(avi))
+    val v = Multimodal.aviMjpegFeatures(7L, avi)
+    assert(v.n_frames === nFrames && v.fps === fps)
+    assert(v.sampled === 3, "stride 4 over 10 frames samples frames 0, 4, 8")
+    assert(v.duration_ms === nFrames * 1000L / fps)
+    // sampled-frame luma within JPEG tolerance of the closed-form
+    // pixel expectation (frame f of doc d is seeded d * 1009 + f)
+    val expLuma = Seq(0, 4, 8).map { f =>
+      val sums = for (y <- 0 until h; x <- 0 until w; c <- 0 to 2)
+        yield Multimodal.pixel(7L * 1009 + f, x, y, c)
+      sums.sum.toDouble / (w * h) / 3.0
+    }.sum / 3
+    assert(math.abs(v.mean_luma - expLuma) <= 0.1 * 255,
+      s"AVI luma ${v.mean_luma} vs expected $expLuma")
+    // truncation fails with a doc-labelled error, not an index exception
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.aviMjpegFeatures(7L, java.util.Arrays.copyOfRange(avi, 0, avi.length / 2))
+    }
+    assert(e.getMessage.contains("doc 7"))
+    // GVID and AVI of the same doc agree on everything but JPEG loss
+    val gvid = Multimodal.gvidFeatures(7L, Multimodal.gvidBytes(7L, w, h, nFrames, fps))
+    assert(gvid.n_frames === v.n_frames && gvid.sampled === v.sampled &&
+      gvid.duration_ms === v.duration_ms)
+    assert(math.abs(gvid.mean_luma - v.mean_luma) <= 0.1 * 255)
+  }
+
   test("decode audit: every row passes; JPEG deviation inside the declared bound") {
     val docs = Tables.load(spark, sf(), "documents").limit(200)
     val audit = Multimodal.decodeAudit(spark,
@@ -249,9 +280,9 @@ class MultimodalSpec extends SparkSpecBase {
     assert(audit.length === 200)
     val bad = audit.filterNot(_.decode_ok).map(_.doc_id)
     assert(bad.isEmpty, s"decode audit failed for docs: ${bad.mkString(", ")}")
-    // codecs are derived from payload MAGIC, so all five families
+    // codecs are derived from payload MAGIC, so all six families
     // actually flowed through the audit
-    assert(audit.map(_.codec).toSet === Set("png", "jpg", "bmp", "wav", "gvid"))
+    assert(audit.map(_.codec).toSet === Set("png", "jpg", "bmp", "wav", "gvid", "avi"))
     // the lossy rows: measure the real JPEG deviation against the
     // closed-form expectation and pin it at half the JpegTol the audit
     // uses (measured 0.028 on this JDK) — if a JDK change widens
