@@ -42,6 +42,61 @@ object Subscribe {
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
       .agg(sum(col(valCol)).as(s"${valCol}_sum"))
 
+  /** Parse a Debezium-style JSON changelog into [[CdcRecord]]s
+    * (reference: the MySQL datastore driver consumes a pub/sub update
+    * stream of the binlog, datastore_driver/mysql/store.go:33
+    * `SubscribeOps`; Debezium's envelope is the public standard shape
+    * of exactly that stream). Works identically on a batch frame or a
+    * streaming one (Kafka `value`, file lines, socket) — `from_json`
+    * is per-row, no state.
+    *
+    * Envelope: `{"payload": {"op": "c|u|d|r", "ts_ms": ...,
+    * "source": {"table": ...}, "before": {...}, "after": {...}}}`.
+    * Inserts/updates/snapshot-reads carry `after`; deletes carry only
+    * `before` and surface as a tombstone — empty attrs plus the op
+    * under `__op`, so downstream state operators can drop the key.
+    * Attribute maps parse as map<string,string> (the reference's
+    * LogOperation attribute shape); consumers cast what they use via
+    * [[changelogTable]].
+    */
+  def fromChangelog(spark: SparkSession, lines: DataFrame,
+                    keyField: String, valueCol: String = "value"): Dataset[CdcRecord] = {
+    import spark.implicits._
+    val envelope = org.apache.spark.sql.types.StructType.fromDDL(
+      "payload struct<op: string, ts_ms: long, " +
+        "source: struct<table: string>, " +
+        "before: map<string,string>, after: map<string,string>>")
+    lines.select(from_json(col(valueCol).cast("string"), envelope).as("j"))
+      .select(col("j.payload.*"))
+      .filter(col("op").isNotNull) // non-envelope lines are not records
+      .select(
+        coalesce(col("source.table"), lit("")).as("table"),
+        coalesce(col("after"), col("before")).getItem(keyField)
+          .cast("long").as("key"),
+        timestamp_millis(col("ts_ms")).as("ts"),
+        when(col("op") === "d", map(lit("__op"), lit("d")))
+          .otherwise(map_concat(coalesce(col("after"),
+            map().cast("map<string,string>")),
+            map(lit("__op"), col("op")))).as("attrs"))
+      .as[CdcRecord]
+  }
+
+  /** Project one table's records out of a changelog stream as typed
+    * columns: key, ts, and each requested attribute cast from the
+    * string attr map (`attrCols`: name -> Spark DDL type). Tombstones
+    * (`__op = d`) are excluded — consumers that need deletes read the
+    * CdcRecord stream directly.
+    */
+  def changelogTable(updates: Dataset[CdcRecord], table: String,
+                     attrCols: Map[String, String]): DataFrame = {
+    val base = updates.toDF()
+      .filter(col("table") === table && col("attrs").getItem("__op") =!= "d")
+    attrCols.foldLeft(base.select(col("key"), col("ts"), col("attrs"))) {
+      case (df, (name, ddl)) =>
+        df.withColumn(name, col("attrs").getItem(name).cast(ddl))
+    }.drop("attrs")
+  }
+
   final case class JoinSideState(left: Map[String, String], right: Map[String, String])
   final case class JoinedRow(key: Long, attrs: Map[String, String], complete: Boolean)
 
