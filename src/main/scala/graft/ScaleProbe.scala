@@ -20,6 +20,8 @@ object ScaleProbe {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.length > 1 && args(1) == "tpch") { tpch(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "bloom") { bloomBreakEven(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "bloomat") { bloomAt(spark, factor); spark.stop(); return }
     val r4Only = args.length > 1 && args(1) == "r4"
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val big = (0 until factor).map { i =>
@@ -131,6 +133,103 @@ object ScaleProbe {
       big.filter(col("doc_id") % 50 =!= 0), big.filter(col("doc_id") % 50 === 0),
       "doc_id", "text", 3, words = 1 << 16).queryExecution.toRdd.count())
     spark.stop()
+  }
+
+  /** Bloom-decontamination break-even probe (`sbt "runMain
+    * graft.ScaleProbe 64 bloom"`): grow the EVAL side — the side row
+    * 129 exists for — past `autoBroadcastJoinThreshold` and time the
+    * broadcast-grams path (row 91) against the blocked-Bloom path
+    * (row 129) at each size. Replica `i > 0` of an eval doc suffixes
+    * every token with `·i`, so its grams are NEW distinct grams
+    * (the eval-gram set grows linearly) that can never hit the
+    * training corpus (the true-hit set stays fixed — outputs must be
+    * identical at every size). The training corpus is pinned at sf0.1
+    * and never replicated: this probe isolates the eval-size axis.
+    */
+  private def bloomBreakEven(spark: SparkSession, maxK: Int): Unit = {
+    import graft.operators.Decontaminate
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val train = docs.filter(col("doc_id") % 50 =!= 0).cache()
+    println(s"train=${train.count()} docs (fixed)")
+    val evalBase = docs.filter(col("doc_id") % 50 === 0)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    println(s"autoBroadcastJoinThreshold=$threshold")
+    Seq(1, 16, 64, 256, 1024).filter(_ <= math.max(1, maxK)).foreach { k =>
+      val eval = (0 until k).map { i =>
+        if (i == 0) evalBase
+        else evalBase
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1·$i"))
+      }.reduce(_.unionByName(_)).cache()
+      val grams = Decontaminate.docGrams(eval, "doc_id", "text", 3)
+        .select("gram").distinct()
+      val (nGrams, gBytes) = grams.agg(count(lit(1)), sum(length(col("gram"))))
+        .collect().headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+      // the documented sizing rule: words ~ eval grams / 6 for ~1% fp
+      // at k=4 — the bloom frame stays <=8B/word however big the set
+      val words = math.max(1 << 16,
+        java.lang.Long.highestOneBit(nGrams / 6).toInt << 1)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (tb, nb) = time(Decontaminate.ngramOverlap(
+        train, eval, "doc_id", "text", 3).count())
+      val (tf, nf) = time(Decontaminate.ngramOverlapBloom(
+        train, eval, "doc_id", "text", 3, words = words).count())
+      require(nb == nf, s"paths disagree at k=$k: broadcast $nb vs bloom $nf")
+      println(f"evalx$k%-4d grams=$nGrams%9d (~${gBytes / 1048576.0}%7.1f MB payload, " +
+        f"bloom ${words * 8 / 1048576.0}%5.1f MB) " +
+        f"broadcast=$tb%7.2fs bloom=$tf%7.2fs hits=$nb")
+      eval.unpersist()
+    }
+  }
+
+  /** One-size break-even demonstration (`java -Xmx2g -cp ... graft
+    * .ScaleProbe 1024 bloomat`): run BOTH decontamination paths at a
+    * single eval multiplier under whatever heap the JVM was given,
+    * each guarded, printing OK/FAILED — the controlled experiment for
+    * "broadcast dies where bloom holds": a forced broadcast of an
+    * eval-gram relation that outgrows executor memory fails the
+    * stage, while the bloom path's fixed ≤8B/word frame is immune to
+    * eval size by construction.
+    */
+  private def bloomAt(spark: SparkSession, k: Int): Unit = {
+    import graft.operators.Decontaminate
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalBase = docs.filter(col("doc_id") % 50 === 0)
+    val eval = (0 until k).map { i =>
+      if (i == 0) evalBase
+      else evalBase
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1·$i"))
+    }.reduce(_.unionByName(_))
+    val heap = Runtime.getRuntime.maxMemory() / 1048576
+    println(s"evalx$k under ${heap}MB heap")
+    def attempt(name: String)(f: => Long): Unit = {
+      // plan-identical eval-gram frames cache-hit across attempts —
+      // clear so each path pays its own eval-side cost
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        val rows = f
+        println(f"$name: OK ${(System.nanoTime() - t0) / 1e9}%.1fs, $rows hits")
+      } catch {
+        case e: Throwable =>
+          val root = Option(e.getCause).getOrElse(e)
+          println(s"$name: FAILED after ${(System.nanoTime() - t0) / 1e9}s — " +
+            s"${root.getClass.getSimpleName}: ${String.valueOf(root.getMessage).take(200)}")
+      }
+    }
+    val nGrams = Decontaminate.docGrams(eval, "doc_id", "text", 3)
+      .select("gram").distinct().count()
+    val words = math.max(1 << 16, java.lang.Long.highestOneBit(nGrams / 6).toInt << 1)
+    println(s"eval grams=$nGrams bloom_words=$words")
+    attempt("broadcast")(Decontaminate.ngramOverlap(
+      train, eval, "doc_id", "text", 3).count())
+    attempt("bloom")(Decontaminate.ngramOverlapBloom(
+      train, eval, "doc_id", "text", 3, words = words).count())
   }
 
   /** OLAP-side probe: the Q1 multi-agg scan and Q3 join+agg+topk over

@@ -33,7 +33,7 @@ object Decontaminate {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>")))
 
-  private def docGrams(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def docGrams(df: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), explode(wordNgramsFromTokens(col("__toks"), n)).as("gram"))
@@ -79,7 +79,12 @@ object Decontaminate {
       .withColumn("__m", expr((0 until 4).map(j =>
         s"shiftleft(1L, cast(shiftright(__h2, ${6 * j}) & 63L as int))")
         .mkString(" | ")))
-    val testGrams = docGrams(test, idCol, textCol, n).select("gram").distinct()
+    // pinned: the eval-gram set feeds BOTH the bloom build and the
+    // exact confirm — without the pin the eval side's tokenize+explode
+    // +distinct (the expensive part of a big eval set, the very case
+    // this operator exists for) executes twice
+    val testGrams = Dedup.registerPin(
+      docGrams(test, idCol, textCol, n).select("gram").distinct())
     val bloom = wordAndMask(testGrams)
       .groupBy("__w").agg(expr("bit_or(__m)").as("__bits"))
     val candidates = wordAndMask(docGrams(Dedup.fanOut(train), idCol, textCol, n))
