@@ -1429,16 +1429,29 @@ object Queries {
     // the contract column is what makes the approximation checkable.
     "q_approx_users" -> QueryDef(
       (s, d) => {
-        val ev = ds(s, d, "events").toDF
-        val hll = ev.groupBy("event_type")
+        // ONE scan: HLL, the exact referee and the KMV mins are all
+        // combinable aggregates over the same grouping — a join of
+        // separate aggs would scan events twice for nothing at 100 TB.
+        // Hash + estimator expressions mirror Sketches.kmvDistinct
+        // (k=128); NULL user_ids are dropped up front for the same
+        // reason kmvDistinct drops them (a NULL hash would reach the
+        // k-min state as a spurious zero; HLL/countDistinct ignore
+        // NULLs anyway, so the filter changes nothing for them).
+        val k = 128
+        val h = conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10)
+          .cast("long")
+        ds(s, d, "events").toDF
+          .filter(col("user_id").isNotNull)
+          .groupBy("event_type")
           .agg(approx_count_distinct("user_id", 0.05).as("__approx"),
-            countDistinct(col("user_id")).as("__exact"))
+            countDistinct(col("user_id")).as("__exact"),
+            graft.functions.KMinAgg.kMin(k)(h).as("__mins"))
           .select(col("event_type"),
             (abs(col("__approx") - col("__exact")) <=
-              lit(0.15) * col("__exact")).as("hll_ok"))
-        val kmv = Sketches.kmvDistinct(ev, Seq("event_type"), "user_id", k = 128)
-          .withColumnRenamed("est_distinct", "approx_users_kmv")
-        hll.join(kmv, Seq("event_type"))
+              lit(0.15) * col("__exact")).as("hll_ok"),
+            when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
+              .otherwise(expr(s"${(k - 1).toLong * (1L << 56)}L DIV element_at(__mins, $k)"))
+              .as("approx_users_kmv"))
       },
       Some("""WITH h AS (SELECT DISTINCT event_type,
         |    ('0x' || substring(md5(user_id::VARCHAR), 1, 14))::bigint AS hv
