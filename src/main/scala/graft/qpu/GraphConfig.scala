@@ -167,6 +167,39 @@ object GraphConfig {
             idx
           }
         case "cache" => CacheQpu(child(0))
+        // object-store driver (reference: the S3 datastore driver is a
+        // first-class config operator). "bucket" resolves against the
+        // graph's data dir unless absolute or scheme-qualified;
+        // "subscribe": true yields the State-then-Delta arrival stream
+        // (schema inferred from the bucket's current objects), else
+        // the batch snapshot read.
+        case "objectstore" =>
+          val bucket = req(n, name, "bucket").asText()
+          val path = if (bucket.contains("://") || bucket.startsWith("/")) bucket
+                     else s"$dir/$bucket"
+          if (Option(n.get("subscribe")).exists(_.asBoolean())) {
+            val schema = graft.sources.ObjectStore.read(spark, path).schema
+            DataFrameQpu(graft.sources.ObjectStore.subscribe(spark, path, schema))
+          } else DataFrameQpu(graft.sources.ObjectStore.read(spark, path))
+        // changelog driver (reference: the MySQL binlog-tail driver):
+        // Debezium-envelope JSON lines from "path" (same dir
+        // resolution), projected to "table"'s typed columns
+        // ("columns": {name: sparkType}); "subscribe": true tails the
+        // file(s) as a stream, else reads them as a batch frame.
+        case "changelog" =>
+          val p = req(n, name, "path").asText()
+          val path = if (p.contains("://") || p.startsWith("/")) p else s"$dir/$p"
+          val lines =
+            if (Option(n.get("subscribe")).exists(_.asBoolean()))
+              spark.readStream.text(path)
+            else spark.read.text(path)
+          val records = graft.streaming.Subscribe.fromChangelog(
+            spark, lines, req(n, name, "keyField").asText())
+          val cols = Option(n.get("columns")).map(c =>
+            c.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty[String, String])
+          DataFrameQpu(graft.streaming.Subscribe.changelogTable(
+            records, req(n, name, "table").asText(), cols))
         case "router" => RouterQpu(children.map(build))
         case "routed_router" =>
           // per-child coverage predicates (the reference's advertised

@@ -131,4 +131,43 @@ class GraphConfigSpec extends SparkSpecBase {
       GraphConfig.fromJson(spark, sumNoAttr, sf()))
     assert(e3.getMessage.contains("attribute"))
   }
+
+  test("objectstore + changelog drivers assemble from json like any other operator") {
+    import graft.sources.ObjectStore
+    import org.apache.spark.sql.functions._
+    // a bucket of two objects, then a graph that filters + aggregates it
+    val bucket = java.nio.file.Files.createTempDirectory("graft-cfg-bucket").toString
+    val nation = Tables.load(spark, sf(), "nation")
+    ObjectStore.put(spark, bucket, "a.parquet", nation.filter(col("n_nationkey") < 10))
+    ObjectStore.put(spark, bucket, "b.parquet", nation.filter(col("n_nationkey") >= 10))
+    val bucketCfg = s"""{"root": "agg", "qpus": {
+      "store": {"operator": "objectstore", "bucket": "$bucket"},
+      "agg": {"operator": "aggregation", "children": ["store"],
+              "groupBy": ["n_regionkey"],
+              "aggregates": [{"function": "count", "as": "n"}]}}}"""
+    val got = GraphConfig.fromJson(spark, bucketCfg, sf()).toDF.collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val want = nation.groupBy("n_regionkey").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(got === want, "objectstore node must read the committed objects")
+
+    // a changelog file, then a graph that projects + sums it
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg-cdc")
+    def env(op: String, ts: Long, id: Long, v: Double): String =
+      s"""{"payload":{"op":"$op","ts_ms":$ts,"source":{"table":"orders"},
+         |"after":{"id":"$id","value":"$v"}}}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(dir.resolve("log.jsonl"),
+      Seq(env("r", 1, 1, 2.5), env("c", 2, 2, 4.0), env("u", 3, 1, 1.5))
+        .mkString("", "\n", "\n"))
+    val cdcCfg = s"""{"root": "agg", "qpus": {
+      "log": {"operator": "changelog", "path": "$dir", "keyField": "id",
+              "table": "orders", "columns": {"value": "double"}},
+      "agg": {"operator": "aggregation", "children": ["log"],
+              "groupBy": ["key"],
+              "aggregates": [{"function": "sum", "as": "v", "attribute": "value"}]}}}"""
+    val sums = GraphConfig.fromJson(spark, cdcCfg, sf()).toDF.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sums === Map(1L -> 4.0, 2L -> 4.0),
+      "changelog node must replay the envelope stream as typed rows")
+  }
 }
