@@ -92,7 +92,12 @@ object ObjectStore {
     // plan; the broadcast is one small hash relation built once
     val initial = broadcast(
       list(spark, bucket).select(col("key").as("__initial_key")))
+    // maxFileAge defaults to 7d and silently EXCLUDES older files from
+    // a new stream — a bucket with week-old objects would lose part of
+    // its State catch-up. Snapshot-and-subscribe semantics require the
+    // full inventory, whatever its age.
     val reader = spark.readStream.schema(schema)
+      .option("maxFileAge", "36500d")
     val tuned = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
     val raw = tuned.parquet(bucket)
