@@ -89,8 +89,12 @@ object Subscribe {
     */
   def changelogTable(updates: Dataset[CdcRecord], table: String,
                      attrCols: Map[String, String]): DataFrame = {
+    // coalesce: records from producers other than fromChangelog (e.g.
+    // hand-built CdcRecords) carry no __op — they are upserts, not
+    // tombstones, and a bare null =!= "d" would silently drop them
     val base = updates.toDF()
-      .filter(col("table") === table && col("attrs").getItem("__op") =!= "d")
+      .filter(col("table") === table &&
+        coalesce(col("attrs").getItem("__op"), lit("")) =!= "d")
     attrCols.foldLeft(base.select(col("key"), col("ts"), col("attrs"))) {
       case (df, (name, ddl)) =>
         df.withColumn(name, col("attrs").getItem(name).cast(ddl))
