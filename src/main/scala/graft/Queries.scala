@@ -1169,7 +1169,7 @@ object Queries {
         |     WHEN 'gvid' THEN 16 + (6 + (m.doc_id % 5) * 2) * 202 END)::BIGINT AS n_bytes,
         |  TRUE AS decode_ok,
         |  CASE WHEN m.codec = 'jpg' THEN NULL
-        |       WHEN m.kind = 'image' THEN (img.s_r + img.s_g + img.s_b) / 48.0 / 765.0
+        |       WHEN m.kind = 'image' THEN (img.s_r / 48.0 + img.s_g / 48.0 + img.s_b / 48.0) / 765.0
         |       WHEN m.kind = 'audio' THEN (1 + m.doc_id % 2) / 8.0
         |       ELSE ((6 + (m.doc_id % 5) * 2) * 1000 // 25) / 90000.0 END AS f3
         |FROM m LEFT JOIN img ON m.doc_id = img.doc_id""".stripMargin)),
@@ -1432,26 +1432,23 @@ object Queries {
         // ONE scan: HLL, the exact referee and the KMV mins are all
         // combinable aggregates over the same grouping — a join of
         // separate aggs would scan events twice for nothing at 100 TB.
-        // Hash + estimator expressions mirror Sketches.kmvDistinct
-        // (k=128); NULL user_ids are dropped up front for the same
-        // reason kmvDistinct drops them (a NULL hash would reach the
-        // k-min state as a spurious zero; HLL/countDistinct ignore
-        // NULLs anyway, so the filter changes nothing for them).
+        // Hash + estimator come from Sketches (the same expressions
+        // kmvDistinct and its oracle replay use; k=128 here vs the
+        // dedicated row's 64). NULL user_ids are dropped up front for
+        // the same reason kmvDistinct drops them (a NULL hash would
+        // reach the k-min state as a spurious zero; HLL/countDistinct
+        // ignore NULLs anyway, so the filter changes nothing for them).
         val k = 128
-        val h = conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10)
-          .cast("long")
         ds(s, d, "events").toDF
           .filter(col("user_id").isNotNull)
           .groupBy("event_type")
           .agg(approx_count_distinct("user_id", 0.05).as("__approx"),
             countDistinct(col("user_id")).as("__exact"),
-            graft.functions.KMinAgg.kMin(k)(h).as("__mins"))
+            graft.functions.KMinAgg.kMin(k)(Sketches.kmvHash(col("user_id"))).as("__mins"))
           .select(col("event_type"),
             (abs(col("__approx") - col("__exact")) <=
               lit(0.15) * col("__exact")).as("hll_ok"),
-            when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
-              .otherwise(expr(s"${(k - 1).toLong * (1L << 56)}L DIV element_at(__mins, $k)"))
-              .as("approx_users_kmv"))
+            Sketches.kmvEstimate("__mins", k).as("approx_users_kmv"))
       },
       Some("""WITH h AS (SELECT DISTINCT event_type,
         |    ('0x' || substring(md5(user_id::VARCHAR), 1, 14))::bigint AS hv

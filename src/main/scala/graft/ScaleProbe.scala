@@ -146,6 +146,31 @@ object ScaleProbe {
     * identical at every size). The training corpus is pinned at sf0.1
     * and never replicated: this probe isolates the eval-size axis.
     */
+  /** Replica `i > 0` of every eval doc with all tokens suffixed `·i`:
+    * distinct grams grow linearly, true hits stay fixed (suffixed
+    * grams can never match the training corpus). Shared by both bloom
+    * probes so they measure the same construction.
+    */
+  private def evalReplicas(evalBase: org.apache.spark.sql.DataFrame,
+                           k: Int): org.apache.spark.sql.DataFrame =
+    (0 until k).map { i =>
+      if (i == 0) evalBase
+      else evalBase
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1·$i"))
+    }.reduce(_.unionByName(_))
+
+  /** The documented sizing rule, words ~ eval grams / 6 (~1% fp at
+    * k=4), floored at 2^16 and clamped at 2^28 (a 2 GB frame — past
+    * that, shard the filter). Long arithmetic: highestOneBit of a
+    * huge gram count shifted in Int would wrap negative and silently
+    * collapse the filter to the floor in exactly the huge-eval regime
+    * the bloom path exists for.
+    */
+  private def bloomWords(nGrams: Long): Int =
+    math.min(1L << 28,
+      math.max(1L << 16, java.lang.Long.highestOneBit(nGrams / 6) << 1)).toInt
+
   private def bloomBreakEven(spark: SparkSession, maxK: Int): Unit = {
     import graft.operators.Decontaminate
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
@@ -155,20 +180,12 @@ object ScaleProbe {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     println(s"autoBroadcastJoinThreshold=$threshold")
     Seq(1, 16, 64, 256, 1024).filter(_ <= math.max(1, maxK)).foreach { k =>
-      val eval = (0 until k).map { i =>
-        if (i == 0) evalBase
-        else evalBase
-          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
-          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1·$i"))
-      }.reduce(_.unionByName(_)).cache()
+      val eval = evalReplicas(evalBase, k).cache()
       val grams = Decontaminate.docGrams(eval, "doc_id", "text", 3)
         .select("gram").distinct()
       val (nGrams, gBytes) = grams.agg(count(lit(1)), sum(length(col("gram"))))
         .collect().headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
-      // the documented sizing rule: words ~ eval grams / 6 for ~1% fp
-      // at k=4 — the bloom frame stays <=8B/word however big the set
-      val words = math.max(1 << 16,
-        java.lang.Long.highestOneBit(nGrams / 6).toInt << 1)
+      val words = bloomWords(nGrams)
       def time(f: => Long): (Double, Long) = {
         val t0 = System.nanoTime(); val rows = f
         ((System.nanoTime() - t0) / 1e9, rows)
@@ -199,12 +216,7 @@ object ScaleProbe {
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val train = docs.filter(col("doc_id") % 50 =!= 0)
     val evalBase = docs.filter(col("doc_id") % 50 === 0)
-    val eval = (0 until k).map { i =>
-      if (i == 0) evalBase
-      else evalBase
-        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1·$i"))
-    }.reduce(_.unionByName(_))
+    val eval = evalReplicas(evalBase, k)
     val heap = Runtime.getRuntime.maxMemory() / 1048576
     println(s"evalx$k under ${heap}MB heap")
     def attempt(name: String)(f: => Long): Unit = {
@@ -224,7 +236,7 @@ object ScaleProbe {
     }
     val nGrams = Decontaminate.docGrams(eval, "doc_id", "text", 3)
       .select("gram").distinct().count()
-    val words = math.max(1 << 16, java.lang.Long.highestOneBit(nGrams / 6).toInt << 1)
+    val words = bloomWords(nGrams)
     println(s"eval grams=$nGrams bloom_words=$words")
     attempt("broadcast")(Decontaminate.ngramOverlap(
       train, eval, "doc_id", "text", 3).count())

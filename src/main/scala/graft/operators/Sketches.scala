@@ -50,21 +50,33 @@ object Sketches {
     * Integer math throughout: `(k-1) * 2^56` fits a signed long for
     * k <= 128, and the division is integer `DIV` on both engines.
     */
+  /** The md5-portable 56-bit hash every KMV consumer replays in SQL
+    * (`('0x' || substring(md5(v), 1, 14))::bigint` on the oracle side)
+    * — shared so an estimator or hash-width change cannot
+    * desynchronize one call site from its oracle.
+    */
+  private[graft] def kmvHash(valueCol: Column): Column =
+    conv(substring(md5(valueCol.cast("string")), 1, 14), 16, 10).cast("long")
+
+  /** The KMV estimator over a k-min array column named `minsCol`:
+    * exact count below k distinct hashes, else the integer
+    * `(k-1)*2^56 DIV h_(k)` bottom-k estimate.
+    */
+  private[graft] def kmvEstimate(minsCol: String, k: Int): Column =
+    when(size(col(minsCol)) < k, size(col(minsCol)).cast("long"))
+      .otherwise(expr(s"${(k - 1).toLong * (1L << 56)}L DIV element_at($minsCol, $k)"))
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Int = 64): DataFrame = {
     require(k >= 2 && k <= 128, s"kmv k must be in [2, 128], got $k")
-    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 14), 16, 10)
-      .cast("long")
     // NULL values carry no cardinality signal and their NULL hash would
     // reach the aggregator as a spurious zero — drop them (the SQL
     // replay filters identically)
     df.filter(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
-      .agg(graft.functions.KMinAgg.kMin(k)(h).as("__mins"))
+      .agg(graft.functions.KMinAgg.kMin(k)(kmvHash(col(valueCol))).as("__mins"))
       .select(groupCols.map(col) :+
-        when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
-          .otherwise(expr(s"${(k - 1).toLong * (1L << 56)}L DIV element_at(__mins, $k)"))
-          .as("est_distinct"): _*)
+        kmvEstimate("__mins", k).as("est_distinct"): _*)
   }
 
   /** Mergeable sampled-median sketch: per group, the rows whose stable

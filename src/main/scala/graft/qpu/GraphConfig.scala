@@ -178,7 +178,12 @@ object GraphConfig {
           val path = if (bucket.contains("://") || bucket.startsWith("/")) bucket
                      else s"$dir/$bucket"
           if (Option(n.get("subscribe")).exists(_.asBoolean())) {
-            val schema = graft.sources.ObjectStore.read(spark, path).schema
+            // an explicit "schema" (DDL) lets a tail consumer subscribe
+            // BEFORE the first PUT — the natural startup order — when
+            // there are no objects to infer from yet
+            val schema = Option(n.get("schema")).map(s =>
+              org.apache.spark.sql.types.StructType.fromDDL(s.asText()))
+              .getOrElse(graft.sources.ObjectStore.read(spark, path).schema)
             DataFrameQpu(graft.sources.ObjectStore.subscribe(spark, path, schema))
           } else DataFrameQpu(graft.sources.ObjectStore.read(spark, path))
         // changelog driver (reference: the MySQL binlog-tail driver):

@@ -29,18 +29,33 @@ import org.apache.hadoop.fs.Path
   */
 object ObjectStore {
 
-  /** Atomic PUT: stage the object under a hidden temp name in the
-    * bucket (same filesystem, so rename is a metadata move), then
+  /** Atomic PUT of a NEW object: stage under a hidden temp name in
+    * the bucket (same filesystem, so rename is a metadata move), then
     * rename into place. A subscriber listing mid-write never sees a
     * partial object — dot-prefixed files are invisible to Spark's
     * file listing.
+    *
+    * Objects are IMMUTABLE by default: put() refuses an existing key.
+    * That is the contract the subscribe side is built on — the file
+    * stream source tracks seen files by PATH, so an in-place
+    * overwrite would (a) open a delete-to-rename window where a
+    * reader sees the key missing and (b) never be re-delivered as a
+    * Delta row. Pass `overwrite = true` only for batch-side
+    * maintenance (compaction, backfill repair) where those caveats
+    * are understood; live updates belong in a NEW key (versioned
+    * object names), which subscribers receive as a normal arrival.
     */
-  def put(spark: SparkSession, bucket: String, key: String, df: DataFrame): Unit = {
+  def put(spark: SparkSession, bucket: String, key: String, df: DataFrame,
+          overwrite: Boolean = false): Unit = {
     require(!key.contains("/"), s"object key must be flat, got '$key'")
     val conf = spark.sessionState.newHadoopConf()
     val bucketPath = new Path(bucket)
     val fs = bucketPath.getFileSystem(conf)
     fs.mkdirs(bucketPath)
+    val dest = new Path(bucketPath, key)
+    require(overwrite || !fs.exists(dest),
+      s"object '$key' exists; objects are immutable — PUT a new (versioned) " +
+        "key, or pass overwrite = true for batch-side maintenance")
     val stage = new Path(bucket, s".stage-$key")
     df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     // the staged write is a directory holding one part file; the part
@@ -48,8 +63,7 @@ object ObjectStore {
     val part = fs.listStatus(stage).map(_.getPath)
       .find(_.getName.startsWith("part-"))
       .getOrElse(throw new IllegalStateException(s"no part file staged for $key"))
-    val dest = new Path(bucketPath, key)
-    if (fs.exists(dest)) fs.delete(dest, false)
+    if (overwrite && fs.exists(dest)) fs.delete(dest, false)
     require(fs.rename(part, dest), s"atomic commit failed for $key")
     fs.delete(stage, true)
   }

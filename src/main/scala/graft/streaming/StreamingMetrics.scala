@@ -33,7 +33,15 @@ object StreamingMetrics {
                                 triggerMs: Long, addBatchMs: Long,
                                 eventTimeLagMs: Option[Long])
 
-  final class LatencyTracker(maxBatches: Int = 1024) extends StreamingQueryListener {
+  /** `queryName`: the listener bus is SESSION-wide, so without a
+    * filter two concurrent subscriptions would pollute each other's
+    * rings (a fast stream's 10ms triggers averaged into a slow
+    * stream's seconds). Name the subscription's query and pin the
+    * tracker to it; None tracks everything (single-query sessions).
+    */
+  final class LatencyTracker(maxBatches: Int = 1024,
+                             queryName: Option[String] = None)
+      extends StreamingQueryListener {
     private val ring = new scala.collection.mutable.ArrayDeque[BatchLatency]()
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -41,6 +49,7 @@ object StreamingMetrics {
 
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
+      if (queryName.exists(_ != p.name)) return
       def dur(k: String): Long =
         Option(p.durationMs.get(k)).map(_.longValue()).getOrElse(0L)
       // completion wall clock = batch-start timestamp + trigger duration
@@ -78,8 +87,9 @@ object StreamingMetrics {
     * caller owns the lifecycle: `detach` when the subscription ends
     * (a leaked listener keeps accumulating every query's batches).
     */
-  def attach(spark: SparkSession, maxBatches: Int = 1024): LatencyTracker = {
-    val t = new LatencyTracker(maxBatches)
+  def attach(spark: SparkSession, maxBatches: Int = 1024,
+             queryName: Option[String] = None): LatencyTracker = {
+    val t = new LatencyTracker(maxBatches, queryName)
     spark.streams.addListener(t)
     t
   }

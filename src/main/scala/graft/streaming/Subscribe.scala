@@ -71,13 +71,23 @@ object Subscribe {
       .filter(col("op").isNotNull) // non-envelope lines are not records
       .select(
         coalesce(col("source.table"), lit("")).as("table"),
+        // try_cast, not cast: under ANSI mode a non-numeric key value
+        // would THROW mid-batch and kill the stream before the
+        // null-key filter below ever sees the row
         coalesce(col("after"), col("before")).getItem(keyField)
-          .cast("long").as("key"),
+          .try_cast("long").as("key"),
         timestamp_millis(col("ts_ms")).as("ts"),
         when(col("op") === "d", map(lit("__op"), lit("d")))
           .otherwise(map_concat(coalesce(col("after"),
             map().cast("map<string,string>")),
             map(lit("__op"), col("op")))).as("attrs"))
+      // a malformed ENVELOPE (key field absent or non-numeric) must be
+      // dropped like non-envelope noise: CdcRecord.key is a primitive
+      // Long, so a null key would fail typed deserialization in every
+      // stateful consumer, kill the streaming query, and — because a
+      // restart replays the same batch from the checkpoint — wedge the
+      // subscription permanently on one poisoned record
+      .filter(col("key").isNotNull)
       .as[CdcRecord]
   }
 
@@ -97,7 +107,9 @@ object Subscribe {
         coalesce(col("attrs").getItem("__op"), lit("")) =!= "d")
     attrCols.foldLeft(base.select(col("key"), col("ts"), col("attrs"))) {
       case (df, (name, ddl)) =>
-        df.withColumn(name, col("attrs").getItem(name).cast(ddl))
+        // try_cast: a malformed attribute VALUE nulls the cell instead
+        // of throwing under ANSI mode and killing the whole stream
+        df.withColumn(name, col("attrs").getItem(name).try_cast(ddl))
     }.drop("attrs")
   }
 

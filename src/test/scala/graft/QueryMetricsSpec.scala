@@ -27,7 +27,9 @@ class QueryMetricsSpec extends SparkSpecBase {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sc = spark.sqlContext
-    val tracker = StreamingMetrics.attach(spark)
+    // pinned to this query's name: other specs' streams on the shared
+    // session must not leak into the ring
+    val tracker = StreamingMetrics.attach(spark, queryName = Some("lat_sums"))
     val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
     // a watermark puts event time into the progress events, which is
     // what end-to-end (source-op ts -> subscriber visibility) needs

@@ -501,7 +501,11 @@ class StreamingSpec extends SparkSpecBase {
         env("r", 1000, "orders", "id" -> "1", "value" -> "2.5"),
         env("r", 1001, "orders", "id" -> "2", "value" -> "4.0"),
         env("r", 1002, "other", "id" -> "1", "value" -> "99.0"), // different table: ignored
-        "not json at all") // noise lines must not kill the stream
+        "not json at all", // noise lines must not kill the stream
+        // malformed ENVELOPES (missing / non-numeric key) must drop
+        // like noise — a null key would wedge every typed consumer
+        env("c", 1003, "orders", "value" -> "7.0"),
+        env("c", 1004, "orders", "id" -> "abc", "value" -> "8.0"))
       q.processAllAvailable()
       val snap = spark.table("cdc_sums").collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -558,8 +562,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(listing.forall(_.getLong(1) > 0), "listed objects carry real sizes")
     assert(ObjectStore.read(spark, bucket).count() === nation.count(),
       "batch read over the bucket sees every committed object")
-    // overwrite PUT replaces, never duplicates
-    ObjectStore.put(spark, bucket, "n1.parquet", nation.filter(col("n_nationkey") < 10))
+    // objects are immutable: a repeat PUT is refused unless the caller
+    // opts into batch-side overwrite, which replaces without duplicating
+    val dup = intercept[IllegalArgumentException] {
+      ObjectStore.put(spark, bucket, "n1.parquet", nation.filter(col("n_nationkey") < 10))
+    }
+    assert(dup.getMessage.contains("immutable"))
+    ObjectStore.put(spark, bucket, "n1.parquet",
+      nation.filter(col("n_nationkey") < 10), overwrite = true)
     assert(ObjectStore.read(spark, bucket).count() === nation.count())
   }
 
