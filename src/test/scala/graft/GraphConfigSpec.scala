@@ -170,4 +170,35 @@ class GraphConfigSpec extends SparkSpecBase {
     assert(sums === Map(1L -> 4.0, 2L -> 4.0),
       "changelog node must replay the envelope stream as typed rows")
   }
+
+  test("objectstore subscribe node: streaming aggregation over arrivals, schema from config") {
+    import graft.sources.ObjectStore
+    import org.apache.spark.sql.functions._
+    // EMPTY bucket + explicit schema DDL: the tail consumer deploys
+    // before the first PUT — the natural startup order
+    val bucket = java.nio.file.Files.createTempDirectory("graft-cfg-tail").toString
+    val cfg = s"""{"root": "agg", "qpus": {
+      "store": {"operator": "objectstore", "bucket": "$bucket", "subscribe": true,
+                "schema": "n_nationkey bigint, n_name string, n_regionkey bigint"},
+      "agg": {"operator": "aggregation", "children": ["store"],
+              "groupBy": ["n_regionkey"],
+              "aggregates": [{"function": "count", "as": "n"}]}}}"""
+    val stream = GraphConfig.fromJson(spark, cfg, sf()).toDF
+    assert(stream.isStreaming, "subscribe mode must yield a streaming frame")
+    val q = stream.writeStream.format("memory").queryName("cfg_tail")
+      .outputMode("complete").start()
+    try {
+      val nation = Tables.load(spark, sf(), "nation")
+        .select(col("n_nationkey").cast("bigint"), col("n_name"),
+          col("n_regionkey").cast("bigint"))
+      ObjectStore.put(spark, bucket, "n1.parquet", nation)
+      q.processAllAvailable()
+      val got = spark.table("cfg_tail").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = nation.groupBy("n_regionkey").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want,
+        "the config-deployed tail must aggregate objects that arrived after deploy")
+    } finally q.stop()
+  }
 }
