@@ -575,11 +575,15 @@ class StreamingSpec extends SparkSpecBase {
 
   test("object store subscribe: State catch-up, then Delta tail of mid-stream arrivals") {
     import graft.sources.ObjectStore
+    import graft.streaming.StreamingMetrics
     val bucket = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     val events = Tables.load(spark, sf(), "events")
     // two objects exist BEFORE the subscriber attaches -> State phase
     ObjectStore.put(spark, bucket, "a.parquet", events.filter(col("event_id") % 3 === 0))
     ObjectStore.put(spark, bucket, "b.parquet", events.filter(col("event_id") % 3 === 1))
+    // notification latency measured on the arrival tail itself — the
+    // reference's measurement point (S3 op delivery)
+    val tracker = StreamingMetrics.attach(spark, queryName = Some("bucket_tail"))
     val stream = ObjectStore.subscribe(spark, bucket,
       ObjectStore.read(spark, bucket).schema)
     val q = stream.writeStream.format("memory").queryName("bucket_tail")
@@ -606,6 +610,15 @@ class StreamingSpec extends SparkSpecBase {
       assert(spark.table("bucket_tail").count() ===
         ObjectStore.read(spark, bucket).count(),
         "subscribe stream must equal the batch snapshot after the tail")
-    } finally q.stop()
+      // delivery latency was recorded per micro-batch for this
+      // subscription (catch-up + the mid-stream arrival)
+      val withRows = tracker.batches.filter(_.inputRows > 0)
+      assert(withRows.size >= 2 && withRows.forall(_.triggerMs > 0),
+        s"arrival batches must carry trigger latency: ${tracker.batches}")
+      assert(tracker.percentiles(Seq(0.5)).nonEmpty)
+    } finally {
+      q.stop()
+      graft.streaming.StreamingMetrics.detach(spark, tracker)
+    }
   }
 }
