@@ -2,7 +2,7 @@ package graft
 
 import graft.api.ProteusQL
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, Pack, Quantize, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, Sketches, TfIdf}
+import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, Pack, Quantize, RangeJoin, Retrieval, Sampling, Sessionize, Similarity, SkewJoin, Sketches, TfIdf}
 import graft.qpu._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1303,6 +1303,114 @@ object Queries {
         |SELECT doc_id, token, tf_cnt, df_cnt,
         |  tf_cnt * ln(n_docs / df_cnt) AS tfidf
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin)),
+
+    // §2.3/133 — Okapi BM25 sparse retrieval: top-10 docs per keyword
+    // query (queries = the first-3-token prefix of docs 0..4). Per-term
+    // contributions are scaled to integers (floor * 2^40) so per-doc
+    // scores sum order-independently — exact ties tie-break on doc_id
+    // identically in both engines. BM25 constants are interpolated into
+    // the oracle via Double.toString (round-trips to the identical
+    // IEEE double DuckDB parses back).
+    "text_bm25" -> QueryDef(
+      (s, d) => {
+        val docs = ds(s, d, "documents").toDF
+        val q = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 3), " ").as("qtext"))
+        Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 10)
+      },
+      Some {
+        val k1 = 1.2; val b = 0.75; val k1p1 = k1 + 1.0; val omb = 1.0 - b
+        s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+           |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t),
+           |tf AS (SELECT doc_id, token, max(dl) AS dl, count(*) AS tf_cnt FROM tok GROUP BY 1, 2),
+           |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df_cnt FROM tok GROUP BY 1),
+           |gstats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t),
+           |q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:3])) AS token
+           |  FROM t WHERE doc_id < 5),
+           |c AS (SELECT q.query_id, tf.doc_id,
+           |    floor(ln(1.0 + (n_docs - df_cnt + 0.5) / (df_cnt + 0.5))
+           |      * (tf_cnt * $k1p1) / (tf_cnt + $k1 * ($omb + $b * dl / (sum_dl / n_docs)))
+           |      * 1099511627776.0)::BIGINT AS cs
+           |  FROM tf JOIN q USING (token) JOIN dfreq USING (token) CROSS JOIN gstats),
+           |s AS (SELECT query_id, doc_id, sum(cs) AS sc FROM c GROUP BY 1, 2)
+           |SELECT query_id, doc_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rank,
+           |  sc / 1099511627776.0 AS score
+           |FROM s QUALIFY rank <= 10""".stripMargin
+      }),
+
+    // §2.3/134 — blocked inverted index: per (token, doc-hash block)
+    // the block-local df/cf and the doc-ordered posting list
+    // serialized "doc:tf ..." — block count bounds every posting row
+    // no matter how hot the term
+    "text_inverted_index" -> QueryDef(
+      (s, d) => Retrieval.invertedIndex(ds(s, d, "documents").toDF,
+        "doc_id", "text", numBlocks = 8),
+      Some("""WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf_cnt FROM tok GROUP BY 1, 2),
+        |tb AS (SELECT *,
+        |  ('0x' || substring(md5(doc_id::varchar), 1, 14))::bigint % 8 AS block FROM tf)
+        |SELECT token, block, count(*) AS df_block, sum(tf_cnt) AS cf_block,
+        |  string_agg(doc_id || ':' || tf_cnt, ' ' ORDER BY doc_id) AS postings
+        |FROM tb GROUP BY 1, 2""".stripMargin)),
+
+    // §2.3/135 — hybrid retrieval: BM25 (k=20) and dense cosine (k=20)
+    // rankings fused by reciprocal-rank fusion 1/(60+rank); doc_id and
+    // vec_id share an id space in the corpus. RRF scores are sums of
+    // two exact IEEE divisions in fixed order — bit-identical across
+    // engines, ties break on doc_id
+    "sim_hybrid_rrf" -> QueryDef(
+      (s, d) => {
+        val docs = ds(s, d, "documents").toDF
+        val emb = ds(s, d, "embeddings").toDF
+        val q = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 3), " ").as("qtext"))
+        val sparse = Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 20)
+          .select("query_id", "doc_id", "rank")
+        val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(sparse, dense, k = 10)
+      },
+      Some {
+        val k1 = 1.2; val b = 0.75; val k1p1 = k1 + 1.0; val omb = 1.0 - b
+        s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+           |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t),
+           |tf AS (SELECT doc_id, token, max(dl) AS dl, count(*) AS tf_cnt FROM tok GROUP BY 1, 2),
+           |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df_cnt FROM tok GROUP BY 1),
+           |gstats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t),
+           |q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:3])) AS token
+           |  FROM t WHERE doc_id < 5),
+           |c AS (SELECT q.query_id, tf.doc_id,
+           |    floor(ln(1.0 + (n_docs - df_cnt + 0.5) / (df_cnt + 0.5))
+           |      * (tf_cnt * $k1p1) / (tf_cnt + $k1 * ($omb + $b * dl / (sum_dl / n_docs)))
+           |      * 1099511627776.0)::BIGINT AS cs
+           |  FROM tf JOIN q USING (token) JOIN dfreq USING (token) CROSS JOIN gstats),
+           |s AS (SELECT query_id, doc_id, sum(cs) AS sc FROM c GROUP BY 1, 2),
+           |sparse AS (SELECT query_id, doc_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rank
+           |  FROM s QUALIFY rank <= 20),
+           |dq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+           |ds AS (SELECT qid, vec_id AS nid,
+           |    list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS cos
+           |  FROM dq JOIN embeddings ON vec_id <> qid),
+           |dense AS (SELECT qid AS query_id, nid AS doc_id, rank FROM (
+           |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           |    FROM ds WHERE cos IS NOT NULL) x WHERE rank <= 20),
+           |fused AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+           |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+           |    (CASE WHEN a.rank IS NOT NULL THEN 1.0 / (60 + a.rank) ELSE 0.0 END) +
+           |    (CASE WHEN b.rank IS NOT NULL THEN 1.0 / (60 + b.rank) ELSE 0.0 END) AS rrf
+           |  FROM sparse a FULL OUTER JOIN dense b
+           |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+           |SELECT query_id, doc_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fused_rank,
+           |  rrf AS rrf_score
+           |FROM fused QUALIFY fused_rank <= 10""".stripMargin
+      }),
 
     // §2.3/88 — the composed corpus-prep pipeline, end to end in ONE
     // declarative plan: quality gate → exact dedup (keep canonical) →

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.functions.{HashFunctions, TextFunctions, TopKAgg}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse (lexical) retrieval: Okapi BM25 scoring, the inverted index
+  * that serves it, and reciprocal-rank fusion with a dense ANN ranking
+  * — the keyword half of a hybrid search stack over a training corpus
+  * (dense half: [[Similarity]]).
+  *
+  * Scale story: the only corpus-sized shuffle in any of these is the
+  * one (doc, token) term-frequency aggregation (map-side combinable).
+  * Document frequencies are vocabulary-sized and broadcast back; the
+  * query set is broadcast; per-query top-k uses the map-side-
+  * combinable [[TopKAgg]] so the shuffle after scoring carries
+  * `queries * k` rows regardless of corpus size. Posting lists are
+  * BLOCKED by a doc-id hash so one stop-word term can never produce an
+  * unbounded row (the classic sharded-postings layout).
+  *
+  * Cross-engine determinism: per-term BM25 contributions are scaled to
+  * integers (`floor(contrib * 2^40)`) before summation, so the
+  * per-document score is an order-independent integer sum — two
+  * documents with identical term statistics tie EXACTLY in both Spark
+  * and the SQL oracle and fall through to the doc-id tie-break,
+  * instead of diverging on floating-point summation order. 2^40
+  * keeps the worst-case sum (idf ≤ ln(N), tens of query terms) far
+  * inside the 2^53 exact-integer range of the double carried through
+  * [[TopKAgg]].
+  */
+object Retrieval {
+
+  private val SCALE = 1099511627776.0 // 2^40
+
+  /** Okapi BM25 top-k documents per query.
+    *
+    * `queries` must have columns (query_id, qtext); duplicate query
+    * terms score once (the standard set-of-terms form). Output:
+    * (query_id, doc_id, rank, score), rank by score desc / doc_id asc.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val k1p1 = k1 + 1.0
+    val omb = 1.0 - b
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    // dl rides the explode so the tf aggregation needs no doc-side join
+    val tok = toks.select(col("doc_id"), size(col("toks")).as("dl"),
+      explode(col("toks")).as("token"))
+    val tf = tok.groupBy("doc_id", "token")
+      .agg(max("dl").as("dl"), count(lit(1)).as("tf_cnt"))
+    val df = tok.groupBy("token").agg(countDistinct("doc_id").as("df_cnt"))
+    val glob = toks.agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col("qtext")))).as("token"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df_cnt") + lit(0.5)) / (col("df_cnt") + lit(0.5)))
+    val norm = col("tf_cnt") + lit(k1) * (lit(omb) + lit(b) * col("dl") / (col("sum_dl") / col("n_docs")))
+    val contrib = tf
+      .join(broadcast(qterms), "token")
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(glob))
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * (col("tf_cnt") * lit(k1p1)) / norm * lit(SCALE)).cast("long").as("cs"))
+    val scores = contrib.groupBy("query_id", "doc_id").agg(sum("cs").as("sc"))
+    val topk = scores.groupBy("query_id")
+      .agg(TopKAgg.topK(k)(col("doc_id"), col("sc").cast("double")).as("arr"))
+    topk.select(col("query_id"), posexplode(col("arr")))
+      .select(col("query_id"), col("col._1").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (col("col._2") / lit(SCALE)).as("score"))
+  }
+
+  /** Blocked inverted index: per (token, block) the block-local
+    * document frequency, collection frequency, and the posting list
+    * serialized `"doc:tf doc:tf ..."` in doc-id order.
+    *
+    * `block = stableHash56(doc_id) % numBlocks` caps every posting row
+    * at ~df/numBlocks entries — a stop word that appears in every
+    * document becomes `numBlocks` bounded rows instead of one
+    * collect_list the size of the corpus. At 100 TB, numBlocks scales
+    * with corpus size so block rows stay O(MB); a term's blocks merge
+    * at query time (they partition the doc-id space, any order works).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    numBlocks: Int = 8): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf_cnt"))
+      .withColumn("block",
+        pmod(HashFunctions.stableHash56(col("doc_id").cast("string")), lit(numBlocks.toLong)))
+    tf.groupBy("token", "block")
+      .agg(count(lit(1)).as("df_block"), sum("tf_cnt").as("cf_block"),
+        array_sort(collect_list(struct(col("doc_id"), col("tf_cnt")))).as("ps"))
+      .select(col("token"), col("block"), col("df_block"), col("cf_block"),
+        array_join(transform(col("ps"),
+          p => concat(p.getField("doc_id").cast("string"), lit(":"),
+            p.getField("tf_cnt").cast("string"))), " ")
+          .as("postings"))
+  }
+
+  /** Reciprocal-rank fusion of two per-query rankings (the standard
+    * hybrid-search combiner): `score = Σ 1/(c + rank)` over the
+    * systems that returned the document, missing-system terms
+    * contribute 0. Both inputs are (query_id, doc_id, rank) with at
+    * most `k_in` rows per query, so the fusion input is
+    * `queries * k_in * 2` rows — driver-scale irrelevant, never
+    * corpus-shaped. Scores are sums of two exact IEEE divisions in a
+    * fixed written order, so they are bit-identical across engines and
+    * exact ties (same rank pair) break on doc_id.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10, c: Int = 60): DataFrame = {
+    val fa = a.select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))
+    val fb = b.select(col("query_id"), col("doc_id"), col("rank").as("rank_b"))
+    val fused = fa.join(fb, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("rank_a"), col("rank_b"),
+        (when(col("rank_a").isNotNull, lit(1.0) / (lit(c) + col("rank_a"))).otherwise(lit(0.0)) +
+          when(col("rank_b").isNotNull, lit(1.0) / (lit(c) + col("rank_b"))).otherwise(lit(0.0)))
+          .as("rrf"))
+    val topk = fused.groupBy("query_id")
+      .agg(TopKAgg.topK(k)(col("doc_id"), col("rrf")).as("arr"))
+    topk.select(col("query_id"), posexplode(col("arr")))
+      .select(col("query_id"), col("col._1").as("doc_id"),
+        (col("pos") + 1).cast("long").as("fused_rank"),
+        col("col._2").as("rrf_score"))
+  }
+}
