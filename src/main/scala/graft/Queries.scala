@@ -2,7 +2,7 @@ package graft
 
 import graft.api.ProteusQL
 import graft.functions.TextFunctions
-import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, Pack, Quantize, RangeJoin, Retrieval, Sampling, Sessionize, Similarity, SkewJoin, Sketches, TfIdf}
+import graft.operators.{AsOf, Classifier, Decontaminate, Dedup, Multimodal, Pack, Quantize, RangeJoin, Retrieval, Sampling, Sessionize, Similarity, SkewJoin, Sketches, TfIdf}
 import graft.qpu._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1411,6 +1411,57 @@ object Queries {
            |  rrf AS rrf_score
            |FROM fused QUALIFY fused_rank <= 10""".stripMargin
       }),
+
+    // §2.3/136 — linear text-classifier inference (the fastText shape:
+    // hashed unigram+bigram features, broadcast weight vector, mean
+    // pool, sigmoid). Weights are the deterministic Knuth-hash table
+    // (production swaps in trained weights); integer weights make
+    // sum_w and the label decision exact in both engines
+    "text_classifier" -> QueryDef(
+      (s, d) => Classifier.linearScore(ds(s, d, "documents").toDF, "doc_id", "text",
+        Classifier.syntheticWeights(s, 262144), numBuckets = 262144,
+        logitScale = 524288.0),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |f AS (
+        |  SELECT doc_id, ('0x' || substring(md5(u), 1, 14))::bigint % 262144 AS bucket
+        |  FROM (SELECT doc_id, unnest(toks) AS u FROM t)
+        |  UNION ALL
+        |  SELECT doc_id, ('0x' || substring(md5(w1 || ' ' || w2), 1, 14))::bigint % 262144 AS bucket
+        |  FROM (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+        |        unnest(toks[2:len(toks)]) AS w2 FROM t)),
+        |s AS (SELECT doc_id, count(*) AS n_feats,
+        |    sum((bucket * 2654435761) % 1048576 - 524288) AS sum_w
+        |  FROM f GROUP BY 1)
+        |SELECT doc_id, n_feats, sum_w,
+        |  1.0 / (1.0 + exp(-(sum_w / (524288.0 * n_feats)))) AS prob,
+        |  sum_w > 0 AS label
+        |FROM s""".stripMargin)),
+
+    // §2.3/137 — DSIR importance weighting (hashed-bigram importance
+    // ratios, target = lang('en') estimated from the corpus itself);
+    // floor(λ·2^20) integer ratios make sum_lr and is_targetlike exact
+    "text_dsir" -> QueryDef(
+      (s, d) => Classifier.dsirWeights(ds(s, d, "documents").toDF, "doc_id", "text",
+        col("lang") === "en", numBuckets = 65536),
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS is_target,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, is_target,
+        |    ('0x' || substring(md5(w1 || ' ' || w2), 1, 14))::bigint % 65536 AS bucket
+        |  FROM (SELECT doc_id, is_target, unnest(toks[1:len(toks)-1]) AS w1,
+        |        unnest(toks[2:len(toks)]) AS w2 FROM t WHERE len(toks) >= 2)),
+        |c AS (SELECT bucket, count(*) AS cr,
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct FROM f GROUP BY 1),
+        |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM c),
+        |lam AS (SELECT bucket,
+        |    floor(ln(((ct + 1.0) / (tt + 65536.0)) / ((cr + 1.0) / (tr + 65536.0)))
+        |      * 1048576.0)::BIGINT AS lam
+        |  FROM c CROSS JOIN tot),
+        |s AS (SELECT doc_id, count(*) AS n_feats, sum(lam) AS sum_lr
+        |  FROM f JOIN lam USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_feats, sum_lr,
+        |  sum_lr / (1048576.0 * n_feats) AS avg_logratio,
+        |  sum_lr > 0 AS is_targetlike
+        |FROM s""".stripMargin)),
 
     // §2.3/88 — the composed corpus-prep pipeline, end to end in ONE
     // declarative plan: quality gate → exact dedup (keep canonical) →
