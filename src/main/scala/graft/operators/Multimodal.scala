@@ -17,14 +17,17 @@ import org.apache.spark.sql.functions._
   * thumbnail. The AUDIO path is REAL too: [[wavBytes]] builds valid
   * RIFF/WAVE PCM-16 files and [[decodeAudio]] reads them through the
   * JDK's `javax.sound.sampled.AudioSystem` into sample-level features
-  * (duration, RMS, peak, channel count). The VIDEO path runs a REAL
-  * container parse + stride frame-sample + per-frame BMP decode over
-  * the GVID container ([[gvidBytes]] — a declared synthetic format,
-  * since the JDK ships no h264 decoder); only real-world video CODECS
-  * remain stubbed: rows whose payload no parser here reads get
-  * deterministic payload-derived features so the pipeline stays
-  * runnable, and swapping the per-frame decode for a codec call
-  * changes one function body, not the pipeline.
+  * (duration, RMS, peak, channel count). The VIDEO path covers three
+  * containers: real-world MJPEG-in-AVI (RIFF walk + per-frame JPEG, an
+  * intra-frame codec), real-world animated GIF (partial-rect frames
+  * composed over the previous canvas — a genuine INTER-frame codec),
+  * and the GVID container ([[gvidBytes]] — a declared synthetic
+  * format), all with stride frame-sampling. Only h264-class codecs
+  * (DCT + motion compensation) remain stubbed — the JDK ships no
+  * decoder for them: those rows get deterministic payload-derived
+  * features so the pipeline stays runnable, and swapping the per-frame
+  * decode for a codec call changes one function body, not the
+  * pipeline.
   */
 object Multimodal {
 
@@ -78,10 +81,13 @@ object Multimodal {
           }
           case "audio" => wavBytes(id, sampleRate = 8000,
             nSamples = nSamples, channels = 1 + (id % 2).toInt)
-          // a third of video rows ship as real-world MJPEG-AVI (id%9=2),
-          // the rest as the GVID container — both use the same per-frame
-          // pixel seeds, so one closed-form expectation covers both
+          // video rows rotate real-world MJPEG-AVI (id%9=2, intra-frame
+          // codec), real-world animated GIF (id%9=5, INTER-frame:
+          // partial rects composed over the previous canvas), and the
+          // GVID container; AVI/GVID share per-frame pixel seeds, GIF
+          // has its own declared partial-update rule
           case _ if id % 9 == 2 => aviMjpegBytes(id, width, height, nFrames, fps)
+          case _ if id % 9 == 5 => gifAnimBytes(id, width, height, nFrames, fps)
           case _ => gvidBytes(id, width, height, nFrames, fps)
         }
         val durMs = kind match {
@@ -139,7 +145,14 @@ object Multimodal {
           Array(v.mean_luma / 255.0, v.n_frames / 64.0, v.sampled / 16.0,
             math.min(v.duration_ms, 90000L) / 90000.0)
         }.getOrElse(stub)
-      case _ => stub // inter-frame codecs (h264): no codec in the JDK
+      case "video" if isGifMagic(r.payload) =>
+        // real-world animated GIF: inter-frame composition + LZW decode
+        scala.util.Try {
+          val v = gifAnimFeatures(r.doc_id, r.payload)
+          Array(v.mean_luma / 255.0, v.n_frames / 64.0, v.sampled / 16.0,
+            math.min(v.duration_ms, 90000L) / 90000.0)
+        }.getOrElse(stub)
+      case _ => stub // h264-class codecs: no codec in the JDK
     }
     MediaFeatures(r.doc_id, r.kind, r.payload.length, hex, feature)
   }
@@ -152,8 +165,8 @@ object Multimodal {
     }
   }
 
-  /** Back-compat name; real-world video codecs (h264) are the only
-    * stubbed decode now.
+  /** Back-compat name; h264-class video codecs are the only stubbed
+    * decode now (AVI=intra-frame and GIF=inter-frame are real).
     */
   def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] =
     decodeMedia(spark, media)
@@ -175,6 +188,7 @@ object Multimodal {
     else if (isAviMagic(p)) "avi"
     else if (isWavMagic(p)) "wav"
     else if (isGvidMagic(p)) "gvid"
+    else if (isGifMagic(p)) "gif"
     else "unknown"
 
   /** INDEPENDENT closed-form expectation of [[decodeOne]]'s feature
@@ -223,23 +237,53 @@ object Multimodal {
       case _ => // video: luma means over every 4th deterministic frame
         val nFrames = 6 + (docId % 5).toInt * 2
         val fps = 25
-        var lumaSum = 0.0; var sampled = 0; var f = 0
-        while (f < nFrames) {
-          val seed = docId * 1009 + f
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              sr += pixel(seed, x, y, 0); sg += pixel(seed, x, y, 1)
-              sb += pixel(seed, x, y, 2); x += 1
+        var lumaSum = 0.0; var sampled = 0
+        if (docId % 9 == 5) {
+          // animated GIF rows: simulate the composed canvas under the
+          // declared partial-update rule (frame 0 full at seed d*1009,
+          // frame f>0 repaints only row f%h at seed d*1009+f) — the
+          // codec bytes are never touched, only the seed formulas
+          val canvas = Array.ofDim[Int](h, w, 3)
+          var f = 0
+          while (f < nFrames) {
+            if (f == 0) {
+              for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+                canvas(y)(x)(c) = pixel(docId * 1009, x, y, c)
+            } else {
+              val y = f % h
+              for (x <- 0 until w; c <- 0 until 3)
+                canvas(y)(x)(c) = pixel(docId * 1009 + f, x, y, c)
             }
-            y += 1
+            if (f % 4 == 0) {
+              var sr = 0L; var sg = 0L; var sb = 0L
+              for (y <- 0 until h; x <- 0 until w) {
+                sr += canvas(y)(x)(0); sg += canvas(y)(x)(1); sb += canvas(y)(x)(2)
+              }
+              val n = w.toDouble * h
+              lumaSum += (sr / n + sg / n + sb / n) / 3.0
+              sampled += 1
+            }
+            f += 1
           }
-          val n = w.toDouble * h
-          lumaSum += (sr / n + sg / n + sb / n) / 3.0
-          sampled += 1
-          f += 4
+        } else {
+          var f = 0
+          while (f < nFrames) {
+            val seed = docId * 1009 + f
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sr += pixel(seed, x, y, 0); sg += pixel(seed, x, y, 1)
+                sb += pixel(seed, x, y, 2); x += 1
+              }
+              y += 1
+            }
+            val n = w.toDouble * h
+            lumaSum += (sr / n + sg / n + sb / n) / 3.0
+            sampled += 1
+            f += 4
+          }
         }
         val durMs = nFrames * 1000L / fps
         Array((if (sampled == 0) 0.0 else lumaSum / sampled) / 255.0,
@@ -294,6 +338,7 @@ object Multimodal {
           case (0, _) => "bmp"
           case (1, _) => "wav"
           case (_, 2) => "avi"
+          case (_, 5) => "gif"
           case _      => "gvid"
         }
         val ok = featOk && codec == expCodec && mf.checksum.length == 32 &&
@@ -737,6 +782,173 @@ object Multimodal {
       buf.put(fcc("00dc")).putInt(0x10).putInt(offsets(i)).putInt(frames(i).length)
     }
     buf.array()
+  }
+
+  // ---- video: animated GIF (real-world INTER-FRAME codec) --------------
+  //
+  // Animated GIF is a real-world format with genuine temporal
+  // prediction: frames after the first are PARTIAL rectangles composed
+  // onto the previous canvas state (disposal "doNotDispose"), so frame
+  // N is not decodable without frames 0..N-1 — the defining property
+  // of an inter-frame codec, in a format the JDK both writes and reads
+  // (`javax.imageio` "gif" plugin, LZW + palette, no external codec).
+  // GIF-video rows use a declared partial-update rule: frame 0 is the
+  // full deterministic [[pixel]] grid at seed `d*1009`, and frame f>0
+  // re-paints ONLY row `f % h` at seed `d*1009 + f` — the independent
+  // expectation simulates that canvas from the seed formulas alone.
+  // Palettes are exact (each frame's distinct colors, always ≤ 256 for
+  // these frame sizes), so the round trip is LOSSLESS and the audit
+  // pins it at 1e-9 like BMP/PNG. Only h264-class codecs remain out of
+  // reach of a pure-JDK build.
+
+  private[graft] def isGifMagic(p: Array[Byte]): Boolean =
+    p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+
+  /** An indexed (palette-exact) image of the given deterministic
+    * region: GIF encoding is only lossless when the palette carries
+    * the frame's exact colors, so build the IndexColorModel from them.
+    */
+  private def indexedFrame(seed: Long, w: Int, h: Int,
+                           rowOffset: Int = 0): java.awt.image.BufferedImage = {
+    val rgbs = (0 until h).flatMap(y => (0 until w).map { x =>
+      (pixel(seed, x, y + rowOffset, 0) << 16) |
+        (pixel(seed, x, y + rowOffset, 1) << 8) | pixel(seed, x, y + rowOffset, 2)
+    })
+    val palette = rgbs.distinct
+    require(palette.length <= 256, s"frame needs ${palette.length} colors, GIF caps at 256")
+    val icm = new java.awt.image.IndexColorModel(8, palette.length,
+      palette.map(c => ((c >> 16) & 0xff).toByte).toArray,
+      palette.map(c => ((c >> 8) & 0xff).toByte).toArray,
+      palette.map(c => (c & 0xff).toByte).toArray)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbs(y * w + x))
+    img
+  }
+
+  /** Write an animated GIF through the JDK's ImageIO sequence writer:
+    * frame 0 full-canvas, frames f>0 a one-row partial rect at
+    * (0, f % h) with disposal doNotDispose — real temporal prediction.
+    */
+  private[graft] def gifAnimBytes(docId: Long, w: Int, h: Int,
+                                  nFrames: Int, fps: Int): Array[Byte] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val delayCs = 100 / fps
+    def child(root: IIOMetadataNode, name: String): IIOMetadataNode = {
+      var n = root.getFirstChild
+      while (n != null && n.getNodeName != name) n = n.getNextSibling
+      if (n != null) n.asInstanceOf[IIOMetadataNode]
+      else { val c = new IIOMetadataNode(name); root.appendChild(c); c }
+    }
+    try {
+      for (f <- 0 until nFrames) {
+        val (img, top) =
+          if (f == 0) (indexedFrame(docId * 1009, w, h), 0)
+          else (indexedFrame(docId * 1009 + f, w, 1, rowOffset = f % h), f % h)
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val gce = child(root, "GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "doNotDispose")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        val desc = child(root, "ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", "0")
+        desc.setAttribute("imageTopPosition", top.toString)
+        desc.setAttribute("imageWidth", img.getWidth.toString)
+        desc.setAttribute("imageHeight", img.getHeight.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL inter-frame decode: every frame (not just the sampled ones)
+    * is read and composed onto the running canvas at its declared
+    * (left, top) offset per its disposal method, because frame N's
+    * pixels are only defined relative to the composed state — the
+    * temporal dependency h264-class codecs share. Every `stride`-th
+    * COMPOSED frame contributes to the luma average.
+    */
+  private[graft] def gifAnimFeatures(docId: Long, payload: Array[Byte],
+                                     stride: Int = 4): VideoFeatures = {
+    require(isGifMagic(payload), s"doc $docId: not a GIF")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import javax.imageio.metadata.IIOMetadataNode
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false)
+      val n = try reader.getNumImages(true) catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"doc $docId: truncated GIF (${e.getMessage})")
+      }
+      require(n > 0, s"doc $docId: GIF carries no frames")
+      def attr(root: IIOMetadataNode, node: String, name: String): Option[String] = {
+        var c = root.getFirstChild
+        while (c != null && c.getNodeName != node) c = c.getNextSibling
+        Option(c).map(_.asInstanceOf[IIOMetadataNode].getAttribute(name))
+          .filter(_.nonEmpty)
+      }
+      var canvas: java.awt.image.BufferedImage = null
+      var g2: java.awt.Graphics2D = null
+      var delayCs = -1
+      var lumaSum = 0.0; var sampled = 0
+      for (f <- 0 until n) {
+        val img = reader.read(f)
+        val root = reader.getImageMetadata(f)
+          .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[IIOMetadataNode]
+        val left = attr(root, "ImageDescriptor", "imageLeftPosition").fold(0)(_.toInt)
+        val top = attr(root, "ImageDescriptor", "imageTopPosition").fold(0)(_.toInt)
+        val disposal = attr(root, "GraphicControlExtension", "disposalMethod")
+          .getOrElse("none")
+        require(disposal == "none" || disposal == "doNotDispose",
+          s"doc $docId: unsupported GIF disposal '$disposal'")
+        if (delayCs < 0)
+          delayCs = attr(root, "GraphicControlExtension", "delayTime").fold(-1)(_.toInt)
+        if (canvas == null) {
+          // frame 0 must be full-canvas at origin for composition to be defined
+          require(left == 0 && top == 0, s"doc $docId: first GIF frame is partial")
+          canvas = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          g2 = canvas.createGraphics()
+        }
+        require(left + img.getWidth <= canvas.getWidth &&
+          top + img.getHeight <= canvas.getHeight,
+          s"doc $docId: GIF frame $f rect escapes the canvas")
+        g2.drawImage(img, left, top, null)
+        if (f % stride == 0) {
+          val w = canvas.getWidth; val h = canvas.getHeight
+          val argb = canvas.getRGB(0, 0, w, h, null, 0, w)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < argb.length) {
+            sr += (argb(i) >> 16) & 0xff; sg += (argb(i) >> 8) & 0xff
+            sb += argb(i) & 0xff; i += 1
+          }
+          val cnt = w.toDouble * h
+          lumaSum += (sr / cnt + sg / cnt + sb / cnt) / 3.0
+          sampled += 1
+        }
+      }
+      if (g2 != null) g2.dispose()
+      require(delayCs > 0, s"doc $docId: GIF frames carry no delay time")
+      val fps = 100 / delayCs
+      VideoFeatures(docId, n, fps, n * 1000L / fps, sampled,
+        if (sampled == 0) 0.0 else lumaSum / sampled)
+    } finally { reader.dispose(); iis.close() }
   }
 
   /** REAL MJPEG-AVI decode: RIFF chunk walk to 'avih' (frame count,

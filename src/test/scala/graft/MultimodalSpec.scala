@@ -62,7 +62,24 @@ class MultimodalSpec extends SparkSpecBase {
     video.foreach { id =>
       val nFrames = 6 + (id % 5).toInt * 2
       val sampledFrames = 0 until nFrames by 4
-      val luma = sampledFrames.map { f =>
+      val luma = if (id % 9 == 5) {
+        // animated-GIF rows follow the partial-update rule: simulate
+        // the composed canvas (frame 0 full, frame f repaints row f%6)
+        val canvas = Array.ofDim[Int](6, 8, 3)
+        var acc = 0.0
+        for (f <- 0 until nFrames) {
+          if (f == 0)
+            for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3)
+              canvas(y)(x)(c) = Multimodal.pixel(id * 1009, x, y, c)
+          else
+            for (x <- 0 until 8; c <- 0 until 3)
+              canvas(f % 6)(x)(c) = Multimodal.pixel(id * 1009 + f, x, f % 6, c)
+          if (f % 4 == 0)
+            acc += (for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3)
+              yield canvas(y)(x)(c)).sum / (3.0 * 48)
+        }
+        acc / sampledFrames.size
+      } else sampledFrames.map { f =>
         val seed = id * 1009 + f
         (for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3)
           yield Multimodal.pixel(seed, x, y, c)).sum / (3.0 * 48)
@@ -273,6 +290,75 @@ class MultimodalSpec extends SparkSpecBase {
     assert(math.abs(gvid.mean_luma - v.mean_luma) <= 0.1 * 255)
   }
 
+  test("animated GIF round-trip: inter-frame composition decodes losslessly") {
+    val (w, h, nFrames, fps) = (8, 6, 10, 25)
+    // doc 5 is a genuine %9==5 row (the id class that ships as GIF)
+    val gif = Multimodal.gifAnimBytes(5L, w, h, nFrames, fps)
+    assert(Multimodal.isGifMagic(gif))
+    val v = Multimodal.gifAnimFeatures(5L, gif)
+    assert(v.n_frames === nFrames && v.fps === fps)
+    assert(v.sampled === 3, "stride 4 over 10 frames samples frames 0, 4, 8")
+    assert(v.duration_ms === nFrames * 1000L / fps)
+    // composed-canvas luma matches the seed-formula simulation EXACTLY:
+    // exact palettes + LZW are lossless
+    val canvas = Array.ofDim[Int](h, w, 3)
+    var expLuma = 0.0; var sampled = 0
+    for (f <- 0 until nFrames) {
+      if (f == 0)
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+          canvas(y)(x)(c) = Multimodal.pixel(5L * 1009, x, y, c)
+      else {
+        val y = f % h
+        for (x <- 0 until w; c <- 0 until 3)
+          canvas(y)(x)(c) = Multimodal.pixel(5L * 1009 + f, x, y, c)
+      }
+      if (f % 4 == 0) {
+        val sums = for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+          yield canvas(y)(x)(c)
+        expLuma += sums.sum.toDouble / (w * h) / 3.0
+        sampled += 1
+      }
+    }
+    expLuma /= sampled
+    assert(math.abs(v.mean_luma - expLuma) < 1e-9,
+      s"GIF luma ${v.mean_luma} vs composed expectation $expLuma")
+    // the INTER-frame property: a naive decoder that treated every
+    // frame as a standalone full image (the GVID/AVI expectation)
+    // would land on a DIFFERENT luma — composition is load-bearing
+    val naive = Seq(0, 4, 8).map { f =>
+      val sums = for (y <- 0 until h; x <- 0 until w; c <- 0 to 2)
+        yield Multimodal.pixel(5L * 1009 + f, x, y, c)
+      sums.sum.toDouble / (w * h) / 3.0
+    }.sum / 3
+    // (the pixel formula's full-frame MEANS are nearly seed-invariant,
+    // so the gap is small in absolute luma — but far above the 1e-9
+    // lossless tolerance the composed expectation meets)
+    assert(math.abs(v.mean_luma - naive) > 1e-3,
+      "partial frames must not decode like standalone full frames")
+    // structural proof of temporal prediction: every frame after the
+    // first is a 1-pixel-tall partial rect, undecodable standalone
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    try {
+      rdr.setInput(iis, false)
+      assert(rdr.getHeight(0) === h)
+      (1 until nFrames).foreach(f => assert(rdr.getHeight(f) === 1,
+        s"frame $f should be a partial one-row rect"))
+    } finally { rdr.dispose(); iis.close() }
+    // frames after the first are genuinely partial: re-encoding every
+    // frame full-canvas would make the payload materially bigger
+    val fullFrames = (0 until nFrames).map(f =>
+      Multimodal.gifAnimBytes(5L * 1009 + f, w, h, 1, fps).length).sum
+    assert(gif.length < fullFrames,
+      s"inter-frame GIF (${gif.length} B) should undercut $fullFrames B of full frames")
+    // truncation fails with a doc-labelled error
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.gifAnimFeatures(5L, java.util.Arrays.copyOfRange(gif, 0, 40))
+    }
+    assert(e.getMessage.contains("doc 5"))
+  }
+
   test("decode audit: every row passes; JPEG deviation inside the declared bound") {
     val docs = Tables.load(spark, sf(), "documents").limit(200)
     val audit = Multimodal.decodeAudit(spark,
@@ -282,7 +368,7 @@ class MultimodalSpec extends SparkSpecBase {
     assert(bad.isEmpty, s"decode audit failed for docs: ${bad.mkString(", ")}")
     // codecs are derived from payload MAGIC, so all six families
     // actually flowed through the audit
-    assert(audit.map(_.codec).toSet === Set("png", "jpg", "bmp", "wav", "gvid", "avi"))
+    assert(audit.map(_.codec).toSet === Set("png", "jpg", "bmp", "wav", "gvid", "avi", "gif"))
     // the lossy rows: measure the real JPEG deviation against the
     // closed-form expectation and pin it at half the JpegTol the audit
     // uses (measured 0.028 on this JDK) — if a JDK change widens
