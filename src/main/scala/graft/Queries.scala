@@ -1155,7 +1155,8 @@ object Queries {
         |    CASE WHEN doc_id % 3 = 0 THEN
         |           CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 3 THEN 'jpg' ELSE 'bmp' END
         |         WHEN doc_id % 3 = 1 THEN 'wav'
-        |         WHEN doc_id % 9 = 2 THEN 'avi' ELSE 'gvid' END AS codec
+        |         WHEN doc_id % 9 = 2 THEN 'avi'
+        |         WHEN doc_id % 9 = 5 THEN 'gif' ELSE 'gvid' END AS codec
         |  FROM documents),
         |img AS (SELECT m.doc_id,
         |    sum((m.doc_id * 31 + x * 7 + y * 13) % 256) AS s_r,
@@ -1831,6 +1832,59 @@ object Queries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin)),
+
+    // §2.2/138 — Q17 shape: correlated scalar subquery (avg quantity
+    // per part), written decorrelated — the per-part aggregate joins
+    // back to the fact on its grouping key, exactly what Catalyst's
+    // decorrelation produces. avg(l_quantity) is engine-exact: the
+    // quantities are integer-valued doubles, so the sum is exact in
+    // IEEE and the single division is deterministic — the 0.2·avg
+    // threshold can never flip a row between engines.
+    "q17_small_qty" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+        val part = ds(s, d, "part").toDF.filter(col("p_brand") === "Brand#7")
+          .select("p_partkey")
+        val avgQty = li.groupBy(col("l_partkey").as("pk"))
+          .agg(avg("l_quantity").as("avg_qty"))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(avgQty, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg((sum("l_extendedprice") / lit(7.0)).as("avg_yearly"))
+      },
+      Some("""WITH a AS (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#7'
+        |JOIN a ON l_partkey = pk
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin)),
+
+    // §2.2/139 — time-series resample + forward fill: each user's
+    // irregular events onto a daily grid from first to last active
+    // day; gap days carry the previous day-end value. Day-end
+    // selection is a combinable max(struct(ts, event_id, value))
+    // aggregate (event ids are unique — ts ties cannot flip the
+    // selected value), the fill window is partitioned per user over
+    // grid rows.
+    "q_resample_ffill" -> QueryDef(
+      (s, d) => operators.TimeSeries.resampleDailyFfill(
+        ds(s, d, "events").toDF, "user_id", "ts", "event_id", "value"),
+      Some("""WITH daily AS (SELECT user_id AS entity_id, ts::DATE AS day, value AS day_value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts::DATE
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |span AS (SELECT entity_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT entity_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM span)
+        |SELECT g.entity_id,
+        |  datediff('day', DATE '2024-01-01', g.day) AS day_no,
+        |  last_value(d.day_value IGNORE NULLS) OVER (PARTITION BY g.entity_id
+        |    ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+        |  d.day_value IS NULL AS is_gap
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.entity_id = d.entity_id AND g.day = d.day""".stripMargin)),
 
     // §2.2/23 — window functions: running spend per customer
     "q_window_running" -> QueryDef(

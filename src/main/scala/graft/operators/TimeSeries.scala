@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an irregular event stream onto
+  * a fixed calendar grid with forward fill — the gap-filling step that
+  * turns raw event logs into the aligned per-entity series a feature
+  * pipeline or forecasting job consumes.
+  *
+  * Scale story: the day-end value per (entity, day) is a map-side-
+  * combinable `max(struct(ts, id, value))` aggregate (never a window
+  * over raw events); the grid explode is `span × days` rows — output-
+  * sized, not event-sized; and the only window is the forward-fill
+  * `last(ignoreNulls)` PARTITIONED BY entity over its grid rows, a
+  * keyed frame that shuffles grid rows once. Nothing global, nothing
+  * event-quadratic.
+  *
+  * Determinism: the day-end value rides a struct ordered by (ts,
+  * event_id) — event ids are unique, so ties in ts cannot make the
+  * selected value engine-dependent, and the value itself is copied,
+  * never recomputed.
+  */
+object TimeSeries {
+
+  /** One row per (entity, day) from each entity's first to last active
+    * day: `day_no` (days since `epochDay`), `value_ffill` (the
+    * day-end value, forward-filled across gap days), and `is_gap`
+    * (no event that day).
+    */
+  def resampleDailyFfill(events: DataFrame, entityCol: String, tsCol: String,
+                         idCol: String, valueCol: String,
+                         epochDay: String = "2024-01-01"): DataFrame = {
+    val daily = events.groupBy(col(entityCol).as("entity_id"),
+        to_date(col(tsCol)).as("day"))
+      .agg(max(struct(col(tsCol), col(idCol), col(valueCol).as("v"))).as("m"))
+      .select(col("entity_id"), col("day"), col("m.v").as("day_value"))
+    val grid = daily.groupBy("entity_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("entity_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("entity_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("entity_id", "day"), "left")
+      .select(col("entity_id"),
+        datediff(col("day"), lit(epochDay).cast("date")).as("day_no"),
+        last("day_value", ignoreNulls = true).over(w).as("value_ffill"),
+        col("day_value").isNull.as("is_gap"))
+  }
+}
