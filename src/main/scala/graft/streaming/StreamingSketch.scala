@@ -97,4 +97,56 @@ object StreamingSketch {
       .toDF(groupCol, "n_sample", "med2")
       .withColumn(groupCol, col(groupCol).cast(groupType))
   }
+
+  /** Continuous stratified exact-k sample: per group, the k smallest
+    * seeded id hashes — [[graft.operators.Sampling.exactKSample]]'s
+    * selection rule held as `flatMapGroupsWithState` state over an
+    * unbounded stream. Every batch that touches a group re-emits the
+    * group's FULL current membership (run with output mode `update`;
+    * the latest emission per group IS the sample), so a downstream
+    * sink always has a count-exact uniform sample of everything seen
+    * so far, per stratum, in k·groups state however long the stream
+    * runs. The hash family is identical to the batch sampler's
+    * (`seededHash56(seed, id)`), so the streaming membership EQUALS
+    * batch `exactKSample` run per group on the same prefix —
+    * spec-pinned, including across-batch state merging and eviction
+    * of previously-sampled ids by later smaller hashes.
+    */
+  def streamingExactKSample(stream: DataFrame, groupCol: String,
+                            idCol: String, k: Int, seed: Int = 0): DataFrame = {
+    require(k >= 1, s"sample size must be positive, got $k")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val groupType = stream.schema(groupCol).dataType
+    val idType = stream.schema(idCol).dataType
+    val ord = implicitly[Ordering[(Long, String)]]
+    def insert(buf: Seq[(Long, String)], x: (Long, String)): Seq[(Long, String)] =
+      if (buf.size >= k && ord.lteq(buf.last, x)) buf
+      else if (buf.contains(x)) buf // at-least-once replays must not duplicate
+      else {
+        val (pre, post) = buf.span(ord.lteq(_, x))
+        (pre ++ (x +: post)).take(k)
+      }
+    stream
+      .filter(col(idCol).isNotNull) // batch sampler's NULL-id contract
+      .select(col(groupCol).cast("string").as("g"),
+        graft.functions.HashFunctions
+          .seededHash56(seed, col(idCol).cast("string")).as("h"),
+        col(idCol).cast("string").as("id"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, String)], (String, String, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val merged = rows.foldLeft(state.getOption.getOrElse(Seq.empty[(Long, String)])) {
+            (buf, r) => insert(buf, (r._2, r._3))
+          }
+          state.update(merged)
+          merged.iterator.map { case (h, id) => (key, id, h) }
+      }
+      .toDF(groupCol, idCol, "sample_hash")
+      .withColumn(groupCol, col(groupCol).cast(groupType))
+      .withColumn(idCol, col(idCol).cast(idType))
+  }
 }

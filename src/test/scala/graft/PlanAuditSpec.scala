@@ -405,6 +405,26 @@ class PlanAuditSpec extends SparkSpecBase {
         "top-k survivors are moving (the scored cross product must not shuffle)")
   }
 
+  test("text_bm25: stats broadcast onto one tf aggregation, top-k combines without a window") {
+    val p = plan("text_bm25")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "the query-term set and the vocabulary-sized df table must both broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus-sized tf table must never shuffle-join")
+    assert(!p.contains("WindowExec"),
+      "per-query ranking must be the combinable TopKAgg, not a window sort")
+  }
+
+  test("text_classifier / text_dsir: weight tables broadcast, corpus never self-joins") {
+    Seq("text_classifier", "text_dsir").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n: the bounded weight/ratio table must broadcast onto the feature stream")
+      assert(!p.contains("SortMergeJoin"), s"$n: no corpus-sized shuffle join")
+      assert(!p.contains("CartesianProduct"), s"$n: no cartesian")
+    }
+  }
+
   test("partition-less Windows appear ONLY in the declared bounded-frame allowlist") {
     // Every intentionally-global window in the library runs over a
     // frame bounded by CONSTRUCTION, never the corpus: vocabTopN ranks

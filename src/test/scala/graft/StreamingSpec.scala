@@ -621,4 +621,43 @@ class StreamingSpec extends SparkSpecBase {
       graft.streaming.StreamingMetrics.detach(spark, tracker)
     }
   }
+
+  test("streaming stratified exact-k sample == batch exactKSample per group on the same prefix") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = (1L to 300L).map(i => (s"g${i % 2}", i))
+    val input = MemoryStream[(String, Long)]
+    val out = graft.streaming.StreamingSketch.streamingExactKSample(
+      input.toDF().toDF("grp", "id"), "grp", "id", k = 8)
+    val q = out.writeStream.format("memory").queryName("xksample")
+      .outputMode("update").start()
+    try {
+      input.addData(rows.take(180): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(180): _*) // later ids must evict larger hashes
+      q.processAllAvailable()
+      // the sample per group only ever improves (k smallest hashes),
+      // so the final membership is the k smallest (hash, id) across
+      // every emission — sink row order never matters
+      val emitted = spark.table("xksample").collect()
+        .map(r => (r.getString(0), r.getAs[Long]("sample_hash"), r.getAs[Long]("id")))
+      val streaming = emitted.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(v => (v._2, v._3)).distinct.sorted.take(8).map(_._2).toSet
+      }
+      Seq("g0", "g1").foreach { g =>
+        val batch = graft.operators.Sampling.exactKSample(
+          rows.filter(_._1 == g).toDF("grp", "id"), "id", k = 8)
+          .as[Long].collect().toSet
+        assert(streaming(g) === batch,
+          s"group $g: streaming sample ${streaming(g)} != batch $batch")
+        assert(streaming(g).size === 8)
+      }
+      // state actually merged across batches: at least one first-batch
+      // emission for some group is absent from the final membership
+      val firstBatchOnly = emitted.map(e => (e._1, e._3)).toSet
+        .diff(streaming.flatMap { case (g, ids) => ids.map((g, _)) }.toSet)
+      assert(firstBatchOnly.nonEmpty,
+        "across 300 ids some early sample member should have been evicted")
+    } finally q.stop()
+  }
 }
