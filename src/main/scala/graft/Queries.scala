@@ -2100,7 +2100,55 @@ object Queries {
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
         |    THEN 1 ELSE 0 END AS brk FROM events) x) y
-        |GROUP BY user_id, session_id""".stripMargin))
+        |GROUP BY user_id, session_id""".stripMargin)),
+
+    // §2.2/141 — ordered funnel conversion within sessions: per
+    // session the FIRST occurrence of each step, counted when the
+    // chain is strictly increasing in time. One combinable
+    // (user, session) aggregation reduces the event stream; all later
+    // stages run on session-sized frames. conv_pct is one IEEE
+    // division of exact counts.
+    "q_funnel" -> QueryDef(
+      (s, d) => operators.Analytics.sessionFunnel(ds(s, d, "events").toDF,
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"), 1800),
+      Some("""WITH sess AS (SELECT user_id, ep, event_type,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, ts, event_type, floor(epoch(ts))::BIGINT AS ep,
+        |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |m AS (SELECT user_id, session_id,
+        |    min(CASE WHEN event_type = 'view' THEN ep END) AS t0,
+        |    min(CASE WHEN event_type = 'click' THEN ep END) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN ep END) AS t2
+        |  FROM sess GROUP BY 1, 2),
+        |c AS (SELECT
+        |    sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN t0 IS NOT NULL AND t0 < t1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN t0 IS NOT NULL AND t0 < t1 AND t1 < t2 THEN 1 ELSE 0 END) AS n2
+        |  FROM m)
+        |SELECT 0::BIGINT AS step_no, 'view' AS step, n0 AS n_sessions, n0 / n0 AS conv_pct FROM c
+        |UNION ALL SELECT 1, 'click', n1, n1 / n0 FROM c
+        |UNION ALL SELECT 2, 'purchase', n2, n2 / n0 FROM c""".stripMargin)),
+
+    // §2.2/142 — weekly cohort retention: users cohorted by the
+    // epoch-week of their first event; distinct-active counts per
+    // (cohort, offset) with the retained fraction. First-event and
+    // active-week aggregations are combinable on the user key; the
+    // cohort-size table is cohort-cardinality and broadcasts.
+    "q_cohort_retention" -> QueryDef(
+      (s, d) => operators.Analytics.cohortRetention(ds(s, d, "events").toDF,
+        "user_id", "ts"),
+      Some("""WITH w AS (SELECT user_id AS u,
+        |    floor(floor(epoch(ts))::BIGINT / 604800)::BIGINT AS wk FROM events),
+        |c AS (SELECT u, min(wk) AS cohort_week FROM w GROUP BY 1),
+        |a AS (SELECT cohort_week, wk - cohort_week AS week_offset,
+        |    count(DISTINCT u) AS n_users
+        |  FROM w JOIN c USING (u) GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1)
+        |SELECT cohort_week, week_offset, n_users, n_users / cohort_size AS ret_pct
+        |FROM a JOIN s USING (cohort_week)""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

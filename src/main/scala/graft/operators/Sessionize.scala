@@ -13,12 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Assign session ids per key where a gap > `gapSeconds` starts a new
-    * session, then aggregate one row per session: event count, start /
-    * end epoch seconds, duration.
+  /** Per-event session assignment: the input rows plus `__epoch` and
+    * `session_id` — the shared first stage of [[sessions]] and the
+    * funnel/path analyses that need the events themselves.
     */
-  def sessions(df: DataFrame, keyCol: String, tsCol: String,
-               gapSeconds: Long): DataFrame = {
+  def assignSessions(df: DataFrame, keyCol: String, tsCol: String,
+                     gapSeconds: Long): DataFrame = {
     val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol))
     val epoch = unix_timestamp(col(tsCol))
     val prev = lag(epoch, 1).over(byTime)
@@ -26,6 +26,15 @@ object Sessionize {
     df.withColumn("__epoch", epoch)
       .withColumn("__brk", isBreak)
       .withColumn("session_id", sum(col("__brk")).over(byTime))
+  }
+
+  /** Assign session ids per key where a gap > `gapSeconds` starts a new
+    * session, then aggregate one row per session: event count, start /
+    * end epoch seconds, duration.
+    */
+  def sessions(df: DataFrame, keyCol: String, tsCol: String,
+               gapSeconds: Long): DataFrame = {
+    assignSessions(df, keyCol, tsCol, gapSeconds)
       .groupBy(col(keyCol), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("__epoch")).as("session_start"),
