@@ -2148,7 +2148,78 @@ object Queries {
         |  FROM w JOIN c USING (u) GROUP BY 1, 2),
         |s AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1)
         |SELECT cohort_week, week_offset, n_users, n_users / cohort_size AS ret_pct
-        |FROM a JOIN s USING (cohort_week)""".stripMargin))
+        |FROM a JOIN s USING (cohort_week)""".stripMargin)),
+
+    // §2.2/143 — TPC-H Q18 shape: large-volume orders (HAVING-filtered
+    // fact aggregate joined back to orders + customer, top-k). The
+    // aggregate's HAVING output is selective, so AQE turns the
+    // orderkey join into a runtime broadcast; top-k is
+    // TakeOrderedAndProject, never a global sort. sum(l_quantity) is
+    // exact (integer-valued doubles); the limit boundary is tie-broken
+    // by o_orderkey so both engines cut identically.
+    "q18_large_orders" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 230)
+        ds(s, d, "orders").toDF
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(ds(s, d, "customer").toDF, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("o_date"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, o_custkey, o_orderkey,
+        |  floor(epoch(o_orderdate))::BIGINT AS o_date, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |      GROUP BY 1 HAVING sum(l_quantity) > 230) ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // §2.2/144 — next-event Markov transitions within sessions: pair
+    // counts + P(to|from). Window is per-(user, session) event order
+    // (partitioned, microsecond-deterministic); counts combinable;
+    // the per-from totals broadcast at |types| rows.
+    "q_markov" -> QueryDef(
+      (s, d) => operators.Analytics.transitionMatrix(ds(s, d, "events").toDF,
+        "user_id", "ts", "event_type", 1800),
+      Some("""WITH sess AS (SELECT user_id, ts, event_type,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts) AS to_type
+        |  FROM sess),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n, n / tot AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin)),
+
+    // §2.2/145 — SCD-2 dimension history from change events: orders as
+    // the per-customer change stream of o_orderpriority. One shuffle
+    // on the key; the change-collapse lag and the interval lead share
+    // partitioning and sort order.
+    "q_scd2" -> QueryDef(
+      (s, d) => operators.Scd2.history(ds(s, d, "orders").toDF,
+        "o_custkey", "o_orderdate", "o_orderkey", Seq("o_orderpriority")),
+      Some("""WITH e AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+        |    floor(epoch(o_orderdate))::BIGINT AS ep FROM orders),
+        |k AS (SELECT * FROM (SELECT *, lag(o_orderpriority)
+        |    OVER (PARTITION BY o_custkey ORDER BY ep, o_orderkey) AS prev FROM e)
+        |  WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, ep AS valid_from,
+        |  lead(ep) OVER (PARTITION BY o_custkey ORDER BY ep, o_orderkey) AS valid_to,
+        |  lead(ep) OVER (PARTITION BY o_custkey ORDER BY ep, o_orderkey) IS NULL AS is_current,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY ep, o_orderkey)::BIGINT AS version
+        |FROM k""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

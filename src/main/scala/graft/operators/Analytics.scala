@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over event streams: ordered funnel conversion
@@ -56,6 +57,34 @@ object Analytics {
         steps.indices.map(i =>
           when(col("step_no") === i, col(s"n_$i") / col("n_0")))
           .reduce(coalesce(_, _)).as("conv_pct"))
+  }
+
+  /** Next-event Markov transition matrix: within each session the
+    * ordered (event, next event) pairs, counted, with the conditional
+    * probability P(to | from). The classic "where do users go next"
+    * path analysis, and the model behind Markov-chain attribution.
+    *
+    * Scale shape: the only window is per-(key, session) event order —
+    * partitioned on the stream's natural key; pair counts are one
+    * combinable aggregation on (from, to) (cardinality = |types|²);
+    * the per-from totals table is |types| rows and broadcasts.
+    * Ordering is deterministic because the window sorts on the full
+    * microsecond timestamp (unique per user in the event stream), not
+    * the second-floored session epoch.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, gapSeconds: Long = 1800): DataFrame = {
+    val sess = Sessionize.assignSessions(events, keyCol, tsCol, gapSeconds)
+    val w = Window.partitionBy(col(keyCol), col("session_id")).orderBy(col(tsCol))
+    val counts = sess
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("__tot"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n") / col("__tot")).as("p"))
   }
 
   /** Weekly cohort retention: users cohorted by the epoch-week of

@@ -38,6 +38,20 @@ class AnalyticsSpec extends SparkSpecBase {
       "cross-session order must not convert")
   }
 
+  test("markov transitions: session-scoped pairs with per-from probabilities") {
+    // u1 session: a->b->a (pairs a->b, b->a); u2 session: a->a; the
+    // 2h gap in u2 splits sessions, so NO pair spans it
+    val df = ev(Seq(
+      (1L, 100L, "a"), (1L, 200L, "b"), (1L, 300L, "a"),
+      (2L, 100L, "a"), (2L, 200L, "a"), (2L, 9000L, "b")))
+    val out = Analytics.transitionMatrix(df, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(out === Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "a") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
   test("cohort retention: offsets count distinct users against the cohort size") {
     val wk = 604800L
     // cohort week 0: users 1,2 — user 1 returns in weeks 1 and 2,
