@@ -2219,7 +2219,65 @@ object Queries {
         |  lead(ep) OVER (PARTITION BY o_custkey ORDER BY ep, o_orderkey) AS valid_to,
         |  lead(ep) OVER (PARTITION BY o_custkey ORDER BY ep, o_orderkey) IS NULL AS is_current,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY ep, o_orderkey)::BIGINT AS version
-        |FROM k""".stripMargin))
+        |FROM k""".stripMargin)),
+
+    // §2.3/146 — robust per-source outlier counts on median/MAD from
+    // the bottom-k hash sample; the 1.4826 consistency scaling applied
+    // as a cross-multiplied INTEGER comparison (20000·|2x−med2| >
+    // 3·14826·madd2) so no float decides membership.
+    "q_mad_outliers" -> QueryDef(
+      (s, d) => Sketches.madOutliers(ds(s, d, "documents").toDF,
+        "source", "doc_id", "n_chars", k = 64),
+      Some("""WITH h AS (SELECT source, doc_id, n_chars,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint AS hv
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r1 AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, n_chars) AS rn FROM h),
+        |s1 AS (SELECT source, list(n_chars ORDER BY n_chars) AS vals
+        |  FROM r1 WHERE rn <= 64 GROUP BY source),
+        |m1 AS (SELECT source, vals[(len(vals)+1)//2] + vals[(len(vals)+2)//2] AS med2 FROM s1),
+        |d AS (SELECT h.source, h.hv, abs(2 * h.n_chars - m1.med2) AS dev, m1.med2
+        |  FROM h JOIN m1 USING (source)),
+        |r2 AS (SELECT source, dev,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, dev) AS rn FROM d),
+        |s2 AS (SELECT source, list(dev ORDER BY dev) AS vals
+        |  FROM r2 WHERE rn <= 64 GROUP BY source),
+        |m2 AS (SELECT source, vals[(len(vals)+1)//2] + vals[(len(vals)+2)//2] AS madd2 FROM s2)
+        |SELECT d.source, count(*) AS n_rows, min(d.med2) AS med2,
+        |  min(m2.madd2) AS madd2,
+        |  sum(CASE WHEN d.dev * 20000 > 44478 * m2.madd2 THEN 1 ELSE 0 END) AS n_outliers
+        |FROM d JOIN m2 USING (source) GROUP BY 1""".stripMargin)),
+
+    // §2.3/147 — JL random projection 64 -> 16 with the md5-derived ±1
+    // sign matrix (a plan literal — map-side arithmetic only); both
+    // engines fold the signed sum in index order, so projections are
+    // bitwise identical.
+    "sim_randproj" -> QueryDef(
+      (s, d) => operators.Similarity.randomProjection(
+        ds(s, d, "embeddings").toDF, "vec_id", "embedding", 64, 16),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+        |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0)
+        |SELECT vec_id, r.j AS j,
+        |  list_sum(list_transform(generate_series(1, 64), i -> v[i] *
+        |    (CASE WHEN ('0x' || substring(md5((i-1)::varchar || ':' || r.j::varchar), 1, 1))::int % 2 = 0
+        |     THEN 1.0 ELSE -1.0 END))) AS proj
+        |FROM e CROSS JOIN range(16) AS r(j)""".stripMargin)),
+
+    // §2.3/148 — Efraimidis–Spirakis weighted sampling without
+    // replacement: top-200 documents by ln(u)/w with u the exact
+    // 52-bit id hash in (0,1] and w = n_chars; TakeOrderedAndProject,
+    // never a global sort. Emitted columns are exact integers/dyadic
+    // rationals; the ln() key stays internal (see Sampling scaladoc
+    // for the ulp-separation argument).
+    "q_weighted_sample" -> QueryDef(
+      (s, d) => Sampling.weightedSample(ds(s, d, "documents").toDF,
+        "doc_id", "n_chars", k = 200),
+      Some("""SELECT doc_id, n_chars AS weight,
+        |  (('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint + 1) / 4503599627370496.0 AS u
+        |FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |ORDER BY ln((('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint + 1) / 4503599627370496.0) / n_chars DESC, doc_id
+        |LIMIT 200""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

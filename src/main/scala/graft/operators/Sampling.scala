@@ -473,6 +473,38 @@ object Sampling {
         explode(sequence(lit(0), col("__rep") - 1)).as("rep_no"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * the k rows with the largest key u^(1/w) — equivalently the
+    * largest ln(u)/w — where u is the row's stable 52-bit id hash
+    * mapped to (0, 1] and w the weight column. Inclusion probability
+    * is proportional to weight, membership depends only on the row id
+    * (deterministic, engine-portable), and the k winners are a single
+    * pass — the weighted complement of [[hashBucketSample]].
+    *
+    * Determinism note: the key itself involves ln(), whose last ulp
+    * may differ between libm implementations — but md5-derived keys of
+    * distinct rows are separated by far more than a ulp (expected
+    * nearest-key gap ~1/n² of the key range vs ~1e-16 relative libm
+    * spread), and the order is tie-broken by id, so the selected SET
+    * is stable across engines. The emitted columns (id, weight, u) are
+    * all exact — no float from the key ever reaches the output.
+    *
+    * Scale shape: top-k by sort key is TakeOrderedAndProject — a
+    * map-side partial top-k per partition, combinable, never a global
+    * sort.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val h = HashFunctions.stableHash52(col(idCol).cast("string"))
+    val u = (h.cast("double") + 1.0) / 4503599627370496.0 // 2^52, exact
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__u", u)
+      .withColumn("__key", log(col("__u")) / col(weightCol))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col(weightCol).as("weight"), col("__u").as("u"))
+  }
+
   private def bucket(idCol: String, den: Int) =
     HashFunctions.stableHash56(col(idCol).cast("string")) % den
 }

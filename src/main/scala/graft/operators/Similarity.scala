@@ -351,4 +351,46 @@ object Similarity {
       .filter(col("cosine") > threshold)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
   }
+
+  /** Johnson–Lindenstrauss random projection `inDim -> outDim`: each
+    * output coordinate is the ±1-signed sum of the input coordinates,
+    * with the sign matrix derived from md5 of the (row, column) index
+    * pair — a fixed public formula both engines can replay exactly, in
+    * place of a seeded RNG. Distances are preserved within the JL
+    * bound in expectation (Achlioptas-style database-friendly
+    * projection: signs, no Gaussians), so the output feeds the LSH /
+    * IVF ladder at a quarter of the vector width.
+    *
+    * Exactness: float inputs widen to double exactly, ±1 products are
+    * exact, and both engines fold the sum in ascending index order —
+    * bitwise-identical projections, no tolerance needed.
+    *
+    * Scale shape: pure map-side arithmetic over the corpus scan (the
+    * sign matrix is a plan literal, never a join); output is
+    * `outDim` rows per vector via one posexplode.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       inDim: Int, outDim: Int): DataFrame = {
+    val v = slice(col(vecCol).cast("array<double>"), 1, inDim)
+    val projs = (0 until outDim).map { j =>
+      val signs = lit((0 until inDim).map(i => signOf(i, j)).toArray)
+      aggregate(zip_with(v, signs, (e, g) => e * g),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) >= inDim &&
+        !exists(v, _.isNull))
+      .select(col(idCol), posexplode(array(projs: _*)))
+      .select(col(idCol), col("pos").cast("long").as("j"), col("col").as("proj"))
+  }
+
+  /** The projection sign for matrix cell (i, j): +1 when the first md5
+    * hex digit of "i:j" is even. md5 is engine-independent, so an
+    * external SQL engine computes the identical matrix from the same
+    * formula.
+    */
+  private def signOf(i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+  }
 }

@@ -137,4 +137,41 @@ object Sketches {
           (col("__hi") - col("__lo") + 1)).cast("long")).as("bin"))
       .groupBy(groupCol, "bin").agg(count(lit(1)).as("cnt"))
   }
+
+  /** Robust per-group outlier detection on MEDIAN/MAD — the
+    * heavy-tail-safe alternative to mean/stddev z-scores (one giant
+    * document moves a mean arbitrarily; it moves a median not at all).
+    * Estimators come from the mergeable bottom-k hash sample
+    * ([[sampledMedian]], exact for groups <= k), then outliers are
+    * counted over the FULL group.
+    *
+    * Integer-exact throughout — the classic 1.4826·MAD consistency
+    * scaling is applied as a cross-multiplied integer comparison, so
+    * no float ever decides membership: with med2 = 2·median(x) and
+    * madd2 = 2·median(2·|x − med|) = 4·MAD, the rule
+    * |x − med| > 3·1.4826·MAD becomes
+    * 20000·|2x − med2| > 3·14826·madd2.
+    *
+    * Scale shape: two bottom-k sample aggregations (map-side
+    * combinable, k-bounded state) + one counting aggregation, with the
+    * group-cardinality estimate tables broadcast back — the corpus is
+    * never shuffled on anything but the group key.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: String, k: Int = 64): DataFrame = {
+    val nn = df.filter(col(valueCol).isNotNull)
+    val med = sampledMedian(nn, groupCol, idCol, valueCol, k)
+      .select(col(groupCol), col("med2"))
+    val withDev = nn.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(lit(2) * col(valueCol).cast("long") - col("med2")))
+    val mad = sampledMedian(withDev, groupCol, idCol, "__dev", k)
+      .select(col(groupCol), col("med2").as("madd2"))
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("med2")).as("med2"),
+        first(col("madd2")).as("madd2"),
+        sum(when(col("__dev") * 20000L > lit(44478L) * col("madd2"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

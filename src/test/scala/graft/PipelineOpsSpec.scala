@@ -412,4 +412,56 @@ class PipelineOpsSpec extends SparkSpecBase {
       .collect().map(_.getInt(0)).toSet
     assert(reps === Set(0))
   }
+
+  test("madOutliers: only the far point trips the integer MAD rule; exact when sampled fully") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    // 10..20 plus an extreme 1000: med2 = 15+16 = 31; devs |2v-31| sorted
+    // 1,1,3,3,5,5,7,7,9,9,11,1969 -> madd2 = 5+7 = 12; rule dev > 26.7
+    val rows = (1 to 11).map(i => (i.toLong, "g", 9L + i)) :+ (99L, "g", 1000L)
+    val out = Sketches.madOutliers(rows.toDF("id", "grp", "v"), "grp", "id", "v", k = 64)
+      .collect().head
+    assert(out.getAs[Long]("n_rows") === 12)
+    assert(out.getAs[Long]("med2") === 31)
+    assert(out.getAs[Long]("madd2") === 12)
+    assert(out.getAs[Long]("n_outliers") === 1)
+  }
+
+  test("randomProjection: bitwise-exact signed sums, outDim rows per vector") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val out = Similarity.randomProjection(emb, "vec_id", "embedding", 64, 16).cache()
+    val n = emb.filter(col("embedding").isNotNull && size(col("embedding")) >= 64).count()
+    assert(out.count() === n * 16)
+    // recompute one cell by hand from the public md5 sign formula
+    val vid = out.select("vec_id").orderBy("vec_id").head.getLong(0)
+    val vec = emb.filter(col("vec_id") === vid).select("embedding").head.getSeq[Float](0)
+    val expected = (0 until 64).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s"$i:0".getBytes("UTF-8"))
+      val s = if ((((d(0) >> 4) & 0xf) % 2) == 0) 1.0 else -1.0
+      vec(i).toDouble * s
+    }.sum
+    val got = out.filter(col("vec_id") === vid && col("j") === 0).head.getAs[Double]("proj")
+    assert(got === expected, "fold order must make the projection bitwise-exact")
+    out.unpersist()
+  }
+
+  test("weightedSample: selects exactly the top-k rows by the A-ES key") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf(), "documents")
+    val k = 20
+    val got = Sampling.weightedSample(docs, "doc_id", "n_chars", k)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 13), 16).toDouble + 1.0) / 4503599627370496.0
+    }
+    val expect = docs.filter(col("n_chars") > 0).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (id, w) => (math.log(u(id)) / w, id) }
+      .sortBy { case (key, id) => (-key, id) }.take(k).map(_._2).toSet
+    assert(got === expect)
+    assert(got.size === k)
+  }
 }
