@@ -28,6 +28,18 @@ object Queries {
   // ---- shared oracle-SQL builders: each replayed CTE family lives in
   // ONE place so the oracles cannot drift apart ----
 
+  /** One PageRank power-iteration step as CTEs: dangling mass, edge
+    * contributions, next rank table — unrolled per iteration so the
+    * oracle runs the identical arithmetic to [[operators.PageRank]].
+    */
+  private def pageRankIterSql(k: Int): String =
+    s"""dang$k AS (SELECT coalesce(sum(pr), 0) AS dm FROM p$k
+       |  LEFT JOIN deg ON id = src WHERE src IS NULL),
+       |c$k AS (SELECT e.dst AS id, sum(p.pr / g.deg) AS c FROM ed e
+       |  JOIN p$k p ON e.src = p.id JOIN deg g ON e.src = g.src GROUP BY 1),
+       |p${k + 1} AS (SELECT n.id, (1 - 0.85) / nn.n + 0.85 * (coalesce(c.c, 0) + d.dm / nn.n) AS pr
+       |  FROM nodes n CROSS JOIN nn CROSS JOIN dang$k d LEFT JOIN c$k c ON n.id = c.id)""".stripMargin
+
   /** Kirsch–Mitzenmacher minhash select list `m0..m{n-1}` over `hs`. */
   private def mhSigSql(numHashes: Int): String =
     (0 until numHashes).map(i =>
@@ -2277,7 +2289,30 @@ object Queries {
         |  (('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint + 1) / 4503599627370496.0 AS u
         |FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
         |ORDER BY ln((('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint + 1) / 4503599627370496.0) / n_chars DESC, doc_id
-        |LIMIT 200""".stripMargin))
+        |LIMIT 200""".stripMargin)),
+
+    // §2.2/149 — PageRank (5 power-iteration steps, damping 0.85,
+    // dangling-mass redistribution) over the customer→supplier
+    // purchase graph. Per step: one src-partitioned edge join, one
+    // combinable dst sum, two one-row broadcasts — textbook Pregel
+    // shape in DataFrame terms. All suppliers are dangling in this
+    // graph, so the redistribution path is genuinely exercised.
+    "q_pagerank" -> QueryDef(
+      (s, d) => {
+        val edges = ds(s, d, "orders").toDF.select("o_orderkey", "o_custkey")
+          .join(ds(s, d, "lineitem").toDF.select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        operators.PageRank.run(edges, "src", "dst", iters = 5)
+      },
+      Some(s"""WITH ed AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |deg AS (SELECT src, count(*)::DOUBLE AS deg FROM ed GROUP BY 1),
+        |p0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+        |${(0 until 5).map(pageRankIterSql).mkString(",\n")}
+        |SELECT id AS node_id, pr FROM p5""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap
