@@ -2312,7 +2312,35 @@ object Queries {
         |deg AS (SELECT src, count(*)::DOUBLE AS deg FROM ed GROUP BY 1),
         |p0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
         |${(0 until 5).map(pageRankIterSql).mkString(",\n")}
-        |SELECT id AS node_id, pr FROM p5""".stripMargin))
+        |SELECT id AS node_id, pr FROM p5""".stripMargin)),
+
+    // §2.2/150 — triangle count of the part co-purchase graph by
+    // degree-ordered orientation: wedge set bounded by arboricity
+    // (out-degree O(√E) after orientation), each triangle counted
+    // once at its minimum-order vertex. Exact integer output.
+    "q_triangles" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF.select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.Triangles.triangleCount(e, "src", "dst")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT id, count(*) AS dg FROM
+        |  (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN da.dg*100000000 + a < db.dg*100000000 + b THEN a ELSE b END AS u,
+        |    CASE WHEN da.dg*100000000 + a < db.dg*100000000 + b THEN b ELSE a END AS v,
+        |    greatest(da.dg*100000000 + a, db.dg*100000000 + b) AS kv
+        |  FROM e0 JOIN deg da ON a = da.id JOIN deg db ON b = db.id),
+        |w AS (SELECT e1.v AS x, e2.v AS y FROM o e1
+        |  JOIN o e2 ON e1.u = e2.u AND e1.kv < e2.kv)
+        |SELECT count(*) AS n_triangles
+        |FROM w JOIN o ON w.x = o.u AND w.y = o.v""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap
