@@ -2340,7 +2340,128 @@ object Queries {
         |w AS (SELECT e1.v AS x, e2.v AS y FROM o e1
         |  JOIN o e2 ON e1.u = e2.u AND e1.kv < e2.kv)
         |SELECT count(*) AS n_triangles
-        |FROM w JOIN o ON w.x = o.u AND w.y = o.v""".stripMargin))
+        |FROM w JOIN o ON w.x = o.u AND w.y = o.v""".stripMargin)),
+
+    // §2.2/151 — connected components of a general edge list (the
+    // sparse high-quantity co-purchase graph: 103 components at
+    // sf0.01), by the propagate+jump kernel; the oracle's recursive
+    // CTE materializes the O(n·comp) closure the distributed path
+    // never builds. Pruning `c < t` in the CTE is sound: the
+    // component min is <= every member, and equality rows are seeded.
+    "q_components" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_quantity") >= 45)
+          .select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.ConnectedComponents.componentsFromEdges(e, "src", "dst")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_quantity >= 45 AND y.l_quantity >= 45),
+        |u AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+        |r(n, c) AS (SELECT s, s FROM u
+        |  UNION SELECT u.t, r.c FROM r JOIN u ON u.s = r.n WHERE r.c < u.t)
+        |SELECT n AS node_id, min(c) AS component FROM r GROUP BY n""".stripMargin)),
+
+    // §2.2/152 — multi-source BFS hop distance on the same graph
+    // (sources = node ids ≡ 0 mod 100), frontier-delta iteration with
+    // early termination; capped at 4 hops so the fixed-depth oracle
+    // CTE replays the identical distance function.
+    "q_bfs" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_quantity") >= 45)
+          .select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        val nodes = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct()
+        operators.ShortestPaths.bfsHops(e, "src", "dst",
+          nodes.filter(col("id") % 100 === 0), maxHops = 4)
+      },
+      Some("""WITH RECURSIVE e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_quantity >= 45 AND y.l_quantity >= 45),
+        |u AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+        |src AS (SELECT DISTINCT s FROM u WHERE s % 100 = 0),
+        |r(n, d) AS (SELECT s, 0 FROM src
+        |  UNION SELECT u.t, r.d + 1 FROM r JOIN u ON u.s = r.n WHERE r.d < 4)
+        |SELECT n AS node_id, min(d) AS dist FROM r GROUP BY n""".stripMargin)),
+
+    // §2.3/153 — KMV sketch reaggregation: per-day sketches merged to
+    // a per-type rollup without rescanning the fact table — the
+    // materialized-rollup pattern at 100 TB. The oracle replays the
+    // TWO-LEVEL construction (per-day bottom-64, union, bottom-64
+    // again), which by the bottom-k closure property equals the
+    // direct sketch (KmvReaggSpec pins that equality in-engine).
+    "q_kmv_reagg" -> QueryDef(
+      (s, d) => Sketches.kmvReaggregate(ds(s, d, "events").toDF,
+        Seq("event_type"), to_date(col("ts")), "user_id", k = 64),
+      Some("""WITH h AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS dday,
+        |    ('0x' || substring(md5(user_id::VARCHAR), 1, 14))::bigint AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r1 AS (SELECT event_type, dday, hv,
+        |    row_number() OVER (PARTITION BY event_type, dday ORDER BY hv) AS rn FROM h),
+        |u AS (SELECT DISTINCT event_type, hv FROM r1 WHERE rn <= 64),
+        |nb AS (SELECT event_type, count(DISTINCT dday) AS n_buckets FROM h GROUP BY 1),
+        |r2 AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM u),
+        |k2 AS (SELECT event_type, count(*) AS cnt, max(hv) AS hk
+        |  FROM r2 WHERE rn <= 64 GROUP BY event_type)
+        |SELECT k2.event_type, nb.n_buckets,
+        |  CASE WHEN cnt < 64 THEN cnt
+        |    ELSE (63 * (1::BIGINT << 56)) // hk END AS est_distinct
+        |FROM k2 JOIN nb ON k2.event_type = nb.event_type""".stripMargin)),
+
+    // §2.3/154 — the published Gopher/MassiveText quality rule battery
+    // (Rae et al. 2021 App. A.1.1); every threshold a cross-multiplied
+    // integer comparison, zero shuffle.
+    "text_gopher" -> QueryDef(
+      (s, d) => {
+        val sig = TextFunctions.gopherSignals(col("text"))
+          .map { case (n, c) => c.as(n) }
+        ds(s, d, "documents").toDF.select((col("doc_id") +: sig): _*)
+      },
+      Some("""WITH g AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    str_split(text, chr(10)) AS lines,
+        |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    list_sum(list_transform(toks, t -> len(t)))::INT AS sum_word_len,
+        |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha_words,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(toks, w))) AS n_stop_hits,
+        |    n_symbols,
+        |    len(lines) AS n_lines,
+        |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+        |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS n_ell
+        |  FROM g)
+        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |  (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words) AS r_word_length,
+        |  (10 * n_symbols <= n_words) AS r_symbol_ratio,
+        |  (10 * n_bullet < 9 * n_lines) AS r_bullet_lines,
+        |  (10 * n_ell < 3 * n_lines) AS r_ellipsis_lines,
+        |  (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+        |  (n_stop_hits >= 2) AS r_stop_words,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
+        |    AND (10 * n_symbols <= n_words)
+        |    AND (10 * n_bullet < 9 * n_lines)
+        |    AND (10 * n_ell < 3 * n_lines)
+        |    AND (5 * n_alpha_words >= 4 * n_words)
+        |    AND (n_stop_hits >= 2)) AS gopher_pass
+        |FROM m""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

@@ -54,6 +54,54 @@ object TextFunctions {
       punctCount(c) * 5 <= nChars &&
       digitCount(c) * 4 <= nChars))
 
+  /** The Gopher/MassiveText document-quality rule set (Rae et al.
+    * 2021, "Scaling Language Models: ... Gopher", Appendix A.1.1) —
+    * the published filter battery production LLM corpora actually run,
+    * complementing [[qualitySignals]]' generic ratios:
+    *
+    *   1. 50 <= word count <= 100,000
+    *   2. 3 <= mean word length <= 10
+    *   3. symbol-to-word ratio ('#' or '...') <= 0.1
+    *   4. < 90% of lines start with a bullet ('-', '*', '•')
+    *   5. < 30% of lines end with an ellipsis ('...' or '…')
+    *   6. >= 80% of words contain an alphabetic character
+    *   7. >= 2 distinct members of {the,be,to,of,and,that,have,with}
+    *
+    * Every ratio threshold is applied as a cross-multiplied INTEGER
+    * comparison (e.g. rule 2 as `3·n <= Σlen <= 10·n`), so no float
+    * ever decides a rule and an external SQL engine replays each
+    * boolean exactly. Words are the corpus-wide whitespace-token
+    * convention; lines split on '\n' (a single-line document has one
+    * line — the line rules still evaluate, faithfully vacuous).
+    * Pure per-row codegen'd expressions: zero shuffle at any scale.
+    */
+  def gopherSignals(c: Column): Seq[(String, Column)] = {
+    val toks = tokens(c)
+    val nWords = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x)
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val nSymbols = size(regexp_extract_all(c, lit("#|\\.\\.\\."), lit(0)))
+    val lines = split(c, "\n")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+    val nEllEnd = size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(filter(array(gopherStops.map(lit): _*),
+      w => array_contains(toks, w)))
+    val rules = Seq(
+      "r_word_count" -> (nWords >= 50 && nWords <= 100000),
+      "r_word_length" -> (lit(3) * nWords <= sumLen && sumLen <= lit(10) * nWords),
+      "r_symbol_ratio" -> (lit(10) * nSymbols <= nWords),
+      "r_bullet_lines" -> (lit(10) * nBullet < lit(9) * nLines),
+      "r_ellipsis_lines" -> (lit(10) * nEllEnd < lit(3) * nLines),
+      "r_alpha_words" -> (lit(5) * nAlpha >= lit(4) * nWords),
+      "r_stop_words" -> (nStop >= 2))
+    Seq("n_words" -> nWords, "sum_word_len" -> sumLen,
+      "n_alpha_words" -> nAlpha, "n_stop_hits" -> nStop) ++ rules ++
+      Seq("gopher_pass" -> rules.map(_._2).reduce(_ && _))
+  }
+
   /** Language ID by stopword/script hits — the classic cheap n-gram
     * heuristic. CJK codepoints trump Latin stopword scores.
     */

@@ -76,6 +76,33 @@ object ConnectedComponents {
     materializeAndRelease(labels, if (pinMembership) Some(mem) else None, pins.toSeq)
   }
 
+  /** Connected components of a plain undirected edge list, exposed as
+    * (node_id, component) with `component` = the minimum node id in the
+    * component — the general-graph entry point over the same
+    * propagate+jump kernel the dedup clusterings use. Each canonical
+    * edge (u < v after cleaning self-loops/duplicates/reversals)
+    * becomes a two-member bucket {(u,(u,v)), (v,(u,v))}, so one
+    * propagation round is exactly one graph hop and the fixpoint is
+    * the exact per-component minimum whatever the diameter (pointer
+    * jumping covers diameter ~2^maxIterations). Scale shape: bucket
+    * cardinality is |E|, every round is two combinable aggregations on
+    * (b1,b2)/id plus a label-sized jump join — never an all-pairs
+    * closure (the oracle's recursive CTE materializes O(n·comp) pairs;
+    * this materializes O(n) labels per round).
+    */
+  def componentsFromEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIterations: Int = 20): DataFrame = {
+    val s = col(srcCol).cast("long")
+    val t = col(dstCol).cast("long")
+    val canon = edges.filter(s =!= t)
+      .select(least(s, t).as("b1"), greatest(s, t).as("b2"))
+      .distinct()
+    val membership = canon.select(col("b1").as("id"), col("b1"), col("b2"))
+      .union(canon.select(col("b2").as("id"), col("b1"), col("b2")))
+    val labels = propagateToFixpoint(membership, Seq("b1", "b2"), maxIterations)
+    labels.select(col("id").as("node_id"), col("label").as("component"))
+  }
+
   /** True iff no label differs between `curr` and `prev` (`prev ==
     * null` means the identity assignment, where the check needs no
     * join at all).

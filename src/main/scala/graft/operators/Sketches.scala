@@ -79,6 +79,47 @@ object Sketches {
         kmvEstimate("__mins", k).as("est_distinct"): _*)
   }
 
+  /** Sketch REAGGREGATION — the property that makes KMV the 100 TB
+    * materialized-rollup sketch: per (group, sub-bucket) k-min arrays
+    * are themselves mergeable, and merging them yields EXACTLY the
+    * sketch a direct pass over the union would build (bottom-k of a
+    * union = bottom-k of the per-part bottom-k's, since any global
+    * minimum survives its part's top-k cut). So a pipeline can
+    * materialize fine-grained sketches once (per day, per shard, per
+    * ingest batch) and answer every coarser rollup by merging
+    * `buckets * k` longs — never rescanning the fact table. HLL has
+    * the same closure but an engine-private register layout; KMV's
+    * merge is replayable row-for-row by an external SQL oracle.
+    *
+    * Output: one row per `groupCols` with `n_buckets` (sub-sketches
+    * merged) and `est_distinct` — identical, by the argument above,
+    * to `kmvDistinct(df, groupCols, valueCol, k)` (KmvReaggSpec pins
+    * the equality; the oracle replays the two-level construction).
+    *
+    * Scale shape: stage 1 is [[kmvDistinct]]'s partial-aggregated
+    * groupBy at (group, bucket) grain; stage 2 explodes the arrays —
+    * `buckets * k` rows total, sketch-sized not corpus-sized — and
+    * re-runs the same combinable k-min aggregator at group grain.
+    * [[graft.functions.KMinAgg.insert]] keeps minima DISTINCT, so a
+    * hash present in several sub-buckets merges idempotently.
+    */
+  def kmvReaggregate(df: DataFrame, groupCols: Seq[String],
+                     bucketCol: Column, valueCol: String,
+                     k: Int = 64): DataFrame = {
+    require(k >= 2 && k <= 128, s"kmv k must be in [2, 128], got $k")
+    val gc = groupCols.map(col)
+    val daily = df.filter(col(valueCol).isNotNull)
+      .groupBy(gc :+ bucketCol.as("__bucket"): _*)
+      .agg(graft.functions.KMinAgg.kMin(k)(kmvHash(col(valueCol))).as("__mins"))
+    daily
+      .select(gc :+ col("__bucket") :+ explode(col("__mins")).as("__hv"): _*)
+      .groupBy(gc: _*)
+      .agg(countDistinct(col("__bucket")).as("n_buckets"),
+        graft.functions.KMinAgg.kMin(k)(col("__hv")).as("__mins"))
+      .select(gc ++ Seq(col("n_buckets"),
+        kmvEstimate("__mins", k).as("est_distinct")): _*)
+  }
+
   /** Mergeable sampled-median sketch: per group, the rows whose stable
     * 52-bit id hash is among the `k` smallest form a UNIFORM sample of
     * the group (bottom-k sampling — the same principle as

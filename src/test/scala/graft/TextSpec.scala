@@ -101,6 +101,37 @@ class TextSpec extends SparkSpecBase {
     assert(v.toSeq === Seq((1, "a", 4L, 4L), (2, "b", 3L, 7L), (3, "c", 2L, 9L)))
   }
 
+  test("gopher rules: each rule fires on its designed violation; a clean doc passes") {
+    def sig(t: String): Map[String, Any] = {
+      val cols = gopherSignals(col("text")).map { case (n, c) => c.as(n) }
+      val row = one(t).select(cols: _*).head()
+      row.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap
+    }
+    // 60 words incl. >= 2 gopher stopwords, mean length in [3,10]
+    val clean = (("the cat and dog walked over with that " * 7).trim + " home end").trim
+    val c = sig(clean)
+    assert(c("n_words") === 58 && c("gopher_pass") === true)
+    // rule 1: too short
+    assert(sig("the cat and dog have fun")("r_word_count") === false)
+    // rule 2: mean word length < 3
+    val shorty = Array.fill(60)("a b").mkString(" ")
+    assert(sig(shorty)("r_word_length") === false)
+    // rule 3: symbols — hashes outnumber 10% of words
+    assert(sig("# # # the cat sat")("r_symbol_ratio") === false)
+    // rule 4/5: bullets and ellipsis lines
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    assert(sig(bullets)("r_bullet_lines") === false)
+    val ell = (1 to 10).map(i => s"line $i...").mkString("\n")
+    assert(sig(ell)("r_ellipsis_lines") === false)
+    assert(sig(clean)("r_bullet_lines") === true) // single line, 0 bullets
+    // rule 6: numeric soup fails the alphabetic-word floor
+    val nums = (1 to 100).map(_.toString).mkString(" ")
+    assert(sig(nums)("r_alpha_words") === false)
+    // rule 7: < 2 distinct gopher stopwords
+    assert(sig("cat dog mouse bird fish")("r_stop_words") === false)
+    assert(sig("the cat with dog")("r_stop_words") === true)
+  }
+
   test("repetition signals count top-token and duplicate bigrams") {
     def sig(t: String): Map[String, Int] = {
       val cols = repetitionSignals(col("__toks")).map { case (n, c) => c.cast("int").as(n) }
