@@ -2342,27 +2342,34 @@ object Queries {
         |SELECT count(*) AS n_triangles
         |FROM w JOIN o ON w.x = o.u AND w.y = o.v""".stripMargin)),
 
-    // §2.2/151 — connected components of a general edge list (the
-    // sparse high-quantity co-purchase graph: 103 components at
-    // sf0.01), by the propagate+jump kernel; the oracle's recursive
-    // CTE materializes the O(n·comp) closure the distributed path
-    // never builds. Pruning `c < t` in the CTE is sound: the
-    // component min is <= every member, and equality rows are seeded.
+    // §2.2/151 — connected components of a general edge list: the
+    // NATION-LOCAL supply graph (customer↔supplier edges where both
+    // sit in the same nation and a qty>=48 purchase links them — 66
+    // components at sf0.01, 699 at sf0.1, hub-shaped so the fixpoint
+    // lands in ~5-7 rounds), by the propagate+jump kernel; the
+    // oracle's recursive CTE materializes the O(n·comp) closure the
+    // distributed path never builds. Pruning `c < t` in the CTE is
+    // sound: the component min is <= every member, and equality rows
+    // are seeded.
     "q_components" -> QueryDef(
       (s, d) => {
-        val li = ds(s, d, "lineitem").toDF
-          .filter(col("l_quantity") >= 45)
-          .select("l_orderkey", "l_partkey")
-        val e = li.as("x").join(li.as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_partkey") < col("y.l_partkey"))
-          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        val e = ds(s, d, "orders").toDF.select("o_orderkey", "o_custkey")
+          .join(ds(s, d, "lineitem").toDF
+            .filter(col("l_quantity") >= 48).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(ds(s, d, "customer").toDF.select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(ds(s, d, "supplier").toDF.select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") === col("s_nationkey"))
+          .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
         operators.ConnectedComponents.componentsFromEdges(e, "src", "dst")
       },
-      Some("""WITH RECURSIVE e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        |  FROM lineitem x JOIN lineitem y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-        |  WHERE x.l_quantity >= 45 AND y.l_quantity >= 45),
+      Some("""WITH RECURSIVE e AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE c_nationkey = s_nationkey AND l_quantity >= 48),
         |u AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
         |r(n, c) AS (SELECT s, s FROM u
         |  UNION SELECT u.t, r.c FROM r JOIN u ON u.s = r.n WHERE r.c < u.t)

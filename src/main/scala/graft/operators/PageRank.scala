@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** PageRank over a directed edge list — the canonical iterative graph
   * computation, Pregel-shaped but expressed as plain DataFrame joins
@@ -33,34 +34,54 @@ object PageRank {
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    // Iterative-plan hygiene: every superstep TRUNCATES lineage with
+    // an eager localCheckpoint of the node-sized rank frame. Each
+    // superstep's logical plan references the previous rank frame
+    // twice (dangling mass + contributions), so without truncation the
+    // ANALYZED plan doubles per step and Catalyst optimization time —
+    // driver-side, unaffected by caching — grows exponentially
+    // (measured at sf0.01: supersteps 1.0s → 1.1 → 2.2 → 5.3 → 26.6s
+    // under persist+count; flat ~0.5s/step checkpointed). The
+    // checkpoint is node-sized state on executors — the standard
+    // Pregel-on-DataFrames pattern; on a cluster an executor loss
+    // costs the job a retry from the last checkpoint, the price of
+    // bounded planning.
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .repartition(col("src"))
-      .persist()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
-    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
-    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).persist()
-    var pr = nodes.crossJoin(broadcast(nn))
-      .select(col("id"), (lit(1.0) / col("n")).as("pr"))
-      .persist()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (id, deg): one frame carries the node set AND its out-degree
+    // (null = dangling), so the per-superstep dangling probe and the
+    // contribution join read one cache instead of joining two
+    val info = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).cast("double").as("deg")), Seq("id"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nn = info.agg(count(lit(1)).cast("double").as("n"))
+    var pr = info.crossJoin(broadcast(nn))
+      .select(col("id"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint(true)
     for (_ <- 0 until iters) {
-      // rank mass sitting on dangling nodes (no out-edges): one row
-      val dangling = pr.join(deg, pr("id") === deg("src"), "left_anti")
+      // rank mass sitting on dangling nodes (no out-edges): one row,
+      // aggregated straight off the checkpointed rank frame
+      val dangling = pr.filter(col("deg").isNull)
         .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
       val contribs = e.join(pr.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("pr") / col("deg")).as("c"))
-      pr = nodes.crossJoin(broadcast(nn)).crossJoin(broadcast(dangling))
+      pr = info.crossJoin(broadcast(nn)).crossJoin(broadcast(dangling))
         .join(contribs, col("id") === col("cid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("deg"),
           ((lit(1.0) - damping) / col("n") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / col("n")))
             .as("pr"))
-        .persist()
+        .localCheckpoint(true)
     }
-    pr.select(col("id").as("node_id"), col("pr"))
+    val out = pr.select(col("id").as("node_id"), col("pr"))
+    e.unpersist(blocking = false)
+    info.unpersist(blocking = false)
+    out
   }
 }

@@ -58,12 +58,20 @@ object ShortestPaths {
     val src0 = sources.select(sources.columns.head).distinct()
       .select(col(sources.columns.head).cast("long").as("node_id"),
         lit(0).as("dist"))
-    var settled = src0.persist(StorageLevel.MEMORY_AND_DISK)
-    settled.count()
-    var frontier = settled
-    val pins = scala.collection.mutable.ArrayBuffer[DataFrame](settled)
+    // Each settled layer is an eager localCheckpoint: hop h's plan
+    // references hop h-1 both as the frontier (expansion join) and
+    // inside `settled` (anti-join), so un-truncated lineage doubles
+    // per hop and Catalyst's driver-side optimization time grows
+    // exponentially with depth (the same pathology measured in
+    // [[PageRank]]). Checkpointed, every hop is ONE job over
+    // frontier-sized state, its count doubling as the empty-frontier
+    // termination probe; `settled` stays a union of layer scans —
+    // linear plan growth.
+    var frontier = src0.localCheckpoint(true)
+    val layers = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    var settled: DataFrame = frontier
     var h = 1
-    var done = maxHops == 0
+    var done = maxHops == 0 || frontier.count() == 0
     while (!done) {
       // expand ONLY the frontier; anti-join drops already-settled
       // nodes (their existing dist is <= h by construction)
@@ -72,24 +80,17 @@ object ShortestPaths {
         .distinct()
         .join(settled, Seq("node_id"), "left_anti")
         .withColumn("dist", lit(h))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.limit(1).isEmpty) {
-        next.unpersist(blocking = false)
-        done = true
-      } else {
-        val merged = settled.union(next).persist(StorageLevel.MEMORY_AND_DISK)
-        merged.count()
-        pins += next
-        pins += merged
-        settled = merged
+        .localCheckpoint(true)
+      if (next.count() == 0) done = true
+      else {
+        layers += next
+        settled = settled.union(next)
         frontier = next
         h += 1
         done = h > maxHops
       }
     }
-    val out = settled
-    pins.filterNot(_ eq out).foreach(_.unpersist(blocking = false))
     adj.unpersist(blocking = false)
-    out
+    settled
   }
 }
