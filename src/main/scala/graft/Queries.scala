@@ -2403,6 +2403,42 @@ object Queries {
         |  UNION SELECT u.t, r.d + 1 FROM r JOIN u ON u.s = r.n WHERE r.d < 4)
         |SELECT n AS node_id, min(d) AS dist FROM r GROUP BY n""".stripMargin)),
 
+    // §2.3/155 — perceptual-hash image near-dup: REAL per-partition
+    // decode (PNG via javax.imageio, BMP via the hand parser) → 42-bit
+    // dHash → the same hamming-banded candidate join the simhash path
+    // uses. Restricted to the LOSSLESS codecs so decode is pixel-exact
+    // and the oracle can replay the hash from the generator's
+    // closed-form pixel formula (JPEG's perturbations are what the
+    // hamming threshold absorbs in production, but they are
+    // engine-private, so the lossy rows stay out of the oracled set).
+    "dedup_phash" -> QueryDef(
+      (s, d) => {
+        val lossless = ds(s, d, "documents").toDF
+          .filter(col("doc_id") % 3 === 0 &&
+            (col("doc_id") % 9 === 0 || col("doc_id") % 9 === 6))
+        val hashes = Multimodal.imageDHash(s,
+          Multimodal.attachMediaPayload(lossless, "doc_id", "text"))
+          .select(col("doc_id").as("id"), col("dhash").as("hash"))
+        Dedup.hammingPairs(hashes, bits = 42, maxHamming = 2)
+      },
+      Some("""WITH img AS (SELECT doc_id FROM documents
+        |    WHERE doc_id % 3 = 0 AND doc_id % 9 IN (0, 6)),
+        |px AS (SELECT doc_id, x, y,
+        |    (((doc_id*31 + x*7 + y*13) % 256)
+        |     + ((doc_id*31 + x*7 + y*13 + 101) % 256)
+        |     + ((doc_id*31 + x*7 + y*13 + 202) % 256)) // 3 AS gray
+        |  FROM img, generate_series(0, 7) gx(x), generate_series(0, 5) gy(y)),
+        |bits AS (SELECT a.doc_id, (a.y * 7 + a.x) AS i,
+        |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 7),
+        |h AS (SELECT doc_id, sum(bit * (1::BIGINT << i))::BIGINT AS hash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.hash, b.hash))::INTEGER AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hash, b.hash)) <= 2""".stripMargin)),
+
     // §2.3/153 — KMV sketch reaggregation: per-day sketches merged to
     // a per-type rollup without rescanning the fact table — the
     // materialized-rollup pattern at 100 TB. The oracle replays the

@@ -993,26 +993,41 @@ object Dedup {
     * dedup shuffle only carries surviving pairs.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol)
+      .select(col("id"), col("simhash").as("hash")), 56, maxHamming)
+
+  /** Generic bit-sketch near-dup pairs: all (doc_a < doc_b) whose
+    * `hash` values (any ≤63-bit packed fingerprint — simhash, image
+    * dHash, audio chromaprint-style sketch) differ in at most
+    * `maxHamming` bits, with the candidate join BANDED on
+    * `maxHamming + 1` bit-chunks (pigeonhole: a qualifying pair
+    * agrees exactly on at least one full chunk, so candidate
+    * generation is a chunk-value equi-join — never all-pairs — and
+    * the post-filter makes the result EXACT). Input `hashes`:
+    * (id, hash). Output (doc_a, doc_b, hamming).
+    */
+  def hammingPairs(hashes: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
-    require(nChunks >= 1 && nChunks <= 56, s"maxHamming must be in [0, 55], got $maxHamming")
-    // Spread the 56 bits evenly (floor + remainder): a uniform ceil
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(nChunks >= 1 && nChunks <= bits,
+      s"maxHamming must be in [0, ${bits - 1}], got $maxHamming")
+    // Spread the bits evenly (floor + remainder): a uniform ceil
     // width would leave later chunks with few or ZERO real bits, whose
     // constant chunk values degenerate into an all-pairs join.
-    val base = 56 / nChunks; val rem = 56 % nChunks
+    val base = bits / nChunks; val rem = bits % nChunks
     val widths = (0 until nChunks).map(c => base + (if (c < rem) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
-    val sims = simhash(df, idCol, textCol)
     val chunkStructs = (0 until nChunks).map { c =>
       struct(lit(c).as("chunk"),
-        expr(s"(simhash div ${1L << starts(c)}L) % ${1L << widths(c)}L").as("v"))
+        expr(s"(hash div ${1L << starts(c)}L) % ${1L << widths(c)}L").as("v"))
     }
-    val chunks = sims.select(col("id"), col("simhash"),
+    val chunks = hashes.select(col("id"), col("hash"),
         explode(array(chunkStructs: _*)).as("ck"))
-      .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.v").as("v"))
+      .select(col("id"), col("hash"), col("ck.chunk").as("chunk"), col("ck.v").as("v"))
     saltedSelfJoin(chunks, Seq("chunk", "v"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("bit_count(a.hash ^ b.hash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -447,9 +447,11 @@ object Multimodal {
     * pixel offset, bottom-up vs top-down) + padded pixel rows, with
     * bounds checks so truncated/malformed files fail with a
     * doc-id-labelled error instead of an index exception mid-partition.
+    * `f` receives (width, height, bpp, chan) — the accessor contract
+    * every pixel consumer (features, dHash) shares.
     */
-  private[graft] def bmpFeatures(docId: Long, payload: Array[Byte],
-                                 thumbW: Int, thumbH: Int): ImageFeatures = {
+  private def withBmpPixels[T](docId: Long, payload: Array[Byte])
+                              (f: (Int, Int, Int, (Int, Int, Int) => Int) => T): T = {
     val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     require(payload.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M',
       s"doc $docId: not a BMP")
@@ -465,26 +467,88 @@ object Multimodal {
     // a lying header must not read header bytes as pixels or run off the end
     require(offset >= 54 && offset.toLong + rowSize.toLong * h <= payload.length,
       s"doc $docId: truncated BMP (offset $offset, ${w}x$h, ${payload.length} bytes)")
-    featuresFromPixels(docId, w, h, bpp, thumbW, thumbH) { (x, y, c) =>
+    f(w, h, bpp, { (x, y, c) =>
       val row = if (topDown) y else h - 1 - y
       payload(offset + row * rowSize + 3 * x + (2 - c)) & 0xff
-    }
+    })
   }
 
+  private[graft] def bmpFeatures(docId: Long, payload: Array[Byte],
+                                 thumbW: Int, thumbH: Int): ImageFeatures =
+    withBmpPixels(docId, payload) { (w, h, bpp, chan) =>
+      featuresFromPixels(docId, w, h, bpp, thumbW, thumbH)(chan)
+    }
+
   /** JDK `ImageIO` decode (JPEG/PNG/GIF/BMP — whatever readers the JDK
-    * registers): one bulk `getRGB` grab, then the shared feature
-    * kernel.
+    * registers): one bulk `getRGB` grab, then the shared accessor
+    * contract.
     */
-  private[graft] def imageioFeatures(docId: Long, payload: Array[Byte],
-                                     thumbW: Int, thumbH: Int): ImageFeatures = {
+  private def withImageioPixels[T](docId: Long, payload: Array[Byte])
+                                  (f: (Int, Int, Int, (Int, Int, Int) => Int) => T): T = {
     javax.imageio.ImageIO.setUseCache(false)
     val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(bi != null, s"doc $docId: no JDK reader recognises this image payload")
     val w = bi.getWidth; val h = bi.getHeight
     val argb = bi.getRGB(0, 0, w, h, null, 0, w) // one bulk grab, not per-pixel calls
-    featuresFromPixels(docId, w, h, bi.getColorModel.getPixelSize, thumbW, thumbH) {
-      (x, y, c) => (argb(y * w + x) >> (16 - 8 * c)) & 0xff
+    f(w, h, bi.getColorModel.getPixelSize,
+      (x, y, c) => (argb(y * w + x) >> (16 - 8 * c)) & 0xff)
+  }
+
+  private[graft] def imageioFeatures(docId: Long, payload: Array[Byte],
+                                     thumbW: Int, thumbH: Int): ImageFeatures =
+    withImageioPixels(docId, payload) { (w, h, bpp, chan) =>
+      featuresFromPixels(docId, w, h, bpp, thumbW, thumbH)(chan)
     }
+
+  /** Difference hash (dHash) — the classic perceptual image
+    * fingerprint: each bit is one horizontal luminance gradient,
+    * `gray(x+1,y) > gray(x,y)` with integer gray `(r+g+b)/3`, packed
+    * row-major LSB-first into (w-1)·h bits (42 for the 8x6 corpus
+    * images — fits a long up to 9x7). Robust to uniform brightness
+    * shifts and any LOSSLESS re-encode (PNG vs BMP of the same pixels
+    * hash identically — how perceptual dedup catches format-shifted
+    * re-uploads); lossy codecs perturb low-order gradients, which is
+    * what near-zero hamming thresholds absorb.
+    */
+  private[graft] def dhashFromPixels(w: Int, h: Int)
+                                    (chan: (Int, Int, Int) => Int): Long = {
+    require((w - 1) * h <= 63, s"dHash grid ${w}x$h exceeds 63 bits")
+    var bits = 0L
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        val g0 = (chan(x, y, 0) + chan(x, y, 1) + chan(x, y, 2)) / 3
+        val g1 = (chan(x + 1, y, 0) + chan(x + 1, y, 1) + chan(x + 1, y, 2)) / 3
+        if (g1 > g0) bits |= 1L << i
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-partition REAL-decode → dHash: BMPs through the hand parser,
+    * PNG/JPEG/GIF through `javax.imageio` — (doc_id, dhash, n_bits).
+    * Same mapPartitions batch shape as [[decodeImage]].
+    */
+  def imageDHash(spark: SparkSession, media: Dataset[MediaRecord]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val (hash, nb) =
+          if (r.payload.length >= 2 && r.payload(0) == 'B'.toByte && r.payload(1) == 'M'.toByte)
+            withBmpPixels(r.doc_id, r.payload)((w, h, _, chan) =>
+              (dhashFromPixels(w, h)(chan), (w - 1) * h))
+          else
+            withImageioPixels(r.doc_id, r.payload)((w, h, _, chan) =>
+              (dhashFromPixels(w, h)(chan), (w - 1) * h))
+        (r.doc_id, hash, nb)
+      }
+    }.toDF("doc_id", "dhash", "n_bits")
   }
 
   private[graft] def tryImageFeatures(docId: Long, payload: Array[Byte],

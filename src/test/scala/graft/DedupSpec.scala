@@ -263,4 +263,21 @@ class DedupSpec extends SparkSpecBase {
         s"unrelated doc must not pair at maxHamming=$mh")
     }
   }
+
+  test("hammingPairs: banded candidates equal brute force on planted bit sketches") {
+    import spark.implicits._
+    // 10-bit sketches with planted distances 0, 1, 2, 3 and far rows
+    val rows = Seq(1L -> 0x155L, 2L -> 0x155L, 3L -> 0x154L, 4L -> 0x157L,
+      5L -> 0x15DL, 6L -> 0x2AAL, 7L -> 0x000L)
+    val df = rows.toDF("id", "hash")
+    for (mh <- Seq(0, 1, 2)) {
+      val got = Dedup.hammingPairs(df, bits = 10, maxHamming = mh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (a, ha) <- rows; (b, hb) <- rows if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= mh
+      } yield (a, b, d)).toSet
+      assert(got === want, s"maxHamming=$mh")
+    }
+  }
 }

@@ -384,4 +384,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(maxDev <= 0.05, f"JPEG deviation $maxDev%.5f exceeds 0.05 — " +
       "JpegTol (0.1) margin eroded")
   }
+
+  test("dHash: PNG and BMP of the same pixels hash identically, matching the closed form") {
+    import spark.implicits._
+    val (w, h) = (8, 6)
+    // independent expectation straight from the pixel formula — no
+    // shared code with the decoders or dhashFromPixels
+    def expectedHash(d: Long): Long = {
+      def gray(x: Int, y: Int): Int =
+        (0 until 3).map(c => Multimodal.pixel(d, x, y, c)).sum / 3
+      (for (y <- 0 until h; x <- 0 until w - 1) yield (x, y)).zipWithIndex
+        .collect { case ((x, y), i) if gray(x + 1, y) > gray(x, y) => 1L << i }
+        .foldLeft(0L)(_ | _)
+    }
+    val ids = Seq(0L, 9L, 18L, 2304L)
+    val media = ids.flatMap(id => Seq(
+      Multimodal.MediaRecord(id, "image", Multimodal.imageBytes(id, w, h, "png"), w, h, 0L),
+      Multimodal.MediaRecord(id + 100000, "image", Multimodal.bmpBytes(id, w, h), w, h, 0L)))
+    val got = Multimodal.imageDHash(spark, media.toDS()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(got(id) === expectedHash(id), s"doc $id PNG dHash vs closed form")
+      assert(got(id + 100000) === got(id), s"doc $id BMP vs PNG dHash (format-shift)")
+    }
+    // ids 0 and 2304 share doc_id mod 2304 (lcm of the 256-cycle pixel
+    // pattern and the codec classes) — identical images, hamming 0
+    assert(got(0L) === got(2304L))
+  }
 }
