@@ -1959,6 +1959,53 @@ object Queries {
         "sum(o_totalprice) AS total FROM orders " +
         "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)")),
 
+    // §2.2/156 — explicit GROUPING SETS (the general form rollup/cube
+    // specialize): two unrelated dimension pairs plus the grand total
+    // in ONE pass — Spark expands to a single Expand + hash aggregate,
+    // one scan however many sets; grouping_id() disambiguates the
+    // NULL-as-grouped case from a NULL value, bit order pinned by the
+    // column list on both engines.
+    "q_grouping_sets" -> QueryDef(
+      (s, d) => ds(s, d, "lineitem").toDF
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linenumber")), Seq()),
+          col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          sum("l_quantity").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, l_linenumber,
+        |  GROUPING(l_returnflag, l_linestatus, l_linenumber) AS gid,
+        |  count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber), ())"""
+        .stripMargin)),
+
+    // §2.2/157 — exact moment-sum profiling: per group the
+    // correlation/covariance building blocks (n, Σx, Σy, Σxy, Σx²,
+    // Σy²) as exact BIGINT sums over integerized columns (quantity is
+    // integer-valued; discount becomes basis points via round(x*100),
+    // bit-identical on both engines since both round the same IEEE
+    // double) — one combinable aggregation, and the float division
+    // r = (nΣxy−ΣxΣy)/√(...) happens OUTSIDE the engine contract, so
+    // profiling stays hash-exact where a float corr() column never is.
+    "q_moments" -> QueryDef(
+      (s, d) => {
+        val q = col("l_quantity").cast("long")
+        val dd = round(col("l_discount") * 100).cast("long")
+        ds(s, d, "lineitem").toDF.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(q).as("sum_x"), sum(dd).as("sum_y"),
+            sum(q * dd).as("sum_xy"),
+            sum(q * q).as("sum_x2"), sum(dd * dd).as("sum_y2"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        |  sum(l_quantity::BIGINT) AS sum_x,
+        |  sum(round(l_discount * 100)::BIGINT) AS sum_y,
+        |  sum(l_quantity::BIGINT * round(l_discount * 100)::BIGINT) AS sum_xy,
+        |  sum(l_quantity::BIGINT * l_quantity::BIGINT) AS sum_x2,
+        |  sum(round(l_discount * 100)::BIGINT * round(l_discount * 100)::BIGINT) AS sum_y2
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // §2.2/53 — anti join: customers with no orders
     "q_anti_join" -> QueryDef(
       (s, d) => ds(s, d, "customer").toDF.join(ds(s, d, "orders").toDF,

@@ -132,6 +132,30 @@ class TextSpec extends SparkSpecBase {
     assert(sig("the cat with dog")("r_stop_words") === true)
   }
 
+  test("compression ratio: repetitive text deflates below diverse text; deterministic; edge rows dropped") {
+    import graft.operators.CompressionSignal
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val docs = Seq(
+      1L -> ("spam spam spam " * 50),                       // template repetition
+      2L -> (1 to 200).map(_ => java.lang.Integer.toString(rng.nextInt(1 << 30), 32)).mkString(" "), // high entropy
+      3L -> "",                                             // dropped: empty
+      4L -> (null: String))                                 // dropped: null
+      .toDF("doc_id", "text")
+    val out = CompressionSignal.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    val (raw1, defl1, pct1) = out(1L)
+    val (_, _, pct2) = out(2L)
+    assert(defl1 < raw1 / 5, "template spam must collapse under deflate")
+    assert(pct1 < pct2, "repetitive text must out-compress high-entropy text")
+    assert(pct2 > 40, "near-random text barely compresses")
+    // determinism: identical invocation, identical byte counts
+    val again = CompressionSignal.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(again === out)
+  }
+
   test("repetition signals count top-token and duplicate bigrams") {
     def sig(t: String): Map[String, Int] = {
       val cols = repetitionSignals(col("__toks")).map { case (n, c) => c.cast("int").as(n) }
