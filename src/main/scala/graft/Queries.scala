@@ -2486,6 +2486,25 @@ object Queries {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hash, b.hash)) <= 2""".stripMargin)),
 
+    // §2.3/160 — per-label embedding centroids in EXACT fixed point:
+    // the pooling primitive beneath IVF training / SemDeDup / k-means,
+    // made hash-exact by scaling each float by 2^20 (a power of two —
+    // the double multiply is exact) and rounding once per ELEMENT, so
+    // the per-dimension sums are order-independent BIGINTs both
+    // engines reproduce bit-for-bit where a float mean never is.
+    "q_embed_centroids" -> QueryDef(
+      (s, d) => ds(s, d, "embeddings").toDF
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("v").cast("double") * (1 << 20)).cast("long")).as("sum_q")),
+      Some("""SELECT label, i AS pos, count(*) AS n,
+        |  sum(round(embedding[i + 1]::DOUBLE * 1048576)::BIGINT) AS sum_q
+        |FROM embeddings CROSS JOIN range(0, 256) t(i)
+        |WHERE embedding IS NOT NULL AND label IS NOT NULL AND i < len(embedding)
+        |GROUP BY label, i""".stripMargin)),
+
     // §2.3/153 — KMV sketch reaggregation: per-day sketches merged to
     // a per-type rollup without rescanning the fact table — the
     // materialized-rollup pattern at 100 TB. The oracle replays the
