@@ -2006,6 +2006,30 @@ object Queries {
         |  sum(round(l_discount * 100)::BIGINT * round(l_discount * 100)::BIGINT) AS sum_y2
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // §2.2/161 — Merkle-bucket snapshot reconciliation: drifted-orders
+    // diff (rows dropped at key%97, totalprice bumped at key%101 — a
+    // modified row reports added+removed) through per-bucket xor/count
+    // summaries, so only differing buckets' rows reach the exact
+    // EXCEPT; oracle replays the plain two-way EXCEPT ALL definition.
+    "q_table_diff" -> QueryDef(
+      (s, d) => {
+        val a = ds(s, d, "orders").toDF
+        val b = a.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")))
+        operators.Reconcile.tableDiff(a, b, "o_orderkey")
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0)
+        |SELECT 'added' AS side, o_orderkey AS key FROM
+        |  (SELECT * FROM b EXCEPT ALL SELECT * FROM orders)
+        |UNION ALL
+        |SELECT 'removed' AS side, o_orderkey AS key FROM
+        |  (SELECT * FROM orders EXCEPT ALL SELECT * FROM b)""".stripMargin)),
+
     // §2.2/53 — anti join: customers with no orders
     "q_anti_join" -> QueryDef(
       (s, d) => ds(s, d, "customer").toDF.join(ds(s, d, "orders").toDF,
@@ -2485,6 +2509,30 @@ object Queries {
         |  bit_count(xor(a.hash, b.hash))::INTEGER AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hash, b.hash)) <= 2""".stripMargin)),
+
+    // §2.3/162 — sampled-median rollup: per-(source, ingest-shard)
+    // bottom-k samples merged to per-source medians without rescanning
+    // the corpus — the quantile counterpart of q_kmv_reagg, exact
+    // because TopKAgg's selection order is total; oracle replays the
+    // two-level construction.
+    "q_median_rollup" -> QueryDef(
+      (s, d) => Sketches.sampledMedianReaggregate(ds(s, d, "documents").toDF,
+        "source", pmod(col("doc_id"), lit(16)), "doc_id", "n_chars", k = 64),
+      Some("""WITH h AS (SELECT source, doc_id % 16 AS shard, n_chars,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint AS hv
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r1 AS (SELECT source, shard, n_chars, hv,
+        |    row_number() OVER (PARTITION BY source, shard ORDER BY hv, n_chars) AS rn
+        |  FROM h),
+        |u AS (SELECT source, shard, n_chars, hv FROM r1 WHERE rn <= 64),
+        |nb AS (SELECT source, count(DISTINCT shard) AS n_buckets FROM h GROUP BY 1),
+        |r2 AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, n_chars) AS rn FROM u),
+        |s AS (SELECT source, list(n_chars ORDER BY n_chars) AS vals
+        |  FROM r2 WHERE rn <= 64 GROUP BY source)
+        |SELECT s.source, nb.n_buckets, len(vals) AS n_sample,
+        |  vals[(len(vals)+1)//2] + vals[(len(vals)+2)//2] AS med2
+        |FROM s JOIN nb ON s.source = nb.source""".stripMargin)),
 
     // §2.3/160 — per-label embedding centroids in EXACT fixed point:
     // the pooling primitive beneath IVF training / SemDeDup / k-means,

@@ -151,6 +151,39 @@ object Sketches {
           element_at(col("__vals"), ((n + 2) / 2).cast("int"))).as("med2"))
   }
 
+  /** [[sampledMedian]]'s rollup form — the quantile counterpart of
+    * [[kmvReaggregate]]: per-(group, sub-bucket) bottom-k (value,
+    * hash-score) samples merge into EXACTLY the sample a direct pass
+    * over the group would keep, because [[graft.functions.TopKAgg]]'s
+    * selection order (score desc, value asc) is TOTAL — any globally
+    * selected row survives its own bucket's cut, ties included. So
+    * per-shard median sketches materialize once and every coarser
+    * rollup merges `buckets * k` rows, never rescanning the corpus;
+    * SketchesSpec-style equality with the direct sketch is pinned in
+    * KmvReaggSpec and the oracle replays the two-level construction.
+    */
+  def sampledMedianReaggregate(df: DataFrame, groupCol: String,
+                               bucketCol: Column, idCol: String,
+                               valueCol: String, k: Int = 64): DataFrame = {
+    val h52 = graft.functions.HashFunctions.stableHash52(col(idCol).cast("string"))
+    val stage1 = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), bucketCol.as("__bucket"))
+      .agg(graft.functions.TopKAgg.topK(k)(
+        col(valueCol).cast("long"), -h52.cast("double")).as("__top"))
+    val vals = array_sort(transform(col("__top"), t => t.getField("_1")))
+    val n = size(col("__vals"))
+    stage1
+      .select(col(groupCol), col("__bucket"), explode(col("__top")).as("p"))
+      .groupBy(groupCol)
+      .agg(countDistinct(col("__bucket")).as("n_buckets"),
+        graft.functions.TopKAgg.topK(k)(
+          col("p._1"), col("p._2")).as("__top"))
+      .withColumn("__vals", vals)
+      .select(col(groupCol), col("n_buckets"), n.as("n_sample"),
+        (element_at(col("__vals"), ((n + 1) / 2).cast("int")) +
+          element_at(col("__vals"), ((n + 2) / 2).cast("int"))).as("med2"))
+  }
+
   /** Per-group equi-width histogram of an integer column: `bins`
     * buckets spanning the GLOBAL [min, max] (edges from a one-row
     * broadcast aggregate — no driver action, no second shuffle of the

@@ -25,6 +25,23 @@ class KmvReaggSpec extends SparkSpecBase {
     assert(merged("a") === 10L)
   }
 
+  test("sampledMedianReaggregate == direct sampledMedian (total-order bottom-k closure)") {
+    import spark.implicits._
+    // groups straddling k=16: exact below, sampled above, heavy
+    // duplicate values to exercise score/value ties at the boundary
+    val rows = for {
+      g <- Seq("a", "b")
+      i <- 0 until (if (g == "a") 12 else 300)
+    } yield (g, i.toLong + (if (g == "a") 0 else 1000), (i % 7).toLong, i % 16)
+    val df = rows.toDF("grp", "id", "v", "shard")
+    val merged = Sketches.sampledMedianReaggregate(df, "grp", col("shard"), "id", "v", k = 16)
+      .collect().map(r => r.getString(0) -> (r.getInt(2), r.getLong(3))).toMap
+    val direct = Sketches.sampledMedian(df, "grp", "id", "v", k = 16)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(merged === direct)
+    assert(merged("a")._1 === 12) // below k: the whole group, median exact
+  }
+
   test("kmvReaggregate: n_buckets counts sub-sketches; nulls carry no signal") {
     import spark.implicits._
     val df = Seq(("g", 1, "x"), ("g", 1, "y"), ("g", 2, "x"), ("g", 3, null))
