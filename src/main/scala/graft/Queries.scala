@@ -2030,6 +2030,25 @@ object Queries {
         |SELECT 'removed' AS side, o_orderkey AS key FROM
         |  (SELECT * FROM orders EXCEPT ALL SELECT * FROM b)""".stripMargin)),
 
+    // §2.2/163 — 2-D skyline / Pareto-maximal vectors (Börzsönyi et
+    // al. 2001): undominated (quantity, price-cents) points, by per-x
+    // frontier reduction + bucket-suffix pruning + a candidate-sized
+    // exact anti-join — no global sort, no all-pairs; the oracle
+    // replays the per-x max + suffix-max formulation.
+    "q_skyline" -> QueryDef(
+      (s, d) => operators.Skyline.skyline2D(
+        ds(s, d, "lineitem").toDF
+          .select(col("l_quantity"),
+            round(col("l_extendedprice") * 100).as("cents")),
+        "l_quantity", "cents"),
+      Some("""WITH p AS (SELECT l_quantity::BIGINT AS q,
+        |    max(round(l_extendedprice * 100)::BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT q, c, max(c) OVER (ORDER BY q DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sm FROM p)
+        |SELECT q AS l_quantity, c AS cents FROM s
+        |WHERE sm IS NULL OR c > sm""".stripMargin)),
+
     // §2.2/53 — anti join: customers with no orders
     "q_anti_join" -> QueryDef(
       (s, d) => ds(s, d, "customer").toDF.join(ds(s, d, "orders").toDF,

@@ -1008,13 +1008,25 @@ object Dedup {
     * (id, hash). Output (doc_a, doc_b, hamming).
     */
   def hammingPairs(hashes: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val chunks = hammingChunks(hashes, bits, maxHamming)
+    saltedSelfJoin(chunks, Seq("chunk", "v"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        expr("bit_count(a.hash ^ b.hash)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** (id, hash) → one row per bit-chunk (chunk, v) — the shared
+    * banding of [[hammingPairs]] and [[streamingHammingProbe]].
+    * Chunk widths spread evenly (floor + remainder): a uniform ceil
+    * width would leave later chunks with few or ZERO real bits, whose
+    * constant chunk values degenerate into an all-pairs join.
+    */
+  private def hammingChunks(hashes: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
     require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
     require(nChunks >= 1 && nChunks <= bits,
       s"maxHamming must be in [0, ${bits - 1}], got $maxHamming")
-    // Spread the bits evenly (floor + remainder): a uniform ceil
-    // width would leave later chunks with few or ZERO real bits, whose
-    // constant chunk values degenerate into an all-pairs join.
     val base = bits / nChunks; val rem = bits % nChunks
     val widths = (0 until nChunks).map(c => base + (if (c < rem) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
@@ -1022,13 +1034,36 @@ object Dedup {
       struct(lit(c).as("chunk"),
         expr(s"(hash div ${1L << starts(c)}L) % ${1L << widths(c)}L").as("v"))
     }
-    val chunks = hashes.select(col("id"), col("hash"),
+    hashes.select(col("id"), col("hash"),
         explode(array(chunkStructs: _*)).as("ck"))
       .select(col("id"), col("hash"), col("ck.chunk").as("chunk"), col("ck.v").as("v"))
-    saltedSelfJoin(chunks, Seq("chunk", "v"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        expr("bit_count(a.hash ^ b.hash)").as("hamming"))
+  }
+
+  /** STREAMING bit-sketch near-dup probe: [[hammingPairs]]' banded
+    * candidate generation as a stateless stream-static join — the
+    * perceptual/simhash face of [[streamingNearDupProbe]]. Both sides
+    * arrive pre-hashed as (id, hash) so the probe is decode-agnostic
+    * (image dHash, simhash, any ≤63-bit sketch); the micro-batch
+    * bands row-wise (pure expressions — they run unchanged on a
+    * stream), joins the static banded reference, and confirms the
+    * exact hamming distance inline. No watermark, no state store,
+    * nothing grows with stream length. A (new_id, ref_id) pair is
+    * emitted once per colliding chunk (multiplicity is the price of
+    * statelessness; readers aggregate if they need distinct pairs).
+    */
+  def streamingHammingProbe(stream: DataFrame, ref: DataFrame,
+                            bits: Int, maxHamming: Int): DataFrame = {
+    // stream pin: the banded reference would re-execute per micro-batch
+    val refSide = registerStreamPin(
+      hammingChunks(ref, bits, maxHamming)
+        .select(col("id").as("ref_id"), col("hash").as("__ref_hash"),
+          col("chunk"), col("v")))
+    hammingChunks(stream, bits, maxHamming)
+      .select(col("id").as("new_id"), col("hash").as("__new_hash"),
+        col("chunk"), col("v"))
+      .join(refSide, Seq("chunk", "v"))
+      .select(col("new_id"), col("ref_id"),
+        expr("bit_count(__new_hash ^ __ref_hash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 }

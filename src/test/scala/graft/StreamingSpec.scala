@@ -330,6 +330,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming hamming probe flags incoming perceptual dups of the reference, stateless") {
+    import graft.operators.{Dedup, Multimodal}
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // reference = decoded dHashes of two catalog images; the stream
+    // delivers raw image payloads that decode+hash per micro-batch
+    def rec(id: Long, srcId: Long, fmt: String) = Multimodal.MediaRecord(
+      id, "image",
+      if (fmt == "bmp") Multimodal.bmpBytes(srcId, 8, 6)
+      else Multimodal.imageBytes(srcId, 8, 6, fmt), 8, 6, 0L)
+    val ref = Multimodal.imageDHash(spark, Seq(rec(1L, 100L, "png"), rec(2L, 200L, "png")).toDS())
+      .select(col("doc_id").as("id"), col("dhash").as("hash"))
+    val input = MemoryStream[Multimodal.MediaRecord]
+    val streamHashes = Multimodal.imageDHash(spark, input.toDS())
+      .select(col("doc_id").as("id"), col("dhash").as("hash"))
+    val probe = Dedup.streamingHammingProbe(streamHashes, ref, bits = 42, maxHamming = 2)
+    val q = probe.writeStream.format("memory").queryName("phashprobe")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        rec(10L, 100L, "bmp"),  // format-shifted re-upload of ref 1: hamming 0
+        rec(11L, 777L, "png"))  // novel image
+      q.processAllAvailable()
+      val hits = spark.table("phashprobe").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(hits.map(h => (h._1, h._2)) === Set((10L, 1L)),
+        "only the re-encoded duplicate pairs with its reference")
+      assert(hits.forall(_._3 === 0), "lossless re-encode is hamming 0")
+      // later batches probe independently — no state carried
+      input.addData(rec(12L, 200L, "bmp"))
+      q.processAllAvailable()
+      assert(spark.table("phashprobe").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet === Set((10L, 1L), (12L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming chunk probe == batch probe on the same prefix, stateless") {
     import graft.operators.Dedup
     import spark.implicits._
