@@ -2030,6 +2030,22 @@ object Queries {
         |SELECT 'removed' AS side, o_orderkey AS key FROM
         |  (SELECT * FROM orders EXCEPT ALL SELECT * FROM b)""".stripMargin)),
 
+    // §2.2/165 — per-group CDF via percent_rank (partitioned window,
+    // total order by (n_chars, doc_id) so ranks are deterministic;
+    // the value is ONE IEEE division (rank-1)/(n-1) of exact integers,
+    // bit-identical cross-engine).
+    "q_percent_rank" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+        ds(s, d, "documents").toDF
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            percent_rank().over(w).as("pr"))
+      },
+      Some("""SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+        |FROM documents""".stripMargin)),
+
     // §2.2/163 — 2-D skyline / Pareto-maximal vectors (Börzsönyi et
     // al. 2001): undominated (quantity, price-cents) points, by per-x
     // frontier reduction + bucket-suffix pruning + a candidate-sized
