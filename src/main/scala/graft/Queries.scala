@@ -2030,6 +2030,35 @@ object Queries {
         |SELECT 'removed' AS side, o_orderkey AS key FROM
         |  (SELECT * FROM orders EXCEPT ALL SELECT * FROM b)""".stripMargin)),
 
+    // §2.2/166 — interval-overlap temporal join: per-user view
+    // sessions [ts, ts+600] overlapping click bursts [ts, ts+300],
+    // via bucket explosion with canonical-meeting-bucket acceptance
+    // (one equi-join, no dedup, no inequality-join nested loop).
+    "q_interval_join" -> QueryDef(
+      (s, d) => {
+        val ev = ds(s, d, "events").toDF
+          .select(col("event_id"), col("user_id"),
+            col("event_type"), unix_timestamp(col("ts")).as("ep"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ep").as("v_start"), (col("ep") + 600).as("v_end"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ep").as("c_start"), (col("ep") + 300).as("c_end"))
+        RangeJoin.intervalOverlap(views, clicks, "v_user", "c_user",
+            "v_start", "v_end", "c_start", "c_end", bucketWidth = 600)
+          .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+        |    floor(epoch(ts))::BIGINT AS ep FROM events),
+        |v AS (SELECT event_id AS view_id, user_id, ep AS s, ep + 600 AS e
+        |  FROM e WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ep AS s, ep + 300 AS e
+        |  FROM e WHERE event_type = 'click')
+        |SELECT v.view_id, c.click_id, v.user_id
+        |FROM v JOIN c ON v.user_id = c.user_id AND v.s <= c.e AND c.s <= v.e"""
+        .stripMargin)),
+
     // §2.2/165 — per-group CDF via percent_rank (partitioned window,
     // total order by (n_chars, doc_id) so ranks are deterministic;
     // the value is ONE IEEE division (rank-1)/(n-1) of exact integers,

@@ -40,4 +40,35 @@ object RangeJoin {
           col(s"p.$pointCol") <= col(s"i.$endCol"))
       .drop(col("p.__b")).drop(col("i.__b"))
   }
+
+  /** INTERVAL-interval overlap join (the temporal-join general case of
+    * [[pointInInterval]]): same-key pairs with `[aStart,aEnd]` ∩
+    * `[bStart,bEnd]` ≠ ∅ (inclusive ends). Both sides explode over
+    * their spanned buckets, and the pair is accepted ONLY in its
+    * canonical meeting bucket — the bucket of `greatest(aStart,
+    * bStart)`, which overlapping intervals always share — so each
+    * qualifying pair meets exactly once and the equi-join needs no
+    * post-join dedup, preserving the one-shuffle shape. Column name
+    * collisions are the caller's concern (alias inputs `a`/`b`).
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+                      aKey: String, bKey: String,
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val av = a.withColumn("__b",
+      explode(sequence(expr(s"`$aStart` div $bucketWidth"),
+        expr(s"`$aEnd` div $bucketWidth")))).as("a")
+    val bv = b.withColumn("__b",
+      explode(sequence(expr(s"`$bStart` div $bucketWidth"),
+        expr(s"`$bEnd` div $bucketWidth")))).as("b")
+    av.join(bv,
+        col(s"a.$aKey") === col(s"b.$bKey") &&
+          col("a.__b") === col("b.__b") &&
+          col(s"a.$aStart") <= col(s"b.$bEnd") &&
+          col(s"b.$bStart") <= col(s"a.$aEnd") &&
+          col("a.__b") === expr(s"greatest(a.`$aStart`, b.`$bStart`) div $bucketWidth"))
+      .drop(col("a.__b")).drop(col("b.__b"))
+  }
 }

@@ -72,6 +72,24 @@ class AsOfSpec extends SparkSpecBase {
       "range join must plan as an equi-join on (key, bucket)")
   }
 
+  test("intervalOverlap meets each overlapping pair exactly once across bucket spans") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    val a = Seq((1L, 0L, 250L, "a1"),    // spans buckets 0-2 (width 100)
+      (1L, 300L, 310L, "a2"), (2L, 0L, 50L, "a3")).toDF("k", "s", "e", "ta")
+    val b = Seq((1L, 240L, 320L, "b1"),  // overlaps a1 (at 240-250) AND a2 (300-310)
+      (1L, 251L, 299L, "b2"),            // gap between a1 and a2: no overlap
+      (2L, 50L, 60L, "b3")).toDF("k", "s", "e", "tb")
+    val got = RangeJoin.intervalOverlap(a, b, "k", "k", "s", "e", "s", "e", 100)
+      .select("ta", "tb").collect().map(r => (r.getString(0), r.getString(1))).toList
+    // exactly-once despite b1 sharing MULTIPLE buckets with a1
+    assert(got.sorted === List(("a1", "b1"), ("a2", "b1"), ("a3", "b3")).sorted)
+    val plan = RangeJoin.intervalOverlap(a, b, "k", "k", "s", "e", "s", "e", 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "interval overlap must plan as an equi-join on (key, bucket)")
+  }
+
   test("snapshotDiff classifies created/updated and drops unchanged keys") {
     import spark.implicits._
     val log = Seq(
