@@ -42,6 +42,11 @@ object Triangles {
         when(ka < kb, col("b")).otherwise(col("a")).as("v"),
         when(ka < kb, kb).otherwise(ka).as("kv"))
       .persist()
+    // materialize BEFORE the triple self-reference below: the wedge
+    // join's two sides and the closing join otherwise race to fill the
+    // cache concurrently inside one job and re-execute the whole
+    // edge-build upstream per side (the PageRank lazy-persist lesson)
+    oriented.count()
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
       .select(col("e1.v").as("x"), col("e2.v").as("y"))
