@@ -409,7 +409,7 @@ object Queries {
            |      '$piiEmailRe', '<EMAIL>', 'g'),
            |      '$piiIpRe', '<IP>', 'g'),
            |      '$piiPhoneRe', '<PHONE>', 'g'),
-           |    '<EMAIL>|<IP>|<PHONE>')) AS n_pii
+           |    '<EMAIL>|<IP>|<PHONE>'))::INT AS n_pii
            |FROM documents""".stripMargin
       }),
 
@@ -423,10 +423,10 @@ object Queries {
           .withColumn("__toks", TextFunctions.tokens(col("text")))
           .select((col("doc_id") +: sig): _*)
       },
-      Some("""SELECT doc_id, len(toks) AS n_tokens,
+      Some("""SELECT doc_id, len(toks)::INT AS n_tokens,
         |  coalesce(list_max(list_transform(list_distinct(toks),
-        |    w -> len(list_filter(toks, t -> t = w)))), 0) AS top_token_cnt,
-        |  len(bigrams) - len(list_distinct(bigrams)) AS dup_bigram_cnt
+        |    w -> len(list_filter(toks, t -> t = w)))), 0)::INT AS top_token_cnt,
+        |  (len(bigrams) - len(list_distinct(bigrams)))::INT AS dup_bigram_cnt
         |FROM (SELECT doc_id, toks,
         |  CASE WHEN len(toks) >= 2 THEN list_transform(
         |    generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])
@@ -497,7 +497,7 @@ object Queries {
     "q_domain_cap" -> QueryDef(
       (s, d) => Sampling.perGroupCap(ds(s, d, "documents").toDF,
         "source", "doc_id", cap = 10),
-      Some("""SELECT source, doc_id, rank FROM (
+      Some("""SELECT source, doc_id, rank::INT AS rank FROM (
         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
         |    ORDER BY ('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint, doc_id)
         |    AS rank
@@ -561,7 +561,7 @@ object Queries {
         |    ('0x' || substring(md5('7:' || doc_id::varchar), 1, 14))::bigint AS h
         |  FROM documents)
         |SELECT doc_id, (h % 8)::INT AS shard,
-        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS position
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)::INT AS position
         |FROM h""".stripMargin)),
 
     // §2.3/122 — sliding-window token chunking (RAG / long-doc prep):
@@ -578,7 +578,7 @@ object Queries {
         |          'n': len(list_slice(toks, i*15+1, i*15+30)),
         |          'c': array_to_string(list_slice(toks, i*15+1, i*15+30), ' ')})) AS u
         |  FROM tok)
-        |SELECT doc_id, u.w AS window_no, u.n AS n_tokens, u.c AS chunk FROM w"""
+        |SELECT doc_id, u.w::INT AS window_no, u.n::INT AS n_tokens, u.c AS chunk FROM w"""
         .stripMargin)),
 
     // §2.3/123 — per-group quantile cut: the best 30% of every
@@ -650,7 +650,7 @@ object Queries {
         |  list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS c
         |  FROM q JOIN embeddings ON label IS NOT NULL AND label <> ql)
         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
-        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid)::INT AS rank
         |  FROM s WHERE c IS NOT NULL) t WHERE rank <= 10""".stripMargin)),
 
     // §2.3/28 — exact dedup by content hash
@@ -761,7 +761,7 @@ object Queries {
         |own AS (SELECT h, min({'d': doc_id, 'i': chunk_idx}) AS w FROM occ GROUP BY h),
         |surv AS (SELECT DISTINCT w.d AS doc_id FROM own),
         |sv AS (SELECT s.doc_id, q.source FROM surv s JOIN q USING (doc_id))
-        |SELECT source, doc_id, rank FROM (
+        |SELECT source, doc_id, rank::INT AS rank FROM (
         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
         |    ORDER BY ('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint, doc_id)
         |    AS rank
@@ -774,8 +774,8 @@ object Queries {
       Some("""WITH t AS (SELECT doc_id, source,
         |  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  len(list_intersect(a.toks, b.toks)) AS inter_size,
-        |  len(list_distinct(a.toks || b.toks)) AS union_size
+        |  len(list_intersect(a.toks, b.toks))::INT AS inter_size,
+        |  len(list_distinct(a.toks || b.toks))::INT AS union_size
         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.toks, b.toks)) * 5 >=
         |      len(list_distinct(a.toks || b.toks)) * 4""".stripMargin)),
@@ -788,8 +788,8 @@ object Queries {
       Some("""WITH t AS (SELECT doc_id, source,
         |  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks FROM documents)
         |SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
-        |  len(list_intersect(a.toks, b.toks)) AS inter_size,
-        |  len(a.toks) AS sub_size
+        |  len(list_intersect(a.toks, b.toks))::INT AS inter_size,
+        |  len(a.toks)::INT AS sub_size
         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id <> b.doc_id
         |WHERE len(list_intersect(a.toks, b.toks)) * 20 >= len(a.toks) * 19""".stripMargin)),
 
@@ -811,8 +811,8 @@ object Queries {
            |    (a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3) OR
            |    (a.m4 = b.m4 AND a.m5 = b.m5 AND a.m6 = b.m6 AND a.m7 = b.m7)))
            |SELECT doc_a, doc_b,
-           |  len(list_intersect(ta.toks, tb.toks)) AS inter_size,
-           |  len(list_distinct(ta.toks || tb.toks)) AS union_size
+           |  len(list_intersect(ta.toks, tb.toks))::INT AS inter_size,
+           |  len(list_distinct(ta.toks || tb.toks))::INT AS union_size
            |FROM cand JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id
            |WHERE len(list_intersect(ta.toks, tb.toks)) * 10 >=
            |      len(list_distinct(ta.toks || tb.toks)) * 9""".stripMargin
@@ -893,7 +893,7 @@ object Queries {
         |  list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS c
         |  FROM q JOIN embeddings ON vec_id <> qid)
         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
-        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid)::INT AS rank
         |  FROM s WHERE c IS NOT NULL) t WHERE rank <= 10""".stripMargin)),
 
     // §2.3/35 — LSH-bucketed ANN (scale path); recall vs brute force is
@@ -929,7 +929,7 @@ object Queries {
         |  SELECT qid, nid, list_cosine_similarity(eq.v, ec.v) AS c
         |  FROM cand JOIN emb eq ON eq.vec_id = qid JOIN emb ec ON ec.vec_id = nid)
         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
-        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid)::INT AS rank
         |  FROM s WHERE c IS NOT NULL) t WHERE rank <= 10""".stripMargin)),
 
     // §2.3/55 — IVF coarse-quantizer ANN (scale path #2); recall vs
@@ -963,7 +963,7 @@ object Queries {
         |  FROM cand JOIN embeddings qe ON qe.vec_id = query_id
         |  JOIN embeddings ne ON ne.vec_id = neighbor_id)
         |SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::INT AS rank
         |  FROM scored) x WHERE rank <= 10""".stripMargin)),
 
     // §2.3/102 — product-quantization ANN: 16 subspaces × 16 cells
@@ -980,7 +980,7 @@ object Queries {
       },
       Some(s"WITH $pqAdcSql\n" +
         """SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id,
-          |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank
+          |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC)::INT AS rank
           |  FROM adc) z WHERE rank <= 10""".stripMargin)),
 
     // §2.3/113 — two-stage retrieval: PQ/ADC shortlist of 50 → exact
@@ -1001,7 +1001,7 @@ object Queries {
            |  FROM short s JOIN emb qe ON qe.vec_id = s.query_id
            |  JOIN emb ne ON ne.vec_id = s.neighbor_id)
            |SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)::INT
            |      AS rank
            |  FROM rr) z WHERE rank <= 10""".stripMargin)),
 
@@ -1085,7 +1085,7 @@ object Queries {
     "sim_quantize" -> QueryDef(
       (s, d) => Quantize.scalarQuantize(ds(s, d, "embeddings").toDF,
         "vec_id", "embedding"),
-      Some("""SELECT vec_id, i - 1 AS dim,
+      Some("""SELECT vec_id, (i - 1)::INT AS dim,
         |  CASE WHEN s = 0 THEN 0
         |    ELSE greatest(-127.0, least(127.0, floor(v[i] * 127.0 / s + 0.5)))::INT
         |  END AS code
@@ -1119,12 +1119,12 @@ object Queries {
         ds(s, d, "documents").toDF.select((col("doc_id") +: sig): _*)
       },
       Some("""SELECT doc_id,
-        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
-        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
-        |  len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::INT AS n_punct,
+        |  len(regexp_extract_all(text, '[0-9]'))::INT AS n_digits,
         |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |    t -> t IN ('the','and','of','to','a','in','is','it'))) AS n_stopwords,
+        |    t -> t IN ('the','and','of','to','a','in','is','it')))::INT AS n_stopwords,
         |  (len(regexp_split_to_array(trim(text), '\s+')) >= 5 AND
         |   len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 5 <= n_chars AND
         |   len(regexp_extract_all(text, '[0-9]')) * 4 <= n_chars) AS is_quality
@@ -1135,8 +1135,8 @@ object Queries {
       (s, d) => ds(s, d, "documents").toDF.select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
         TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens")),
-      Some("SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, " +
-        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens " +
+      Some("SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))::INT AS n_tokens, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INT AS n_bpe_tokens " +
         "FROM documents")),
 
     // §2.3/39 — document fingerprinting
@@ -1298,8 +1298,8 @@ object Queries {
            |  FROM sigs a JOIN sigs b ON a.source = b.source AND a.lang = b.lang
            |    AND a.doc_id < b.doc_id AND ($bandsCond))
            |SELECT doc_a, doc_b,
-           |  len(list_intersect(ta.toks, tb.toks)) AS inter_size,
-           |  len(list_distinct(ta.toks || tb.toks)) AS union_size
+           |  len(list_intersect(ta.toks, tb.toks))::INT AS inter_size,
+           |  len(list_distinct(ta.toks || tb.toks))::INT AS union_size
            |FROM cand JOIN tn ta ON doc_a = ta.doc_id JOIN tn tb ON doc_b = tb.doc_id
            |WHERE len(list_intersect(ta.toks, tb.toks)) * 10 >=
            |      len(list_distinct(ta.toks || tb.toks)) * 7""".stripMargin
@@ -1365,7 +1365,7 @@ object Queries {
         |tf AS (SELECT doc_id, token, count(*) AS tf_cnt FROM tok GROUP BY 1, 2),
         |tb AS (SELECT *,
         |  ('0x' || substring(md5(doc_id::varchar), 1, 14))::bigint % 8 AS block FROM tf)
-        |SELECT token, block, count(*) AS df_block, sum(tf_cnt) AS cf_block,
+        |SELECT token, block, count(*) AS df_block, sum(tf_cnt)::BIGINT AS cf_block,
         |  string_agg(doc_id || ':' || tf_cnt, ' ' ORDER BY doc_id) AS postings
         |FROM tb GROUP BY 1, 2""".stripMargin)),
 
@@ -1427,13 +1427,16 @@ object Queries {
 
     // §2.3/136 — linear text-classifier inference (the fastText shape:
     // hashed unigram+bigram features, broadcast weight vector, mean
-    // pool, sigmoid). Weights are the deterministic Knuth-hash table
-    // (production swaps in trained weights); integer weights make
-    // sum_w and the label decision exact in both engines
+    // pool). Weights are the deterministic Knuth-hash table (production
+    // swaps in trained weights); integer weights make sum_w and the
+    // label decision exact in both engines. The sigmoid `prob` column
+    // the operator emits is DROPPED from the hashed contract: JVM and
+    // DuckDB exp() differ in the last ulp, and prob is derivable
+    // downstream from the exact sum_w/n_feats.
     "text_classifier" -> QueryDef(
       (s, d) => Classifier.linearScore(ds(s, d, "documents").toDF, "doc_id", "text",
         Classifier.syntheticWeights(s, 262144), numBuckets = 262144,
-        logitScale = 524288.0),
+        logitScale = 524288.0).drop("prob"),
       Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |f AS (
         |  SELECT doc_id, ('0x' || substring(md5(u), 1, 14))::bigint % 262144 AS bucket
@@ -1443,11 +1446,9 @@ object Queries {
         |  FROM (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
         |        unnest(toks[2:len(toks)]) AS w2 FROM t)),
         |s AS (SELECT doc_id, count(*) AS n_feats,
-        |    sum((bucket * 2654435761) % 1048576 - 524288) AS sum_w
+        |    sum((bucket * 2654435761) % 1048576 - 524288)::BIGINT AS sum_w
         |  FROM f GROUP BY 1)
-        |SELECT doc_id, n_feats, sum_w,
-        |  1.0 / (1.0 + exp(-(sum_w / (524288.0 * n_feats)))) AS prob,
-        |  sum_w > 0 AS label
+        |SELECT doc_id, n_feats, sum_w, sum_w > 0 AS label
         |FROM s""".stripMargin)),
 
     // §2.3/137 — DSIR importance weighting (hashed-bigram importance
@@ -1469,7 +1470,7 @@ object Queries {
         |    floor(ln(((ct + 1.0) / (tt + 65536.0)) / ((cr + 1.0) / (tr + 65536.0)))
         |      * 1048576.0)::BIGINT AS lam
         |  FROM c CROSS JOIN tot),
-        |s AS (SELECT doc_id, count(*) AS n_feats, sum(lam) AS sum_lr
+        |s AS (SELECT doc_id, count(*) AS n_feats, sum(lam)::BIGINT AS sum_lr
         |  FROM f JOIN lam USING (bucket) GROUP BY 1)
         |SELECT doc_id, n_feats, sum_lr,
         |  sum_lr / (1048576.0 * n_feats) AS avg_logratio,
@@ -1538,7 +1539,7 @@ object Queries {
         |  FROM documents),
         |cnt AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
         |top AS (SELECT token, cnt,
-        |    row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM cnt),
+        |    row_number() OVER (ORDER BY cnt DESC, token)::INT AS rank FROM cnt),
         |lim AS (SELECT * FROM top WHERE rank <= 50)
         |SELECT rank, token, cnt,
         |  (sum(cnt) OVER (ORDER BY rank))::BIGINT AS cum_cnt FROM lim""".stripMargin)),
@@ -1556,7 +1557,7 @@ object Queries {
         |    row_number() OVER (PARTITION BY source ORDER BY hv, n_chars) AS rn FROM h),
         |s AS (SELECT source, list(n_chars ORDER BY n_chars) AS vals
         |  FROM r WHERE rn <= 64 GROUP BY source)
-        |SELECT source, len(vals) AS n_sample,
+        |SELECT source, len(vals)::INT AS n_sample,
         |  vals[(len(vals)+1)//2] + vals[(len(vals)+2)//2] AS med2 FROM s""".stripMargin)),
 
     // §2.3/109 — per-source equi-width histogram of n_chars (10 global
@@ -1723,7 +1724,7 @@ object Queries {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
         |   // 4096)::BIGINT AS batch_id
         |FROM (SELECT doc_id, source,
-        |    COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0)::BIGINT AS n_tokens
+        |    COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0)::INT AS n_tokens
         |  FROM documents) t""".stripMargin)),
 
     // §2.3/68 — deterministic hash sampling (the stable train/test
@@ -1743,7 +1744,7 @@ object Queries {
           col("n_chars").cast("double")).as("top"))
         .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
         .select(col("source"), col("t._1").as("doc_id"), (col("pos") + 1).as("rank")),
-      Some("""SELECT source, doc_id, rank FROM (
+      Some("""SELECT source, doc_id, rank::INT AS rank FROM (
         |  SELECT source, doc_id, row_number() OVER (
         |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents) t WHERE rank <= 3""".stripMargin)),
@@ -1891,7 +1892,7 @@ object Queries {
         |grid AS (SELECT entity_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
         |  FROM span)
         |SELECT g.entity_id,
-        |  datediff('day', DATE '2024-01-01', g.day) AS day_no,
+        |  datediff('day', DATE '2024-01-01', g.day)::INT AS day_no,
         |  last_value(d.day_value IGNORE NULLS) OVER (PARTITION BY g.entity_id
         |    ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
         |  d.day_value IS NULL AS is_gap
@@ -1998,12 +1999,15 @@ object Queries {
             sum(q * dd).as("sum_xy"),
             sum(q * q).as("sum_x2"), sum(dd * dd).as("sum_y2"))
       },
+      // Every oracle-side integer sum carries an outer ::BIGINT: DuckDB
+      // sum(BIGINT) widens to HUGEINT and the driver's hash is
+      // type-sensitive even when the values are identical.
       Some("""SELECT l_returnflag, count(*) AS n,
-        |  sum(l_quantity::BIGINT) AS sum_x,
-        |  sum(round(l_discount * 100)::BIGINT) AS sum_y,
-        |  sum(l_quantity::BIGINT * round(l_discount * 100)::BIGINT) AS sum_xy,
-        |  sum(l_quantity::BIGINT * l_quantity::BIGINT) AS sum_x2,
-        |  sum(round(l_discount * 100)::BIGINT * round(l_discount * 100)::BIGINT) AS sum_y2
+        |  sum(l_quantity::BIGINT)::BIGINT AS sum_x,
+        |  sum(round(l_discount * 100)::BIGINT)::BIGINT AS sum_y,
+        |  sum(l_quantity::BIGINT * round(l_discount * 100)::BIGINT)::BIGINT AS sum_xy,
+        |  sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS sum_x2,
+        |  sum(round(l_discount * 100)::BIGINT * round(l_discount * 100)::BIGINT)::BIGINT AS sum_y2
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // §2.2/161 — Merkle-bucket snapshot reconciliation: drifted-orders
@@ -2153,7 +2157,7 @@ object Queries {
            |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |    a.prefix AS pa, b.prefix AS pb
            |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandEq))
-           |SELECT DISTINCT doc_a, doc_b, levenshtein(pa, pb) AS dist
+           |SELECT DISTINCT doc_a, doc_b, levenshtein(pa, pb)::INT AS dist
            |FROM cand WHERE levenshtein(pa, pb) <= 8""".stripMargin
       }),
 
@@ -2188,7 +2192,7 @@ object Queries {
            |    a.prefix AS pa, b.prefix AS pb
            |  FROM sigs a JOIN sigs b
            |  ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 AND ($bandEq))
-           |SELECT DISTINCT left_id, right_id, levenshtein(pa, pb) AS dist
+           |SELECT DISTINCT left_id, right_id, levenshtein(pa, pb)::INT AS dist
            |FROM cand WHERE levenshtein(pa, pb) <= 8""".stripMargin
       }),
 
@@ -2199,8 +2203,8 @@ object Queries {
           month(col("o_orderdate")).as("mo"),
           dayofweek(col("o_orderdate")).as("dow"))
         .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total")),
-      Some("SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
-        "dayofweek(o_orderdate) + 1 AS dow, count(*) AS cnt, " +
+      Some("SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo, " +
+        "(dayofweek(o_orderdate) + 1)::INT AS dow, count(*) AS cnt, " +
         "sum(o_totalprice) AS total FROM orders GROUP BY 1, 2, 3")),
 
     // §2.2/64 — ordered string aggregation
@@ -2271,9 +2275,9 @@ object Queries {
         |    min(CASE WHEN event_type = 'purchase' THEN ep END) AS t2
         |  FROM sess GROUP BY 1, 2),
         |c AS (SELECT
-        |    sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n0,
-        |    sum(CASE WHEN t0 IS NOT NULL AND t0 < t1 THEN 1 ELSE 0 END) AS n1,
-        |    sum(CASE WHEN t0 IS NOT NULL AND t0 < t1 AND t1 < t2 THEN 1 ELSE 0 END) AS n2
+        |    sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN t0 IS NOT NULL AND t0 < t1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN t0 IS NOT NULL AND t0 < t1 AND t1 < t2 THEN 1 ELSE 0 END)::BIGINT AS n2
         |  FROM m)
         |SELECT 0::BIGINT AS step_no, 'view' AS step, n0 AS n_sessions, n0 / n0 AS conv_pct FROM c
         |UNION ALL SELECT 1, 'click', n1, n1 / n0 FROM c
@@ -2392,7 +2396,7 @@ object Queries {
         |m2 AS (SELECT source, vals[(len(vals)+1)//2] + vals[(len(vals)+2)//2] AS madd2 FROM s2)
         |SELECT d.source, count(*) AS n_rows, min(d.med2) AS med2,
         |  min(m2.madd2) AS madd2,
-        |  sum(CASE WHEN d.dev * 20000 > 44478 * m2.madd2 THEN 1 ELSE 0 END) AS n_outliers
+        |  sum(CASE WHEN d.dev * 20000 > 44478 * m2.madd2 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         |FROM d JOIN m2 USING (source) GROUP BY 1""".stripMargin)),
 
     // §2.3/147 — JL random projection 64 -> 16 with the md5-derived ±1
@@ -2594,7 +2598,7 @@ object Queries {
         |    row_number() OVER (PARTITION BY source ORDER BY hv, n_chars) AS rn FROM u),
         |s AS (SELECT source, list(n_chars ORDER BY n_chars) AS vals
         |  FROM r2 WHERE rn <= 64 GROUP BY source)
-        |SELECT s.source, nb.n_buckets, len(vals) AS n_sample,
+        |SELECT s.source, nb.n_buckets, len(vals)::INT AS n_sample,
         |  vals[(len(vals)+1)//2] + vals[(len(vals)+2)//2] AS med2
         |FROM s JOIN nb ON s.source = nb.source""".stripMargin)),
 
@@ -2611,11 +2615,15 @@ object Queries {
         .groupBy("label", "pos")
         .agg(count(lit(1)).as("n"),
           sum(round(col("v").cast("double") * (1 << 20)).cast("long")).as("sum_q")),
-      Some("""SELECT label, i AS pos, count(*) AS n,
-        |  sum(round(embedding[i + 1]::DOUBLE * 1048576)::BIGINT) AS sum_q
-        |FROM embeddings CROSS JOIN range(0, 256) t(i)
-        |WHERE embedding IS NOT NULL AND label IS NOT NULL AND i < len(embedding)
-        |GROUP BY label, i""".stripMargin)),
+      // Zipped unnest covers every dimension the data actually has (no
+      // hard-coded dim cap); pos::INT matches posexplode's INT and the
+      // outer ::BIGINT undoes DuckDB's sum()->HUGEINT widening.
+      Some("""WITH e AS (SELECT label,
+        |    unnest(range(len(embedding)))::INT AS pos, unnest(embedding) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL)
+        |SELECT label, pos, count(*) AS n,
+        |  sum(round(v::DOUBLE * 1048576)::BIGINT)::BIGINT AS sum_q
+        |FROM e GROUP BY label, pos""".stripMargin)),
 
     // §2.3/153 — KMV sketch reaggregation: per-day sketches merged to
     // a per-type rollup without rescanning the fact table — the
@@ -2657,11 +2665,11 @@ object Queries {
         |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
         |  FROM documents),
         |m AS (SELECT doc_id,
-        |    len(toks) AS n_words,
+        |    len(toks)::INT AS n_words,
         |    list_sum(list_transform(toks, t -> len(t)))::INT AS sum_word_len,
-        |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha_words,
+        |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::INT AS n_alpha_words,
         |    len(list_filter(['the','be','to','of','and','that','have','with'],
-        |      w -> list_contains(toks, w))) AS n_stop_hits,
+        |      w -> list_contains(toks, w)))::INT AS n_stop_hits,
         |    n_symbols,
         |    len(lines) AS n_lines,
         |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
