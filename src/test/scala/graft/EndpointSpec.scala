@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.hive.service.server.HiveServer2
+import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+import org.scalatest.BeforeAndAfterAll
+
+import graft.metrics.{MetricsRegistry, MetricsService}
+
+/** The network-client surface (reference parity:
+  * pkg/proteus-go-client/proteus_client.go:56 `Query(queryStmt)` over
+  * gRPC, and :82 `GetMetrics`): an APPLICATION must be able to query
+  * the deployed graph — and read its latency metrics — over the wire
+  * with a stock client. Here that's HiveServer2's Thrift protocol:
+  * `HiveThriftServer2.startWithSparkSession` on the session that
+  * carries graft's SQL-named kernels and metrics views, and a plain
+  * `java.sql.DriverManager` + hive-jdbc client on the other side. The
+  * client side of this spec touches NO graft classes — everything it
+  * uses is the SQL surface the extensions registered, exactly what a
+  * BI tool or service would see.
+  */
+class EndpointSpec extends SparkSpecBase with BeforeAndAfterAll {
+
+  // the HiveThriftServer2 CLASS is private[hive]; hold the public base
+  private var server: HiveServer2 = _
+  private var port: Int = _
+  private def url = s"jdbc:hive2://localhost:$port/default"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.plans.GraftExtensions.register(spark)
+    MetricsService.register(spark)
+    Tables.registerAll(spark, sf())
+    port = { val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
+    spark.sqlContext.setConf("hive.server2.thrift.bind.host", "localhost")
+    // in-process server over THIS session's catalog + extensions
+    server = HiveThriftServer2.startWithSparkSession(spark, exitOnError = false)
+    // the thrift layer binds asynchronously; poll until it accepts
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var up = false
+    while (!up && System.nanoTime() < deadline) {
+      try { new java.net.Socket("localhost", port).close(); up = true }
+      catch { case _: java.io.IOException => Thread.sleep(200) }
+    }
+    assert(up, s"thrift endpoint never came up on $port")
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    // startWithSparkSession turns on the java8 datetime API for the
+    // session (Instant instead of java.sql.Timestamp in collected
+    // rows); with singleSession that mutation outlives the server and
+    // breaks later suites' Row.getTimestamp — put it back
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "false")
+    super.afterAll()
+  }
+
+  test("a pure-JDBC client runs graft kernels by SQL name over the wire") {
+    val conn = DriverManager.getConnection(url, "graft", "")
+    try {
+      val st = conn.createStatement()
+      // scalar kernel round-trip
+      val r1 = st.executeQuery(
+        "SELECT cosine_sim(array(cast(3.0 AS float), cast(4.0 AS float)), " +
+        "array(cast(3.0 AS float), cast(4.0 AS float))) AS cs")
+      assert(r1.next() && math.abs(r1.getDouble("cs") - 1.0) < 1e-9)
+      // corpus query through the endpoint == the same SQL in-process
+      val sql =
+        """SELECT doc_id, element_at(minhash_sig(split(text, '\\s+'), 4), 1) AS m0
+          |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+      val rs = st.executeQuery(sql)
+      val wire = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getLong(1), r.getLong(2))).toVector
+      val local = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+      assert(wire.nonEmpty && wire === local,
+        s"wire=${wire.take(3)}... local=${local.take(3)}...")
+    } finally conn.close()
+  }
+
+  test("the optimizer extension is active for wire queries too") {
+    val conn = DriverManager.getConnection(url, "graft", "")
+    try {
+      // SelfIntersectFold rewrites sorted_intersect_count(x, x) → size(x);
+      // EXPLAIN through the endpoint proves the injected rule runs there.
+      // A COLUMN argument keeps constant folding out of the picture (a
+      // literal arg would collapse to a literal with or without our rule)
+      val rs = conn.createStatement().executeQuery(
+        "EXPLAIN SELECT sorted_intersect_count(a, a) FROM " +
+        "(SELECT array(doc_id, doc_id) AS a FROM documents)")
+      val plan = Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1)).mkString("\n")
+      // the output attribute keeps its auto-alias "sorted_intersect_count(a, a)",
+      // so assert on the rewritten projection EXPRESSION, not name absence
+      assert(plan.contains("size("), s"SelfIntersectFold missing from wire plan:\n$plan")
+    } finally conn.close()
+  }
+
+  test("query metrics percentiles are retrievable via SQL (GetMetrics parity), and stay fresh") {
+    MetricsRegistry.clear()
+    MetricsService.record(spark, "lineitem_count") {
+      spark.sql("SELECT count(*) FROM lineitem").collect()
+    }
+    val conn = DriverManager.getConnection(url, "graft", "")
+    try {
+      val st = conn.createStatement()
+      val rs = st.executeQuery(
+        "SELECT name, n_queries, p50_ms, p99_ms, records FROM graft_metrics_summary " +
+        "WHERE name = 'lineitem_count'")
+      assert(rs.next(), "recorded query missing from graft_metrics_summary")
+      assert(rs.getLong("n_queries") === 1L)
+      assert(rs.getDouble("p50_ms") >= 0.0 && rs.getDouble("p99_ms") >= rs.getDouble("p50_ms"))
+      assert(rs.getLong("records") > 0L, "task-level input records should be visible")
+      // freshness: a SECOND record lands in the NEXT wire read with no
+      // refresh call — the V2 scan re-snapshots at planning time
+      MetricsService.record(spark, "lineitem_count") {
+        spark.sql("SELECT count(*) FROM lineitem").collect()
+      }
+      val rs2 = st.executeQuery(
+        "SELECT n_queries FROM graft_metrics_summary WHERE name = 'lineitem_count'")
+      assert(rs2.next() && rs2.getLong("n_queries") === 2L,
+        "second recorded query must appear without any view refresh")
+    } finally conn.close()
+  }
+}

@@ -20,5 +20,9 @@ object SparkSpecBase {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // static conf consumed by EndpointSpec's in-process Thrift server:
+    // JDBC connections share THIS session (its temp views + injected
+    // kernel functions) instead of cloning bare sessions
+    .config("spark.sql.hive.thriftServer.singleSession", "true")
     .getOrCreate()
 }
