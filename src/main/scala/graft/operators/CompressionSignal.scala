@@ -35,6 +35,11 @@ object CompressionSignal {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level)
+        // release the native zlib buffer at task end rather than at
+        // finalization — many short-lived partitions would otherwise
+        // hold native memory until GC gets around to them
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -100,7 +100,16 @@ object ConnectedComponents {
     val membership = canon.select(col("b1").as("id"), col("b1"), col("b2"))
       .union(canon.select(col("b2").as("id"), col("b1"), col("b2")))
     val labels = propagateToFixpoint(membership, Seq("b1", "b2"), maxIterations)
-    labels.select(col("id").as("node_id"), col("label").as("component"))
+    // Rename INTO its own persisted frame and release the inner one:
+    // returning a renamed select over the persisted labels would leave
+    // callers unable to unpersist (unpersisting a transformed view does
+    // not release the underlying entry), leaking a node-sized cache
+    // entry per call until clearCache.
+    val out = labels.select(col("id").as("node_id"), col("label").as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    labels.unpersist(blocking = false)
+    out
   }
 
   /** Iterate until labels stop changing, capped at `maxIterations`.
@@ -148,7 +157,13 @@ object ConnectedComponents {
         .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
       converged = prevSum.exists(p => p.compareTo(labelSum) == 0)
       prevSum = Some(labelSum)
+      // next is eagerly checkpointed and self-contained; the previous
+      // round's checkpoint blocks are dead weight from here — release
+      // them now instead of waiting for driver GC, so checkpoint
+      // storage stays bounded at ~2 rounds on long-diameter graphs
+      val prev = labels
       labels = next
+      if (prev != null) prev.unpersist(blocking = false)
       i += 1
     }
     if (labels == null) // maxIterations == 0: identity assignment

@@ -37,10 +37,18 @@ object Skyline {
       .filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy("x").agg(max("y").as("y")) // per-x frontier; same-x dominated rows gone
     val edges = pts.agg(min("x").as("lo"), max("x").as("hi"))
-    // integer-exact bucket index over the broadcast global range
+    // Bucket index over the broadcast global range. Divide in DOUBLE
+    // after a double multiply: (x-lo)*nBuckets as a LONG product wraps
+    // for wide domains (|hi-lo| > 2^63/nBuckets — epoch-nanos or hash
+    // ids), silently breaking bucket monotonicity and letting the
+    // suffix-max prune drop true skyline points. The double form loses
+    // low bits for huge spans but stays MONOTONE in x, which is the
+    // only property the prune needs (bucket boundaries may shift by a
+    // point; correctness comes from the exact anti-join finish).
     val bucketed = pts.crossJoin(broadcast(edges))
       .withColumn("__b", least(lit(nBuckets - 1),
-        (col("x") - col("lo")) * nBuckets / (col("hi") - col("lo") + 1)).cast("int"))
+        ((col("x") - col("lo")).cast("double") * nBuckets /
+          (col("hi") - col("lo") + 1).cast("double")).cast("long")).cast("int"))
     val bmax = bucketed.groupBy("__b").agg(max("y").as("bm"))
     val suffix = bmax.as("a").join(bmax.as("b"), col("b.__b") > col("a.__b"), "left")
       .groupBy(col("a.__b").as("__b")).agg(max(col("b.bm")).as("__suffix"))

@@ -454,4 +454,14 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(outside.isEmpty,
       s"partition-less Window OUTSIDE the bounded-frame allowlist: ${outside.mkString(", ")}")
   }
+
+  test("q_triangles: wedge apex salt and blocked-bloom prune are in the plan") {
+    val p = plan("q_triangles")
+    assert(p.contains("__salt"),
+      "selective apex salt missing — a residual hub would concentrate d² wedge work")
+    assert(p.contains("bit_or"),
+      "blocked-bloom wedge prune missing — the full wedge set would shuffle into the close join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bloom frame (≤bloomWords rows by construction) must broadcast")
+  }
 }

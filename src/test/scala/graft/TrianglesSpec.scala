@@ -23,4 +23,25 @@ class TrianglesSpec extends SparkSpecBase {
     val star = (2L to 8L).map(i => (1L, i)) :+ (2L, 3L)
     assert(tri(star) === 1L)
   }
+
+  test("triangles: salted hot path and tiny (high-fp) bloom replay the unsalted count") {
+    import spark.implicits._
+    // random-ish graph with a residual hub: node 50 connects to most
+    // higher-id nodes, surviving orientation with a large out-degree
+    val rnd = for (i <- 1L to 60L; j <- 1L to 60L
+                   if i < j && (i * 31 + j * 17) % 5 == 0) yield (i, j)
+    val hub = (51L to 60L).map(j => (50L, j))
+    val edges = (rnd ++ hub).toDF("src", "dst")
+    val base = Triangles.triangleCount(edges, "src", "dst")
+      .head.getAs[Long]("n_triangles")
+    // hotThreshold=0: EVERY apex goes through the salted join
+    val salted = Triangles.triangleCount(edges, "src", "dst",
+      saltFactor = 4, hotThreshold = 0).head.getAs[Long]("n_triangles")
+    assert(salted === base, "selective salting must not change the count")
+    // bloomWords=1: every wedge is a bloom false positive — the exact
+    // confirm join must still kill non-edges
+    val fp = Triangles.triangleCount(edges, "src", "dst", bloomWords = 1)
+      .head.getAs[Long]("n_triangles")
+    assert(fp === base, "a saturated bloom must degrade to pass-through, not wrong counts")
+  }
 }
