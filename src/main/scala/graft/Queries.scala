@@ -1168,7 +1168,8 @@ object Queries {
         |           CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 3 THEN 'jpg' ELSE 'bmp' END
         |         WHEN doc_id % 3 = 1 THEN 'wav'
         |         WHEN doc_id % 9 = 2 THEN 'avi'
-        |         WHEN doc_id % 9 = 5 THEN 'gif' ELSE 'gvid' END AS codec
+        |         WHEN doc_id % 9 = 5 THEN 'gif'
+        |         WHEN doc_id % 18 = 17 THEN 'gmc' ELSE 'gvid' END AS codec
         |  FROM documents),
         |img AS (SELECT m.doc_id,
         |    sum((m.doc_id * 31 + x * 7 + y * 13) % 256) AS s_r,

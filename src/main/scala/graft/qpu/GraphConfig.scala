@@ -130,8 +130,17 @@ object GraphConfig {
         build(children(i))
       }
       val q: Qpu = n.get("operator").asText() match {
+        // Optional per-node "dir": a DIFFERENT warehouse root than the
+        // graph's — the geo-federation shape (reference:
+        // configs/cloudserver-federation/, where per-DC datastore →
+        // filter subtrees live in different regions under one router).
+        // Relative dirs resolve against the graph dir; absolute or
+        // scheme-qualified (s3://…) paths name a foreign store as-is.
         case "datastore" =>
-          DatastoreQpu(spark, dir, req(n, name, "table").asText())
+          val dsDir = Option(n.get("dir")).map(_.asText())
+            .map(d => if (d.contains("://") || d.startsWith("/")) d else s"$dir/$d")
+            .getOrElse(dir)
+          DatastoreQpu(spark, dsDir, req(n, name, "table").asText())
         case "filter" =>
           FilterQpu(child(0),
             req(n, name, "predicates").elements().asScala.map(predicate).toSeq)

@@ -201,4 +201,53 @@ class GraphConfigSpec extends SparkSpecBase {
         "the config-deployed tail must aggregate objects that arrived after deploy")
     } finally q.stop()
   }
+
+  test("geo-federation: per-DC warehouses under one router, routed queries prune to one DC") {
+    // reference parity: configs/cloudserver-federation/ wires per-DC
+    // datastore→filter graphs under one router across regions. Here
+    // each DC is a separate warehouse ROOT (the two-metastore
+    // analogue), named per-datastore via "dir"; coverage metadata on
+    // the router prunes a routed query to the covering DC at assembly
+    // time.
+    import org.apache.spark.sql.functions._
+    val fed = java.nio.file.Files.createTempDirectory("graft-federation").toString
+    val orders = Tables.load(spark, sf(), "orders")
+    val split = 3000L
+    orders.filter(col("o_orderkey") < split)
+      .write.mode("overwrite").parquet(s"$fed/dc_east/orders.parquet")
+    orders.filter(col("o_orderkey") >= split)
+      .write.mode("overwrite").parquet(s"$fed/dc_west/orders.parquet")
+    def config(route: String) = s"""{
+      "root": "federated",
+      "qpus": {
+        "east_orders": {"operator": "datastore", "table": "orders", "dir": "$fed/dc_east"},
+        "west_orders": {"operator": "datastore", "table": "orders", "dir": "$fed/dc_west"},
+        "federated": {"operator": "routed_router",
+          "children": ["east_orders", "west_orders"],
+          "coverages": [
+            {"op": "range", "attr": "o_orderkey", "lb": 0, "ub": $split},
+            {"op": "range", "attr": "o_orderkey", "lb": $split, "ub": 9007199254740992}],
+          $route
+          "projection": ["o_orderkey", "o_totalprice"]}
+      }
+    }"""
+    // routed to one DC: answers like the direct filter, scans ONLY that DC
+    val routed = GraphConfig.fromJson(spark,
+      config(s"""\"route\": {"op": "eq", "attr": "o_orderkey", "value": 7}, """),
+      sf()).toDF
+    val want = orders.filter(col("o_orderkey") === 7)
+      .select("o_orderkey", "o_totalprice").collect().toSeq
+    assert(routed.filter(col("o_orderkey") === 7).collect().toSeq === want)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      "a routed point query must scan exactly the covering DC")
+    assert(plan.contains("dc_east") && !plan.contains("dc_west"),
+      "the non-covering DC's warehouse must not appear in the plan")
+    // unrouted scatter-gather: both DCs, complete federation
+    val all = GraphConfig.fromJson(spark, config(""), sf()).toDF
+    assert(all.count() === orders.count(),
+      "the unrouted federation must union every DC")
+    val allPlan = all.queryExecution.executedPlan.toString
+    assert(allPlan.contains("dc_east") && allPlan.contains("dc_west"))
+  }
 }

@@ -79,6 +79,28 @@ class MultimodalSpec extends SparkSpecBase {
               yield canvas(y)(x)(c)).sum / (3.0 * 48)
         }
         acc / sampledFrames.size
+      } else if (id % 18 == 17) {
+        // GMC1 rows follow the motion-compensated content rule:
+        // toroidal translate + one repainted pixel per frame
+        import java.lang.Math.floorMod
+        var canvas = Array.tabulate(6, 8, 3)((y, x, c) => Multimodal.pixel(id * 1009, x, y, c))
+        var acc = 0.0
+        for (f <- 0 until nFrames) {
+          if (f > 0) {
+            val dx = floorMod(id + f, 3).toInt - 1
+            val dy = floorMod(id * 5 + f, 3).toInt - 1
+            val next = Array.tabulate(6, 8, 3)((y, x, c) =>
+              canvas(floorMod(y - dy, 6))(floorMod(x - dx, 8))(c))
+            val xr = floorMod(id + 7L * f, 8).toInt
+            val yr = floorMod(id * 3 + f, 6).toInt
+            for (c <- 0 until 3) next(yr)(xr)(c) = Multimodal.pixel(id * 1009 + f, xr, yr, c)
+            canvas = next
+          }
+          if (f % 4 == 0)
+            acc += (for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3)
+              yield canvas(y)(x)(c)).sum / (3.0 * 48)
+        }
+        acc / sampledFrames.size
       } else sampledFrames.map { f =>
         val seed = id * 1009 + f
         (for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3)
@@ -368,7 +390,8 @@ class MultimodalSpec extends SparkSpecBase {
     assert(bad.isEmpty, s"decode audit failed for docs: ${bad.mkString(", ")}")
     // codecs are derived from payload MAGIC, so all six families
     // actually flowed through the audit
-    assert(audit.map(_.codec).toSet === Set("png", "jpg", "bmp", "wav", "gvid", "avi", "gif"))
+    assert(audit.map(_.codec).toSet ===
+      Set("png", "jpg", "bmp", "wav", "gvid", "avi", "gif", "gmc"))
     // the lossy rows: measure the real JPEG deviation against the
     // closed-form expectation and pin it at half the JpegTol the audit
     // uses (measured 0.028 on this JDK) — if a JDK change widens
@@ -410,5 +433,62 @@ class MultimodalSpec extends SparkSpecBase {
     // ids 0 and 2304 share doc_id mod 2304 (lcm of the 256-cycle pixel
     // pattern and the codec classes) — identical images, hamming 0
     assert(got(0L) === got(2304L))
+  }
+
+  test("GMC1 motion compensation: exact round-trip, real vectors, smaller than keyframes") {
+    import java.lang.Math.floorMod
+    val w = 8; val h = 6; val nFrames = 9
+    Seq(17L, 35L, 53L, 71L).foreach { id => // ids ≡ 17 (mod 18): the GMC slice
+      val payload = Multimodal.gmcBytes(id, w, h, nFrames, fps = 25)
+      val v = Multimodal.gmcFeatures(id, payload, stride = 4)
+      assert(v.n_frames === nFrames && v.fps === 25 && v.sampled === 3)
+      // independent simulation of the declared content rule (seed
+      // formulas only — no codec structs)
+      var canvas = Array.tabulate(h, w, 3)((y, x, c) => Multimodal.pixel(id * 1009, x, y, c))
+      var lumaSum = 0.0; var sampled = 0
+      for (f <- 0 until nFrames) {
+        if (f > 0) {
+          val dx = floorMod(id + f, 3).toInt - 1
+          val dy = floorMod(id * 5 + f, 3).toInt - 1
+          val next = Array.tabulate(h, w, 3)((y, x, c) =>
+            canvas(floorMod(y - dy, h))(floorMod(x - dx, w))(c))
+          val xr = floorMod(id + 7L * f, w).toInt
+          val yr = floorMod(id * 3 + f, h).toInt
+          for (c <- 0 until 3) next(yr)(xr)(c) = Multimodal.pixel(id * 1009 + f, xr, yr, c)
+          canvas = next
+        }
+        if (f % 4 == 0) {
+          lumaSum += (for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+            yield canvas(y)(x)(c).toLong).sum.toDouble / (w * h * 3)
+          sampled += 1
+        }
+      }
+      assert(math.abs(v.mean_luma - lumaSum / sampled) < 1e-9,
+        s"doc $id motion-compensated reconstruction must be bit-exact")
+      // the bitstream really encodes motion: at least one P-frame block
+      // carries a non-zero vector (the content translates by design)
+      val nBlocks = (w / 4) * (h / 3)
+      var pos = 32 + w * h * 3
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var nonZero = 0
+      for (_ <- 1 until nFrames) {
+        for (b <- 0 until nBlocks)
+          if (payload(pos + 2 * b) != 0 || payload(pos + 2 * b + 1) != 0) nonZero += 1
+        pos += 2 * nBlocks
+        val nRes = bb.getInt(pos); pos += 4 + 5 * nRes
+      }
+      assert(pos === payload.length, "container walk must consume every byte")
+      assert(nonZero > 0, "block search must find the non-zero motion the content has")
+      // motion compensation beats the keyframe-only container on size
+      val gvid = Multimodal.gvidBytes(id, w, h, nFrames, fps = 25)
+      assert(payload.length < gvid.length / 2,
+        s"doc $id: P-frames (${payload.length}B) should be far smaller than full frames (${gvid.length}B)")
+    }
+    // truncation fails doc-labelled like the other parsers
+    val good = Multimodal.gmcBytes(17L, w, h, 5, 25)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.gmcFeatures(17L, good.take(good.length - 3))
+    }
+    assert(e.getMessage.contains("doc 17") && e.getMessage.contains("truncated"))
   }
 }
