@@ -2691,7 +2691,198 @@ object Queries {
         |    AND (10 * n_ell < 3 * n_lines)
         |    AND (5 * n_alpha_words >= 4 * n_words)
         |    AND (n_stop_hits >= 2)) AS gopher_pass
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+
+    // §2.2/167 — market-basket association rules: support / confidence
+    // / lift over order baskets. Pair generation is co-partitioned on
+    // the basket key (bounded by max basket size, never item x item);
+    // confidences/lift are IEEE divisions of exact integer counts.
+    "q_basket_rules" -> QueryDef(
+      (s, d) => operators.Association.basketRules(
+        ds(s, d, "lineitem").toDF, "l_orderkey", "l_partkey", minSupport = 3),
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |pairs AS (SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS pair_count
+        |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |cnt AS (SELECT item, count(*)::BIGINT AS cnt FROM items GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM items)
+        |SELECT item_a, item_b, pair_count, ca.cnt AS count_a, cb.cnt AS count_b, tot.n_baskets,
+        |  pair_count::DOUBLE / ca.cnt AS conf_a_to_b,
+        |  pair_count::DOUBLE / cb.cnt AS conf_b_to_a,
+        |  pair_count::DOUBLE * tot.n_baskets / (ca.cnt * cb.cnt) AS lift
+        |FROM pairs JOIN cnt ca ON item_a = ca.item
+        |JOIN cnt cb ON item_b = cb.item CROSS JOIN tot""".stripMargin)),
+
+    // §2.2/168 — per-node local clustering coefficient over the
+    // thinned (quantity >= 35) co-purchase graph: triangle corners
+    // from the degree-ordered orientation (each triangle found once,
+    // credited to all three nodes), coeff = one IEEE division of
+    // exact integers. The oracle replays the orientation round for
+    // round, like q_triangles.
+    "q_clustering_coeff" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_quantity") >= 35).select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.Triangles.nodeClusteringCoefficient(e, "src", "dst")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 35),
+        |e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT id, count(*)::BIGINT AS dg FROM
+        |  (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN da.dg*100000000 + a < db.dg*100000000 + b THEN a ELSE b END AS u,
+        |    CASE WHEN da.dg*100000000 + a < db.dg*100000000 + b THEN b ELSE a END AS v,
+        |    greatest(da.dg*100000000 + a, db.dg*100000000 + b) AS kv
+        |  FROM e0 JOIN deg da ON a = da.id JOIN deg db ON b = db.id),
+        |w AS (SELECT e1.u AS u, e1.v AS x, e2.v AS y FROM o e1
+        |  JOIN o e2 ON e1.u = e2.u AND e1.kv < e2.kv),
+        |t AS (SELECT w.u, w.x, w.y FROM w JOIN o ON o.u = w.x AND o.v = w.y),
+        |pn AS (SELECT node_id, count(*)::BIGINT AS n_tri FROM
+        |  (SELECT unnest([u, x, y]) AS node_id FROM t) GROUP BY 1)
+        |SELECT d.id AS node_id, d.dg AS degree, COALESCE(pn.n_tri, 0)::BIGINT AS n_tri,
+        |  2.0 * COALESCE(pn.n_tri, 0) / (d.dg * (d.dg - 1)) AS coeff
+        |FROM deg d LEFT JOIN pn ON d.id = pn.node_id WHERE d.dg >= 2""".stripMargin)),
+
+    // §2.2/169 — k-core decomposition (k=4) by 4 fixed peel rounds
+    // over the same thinned graph (fixpoint reached by round 3 at
+    // every test scale — measured; the fixed count keeps the oracle a
+    // round-for-round replay). MATERIALIZED CTEs keep the oracle
+    // linear — the inlined chain was measured exponential in DuckDB.
+    "q_kcore" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_quantity") >= 35).select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.KCore.kCore(e, "src", "dst", k = 4, rounds = 4)
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 35),
+        |e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |d1 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY 1 HAVING count(*) >= 4),
+        |e1 AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT id FROM d1) AND b IN (SELECT id FROM d1)),
+        |d2 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1)
+        |  GROUP BY 1 HAVING count(*) >= 4),
+        |e2 AS MATERIALIZED (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT id FROM d2) AND b IN (SELECT id FROM d2)),
+        |d3 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2)
+        |  GROUP BY 1 HAVING count(*) >= 4),
+        |e3 AS MATERIALIZED (SELECT a, b FROM e2
+        |  WHERE a IN (SELECT id FROM d3) AND b IN (SELECT id FROM d3)),
+        |d4 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
+        |  GROUP BY 1 HAVING count(*) >= 4),
+        |e4 AS MATERIALIZED (SELECT a, b FROM e3
+        |  WHERE a IN (SELECT id FROM d4) AND b IN (SELECT id FROM d4))
+        |SELECT id AS node_id, count(*)::BIGINT AS core_degree FROM
+        |  (SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""".stripMargin)),
+
+    // §2.2/170 — TPC-H Q21-shape: suppliers who alone were late on
+    // multi-supplier 'F' orders (late := shipped > 60 days after
+    // order date — the corpus has no commitdate; the SHAPE is the
+    // point: join + EXISTS semi + NOT EXISTS anti on the same fact
+    // table, then top-k on an exact count).
+    "q21_waiting" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF.select("l_orderkey", "l_suppkey", "l_shipdate")
+        val ord = ds(s, d, "orders").toDF
+          .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
+        val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select("l_orderkey", "l_suppkey").distinct()
+        val pinned = operators.Dedup.registerPin(late)
+        pinned.as("l1")
+          .join(li.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+          .as("lw") // fresh alias: the anti join's right side is the same pinned frame
+          .join(pinned.as("l3"),
+            col("lw.l_orderkey") === col("l3.l_orderkey") &&
+              col("lw.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("suppkey"))
+          .limit(10)
+      },
+      Some("""WITH late AS (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM lineitem l1 JOIN orders o
+        |    ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |  WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT l1.l_suppkey AS suppkey, count(*)::BIGINT AS numwait FROM late l1
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 10""".stripMargin)),
+
+    // §2.2/171 — TPC-H Q2-shape: per-part minimum-cost supplier via a
+    // correlated scalar min against an aggregated subquery (the q17
+    // decorrelation pattern: groupBy-min + equality join, no window).
+    // Costs are exact integer cents, so the min and the tie set
+    // replay bit-for-bit.
+    "q2_min_cost" -> QueryDef(
+      (s, d) => {
+        val costs = ds(s, d, "lineitem").toDF
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cost_cents"))
+        val mins = costs.groupBy("l_partkey").agg(min("cost_cents").as("min_cost"))
+        val parts = ds(s, d, "part").toDF.filter(col("p_size") < 6)
+          .select("p_partkey", "p_brand")
+        costs.join(mins, Seq("l_partkey"))
+          .filter(col("cost_cents") === col("min_cost"))
+          .join(parts, col("p_partkey") === col("l_partkey"))
+          .select(col("p_partkey"), col("p_brand"),
+            col("l_suppkey").as("suppkey"), col("cost_cents"))
+      },
+      Some("""WITH costs AS (SELECT l_partkey, l_suppkey,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |mins AS (SELECT l_partkey, min(cost_cents) AS min_cost FROM costs GROUP BY 1)
+        |SELECT p.p_partkey, p.p_brand, c.l_suppkey AS suppkey, c.cost_cents
+        |FROM costs c JOIN mins m ON c.l_partkey = m.l_partkey AND c.cost_cents = m.min_cost
+        |JOIN part p ON p.p_partkey = c.l_partkey WHERE p.p_size < 6""".stripMargin)),
+
+    // §2.3/172 — positional phrase search: the corpus's top-3 bigrams
+    // as quoted-phrase queries answered by POSITIONAL posting
+    // intersection (next-word join on (doc, pos+1)); the phrase table
+    // broadcasts so only phrase-word postings ever shuffle.
+    "text_phrase" -> QueryDef(
+      (s, d) => operators.Retrieval.phraseSearch(
+        ds(s, d, "documents").toDF, "doc_id", "text", nPhrases = 3),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2 FROM t)
+        |  GROUP BY 1, 2),
+        |top AS (SELECT w1, w2 FROM bg ORDER BY cnt DESC, w1, w2 LIMIT 3),
+        |pos AS (SELECT doc_id, unnest(range(len(toks)))::INT AS pos, unnest(toks) AS token FROM t)
+        |SELECT p.w1, p.w2, p1.doc_id, count(*)::BIGINT AS n_occ
+        |FROM top p JOIN pos p1 ON p1.token = p.w1
+        |JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1 AND p2.token = p.w2
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // §2.2/173 — hour-of-week seasonal-baseline anomaly tally: events
+    // vs 5x their (dow, hr) bucket mean, all arithmetic exact integer
+    // cents with a cross-multiplied comparison (no float mean ever
+    // materialized). dow follows Spark (1=Sunday); oracle maps
+    // DuckDB's 0-based dayofweek with +1 (the q_date_parts precedent).
+    "q_seasonal_anomaly" -> QueryDef(
+      (s, d) => operators.TimeSeries.seasonalAnomalies(
+        ds(s, d, "events").toDF, "ts", "value", factor = 5),
+      Some("""WITH e AS (SELECT (dayofweek(ts) + 1)::INT AS dow, hour(ts)::INT AS hr,
+        |    round(value * 100)::BIGINT AS cents FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT dow, hr, count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS sum_cents
+        |  FROM e GROUP BY 1, 2)
+        |SELECT b.dow, b.hr, b.n_events, b.sum_cents,
+        |  sum(CASE WHEN e.cents * b.n_events > 5 * b.sum_cents THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+        |FROM e JOIN b USING (dow, hr) GROUP BY 1, 2, 3, 4""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

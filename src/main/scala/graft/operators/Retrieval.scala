@@ -124,4 +124,50 @@ object Retrieval {
         (col("pos") + 1).cast("long").as("fused_rank"),
         col("col._2").as("rrf_score"))
   }
+
+  /** Positional phrase search: exact two-word phrase occurrences via
+    * POSITIONAL posting intersection — the machinery behind quoted
+    * queries in any lexical engine. The query phrases here are the
+    * corpus's own `nPhrases` most frequent bigrams (count desc, then
+    * lexicographic — fully deterministic, so the oracle re-derives
+    * them), but the search path is query-agnostic: it would run the
+    * same with user phrases.
+    *
+    * Scale shape: bigram counting is array-local (zip of adjacent
+    * tokens, no join) + one combinable aggregation; the phrase table
+    * is `nPhrases` rows and BROADCASTS into both posting scans, so
+    * only postings of phrase WORDS survive to the positional
+    * intersection join — the corpus-sized posting set is filtered
+    * map-side and never shuffles whole. The intersection itself joins
+    * on (doc, position), the classic next-word check.
+    *
+    * Output: (w1, w2, doc_id, n_occ) — one row per document containing
+    * the phrase, with its occurrence count.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   nPhrases: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val bigrams = toks
+      .select(explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"))
+        .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val phrases = bigrams
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(nPhrases)
+      .select("w1", "w2")
+    val postings = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "token")))
+    val p1 = postings.join(broadcast(phrases), col("token") === col("w1"))
+      .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
+    val p2 = postings.select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
+      col("token").as("token2"))
+      .join(broadcast(phrases.select(col("w2").as("token2")).distinct()), Seq("token2"))
+    p1.join(p2,
+        col("doc_id") === col("doc_id2") && col("pos2") === col("pos") + 1 &&
+          col("token2") === col("w2"))
+      .groupBy("w1", "w2", "doc_id").agg(count(lit(1)).as("n_occ"))
+  }
 }

@@ -47,4 +47,36 @@ object TimeSeries {
         last("day_value", ignoreNulls = true).over(w).as("value_ffill"),
         col("day_value").isNull.as("is_gap"))
   }
+
+  /** Seasonal-baseline anomaly tally: events are bucketed by
+    * hour-of-week (dow, hr) and counted against their bucket's mean —
+    * an event is anomalous when `value > factor × bucket mean`. All
+    * arithmetic is EXACT integers: values become cents once
+    * (`round(v·100)` — both engines round the same IEEE double), the
+    * bucket mean is never materialized as a float, and the comparison
+    * cross-multiplies (`cents·n > factor·sum_cents`) so the whole
+    * result is hash-exact.
+    *
+    * Scale shape: one combinable aggregation to the ≤168-row bucket
+    * frame, broadcast back over the event scan, one more combinable
+    * aggregation. The fact table is scanned twice but never shuffled
+    * row-wise.
+    *
+    * Output: (dow, hr, n_events, sum_cents, n_anomalies). `dow`
+    * follows Spark's dayofweek (1=Sunday); the oracle maps DuckDB's
+    * 0-based dayofweek with +1.
+    */
+  def seasonalAnomalies(events: DataFrame, tsCol: String, valCol: String,
+                        factor: Int = 5): DataFrame = {
+    val e = events.filter(col(valCol).isNotNull)
+      .select(dayofweek(col(tsCol)).as("dow"), hour(col(tsCol)).as("hr"),
+        round(col(valCol) * 100).cast("long").as("cents"))
+    val buckets = e.groupBy("dow", "hr")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+    e.join(broadcast(buckets), Seq("dow", "hr"))
+      .groupBy("dow", "hr")
+      .agg(min("n_events").as("n_events"), min("sum_cents").as("sum_cents"),
+        sum(when(col("cents") * col("n_events") > lit(factor.toLong) * col("sum_cents"), 1L)
+          .otherwise(0L)).as("n_anomalies"))
+  }
 }

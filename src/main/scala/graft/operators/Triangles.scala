@@ -41,7 +41,42 @@ object Triangles {
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
                     saltFactor: Int = 8, hotThreshold: Int = 4096,
-                    bloomWords: Int = 1 << 20): DataFrame = {
+                    bloomWords: Int = 1 << 20): DataFrame =
+    corners(edges, srcCol, dstCol, saltFactor, hotThreshold, bloomWords)._1
+      .agg(count(lit(1)).as("n_triangles"))
+
+  /** Per-node local clustering coefficient: `2·tri(v) / (deg(v)·(deg(v)−1))`
+    * for nodes with degree ≥ 2 — each triangle found once at its
+    * minimum-order apex contributes to all THREE corners, so the
+    * per-node tally is an explode of the corner rows (triangle-sized,
+    * tiny next to the wedge set) plus one combinable aggregation; the
+    * degree frame is reused from the orientation build. The
+    * coefficient is one IEEE division of exact integers — replayable.
+    * Output: (node_id, degree, n_tri, coeff).
+    */
+  def nodeClusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String,
+                                saltFactor: Int = 8, hotThreshold: Int = 4096,
+                                bloomWords: Int = 1 << 20): DataFrame = {
+    val (tri, deg) = corners(edges, srcCol, dstCol, saltFactor, hotThreshold, bloomWords)
+    val perNode = tri
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("n_tri"))
+    deg.select(col("id").as("node_id"), col("dg").as("degree"))
+      .filter(col("degree") >= 2)
+      .join(perNode, Seq("node_id"), "left")
+      .select(col("node_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+          (col("degree") * (col("degree") - 1))).as("coeff"))
+  }
+
+  /** The shared pipeline: returns (triangle corner rows `(u, x, y)` —
+    * one per triangle, at its minimum-order apex — and the undirected
+    * degree frame `(id, dg)`).
+    */
+  private def corners(edges: DataFrame, srcCol: String, dstCol: String,
+                      saltFactor: Int, hotThreshold: Int,
+                      bloomWords: Int): (DataFrame, DataFrame) = {
     val und = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
@@ -76,7 +111,7 @@ object Triangles {
     val hot = tagged.filter(col("__hot").isNotNull).drop("__hot")
     val coldWedges = cold.as("e1").join(cold.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
-      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
     val h1 = hot.withColumn("__salt",
       pmod(xxhash64(col("kv")), lit(saltFactor)).cast("int"))
     val h2 = hot.withColumn("__salt",
@@ -84,7 +119,7 @@ object Triangles {
     val hotWedges = h1.as("e1").join(h2.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.__salt") === col("e2.__salt") &&
           col("e1.kv") < col("e2.kv"))
-      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
     val wedges = coldWedges.union(hotWedges)
     // (A groupBy (x,y) pre-aggregation of wedge multiplicity before
     // the close join was measured 2x SLOWER at sf0.1: co-purchase
@@ -119,8 +154,10 @@ object Triangles {
       .withColumn("__w", pairW(col("x"), col("y")))
       .join(broadcast(bloom), "__w")
       .filter(col("__bits").bitwiseAND(col("__m")) === col("__m"))
-      .select("x", "y")
-    pruned.join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .select("u", "x", "y")
+    val tri = pruned
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select("u", "x", "y")
+    (tri, deg)
   }
 }
