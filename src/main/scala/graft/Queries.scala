@@ -2882,7 +2882,119 @@ object Queries {
         |  FROM e GROUP BY 1, 2)
         |SELECT b.dow, b.hr, b.n_events, b.sum_cents,
         |  sum(CASE WHEN e.cents * b.n_events > 5 * b.sum_cents THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
-        |FROM e JOIN b USING (dow, hr) GROUP BY 1, 2, 3, 4""".stripMargin))
+        |FROM e JOIN b USING (dow, hr) GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    // §2.2/174 — item-item collaborative similarity ("customers also
+    // bought"): per-item top-5 neighbors by co-occurrence cosine in
+    // fixed point (score_q = cooc^2*2^20 div (ca*cb) — integer, exact,
+    // monotone in the cosine); pair generation co-partitioned on the
+    // basket key, top-k window partitioned per item.
+    "q_item_sim" -> QueryDef(
+      (s, d) => operators.Association.itemSimilarity(
+        ds(s, d, "lineitem").toDF, "l_orderkey", "l_partkey", minCooc = 3, topK = 5),
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |pairs AS (SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS cooc
+        |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |directed AS (SELECT item_a AS item, item_b AS neighbor, cooc FROM pairs
+        |  UNION ALL SELECT item_b, item_a, cooc FROM pairs),
+        |cnt AS (SELECT item, count(*)::BIGINT AS cnt FROM items GROUP BY 1),
+        |scored AS (SELECT d.item, d.neighbor, d.cooc, ci.cnt AS count_item, cn.cnt AS count_neighbor,
+        |    d.cooc * d.cooc * 1048576 // (ci.cnt * cn.cnt) AS score_q
+        |  FROM directed d JOIN cnt ci ON d.item = ci.item JOIN cnt cn ON d.neighbor = cn.item)
+        |SELECT item, neighbor, cooc, count_item, count_neighbor, score_q, rank FROM (
+        |  SELECT *, (row_number() OVER (PARTITION BY item
+        |    ORDER BY score_q DESC, cooc DESC, neighbor))::INT AS rank FROM scored) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    // §2.2/175 — daily OHLC bars per event series: open/close by
+    // min_by/max_by over a zero-padded (epoch_micros, event_id) STRING
+    // key — lexicographic = numeric, totally ordered, and supported
+    // identically by Spark min_by and DuckDB arg_min (struct ordering
+    // is not); exact integer cents throughout.
+    "q_ohlc" -> QueryDef(
+      (s, d) => operators.TimeSeries.dailyOhlc(
+        ds(s, d, "events").toDF, "event_type", "ts", "value")
+        .withColumnRenamed("series", "series"),
+      Some("""WITH e AS (SELECT event_type AS series,
+        |    datediff('day', DATE '2024-01-01', ts::DATE)::INT AS day_no,
+        |    round(value * 100)::BIGINT AS cents,
+        |    printf('%020d|%010d', epoch_us(ts), event_id) AS ord
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT series, day_no, count(*)::BIGINT AS n_events,
+        |  arg_min(cents, ord) AS open_cents, max(cents) AS high_cents,
+        |  min(cents) AS low_cents, arg_max(cents, ord) AS close_cents
+        |FROM e GROUP BY 1, 2""".stripMargin)),
+
+    // §2.2/176 — per-group Shannon entropy (micro-nats, integer-scaled
+    // by the text_surprisal floor(ln*2^20) pattern): lang-distribution
+    // entropy per document source; two combinable aggregations over
+    // group-sized frames, INTEGER division at the end.
+    "q_entropy" -> QueryDef(
+      (s, d) => operators.Analytics.groupEntropy(
+        ds(s, d, "documents").toDF, "source", "lang"),
+      Some("""WITH pv AS (SELECT source AS grp, lang AS v, count(*)::BIGINT AS n_v
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |pg AS (SELECT grp, sum(n_v)::BIGINT AS n_rows, count(*)::BIGINT AS n_values FROM pv GROUP BY 1)
+        |SELECT pv.grp AS source, min(pg.n_rows)::BIGINT AS n_rows, min(pg.n_values)::BIGINT AS n_values,
+        |  (sum(pv.n_v * floor(ln(pg.n_rows::DOUBLE / pv.n_v) * 1048576)::BIGINT)::BIGINT
+        |    // min(pg.n_rows))::BIGINT AS h_q
+        |FROM pv JOIN pg USING (grp) GROUP BY 1""".stripMargin)),
+
+    // §2.2/177 — first-touch attribution: gap-sessionized events,
+    // session revenue (exact purchase cents) credited to the session's
+    // first channel (min_by over the packed micros|id string key);
+    // one user-key shuffle, channel-cardinality rollup.
+    "q_attribution" -> QueryDef(
+      (s, d) => operators.Analytics.firstTouchAttribution(
+        ds(s, d, "events").toDF, "user_id", "ts", "event_type", "value"),
+      Some("""WITH s AS (SELECT user_id, event_type, value, event_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM (SELECT *, CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |        OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |sess AS (SELECT user_id, session_id,
+        |    arg_min(event_type, printf('%020d|%010d', epoch_us(ts), event_id)) AS first_channel,
+        |    sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |      THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS rev_cents
+        |  FROM s GROUP BY 1, 2)
+        |SELECT first_channel, count(*)::BIGINT AS n_sessions,
+        |  sum(CASE WHEN rev_cents > 0 THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+        |  sum(rev_cents)::BIGINT AS revenue_cents
+        |FROM sess GROUP BY 1""".stripMargin)),
+
+    // §2.2/178 — sketch-estimated join cardinality: |A ∩ B| from two
+    // KMV sketches (bottom-k of the union, ρ/k scaling, all integer
+    // arithmetic) with the exact referee and accuracy contract riding
+    // along (q_approx_users precedent). A = order custkeys, B =
+    // customers with acctbal > 1000.
+    "q_join_card" -> QueryDef(
+      (s, d) => operators.Sketches.kmvJoinCardinality(
+        ds(s, d, "orders").toDF, "o_custkey",
+        ds(s, d, "customer").toDF.filter(col("c_acctbal") > 1000), "c_custkey"),
+      Some("""WITH ha AS (SELECT DISTINCT ('0x' || substring(md5(o_custkey::VARCHAR), 1, 14))::bigint AS hv
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |hb AS (SELECT DISTINCT ('0x' || substring(md5(c_custkey::VARCHAR), 1, 14))::bigint AS hv
+        |  FROM customer WHERE c_custkey IS NOT NULL AND c_acctbal > 1000),
+        |ma AS (SELECT list(hv ORDER BY hv) AS mins_a FROM (SELECT hv FROM ha ORDER BY hv LIMIT 128)),
+        |mb AS (SELECT list(hv ORDER BY hv) AS mins_b FROM (SELECT hv FROM hb ORDER BY hv LIMIT 128)),
+        |na AS (SELECT count(DISTINCT o_custkey)::BIGINT AS n_a FROM orders WHERE o_custkey IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT c_custkey)::BIGINT AS n_b FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_acctbal > 1000),
+        |ex AS (SELECT count(*)::BIGINT AS exact_intersect FROM
+        |  (SELECT DISTINCT o_custkey AS k FROM orders) a
+        |  JOIN (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 1000) b USING (k)),
+        |u AS (SELECT list_sort(list_distinct(mins_a || mins_b))[1:128] AS un, mins_a, mins_b FROM ma, mb),
+        |r AS (SELECT un,
+        |    len(list_filter(un, h -> list_contains(mins_a, h) AND list_contains(mins_b, h)))::BIGINT AS rho
+        |  FROM u)
+        |SELECT (CASE WHEN len(un) < 128 THEN rho
+        |   ELSE rho * (9151314442816847872 // un[128]) // 128 END)::BIGINT AS est_intersect,
+        |  ex.exact_intersect, na.n_a, nb.n_b,
+        |  abs((CASE WHEN len(un) < 128 THEN rho ELSE rho * (9151314442816847872 // un[128]) // 128 END)
+        |    - ex.exact_intersect) <= 0.35 * ex.exact_intersect + 8 AS ok
+        |FROM r, ex, na, nb""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

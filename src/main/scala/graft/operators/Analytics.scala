@@ -104,4 +104,56 @@ object Analytics {
       .select(col("cohort_week"), col("week_offset"), col("n_users"),
         (col("n_users") / col("cohort_size")).as("ret_pct"))
   }
+
+  /** Per-group Shannon entropy of a categorical column, in the
+    * integer-scaled form the surprisal ladder uses (text_surprisal /
+    * DSIR precedent): each category contributes
+    * `n_v * floor(ln(n/n_v) * 2^20)` and the per-group sum divides by
+    * n with INTEGER division — entropy in micro-nats that replays
+    * exactly (ln() agrees across engines at these magnitudes; floor
+    * boundaries are the measured-safe pattern from text_surprisal).
+    * Two combinable aggregations, group-sized frames only.
+    * Output: (group, n_rows, n_values, h_q).
+    */
+  def groupEntropy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val perValue = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("n_v"))
+    val perGroup = perValue.groupBy("grp")
+      .agg(sum("n_v").as("n_rows"), count(lit(1)).as("n_values"))
+    perValue.join(perGroup, "grp")
+      .withColumn("__term",
+        col("n_v") * floor(log(col("n_rows").cast("double") / col("n_v")) * 1048576).cast("long"))
+      .groupBy(col("grp").as(groupCol))
+      .agg(min("n_rows").as("n_rows"), min("n_values").as("n_values"),
+        expr("sum(__term) div min(n_rows)").as("h_q"))
+  }
+
+  /** First-touch attribution: gap-sessionize the event stream, credit
+    * each session's purchase revenue to the session's FIRST channel
+    * (event type), then roll up per channel. The first event is
+    * `min_by` over the zero-padded (epoch_micros, event_id) string key
+    * — totally ordered, cross-engine (see [[TimeSeries.dailyOhlc]]);
+    * revenue is exact integer cents. Session reduction is one shuffle
+    * on the user key; the channel rollup is channel-cardinality.
+    * Output: (first_channel, n_sessions, n_converted, revenue_cents).
+    */
+  def firstTouchAttribution(events: DataFrame, keyCol: String, tsCol: String,
+                            typeCol: String, valCol: String,
+                            idCol: String = "event_id",
+                            gapSeconds: Long = 1800): DataFrame = {
+    val s = Sessionize.assignSessions(events, keyCol, tsCol, gapSeconds)
+      .withColumn("__ord",
+        format_string("%020d|%010d", unix_micros(col(tsCol).cast("timestamp")), col(idCol)))
+      .withColumn("__cents",
+        when(col(typeCol) === "purchase" && col(valCol).isNotNull,
+          round(col(valCol) * 100).cast("long")).otherwise(0L))
+    val sessions = s.groupBy(col(keyCol), col("session_id"))
+      .agg(min_by(col(typeCol), col("__ord")).as("first_channel"),
+        sum("__cents").as("rev_cents"))
+    sessions.groupBy("first_channel")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("rev_cents") > 0, 1L).otherwise(0L)).as("n_converted"),
+        sum("rev_cents").as("revenue_cents"))
+  }
 }

@@ -52,4 +52,47 @@ object Association {
         (col("pair_count").cast("double") * col("n_baskets") /
           (col("count_a") * col("count_b"))).as("lift"))
   }
+
+  /** Item-item collaborative-filtering similarity: for every item, its
+    * `topK` most similar items by co-occurrence cosine — the classic
+    * "customers also bought" kernel. The score is the SQUARED cosine
+    * in fixed point, `score_q = cooc^2 * 2^20 / (count_a * count_b)`,
+    * computed entirely in exact integer arithmetic (monotone in the
+    * cosine, so the ranking is identical) — replayable bit-for-bit
+    * where a float sqrt never is. Bounds: cooc < 2^21 keeps the
+    * numerator inside a long; per-item counts bound cooc, so this
+    * holds until a single item PAIR co-occurs in >2M baskets (raise
+    * the scale shift if that day comes).
+    *
+    * Scale shape: identical to [[basketRules]] (co-partitioned pair
+    * generation) plus a per-item top-k window over the pair-sized
+    * frame — partitioned by item, never global.
+    */
+  def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
+                     minCooc: Long = 3, topK: Int = 5): DataFrame = {
+    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .filter(col("basket").isNotNull && col("item").isNotNull)
+      .distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= minCooc)
+    val directed = pairs.select(col("item_a").as("item"), col("item_b").as("neighbor"), col("cooc"))
+      .union(pairs.select(col("item_b").as("item"), col("item_a").as("neighbor"), col("cooc")))
+    val counts = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val scored = directed
+      .join(counts.select(col("item"), col("cnt").as("count_item")), "item")
+      .join(counts.select(col("item").as("neighbor"), col("cnt").as("count_neighbor")), "neighbor")
+      // `div`, not `/`: Column./ on longs is DOUBLE division; the fixed
+      // point score must stay an exact integer
+      .withColumn("score_q",
+        expr("cooc * cooc * 1048576L div (count_item * count_neighbor)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item").orderBy(col("score_q").desc, col("cooc").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("item", "neighbor", "cooc", "count_item", "count_neighbor", "score_q", "rank")
+  }
 }

@@ -103,6 +103,55 @@ object Sketches {
     * [[graft.functions.KMinAgg.insert]] keeps minima DISTINCT, so a
     * hash present in several sub-buckets merges idempotently.
     */
+  /** Sketch-estimated JOIN CARDINALITY: `|A ∩ B|` from two KMV
+    * sketches without running the join — the planner-side estimate
+    * that decides broadcast-vs-shuffle or short-circuits an empty
+    * intersection at 100 TB. The standard bottom-k intersection
+    * estimator: merge the two k-min arrays, keep the bottom k of the
+    * UNION; with τ = the k-th union minimum,
+    * `|A∪B| ≈ (k−1)·2^56 DIV τ` (the usual KMV estimate) and the
+    * fraction ρ/k of union minima present in BOTH sketches scales it
+    * to the intersection: `est = ρ · ((k−1)·2^56 DIV τ) DIV k` — all
+    * integer arithmetic, replayable. When the union carries fewer
+    * than k distinct hashes both sketches are COMPLETE and ρ IS the
+    * exact intersection.
+    *
+    * Each side reduces to ONE k-array row (combinable aggregation);
+    * the estimate is array arithmetic on a broadcast one-row cross
+    * join. The exact referee (distinct-join count) rides along for
+    * the accuracy-contract column, like q_approx_users — at 100 TB
+    * you would sample-audit it instead.
+    *
+    * Output (one row): (est_intersect, exact_intersect, n_a, n_b, ok)
+    * with `ok = |est − exact| <= relTol·exact + absTol`.
+    */
+  def kmvJoinCardinality(dfA: DataFrame, aCol: String,
+                         dfB: DataFrame, bCol: String,
+                         k: Int = 128, relTol: Double = 0.35,
+                         absTol: Long = 8): DataFrame = {
+    require(k >= 2 && k <= 128, s"kmv k must be in [2, 128], got $k")
+    val sa = dfA.filter(col(aCol).isNotNull)
+      .agg(graft.functions.KMinAgg.kMin(k)(kmvHash(col(aCol))).as("mins_a"),
+        countDistinct(col(aCol)).as("n_a"))
+    val sb = dfB.filter(col(bCol).isNotNull)
+      .agg(graft.functions.KMinAgg.kMin(k)(kmvHash(col(bCol))).as("mins_b"),
+        countDistinct(col(bCol)).as("n_b"))
+    val exact = dfA.select(col(aCol).as("__k")).distinct()
+      .join(dfB.select(col(bCol).as("__k")).distinct(), "__k")
+      .agg(count(lit(1)).as("exact_intersect"))
+    sa.crossJoin(broadcast(sb)).crossJoin(broadcast(exact))
+      .withColumn("__union", expr(s"slice(array_sort(array_union(mins_a, mins_b)), 1, $k)"))
+      .withColumn("__rho", expr(
+        "size(filter(__union, h -> array_contains(mins_a, h) AND array_contains(mins_b, h)))").cast("long"))
+      .withColumn("est_intersect",
+        when(size(col("__union")) < k, col("__rho"))
+          .otherwise(expr(
+            s"__rho * (${(k - 1).toLong * (1L << 56)}L DIV element_at(__union, $k)) DIV ${k}L")))
+      .select(col("est_intersect"), col("exact_intersect"), col("n_a"), col("n_b"),
+        (abs(col("est_intersect") - col("exact_intersect")) <=
+          lit(relTol) * col("exact_intersect") + lit(absTol)).as("ok"))
+  }
+
   def kmvReaggregate(df: DataFrame, groupCols: Seq[String],
                      bucketCol: Column, valueCol: String,
                      k: Int = 64): DataFrame = {

@@ -79,4 +79,29 @@ object TimeSeries {
         sum(when(col("cents") * col("n_events") > lit(factor.toLong) * col("sum_cents"), 1L)
           .otherwise(0L)).as("n_anomalies"))
   }
+  /** Daily OHLC (open/high/low/close) bars per series key — the
+    * canonical time-series downsample. Open/close are `min_by` /
+    * `max_by` with a ZERO-PADDED STRING ordering key
+    * `printf("%020d|%010d", epoch_micros, event_id)`: lexicographic =
+    * numeric order, totally ordered (the id breaks same-microsecond
+    * ties), and — unlike a struct ordering — supported identically by
+    * Spark's min_by and DuckDB's arg_min, so the bars replay exactly.
+    * Values are exact integer cents. One combinable aggregation, one
+    * shuffle on (key, day).
+    */
+  def dailyOhlc(events: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, idCol: String = "event_id",
+                epochDay: String = "2024-01-01"): DataFrame = {
+    val e = events.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("series"),
+        datediff(to_date(col(tsCol)), lit(epochDay).cast("date")).as("day_no"),
+        round(col(valCol) * 100).cast("long").as("cents"),
+        format_string("%020d|%010d", unix_micros(col(tsCol).cast("timestamp")), col(idCol)).as("__ord"))
+    e.groupBy("series", "day_no")
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("cents"), col("__ord")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("__ord")).as("close_cents"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Association, KCore, Retrieval, TimeSeries, Triangles}
+import graft.operators.{Analytics, Association, KCore, Retrieval, Sketches, TimeSeries, Triangles}
 import org.apache.spark.sql.functions._
 
 /** Known-answer tests for the round-8 operator batch: association
@@ -87,5 +87,78 @@ class NewOpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(out(1 -> 10) === ((21L, 5000L, 1L)), "sunday bucket: one spike")
     assert(out(7 -> 10) === ((1L, 300L, 0L)), "a lone event can never exceed 5x its own mean")
+  }
+
+  test("item similarity: fixed-point squared cosine ranks identical baskets first") {
+    // items 1,2 always together (cosine 1); item 3 in half of 1's baskets
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 2L)).toDF("basket", "item")
+    val out = Association.itemSimilarity(rows, "basket", "item", minCooc = 2, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(6)) -> (r.getLong(1), r.getLong(5))).toMap
+    // item 1's best neighbor is 2: score_q = 16*2^20/16 = 1048576 (cos²=1)
+    assert(out((1L, 1)) === ((2L, 1048576L)))
+    // second: 3 with cooc 2, score = 4*2^20/(4*2) = 524288 (cos²=1/2)
+    assert(out((1L, 2)) === ((3L, 524288L)))
+    assert(out((3L, 1))._1 === 1L)
+  }
+
+  test("daily OHLC: open/close follow the packed (micros, id) order, not value order") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-05 09:00:00"), "trade", 5.0),
+      (2L, ts("2024-01-05 12:00:00"), "trade", 9.5),
+      (3L, ts("2024-01-05 12:00:00.000001"), "trade", 1.25), // low AND close
+      (4L, ts("2024-01-06 10:00:00"), "trade", 7.0)).toDF("event_id", "ts", "event_type", "value")
+    val out = TimeSeries.dailyOhlc(rows, "event_type", "ts", "value")
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out(4) === ((3L, 500L, 950L, 125L, 125L)), "jan 5: open 5.00, high 9.50, low=close 1.25")
+    assert(out(5) === ((1L, 700L, 700L, 700L, 700L)), "single-event bar is flat")
+  }
+
+  test("group entropy: uniform beats skewed; single-value group is zero") {
+    val rows = (Seq.fill(8)("u" -> "a") ++ Seq.fill(8)("u" -> "b") ++
+      Seq.fill(15)("s" -> "a") ++ Seq.fill(1)("s" -> "b") ++
+      Seq.fill(9)("m" -> "a")).toDF("source", "lang")
+    val out = Analytics.groupEntropy(rows, "source", "lang")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("m") === ((9L, 1L, 0L)), "one value → zero entropy")
+    // uniform 2-way: H = ln 2 ≈ 0.6931 → h_q = floor(ln2 * 2^20) = 726817
+    assert(out("u")._3 === 726817L)
+    assert(out("s")._3 > 0L && out("s")._3 < out("u")._3, "skew lowers entropy")
+  }
+
+  test("first-touch attribution credits session revenue to the first channel") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1, one session: view → click → purchase(12.34)
+      (1L, ts("2024-01-05 09:00:00"), 100L, "view", null.asInstanceOf[java.lang.Double]),
+      (2L, ts("2024-01-05 09:05:00"), 100L, "click", null.asInstanceOf[java.lang.Double]),
+      (3L, ts("2024-01-05 09:10:00"), 100L, "purchase", java.lang.Double.valueOf(12.34)),
+      // same user, NEW session (gap > 30 min): purchase-first
+      (4L, ts("2024-01-05 11:00:00"), 100L, "purchase", java.lang.Double.valueOf(5.0)),
+      // user 2: no purchase
+      (5L, ts("2024-01-05 09:00:00"), 200L, "click", null.asInstanceOf[java.lang.Double]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.firstTouchAttribution(rows, "user_id", "ts", "event_type", "value")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("view") === ((1L, 1L, 1234L)), "session revenue lands on the FIRST touch")
+    assert(out("purchase") === ((1L, 1L, 500L)), "gap split starts a fresh attribution")
+    assert(out("click") === ((1L, 0L, 0L)))
+  }
+
+  test("kmv join cardinality: complete sketches are exact; estimator stays inside the contract") {
+    val a = (1L to 60L).toDF("ka")
+    val b = (41L to 100L).toDF("kb") // true intersection 20
+    val small = Sketches.kmvJoinCardinality(a, "ka", b, "kb").head()
+    assert(small.getLong(0) === 20L, "below k the sketch is complete → exact")
+    assert(small.getLong(1) === 20L && small.getBoolean(4))
+    val bigA = (1L to 3000L).toDF("ka")
+    val bigB = (2001L to 5000L).toDF("kb") // true intersection 1000
+    val big = Sketches.kmvJoinCardinality(bigA, "ka", bigB, "kb").head()
+    assert(big.getLong(1) === 1000L)
+    assert(big.getBoolean(4), s"estimate ${big.getLong(0)} outside the 35% contract")
   }
 }
