@@ -2994,7 +2994,114 @@ object Queries {
         |  ex.exact_intersect, na.n_a, nb.n_b,
         |  abs((CASE WHEN len(un) < 128 THEN rho ELSE rho * (9151314442816847872 // un[128]) // 128 END)
         |    - ex.exact_intersect) <= 0.35 * ex.exact_intersect + 8 AS ok
-        |FROM r, ex, na, nb""".stripMargin))
+        |FROM r, ex, na, nb""".stripMargin)),
+
+    // §2.2/179 — TPC-H Q4 shape (order priority checking): orders with
+    // at least one late lineitem, counted per priority — the canonical
+    // EXISTS decorrelated to a left-semi join; the late predicate is
+    // pushed into the semi's right side so only late lineitems shuffle.
+    "q4_priority" -> QueryDef(
+      (s, d) => {
+        val ord = ds(s, d, "orders").toDF
+        val li = ds(s, d, "lineitem").toDF.select("l_orderkey", "l_shipdate")
+        ord.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1""".stripMargin)),
+
+    // §2.2/180 — TPC-H Q19 shape: disjunctive bracket predicates
+    // (OR-of-ANDs over brand/size/quantity) with the part dimension
+    // broadcast; revenue in exact integer cents.
+    "q19_brackets" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+        val pt = ds(s, d, "part").toDF.select("p_partkey", "p_brand", "p_size")
+        val cond =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(11, 25) &&
+            col("l_quantity").between(10, 35)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(26, 50) &&
+            col("l_quantity").between(25, 50))
+        li.join(broadcast(pt), col("p_partkey") === col("l_partkey"))
+          .filter(cond)
+          .agg(count(lit(1)).as("n_items"),
+            coalesce(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long")), lit(0L)).as("revenue_cents"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n_items,
+        |  coalesce(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT), 0)::BIGINT AS revenue_cents
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 25 AND l.l_quantity BETWEEN 10 AND 35)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 26 AND 50 AND l.l_quantity BETWEEN 25 AND 50)""".stripMargin)),
+
+    // §2.2/181 — TPC-H Q22 shape: above-average-balance customers with
+    // no recent orders, per nation. The global mean is never a float:
+    // the comparison cross-multiplies (bal*n > sum — the
+    // q_seasonal_anomaly trick) against a one-row broadcast total; the
+    // "no orders since" is an anti join on the date-filtered fact.
+    "q22_idle_rich" -> QueryDef(
+      (s, d) => {
+        val bal = ds(s, d, "customer").toDF.filter(col("c_acctbal") > 0)
+          .select(col("c_custkey"), col("c_nationkey"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        val tot = bal.agg(count(lit(1)).as("n"), sum("bal_cents").as("s"))
+        val recent = ds(s, d, "orders").toDF
+          .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
+          .select("o_custkey")
+        bal.crossJoin(broadcast(tot))
+          .filter(col("bal_cents") * col("n") > col("s"))
+          .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"), sum("bal_cents").as("total_bal_cents"))
+      },
+      Some("""WITH bal AS (SELECT c_custkey, c_nationkey,
+        |    round(c_acctbal * 100)::BIGINT AS bal_cents FROM customer WHERE c_acctbal > 0),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(bal_cents)::BIGINT AS s FROM bal)
+        |SELECT b.c_nationkey AS nationkey, count(*)::BIGINT AS n_cust,
+        |  sum(b.bal_cents)::BIGINT AS total_bal_cents
+        |FROM bal b, tot
+        |WHERE b.bal_cents * tot.n > tot.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = b.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin)),
+
+    // §2.3/182 — Misra–Gries heavy hitters over the corpus token
+    // stream: the mergeable k=48 summary reduces every partition to
+    // <= 48 counters BEFORE the shuffle (stream-length independent),
+    // its guarantee (every item with count > n/49 is present) covers
+    // the n/33 emission threshold with margin, and a broadcast
+    // confirm join over the <= 48 candidates re-counts them EXACTLY —
+    // so the emitted rows are precisely the true heavy hitters,
+    // deterministic and SQL-replayable even though the sketch's
+    // candidate set is merge-order dependent.
+    "text_heavy_hitters" -> QueryDef(
+      (s, d) => {
+        val toks = ds(s, d, "documents").toDF
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        val pinned = operators.Dedup.registerPin(toks)
+        val sketch = pinned.agg(
+          graft.functions.HeavyHittersAgg.heavyHitters(48)(col("token")).as("__cands"),
+          count(lit(1)).as("n_tokens"))
+        val cands = sketch.select(explode(map_keys(col("__cands"))).as("token"),
+          col("n_tokens"))
+        pinned.join(broadcast(cands), "token")
+          .groupBy("token")
+          .agg(count(lit(1)).as("cnt"), min("n_tokens").as("n_tokens"))
+          .filter(col("cnt") * 33 > col("n_tokens"))
+      },
+      Some("""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM tok)
+        |SELECT token, count(*)::BIGINT AS cnt, tot.n AS n_tokens
+        |FROM tok, tot GROUP BY 1, 3 HAVING count(*) * 33 > tot.n""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

@@ -161,4 +161,23 @@ class NewOpsSpec extends SparkSpecBase {
     assert(big.getLong(1) === 1000L)
     assert(big.getBoolean(4), s"estimate ${big.getLong(0)} outside the 35% contract")
   }
+
+  test("misra-gries: the guarantee survives any partitioning; true heavies always present") {
+    import graft.functions.HeavyHittersAgg
+    // stream: item "hot" 40×, "warm" 25×, 100 singletons → n = 165
+    // with k = 4: every item with count > 165/5 = 33 (just "hot") must
+    // be in the summary regardless of how partial merges interleave
+    val items = Seq.fill(40)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 100).map(i => s"one$i")
+    val shuffled = new scala.util.Random(7).shuffle(items)
+    Seq(1, 3, 13).foreach { parts =>
+      val df = shuffled.toDF("token").repartition(parts)
+      val m = df.agg(HeavyHittersAgg.heavyHitters(4)(col("token")))
+        .head().getMap[String, Long](0)
+      assert(m.size <= 4, s"summary must stay bounded, got ${m.size}")
+      assert(m.contains("hot"), s"parts=$parts: guaranteed heavy item missing from $m")
+      // counters never over-count
+      assert(m.get("hot").forall(_ <= 40L))
+    }
+  }
 }
