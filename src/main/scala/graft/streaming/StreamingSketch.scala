@@ -112,6 +112,45 @@ object StreamingSketch {
     * spec-pinned, including across-batch state merging and eviction
     * of previously-sampled ids by later smaller hashes.
     */
+  /** Continuous heavy hitters: per-BUCKET Misra-Gries summaries held
+    * as `mapGroupsWithState` state (bucket = item-hash mod `buckets`).
+    * Every occurrence of an item lands in ONE bucket, so an item
+    * globally heavier than n/(k+1) is heavier than n_bucket/(k+1) in
+    * its own bucket and the per-bucket MG guarantee keeps it — the
+    * union of bucket candidates therefore contains every global heavy
+    * hitter, while state stays `buckets * k` counters and the hot-key
+    * work spreads over `buckets` state partitions instead of one
+    * global summary task. Emits one row per candidate per update:
+    * (bucket, token, mg_count). Run with output mode `update`;
+    * confirm candidates against exact counts downstream exactly as
+    * the batch text_heavy_hitters row does.
+    */
+  def streamingHeavyHitters(stream: DataFrame, itemCol: String,
+                            k: Int = 48, buckets: Int = 8): DataFrame = {
+    require(k >= 1 && buckets >= 1, s"need k >= 1 and buckets >= 1, got $k/$buckets")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val mg = new graft.functions.HeavyHittersAgg(k)
+    stream
+      .filter(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string").as("t"),
+        pmod(graft.functions.HashFunctions.stableHash56(col(itemCol).cast("string")),
+          lit(buckets.toLong)).cast("int").as("b"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Map[String, Long], (Int, String, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        case (bucket, rows, state) =>
+          val merged = rows.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+            (buf, r) => mg.reduce(buf, r._1)
+          }
+          state.update(merged)
+          merged.iterator.map { case (t, c) => (bucket, t, c) }
+      }
+      .toDF("bucket", "token", "mg_count")
+  }
+
   def streamingExactKSample(stream: DataFrame, groupCol: String,
                             idCol: String, k: Int, seed: Int = 0): DataFrame = {
     require(k >= 1, s"sample size must be positive, got $k")

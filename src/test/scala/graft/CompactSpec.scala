@@ -88,4 +88,30 @@ class CompactSpec extends SparkSpecBase {
     val all = li.agg(org.apache.spark.sql.functions.countDistinct("l_orderkey")).head().getLong(0)
     assert(one < all, "a single file must not span the whole key range")
   }
+
+  test("writePartitioned: equality reads prune to the matching directory at planning time") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-partlayout").toString
+    val events = Tables.load(spark, sf(), "events")
+    Compact.writePartitioned(events, tmp, Seq("event_type"))
+    val clicks = spark.read.parquet(tmp).filter(col("event_type") === "click")
+    // planning-time pruning: the partition filter is in the scan...
+    val plan = clicks.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"partition filter missing from scan:\n$plan")
+    // ...and NO data file of any other partition is opened: execute
+    // THIS plan instance and read the scan's numFiles metric
+    // (inputFiles lists the relation pre-pruning, so it cannot show this)
+    val qe = clicks.queryExecution
+    val nRows = qe.toRdd.count()
+    val scan = qe.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    val dirs = new java.io.File(tmp).listFiles().count(_.getName.startsWith("event_type="))
+    assert(dirs === 5, "the layout should have one directory per type")
+    assert(scan.metrics("numFiles").value * 5 <= scan.relation.location.inputFiles.length.toLong * 2,
+      "pruning should cut the file count to ~1/5 of the table")
+    assert(nRows === events.filter(col("event_type") === "click").count())
+    // partition column round-trips as a real column
+    assert(spark.read.parquet(tmp).select("event_type").distinct().count() === 5)
+  }
 }
