@@ -3101,7 +3101,61 @@ object Queries {
       Some("""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
         |tot AS (SELECT count(*)::BIGINT AS n FROM tok)
         |SELECT token, count(*)::BIGINT AS cnt, tot.n AS n_tokens
-        |FROM tok, tot GROUP BY 1, 3 HAVING count(*) * 33 > tot.n""".stripMargin))
+        |FROM tok, tot GROUP BY 1, 3 HAVING count(*) * 33 > tot.n""".stripMargin)),
+
+    // §2.3/186 — MMR diversified re-ranking: greedy
+    // relevance-minus-max-similarity selection over each query's
+    // top-20 shortlist, every score an exact integer dot product over
+    // 2^20-quantized embeddings and every argmax tie-broken on item
+    // id — the greedy trajectory replays stage for stage in the
+    // oracle's unrolled CTE ladder.
+    "sim_mmr_rerank" -> QueryDef(
+      (s, d) => {
+        val emb = ds(s, d, "embeddings").toDF
+        Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", shortlist = 20, k = 5)
+      },
+      Some("""        |WITH q AS (SELECT vec_id AS qid,
+        |    list_transform(embedding, v -> round(v::DOUBLE * 1048576)::BIGINT) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c0 AS (SELECT q.qid, e.vec_id AS id, q.qv,
+        |    list_transform(e.embedding, v -> round(v::DOUBLE * 1048576)::BIGINT) AS ev
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+        |rels AS (SELECT qid, id, ev, list_sum(list_transform(range(1, 65), i -> (qv)[i] * (ev)[i]))::BIGINT AS rel FROM c0),
+        |shortlist AS (SELECT qid, id, ev, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn FROM rels) t
+        |  WHERE rn <= 20),
+        |s1 AS (SELECT qid, [id] AS picks, [ev] AS pembs FROM (
+        |    SELECT qid, id, ev, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn
+        |    FROM shortlist) t WHERE rn = 1),
+        |p2 AS (SELECT s.qid, c.id, c.ev, c.rel,
+        |    c.rel - list_max(list_transform(s.pembs, e -> list_sum(list_transform(range(1, 65), i -> (c.ev)[i] * (e)[i])))) AS score
+        |  FROM s1 s JOIN shortlist c ON c.qid = s.qid AND NOT list_contains(s.picks, c.id)),
+        |s2 AS (SELECT p.qid, s.picks || [p.id] AS picks, s.pembs || [p.ev] AS pembs
+        |  FROM (SELECT qid, id, ev, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+        |        FROM p2) p JOIN s1 s ON s.qid = p.qid WHERE p.rn = 1),
+        |p3 AS (SELECT s.qid, c.id, c.ev, c.rel,
+        |    c.rel - list_max(list_transform(s.pembs, e -> list_sum(list_transform(range(1, 65), i -> (c.ev)[i] * (e)[i])))) AS score
+        |  FROM s2 s JOIN shortlist c ON c.qid = s.qid AND NOT list_contains(s.picks, c.id)),
+        |s3 AS (SELECT p.qid, s.picks || [p.id] AS picks, s.pembs || [p.ev] AS pembs
+        |  FROM (SELECT qid, id, ev, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+        |        FROM p3) p JOIN s2 s ON s.qid = p.qid WHERE p.rn = 1),
+        |p4 AS (SELECT s.qid, c.id, c.ev, c.rel,
+        |    c.rel - list_max(list_transform(s.pembs, e -> list_sum(list_transform(range(1, 65), i -> (c.ev)[i] * (e)[i])))) AS score
+        |  FROM s3 s JOIN shortlist c ON c.qid = s.qid AND NOT list_contains(s.picks, c.id)),
+        |s4 AS (SELECT p.qid, s.picks || [p.id] AS picks, s.pembs || [p.ev] AS pembs
+        |  FROM (SELECT qid, id, ev, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+        |        FROM p4) p JOIN s3 s ON s.qid = p.qid WHERE p.rn = 1),
+        |p5 AS (SELECT s.qid, c.id, c.ev, c.rel,
+        |    c.rel - list_max(list_transform(s.pembs, e -> list_sum(list_transform(range(1, 65), i -> (c.ev)[i] * (e)[i])))) AS score
+        |  FROM s4 s JOIN shortlist c ON c.qid = s.qid AND NOT list_contains(s.picks, c.id)),
+        |s5 AS (SELECT p.qid, s.picks || [p.id] AS picks, s.pembs || [p.ev] AS pembs
+        |  FROM (SELECT qid, id, ev, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+        |        FROM p5) p JOIN s4 s ON s.qid = p.qid WHERE p.rn = 1),
+        |final AS (SELECT qid, unnest(picks) AS item_id,
+        |    unnest(range(1, len(picks) + 1))::INT AS mmr_rank FROM s5)
+        |SELECT f.qid AS query_id, f.mmr_rank, f.item_id, r.rel
+        |FROM final f JOIN rels r ON r.qid = f.qid AND r.id = f.item_id""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

@@ -383,6 +383,81 @@ object Similarity {
       .select(col(idCol), col("pos").cast("long").as("j"), col("col").as("proj"))
   }
 
+  /** Maximal-marginal-relevance (MMR) diversified re-ranking: from each
+    * query's `shortlist` nearest candidates, greedily pick `k` that
+    * maximize `relevance − max-similarity-to-already-picked` (the
+    * λ=1/2 MMR objective up to a positive scale) — the re-ranker that
+    * keeps a retrieval page or a hard-negative batch from collapsing
+    * onto near-duplicates.
+    *
+    * Exactness: embeddings are quantized ONCE per element
+    * (round(v·2^20), the q_embed_centroids scheme) and both relevance
+    * and pairwise similarity are integer dot products (|q|≤2^20+,
+    * 64-dim → sums < 2^47, exact even when carried through TopKAgg's
+    * double). Every argmax breaks ties on item id, so the whole
+    * greedy trajectory is deterministic and an external SQL engine
+    * replays it stage for stage.
+    *
+    * Scale shape: relevance scoring is a broadcast of the query set
+    * over ONE corpus scan; the shortlist is TopKAgg (map-side
+    * combinable — `queries × shortlist` rows shuffle, never the
+    * corpus); the k greedy rounds run UNROLLED on the
+    * queries×shortlist frame (embeddings re-joined once, broadcast),
+    * so each round is a tiny join+aggregate and the corpus is never
+    * touched again.
+    *
+    * Output: (query_id, mmr_rank, item_id, rel).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, shortlist: Int = 20, k: Int = 5): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1, got $shortlist/$k")
+    val quant = (src: String, out: String) =>
+      s"transform($src, v -> cast(round(cast(v as double) * 1048576) as bigint)) as $out"
+    val dot = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    val q = queries.selectExpr(s"$idCol as qid", quant(embCol, "qv"))
+    val corp = corpus.selectExpr(s"$idCol as id", quant(embCol, "ev"))
+    val rels = corp.join(broadcast(q), col("id") =!= col("qid"))
+      .withColumn("rel", expr(dot("qv", "ev")))
+      .select("qid", "id", "rel")
+    val pinnedRels = Dedup.registerPin(rels)
+    val short = pinnedRels.groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(shortlist)(col("id"), col("rel").cast("double")).as("arr"))
+      .select(col("qid"), explode(col("arr")).as("c"))
+      .select(col("qid"), col("c._1").as("id"), col("c._2").cast("long").as("rel"))
+    // re-attach embeddings to the tiny shortlist (broadcast the
+    // shortlist side — queries × shortlist rows)
+    // bounded-LRU pin (not a bare persist — Dedup.registerPin releases
+    // old pins): the k rounds below reference cand 2k times
+    val cand = Dedup.registerPin(corp.join(broadcast(short), "id")
+      .select("qid", "id", "rel", "ev"))
+    // round 1: plain relevance argmax (nothing picked yet)
+    var selected = cand.groupBy("qid")
+      .agg(max_by(struct(col("id"), col("ev")),
+        struct(col("rel"), (col("id") * -1))).as("p"))
+      .select(col("qid"), array(col("p.id")).as("picks"),
+        array(col("p.ev")).as("pembs"))
+    for (_ <- 2 to k) {
+      val scored = cand.join(selected, "qid")
+        .filter(!array_contains(col("picks"), col("id")))
+        .withColumn("score", col("rel") - expr(
+          s"array_max(transform(pembs, e -> ${dot("ev", "e")}))"))
+      val picked = scored.groupBy("qid")
+        .agg(max_by(struct(col("id"), col("ev")),
+          struct(col("score"), (col("id") * -1))).as("p"))
+      selected = selected.join(picked, "qid")
+        .select(col("qid"),
+          concat(col("picks"), array(col("p.id"))).as("picks"),
+          concat(col("pembs"), array(col("p.ev"))).as("pembs"))
+    }
+    val out = selected
+      .select(col("qid").as("query_id"), posexplode(col("picks")).as(Seq("pos", "item_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("mmr_rank"), col("item_id"))
+    out.join(pinnedRels.withColumnRenamed("qid", "query_id").withColumnRenamed("id", "item_id"),
+        Seq("query_id", "item_id"))
+      .select("query_id", "mmr_rank", "item_id", "rel")
+  }
+
   /** The projection sign for matrix cell (i, j): +1 when the first md5
     * hex digit of "i:j" is even. md5 is engine-independent, so an
     * external SQL engine computes the identical matrix from the same

@@ -238,4 +238,26 @@ class NewOpsSpec extends SparkSpecBase {
         "the MG counter must grow as the hot item keeps arriving")
     } finally q.stop()
   }
+
+  test("MMR rerank: a near-duplicate of the top hit is displaced by a diverse item") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f)),     // query
+      (1L, Array(0.99f, 0.01f)),     // best by relevance
+      (2L, Array(0.98f, 0.0f)),      // near-duplicate of 1 — high rel, zero marginal value
+      (3L, Array(0.4f, 0.8f)),       // diverse, lower rel
+      (4L, Array(0.0f, -1.0f))       // diverse, anti-correlated
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 100), "vec_id", "embedding",
+        shortlist = 4, k = 3)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out(1) === 1L, "rank 1 is pure relevance")
+    // the defining MMR property: the near-duplicate (pure-relevance
+    // rank 2) is DEMOTED past the diverse items — its marginal score
+    // rel − sim(·, item 1) is ~0 while both diverse items keep theirs
+    // (the anti-correlated item even gains: its max-sim is negative)
+    assert(out(2) !== 2L, s"near-duplicate must not take rank 2: $out")
+    assert(out(2) === 4L, s"the anti-correlated item has the best marginal score: $out")
+    assert(out(3) === 2L, s"the near-dup re-enters only after diversity is exhausted enough: $out")
+  }
 }

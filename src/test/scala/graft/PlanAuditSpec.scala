@@ -455,6 +455,29 @@ class PlanAuditSpec extends SparkSpecBase {
       s"partition-less Window OUTSIDE the bounded-frame allowlist: ${outside.mkString(", ")}")
   }
 
+  test("no query plans a CartesianProduct (broadcast NLJ one-row scalars are the allowed cross form)") {
+    // registry-wide: a CartesianProductExec is the quadratic-blowup
+    // physical join — if any query's predicates degrade to one (a
+    // non-equi self-join losing its equality conjunct, a cross join
+    // whose one-row side stopped broadcasting), this catches it before
+    // the bench does. BroadcastNestedLoopJoin stays allowed: that is
+    // how intentional one-row scalar crossJoins compile.
+    val offenders = Queries.registry.flatMap { case (name, q) =>
+      val p = q.build(spark, sf()).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
+  test("text_heavy_hitters: candidate confirm joins as broadcast over a pinned single scan") {
+    val p = plan("text_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤k candidate set must broadcast into the exact re-count, never shuffle the token stream")
+    assert(p.contains("InMemoryTableScan"),
+      "the token explode must be pinned — sketch and confirm pass share one tokenization")
+  }
+
   test("q_triangles: wedge apex salt and blocked-bloom prune are in the plan") {
     val p = plan("q_triangles")
     assert(p.contains("__salt"),
