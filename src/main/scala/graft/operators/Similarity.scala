@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -411,14 +411,18 @@ object Similarity {
   def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
                 embCol: String, shortlist: Int = 20, k: Int = 5): DataFrame = {
     require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1, got $shortlist/$k")
-    val quant = (src: String, out: String) =>
-      s"transform($src, v -> cast(round(cast(v as double) * 1048576) as bigint)) as $out"
-    val dot = (a: String, b: String) =>
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
-    val q = queries.selectExpr(s"$idCol as qid", quant(embCol, "qv"))
-    val corp = corpus.selectExpr(s"$idCol as id", quant(embCol, "ev"))
+    // all similarity arithmetic runs in the codegen IntDotQ20 kernel
+    // (quantize + dot fused): the interpreted transform + zip_with
+    // chain this replaces was the corpus-scan hot path
+    def dot(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.plans.IntDotQ20(
+          org.apache.spark.sql.graftbridge.Bridge.expression(a),
+          org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qv"))
+    val corp = corpus.select(col(idCol).as("id"), col(embCol).as("ev"))
     val rels = corp.join(broadcast(q), col("id") =!= col("qid"))
-      .withColumn("rel", expr(dot("qv", "ev")))
+      .withColumn("rel", dot(col("qv"), col("ev")))
       .select("qid", "id", "rel")
     val pinnedRels = Dedup.registerPin(rels)
     val short = pinnedRels.groupBy("qid")
@@ -440,8 +444,8 @@ object Similarity {
     for (_ <- 2 to k) {
       val scored = cand.join(selected, "qid")
         .filter(!array_contains(col("picks"), col("id")))
-        .withColumn("score", col("rel") - expr(
-          s"array_max(transform(pembs, e -> ${dot("ev", "e")}))"))
+        .withColumn("score", col("rel") -
+          array_max(transform(col("pembs"), e => dot(col("ev"), e))))
       val picked = scored.groupBy("qid")
         .agg(max_by(struct(col("id"), col("ev")),
           struct(col("score"), (col("id") * -1))).as("p"))

@@ -48,11 +48,44 @@ class MinhashKernelSpec extends SparkSpecBase {
         |  cosine_sim(array(cast(1.0 AS float), cast(0.0 AS float)),
         |             array(cast(1.0 AS float), cast(0.0 AS float))) AS cs,
         |  hyperplane_buckets(array(cast(1.0 AS float), cast(-0.5 AS float)),
-        |                     2, 4, 2) AS hb""".stripMargin).collect()(0)
+        |                     2, 4, 2) AS hb,
+        |  int_dot_q20(array(cast(1.0 AS float), cast(0.5 AS float)),
+        |              array(cast(2.0 AS float), cast(-1.0 AS float))) AS idot""".stripMargin)
+      .collect()(0)
     assert(r.getSeq[Long](0).length === 4)
     assert(r.getInt(2) === 3)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
     assert(r.getSeq[Long](4).length === 2, "one bucket per hash table")
+    // q(1)*q(2) + q(0.5)*q(-1) = 2^20*2^21 + 2^19*(-2^20)
+    assert(r.getLong(5) === (1048576L * 2097152L) + (524288L * -1048576L))
+  }
+
+  test("IntDotQ20 == the round/transform/zip_with HOF chain, incl nulls/ragged/half-rounding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, Array(0.25f, -0.75f, 1.0f), Array(0.5f, 0.5f, -1.0f)),
+      // exact negative halves: round half AWAY FROM ZERO must match SQL round
+      (2L, Array(-2.5f / 1048576.0f * 1048576.0f).map(_ => -2.5f / 1048576f),
+        Array(1.0f)),
+      (3L, Array(1.0f, 2.0f), Array(1.0f))) // ragged → null
+      .toDF("id", "a", "b")
+    val chain = rows.withColumn("d", expr(
+      "aggregate(zip_with(transform(a, v -> cast(round(cast(v as double) * 1048576) as bigint)), " +
+        "transform(b, v -> cast(round(cast(v as double) * 1048576) as bigint)), " +
+        "(x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+    // zip_with pads the short side with null → null product → null sum?
+    // zip_with on ragged arrays pads with null and x*y propagates null,
+    // and aggregate's sum with a null element yields null — matching the
+    // kernel's ragged → null (checked below per row where defined)
+    val kernel = rows.withColumn("d",
+      org.apache.spark.sql.graftbridge.Bridge.column(graft.plans.IntDotQ20(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("a")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("b")))))
+    val c = chain.select("id", "d").collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val k = kernel.select("id", "d").collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(k === c, s"kernel $k vs chain $c")
+    assert(k(3L).isEmpty, "ragged pair must be null")
   }
 
   test("hyperplane_buckets: null element -> null output (no silent zero-read)") {

@@ -478,6 +478,14 @@ class PlanAuditSpec extends SparkSpecBase {
       "the token explode must be pinned — sketch and confirm pass share one tokenization")
   }
 
+  test("sim_mmr_rerank: similarity arithmetic stays in the codegen IntDotQ20 kernel") {
+    val p = plan("sim_mmr_rerank")
+    assert(p.contains("int_dot_q20"),
+      "relevance/pairwise dots must run in the native kernel, not interpreted HOFs")
+    assert(!p.contains("zip_with") && !p.contains("aggregate(zip_with"),
+      "no interpreted zip_with chain may remain on the similarity path")
+  }
+
   test("q_triangles: wedge apex salt and blocked-bloom prune are in the plan") {
     val p = plan("q_triangles")
     assert(p.contains("__salt"),
