@@ -114,6 +114,11 @@ object Analytics {
     * boundaries are the measured-safe pattern from text_surprisal).
     * Two combinable aggregations, group-sized frames only.
     * Output: (group, n_rows, n_values, h_q).
+    *
+    * Bound: the summed terms reach ~n·ln(n)·2^20, inside a long for
+    * groups up to ~3·10^11 rows; past that lower the 2^20 scale shift
+    * (a documented ceiling, not a silent wrap — the itemSimilarity
+    * convention).
     */
   def groupEntropy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val perValue = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)

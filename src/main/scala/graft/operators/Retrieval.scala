@@ -154,10 +154,13 @@ object Retrieval {
         .as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))
-    val phrases = bigrams
+    // pinned: the tiny phrase table broadcasts into BOTH posting scans;
+    // without the pin each broadcast recomputes the corpus-wide bigram
+    // count that derives it
+    val phrases = Dedup.registerPin(bigrams
       .orderBy(col("cnt").desc, col("w1"), col("w2"))
       .limit(nPhrases)
-      .select("w1", "w2")
+      .select("w1", "w2"))
     val postings = toks.select(col("doc_id"),
       posexplode(col("toks")).as(Seq("pos", "token")))
     val p1 = postings.join(broadcast(phrases), col("token") === col("w1"))
