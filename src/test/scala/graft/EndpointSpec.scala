@@ -122,4 +122,36 @@ class EndpointSpec extends SparkSpecBase with BeforeAndAfterAll {
         "second recorded query must appear without any view refresh")
     } finally conn.close()
   }
+
+  test("STREAMING batch latencies are retrievable via SQL too (the other half of GetMetrics)") {
+    import graft.streaming.StreamingMetrics
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val tracker = StreamingMetrics.attach(spark, queryName = Some("endpoint_probe"))
+    MetricsRegistry.publish("endpoint_probe", tracker)
+    val q = input.toDF().toDF("v").groupBy().count()
+      .writeStream.format("memory").queryName("endpoint_probe")
+      .outputMode("complete").start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      input.addData(4L)
+      q.processAllAvailable()
+      val conn = DriverManager.getConnection(url, "graft", "")
+      try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT name, n_queries, p50_ms, records FROM graft_metrics_summary " +
+          "WHERE kind = 'stream_batch' AND name = 'endpoint_probe'")
+        assert(rs.next(), "published tracker's micro-batches missing from the SQL surface")
+        assert(rs.getLong("n_queries") >= 2L, "both micro-batches should be visible")
+        assert(rs.getDouble("p50_ms") >= 0.0)
+        assert(rs.getLong("records") >= 4L, "input rows ride along per batch")
+      } finally conn.close()
+    } finally {
+      q.stop()
+      MetricsRegistry.unpublish(tracker)
+      StreamingMetrics.detach(spark, tracker)
+    }
+  }
 }
