@@ -3155,7 +3155,27 @@ object Queries {
         |final AS (SELECT qid, unnest(picks) AS item_id,
         |    unnest(range(1, len(picks) + 1))::INT AS mmr_rank FROM s5)
         |SELECT f.qid AS query_id, f.mmr_rank, f.item_id, r.rel
-        |FROM final f JOIN rels r ON r.qid = f.qid AND r.id = f.item_id""".stripMargin))
+        |FROM final f JOIN rels r ON r.qid = f.qid AND r.id = f.item_id""".stripMargin)),
+
+    // §2.2/187 — top navigation paths: sessionized first-3 event-type
+    // sequences counted by frequency — the free-form complement of the
+    // funnel (fixed sequence) and Markov (single hop) rows; session
+    // order via the packed micros|id key, top-k totally ordered.
+    "q_top_paths" -> QueryDef(
+      (s, d) => operators.Analytics.topPaths(
+        ds(s, d, "events").toDF, "user_id", "ts", "event_type"),
+      Some("""WITH s AS (SELECT user_id, event_type, event_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM (SELECT *, CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |        OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |paths AS (SELECT user_id, session_id,
+        |    array_to_string(list_slice(list(event_type
+        |      ORDER BY printf('%020d|%010d', epoch_us(ts), event_id)), 1, 3), '>') AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, count(*)::BIGINT AS n_sessions FROM paths GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

@@ -161,4 +161,30 @@ object Analytics {
         sum(when(col("rev_cents") > 0, 1L).otherwise(0L)).as("n_converted"),
         sum("rev_cents").as("revenue_cents"))
   }
+
+  /** Top navigation paths: gap-sessionize the stream, reduce each
+    * session to its first `depth` event types in arrival order (the
+    * packed micros|id key again — total order, cross-engine), and
+    * count path frequencies — the "how do users actually move"
+    * complement of the funnel (fixed sequence) and Markov (single
+    * hop) rows. The per-session collect_list is bounded by session
+    * length; the path rollup is path-cardinality; top-k compiles to
+    * TakeOrdered under a total (count desc, path) order.
+    * Output: (path, n_sessions) — `path` like "view>click>purchase".
+    */
+  def topPaths(events: DataFrame, keyCol: String, tsCol: String,
+               typeCol: String, idCol: String = "event_id",
+               gapSeconds: Long = 1800, depth: Int = 3,
+               topK: Int = 10): DataFrame = {
+    val s = Sessionize.assignSessions(events, keyCol, tsCol, gapSeconds)
+      .withColumn("__ord",
+        format_string("%020d|%010d", unix_micros(col(tsCol).cast("timestamp")), col(idCol)))
+    s.groupBy(col(keyCol), col("session_id"))
+      .agg(concat_ws(">",
+        expr(s"transform(slice(sort_array(collect_list(struct(__ord, $typeCol))), 1, $depth), x -> x.$typeCol)"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
 }

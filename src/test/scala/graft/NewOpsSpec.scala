@@ -260,4 +260,25 @@ class NewOpsSpec extends SparkSpecBase {
     assert(out(2) === 4L, s"the anti-correlated item has the best marginal score: $out")
     assert(out(3) === 2L, s"the near-dup re-enters only after diversity is exhausted enough: $out")
   }
+
+  test("top paths: session sequences truncate at depth and count by frequency") {
+    import graft.operators.Analytics
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: view>click>purchase>view (truncated at depth 3)
+      (1L, ts("2024-01-05 09:00:00"), 10L, "view"),
+      (2L, ts("2024-01-05 09:01:00"), 10L, "click"),
+      (3L, ts("2024-01-05 09:02:00"), 10L, "purchase"),
+      (4L, ts("2024-01-05 09:03:00"), 10L, "view"),
+      // user 2 same prefix
+      (5L, ts("2024-01-05 09:00:00"), 20L, "view"),
+      (6L, ts("2024-01-05 09:01:00"), 20L, "click"),
+      (7L, ts("2024-01-05 09:02:00"), 20L, "purchase"),
+      // user 1 new session after the gap: single event
+      (8L, ts("2024-01-05 12:00:00"), 10L, "error"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Analytics.topPaths(rows, "user_id", "ts", "event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("view>click>purchase" -> 2L, "error" -> 1L))
+  }
 }
