@@ -2914,8 +2914,7 @@ object Queries {
     // is not); exact integer cents throughout.
     "q_ohlc" -> QueryDef(
       (s, d) => operators.TimeSeries.dailyOhlc(
-        ds(s, d, "events").toDF, "event_type", "ts", "value")
-        .withColumnRenamed("series", "series"),
+        ds(s, d, "events").toDF, "event_type", "ts", "value"),
       Some("""WITH e AS (SELECT event_type AS series,
         |    datediff('day', DATE '2024-01-01', ts::DATE)::INT AS day_no,
         |    round(value * 100)::BIGINT AS cents,
@@ -3175,7 +3174,57 @@ object Queries {
         |      ORDER BY printf('%020d|%010d', epoch_us(ts), event_id)), 1, 3), '>') AS path
         |  FROM s GROUP BY 1, 2)
         |SELECT path, count(*)::BIGINT AS n_sessions FROM paths GROUP BY 1
-        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin))
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin)),
+
+    // §2.2/188 — TPC-H Q12 shape: shipping-delay bands x order
+    // priority (the CASE-sum dual count); delay in whole days from the
+    // fact join, all counts exact.
+    "q12_delay_bands" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF.select("l_orderkey", "l_shipdate")
+        val ord = ds(s, d, "orders").toDF
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("d", datediff(col("l_shipdate"), col("o_orderdate")))
+          .withColumn("band", when(col("d") < 30, "fast")
+            .when(col("d") < 60, "mid").otherwise("slow"))
+          .groupBy("band")
+          .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+      },
+      Some("""SELECT CASE WHEN d < 30 THEN 'fast' WHEN d < 60 THEN 'mid' ELSE 'slow' END AS band,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM (SELECT o_orderpriority, datediff('day', o_orderdate, l_shipdate) AS d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t GROUP BY 1""".stripMargin)),
+
+    // §2.2/189 — per-nation Gini coefficient of customer revenue:
+    // rank-formula numerator in exact integer cents (group-partitioned
+    // window over the customer-sized frame, totally ordered), final
+    // ratio one fixed-order IEEE division.
+    "q_gini" -> QueryDef(
+      (s, d) => {
+        val rev = ds(s, d, "orders").toDF
+          .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val cust = ds(s, d, "customer").toDF.select("c_custkey", "c_nationkey")
+        operators.Analytics.giniCoefficient(
+          rev.join(cust, col("o_custkey") === col("c_custkey")),
+          "c_nationkey", "c_custkey", "cents")
+          .select(col("c_nationkey").as("nationkey"), col("n_units").as("n_cust"),
+            col("sum_value").as("sum_cents"), col("gini_num"), col("gini"))
+      },
+      Some("""WITH cr AS (SELECT c.c_nationkey AS nationkey, c.c_custkey,
+        |    sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS rev
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY 1, 2),
+        |rk AS (SELECT nationkey, rev,
+        |    row_number() OVER (PARTITION BY nationkey ORDER BY rev, c_custkey) AS i,
+        |    count(*) OVER (PARTITION BY nationkey) AS n FROM cr)
+        |SELECT nationkey, max(n)::BIGINT AS n_cust, sum(rev)::BIGINT AS sum_cents,
+        |  sum((2 * i - n - 1) * rev)::BIGINT AS gini_num,
+        |  sum((2 * i - n - 1) * rev)::DOUBLE / (max(n) * sum(rev)) AS gini
+        |FROM rk GROUP BY 1""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

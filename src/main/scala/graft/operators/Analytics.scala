@@ -187,4 +187,37 @@ object Analytics {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(topK)
   }
+
+  /** Per-group Gini coefficient of a value distribution — the
+    * inequality/concentration metric (revenue concentration per
+    * market, token-share per source...). Uses the rank formula
+    * `G = Σ (2i − n − 1)·x_(i) / (n·Σx)` with ranks from a
+    * GROUP-partitioned window totally ordered by (value, unit id), so
+    * the integer numerator replays exactly; the final ratio is one
+    * fixed-order IEEE division. Per-unit reduction first (combinable),
+    * then the window runs on the unit-sized frame — never the raw
+    * fact table.
+    *
+    * Bound: the numerator reaches ~n·Σx; document-scale cents keep it
+    * inside a long until n·Σx ≈ 9·10^18 (a trillion-dollar group of a
+    * billion units) — the documented-ceiling convention.
+    *
+    * Output: (group, n_units, sum_value, gini_num, gini).
+    */
+  def giniCoefficient(df: DataFrame, groupCol: String, unitCol: String,
+                      valueCol: String): DataFrame = {
+    val perUnit = df.filter(col(groupCol).isNotNull && col(unitCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(unitCol).as("unit"))
+      .agg(sum(col(valueCol)).as("rev"))
+    val w = Window.partitionBy("grp").orderBy(col("rev"), col("unit"))
+    perUnit
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .groupBy(col("grp").as(groupCol))
+      .agg(max("n").as("n_units"), sum("rev").as("sum_value"),
+        sum((lit(2) * col("i") - col("n") - 1) * col("rev")).as("gini_num"))
+      .withColumn("gini",
+        col("gini_num").cast("double") / (col("n_units") * col("sum_value")))
+  }
 }

@@ -281,4 +281,17 @@ class NewOpsSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out === Map("view>click>purchase" -> 2L, "error" -> 1L))
   }
+
+  test("gini: equal units score 0, total concentration scores (n-1)/n") {
+    import graft.operators.Analytics
+    val equal = Seq(("a", 1L, 500L), ("a", 2L, 500L), ("a", 3L, 500L), ("a", 4L, 500L))
+    val concentrated = Seq(("b", 1L, 0L), ("b", 2L, 0L), ("b", 3L, 0L), ("b", 4L, 2000L))
+    val out = Analytics.giniCoefficient(
+        (equal ++ concentrated).toDF("grp", "unit", "cents"), "grp", "unit", "cents")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("a") === ((4L, 0L, 0.0)), "uniform distribution → gini 0")
+    // all value on the last of 4 units: num = (2*4-4-1)*2000 = 6000;
+    // gini = 6000/(4*2000) = 0.75 = (n-1)/n
+    assert(out("b") === ((4L, 6000L, 0.75)), "full concentration → (n-1)/n")
+  }
 }
