@@ -3224,7 +3224,33 @@ object Queries {
         |SELECT nationkey, max(n)::BIGINT AS n_cust, sum(rev)::BIGINT AS sum_cents,
         |  sum((2 * i - n - 1) * rev)::BIGINT AS gini_num,
         |  sum((2 * i - n - 1) * rev)::DOUBLE / (max(n) * sum(rev)) AS gini
-        |FROM rk GROUP BY 1""".stripMargin))
+        |FROM rk GROUP BY 1""".stripMargin)),
+
+    // §2.2/190 — TPC-H Q14 shape: monthly promo revenue share — the
+    // dimension-attribute CASE-sum ratio; revenue in exact cents, the
+    // share one fixed-order IEEE division, part dimension broadcast.
+    "q14_promo_share" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .select(col("l_partkey"), col("l_shipdate"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long").as("cents"))
+        val pt = ds(s, d, "part").toDF.select("p_partkey", "p_type")
+        li.join(broadcast(pt), col("p_partkey") === col("l_partkey"))
+          .groupBy(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"))
+          .agg(sum(when(col("p_type") === "PROMO", col("cents")).otherwise(0L))
+              .as("promo_cents"),
+            sum("cents").as("total_cents"))
+          .withColumn("promo_share",
+            lit(100.0) * col("promo_cents") / col("total_cents"))
+      },
+      Some("""WITH m AS (SELECT year(l_shipdate)::INT AS yr, month(l_shipdate)::INT AS mo,
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |      THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT ELSE 0 END)::BIGINT AS promo_cents,
+        |    sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS total_cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1, 2)
+        |SELECT yr, mo, promo_cents, total_cents,
+        |  100.0 * promo_cents / total_cents AS promo_share FROM m""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap
