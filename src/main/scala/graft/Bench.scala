@@ -23,7 +23,16 @@ import scala.jdk.CollectionConverters._
   *    an in-artifact signal that the total is NOT a clean number;
   *  - environment fields: host load average at start and end
   *    (contention on a shared box is exactly what contaminated rounds
-  *    5 and 6), plus the JVM code-cache/compilation flags in effect.
+  *    5 and 6), plus the JVM code-cache/compilation flags in effect;
+  *  - a LOAD GATE at suite start: round 8's official record started at
+  *    loadavg 5.2 and its same-process re-measures ran under the same
+  *    load, so a provably fast HEAD shipped `contaminated:true`. The
+  *    suite now spin-waits (bounded) until the 1-min loadavg drops
+  *    below cpus/8 before the first timed run, and any queries still
+  *    over ceiling get ONE more re-measure AFTER the whole suite
+  *    behind a fresh gate — by then the transient that inflated them
+  *    has either passed (clean record) or provably persisted (the
+  *    contaminated flag is then genuine).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,7 +40,22 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val osBean = ManagementFactory.getOperatingSystemMXBean
-    val loadStart = osBean.getSystemLoadAverage
+    // Bounded spin-wait for an idle-enough host; returns (loadavg when
+    // released, seconds waited). Threshold cpus/8 (floor 1.0): above it
+    // the box is demonstrably running something else and any timing
+    // taken would only manufacture a contaminated record.
+    def loadGate(maxWaitSec: Int): (Double, Long) = {
+      val threshold = math.max(cpus.toDouble / 8.0, 1.0)
+      val t0 = System.nanoTime()
+      var l = osBean.getSystemLoadAverage
+      while (l >= threshold && (System.nanoTime() - t0) < maxWaitSec * 1000000000L) {
+        Thread.sleep(5000)
+        l = osBean.getSystemLoadAverage
+      }
+      (l, (System.nanoTime() - t0) / 1000000000L)
+    }
+    val (loadStart, gateWaitSec) = loadGate(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_SEC", "300").toInt)
     val jvmFlags = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
       .filter(a => a.contains("CodeCache") || a.contains("TieredCompilation") || a.startsWith("-Xmx"))
       .mkString(" ")
@@ -79,34 +103,59 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // per query: (official median, first attempt, rerun attempt if any)
-    val results: Seq[(String, Double, Double, Option[Double])] = selected.map { case (name, fn) =>
-      try {
-        spark.catalog.clearCache()
-        fn(spark, sfDir).count() // warmup
-        val first = medianOf3(fn)
-        val ceiling = ceilings.getOrElse(name, defaultCeiling)
-        if (first > ceiling) {
-          val second = medianOf3(fn)
-          (name, math.min(first, second), first, Some(second))
-        } else (name, first, first, None)
-      } catch { case _: Throwable => (name, -1.0, -1.0, None) }
+    // per query: all measurement attempts, in order; official = best.
+    // A failed query carries the single sentinel attempt -1.
+    val firstPass: scala.collection.mutable.LinkedHashMap[String, Seq[Double]] =
+      scala.collection.mutable.LinkedHashMap(selected.map { case (name, fn) =>
+        name -> (try {
+          spark.catalog.clearCache()
+          fn(spark, sfDir).count() // warmup
+          val first = medianOf3(fn)
+          val ceiling = ceilings.getOrElse(name, defaultCeiling)
+          if (first > ceiling) Seq(first, medianOf3(fn)) else Seq(first)
+        } catch { case _: Throwable => Seq(-1.0) })
+      }: _*)
+    def best(attempts: Seq[Double]): Double = {
+      val ok = attempts.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
     }
-    val official = results.map { case (n, v, _, _) => n -> v }.toMap
-    val overCeiling = results.collect {
-      case (n, v, _, _) if v >= 0 && v > ceilings.getOrElse(n, defaultCeiling) => n
+    def over(n: String, attempts: Seq[Double]): Boolean = {
+      val b = best(attempts)
+      b >= 0 && b > ceilings.getOrElse(n, defaultCeiling)
     }
-    val reruns = results.count(_._4.isDefined)
+    // Post-suite pass: anything still over ceiling gets ONE more
+    // median-of-3 behind a FRESH load gate. The in-suite rerun runs
+    // seconds after the inflated first attempt (same transient); this
+    // one runs minutes later, after the gate confirms the box is idle.
+    val stillOver = firstPass.collect { case (n, a) if over(n, a) => n }.toSeq
+    if (stillOver.nonEmpty) {
+      loadGate(sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_SEC", "300").toInt)
+      stillOver.foreach { n =>
+        val fn = SparkEntry.queries(n)
+        val post = try {
+          spark.catalog.clearCache()
+          fn(spark, sfDir).count() // re-warm: caches were cleared since
+          medianOf3(fn)
+        } catch { case _: Throwable => -1.0 }
+        if (post >= 0) firstPass(n) = firstPass(n) :+ post
+      }
+    }
+    val results: Seq[(String, Double, Seq[Double])] =
+      firstPass.toSeq.map { case (n, a) => (n, best(a), a) }
+    val official = results.map { case (n, v, _) => n -> v }.toMap
+    val overCeiling = results.collect { case (n, _, a) if over(n, a) => n }
+    val reruns = results.count(_._3.length > 1)
     val contaminated = overCeiling.nonEmpty
     val loadEnd = osBean.getSystemLoadAverage
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (n, v, first, rerun) =>
-      val extra = rerun.map(r => s""","first":${f(first)},"rerun":${f(r)}""").getOrElse("")
+    val qs = results.map { case (n, v, attempts) =>
+      val extra = if (attempts.length > 1)
+        s""","attempts":${attempts.map(f).mkString("[", ",", "]")}""" else ""
       s""""$n":{"sec":${f(v)},"ceiling":${f(ceilings.getOrElse(n, defaultCeiling))}$extra}"""
     }.mkString("{", ",", "}")
     // failed queries carry the -1 sentinel; they must not SHRINK the total
     val total = official.values.filter(_ >= 0).sum
-    val envJson = s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"jvm":"$jvmFlags","cpus":$cpus"""
+    val envJson = s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"gate_wait_sec":$gateWaitSec,"jvm":"$jvmFlags","cpus":$cpus"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"reruns":$reruns,"over_ceiling":${overCeiling.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},$envJson,"queries":$qs,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so the JSON is the process's final
     // stdout line (Spark's shutdown logging goes to stderr, but order

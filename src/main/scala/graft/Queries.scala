@@ -3102,6 +3102,57 @@ object Queries {
         |SELECT token, count(*)::BIGINT AS cnt, tot.n AS n_tokens
         |FROM tok, tot GROUP BY 1, 3 HAVING count(*) * 33 > tot.n""".stripMargin)),
 
+    // §2.3/159 — BPE tokenizer ENCODE (Sennrich et al. 2016): replay a
+    // fixed tokenizer merge list (the artifact a trained tokenizer
+    // ships — training itself is spec-pinned in BpeSpec) against every
+    // word, left-to-right non-overlapping per rank. Spark side is the
+    // zero-shuffle mapPartitions kernel with reused symbol buffers;
+    // the oracle replays the identical greedy in a recursive CTE over
+    // merge ranks — per position, "merge here" iff the pair matches
+    // and (for l=r runs) the run-parity from the last non-l symbol is
+    // odd, which IS the closed form of the sequential left-to-right
+    // scan (cross-checked symbol-for-symbol against an independent
+    // imperative replay before landing).
+    "text_bpe_encode" -> QueryDef(
+      (s, d) => {
+        val merges = Seq(("t", "a"), ("ta", "b"), ("l", "e</w>"), ("tab", "le</w>"),
+          ("s", "c"), ("sc", "a"), ("sca", "n</w>"), ("r", "o"), ("ro", "w</w>"),
+          ("t", "h"), ("th", "e</w>"))
+        operators.Bpe.encode(
+            ds(s, d, "documents").toDF.filter(col("doc_id") < 50),
+            "doc_id", "text", merges)
+          .select(col("doc_id"),
+            concat_ws(" ", col("bpe_tokens")).as("bpe_text"), col("n_bpe"))
+      },
+      Some("""WITH RECURSIVE merges(rank, l, r) AS (
+        |  VALUES (1,'t','a'),(2,'ta','b'),(3,'l','e</w>'),(4,'tab','le</w>'),
+        |    (5,'s','c'),(6,'sc','a'),(7,'sca','n</w>'),(8,'r','o'),(9,'ro','w</w>'),
+        |    (10,'t','h'),(11,'th','e</w>')),
+        |docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 50),
+        |inst AS (SELECT doc_id, unnest(toks) AS w, unnest(range(1, len(toks) + 1)) AS p FROM docs),
+        |base AS (SELECT w, list_transform(range(1, length(w) + 1),
+        |    i -> CASE WHEN i = length(w) THEN w[i] || '</w>' ELSE w[i] END) AS syms
+        |  FROM (SELECT DISTINCT w FROM inst WHERE length(w) > 0)),
+        |r(step, w, syms) AS (
+        |  SELECT 0, w, syms FROM base
+        |  UNION ALL
+        |  SELECT r.step + 1, r.w,
+        |    flatten(list_transform(range(1, len(r.syms) + 1), i -> CASE
+        |      WHEN i < len(r.syms) AND r.syms[i] = m.l AND r.syms[i+1] = m.r
+        |        AND (m.l <> m.r OR ((i - coalesce(list_aggregate(list_transform(range(1, i), j -> CASE WHEN r.syms[j] <> m.l THEN j END), 'max'), 0)) % 2 = 1))
+        |      THEN [m.l || m.r]
+        |      WHEN i > 1 AND r.syms[i-1] = m.l AND r.syms[i] = m.r
+        |        AND (m.l <> m.r OR (((i-1) - coalesce(list_aggregate(list_transform(range(1, i-1), j -> CASE WHEN r.syms[j] <> m.l THEN j END), 'max'), 0)) % 2 = 1))
+        |      THEN []
+        |      ELSE [r.syms[i]] END))
+        |  FROM r JOIN merges m ON m.rank = r.step + 1),
+        |enc AS (SELECT w, syms FROM r WHERE step = (SELECT max(rank) FROM merges))
+        |SELECT i.doc_id, array_to_string(flatten(list(e.syms ORDER BY i.p)), ' ') AS bpe_text,
+        |  len(flatten(list(e.syms ORDER BY i.p)))::INT AS n_bpe
+        |FROM inst i JOIN enc e ON e.w = i.w
+        |GROUP BY i.doc_id""".stripMargin)),
+
     // §2.3/186 — MMR diversified re-ranking: greedy
     // relevance-minus-max-similarity selection over each query's
     // top-20 shortlist, every score an exact integer dot product over
@@ -3120,7 +3171,7 @@ object Queries {
         |c0 AS (SELECT q.qid, e.vec_id AS id, q.qv,
         |    list_transform(e.embedding, v -> round(v::DOUBLE * 1048576)::BIGINT) AS ev
         |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
-        |rels AS (SELECT qid, id, ev, list_sum(list_transform(range(1, 65), i -> (qv)[i] * (ev)[i]))::BIGINT AS rel FROM c0),
+        |rels AS (SELECT qid, id, ev, list_sum(list_transform(range(1, len(ev) + 1), i -> (qv)[i] * (ev)[i]))::BIGINT AS rel FROM c0),
         |shortlist AS (SELECT qid, id, ev, rel FROM (
         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn FROM rels) t
         |  WHERE rn <= 20),
@@ -3128,25 +3179,25 @@ object Queries {
         |    SELECT qid, id, ev, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn
         |    FROM shortlist) t WHERE rn = 1),
         |p2 AS (SELECT s.qid, c.id, c.ev, c.rel,
-        |    c.rel - list_max(list_transform(s.pembs, e -> list_sum(list_transform(range(1, 65), i -> (c.ev)[i] * (e)[i])))) AS score
+        |    c.rel - list_max(list_transform(s.pembs, e -> list_sum(list_transform(range(1, len(c.ev) + 1), i -> (c.ev)[i] * (e)[i])))) AS score
         |  FROM s1 s JOIN shortlist c ON c.qid = s.qid AND NOT list_contains(s.picks, c.id)),
         |s2 AS (SELECT p.qid, s.picks || [p.id] AS picks, s.pembs || [p.ev] AS pembs
         |  FROM (SELECT qid, id, ev, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
         |        FROM p2) p JOIN s1 s ON s.qid = p.qid WHERE p.rn = 1),
         |p3 AS (SELECT s.qid, c.id, c.ev, c.rel,
-        |    c.rel - list_max(list_transform(s.pembs, e -> list_sum(list_transform(range(1, 65), i -> (c.ev)[i] * (e)[i])))) AS score
+        |    c.rel - list_max(list_transform(s.pembs, e -> list_sum(list_transform(range(1, len(c.ev) + 1), i -> (c.ev)[i] * (e)[i])))) AS score
         |  FROM s2 s JOIN shortlist c ON c.qid = s.qid AND NOT list_contains(s.picks, c.id)),
         |s3 AS (SELECT p.qid, s.picks || [p.id] AS picks, s.pembs || [p.ev] AS pembs
         |  FROM (SELECT qid, id, ev, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
         |        FROM p3) p JOIN s2 s ON s.qid = p.qid WHERE p.rn = 1),
         |p4 AS (SELECT s.qid, c.id, c.ev, c.rel,
-        |    c.rel - list_max(list_transform(s.pembs, e -> list_sum(list_transform(range(1, 65), i -> (c.ev)[i] * (e)[i])))) AS score
+        |    c.rel - list_max(list_transform(s.pembs, e -> list_sum(list_transform(range(1, len(c.ev) + 1), i -> (c.ev)[i] * (e)[i])))) AS score
         |  FROM s3 s JOIN shortlist c ON c.qid = s.qid AND NOT list_contains(s.picks, c.id)),
         |s4 AS (SELECT p.qid, s.picks || [p.id] AS picks, s.pembs || [p.ev] AS pembs
         |  FROM (SELECT qid, id, ev, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
         |        FROM p4) p JOIN s3 s ON s.qid = p.qid WHERE p.rn = 1),
         |p5 AS (SELECT s.qid, c.id, c.ev, c.rel,
-        |    c.rel - list_max(list_transform(s.pembs, e -> list_sum(list_transform(range(1, 65), i -> (c.ev)[i] * (e)[i])))) AS score
+        |    c.rel - list_max(list_transform(s.pembs, e -> list_sum(list_transform(range(1, len(c.ev) + 1), i -> (c.ev)[i] * (e)[i])))) AS score
         |  FROM s4 s JOIN shortlist c ON c.qid = s.qid AND NOT list_contains(s.picks, c.id)),
         |s5 AS (SELECT p.qid, s.picks || [p.id] AS picks, s.pembs || [p.ev] AS pembs
         |  FROM (SELECT qid, id, ev, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn

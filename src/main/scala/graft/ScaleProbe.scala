@@ -20,6 +20,7 @@ object ScaleProbe {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.length > 1 && args(1) == "tpch") { tpch(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "graph") { graph(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloom") { bloomBreakEven(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloomat") { bloomAt(spark, factor); spark.stop(); return }
     val r4Only = args.length > 1 && args(1) == "r4"
@@ -242,6 +243,62 @@ object ScaleProbe {
       train, eval, "doc_id", "text", 3).count())
     attempt("bloom")(Decontaminate.ngramOverlapBloom(
       train, eval, "doc_id", "text", 3, words = words).count())
+  }
+
+  /** Graph-side probe (`sbt "runMain graft.ScaleProbe 10 graph"`): the
+    * round-8 graph heavies over a k×-replicated edge list. Replication
+    * offsets node ids per replica, producing k DISJOINT copies of the
+    * sf0.1 co-purchase graph: edge count scales by k while per-copy
+    * degree structure is preserved — exactly how a bigger catalog with
+    * the same co-purchase density looks, and the shape that makes the
+    * expected curves checkable (triangles/wedges per copy constant, so
+    * wall time should track edges ~linearly; super-linear growth would
+    * mean cross-copy work is being generated where none exists).
+    * PageRank/components/BFS iterate the same number of rounds per
+    * copy (diameter unchanged), so their per-round shuffles must track
+    * edges linearly too. item_sim replicates the (basket, item) table
+    * the same way (both ids offset).
+    */
+  private def graph(spark: SparkSession, factor: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val baseEdges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      .distinct().cache()
+    println(s"base co-purchase edges=${baseEdges.count()}")
+    val baseBaskets = li.cache()
+    baseBaskets.count()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs, $rows rows")
+    }
+    Seq(1, factor).distinct.foreach { k =>
+      val e = (0 until k).map { i =>
+        baseEdges.select((col("src") + lit(i.toLong * 100000000L)).as("src"),
+          (col("dst") + lit(i.toLong * 100000000L)).as("dst"))
+      }.reduce(_.unionByName(_)).cache()
+      println(s"--- x$k: edges=${e.count()}")
+      time(s"triangles_x$k")(
+        operators.Triangles.triangleCount(e, "src", "dst").count())
+      time(s"pagerank_x$k")(
+        operators.PageRank.run(e, "src", "dst", iters = 5).count())
+      time(s"components_x$k")(
+        operators.ConnectedComponents.componentsFromEdges(e, "src", "dst").count())
+      e.unpersist()
+      val b = (0 until k).map { i =>
+        baseBaskets.select(
+          (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i.toLong * 100000000L)).as("l_partkey"))
+      }.reduce(_.unionByName(_)).cache()
+      b.count()
+      time(s"item_sim_x$k")(
+        operators.Association.itemSimilarity(b, "l_orderkey", "l_partkey",
+          minCooc = 3, topK = 5).count())
+      b.unpersist()
+    }
   }
 
   /** OLAP-side probe: the Q1 multi-agg scan and Q3 join+agg+topk over

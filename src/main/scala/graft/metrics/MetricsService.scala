@@ -107,15 +107,30 @@ object MetricsService {
     result
   }
 
+  /** [[record]] for a DataFrame result: same task-level measurement,
+    * plus the EXECUTED plan's per-node SQLMetrics harvested into
+    * `graft_plan_metrics` (tracer parity — see [[PlanMetricsRegistry]]).
+    * Returns the collected rows; the plan walk costs microseconds of
+    * driver time, so instrumenting every served query is free.
+    */
+  def recordPlan(spark: SparkSession, name: String)(df: org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] = {
+    val out = record(spark, name)(df.collect())
+    PlanMetricsRegistry.add(name, df.queryExecution.executedPlan)
+    out
+  }
+
   /** Register the SQL surface on a session: `graft_metrics` (raw
-    * records — a V2 relation that re-snapshots per execution) and
+    * records — a V2 relation that re-snapshots per execution),
     * `graft_metrics_summary` (per-query latency percentiles, the
-    * GetMetrics response shape). Views compose lazily, so the summary
-    * is as fresh as the base table.
+    * GetMetrics response shape), and `graft_plan_metrics` (per-operator
+    * breakdown of [[recordPlan]]-served queries). Views compose
+    * lazily, so the summary is as fresh as the base table.
     */
   def register(spark: SparkSession): Unit = {
     spark.read.format(classOf[MetricsTableProvider].getName).load()
       .createOrReplaceTempView("graft_metrics")
+    spark.read.format(classOf[PlanMetricsTableProvider].getName).load()
+      .createOrReplaceTempView("graft_plan_metrics")
     spark.sql("""
       CREATE OR REPLACE TEMPORARY VIEW graft_metrics_summary AS
       SELECT kind, name, count(*) AS n_queries,

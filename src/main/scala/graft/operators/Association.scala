@@ -53,8 +53,12 @@ object Association {
         col("count_a"), col("count_b"), col("n_baskets"),
         (col("pair_count").cast("double") / col("count_a")).as("conf_a_to_b"),
         (col("pair_count").cast("double") / col("count_b")).as("conf_b_to_a"),
+        // denominator product in double (lift is IEEE anyway): a
+        // long-by-long count_a * count_b would wrap silently past
+        // ~3e9 x 3e9 while the oracle engine raises — same-answer
+        // guarantee requires the cast, not a documented ceiling
         (col("pair_count").cast("double") * col("n_baskets") /
-          (col("count_a") * col("count_b"))).as("lift"))
+          (col("count_a").cast("double") * col("count_b"))).as("lift"))
   }
 
   /** Item-item collaborative-filtering similarity: for every item, its

@@ -70,24 +70,70 @@ object Bpe {
   }
 
   /** Tokenize the corpus with a learned merge table: replay the merges
-    * in rank order against each word — (word-internal, so a pure map
-    * over the corpus scan; the merge list is a driver-side broadcastable
-    * constant, rank order is the BPE contract).
+    * in rank order against each word — word-internal, so a pure map
+    * over the corpus scan (zero shuffle); the merge list is a small
+    * driver-side constant shipped in the task closure, rank order is
+    * the BPE contract.
+    *
+    * Kernel shape: a `mapPartitions` loop with REUSED symbol buffers —
+    * the two scratch arrays are allocated once per PARTITION and
+    * ping-ponged across merge rounds, so the corpus-sized hot path
+    * allocates only its output rows (the Scala-udf version this
+    * replaces built a fresh Seq per word per merge round and paid udf
+    * serde on every row — the one non-kernel corpus-scan in the repo).
+    * Tokenization matches [[TextFunctions.tokens]] (whitespace split of
+    * the trimmed text) so the kernel and the SQL surface agree.
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val applyAll = (text: Seq[String]) => text.flatMap { w =>
-      var syms = toSymbols(w)
-      merges.foreach { case (l, r) => syms = mergeOnce(syms, l, r) }
-      syms
-    }
-    val enc = udf(applyAll)
-    docs.select(col(idCol), col(textCol))
-      .withColumn("bpe_tokens", enc(TextFunctions.tokens(col(textCol))))
-      .select(col(idCol), col("bpe_tokens"),
-        size(col("bpe_tokens")).as("n_bpe"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val in = docs.select(col(idCol), col(textCol))
+    val outSchema = StructType(Seq(
+      in.schema.head,
+      StructField("bpe_tokens", ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("n_bpe", IntegerType, nullable = false)))
+    val mArr = merges.toArray
+    in.mapPartitions { rows =>
+      // per-partition scratch: current/next symbol buffers + doc output
+      var cur = new scala.collection.mutable.ArrayBuffer[String](64)
+      var nxt = new scala.collection.mutable.ArrayBuffer[String](64)
+      val out = new scala.collection.mutable.ArrayBuffer[String](256)
+      rows.map { row =>
+        out.clear()
+        val text = if (row.isNullAt(1)) "" else row.getString(1)
+        val toks = text.trim.split("\\s+")
+        var t = 0
+        while (t < toks.length) {
+          val w = toks(t)
+          if (w.nonEmpty) {
+            cur.clear()
+            var i = 0
+            while (i < w.length) {
+              cur += (if (i == w.length - 1) w.charAt(i).toString + "</w>"
+                      else w.charAt(i).toString)
+              i += 1
+            }
+            var m = 0
+            while (m < mArr.length) {
+              val l = mArr(m)._1; val r = mArr(m)._2
+              nxt.clear()
+              var j = 0
+              while (j < cur.length) {
+                if (j + 1 < cur.length && cur(j) == l && cur(j + 1) == r) {
+                  nxt += (l + r); j += 2 // left-to-right, non-overlapping
+                } else { nxt += cur(j); j += 1 }
+              }
+              val tmp = cur; cur = nxt; nxt = tmp // ping-pong, no realloc
+              m += 1
+            }
+            out ++= cur
+          }
+          t += 1
+        }
+        Row(row.get(0), out.toSeq, out.length)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   private[graft] def toSymbols(w: String): Seq[String] = {

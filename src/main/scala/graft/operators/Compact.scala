@@ -30,6 +30,37 @@ object Compact {
       .parquet(path)
   }
 
+  /** Hive-partitioned layout: write `df` with `partCols` as directory
+    * partitions so every later reader's equality/IN predicate on those
+    * columns prunes at PLANNING time — the scan's `PartitionFilters`
+    * eliminate whole directories and zero data files of other
+    * partitions are ever opened (CompactSpec asserts both the plan
+    * shape and the inputFiles set). This is the coarse-grained
+    * complement of [[writeSized]]'s row-group min/max clustering:
+    * partition dirs prune without reading footers at all, min/max
+    * stats prune within the surviving dirs. Choose LOW-cardinality
+    * partition columns — a high-cardinality partitionBy shatters the
+    * table into the millions-of-tiny-files failure mode this object
+    * exists to prevent.
+    *
+    * Type-fidelity caveat: partitionBy removes `partCols` from the
+    * data files; readers re-INFER their types from directory names.
+    * A STRING partition column holding numeric-looking values (e.g.
+    * "01") reads back as INT with the leading zero gone. Readers of
+    * such layouts must set
+    * `spark.sql.sources.partitionColumnTypeInference.enabled=false`
+    * or supply an explicit schema to round-trip the type exactly
+    * (CompactSpec pins both the failure and the fix).
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String],
+                       rowsPerFile: Long = 1000000L): Unit = {
+    require(partCols.nonEmpty, "writePartitioned needs at least one partition column")
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
+
   /** Deterministic training shards: every row lands in shard
     * `stableHash56(id) % numShards` regardless of input partitioning or
     * cluster size, and rows within a shard are written in `sortCols`
@@ -48,28 +79,6 @@ object Compact {
     * rows produces NO `__shard=k` directory — readers must treat a
     * missing shard directory as empty, not an error.
     */
-  /** Hive-partitioned layout: write `df` with `partCols` as directory
-    * partitions so every later reader's equality/IN predicate on those
-    * columns prunes at PLANNING time — the scan's `PartitionFilters`
-    * eliminate whole directories and zero data files of other
-    * partitions are ever opened (CompactSpec asserts both the plan
-    * shape and the inputFiles set). This is the coarse-grained
-    * complement of [[writeSized]]'s row-group min/max clustering:
-    * partition dirs prune without reading footers at all, min/max
-    * stats prune within the surviving dirs. Choose LOW-cardinality
-    * partition columns — a high-cardinality partitionBy shatters the
-    * table into the millions-of-tiny-files failure mode this object
-    * exists to prevent.
-    */
-  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String],
-                       rowsPerFile: Long = 1000000L): Unit = {
-    require(partCols.nonEmpty, "writePartitioned needs at least one partition column")
-    df.write.mode("overwrite")
-      .option("maxRecordsPerFile", rowsPerFile)
-      .partitionBy(partCols: _*)
-      .parquet(path)
-  }
-
   def shardedWrite(df: DataFrame, path: String, idCol: String,
                    numShards: Int, sortCols: Seq[String]): Unit = {
     require(numShards > 0, s"numShards must be positive, got $numShards")

@@ -449,10 +449,16 @@ object Similarity {
       val picked = scored.groupBy("qid")
         .agg(max_by(struct(col("id"), col("ev")),
           struct(col("score"), (col("id") * -1))).as("p"))
-      selected = selected.join(picked, "qid")
+      // LEFT join + carry-forward: a query whose shortlist is exhausted
+      // (small corpus — fewer than k distinct candidates) keeps the
+      // picks it already made and returns fewer than k rows, instead of
+      // vanishing from the output (the inner-join behavior this fixes)
+      selected = selected.join(picked, Seq("qid"), "left")
         .select(col("qid"),
-          concat(col("picks"), array(col("p.id"))).as("picks"),
-          concat(col("pembs"), array(col("p.ev"))).as("pembs"))
+          when(col("p").isNull, col("picks"))
+            .otherwise(concat(col("picks"), array(col("p.id")))).as("picks"),
+          when(col("p").isNull, col("pembs"))
+            .otherwise(concat(col("pembs"), array(col("p.ev")))).as("pembs"))
     }
     val out = selected
       .select(col("qid").as("query_id"), posexplode(col("picks")).as(Seq("pos", "item_id")))

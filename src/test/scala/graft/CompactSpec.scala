@@ -114,4 +114,26 @@ class CompactSpec extends SparkSpecBase {
     // partition column round-trips as a real column
     assert(spark.read.parquet(tmp).select("event_type").distinct().count() === 5)
   }
+
+  test("writePartitioned: numeric-looking string partition values need inference off to round-trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-parttype").toString
+    val df = Seq(("a", "01"), ("b", "02"), ("c", "10")).toDF("id", "bucket")
+    Compact.writePartitioned(df, tmp, Seq("bucket"))
+    // default readers INFER the partition type from the directory name:
+    // "01" comes back as INT 1 — the documented type-fidelity gap
+    val inferred = spark.read.parquet(tmp).schema("bucket").dataType
+    assert(inferred === org.apache.spark.sql.types.IntegerType,
+      s"expected the documented inference hazard, got $inferred")
+    // the documented fix: disable inference for the read → exact strings
+    val prev = spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      val back = spark.read.parquet(tmp)
+      assert(back.schema("bucket").dataType === org.apache.spark.sql.types.StringType)
+      assert(back.filter(col("id") === "a").select("bucket").head().getString(0) === "01",
+        "leading zero must survive the round trip with inference off")
+    } finally spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", prev)
+  }
 }

@@ -123,6 +123,115 @@ class EndpointSpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("per-operator plan metrics are retrievable via SQL (tracer parity)") {
+    import graft.metrics.PlanMetricsRegistry
+    PlanMetricsRegistry.clear()
+    // a query that SHUFFLES: the served plan must surface an Exchange
+    // node whose shuffle-bytes metric a plain JDBC client can read —
+    // the per-stage picture you actually need when one stage of a
+    // 100 TB job is slow
+    MetricsService.recordPlan(spark, "orders_by_priority")(
+      spark.sql("SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS tot " +
+        "FROM orders GROUP BY o_orderpriority"))
+    val conn = DriverManager.getConnection(url, "graft", "")
+    try {
+      val st = conn.createStatement()
+      val rs = st.executeQuery(
+        "SELECT node_name, metric_name, value FROM graft_plan_metrics " +
+        "WHERE name = 'orders_by_priority' AND node_name LIKE '%Exchange%' " +
+        "AND metric_name LIKE '%bytes written%'")
+      assert(rs.next(), "shuffling query must yield an Exchange row in graft_plan_metrics")
+      assert(rs.getLong("value") > 0L, "exchange bytes must be nonzero")
+      // the scan side is there too, with its row count
+      val rs2 = st.executeQuery(
+        "SELECT sum(value) AS rows FROM graft_plan_metrics " +
+        "WHERE name = 'orders_by_priority' AND node_name LIKE '%Scan%' " +
+        "AND metric_name = 'number of output rows'")
+      assert(rs2.next() && rs2.getLong("rows") > 0L,
+        "scan numOutputRows missing from the per-operator breakdown")
+    } finally conn.close()
+  }
+
+  test("a streaming materialized view's mid-stream upserts are visible to one JDBC connection") {
+    import graft.streaming.Subscribe
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-endpoint")
+    val path = s"$dir/mv"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val stream = input.toDF().toDF("key", "ts", "amount")
+      .withColumn("part", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("key"), org.apache.spark.sql.functions.lit(4)))
+    val q = Subscribe.parquetUpsertSink(stream, path, s"$dir/ckpt",
+      key = Seq("key"), tsCol = "ts", tiebreak = Seq("amount"), partitionCol = "part")
+    try {
+      val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+      input.addData((1L, ts("2024-01-01 10:00:00"), 100L), (2L, ts("2024-01-01 10:00:00"), 200L))
+      q.processAllAvailable()
+      // ONE connection observes the view across upserts — the internal-
+      // parity path: reference QPUs push State/Delta to subscribers;
+      // here the materialized state is a parquet table the endpoint
+      // serves, and a re-query sees the newest upsert. Client side is
+      // pure SQL: path-table syntax + REFRESH (the one statement any
+      // engine needs after an external writer changes files).
+      val conn = DriverManager.getConnection(url, "graft", "")
+      try {
+        val st = conn.createStatement()
+        def readAll(): Map[Long, Long] = {
+          st.execute(s"""REFRESH "$path"""")
+          val rs = st.executeQuery(s"SELECT key, amount FROM parquet.`$path`")
+          Iterator.continually(rs).takeWhile(_.next())
+            .map(r => r.getLong(1) -> r.getLong(2)).toMap
+        }
+        assert(readAll() === Map(1L -> 100L, 2L -> 200L))
+        // mid-stream: key 1 is upserted to a newer version, key 3 arrives
+        input.addData((1L, ts("2024-01-01 11:00:00"), 150L), (3L, ts("2024-01-01 11:00:00"), 300L))
+        q.processAllAvailable()
+        assert(readAll() === Map(1L -> 150L, 2L -> 200L, 3L -> 300L),
+          "the same connection must see the upsert on re-query, no reconnect")
+      } finally conn.close()
+    } finally q.stop()
+  }
+
+  test("two concurrent JDBC sessions run kernels + metrics queries without interference") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    MetricsRegistry.clear()
+    MetricsService.record(spark, "concurrent_probe") {
+      spark.sql("SELECT count(*) FROM lineitem").collect()
+    }
+    val pool = Executors.newFixedThreadPool(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    (1 to 2).foreach { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            val conn = DriverManager.getConnection(url, "graft", "")
+            try {
+              val st = conn.createStatement()
+              (1 to 5).foreach { _ =>
+                // kernel SQL…
+                val r = st.executeQuery(
+                  "SELECT sum(element_at(minhash_sig(split(text, '\\\\s+'), 4), 1)) AS s " +
+                  "FROM documents WHERE doc_id < 50")
+                assert(r.next()); results.add(r.getLong(1))
+                // …interleaved with metrics reads on the same connection
+                val m = st.executeQuery(
+                  "SELECT n_queries FROM graft_metrics_summary WHERE name = 'concurrent_probe'")
+                assert(m.next() && m.getLong(1) === 1L)
+              }
+            } finally conn.close()
+          } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "concurrent clients timed out")
+    assert(errors.isEmpty, s"concurrent client failed: ${Option(errors.peek()).map(_.toString)}")
+    import scala.jdk.CollectionConverters._
+    assert(results.size === 10 && results.asScala.toSet.size === 1,
+      "both sessions must compute the identical kernel result every time")
+  }
+
   test("STREAMING batch latencies are retrievable via SQL too (the other half of GetMetrics)") {
     import graft.streaming.StreamingMetrics
     implicit val sc = spark.sqlContext

@@ -261,6 +261,23 @@ class NewOpsSpec extends SparkSpecBase {
     assert(out(3) === 2L, s"the near-dup re-enters only after diversity is exhausted enough: $out")
   }
 
+  test("MMR rerank: a query with fewer candidates than k keeps its picks (short page, not zero rows)") {
+    import graft.operators.Similarity
+    // corpus holds the query + only TWO candidates; k = 3 exhausts the
+    // shortlist after round 2 — the greedy loop must carry the existing
+    // picks forward and return 2 rows, not drop the query entirely
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 100), "vec_id", "embedding",
+        shortlist = 3, k = 3)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out === Map(1 -> 1L, 2 -> 2L),
+      s"exhausted shortlist must yield the two picks made, got $out")
+  }
+
   test("top paths: session sequences truncate at depth and count by frequency") {
     import graft.operators.Analytics
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
