@@ -3277,6 +3277,34 @@ object Queries {
         |  sum((2 * i - n - 1) * rev)::DOUBLE / (max(n) * sum(rev)) AS gini
         |FROM rk GROUP BY 1""".stripMargin)),
 
+    // §2.2/191 — batch incremental view maintenance: a per-customer
+    // revenue state built from the "yesterday" snapshot absorbs a CDC
+    // delta (inserts + deletes, updates travel as D+I) WITHOUT
+    // re-reading the base table — delta aggregated first (combinable),
+    // merged by one state-keys × touched-keys full-outer join, zero-
+    // count groups dropped. The oracle IS the IVM contract: recompute
+    // from scratch over the post-delta row set; equality means the
+    // incremental path lost nothing.
+    "q_ivm_refresh" -> QueryDef(
+      (s, d) => {
+        val ord = ds(s, d, "orders").toDF
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val state = operators.Ivm.groupState(
+          ord.filter(col("o_orderkey") % 10 =!= 0), Seq("o_custkey"), "cents")
+        val ins = ord.filter(col("o_orderkey") % 10 === 0).withColumn("__op", lit("I"))
+        val del = ord.filter(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 === 0)
+          .withColumn("__op", lit("D"))
+        operators.Ivm.applyGroupDelta(state, ins.unionByName(del), "__op",
+            Seq("o_custkey"), "cents")
+          .select(col("o_custkey"), col("sum_cents"), col("n_rows"))
+      },
+      Some("""SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+        |  count(*)::BIGINT AS n_rows
+        |FROM orders
+        |WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
+        |GROUP BY 1""".stripMargin)),
+
     // §2.2/190 — TPC-H Q14 shape: monthly promo revenue share — the
     // dimension-attribute CASE-sum ratio; revenue in exact cents, the
     // share one fixed-order IEEE division, part dimension broadcast.
