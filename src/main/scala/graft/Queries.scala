@@ -3277,6 +3277,239 @@ object Queries {
         |  sum((2 * i - n - 1) * rev)::DOUBLE / (max(n) * sum(rev)) AS gini
         |FROM rk GROUP BY 1""".stripMargin)),
 
+    // §2.2/193 — TPC-H Q7 shape (volume shipping): revenue flowing
+    // between a nation PAIR in both directions by ship year — the
+    // two-aliased-dimension disjunctive join; nation filters pushed to
+    // both dimension scans BEFORE the fact joins (only pair-member
+    // customers/suppliers reach the shuffle), supplier broadcast.
+    "q7_nation_volume" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF.select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("cents"))
+        val ord = ds(s, d, "orders").toDF.select("o_orderkey", "o_custkey")
+        val cust = ds(s, d, "customer").toDF.select("c_custkey", "c_nationkey")
+          .filter(col("c_nationkey").isin(1, 2))
+        val supp = ds(s, d, "supplier").toDF.select("s_suppkey", "s_nationkey")
+          .filter(col("s_nationkey").isin(1, 2))
+        li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter((col("s_nationkey") === 1 && col("c_nationkey") === 2) ||
+            (col("s_nationkey") === 2 && col("c_nationkey") === 1))
+          .groupBy(col("s_nationkey").as("supp_nation"),
+            col("c_nationkey").as("cust_nation"), col("l_year"))
+          .agg(sum("cents").as("revenue_cents"))
+      },
+      Some("""SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation,
+        |  year(l_shipdate)::INT AS l_year,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE (s_nationkey = 1 AND c_nationkey = 2)
+        |   OR (s_nationkey = 2 AND c_nationkey = 1)
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // §2.2/194 — TPC-H Q8 shape (national market share): one supplier
+    // nation's share of revenue delivered to one region's customers
+    // by order year — CASE-sum ratio over the full 6-relation star;
+    // region restriction pushed through nation to the customer scan,
+    // share one fixed-order IEEE division over exact cents.
+    "q8_market_share" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF.select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("cents"))
+        val ord = ds(s, d, "orders").toDF
+          .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+        val amNations = ds(s, d, "nation").toDF
+          .filter(col("n_regionkey") === 1).select("n_nationkey")
+        val cust = ds(s, d, "customer").toDF.select("c_custkey", "c_nationkey")
+          .join(broadcast(amNations), col("c_nationkey") === col("n_nationkey"))
+        val supp = ds(s, d, "supplier").toDF.select("s_suppkey", "s_nationkey")
+        li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("o_year")
+          .agg(sum(when(col("s_nationkey") === 3, col("cents")).otherwise(0L))
+              .as("nation_cents"),
+            sum("cents").as("total_cents"))
+          .withColumn("mkt_share",
+            col("nation_cents").cast("double") / col("total_cents"))
+      },
+      Some("""SELECT year(o_orderdate)::INT AS o_year,
+        |  sum(CASE WHEN s_nationkey = 3
+        |    THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT ELSE 0 END)::BIGINT AS nation_cents,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS total_cents,
+        |  sum(CASE WHEN s_nationkey = 3
+        |    THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT ELSE 0 END)::DOUBLE
+        |    / sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS mkt_share
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 1
+        |GROUP BY 1""".stripMargin)),
+
+    // §2.2/195 — TPC-H Q9 shape (product-type profit): profit by
+    // supplier nation × order year over a part-name LIKE filter;
+    // without a partsupp table, unit cost is modeled as retail/10 —
+    // profit_cents = revenue_cents − qty·round(p_retailprice·10), all
+    // exact longs. Part filter broadcast into the fact scan.
+    "q9_profit" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF.select(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents"))
+        val pt = ds(s, d, "part").toDF.filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 10).cast("long").as("cost_cents"))
+        val ord = ds(s, d, "orders").toDF
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        val supp = ds(s, d, "supplier").toDF.select("s_suppkey", "s_nationkey")
+        li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("s_nationkey").as("nation"), col("o_year"))
+          .agg(sum(col("rev_cents") - col("qty") * col("cost_cents"))
+            .as("profit_cents"))
+      },
+      Some("""SELECT s_nationkey AS nation, year(o_orderdate)::INT AS o_year,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+        |      - l_quantity::BIGINT * round(p_retailprice * 10)::BIGINT)::BIGINT AS profit_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // §2.2/196 — TPC-H Q10 shape (returned-item reporting): top 20
+    // customers by revenue on RETURNED lineitems in one order-year —
+    // the classic "who is sending things back" ranking; order-date
+    // filter on the orders scan, top-k totally ordered (cents desc,
+    // custkey asc).
+    "q10_returned" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long").as("cents"))
+        val ord = ds(s, d, "orders").toDF
+          .filter(year(col("o_orderdate")) === 1997)
+          .select("o_orderkey", "o_custkey")
+        val cust = ds(s, d, "customer").toDF.select("c_custkey", "c_name", "c_nationkey")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_name", "c_nationkey")
+          .agg(sum("cents").as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // §2.2/197 — TPC-H Q13 shape (customer order distribution): LEFT
+    // join so zero-order customers COUNT — the outer-join double
+    // aggregation (count per customer, then customers per count);
+    // count(o_orderkey) counts matches only, exactly the Q13 trick.
+    "q13_order_distribution" -> QueryDef(
+      (s, d) => {
+        val cust = ds(s, d, "customer").toDF.select("c_custkey")
+        val ord = ds(s, d, "orders").toDF
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""WITH co AS (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*)::BIGINT AS custdist FROM co GROUP BY 1""".stripMargin)),
+
+    // §2.2/198 — TPC-H Q15 shape (top supplier): revenue per supplier
+    // over one ship-year, return the supplier(s) achieving the MAX —
+    // the aggregate-of-aggregate pattern; the max is a one-row
+    // broadcast (never a global sort), ties all returned as the
+    // official query requires.
+    "q15_top_supplier" -> QueryDef(
+      (s, d) => {
+        val rev = ds(s, d, "lineitem").toDF
+          .filter(year(col("l_shipdate")) === 1996)
+          .groupBy("l_suppkey")
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("total_cents"))
+        val top = rev.agg(max("total_cents").as("__max"))
+        val supp = ds(s, d, "supplier").toDF.select("s_suppkey", "s_name")
+        rev.crossJoin(broadcast(top))
+          .filter(col("total_cents") === col("__max"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+        |    sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS total_cents
+        |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin)),
+
+    // §2.2/199 — TPC-H Q16 shape (supplier cardinality): distinct
+    // suppliers able to supply each (brand, type, size) bucket,
+    // suppliers-with-complaints excluded (acctbal < 0 stands in for
+    // the comment filter) via anti join, one brand excluded; the
+    // part-supplier relation derived from observed lineitem pairs
+    // since the schema carries no partsupp.
+    "q16_supplier_cardinality" -> QueryDef(
+      (s, d) => {
+        val pairs = ds(s, d, "lineitem").toDF.select("l_partkey", "l_suppkey").distinct()
+        val pt = ds(s, d, "part").toDF.filter(col("p_brand") =!= "Brand#2")
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        val excluded = ds(s, d, "supplier").toDF
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        pairs.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |  JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#2'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // §2.3/200 — corpus drift monitor: per-source KL divergence of the
+    // source's token distribution from the whole corpus's, in integer
+    // micro-nats (the groupEntropy ln-scaling pattern) — the signal
+    // that catches a feed whose content shifted before it poisons the
+    // mix; one corpus-sized explode, all joins vocabulary-keyed.
+    "text_kl_drift" -> QueryDef(
+      (s, d) => operators.Analytics.klDrift(
+        ds(s, d, "documents").toDF, "source", "text"),
+      Some("""WITH tok AS (SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE source IS NOT NULL),
+        |gt AS (SELECT grp, w, count(*)::BIGINT AS c_gw FROM tok WHERE length(w) > 0 GROUP BY 1, 2),
+        |pt AS (SELECT w, sum(c_gw)::BIGINT AS c_w FROM gt GROUP BY 1),
+        |tg AS (SELECT grp, sum(c_gw)::BIGINT AS t_g, count(*)::BIGINT AS n_distinct FROM gt GROUP BY 1),
+        |tot AS (SELECT sum(c_w)::BIGINT AS t FROM pt)
+        |SELECT gt.grp AS source, min(tg.t_g)::BIGINT AS n_tokens,
+        |  min(tg.n_distinct)::BIGINT AS n_distinct,
+        |  (sum(gt.c_gw * floor(ln((gt.c_gw * tot.t)::DOUBLE / (tg.t_g * pt.c_w)::DOUBLE) * 1048576)::BIGINT)::BIGINT
+        |    // min(tg.t_g))::BIGINT AS kl_q
+        |FROM gt JOIN pt USING (w) JOIN tg USING (grp) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin)),
+
     // §2.2/191 — batch incremental view maintenance: a per-customer
     // revenue state built from the "yesterday" snapshot absorbs a CDC
     // delta (inserts + deletes, updates travel as D+I) WITHOUT

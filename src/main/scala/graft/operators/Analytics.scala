@@ -134,6 +134,50 @@ object Analytics {
         expr("sum(__term) div min(n_rows)").as("h_q"))
   }
 
+  /** Per-group KL divergence of the group's token distribution from
+    * the WHOLE corpus's — the drift monitor a training-data pipeline
+    * runs per source/snapshot to catch a feed whose content shifted
+    * (a spiking KL means the source no longer looks like the corpus
+    * it feeds). KL(p_group ‖ p_corpus) = Σ_w p_g(w)·ln(p_g(w)/q(w));
+    * every group token exists in the corpus by construction, so q(w)
+    * is never zero and no smoothing is needed.
+    *
+    * Exactness ([[groupEntropy]]'s integer-scaled pattern): each token
+    * contributes `c_gw · floor(ln((c_gw·T)/(T_g·c_w))·2^20)` — the ln
+    * argument a single DOUBLE division of two exact long products —
+    * and the group sum divides by T_g with INTEGER division: KL in
+    * micro-nats, replayed bit-for-bit by the oracle. Bound: the long
+    * products need c_gw·T < 2^63 — holds to ~10^9 corpus tokens with
+    * 10^9-token groups; past that drop the products to doubles and
+    * accept last-ulp drift (documented ceiling, itemSimilarity
+    * convention).
+    *
+    * Scale shape: ONE corpus-sized token explode feeding two
+    * combinable counts (per-(group,token) and per-token); the join is
+    * token-keyed, vocabulary×groups-sized — the corpus is never
+    * shuffled twice and nothing is quadratic.
+    * Output: (group, n_tokens, n_distinct, kl_q).
+    */
+  def klDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val perGroupTok = toks.groupBy("grp", "w").agg(count(lit(1)).as("c_gw"))
+    val perTok = perGroupTok.groupBy("w").agg(sum("c_gw").as("c_w"))
+    val totals = perGroupTok.groupBy("grp")
+      .agg(sum("c_gw").as("t_g"), count(lit(1)).as("n_distinct"))
+    val corpus = perTok.agg(sum("c_w").as("t")) // one row, broadcast
+    perGroupTok.join(perTok, "w").join(broadcast(totals), "grp")
+      .crossJoin(broadcast(corpus))
+      .withColumn("__term", col("c_gw") *
+        floor(log((col("c_gw") * col("t")).cast("double") /
+          (col("t_g") * col("c_w")).cast("double")) * 1048576).cast("long"))
+      .groupBy(col("grp").as(groupCol))
+      .agg(min("t_g").as("n_tokens"), min("n_distinct").as("n_distinct"),
+        expr("sum(__term) div min(t_g)").as("kl_q"))
+  }
+
   /** First-touch attribution: gap-sessionize the event stream, credit
     * each session's purchase revenue to the session's FIRST channel
     * (event type), then roll up per channel. The first event is
