@@ -3277,6 +3277,121 @@ object Queries {
         |  sum((2 * i - n - 1) * rev)::DOUBLE / (max(n) * sum(rev)) AS gini
         |FROM rk GROUP BY 1""".stripMargin)),
 
+    // §2.2/202 — TPC-H Q6 shape (forecasting revenue change): the
+    // pure-scan aggregate — one year, a discount band, small
+    // quantities, sum(extendedprice·discount); every predicate reaches
+    // the parquet scan (PushedFilters), no joins, no shuffle beyond
+    // the one-row final combine. Revenue in exact cents: the discount
+    // column holds hundredths, so price·disc·10000 rounds to an
+    // integer exactly like price·100 does.
+    "q6_forecast_revenue" -> QueryDef(
+      (s, d) => ds(s, d, "lineitem").toDF
+        .filter(year(col("l_shipdate")) === 1996 &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * col("l_discount") * 10000)
+          .cast("long")).as("revenue_c4"),
+          count(lit(1)).as("n_lines")),
+      Some("""SELECT sum(round(l_extendedprice * l_discount * 10000)::BIGINT)::BIGINT AS revenue_c4,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1996
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // §2.2/203 — TPC-H Q11 shape (important stock): parts whose
+    // observed stock value (Σ qty·round(retail·10) from lineitem — no
+    // partsupp in the schema) exceeds the average part's share
+    // (v·2000 > total over 2000 parts — the Q11 fraction restated for
+    // this catalog); the global total is a one-row broadcast and the
+    // threshold compare is cross-multiplied integers, so no float
+    // decides membership.
+    "q11_important_stock" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+        val pt = ds(s, d, "part").toDF
+          .select(col("p_partkey"), round(col("p_retailprice") * 10)
+            .cast("long").as("unit_cents"))
+        val value = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey")
+          .agg(sum(col("qty") * col("unit_cents")).as("value_cents"))
+        val total = value.agg(sum("value_cents").as("__total"))
+        value.crossJoin(broadcast(total))
+          .filter(col("value_cents") * 2000 > col("__total"))
+          .select("l_partkey", "value_cents")
+      },
+      Some("""WITH v AS (SELECT l_partkey,
+        |    sum(l_quantity::BIGINT * round(p_retailprice * 10)::BIGINT)::BIGINT AS value_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        |SELECT l_partkey, value_cents FROM v
+        |WHERE value_cents * 2000 > (SELECT sum(value_cents) FROM v)""".stripMargin)),
+
+    // §2.2/204 — TPC-H Q20 shape (excess quantity): suppliers who
+    // shipped MORE than half their all-time quantity of some widget
+    // part within one year — the correlated agg-to-agg comparison
+    // (year slice vs lifetime, same grouping); both sums come from ONE
+    // conditional aggregation pass, the compare is integer
+    // cross-multiplication, a lifetime-quantity floor keeps one-off
+    // pairs from qualifying trivially, and the supplier list is
+    // DISTINCT with names broadcast-joined.
+    "q20_excess_quantity" -> QueryDef(
+      (s, d) => {
+        val widget = ds(s, d, "part").toDF
+          .filter(col("p_name").like("%widget%")).select("p_partkey")
+        val li = ds(s, d, "lineitem").toDF
+          .join(broadcast(widget), col("l_partkey") === col("p_partkey"))
+          .select(col("l_suppkey"), col("l_partkey"),
+            col("l_quantity").cast("long").as("qty"),
+            (year(col("l_shipdate")) === 1996).as("in_year"))
+        val supp = ds(s, d, "supplier").toDF.select("s_suppkey", "s_name")
+        li.groupBy("l_suppkey", "l_partkey")
+          .agg(sum(when(col("in_year"), col("qty")).otherwise(0L)).as("q_year"),
+            sum("qty").as("q_all"))
+          .filter(col("q_year") * 2 > col("q_all") && col("q_all") >= 60)
+          .select("l_suppkey").distinct()
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .select("s_suppkey", "s_name")
+      },
+      Some("""WITH sp AS (SELECT l_suppkey, l_partkey,
+        |    sum(CASE WHEN year(l_shipdate) = 1996 THEN l_quantity::BIGINT ELSE 0 END)::BIGINT AS q_year,
+        |    sum(l_quantity::BIGINT)::BIGINT AS q_all
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%widget%' GROUP BY 1, 2)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM sp JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE q_year * 2 > q_all AND q_all >= 60""".stripMargin)),
+
+    // §2.3/205 — cross-source overlap matrix: bottom-k Jaccard
+    // estimates between every source pair's word-3-gram sets — "which
+    // feeds ship me the same content", the sketch that aims the
+    // pairwise dedup rows; one corpus explode, groups×k shuffle,
+    // broadcast pair stage over sketch rows. The oracle replays the
+    // md5 hashes, per-source bottom-128, union-cut and intersection
+    // count exactly.
+    "q_source_overlap" -> QueryDef(
+      (s, d) => operators.Sketches.sourceOverlap(
+        ds(s, d, "documents").toDF, "source", "text", n = 3, k = 128),
+      Some {
+        val grams = """CASE WHEN len(toks) >= 3 THEN list_distinct(
+          |      list_transform(generate_series(1, len(toks) - 2),
+          |        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+          |    ELSE []::VARCHAR[] END""".stripMargin
+        s"""WITH tok AS (SELECT source AS grp, regexp_split_to_array(trim(text), '\\s+') AS toks
+           |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+           |g AS (SELECT DISTINCT grp, unnest($grams) AS gram FROM tok),
+           |h AS (SELECT DISTINCT grp, ('0x' || substring(md5(gram), 1, 14))::BIGINT AS hv FROM g),
+           |r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h),
+           |sk AS (SELECT grp, list(hv ORDER BY hv) AS mins FROM r WHERE rn <= 128 GROUP BY 1),
+           |p AS (SELECT a.grp AS src_a, b.grp AS src_b, a.mins AS ma, b.mins AS mb
+           |  FROM sk a JOIN sk b ON a.grp < b.grp),
+           |u AS (SELECT src_a, src_b, ma, mb,
+           |    list_slice(list_sort(list_distinct(ma || mb)), 1, 128) AS x FROM p)
+           |SELECT src_a, src_b, len(x)::BIGINT AS n_union,
+           |  len(list_filter(x, v -> list_contains(ma, v) AND list_contains(mb, v)))::BIGINT AS n_inter,
+           |  len(list_filter(x, v -> list_contains(ma, v) AND list_contains(mb, v)))::DOUBLE
+           |    / len(x) AS jaccard
+           |FROM u""".stripMargin
+      }),
+
     // §2.2/193 — TPC-H Q7 shape (volume shipping): revenue flowing
     // between a nation PAIR in both directions by ship year — the
     // two-aliased-dimension disjunctive join; nation filters pushed to

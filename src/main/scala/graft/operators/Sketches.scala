@@ -297,4 +297,47 @@ object Sketches {
         sum(when(col("__dev") * 20000L > lit(44478L) * col("madd2"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Cross-group content-overlap matrix via KMV set sketches: for every
+    * group pair, the bottom-k Jaccard estimate between their word
+    * n-gram SETS — the corpus diagnostic that answers "which sources
+    * feed me the same content" without comparing any documents (the
+    * precursor that tells you WHERE to point the pairwise dedup rows).
+    *
+    * Estimator (Broder): each group keeps its k smallest distinct gram
+    * hashes ([[graft.functions.KMinAgg]]); for a pair, the k smallest
+    * of the merged arrays ARE the bottom-k of the set union (any
+    * global minimum survives its own group's cut — the row-153 merge
+    * argument), and X∩S_a∩S_b / |X| estimates the Jaccard with error
+    * ~1/√k. Every step is md5-portable integer/array arithmetic, so
+    * the oracle replays the matrix exactly — no float accumulation
+    * anywhere except the single final division.
+    *
+    * Scale shape: ONE corpus-sized gram explode feeding a combinable
+    * bottom-k (the shuffle is groups×k longs); the pair stage is a
+    * broadcast self-join over GROUP-cardinality sketch rows — sources
+    * are bounded (tens to thousands), so groups² tiny array ops never
+    * touch the corpus again.
+    *
+    * Output: (src_a, src_b, n_union, n_inter, jaccard), src_a < src_b.
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    n: Int = 3, k: Int = 128): DataFrame = {
+    require(k >= 2, s"sourceOverlap k must be >= 2, got $k")
+    val grams = Decontaminate.docGrams(
+        df.filter(col(groupCol).isNotNull && col(textCol).isNotNull),
+        groupCol, textCol, n)
+      .select(col("doc_id").as("grp"), col("gram")).distinct()
+    val sketches = grams.groupBy("grp")
+      .agg(graft.functions.KMinAgg.kMin(k)(kmvHash(col("gram"))).as("mins"))
+    val a = sketches.select(col("grp").as("src_a"), col("mins").as("ma"))
+    val b = sketches.select(col("grp").as("src_b"), col("mins").as("mb"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("x", slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+      .select(col("src_a"), col("src_b"),
+        size(col("x")).cast("long").as("n_union"),
+        size(array_intersect(col("x"), array_intersect(col("ma"), col("mb"))))
+          .cast("long").as("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+  }
 }
