@@ -845,6 +845,43 @@ object Queries {
            |SELECT doc_id, doc_id FROM documents WHERE text IS NULL""".stripMargin
       }),
 
+    // §2.3/206 — canonical selection: near-dup clusters (row 61's
+    // chain) reduced to a deduplicated corpus — per cluster keep the
+    // LONGEST member (least-truncated copy), ties to the smallest id;
+    // every doc returned with its verdict so drops are auditable. The
+    // oracle extends the cluster replay with the two-step selection
+    // (max n_chars, then min doc_id among the maxima) — semantically
+    // identical to the Spark side's single combinable max_by over
+    // (len, -id).
+    "dedup_canonical" -> QueryDef(
+      (s, d) => Dedup.keepCanonical(ds(s, d, "documents").toDF,
+        "doc_id", "text", "n_chars", bands = 2, rowsPerBand = 4, iterations = 3),
+      Some {
+        val mh = mhSigSql(8)
+        def band(b: Int) = (0 until 4).map(r => s"m${b * 4 + r}::varchar").mkString(" || '_' || ")
+        val iters = labelPropIters("band, sig")
+        s"""WITH toks AS (SELECT doc_id,
+           |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |hp AS (SELECT doc_id, list_transform(toks, w ->
+           |  [('0x' || substring(md5(w), 1, 14))::bigint,
+           |   ('0x' || substring(md5(w), 15, 14))::bigint]) AS hs FROM toks),
+           |sigs AS (SELECT doc_id, $mh FROM hp),
+           |mem AS (SELECT doc_id AS id, 0 AS band, ${band(0)} AS sig FROM sigs
+           |  UNION ALL SELECT doc_id AS id, 1 AS band, ${band(1)} AS sig FROM sigs),
+           |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
+           |$iters,
+           |cl AS (SELECT id AS doc_id, label AS cluster_id FROM l3
+           |  UNION ALL SELECT doc_id, doc_id FROM documents WHERE text IS NULL),
+           |sized AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+           |  FROM cl JOIN documents d USING (doc_id)),
+           |mx AS (SELECT cluster_id, max(n_chars) AS mc FROM sized GROUP BY 1),
+           |canon AS (SELECT s.cluster_id, min(s.doc_id) AS canonical_id
+           |  FROM sized s JOIN mx USING (cluster_id) WHERE s.n_chars = mx.mc GROUP BY 1)
+           |SELECT s.doc_id, s.cluster_id, c.canonical_id,
+           |  s.doc_id = c.canonical_id AS keep
+           |FROM sized s JOIN canon c USING (cluster_id)""".stripMargin
+      }),
+
     // §2.3/32 — SimHash near-dup pairs (hamming <= 3, exact via 4-chunk
     // pigeonhole banding). The oracle replays the full pipeline: 56-bit
     // strict-majority vote over md5-derived distinct-token hashes

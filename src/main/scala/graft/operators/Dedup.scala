@@ -493,6 +493,35 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Canonical-member selection — the step that turns near-dup
+    * CLUSTERS into a deduplicated CORPUS: per [[minhashClusters]]
+    * cluster, keep the member with the largest `lenCol` (the "longest
+    * version wins" rule production dedup uses — the longest copy is
+    * the least-truncated one), ties to the smallest id. Every doc is
+    * returned with its verdict, so the caller can either filter
+    * `keep` or audit what was dropped.
+    *
+    * Scale shape: clustering as in [[minhashClusters]]; the selection
+    * is ONE combinable `max_by` aggregate per cluster (max over
+    * (len, -id) — no per-cluster window, no sort) joined back on the
+    * cluster key.
+    *
+    * Output: (doc_id, cluster_id, canonical_id, keep).
+    */
+  def keepCanonical(df: DataFrame, idCol: String, textCol: String,
+                    lenCol: String, bands: Int, rowsPerBand: Int,
+                    iterations: Int = 3): DataFrame = {
+    val clusters = minhashClusters(df, idCol, textCol, bands, rowsPerBand, iterations)
+    val sized = clusters.join(
+      df.select(col(idCol).as("doc_id"), col(lenCol).as("__len")), "doc_id")
+    val canon = sized.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), struct(col("__len"), col("doc_id") * -1))
+        .as("canonical_id"))
+    sized.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
   /** 56-bit SimHash over the distinct-token set: bit b is set when
     * more than half the token hashes have bit b set. The per-doc
     * majority vote runs as the native codegen'd

@@ -280,4 +280,24 @@ class DedupSpec extends SparkSpecBase {
       assert(got === want, s"maxHamming=$mh")
     }
   }
+
+  test("keepCanonical: longest member wins per near-dup cluster, ties to smallest id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),          // near-dup of 2, shorter
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // longest in cluster → canonical
+      (3L, "totally different content here entirely"),       // singleton → keeps itself
+      (4L, "theta eta zeta epsilon delta gamma beta alpha")  // same token SET + length as 2 → id tie → 2 wins
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Dedup.keepCanonical(docs, "doc_id", "text", "n_chars",
+        bands = 2, rowsPerBand = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(3) === ((3L, true)), "singleton keeps itself")
+    // docs 1/2/4 share minhash bands (same token prefix): one cluster,
+    // canonical = longest text, tie on length broken by smallest id
+    assert(out(1)._2 === false && out(1)._1 === out(2)._1)
+    assert(out(2) === ((2L, true)), s"longest/lowest-id member must win: $out")
+    assert(out(4)._2 === false)
+  }
 }
