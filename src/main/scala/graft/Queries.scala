@@ -3429,6 +3429,51 @@ object Queries {
            |FROM u""".stripMargin
       }),
 
+    // §2.2/207 — bounce rate per entry event type: fraction of
+    // gap-sessions ending after their first event, keyed by that
+    // first event (landing health); first event by the packed
+    // micros|id key, counts exact, one final division.
+    "q_bounce_rate" -> QueryDef(
+      (s, d) => operators.Analytics.bounceRate(
+        ds(s, d, "events").toDF, "user_id", "ts", "event_type"),
+      Some("""WITH s AS (SELECT user_id, event_type, event_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM (SELECT *, CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |        OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |per AS (SELECT user_id, session_id,
+        |    arg_min(event_type, printf('%020d|%010d', epoch_us(ts), event_id)) AS entry_type,
+        |    count(*)::BIGINT AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT entry_type, count(*)::BIGINT AS n_sessions,
+        |  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+        |  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS bounce_pct
+        |FROM per GROUP BY 1""".stripMargin)),
+
+    // §2.2/208 — conversion latency: seconds from a session's first
+    // 'view' to its first STRICTLY LATER 'purchase' — count,
+    // interpolated p50/p90 (the q_percentile contract), exact max;
+    // latencies are integer epoch differences.
+    "q_funnel_latency" -> QueryDef(
+      (s, d) => operators.Analytics.funnelLatency(
+        ds(s, d, "events").toDF, "user_id", "ts", "event_type", "view", "purchase"),
+      Some("""WITH s AS (SELECT user_id, event_type, ts, floor(epoch(ts))::BIGINT AS ep,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM (SELECT *, CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |        OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |m AS (SELECT user_id, session_id,
+        |    min(CASE WHEN event_type = 'view' THEN ep END) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ep END) AS t2
+        |  FROM s GROUP BY 1, 2),
+        |c AS (SELECT t2 - t0 AS latency_sec FROM m WHERE t0 IS NOT NULL AND t2 > t0)
+        |SELECT count(*)::BIGINT AS n_converted,
+        |  quantile_cont(latency_sec, 0.5) AS p50_sec,
+        |  quantile_cont(latency_sec, 0.9) AS p90_sec,
+        |  max(latency_sec)::BIGINT AS max_sec FROM c""".stripMargin)),
+
     // §2.2/193 — TPC-H Q7 shape (volume shipping): revenue flowing
     // between a nation PAIR in both directions by ship year — the
     // two-aliased-dimension disjunctive join; nation filters pushed to

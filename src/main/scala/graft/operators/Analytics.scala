@@ -134,6 +134,51 @@ object Analytics {
         expr("sum(__term) div min(n_rows)").as("h_q"))
   }
 
+  /** Bounce rate per entry event type: the fraction of gap-sessions
+    * that end after their very first event, keyed by what that first
+    * event was — the landing-page health metric. First event via
+    * `min_by` over the packed (epoch_micros, event_id) string key (the
+    * [[TimeSeries.dailyOhlc]] total order); one user-key shuffle for
+    * session reduction, entry-type-cardinality rollup, one division.
+    * Output: (entry_type, n_sessions, n_bounces, bounce_pct).
+    */
+  def bounceRate(events: DataFrame, keyCol: String, tsCol: String,
+                 typeCol: String, idCol: String = "event_id",
+                 gapSeconds: Long = 1800): DataFrame = {
+    val s = Sessionize.assignSessions(events, keyCol, tsCol, gapSeconds)
+      .withColumn("__ord",
+        format_string("%020d|%010d", unix_micros(col(tsCol).cast("timestamp")), col(idCol)))
+    val per = s.groupBy(col(keyCol), col("session_id"))
+      .agg(min_by(col(typeCol), col("__ord")).as("entry_type"),
+        count(lit(1)).as("n_events"))
+    per.groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_pct", col("n_bounces").cast("double") / col("n_sessions"))
+  }
+
+  /** Conversion latency distribution: for every session where `toType`
+    * first occurs strictly after `fromType` first occurs, the
+    * seconds between them — count, interpolated p50/p90, and max.
+    * Latencies are exact integer seconds (epoch differences); only the
+    * percentile interpolation is floating point, the same contract as
+    * the q_percentile row. One user-key shuffle, one-row result.
+    */
+  def funnelLatency(events: DataFrame, keyCol: String, tsCol: String,
+                    typeCol: String, fromType: String, toType: String,
+                    gapSeconds: Long = 1800): DataFrame = {
+    val s = Sessionize.assignSessions(events, keyCol, tsCol, gapSeconds)
+    val lat = s.groupBy(col(keyCol), col("session_id"))
+      .agg(min(when(col(typeCol) === fromType, unix_timestamp(col(tsCol)))).as("t0"),
+        min(when(col(typeCol) === toType, unix_timestamp(col(tsCol)))).as("t2"))
+      .filter(col("t0").isNotNull && col("t2") > col("t0"))
+      .withColumn("latency_sec", col("t2") - col("t0"))
+    lat.agg(count(lit(1)).as("n_converted"),
+      expr("percentile(latency_sec, 0.5)").as("p50_sec"),
+      expr("percentile(latency_sec, 0.9)").as("p90_sec"),
+      max("latency_sec").as("max_sec"))
+  }
+
   /** Per-group KL divergence of the group's token distribution from
     * the WHOLE corpus's — the drift monitor a training-data pipeline
     * runs per source/snapshot to catch a feed whose content shifted

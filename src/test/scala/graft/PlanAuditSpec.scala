@@ -495,4 +495,48 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"),
       "the bloom frame (≤bloomWords rows by construction) must broadcast")
   }
+
+  test("q6_forecast_revenue: every pushable predicate reaches the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined,
+      "quantity bound must be in PushedFilters, not a residual Filter")
+    assert("PushedFilters: \\[[^\\]]*l_discount".r.findFirstIn(p).isDefined,
+      "discount band must be in PushedFilters")
+  }
+
+  test("q7_nation_volume: pair filters prune BOTH dimension scans; supplier broadcasts") {
+    val p = plan("q7_nation_volume")
+    assert(p.contains("BroadcastHashJoin"), "supplier must broadcast into the fact scan")
+    assert("PushedFilters: \\[[^\\]]*s_nationkey".r.findFirstIn(p).isDefined,
+      "supplier nation restriction must reach the supplier scan")
+    assert("PushedFilters: \\[[^\\]]*c_nationkey".r.findFirstIn(p).isDefined,
+      "customer nation restriction must reach the customer scan — at 100 TB the " +
+        "pair filter is the difference between scanning 2 nations and scanning 25")
+  }
+
+  test("q_source_overlap: sketch stage partial-aggregates, pair stage is a broadcast NLJ") {
+    val p = plan("q_source_overlap")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "KMinAgg must run partial + final — the shuffle carries groups×k longs, " +
+        "never the corpus gram stream")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the inequality pair join runs over group-cardinality sketch rows and must broadcast")
+  }
+
+  test("text_bpe_encode: the encode kernel is one pass — zero shuffle") {
+    val p = plan("text_bpe_encode")
+    assert(!p.contains("Exchange"),
+      "BPE encode is word-internal: any Exchange means the corpus map leaked a shuffle")
+    assert(p.contains("MapPartitions"),
+      "encode must run as the mapPartitions kernel, not an udf projection")
+  }
+
+  test("q_ivm_refresh: delta aggregates BEFORE the state merge; merge is one keyed join") {
+    val p = plan("q_ivm_refresh")
+    assert(p.contains("FullOuter"),
+      "state × delta merge must be the full-outer key join (new keys appear, dead keys drop)")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the delta must collapse to per-key (Δsum, Δn) with partial aggregation " +
+        "before any join — merging raw CDC rows into the state would shuffle the delta twice")
+  }
 }
