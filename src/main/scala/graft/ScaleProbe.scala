@@ -21,6 +21,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.length > 1 && args(1) == "tpch") { tpch(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "graph") { graph(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "ivm") { ivm(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "r9") { r9ops(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloom") { bloomBreakEven(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloomat") { bloomAt(spark, factor); spark.stop(); return }
     val r4Only = args.length > 1 && args(1) == "r4"
@@ -299,6 +301,100 @@ object ScaleProbe {
           minCooc = 3, topK = 5).count())
       b.unpersist()
     }
+  }
+
+  /** IVM-vs-recompute probe (`sbt "runMain graft.ScaleProbe 10 ivm"`):
+    * the claim batch IVM exists for — absorbing a small CDC delta into
+    * a materialized aggregate must cost ~the delta, not ~the base
+    * table. Builds a k×-replicated orders state partitioned by a
+    * custkey bucket, applies a delta CONCENTRATED in one partition
+    * (the realistic shape: a day's changes touch recent keys, not all
+    * of history), and times [[graft.operators.Ivm
+    * .refreshGroupBySumTable]] against a full groupState recompute +
+    * rewrite of the same post-delta base. Also reports the file-level
+    * evidence: how many state files each path rewrote.
+    */
+  private def ivm(spark: SparkSession, factor: Int): Unit = {
+    import graft.operators.Ivm
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivm-probe").toString
+    val base = (0 until factor).map { i =>
+      Tables.load(spark, "/root/testdata/sf0.1", "orders")
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+    }.reduce(_.unionByName(_))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("pb", (col("o_custkey") % 64).cast("int"))
+      .cache()
+    println(s"base orders=${base.count()} (x$factor)")
+    val statePath = s"$dir/state"
+    Ivm.groupState(base, Seq("pb", "o_custkey"), "cents")
+      .write.partitionBy("pb").parquet(statePath)
+    def stateFiles(): Set[String] = {
+      val root = new java.io.File(statePath)
+      root.listFiles().filter(_.getName.startsWith("pb=")).flatMap(d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}")).toSet
+    }
+    val before = stateFiles()
+    // delta: one bucket's customers get new orders + one deletion — a
+    // ~1/64 slice of the key space, like a day's changes at 100 TB
+    val delta = base.filter(col("pb") === 7 && col("o_orderkey") % 200 === 0)
+      .withColumn("__op", lit("I"))
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000000L) // above every replica's key range
+      .unionByName(base.filter(col("pb") === 7 && col("o_orderkey") % 300 === 0)
+        .withColumn("__op", lit("D")))
+      .cache()
+    println(s"delta rows=${delta.count()}")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+    }
+    time("ivm_refresh")(Ivm.refreshGroupBySumTable(statePath, delta, "__op",
+      Seq("pb", "o_custkey"), "cents", "pb"))
+    val after = stateFiles()
+    println(s"files untouched=${(before intersect after).size} rewritten=${(after diff before).size} of ${before.size}")
+    // full recompute of the same post-delta base, written fresh
+    time("full_recompute") {
+      val post = base.unionByName(delta.filter(col("__op") === "I").drop("__op"))
+        .join(delta.filter(col("__op") === "D").select("o_orderkey"),
+          Seq("o_orderkey"), "left_anti")
+      Ivm.groupState(post, Seq("pb", "o_custkey"), "cents")
+        .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/recomputed")
+    }
+    // the contract: both tables hold identical rows
+    val a = spark.read.parquet(statePath)
+    val b = spark.read.parquet(s"$dir/recomputed")
+    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "IVM != recompute")
+    println("ivm == recompute: verified")
+  }
+
+  /** Round-9 pipeline operators at 10× corpus (`sbt "runMain
+    * graft.ScaleProbe 10 r9"`): kl_drift and source_overlap are
+    * one-explode + bucketed-join shapes that must track the scan;
+    * canonical selection adds one combinable argmax to the cluster
+    * cost; BPE encode is a pure map whose throughput should be flat
+    * per row.
+    */
+  private def r9ops(spark: SparkSession, factor: Int): Unit = {
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val big = (0 until factor).map { i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+    }.reduce(_.unionByName(_)).cache()
+    println(s"corpus=${big.count()} docs")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs, $rows rows")
+    }
+    time("kl_drift")(graft.operators.Analytics.klDrift(
+      big, "source", "text").count())
+    time("source_overlap")(graft.operators.Sketches.sourceOverlap(
+      big, "source", "text", 3, 128).count())
+    time("dedup_canonical")(graft.operators.Dedup.keepCanonical(
+      big, "doc_id", "text", "n_chars", 2, 4).count())
+    time("bpe_encode")(graft.operators.Bpe.encode(big, "doc_id", "text",
+      Seq(("t", "a"), ("ta", "b"), ("l", "e</w>"), ("s", "c"), ("sc", "a")))
+      .queryExecution.toRdd.count())
   }
 
   /** OLAP-side probe: the Q1 multi-agg scan and Q3 join+agg+topk over
