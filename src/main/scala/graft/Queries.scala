@@ -3759,7 +3759,302 @@ object Queries {
         |    sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS total_cents
         |  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1, 2)
         |SELECT yr, mo, promo_cents, total_cents,
-        |  100.0 * promo_cents / total_cents AS promo_share FROM m""".stripMargin))
+        |  100.0 * promo_cents / total_cents AS promo_share FROM m""".stripMargin)),
+
+    // §2.2/209 — consecutive-day activity streaks (gaps-and-islands):
+    // per user the runs of consecutive active days via the
+    // day − row_number residual; the stream reduces to distinct
+    // (user, day) before any window, both windows partition on the
+    // user key, all integers.
+    "q_streaks" -> QueryDef(
+      (s, d) => operators.Analytics.activeDayStreaks(
+        ds(s, d, "events").toDF, "user_id", "ts"),
+      Some("""WITH d AS (SELECT DISTINCT user_id, floor(epoch(ts) / 86400)::BIGINT AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island FROM d),
+        |r AS (SELECT user_id, island, count(*)::BIGINT AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*)::BIGINT AS n_streaks, sum(len)::BIGINT AS n_active_days,
+        |  max(len)::BIGINT AS longest_streak
+        |FROM r GROUP BY 1""".stripMargin)),
+
+    // §2.2/210 — CUSUM changepoint curve per event-type series: the
+    // cumulative deviation from the series mean scaled to the exact
+    // integer s_num = m·prefix − t·total; the changepoint day flagged
+    // by (|s_num| desc, day) rank — volume-regime drift, beside
+    // text_kl_drift's content drift.
+    "q_cusum" -> QueryDef(
+      (s, d) => operators.TimeSeries.cusumChangepoint(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series, floor(epoch(ts) / 86400)::BIGINT AS day,
+        |    count(*)::BIGINT AS n_events FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT series, day, n_events,
+        |    row_number() OVER (PARTITION BY series ORDER BY day)::BIGINT AS t,
+        |    sum(n_events) OVER (PARTITION BY series ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS prefix,
+        |    count(*) OVER (PARTITION BY series)::BIGINT AS m,
+        |    sum(n_events) OVER (PARTITION BY series)::BIGINT AS tot
+        |  FROM d),
+        |s AS (SELECT series, day, t, n_events, m * prefix - t * tot AS s_num FROM c)
+        |SELECT series, day, t, n_events, s_num,
+        |  (row_number() OVER (PARTITION BY series ORDER BY abs(s_num) DESC, day) = 1) AS is_change
+        |FROM s""".stripMargin)),
+
+    // §2.2/211 — per-nation ABC (Pareto) revenue classification of
+    // customers: cumulative-share classes decided by cross-multiplied
+    // integers under a total (value desc, custkey) order; windows run
+    // on the per-(nation, customer) aggregate, never the fact table.
+    "q_abc" -> QueryDef(
+      (s, d) => {
+        val ord = ds(s, d, "orders").toDF.select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val cust = ds(s, d, "customer").toDF.select("c_custkey", "c_nationkey")
+        operators.Analytics.abcClassification(
+          ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          "c_nationkey", "c_custkey", "cents")
+      },
+      Some("""WITH per AS (SELECT c_nationkey, c_custkey,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |c AS (SELECT c_nationkey, c_custkey, v,
+        |    sum(v) OVER (PARTITION BY c_nationkey ORDER BY v DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+        |    sum(v) OVER (PARTITION BY c_nationkey)::BIGINT AS tot
+        |  FROM per)
+        |SELECT c_nationkey, c_custkey, v AS value, cum AS cum_value,
+        |  CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |       WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin)),
+
+    // §2.2/212 — time-bounded funnel (windowFunnel): q_funnel's
+    // strictly-increasing first-occurrence chain with every completed
+    // step within 900s of the first step — strict increase means
+    // bounding the LAST step bounds them all, one integer comparison
+    // per prefix.
+    "q_window_funnel" -> QueryDef(
+      (s, d) => operators.Analytics.windowFunnel(ds(s, d, "events").toDF,
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        windowSeconds = 900, gapSeconds = 1800),
+      Some("""WITH sess AS (SELECT user_id, ep, event_type,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, ts, event_type, floor(epoch(ts))::BIGINT AS ep,
+        |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |m AS (SELECT user_id, session_id,
+        |    min(CASE WHEN event_type = 'view' THEN ep END) AS t0,
+        |    min(CASE WHEN event_type = 'click' THEN ep END) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN ep END) AS t2
+        |  FROM sess GROUP BY 1, 2),
+        |c AS (SELECT
+        |    sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN t0 IS NOT NULL AND t0 < t1 AND t1 - t0 <= 900
+        |      THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN t0 IS NOT NULL AND t0 < t1 AND t1 < t2 AND t2 - t0 <= 900
+        |      THEN 1 ELSE 0 END)::BIGINT AS n2
+        |  FROM m)
+        |SELECT 0::BIGINT AS step_no, 'view' AS step, n0 AS n_sessions, n0 / n0 AS conv_pct FROM c
+        |UNION ALL SELECT 1, 'click', n1, n1 / n0 FROM c
+        |UNION ALL SELECT 2, 'purchase', n2, n2 / n0 FROM c""".stripMargin)),
+
+    // §2.2/213 — label-propagation communities on the part co-purchase
+    // graph: 3 deterministic synchronous sweeps, per-node argmax over
+    // neighbor-label counts via the packed cnt·10^8 − label key
+    // (highest count, then lowest label) — replayed round-for-round.
+    "q_communities" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF.select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.LabelPropagation.communities(e, "src", "dst", rounds = 3)
+      },
+      Some {
+        val rounds = (0 until 3).map { r =>
+          s"""r$r AS (SELECT u.a, l.label, count(*)::BIGINT AS cnt
+             |  FROM u JOIN l$r l ON u.b = l.id GROUP BY 1, 2),
+             |l${r + 1} AS (SELECT a AS id,
+             |  arg_max(label, cnt * 100000000 - label) AS label FROM r$r GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           |  FROM lineitem x JOIN lineitem y
+           |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+           |u AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+           |l0 AS (SELECT DISTINCT a AS id, a AS label FROM u),
+           |$rounds
+           |SELECT id AS node_id, label AS community FROM l3""".stripMargin
+      }),
+
+    // §2.2/214 — per-document keyword extraction: top-3 tokens by the
+    // integer-scaled TF-IDF key tf·floor(ln(N/df)·2^20) under a total
+    // (score desc, token) order; df table broadcast, the one window
+    // partitioned per doc.
+    "text_keywords" -> QueryDef(
+      (s, d) => operators.TfIdf.keywords(
+        ds(s, d, "documents").toDF, "doc_id", "text", topK = 3),
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |t AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf_cnt FROM t GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df_cnt FROM t GROUP BY 1),
+        |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, token, tf_cnt, df_cnt,
+        |    tf_cnt * floor(ln(n_docs::DOUBLE / df_cnt) * 1048576)::BIGINT AS score_q
+        |  FROM tf JOIN df USING (token) CROSS JOIN nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, token)::BIGINT AS kw_rank
+        |  FROM sc)
+        |SELECT doc_id, token, tf_cnt, df_cnt, score_q, kw_rank
+        |FROM r WHERE kw_rank <= 3""".stripMargin)),
+
+    // §2.2/215 — bigram PMI collocations: adjacent-pair mutual
+    // information as two exact-long-product divisions multiplied in
+    // fixed order then floor(ln·2^20) (the kl-drift pattern); ≥5
+    // support gate before the vocabulary joins, top-20 by TakeOrdered.
+    "text_pmi" -> QueryDef(
+      (s, d) => operators.TfIdf.pmiCollocations(
+        ds(s, d, "documents").toDF, "doc_id", "text", minCount = 5, topK = 20),
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (SELECT unnest(toks) AS w FROM tok),
+        |uc AS (SELECT w, count(*)::BIGINT AS c_w FROM uni WHERE length(w) > 0 GROUP BY 1),
+        |tu AS (SELECT sum(c_w)::BIGINT AS t_uni FROM uc),
+        |bi AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p FROM tok),
+        |bp AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bi
+        |  WHERE length(p.w1) > 0 AND length(p.w2) > 0),
+        |bc AS (SELECT w1, w2, count(*)::BIGINT AS c_ab FROM bp GROUP BY 1, 2),
+        |tb AS (SELECT sum(c_ab)::BIGINT AS t_bi FROM bc),
+        |s AS (SELECT w1, w2, c_ab, a.c_w AS c_a, b.c_w AS c_b,
+        |    floor(ln(((c_ab * t_uni)::DOUBLE / (t_bi * a.c_w)::DOUBLE)
+        |      * (t_uni::DOUBLE / b.c_w)) * 1048576)::BIGINT AS pmi_q
+        |  FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w
+        |  CROSS JOIN tu CROSS JOIN tb
+        |  WHERE c_ab >= 5)
+        |SELECT w1, w2, c_ab, c_a, c_b, pmi_q FROM s
+        |ORDER BY pmi_q DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // §2.2/216 — inclusion-dependency (FK) discovery across all 13
+    // TPC-H key columns: containment of each column's KMV bottom-128
+    // distinct-hash sample in every other column's distinct-hash set —
+    // md5-portable, so sketch and hits replay row-for-row; the flag is
+    // an integer cross-multiply.
+    "q_fk_discovery" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+        val ord = ds(s, d, "orders").toDF
+        val cust = ds(s, d, "customer").toDF
+        val supp = ds(s, d, "supplier").toDF
+        val pt = ds(s, d, "part").toDF
+        val nat = ds(s, d, "nation").toDF
+        val reg = ds(s, d, "region").toDF
+        operators.Discovery.inclusionCandidates(Seq(
+          ("lineitem.l_orderkey", li, "l_orderkey"),
+          ("lineitem.l_partkey", li, "l_partkey"),
+          ("lineitem.l_suppkey", li, "l_suppkey"),
+          ("orders.o_orderkey", ord, "o_orderkey"),
+          ("orders.o_custkey", ord, "o_custkey"),
+          ("customer.c_custkey", cust, "c_custkey"),
+          ("customer.c_nationkey", cust, "c_nationkey"),
+          ("supplier.s_suppkey", supp, "s_suppkey"),
+          ("supplier.s_nationkey", supp, "s_nationkey"),
+          ("part.p_partkey", pt, "p_partkey"),
+          ("nation.n_nationkey", nat, "n_nationkey"),
+          ("nation.n_regionkey", nat, "n_regionkey"),
+          ("region.r_regionkey", reg, "r_regionkey")), k = 128, tauPct = 95)
+      },
+      Some {
+        val branches = Seq(
+          ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+          ("lineitem.l_partkey", "lineitem", "l_partkey"),
+          ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+          ("orders.o_orderkey", "orders", "o_orderkey"),
+          ("orders.o_custkey", "orders", "o_custkey"),
+          ("customer.c_custkey", "customer", "c_custkey"),
+          ("customer.c_nationkey", "customer", "c_nationkey"),
+          ("supplier.s_suppkey", "supplier", "s_suppkey"),
+          ("supplier.s_nationkey", "supplier", "s_nationkey"),
+          ("part.p_partkey", "part", "p_partkey"),
+          ("nation.n_nationkey", "nation", "n_nationkey"),
+          ("nation.n_regionkey", "nation", "n_regionkey"),
+          ("region.r_regionkey", "region", "r_regionkey"))
+          .map { case (lbl, tbl, c) =>
+            s"""SELECT DISTINCT '$lbl' AS col_name,
+               |    ('0x' || substring(md5($c::VARCHAR), 1, 14))::BIGINT AS hv
+               |  FROM $tbl WHERE $c IS NOT NULL""".stripMargin
+          }.mkString("\n  UNION ALL ")
+        s"""WITH dv AS (
+           |  $branches
+           |),
+           |nd AS (SELECT col_name, count(*)::BIGINT AS n_distinct FROM dv GROUP BY 1),
+           |sk AS (SELECT col_name AS col_a, hv FROM
+           |  (SELECT col_name, hv, row_number() OVER (PARTITION BY col_name ORDER BY hv) AS rn
+           |   FROM dv) WHERE rn <= 128),
+           |hits AS (SELECT s.col_a, d.col_name AS col_b, count(*)::BIGINT AS n_hit
+           |  FROM sk s JOIN dv d ON s.hv = d.hv AND s.col_a <> d.col_name GROUP BY 1, 2),
+           |p AS (SELECT a.col_name AS col_a, a.n_distinct AS n_distinct_a, b.col_name AS col_b
+           |  FROM nd a JOIN nd b ON a.col_name <> b.col_name)
+           |SELECT p.col_a, p.col_b, p.n_distinct_a,
+           |  least(128, p.n_distinct_a)::BIGINT AS k_eff,
+           |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+           |  coalesce(h.n_hit, 0)::DOUBLE / least(128, p.n_distinct_a) AS containment,
+           |  coalesce(h.n_hit, 0) * 100 >= least(128, p.n_distinct_a) * 95 AS fk_candidate
+           |FROM p LEFT JOIN hits h ON p.col_a = h.col_a AND p.col_b = h.col_b""".stripMargin
+      }),
+
+    // §2.2/217 — smoothed target encoding of customer market segment
+    // by order revenue: enc = (Σ_cat·N + m·G) / (N·(n_cat + m)) —
+    // exact integer numerator/denominator, one final IEEE division,
+    // global totals folded from the category table.
+    "q_target_encoding" -> QueryDef(
+      (s, d) => {
+        val ord = ds(s, d, "orders").toDF.select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val cust = ds(s, d, "customer").toDF.select("c_custkey", "c_mktsegment")
+        operators.FeaturePrep.targetEncoding(
+          ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          "c_mktsegment", "cents", m = 100L)
+      },
+      Some("""WITH f AS (SELECT c_mktsegment, round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IS NOT NULL),
+        |per AS (SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |    sum(cents)::BIGINT AS sum_target FROM f GROUP BY 1),
+        |g AS (SELECT sum(n_rows)::BIGINT AS g_n, sum(sum_target)::BIGINT AS g_sum FROM per)
+        |SELECT c_mktsegment, n_rows, sum_target,
+        |  (sum_target * g_n + 100 * g_sum)::BIGINT AS enc_num,
+        |  (g_n * (n_rows + 100))::BIGINT AS enc_den,
+        |  (sum_target * g_n + 100 * g_sum)::DOUBLE / (g_n * (n_rows + 100)) AS enc
+        |FROM per CROSS JOIN g""".stripMargin)),
+
+    // §2.2/218 — exact two-sample KS drift per source vs the corpus on
+    // document length: D as the integer deviation
+    // |n·cum_s − n_s·cum| maximized over the value support (argmax
+    // ties to the smallest value), global ECDF recovered by summing
+    // per-source cumulatives — no global window anywhere.
+    "q_ks_drift" -> QueryDef(
+      (s, d) => operators.Analytics.ksDrift(
+        ds(s, d, "documents").toDF, "source", "n_chars"),
+      Some("""WITH v AS (SELECT source AS grp, n_chars::BIGINT AS v FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |sc AS (SELECT grp, v, count(*)::BIGINT AS n_sv FROM v GROUP BY 1, 2),
+        |g AS (SELECT grp, count(*)::BIGINT AS n_s FROM v GROUP BY 1),
+        |sup AS (SELECT DISTINCT v FROM v),
+        |tot AS (SELECT count(*)::BIGINT AS n_g FROM v),
+        |grid AS (SELECT g.grp, g.n_s, sup.v FROM g CROSS JOIN sup),
+        |c AS (SELECT grid.grp, grid.n_s, grid.v,
+        |    sum(coalesce(sc.n_sv, 0)) OVER (PARTITION BY grid.grp ORDER BY grid.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_s
+        |  FROM grid LEFT JOIN sc ON grid.grp = sc.grp AND grid.v = sc.v),
+        |gc AS (SELECT v, sum(cum_s)::BIGINT AS cum_g FROM c GROUP BY 1),
+        |dvt AS (SELECT c.grp, c.n_s, c.v,
+        |    abs(tot.n_g * c.cum_s - c.n_s * gc.cum_g)::BIGINT AS dev, tot.n_g AS n_g
+        |  FROM c JOIN gc USING (v) CROSS JOIN tot),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY dev DESC, v) AS rk FROM dvt)
+        |SELECT grp AS source, n_s AS n_group, n_g AS n_total, dev AS d_num,
+        |  v AS at_value, dev::DOUBLE / (n_g * n_s) AS d
+        |FROM r WHERE rk = 1""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

@@ -277,6 +277,152 @@ object Analytics {
       .limit(topK)
   }
 
+  /** Time-bounded funnel ("windowFunnel"): [[sessionFunnel]]'s
+    * first-occurrence strictly-increasing chain with the extra
+    * constraint that every completed step lies within `windowSeconds`
+    * of the FIRST step's first occurrence — "signup within 10 minutes
+    * of landing", the conversion-SLA form of the funnel. Because the
+    * chain is strictly increasing, bounding the LAST step bounds every
+    * intermediate one, so the condition is a single integer epoch
+    * comparison per prefix. Same scale shape as [[sessionFunnel]]: one
+    * combinable (key, session) reduction, a one-row counts frame, a
+    * steps-sized output.
+    * Output: (step_no, step, n_sessions, conv_pct).
+    */
+  def windowFunnel(events: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String], windowSeconds: Long,
+                   gapSeconds: Long = 1800): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    val stepMins = steps.map(st =>
+      min(when(col(typeCol) === st, col("__epoch"))).as(s"t_$st"))
+    val sessions = Sessionize.assignSessions(events, keyCol, tsCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(stepMins.head, stepMins.tail: _*)
+    val reached = steps.indices.map { i =>
+      val ordered = (0 until i).map(j =>
+        col(s"t_${steps(j)}") < col(s"t_${steps(j + 1)}"))
+        .foldLeft(col(s"t_${steps.head}").isNotNull)(_ && _)
+      val inWindow =
+        if (i == 0) lit(true)
+        else col(s"t_${steps(i)}") - col(s"t_${steps.head}") <= windowSeconds
+      sum(when(ordered && inWindow, 1L).otherwise(0L)).as(s"n_$i")
+    }
+    val counts = sessions.agg(reached.head, reached.tail: _*)
+    import spark.implicits._
+    val stepDf = steps.zipWithIndex
+      .map { case (st, i) => (i.toLong, st) }.toDF("step_no", "step")
+    stepDf.crossJoin(broadcast(counts))
+      .select(col("step_no"), col("step"),
+        steps.indices.map(i => when(col("step_no") === i, col(s"n_$i")))
+          .reduce(coalesce(_, _)).as("n_sessions"),
+        steps.indices.map(i =>
+          when(col("step_no") === i, col(s"n_$i") / col("n_0")))
+          .reduce(coalesce(_, _)).as("conv_pct"))
+  }
+
+  /** Consecutive-day activity streaks (gaps-and-islands): per key, the
+    * runs of consecutive active epoch-days, reduced to the count of
+    * runs, total active days, and the longest run — the retention/
+    * engagement "streak" metric. The island id is the classic
+    * `day − row_number()` residual (constant within a consecutive
+    * run, distinct across runs); both windows partition on the key,
+    * and the event stream is reduced to distinct (key, day) FIRST so
+    * the windows never see raw events. All integers, hash-exact.
+    * Output: (key, n_streaks, n_active_days, longest_streak).
+    */
+  def activeDayStreaks(events: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    val days = events.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        floor(unix_timestamp(col(tsCol)) / 86400L).as("day"))
+      .distinct()
+    val w = Window.partitionBy("k").orderBy("day")
+    days.withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("k"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_streaks"), sum("len").as("n_active_days"),
+        max("len").as("longest_streak"))
+  }
+
+  /** Per-group ABC (Pareto) classification: units ranked by value
+    * descending within their group, classified A while the cumulative
+    * value share is ≤ `aPct`%, B while ≤ `bPct`%, else C — the 80/15/5
+    * inventory/revenue concentration analysis. The class boundary is a
+    * cross-multiplied INTEGER comparison (`cum·100 ≤ tot·pct`) so no
+    * float decides membership; the rank order (value desc, unit asc)
+    * is total. The fact table reduces to per-(group, unit) sums
+    * FIRST (combinable); both windows run on that unit-sized frame,
+    * partitioned by group.
+    * Output: (group, unit, value, cum_value, abc_class).
+    */
+  def abcClassification(facts: DataFrame, groupCol: String, unitCol: String,
+                        valueCol: String, aPct: Int = 80,
+                        bPct: Int = 95): DataFrame = {
+    val perUnit = facts.filter(col(groupCol).isNotNull && col(unitCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(unitCol).as("unit"))
+      .agg(sum(col(valueCol)).as("v"))
+    val run = Window.partitionBy("grp").orderBy(col("v").desc, col("unit"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("grp")
+    perUnit
+      .withColumn("cum", sum("v").over(run))
+      .withColumn("tot", sum("v").over(all))
+      .select(col("grp").as(groupCol), col("unit").as(unitCol),
+        col("v").as("value"), col("cum").as("cum_value"),
+        when(col("cum") * 100 <= col("tot") * aPct, "A")
+          .when(col("cum") * 100 <= col("tot") * bPct, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic per group vs
+    * the WHOLE corpus — the distribution-level complement of
+    * [[klDrift]]'s token-level monitor: a source whose document-LENGTH
+    * (or any numeric feature) distribution shifted shows a spiking D
+    * even when its vocabulary hasn't moved. D = max_x |F_s(x) − F(x)|
+    * evaluated as the INTEGER deviation `|n·cum_s(x) − n_s·cum(x)|`
+    * over the corpus's value support, so the argmax and the numerator
+    * replay exactly; only the final D = d_num/(n·n_s) is one IEEE
+    * division. Ties on the max deviation resolve to the smallest
+    * value.
+    *
+    * Scale shape: per-(group, value) counts are combinable; the grid
+    * is groups × distinct-values (both bounded far below the fact
+    * table — a length histogram has thousands of distinct values at
+    * any corpus size); the only windows partition by group over grid
+    * rows; the global ECDF is recovered by SUMMING the per-group
+    * cumulatives at each value (no global window anywhere).
+    *
+    * Bound: `n·cum_s ≤ n·n_s` — inside a long while n·n_s < 2^63
+    * (10^9-row corpus with 10^9-row groups); the documented-ceiling
+    * convention.
+    * Output: (group, n_group, n_total, d_num, at_value, d).
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vals = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+    val sCounts = vals.groupBy("grp", "v").agg(count(lit(1)).as("n_sv"))
+    val groups = vals.groupBy("grp").agg(count(lit(1)).as("n_s"))
+    val support = vals.select("v").distinct()
+    val total = vals.agg(count(lit(1)).as("n_g")) // one row, broadcast
+    val run = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = groups.crossJoin(broadcast(support))
+      .join(sCounts, Seq("grp", "v"), "left")
+      .withColumn("cum_s", sum(coalesce(col("n_sv"), lit(0L))).over(run))
+    val gcum = cum.groupBy("v").agg(sum("cum_s").as("cum_g"))
+    val rk = Window.partitionBy("grp").orderBy(col("dev").desc, col("v"))
+    cum.join(gcum, "v").crossJoin(broadcast(total))
+      .withColumn("dev", abs(col("n_g") * col("cum_s") - col("n_s") * col("cum_g")))
+      .withColumn("__rk", row_number().over(rk))
+      .filter(col("__rk") === 1)
+      .select(col("grp").as(groupCol), col("n_s").as("n_group"),
+        col("n_g").as("n_total"), col("dev").as("d_num"),
+        col("v").as("at_value"),
+        (col("dev").cast("double") / (col("n_g") * col("n_s"))).as("d"))
+  }
+
   /** Per-group Gini coefficient of a value distribution — the
     * inequality/concentration metric (revenue concentration per
     * market, token-share per source...). Uses the rank formula

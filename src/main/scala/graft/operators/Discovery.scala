@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Schema discovery over a lake: which column pairs look like foreign
+  * keys? For every ordered column pair (A, B) the operator estimates
+  * the CONTAINMENT of A's distinct values in B's — `|A ∩ B| / |A|` —
+  * the inclusion-dependency coefficient FK detection is built on
+  * (Bauckmann et al.'s SPIDER / Zhu et al.'s LSH Ensemble problem),
+  * without ever joining two fact tables against each other.
+  *
+  * The estimator is the KMV bottom-k trick the [[Sketches]] family
+  * uses: A's k smallest md5-56 value hashes are a uniform sample of
+  * A's distinct values, so the fraction of them present in B's
+  * distinct-hash set is an unbiased containment estimate with error
+  * O(1/√k) — and because the hashes are md5-portable, an external SQL
+  * engine replays sketch AND hits row-for-row (the repo-wide
+  * exactness contract; a random-sample profiler could not be
+  * hash-checked).
+  *
+  * Scale shape: each column contributes ONE distinct aggregation
+  * (combinable) of its own table scan — the only fact-sized work; the
+  * per-column bottom-k rides the combinable [[graft.functions
+  * .KMinAgg]] (never a window over a column's distincts, which would
+  * funnel a billion-distinct column through one task); the probe join
+  * is hash-keyed, (columns·k) × matching-distincts sized, with the
+  * exploded sketch side broadcast. The pair matrix itself is
+  * columns²-sized — metadata, not data. Values hash via their
+  * canonical string form, so cross-TYPE candidates (an INT key in a
+  * VARCHAR column) still match.
+  */
+object Discovery {
+
+  /** Inclusion-dependency candidates over `cols` = (label, frame,
+    * column) triples. Output one row per ordered pair (col_a ≠
+    * col_b): the sketch size actually used (`k_eff` = min(k, A's
+    * distinct count)), the hit count, the containment estimate, and
+    * the `fk_candidate` flag — containment ≥ tauPct% by integer
+    * cross-multiply, so the flag is never decided by a float.
+    * Output: (col_a, col_b, n_distinct_a, k_eff, n_hit, containment,
+    * fk_candidate).
+    */
+  def inclusionCandidates(cols: Seq[(String, DataFrame, String)],
+                          k: Int = 128, tauPct: Int = 95): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to compare")
+    require(k >= 2 && k <= 128, s"kmv k must be in [2, 128], got $k")
+    val dv = cols.map { case (label, df, c) =>
+      df.select(col(c).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .select(lit(label).as("col_name"),
+          graft.functions.HashFunctions.stableHash56(col("v")).as("hv"))
+    }.reduce(_.unionByName(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = dv.groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
+    val sk = dv.groupBy(col("col_name").as("col_a"))
+      .agg(graft.functions.KMinAgg.kMin(k)(col("hv")).as("__mins"))
+      .select(col("col_a"), explode(col("__mins")).as("hv"))
+    val hits = broadcast(sk)
+      .join(dv.select(col("col_name").as("col_b"), col("hv")), "hv")
+      .filter(col("col_a") =!= col("col_b"))
+      .groupBy("col_a", "col_b").agg(count(lit(1)).as("n_hit"))
+    val out = nd.select(col("col_name").as("col_a"),
+        col("n_distinct").as("n_distinct_a"))
+      .crossJoin(broadcast(nd.select(col("col_name").as("col_b"))))
+      .filter(col("col_a") =!= col("col_b"))
+      .join(hits, Seq("col_a", "col_b"), "left")
+      .withColumn("k_eff", least(lit(k.toLong), col("n_distinct_a")))
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("containment", col("n_hit").cast("double") / col("k_eff"))
+      .withColumn("fk_candidate", col("n_hit") * 100 >= col("k_eff") * tauPct)
+      .select("col_a", "col_b", "n_distinct_a", "k_eff", "n_hit",
+        "containment", "fk_candidate")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    dv.unpersist()
+    out
+  }
+}

@@ -29,6 +29,92 @@ object TfIdf {
         (col("tf_cnt") * log(col("n_docs") / col("df_cnt"))).as("tfidf"))
   }
 
+  /** Per-document keyword extraction: each document's top-`topK`
+    * tokens by integer-scaled TF-IDF — the summarization/tagging
+    * primitive on top of [[tfidf]]. The rank key is
+    * `tf · floor(ln(N/df)·2^20)`: an exact integer (the surprisal
+    * ladder's scaling pattern) so the (score desc, token asc) order is
+    * total and both engines select identical keywords — a raw float
+    * `tf·ln(N/df)` would tie-break on rounding noise.
+    *
+    * Scale shape is [[tfidf]]'s: one explode, a vocabulary-sized df
+    * table broadcast back, then ONE window partitioned by doc over the
+    * doc's own distinct tokens (document-bounded frames, never the
+    * corpus). Output: (doc_id, token, tf_cnt, df_cnt, score_q,
+    * kw_rank).
+    */
+  def keywords(docs: DataFrame, idCol: String, textCol: String,
+               topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf_cnt"))
+    val dfT = tok.groupBy("token").agg(countDistinct("doc_id").as("df_cnt"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_q").desc, col("token"))
+    tf.join(broadcast(dfT), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_q", col("tf_cnt") *
+        floor(log(col("n_docs").cast("double") / col("df_cnt")) * 1048576).cast("long"))
+      .withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= topK)
+      .select(col("doc_id"), col("token"), col("tf_cnt"), col("df_cnt"),
+        col("score_q"), col("kw_rank").cast("long").as("kw_rank"))
+  }
+
+  /** Bigram collocations by pointwise mutual information: adjacent
+    * token pairs occurring ≥ `minCount` times, scored
+    * `PMI = ln(p(ab) / (p(a)·p(b)))` and returned as the top-`topK`
+    * by (pmi desc, pair asc) — the multi-word-expression miner
+    * ("new york", "machine learning") a tokenizer or phrase-aware
+    * dedup wants as input.
+    *
+    * Exactness: PMI is computed as
+    * `floor(ln((c_ab·T)/(T_b·c_a) · T/c_b) · 2^20)` — each factor ONE
+    * double division of two exact long products, multiplied in fixed
+    * order, so the integer score replays bit-for-bit (the [[
+    * graft.operators.Analytics.klDrift]] pattern). Bound: c_ab·T needs
+    * < 2^63 — holds to ~10^9-token corpora with 10^9-frequency pairs;
+    * documented-ceiling convention.
+    *
+    * Scale shape: bigrams from the row-wise zip (no self-join); pair
+    * and unigram counts combinable; the ≥minCount gate shrinks the
+    * pair table BEFORE the unigram joins (vocabulary-keyed, AQE picks
+    * broadcast while they fit); top-k compiles to TakeOrdered.
+    * Output: (w1, w2, c_ab, c_a, c_b, pmi_q).
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Int = 5, topK: Int = 20): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0)
+    val uniCnt = uni.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totals = uniCnt.agg(sum("c_w").as("t_uni")) // one row, broadcast
+    val occ = toks.filter(col("toks").isNotNull && size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("z"))
+      .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val biCnt = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val tBi = biCnt.agg(sum("c_ab").as("t_bi")) // one row, broadcast
+    biCnt.filter(col("c_ab") >= minCount)
+      .join(uniCnt.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uniCnt.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(tBi))
+      .withColumn("pmi_q", floor(log(
+        ((col("c_ab") * col("t_uni")).cast("double") /
+          (col("t_bi") * col("c_a")).cast("double")) *
+          (col("t_uni").cast("double") / col("c_b").cast("double"))) * 1048576)
+        .cast("long"))
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2")).limit(topK)
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "pmi_q")
+  }
+
   /** Unigram surprisal per document: `avg(-ln p(token))` under the
     * corpus's own unigram distribution — the cheap stand-in for the
     * LM-perplexity quality filter (CCNet-style): documents full of

@@ -104,4 +104,42 @@ object TimeSeries {
         min(col("cents")).as("low_cents"),
         max_by(col("cents"), col("__ord")).as("close_cents"))
   }
+
+  /** CUSUM changepoint curve per series: daily event counts reduced to
+    * the cumulative deviation from the series mean, ENTIRELY in
+    * integers — with m days and total T, the textbook
+    * `S_t = Σ_{i≤t}(x_i − T/m)` is scaled by m to
+    * `s_num = m·prefix_t − t·T`, which is exact where the float mean
+    * never is. The changepoint is the day with the maximum |s_num|
+    * (ties to the earliest day), flagged on the curve — the "when did
+    * this feed's volume regime shift" monitor that pairs with
+    * [[Analytics.klDrift]]'s content drift.
+    *
+    * Scale shape: one combinable (series, day) count is the only
+    * fact-sized aggregation; all three windows partition by series
+    * over its day-sized curve (≤ a few thousand rows per series at any
+    * corpus size). Bound: `m·prefix ≤ m·T` — inside a long to ~10^14
+    * daily events over 30 years; documented-ceiling convention.
+    * Output: (series, day, t, n_events, s_num, is_change).
+    */
+  def cusumChangepoint(events: DataFrame, seriesCol: String,
+                       tsCol: String): DataFrame = {
+    val daily = events.filter(col(seriesCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        floor(unix_timestamp(col(tsCol)) / 86400L).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val byDay = Window.partitionBy("series").orderBy("day")
+    val run = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("series")
+    val curve = daily
+      .withColumn("t", row_number().over(byDay).cast("long"))
+      .withColumn("__prefix", sum("n_events").over(run))
+      .withColumn("__m", count(lit(1)).over(all))
+      .withColumn("__tot", sum("n_events").over(all))
+      .withColumn("s_num", col("__m") * col("__prefix") - col("t") * col("__tot"))
+    val peak = Window.partitionBy("series").orderBy(abs(col("s_num")).desc, col("day"))
+    curve
+      .withColumn("is_change", row_number().over(peak) === 1)
+      .select("series", "day", "t", "n_events", "s_num", "is_change")
+  }
 }
