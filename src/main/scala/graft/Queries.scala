@@ -849,10 +849,11 @@ object Queries {
     // chain) reduced to a deduplicated corpus — per cluster keep the
     // LONGEST member (least-truncated copy), ties to the smallest id;
     // every doc returned with its verdict so drops are auditable. The
-    // oracle extends the cluster replay with the two-step selection
-    // (max n_chars, then min doc_id among the maxima) — semantically
-    // identical to the Spark side's single combinable max_by over
-    // (len, -id).
+    // oracle extends the cluster replay with the same two-step
+    // selection the Spark side runs (max n_chars, then min doc_id
+    // among the NULL-SAFE maxima — IS NOT DISTINCT FROM, so an
+    // all-NULL-length cluster keeps itself as canonical instead of
+    // dropping out of the result).
     "dedup_canonical" -> QueryDef(
       (s, d) => Dedup.keepCanonical(ds(s, d, "documents").toDF,
         "doc_id", "text", "n_chars", bands = 2, rowsPerBand = 4, iterations = 3),
@@ -876,7 +877,8 @@ object Queries {
            |  FROM cl JOIN documents d USING (doc_id)),
            |mx AS (SELECT cluster_id, max(n_chars) AS mc FROM sized GROUP BY 1),
            |canon AS (SELECT s.cluster_id, min(s.doc_id) AS canonical_id
-           |  FROM sized s JOIN mx USING (cluster_id) WHERE s.n_chars = mx.mc GROUP BY 1)
+           |  FROM sized s JOIN mx USING (cluster_id)
+           |  WHERE s.n_chars IS NOT DISTINCT FROM mx.mc GROUP BY 1)
            |SELECT s.doc_id, s.cluster_id, c.canonical_id,
            |  s.doc_id = c.canonical_id AS keep
            |FROM sized s JOIN canon c USING (cluster_id)""".stripMargin
@@ -3149,7 +3151,9 @@ object Queries {
     // and (for l=r runs) the run-parity from the last non-l symbol is
     // odd, which IS the closed form of the sequential left-to-right
     // scan (cross-checked symbol-for-symbol against an independent
-    // imperative replay before landing).
+    // imperative replay before landing). Zero-token docs (NULL or
+    // whitespace-only text) emit ('', 0) on BOTH sides — the kernel's
+    // pinned contract (BpeSpec) and the oracle's LEFT JOIN from docs.
     "text_bpe_encode" -> QueryDef(
       (s, d) => {
         val merges = Seq(("t", "a"), ("ta", "b"), ("l", "e</w>"), ("tab", "le</w>"),
@@ -3184,11 +3188,14 @@ object Queries {
         |      THEN []
         |      ELSE [r.syms[i]] END))
         |  FROM r JOIN merges m ON m.rank = r.step + 1),
-        |enc AS (SELECT w, syms FROM r WHERE step = (SELECT max(rank) FROM merges))
-        |SELECT i.doc_id, array_to_string(flatten(list(e.syms ORDER BY i.p)), ' ') AS bpe_text,
-        |  len(flatten(list(e.syms ORDER BY i.p)))::INT AS n_bpe
-        |FROM inst i JOIN enc e ON e.w = i.w
-        |GROUP BY i.doc_id""".stripMargin)),
+        |enc AS (SELECT w, syms FROM r WHERE step = (SELECT max(rank) FROM merges)),
+        |agg AS (SELECT i.doc_id, array_to_string(flatten(list(e.syms ORDER BY i.p)), ' ') AS bpe_text,
+        |    len(flatten(list(e.syms ORDER BY i.p)))::INT AS n_bpe
+        |  FROM inst i JOIN enc e ON e.w = i.w
+        |  GROUP BY i.doc_id)
+        |SELECT d.doc_id, coalesce(a.bpe_text, '') AS bpe_text,
+        |  coalesce(a.n_bpe, 0)::INT AS n_bpe
+        |FROM docs d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
 
     // §2.3/186 — MMR diversified re-ranking: greedy
     // relevance-minus-max-similarity selection over each query's
@@ -3734,6 +3741,45 @@ object Queries {
         |FROM orders
         |WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
         |GROUP BY 1""".stripMargin)),
+
+    // §2.2/219 — GENERAL two-sided join IVM: a materialized
+    // MANY-TO-MANY join (customers ⋈ suppliers on nation — every
+    // nation holds many of both) absorbs CDC deltas on BOTH sides
+    // without re-running the join: deltas are netted per row content
+    // (an intra-batch insert-then-delete pair — custkey % 4 = 0 AND
+    // % 10 = 0 below — nets to zero and must NOT surface), then the
+    // signed delta rule ΔR⋈S' ∪ Rkept⋈ΔS patches the state. The
+    // oracle IS the contract: recompute the join from scratch over
+    // the post-delta row sets; equality means the incremental path
+    // lost nothing and resurrected nothing.
+    "q_ivm_join_refresh" -> QueryDef(
+      (s, d) => {
+        val r0 = ds(s, d, "customer").toDF.filter(col("c_custkey") % 5 === 1)
+          .select(col("c_custkey"), col("c_nationkey").as("nationkey"))
+        val s0 = ds(s, d, "supplier").toDF
+          .select(col("s_suppkey"), col("s_nationkey").as("nationkey"))
+        val rState = r0.filter(col("c_custkey") % 4 =!= 0)
+        val sState = s0.filter(col("s_suppkey") % 3 =!= 0)
+        val deltaR = r0.filter(col("c_custkey") % 4 === 0).withColumn("__op", lit("I"))
+          .unionByName(r0.filter(col("c_custkey") % 4 =!= 0 && col("c_custkey") % 9 === 0)
+            .withColumn("__op", lit("D")))
+          // intra-batch I-then-D: inserted above AND deleted here — net 0
+          .unionByName(r0.filter(col("c_custkey") % 4 === 0 && col("c_custkey") % 10 === 0)
+            .withColumn("__op", lit("D")))
+        val deltaS = s0.filter(col("s_suppkey") % 3 === 0).withColumn("__op", lit("I"))
+          .unionByName(s0.filter(col("s_suppkey") % 3 =!= 0 && col("s_suppkey") % 7 === 0)
+            .withColumn("__op", lit("D")))
+        val matJoin = rState.join(sState, "nationkey")
+        operators.Ivm.applyTwoSidedJoinDelta(matJoin, rState, deltaR, sState, deltaS,
+            "__op", "c_custkey", "s_suppkey", "nationkey")
+          .select(col("nationkey"), col("c_custkey"), col("s_suppkey"))
+      },
+      Some("""WITH r AS (SELECT c_custkey, c_nationkey AS nationkey FROM customer
+        |  WHERE c_custkey % 5 = 1 AND ((c_custkey % 4 <> 0 AND c_custkey % 9 <> 0)
+        |     OR (c_custkey % 4 = 0 AND c_custkey % 10 <> 0))),
+        |s AS (SELECT s_suppkey, s_nationkey AS nationkey FROM supplier
+        |  WHERE (s_suppkey % 3 <> 0 AND s_suppkey % 7 <> 0) OR s_suppkey % 3 = 0)
+        |SELECT nationkey, c_custkey, s_suppkey FROM r JOIN s USING (nationkey)""".stripMargin)),
 
     // §2.2/190 — TPC-H Q14 shape: monthly promo revenue share — the
     // dimension-attribute CASE-sum ratio; revenue in exact cents, the

@@ -69,23 +69,43 @@ object Bpe {
     merges.toSeq.toDF()
   }
 
-  /** Tokenize the corpus with a learned merge table: replay the merges
-    * in rank order against each word — word-internal, so a pure map
-    * over the corpus scan (zero shuffle); the merge list is a small
-    * driver-side constant shipped in the task closure, rank order is
-    * the BPE contract.
+  /** Tokenize the corpus with a learned merge table — word-internal,
+    * so a pure map over the corpus scan (zero shuffle); the merge
+    * list is a small driver-side constant shipped in the task
+    * closure. Zero-token docs (NULL or whitespace-only text) emit
+    * (empty array, 0) — pinned in BpeSpec and mirrored by the
+    * oracle's LEFT JOIN.
     *
-    * Kernel shape: a `mapPartitions` loop with REUSED symbol buffers —
-    * the two scratch arrays are allocated once per PARTITION and
-    * ping-ponged across merge rounds, so the corpus-sized hot path
-    * allocates only its output rows (the Scala-udf version this
-    * replaces built a fresh Seq per word per merge round and paid udf
-    * serde on every row — the one non-kernel corpus-scan in the repo).
-    * Tokenization matches [[TextFunctions.tokens]] (whitespace split of
-    * the trimmed text) so the kernel and the SQL surface agree.
+    * Kernel shape: `mapPartitions` with per-PARTITION scratch reused
+    * across every word, so the corpus-sized hot path allocates only
+    * its output rows. The per-word algorithm is the standard
+    * rank-priority-queue encode — a doubly-linked symbol list plus a
+    * min-heap of (rank, position) candidates with lazy invalidation:
+    * O(len · log len) per word INDEPENDENT of merge-table size,
+    * where the per-rank rescan this replaced cost O(merges · len)
+    * (3 orders of magnitude more scans at a production 32k-merge
+    * vocabulary). Heap order (rank, then leftmost position)
+    * reproduces the pinned rank-order left-to-right-non-overlapping
+    * semantics exactly WHEN the merge table is well-formed
+    * ([[wellFormed]]: every composite component is the output of an
+    * earlier rule and rule outputs are distinct — true of any
+    * [[train]]-produced table); a malformed table (where the two
+    * algorithms genuinely diverge: a late merge can manufacture a
+    * symbol an EARLier rule consumes, which rank-order replay never
+    * applies but lowest-rank-first would) falls back to the rescan so
+    * the documented semantics never silently change.
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             merges: Seq[(String, String)]): DataFrame = {
+             merges: Seq[(String, String)]): DataFrame =
+    encode(docs, idCol, textCol, merges, forceRescan = false)
+
+  /** `forceRescan` pins the reference path for the equivalence spec
+    * (BpeSpec proves heap == rescan over real corpora); production
+    * callers never set it.
+    */
+  private[graft] def encode(docs: DataFrame, idCol: String, textCol: String,
+                            merges: Seq[(String, String)],
+                            forceRescan: Boolean): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val in = docs.select(col(idCol), col(textCol))
@@ -94,10 +114,9 @@ object Bpe {
       StructField("bpe_tokens", ArrayType(StringType, containsNull = false), nullable = false),
       StructField("n_bpe", IntegerType, nullable = false)))
     val mArr = merges.toArray
+    val useHeap = !forceRescan && wellFormed(merges)
     in.mapPartitions { rows =>
-      // per-partition scratch: current/next symbol buffers + doc output
-      var cur = new scala.collection.mutable.ArrayBuffer[String](64)
-      var nxt = new scala.collection.mutable.ArrayBuffer[String](64)
+      val enc = if (useHeap) new HeapEncoder(mArr) else new RescanEncoder(mArr)
       val out = new scala.collection.mutable.ArrayBuffer[String](256)
       rows.map { row =>
         out.clear()
@@ -105,35 +124,192 @@ object Bpe {
         val toks = text.trim.split("\\s+")
         var t = 0
         while (t < toks.length) {
-          val w = toks(t)
-          if (w.nonEmpty) {
-            cur.clear()
-            var i = 0
-            while (i < w.length) {
-              cur += (if (i == w.length - 1) w.charAt(i).toString + "</w>"
-                      else w.charAt(i).toString)
-              i += 1
-            }
-            var m = 0
-            while (m < mArr.length) {
-              val l = mArr(m)._1; val r = mArr(m)._2
-              nxt.clear()
-              var j = 0
-              while (j < cur.length) {
-                if (j + 1 < cur.length && cur(j) == l && cur(j + 1) == r) {
-                  nxt += (l + r); j += 2 // left-to-right, non-overlapping
-                } else { nxt += cur(j); j += 1 }
-              }
-              val tmp = cur; cur = nxt; nxt = tmp // ping-pong, no realloc
-              m += 1
-            }
-            out ++= cur
-          }
+          if (toks(t).nonEmpty) enc.encodeWord(toks(t), out)
           t += 1
         }
         Row(row.get(0), out.toSeq, out.length)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** A merge table is well-formed when every composite (non-base)
+    * component of rule i is the output `l+r` of some EARLIER rule and
+    * no two rules produce the same output string. Under those two
+    * conditions a merge at rank m can only ever enable pairs of rank
+    * > m (the new symbol's unique producer is m itself), so the
+    * lowest-rank-first heap replay and the rank-order rescan replay
+    * are provably identical. Any table [[train]] emits satisfies both
+    * by construction; hand-written tables are checked, not trusted.
+    * Base symbols are a single character or a single character +
+    * `</w>`.
+    */
+  private[graft] def wellFormed(merges: Seq[(String, String)]): Boolean = {
+    def atomic(s: String): Boolean =
+      s.length == 1 || (s.endsWith("</w>") && s.length == 5)
+    val outputs = scala.collection.mutable.HashMap.empty[String, Int]
+    val ok = merges.zipWithIndex.forall { case ((l, r), i) =>
+      val lOk = atomic(l) || outputs.get(l).exists(_ < i)
+      val rOk = atomic(r) || outputs.get(r).exists(_ < i)
+      outputs.put(l + r, outputs.getOrElse(l + r, i)) // first producer wins
+      lOk && rOk
+    }
+    // distinct outputs: a duplicate output string breaks the
+    // unique-producer argument (and covers duplicate (l, r) rules,
+    // whose re-application at the later rank the heap would not replay)
+    ok && merges.map { case (l, r) => l + r }.distinct.size == merges.size
+  }
+
+  private sealed trait WordEncoder {
+    def encodeWord(w: String, out: scala.collection.mutable.ArrayBuffer[String]): Unit
+    /** Split `w` into base symbols in `syms`, return count. */
+    protected final def baseSyms(w: String, syms: Array[String]): Int = {
+      var i = 0
+      while (i < w.length) {
+        syms(i) = if (i == w.length - 1) w.charAt(i).toString + "</w>"
+                  else w.charAt(i).toString
+        i += 1
+      }
+      w.length
+    }
+  }
+
+  /** O(merges × len) reference replay: for each rank in order, one
+    * left-to-right non-overlapping sweep. Kept as the semantics
+    * definition (the oracle replays exactly this) and the fallback
+    * for malformed tables.
+    */
+  private final class RescanEncoder(mArr: Array[(String, String)]) extends WordEncoder {
+    private var cur = new scala.collection.mutable.ArrayBuffer[String](64)
+    private var nxt = new scala.collection.mutable.ArrayBuffer[String](64)
+    def encodeWord(w: String, out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+      cur.clear()
+      var i = 0
+      while (i < w.length) {
+        cur += (if (i == w.length - 1) w.charAt(i).toString + "</w>"
+                else w.charAt(i).toString)
+        i += 1
+      }
+      var m = 0
+      while (m < mArr.length) {
+        val l = mArr(m)._1; val r = mArr(m)._2
+        nxt.clear()
+        var j = 0
+        while (j < cur.length) {
+          if (j + 1 < cur.length && cur(j) == l && cur(j + 1) == r) {
+            nxt += (l + r); j += 2 // left-to-right, non-overlapping
+          } else { nxt += cur(j); j += 1 }
+        }
+        val tmp = cur; cur = nxt; nxt = tmp // ping-pong, no realloc
+        m += 1
+      }
+      out ++= cur
+    }
+  }
+
+  /** O(len · log len) heap encode: doubly-linked symbol list over the
+    * base symbols; a long-packed (rank, pos) min-heap of candidate
+    * adjacent pairs with lazy invalidation (a popped entry re-checks
+    * the CURRENT pair at its position — consumed or changed pairs are
+    * skipped; their live replacement has its own entry). All scratch
+    * (linked list, heap, rank map) is per-partition and reused across
+    * words; nothing allocates per merge.
+    */
+  private final class HeapEncoder(mArr: Array[(String, String)]) extends WordEncoder {
+    private val rank = {
+      val m = new java.util.HashMap[String, Integer](mArr.length * 2)
+      var i = 0
+      while (i < mArr.length) {
+        // first (lowest) rank wins on duplicate pairs, matching rescan
+        m.putIfAbsent(mArr(i)._1 + " " + mArr(i)._2, Integer.valueOf(i))
+        i += 1
+      }
+      m
+    }
+    private var syms = new Array[String](64)
+    private var nxt = new Array[Int](64)
+    private var prv = new Array[Int](64)
+    private var heap = new Array[Long](64)
+    private var heapN = 0
+
+    private def rankOf(a: String, b: String): Int = {
+      val r = rank.get(a + " " + b)
+      if (r == null) -1 else r.intValue()
+    }
+    private def push(v: Long): Unit = {
+      if (heapN == heap.length) heap = java.util.Arrays.copyOf(heap, heap.length * 2)
+      heap(heapN) = v; heapN += 1
+      var c = heapN - 1
+      while (c > 0 && heap((c - 1) / 2) > heap(c)) {
+        val p = (c - 1) / 2
+        val t = heap(p); heap(p) = heap(c); heap(c) = t
+        c = p
+      }
+    }
+    private def pop(): Long = {
+      val top = heap(0)
+      heapN -= 1
+      heap(0) = heap(heapN)
+      var p = 0
+      while (true) {
+        val l = 2 * p + 1; val r = l + 1
+        var s = p
+        if (l < heapN && heap(l) < heap(s)) s = l
+        if (r < heapN && heap(r) < heap(s)) s = r
+        if (s == p) return top
+        val t = heap(p); heap(p) = heap(s); heap(s) = t
+        p = s
+      }
+      top
+    }
+
+    def encodeWord(w: String, out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+      val n = w.length
+      if (syms.length < n) {
+        val cap = Integer.highestOneBit(n - 1) * 2
+        syms = new Array[String](cap); nxt = new Array[Int](cap); prv = new Array[Int](cap)
+      }
+      val cnt = baseSyms(w, syms)
+      var i = 0
+      while (i < cnt) { nxt(i) = if (i + 1 < cnt) i + 1 else -1; prv(i) = i - 1; i += 1 }
+      heapN = 0
+      i = 0
+      while (i + 1 < cnt) {
+        val r = rankOf(syms(i), syms(i + 1))
+        if (r >= 0) push(r.toLong << 32 | i.toLong)
+        i += 1
+      }
+      while (heapN > 0) {
+        val top = pop()
+        val rk = (top >>> 32).toInt
+        val p = (top & 0xffffffffL).toInt
+        if (syms(p) != null) {
+          val q = nxt(p)
+          // lazy invalidation: merge only if the pair at p is STILL
+          // this entry's pair (same rank); a changed pair's live rank
+          // has its own, earlier-or-later entry
+          if (q >= 0 && rankOf(syms(p), syms(q)) == rk) {
+            syms(p) = syms(p) + syms(q)
+            syms(q) = null
+            val qn = nxt(q)
+            nxt(p) = qn
+            if (qn >= 0) prv(qn) = p
+            val pp = prv(p)
+            if (pp >= 0) {
+              val r2 = rankOf(syms(pp), syms(p))
+              if (r2 >= 0) push(r2.toLong << 32 | pp.toLong)
+            }
+            if (qn >= 0) {
+              val r2 = rankOf(syms(p), syms(qn))
+              if (r2 >= 0) push(r2.toLong << 32 | p.toLong)
+            }
+          }
+        }
+      }
+      // node 0 is never a merge's right operand, so the chain from 0
+      // visits exactly the live symbols in order
+      i = 0
+      while (i >= 0) { out += syms(i); i = nxt(i) }
+    }
   }
 
   private[graft] def toSymbols(w: String): Seq[String] = {

@@ -502,9 +502,15 @@ object Dedup {
     * `keep` or audit what was dropped.
     *
     * Scale shape: clustering as in [[minhashClusters]]; the selection
-    * is ONE combinable `max_by` aggregate per cluster (max over
-    * (len, -id) — no per-cluster window, no sort) joined back on the
-    * cluster key.
+    * is TWO combinable aggregates per cluster — max length, then min
+    * id among the null-safe maxima (no per-cluster window, no sort)
+    * — joined back on the cluster key. Two steps instead of one
+    * `max_by` because the tie-break must hold for ARBITRARY id and
+    * length types: a packed (len, -id) ordering only works for
+    * numeric ids (a string id would silently turn "ties to smallest
+    * id" into a nondeterministic pick), and the null-safe equality
+    * keeps all-NULL-length clusters (null-text singletons) canonical
+    * on themselves instead of vanishing.
     *
     * Output: (doc_id, cluster_id, canonical_id, keep).
     */
@@ -514,9 +520,10 @@ object Dedup {
     val clusters = minhashClusters(df, idCol, textCol, bands, rowsPerBand, iterations)
     val sized = clusters.join(
       df.select(col(idCol).as("doc_id"), col(lenCol).as("__len")), "doc_id")
-    val canon = sized.groupBy("cluster_id")
-      .agg(max_by(col("doc_id"), struct(col("__len"), col("doc_id") * -1))
-        .as("canonical_id"))
+    val mx = sized.groupBy("cluster_id").agg(max(col("__len")).as("__mx"))
+    val canon = sized.join(mx, "cluster_id")
+      .filter(col("__len") <=> col("__mx"))
+      .groupBy("cluster_id").agg(min(col("doc_id")).as("canonical_id"))
     sized.join(canon, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
         (col("doc_id") === col("canonical_id")).as("keep"))

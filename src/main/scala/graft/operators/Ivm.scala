@@ -74,20 +74,103 @@ object Ivm {
       .filter(col("n_rows") > 0)
   }
 
+  /** Per-row NET of a signed delta: group the delta by its FULL row
+    * content (everything but `opCol`) and sum I as +1 / D as −1,
+    * keeping only rows with a nonzero net. This is what makes a delta
+    * batch ORDER-INSENSITIVE, the same way [[applyGroupDelta]]'s
+    * signed counts are: a row inserted AND deleted within the batch
+    * nets to zero (a no-op, matching recompute), while an update's
+    * D(old)+I(new) pair nets to −1 on the old content and +1 on the
+    * new content — the two cases are indistinguishable by (id, op
+    * multiset) alone, so netting on CONTENT is the only rule that
+    * gets both right. Under the primary-key contract (each id appears
+    * at most once in the base table) a consistent feed can only net
+    * to −1/0/+1 per content row.
+    */
+  private def netDelta(delta: DataFrame, opCol: String): DataFrame = {
+    val sgn = when(col(opCol) === "I", lit(1L))
+      .when(col(opCol) === "D", lit(-1L))
+      .otherwise(raise_error(concat(lit("IVM delta op must be I or D, got: "),
+        col(opCol))).cast("long"))
+    val rowCols = delta.columns.filterNot(_ == opCol).toSeq
+    delta.select(rowCols.map(col) :+ sgn.as("__sgn"): _*)
+      .groupBy(rowCols.map(col): _*)
+      .agg(sum(col("__sgn")).as("__net"))
+      .filter(col("__net") =!= 0)
+  }
+
   /** Maintain a materialized EQUI-JOIN under deltas to the fact side:
     * J = R ⋈ S keyed by R's primary key `rIdCol` (each fact row joins
-    * at most one dimension row — the star-schema case). Deletes drop
-    * the matching materialized rows by id (one keyed anti join);
-    * inserts join ONLY the delta against the dimension (ΔR ⋈ S — the
-    * classic delta rule; the base table R is never read). An update
-    * travels as D+I and lands in both branches.
+    * at most one dimension row — the star-schema case). The delta is
+    * first NETTED per row content ([[netDelta]]), so an intra-batch
+    * I-then-D pair is a no-op while an update's D(old)+I(new) still
+    * lands as delete-old + insert-new; effective deletes drop the
+    * matching materialized rows by id (one keyed anti join);
+    * effective inserts join ONLY the delta against the dimension
+    * (ΔR ⋈ S — the classic delta rule; the base table R is never
+    * read).
     */
   def applyJoinDelta(matJoin: DataFrame, deltaR: DataFrame, opCol: String,
                      rIdCol: String, dim: DataFrame, joinKey: String): DataFrame = {
-    val dels = deltaR.filter(col(opCol) === "D").select(col(rIdCol))
-    val ins = deltaR.filter(col(opCol) === "I").drop(opCol).join(dim, joinKey)
+    val net = netDelta(deltaR, opCol)
+    val dels = net.filter(col("__net") < 0).select(col(rIdCol))
+    val ins = net.filter(col("__net") > 0).drop("__net").join(dim, joinKey)
     matJoin.join(dels, Seq(rIdCol), "left_anti")
       .unionByName(ins.select(matJoin.columns.map(col): _*))
+  }
+
+  /** GENERAL join IVM — the reference join QPU's full
+    * maintain-under-updates contract (internal/qpu_classes/join/
+    * join.go consumes update streams from BOTH parents): maintain
+    * J = R ⋈ S on `joinKey` under deltas to EITHER side, with
+    * many-to-many join keys. Rows of each side are unique by that
+    * side's primary key (`rIdCol` / `sIdCol` — the realistic CDC
+    * contract; the JOIN key may repeat freely on both sides), so
+    * every materialized row is uniquely (rIdCol, sIdCol)-keyed.
+    *
+    * This is the signed delta rule J' = J + ΔR⋈S + R⋈ΔS + ΔR⋈ΔS,
+    * evaluated without double counting by splitting each side into
+    * kept ∪ inserted:
+    *   J' = (J − touched) ∪ (Rins ⋈ S') ∪ ((R' − Rins) ⋈ Sins)
+    * where S' and R' are the post-delta sides. Deltas are netted per
+    * row content first ([[netDelta]]) so intra-batch I-then-D pairs
+    * vanish and updates split into delete-old + insert-new; a
+    * cross-key update (the join key itself changes) is just that
+    * split landing in two join-key groups.
+    *
+    * Scale shape: the anti joins prune J by the (delta-sized) touched
+    * id sets — broadcastable; ΔR⋈S' and R'⋈ΔS shuffle only the
+    * delta's join keys against the big side (AQE turns these into
+    * broadcast joins when the delta is small); nothing rescans J by
+    * content and nothing is quadratic in the base tables. The side
+    * states R/S must be supplied — the whole point of maintaining J
+    * incrementally is that they are cheap parquet reads pruned to the
+    * delta's keys, never re-joined wholesale.
+    */
+  def applyTwoSidedJoinDelta(matJoin: DataFrame,
+                             rState: DataFrame, deltaR: DataFrame,
+                             sState: DataFrame, deltaS: DataFrame,
+                             opCol: String, rIdCol: String, sIdCol: String,
+                             joinKey: String): DataFrame = {
+    val netR = netDelta(deltaR, opCol)
+    val netS = netDelta(deltaS, opCol)
+    val rDelIds = netR.filter(col("__net") < 0).select(col(rIdCol))
+    val sDelIds = netS.filter(col("__net") < 0).select(col(sIdCol))
+    val rIns = netR.filter(col("__net") > 0).drop("__net")
+    val sIns = netS.filter(col("__net") > 0).drop("__net")
+    // post-delta sides (kept ∪ inserted)
+    val rKept = rState.join(rDelIds, Seq(rIdCol), "left_anti")
+    val sKept = sState.join(sDelIds, Seq(sIdCol), "left_anti")
+    val sNew = sKept.unionByName(sIns)
+    val outCols = matJoin.columns.map(col).toSeq
+    val untouched = matJoin
+      .join(rDelIds, Seq(rIdCol), "left_anti")
+      .join(sDelIds, Seq(sIdCol), "left_anti")
+    // ΔR ⋈ S' covers (Rins × Skept) ∪ (Rins × Sins);
+    // Rkept ⋈ ΔS covers the remaining (Rkept × Sins) exactly once
+    val fromR = rIns.join(sNew, joinKey).select(outCols: _*)
+    val fromS = rKept.join(sIns, joinKey).select(outCols: _*)
+    untouched.unionByName(fromR).unionByName(fromS)
   }
 
   /** Parquet-backed refresh of a materialized group-by-sum table: read
@@ -137,7 +220,101 @@ object Ivm {
     // would resurrect the deleted groups
     val survived = merged.select(partitionCol).distinct().collect().map(_.get(0)).toSet
     parts.filterNot(survived.contains).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(hPath, s"$partitionCol=$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(hPath,
+        partitionDirName(partitionCol, v)), true)
+    }
+  }
+
+  /** The exact directory name the parquet writer used for a partition
+    * value — `ExternalCatalogUtils.getPartitionPathString`, i.e. Hive
+    * path escaping of both column and value (space, ':', '/', '%', …)
+    * and the `__HIVE_DEFAULT_PARTITION__` sentinel for empty strings.
+    * A hand-built s"$col=$v" silently MISSES any partition whose
+    * escaped directory differs from `String.valueOf` — the stale
+    * directory then survives the vanished-partition sweep and deleted
+    * groups resurrect on the next read. Restricted to the types whose
+    * `String.valueOf` matches the writer's value rendering
+    * (integral/string/boolean); date/timestamp/decimal partition
+    * columns render through type-specific formatters and are rejected
+    * up front rather than risked.
+    */
+  private[graft] def partitionDirName(partitionCol: String, v: Any): String = {
+    v match {
+      case null | _: String | _: java.lang.Boolean | _: java.lang.Byte |
+           _: java.lang.Short | _: java.lang.Integer | _: java.lang.Long => ()
+      case other => throw new IllegalArgumentException(
+        s"partition column '$partitionCol' has ${other.getClass.getSimpleName} values — " +
+          "only integral/string/boolean partition columns are supported for " +
+          "vanished-partition cleanup (date/timestamp/decimal render through " +
+          "writer-side formatters this path does not replicate)")
+    }
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(partitionCol, String.valueOf(v))
+  }
+
+  /** The partition bucket for [[refreshJoinTable]]: a stable hash
+    * bucket of the join key. Hash-bucketing (not raw key values) keeps
+    * the partition count fixed whatever the key cardinality, and an
+    * integer bucket never needs path escaping.
+    */
+  def joinBucket(joinKey: String, numBuckets: Int) =
+    pmod(hash(col(joinKey)), lit(numBuckets)).as("__jb")
+
+  /** Materialize R ⋈ S at `path`, partitioned by the join-key hash
+    * bucket — the layout [[refreshJoinTable]] maintains incrementally.
+    */
+  def writeJoinTable(path: String, r: DataFrame, s: DataFrame,
+                     joinKey: String, numBuckets: Int): Unit =
+    r.join(s, joinKey).withColumn("__jb", joinBucket(joinKey, numBuckets))
+      .write.mode("overwrite").partitionBy("__jb").parquet(path)
+
+  /** Parquet-backed refresh of a [[writeJoinTable]] materialized join
+    * under deltas to EITHER side: only the join-key buckets the delta
+    * touches are read back, merged via [[applyTwoSidedJoinDelta]], and
+    * rewritten (dynamic overwrite); untouched buckets' files are never
+    * opened. Side states are pruned to the touched buckets too — the
+    * fact-table read is delta-keys-sized, not history-sized. A D row
+    * carries its full content, so a join-key-changing update touches
+    * both the old and the new key's bucket, exactly the two buckets
+    * whose rows change. Buckets whose rows ALL vanished are dropped
+    * explicitly (same discipline as [[refreshGroupBySumTable]]).
+    */
+  def refreshJoinTable(path: String,
+                       rState: DataFrame, deltaR: DataFrame,
+                       sState: DataFrame, deltaS: DataFrame,
+                       opCol: String, rIdCol: String, sIdCol: String,
+                       joinKey: String, numBuckets: Int,
+                       maxPartitionsPerBatch: Int = 4096): Unit = {
+    val spark = rState.sparkSession
+    val jb = joinBucket(joinKey, numBuckets)
+    val touched = deltaR.select(jb).unionByName(deltaS.select(jb)).distinct()
+      .limit(maxPartitionsPerBatch + 1).collect().map(_.getInt(0))
+    require(touched.length <= maxPartitionsPerBatch,
+      s"delta touches > $maxPartitionsPerBatch join-key buckets — raise the bound " +
+        "or lower numBuckets")
+    if (touched.isEmpty) return
+    val inTouched = col("__jb").isin(touched.toIndexedSeq: _*)
+    def pruned(df: DataFrame): DataFrame =
+      df.withColumn("__jb", jb).filter(inTouched).drop("__jb")
+    val shape = rState.join(sState, joinKey).limit(0)
+      .withColumn("__jb", lit(0))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (!fs.exists(hPath)) shape
+      else spark.read.schema(shape.schema).parquet(path).filter(inTouched)
+    val merged = applyTwoSidedJoinDelta(existing.drop("__jb"),
+        pruned(rState), pruned(deltaR), pruned(sState), pruned(deltaS),
+        opCol, rIdCol, sIdCol, joinKey)
+      .withColumn("__jb", jb)
+      .localCheckpoint(true) // severs lineage from the files being overwritten
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__jb").parquet(path)
+    val survived = merged.select("__jb").distinct().collect().map(_.getInt(0)).toSet
+    touched.filterNot(survived.contains).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(hPath,
+        partitionDirName("__jb", v)), true)
     }
   }
 }

@@ -44,6 +44,12 @@ object LabelPropagation {
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     for (_ <- 0 until rounds) {
+      // localCheckpoint per sweep — the PageRank/KCore lineage
+      // discipline: each round's plan would otherwise embed the whole
+      // previous round's tree (~3 stages deeper per round), so a
+      // larger graph's natural round count pays a growing
+      // compile/optimize tax on every sweep. Truncating keeps each
+      // round's plan one join + two aggregates regardless of rounds.
       labels = und
         .join(labels.select(col("id").as("b"), col("label")), "b")
         .groupBy(col("a"), col("label"))
@@ -51,6 +57,7 @@ object LabelPropagation {
         .groupBy(col("a").as("id"))
         .agg(max_by(col("label"), col("cnt") * 100000000L - col("label"))
           .as("label"))
+        .localCheckpoint(true)
     }
     val out = labels.select(col("id").as("node_id"), col("label").as("community"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -54,4 +54,70 @@ class BpeSpec extends SparkSpecBase {
     assert(Bpe.toSymbols("ab") === Seq("a", "b</w>"))
     assert(Bpe.toSymbols("") === Seq.empty)
   }
+
+  test("bpe: zero-token docs (NULL / whitespace-only text) emit (empty array, 0)") {
+    import spark.implicits._
+    val docs = Seq((1L, null: String), (2L, "   \t  "), (3L, "ok"))
+      .toDF("doc_id", "text")
+    val out = Bpe.encode(docs, "doc_id", "text", Seq(("o", "k</w>"))).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getInt(2))).toMap
+    assert(out(1L) === ((Seq.empty[String], 0)), "NULL text → empty encode")
+    assert(out(2L) === ((Seq.empty[String], 0)), "whitespace-only text → empty encode")
+    assert(out(3L) === ((Seq("ok</w>"), 1)))
+  }
+
+  test("bpe: wellFormed accepts trained-style tables, rejects orphan components and duplicates") {
+    // the catalog table used by text_bpe_encode
+    val catalog = Seq(("t", "a"), ("ta", "b"), ("l", "e</w>"), ("tab", "le</w>"),
+      ("s", "c"), ("sc", "a"), ("sca", "n</w>"), ("r", "o"), ("ro", "w</w>"),
+      ("t", "h"), ("th", "e</w>"))
+    assert(Bpe.wellFormed(catalog))
+    // "ab" is composite but no earlier rule produces it
+    assert(!Bpe.wellFormed(Seq(("ab", "c</w>"), ("a", "b"))))
+    // duplicate outputs break the unique-producer argument
+    assert(!Bpe.wellFormed(Seq(("a", "b"), ("ab", "c"), ("a", "bc"))))
+    assert(!Bpe.wellFormed(Seq(("a", "b"), ("a", "b"))))
+  }
+
+  test("bpe: malformed tables fall back to rank-order rescan semantics (no heap divergence)") {
+    import spark.implicits._
+    // lowest-rank-first WOULD produce "abc</w>" here (rule (a,b) fires,
+    // manufacturing "ab" which rank-0 then consumes); rank-order replay
+    // never applies rank 0 — the pinned semantics
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, "doc_id", "text", Seq(("ab", "c</w>"), ("a", "b")))
+      .collect().map(r => r.getSeq[String](1)).head
+    assert(out === Seq("ab", "c</w>"),
+      s"malformed table must replay in rank order: $out")
+  }
+
+  test("bpe: heap encode is bit-equal to the rescan reference on a trained table over real docs") {
+    val docs = Tables.load(spark, sf(), "documents").select("doc_id", "text")
+    val merges = Bpe.train(docs, "text", nMerges = 40).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(Bpe.wellFormed(merges), "train output must always be well-formed")
+    val fast = Bpe.encode(docs, "doc_id", "text", merges)
+    val ref = Bpe.encode(docs, "doc_id", "text", merges, forceRescan = true)
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty,
+      "heap encode must equal the rescan reference on every document")
+  }
+
+  test("bpe: heap == rescan on adversarial synthetic words (runs, ties, deep merge chains)") {
+    import spark.implicits._
+    // deep chain over a tiny alphabet: every output feeds later rules,
+    // and words full of runs exercise the non-overlapping tie-breaks
+    val merges = Seq(("a", "a"), ("aa", "a"), ("aa", "aa"), ("b", "a"),
+      ("ba", "aa"), ("a", "b</w>"), ("aaa", "ab</w>"), ("aaaa", "baaa"))
+    assert(Bpe.wellFormed(merges))
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 500).map { i =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString
+    }
+    val docs = words.grouped(25).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val fast = Bpe.encode(docs, "doc_id", "text", merges)
+    val ref = Bpe.encode(docs, "doc_id", "text", merges, forceRescan = true)
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty,
+      "heap encode must equal the rescan reference on run-heavy words")
+  }
 }

@@ -300,4 +300,27 @@ class DedupSpec extends SparkSpecBase {
     assert(out(2) === ((2L, true)), s"longest/lowest-id member must win: $out")
     assert(out(4)._2 === false)
   }
+
+  test("keepCanonical: string ids tie-break deterministically; NULL-length singletons keep themselves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit, when}
+    // the two failure modes the packed (len, -id) tie-break had: a
+    // STRING id (numeric negation → NULL → nondeterministic max_by)
+    // and an all-NULL length cluster (dropped by a null-hostile max
+    // equality)
+    val docs = Seq(
+      ("doc-b", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("doc-a", "theta eta zeta epsilon delta gamma beta alpha"), // same len → "doc-a" < "doc-b" wins
+      ("doc-z", null: String)                                     // null text AND null length
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", when(col("text").isNotNull, length(col("text")).cast("long")))
+    val out = Dedup.keepCanonical(docs, "doc_id", "text", "n_chars",
+        bands = 2, rowsPerBand = 2).collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(out("doc-a") === (("doc-a", true)),
+      s"smallest string id must win the length tie: $out")
+    assert(out("doc-b") === (("doc-a", false)))
+    assert(out("doc-z") === (("doc-z", true)),
+      s"a NULL-length singleton keeps itself as canonical: $out")
+  }
 }

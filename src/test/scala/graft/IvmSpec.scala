@@ -81,6 +81,142 @@ class IvmSpec extends SparkSpecBase {
       "join IVM must equal the recomputed join")
   }
 
+  test("join delta: intra-batch insert-then-delete nets to a no-op (order-insensitive batch)") {
+    import spark.implicits._
+    val dim = Seq((100L, "x"), (200L, "y")).toDF("k", "attr")
+    val matJoin = Seq((1L, 100L, "x")).toDF("id", "k", "attr")
+    // row 2 is inserted AND deleted within the batch — recompute over the
+    // post-delta base never sees it, so neither may the maintained join;
+    // row 3 survives; row 1 is updated (D old + I new content)
+    val delta = Seq(
+      ("I", 2L, 200L), ("D", 2L, 200L),
+      ("I", 3L, 100L),
+      ("D", 1L, 100L), ("I", 1L, 200L)).toDF("__op", "id", "k")
+    val out = Ivm.applyJoinDelta(matJoin, delta, "__op", "id", dim, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out === Set((3L, 100L, "x"), (1L, 200L, "y")),
+      s"I-then-D must vanish, the update must land once: $out")
+  }
+
+  test("two-sided join IVM equals recompute: many-to-many keys, deltas on both sides") {
+    val cust = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nationkey"))
+    val supp = Tables.load(spark, sf(), "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("nationkey"))
+    val rState = cust.filter(col("c_custkey") % 4 =!= 0)
+    val sState = supp.filter(col("s_suppkey") % 3 =!= 0)
+    val deltaR = cust.filter(col("c_custkey") % 4 === 0).withColumn("__op", lit("I"))
+      .unionByName(cust.filter(col("c_custkey") % 4 =!= 0 && col("c_custkey") % 9 === 0)
+        .withColumn("__op", lit("D")))
+      .unionByName(cust.filter(col("c_custkey") % 4 === 0 && col("c_custkey") % 10 === 0)
+        .withColumn("__op", lit("D"))) // intra-batch I-then-D
+    val deltaS = supp.filter(col("s_suppkey") % 3 === 0).withColumn("__op", lit("I"))
+      .unionByName(supp.filter(col("s_suppkey") % 3 =!= 0 && col("s_suppkey") % 7 === 0)
+        .withColumn("__op", lit("D")))
+    val matJoin = rState.join(sState, "nationkey")
+    val refreshed = Ivm.applyTwoSidedJoinDelta(matJoin, rState, deltaR, sState, deltaS,
+      "__op", "c_custkey", "s_suppkey", "nationkey")
+    val rPost = cust.filter((col("c_custkey") % 4 =!= 0 && col("c_custkey") % 9 =!= 0) ||
+      (col("c_custkey") % 4 === 0 && col("c_custkey") % 10 =!= 0))
+    val sPost = supp.filter((col("s_suppkey") % 3 =!= 0 && col("s_suppkey") % 7 =!= 0) ||
+      col("s_suppkey") % 3 === 0)
+    val recomputed = rPost.join(sPost, "nationkey")
+      .select(refreshed.columns.map(col): _*)
+    assert(refreshed.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(refreshed).isEmpty,
+      "two-sided join IVM must equal the recomputed join")
+  }
+
+  test("two-sided join IVM: a join-key-changing update migrates the row between key groups") {
+    import spark.implicits._
+    val rState = Seq((1L, 10L, "r1"), (2L, 20L, "r2")).toDF("rid", "k", "rv")
+    val sState = Seq((7L, 10L, "s7"), (8L, 20L, "s8"), (9L, 20L, "s9"))
+      .toDF("sid", "k", "sv")
+    val matJoin = rState.join(sState, "k")
+    // row 1 moves from key 10 to key 20: it must LEAVE s7 and JOIN s8+s9
+    val deltaR = Seq(("D", 1L, 10L, "r1"), ("I", 1L, 20L, "r1"))
+      .toDF("__op", "rid", "k", "rv")
+    val deltaS = Seq.empty[(String, Long, Long, String)].toDF("__op", "sid", "k", "sv")
+    val out = Ivm.applyTwoSidedJoinDelta(matJoin, rState, deltaR, sState,
+        deltaS, "__op", "rid", "sid", "k")
+      .select("rid", "sid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 8L), (1L, 9L), (2L, 8L), (2L, 9L)),
+      s"key-changing update must re-home the row: $out")
+  }
+
+  test("parquet-backed JOIN refresh rewrites only touched buckets, drops emptied ones, equals recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivm-join").toString
+    val path = s"$dir/matjoin"
+    val cust = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nationkey"))
+    val supp = Tables.load(spark, sf(), "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("nationkey"))
+    val rState = cust.filter(col("c_custkey") % 4 =!= 0)
+    val sState = supp.filter(col("s_suppkey") % 3 =!= 0)
+    val nBuckets = 8
+    Ivm.writeJoinTable(path, rState, sState, "nationkey", nBuckets)
+    def files(): Map[String, Long] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(_.getName.startsWith("__jb=")).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+      }.toMap
+    }
+    val before = files()
+    // delta confined to ONE nation (one join-key bucket): nation 7
+    // customers churn; every other bucket's files must not move
+    val deltaR = cust.filter(col("nationkey") === 7 && col("c_custkey") % 4 === 0)
+      .withColumn("__op", lit("I"))
+      .unionByName(cust.filter(col("nationkey") === 7 &&
+          col("c_custkey") % 4 =!= 0 && col("c_custkey") % 9 === 0)
+        .withColumn("__op", lit("D")))
+    val deltaS = supp.filter(col("nationkey") === 7 && col("s_suppkey") % 3 === 0)
+      .withColumn("__op", lit("I")).limit(0) // S delta empty this batch
+    Ivm.refreshJoinTable(path, rState, deltaR, sState, deltaS,
+      "__op", "c_custkey", "s_suppkey", "nationkey", nBuckets)
+    val after = files()
+    val jb7 = cust.filter(col("nationkey") === 7).limit(1)
+      .select(Ivm.joinBucket("nationkey", nBuckets)).collect().head.getInt(0)
+    before.keys.filterNot(_.startsWith(s"__jb=$jb7/")).foreach { f =>
+      assert(after.get(f) === before.get(f), s"untouched bucket file moved: $f")
+    }
+    // table equals recompute over the post-delta sides
+    val rPost = cust.filter(!(col("nationkey") === 7 && col("c_custkey") % 4 =!= 0 &&
+        col("c_custkey") % 9 === 0) &&
+        (col("c_custkey") % 4 =!= 0 || (col("nationkey") === 7 && col("c_custkey") % 4 === 0)))
+    val expect = rPost.join(sState, "nationkey")
+    val got = spark.read.parquet(path).drop("__jb")
+      .select(expect.columns.map(col): _*)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "refreshed join table must equal recompute")
+  }
+
+  test("vanished-partition cleanup escapes Hive path characters (space, colon, slash, percent)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivm-esc").toString
+    val path = s"$dir/state"
+    // partition values that differ on disk from their raw form
+    val base = Seq(("a b:c/d%e", 1L, 10L), ("plain", 2L, 20L)).toDF("pc", "k", "v")
+    Ivm.groupState(base, Seq("pc", "k"), "v").write.partitionBy("pc").parquet(path)
+    val dirsBefore = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("pc="))
+    assert(dirsBefore.length === 2, s"writer must create 2 partition dirs: ${dirsBefore.toSeq}")
+    // delete the tricky partition's only group → the escaped dir must go
+    val delta = Seq(("D", "a b:c/d%e", 1L, 10L)).toDF("__op", "pc", "k", "v")
+    Ivm.refreshGroupBySumTable(path, delta, "__op", Seq("pc", "k"), "v", "pc")
+    val dirsAfter = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("pc="))
+    assert(dirsAfter.toSeq === Seq("pc=plain"),
+      s"escaped vanished partition must be dropped from disk: ${dirsAfter.toSeq}")
+    val left = spark.read.parquet(path).select("k").as[Long].collect().toSet
+    assert(left === Set(2L), "only the surviving group remains")
+  }
+
+  test("vanished-partition cleanup rejects writer-formatted types (date) up front") {
+    val e = intercept[IllegalArgumentException] {
+      Ivm.partitionDirName("d", java.sql.Date.valueOf("2026-01-01"))
+    }
+    assert(e.getMessage.contains("integral/string/boolean"))
+  }
+
   test("parquet-backed refresh rewrites ONLY touched partitions and drops vanished ones") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivm").toString

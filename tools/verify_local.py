@@ -110,6 +110,27 @@ def main(sf_dir, out_dir, dump_types=None):
         with open(dump_types, "w") as f:
             json.dump(types_out, f, indent=1, sort_keys=True)
         print(f"wrote {dump_types} ({len(types_out)} queries)")
+    # Manifest-completeness gate: every query that HAS an oracle must
+    # have a row in the checked-in type manifest, or the Spark-side
+    # type-contract guard (OracleTypeContractSpec) is blind exactly on
+    # the newest queries — the round-9 failure mode. When --dump-types
+    # just rewrote the manifest this is trivially green; a verify run
+    # WITHOUT a regenerated manifest fails here instead of shipping a
+    # hole.
+    manifest_path = dump_types or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                               "oracle_types.json")
+    try:
+        manifest = json.load(open(manifest_path))
+    except Exception as e:
+        print(f"FAIL manifest: cannot read {manifest_path}: {e}")
+        return 1
+    missing = sorted(set(oracle) - set(manifest))
+    if missing:
+        print(f"FAIL manifest: {len(missing)} oracled queries missing from "
+              f"{manifest_path}: {', '.join(missing)}")
+        print("  regenerate with: python3 tools/verify_local.py <sfDir> <outDir> "
+              "--dump-types tools/oracle_types.json")
+        return 1
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
