@@ -23,6 +23,8 @@ object ScaleProbe {
     if (args.length > 1 && args(1) == "graph") { graph(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "ivm") { ivm(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "r9") { r9ops(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "r10") { r10ops(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "bpe") { bpeEncode(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloom") { bloomBreakEven(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloomat") { bloomAt(spark, factor); spark.stop(); return }
     val r4Only = args.length > 1 && args(1) == "r4"
@@ -395,6 +397,153 @@ object ScaleProbe {
     time("bpe_encode")(graft.operators.Bpe.encode(big, "doc_id", "text",
       Seq(("t", "a"), ("ta", "b"), ("l", "e</w>"), ("s", "c"), ("sc", "a")))
       .queryExecution.toRdd.count())
+  }
+
+  /** Round-10 probe (`sbt "runMain graft.ScaleProbe 10 r10"`): the
+    * operators the round-9 verdict flagged curve-less. q_communities
+    * (LabelPropagation — per round one edge join + two combinable
+    * aggs; with per-sweep lineage truncation wall time must track
+    * edges), q_fk_discovery (13 per-column distinct aggregations —
+    * the fact-sized work — plus a cols×k broadcast probe; must track
+    * the scans), and the two-sided join IVM refresh vs a full
+    * recompute of the same post-delta join (the delta-sized-work
+    * claim row 219 makes).
+    */
+  private def r10ops(spark: SparkSession, factor: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs, $rows rows")
+    }
+    // communities over the co-purchase graph (the graph probe's edge set)
+    val li0 = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val baseEdges = li0.as("x").join(li0.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      .distinct().cache()
+    println(s"base co-purchase edges=${baseEdges.count()}")
+    Seq(1, factor).distinct.foreach { k =>
+      val e = (0 until k).map { i =>
+        baseEdges.select((col("src") + lit(i.toLong * 100000000L)).as("src"),
+          (col("dst") + lit(i.toLong * 100000000L)).as("dst"))
+      }.reduce(_.unionByName(_)).cache()
+      e.count()
+      time(s"communities_x$k")(
+        operators.LabelPropagation.communities(e, "src", "dst", rounds = 3).count())
+      e.unpersist()
+    }
+    baseEdges.unpersist()
+    // fk discovery: replicate the two fact tables (keys remapped), keep dims
+    Seq(1, factor).distinct.foreach { k =>
+      def rep(name: String, keyCols: Seq[String]) = {
+        val base = Tables.load(spark, dir, name)
+        (0 until k).map { i =>
+          keyCols.foldLeft(base)((df, kc) =>
+            df.withColumn(kc, col(kc) + lit(i.toLong * 100000000L)))
+        }.reduce(_.unionByName(_))
+      }
+      val li = rep("lineitem", Seq("l_orderkey"))
+      val ord = rep("orders", Seq("o_orderkey"))
+      val cust = Tables.load(spark, dir, "customer")
+      val supp = Tables.load(spark, dir, "supplier")
+      val pt = Tables.load(spark, dir, "part")
+      val nat = Tables.load(spark, dir, "nation")
+      time(s"fk_discovery_x$k")(operators.Discovery.inclusionCandidates(Seq(
+        ("lineitem.l_orderkey", li, "l_orderkey"),
+        ("lineitem.l_partkey", li, "l_partkey"),
+        ("lineitem.l_suppkey", li, "l_suppkey"),
+        ("orders.o_orderkey", ord, "o_orderkey"),
+        ("orders.o_custkey", ord, "o_custkey"),
+        ("customer.c_custkey", cust, "c_custkey"),
+        ("customer.c_nationkey", cust, "c_nationkey"),
+        ("supplier.s_suppkey", supp, "s_suppkey"),
+        ("supplier.s_nationkey", supp, "s_nationkey"),
+        ("part.p_partkey", pt, "p_partkey"),
+        ("nation.n_nationkey", nat, "n_nationkey")), k = 128).count())
+    }
+    // two-sided join IVM: refresh cost ~delta, recompute cost ~base
+    import graft.operators.Ivm
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivm-join-probe").toString
+    val ord = (0 until factor).map { i =>
+      Tables.load(spark, dir, "orders")
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+    }.reduce(_.unionByName(_))
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")).cache()
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_nationkey")).cache()
+    println(s"orders=${ord.count()} (x$factor) customers=${cust.count()}")
+    val path = s"$tmp/matjoin"
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+    }
+    t("join_ivm_build")(Ivm.writeJoinTable(path, ord, cust, "custkey", 64))
+    // delta: ~0.5% of orders churn, one customer nation re-keyed
+    val deltaR = ord.filter(col("o_orderkey") % 200 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000000L)
+      .withColumn("__op", lit("I"))
+      .unionByName(ord.filter(col("o_orderkey") % 300 === 0).withColumn("__op", lit("D")))
+      .cache()
+    val deltaS = cust.filter(col("custkey") % 500 === 0).withColumn("__op", lit("D"))
+      .unionByName(cust.filter(col("custkey") % 500 === 0)
+        .withColumn("c_nationkey", col("c_nationkey") + 1).withColumn("__op", lit("I")))
+      .cache()
+    println(s"deltaR=${deltaR.count()} deltaS=${deltaS.count()}")
+    t("join_ivm_refresh")(Ivm.refreshJoinTable(path, ord, deltaR, cust, deltaS,
+      "__op", "o_orderkey", "custkey", "custkey", 64))
+    t("join_full_recompute") {
+      val rPost = ord.join(deltaR.filter(col("__op") === "D").select("o_orderkey"),
+          Seq("o_orderkey"), "left_anti")
+        .unionByName(deltaR.filter(col("__op") === "I").drop("__op"))
+      val sPost = cust.join(deltaS.filter(col("__op") === "D").select("custkey"),
+          Seq("custkey"), "left_anti")
+        .unionByName(deltaS.filter(col("__op") === "I").drop("__op"))
+      rPost.join(sPost, "custkey")
+        .withColumn("__jb", Ivm.joinBucket("custkey", 64))
+        .write.mode("overwrite").partitionBy("__jb").parquet(s"$tmp/recomputed")
+    }
+    val a = spark.read.parquet(path).drop("__jb")
+    val b = spark.read.parquet(s"$tmp/recomputed").drop("__jb")
+    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "join IVM != recompute")
+    println("join ivm == recompute: verified")
+  }
+
+  /** BPE encode throughput, heap vs rescan (`sbt "runMain
+    * graft.ScaleProbe 1000 bpe"` — arg = merge-table size): a
+    * synthetic well-formed chain of `factor` merges over the sf0.1
+    * corpus. The rescan is O(merges × len) per word, the heap
+    * O(len log len) — the gap is the whole point of the kernel.
+    */
+  private def bpeEncode(spark: SparkSession, nMerges: Int): Unit = {
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text").cache()
+    println(s"docs=${docs.count()}, merges=$nMerges")
+    // well-formed by construction: a deepening left-association chain
+    // over two seed pairs, padded with distinct never-matching rules
+    val seed = Seq(("t", "h"), ("th", "e</w>"), ("t", "a"), ("ta", "b"))
+    // padding rules over characters outside the corpus alphabet: a
+    // left-association chain (rule i's left IS rule i-1's output), so
+    // the table stays well-formed while the rules scan but never fire
+    // — the realistic big-vocabulary shape for ordinary words
+    val nPad = math.max(0, nMerges - seed.size)
+    val padChars = (0 to nPad).map(i => (0x2500 + i).toChar.toString)
+    val pad = (0 until nPad).map { i =>
+      (padChars.take(i + 1).mkString, padChars(i + 1))
+    }
+    val merges = seed ++ pad
+    require(graft.operators.Bpe.wellFormed(merges))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs, $rows rows")
+    }
+    time("bpe_heap")(graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+      .queryExecution.toRdd.count())
+    time("bpe_rescan")(graft.operators.Bpe.encode(docs, "doc_id", "text", merges,
+      forceRescan = true).queryExecution.toRdd.count())
   }
 
   /** OLAP-side probe: the Q1 multi-agg scan and Q3 join+agg+topk over

@@ -31,4 +31,45 @@ class CliSpec extends SparkSpecBase {
     val out = Cli.execute(spark, "SELECT FROM nowhere AT ALL")
     assert(out.startsWith("ERROR:"), s"expected inline error, got: $out")
   }
+
+  test("cli: -f script runs every statement in order; a failing one doesn't stop the rest") {
+    Tables.registerAll(spark, sf())
+    val script =
+      """-- per-nation customer count (multi-line statement)
+        |SELECT n_nationkey
+        |FROM nation WHERE n_nationkey = 1;
+        |SELECT broken FROM nowhere;
+        |SELECT count(*) AS n FROM region;
+        |""".stripMargin
+    val results = Cli.runScript(spark, script)
+    assert(results.size === 3, s"3 statements expected: ${results.map(_._1)}")
+    assert(results(0)._2.contains("(1 row)"), s"statement 1: ${results(0)._2}")
+    assert(results(1)._2.startsWith("ERROR:"), "statement 2 must fail inline")
+    assert(results(2)._2.contains("(1 row)") && results(2)._2.contains("5"),
+      s"statement 3 must still run after the failure: ${results(2)._2}")
+    // unterminated last statement is lenient
+    assert(Cli.splitScript("SELECT 1").size === 1)
+  }
+
+  test("cli: \\metrics <name> renders the latest run's per-operator plan breakdown") {
+    import graft.metrics.{MetricsService, PlanMetricsRegistry}
+    Tables.registerAll(spark, sf())
+    MetricsService.register(spark)
+    PlanMetricsRegistry.clear()
+    MetricsService.recordPlan(spark, "cli_probe")(
+      spark.sql("SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1"))
+    val first = Cli.executeStatement(spark, "\\metrics cli_probe")
+    assert(first.contains("number of output rows") || first.contains("Exchange"),
+      s"plan metric rows expected: $first")
+    // record a SECOND run — the shortcut must show only the latest
+    MetricsService.recordPlan(spark, "cli_probe")(
+      spark.sql("SELECT count(*) FROM orders"))
+    val latest = Cli.executeStatement(spark, "\\metrics cli_probe")
+    assert(!latest.contains("o_orderpriority") || latest != first,
+      "shortcut must re-resolve to the latest run")
+    assert(Cli.executeStatement(spark, "\\metrics").startsWith("ERROR: usage"),
+      "missing name is a usage error")
+    assert(Cli.executeStatement(spark, "\\metrics no_such_query").contains("(0 rows)"),
+      "unknown query renders an empty table, not an exception")
+  }
 }
