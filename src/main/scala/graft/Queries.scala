@@ -4100,7 +4100,99 @@ object Queries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY dev DESC, v) AS rk FROM dvt)
         |SELECT grp AS source, n_s AS n_group, n_g AS n_total, dev AS d_num,
         |  v AS at_value, dev::DOUBLE / (n_g * n_s) AS d
-        |FROM r WHERE rk = 1""".stripMargin))
+        |FROM r WHERE rk = 1""".stripMargin)),
+
+    // §2.2/220 — link prediction: per node the top-5 predicted new
+    // links over the (partkey % 5 = 0 subgraph's) co-purchase graph —
+    // common-neighbor count + exact fixed-point resource-allocation
+    // score Σ 2^20 div deg(z), wedge centers degree-capped (the
+    // documented super-hub trade), existing edges anti-joined away,
+    // the one window per-node. The oracle replays wedge generation,
+    // integer RA, the NOT EXISTS novelty filter, and the total
+    // tie-break.
+    "q_link_predict" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_partkey") % 5 === 0)
+          .select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.LinkPrediction.predictLinks(e, "src", "dst",
+          maxDegree = 64, minCommon = 2, topK = 5)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0),
+        |e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b FROM li x JOIN li y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |u AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |deg AS (SELECT a AS z, count(*)::BIGINT AS d FROM u GROUP BY 1),
+        |ctr AS (SELECT u.a AS z, u.b AS n, deg.d FROM u JOIN deg ON deg.z = u.a
+        |  WHERE deg.d BETWEEN 2 AND 64),
+        |wedge AS (SELECT x.n AS u, y.n AS v, x.d AS d FROM ctr x JOIN ctr y
+        |  ON x.z = y.z AND x.n < y.n),
+        |sc AS (SELECT u, v, count(*)::BIGINT AS cn, sum(1048576 // d)::BIGINT AS ra_q
+        |  FROM wedge GROUP BY 1, 2 HAVING count(*) >= 2),
+        |cand AS (SELECT * FROM sc WHERE NOT EXISTS
+        |  (SELECT 1 FROM e0 WHERE e0.a = sc.u AND e0.b = sc.v)),
+        |dir AS (SELECT u AS node_id, v AS candidate_id, cn, ra_q FROM cand
+        |  UNION ALL SELECT v, u, cn, ra_q FROM cand)
+        |SELECT node_id, candidate_id, cn AS common_neighbors, ra_q, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cn DESC, ra_q DESC, candidate_id)::INT AS rank FROM dir) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    // §2.2/221 — malformed-record quarantine / dead-letter routing:
+    // events.props parsed against a strict one-field schema, parsed k
+    // range-validated; per-outcome audit counts. One stateless
+    // projection + two complementary filters — zero shuffle before
+    // the count aggregation, no UDF. Reasons are stable codes; the
+    // spec additionally pins parse_error routing and dead-letter
+    // replayability on synthetic garbage (no parse failures exist in
+    // the catalog data, by design of the generator).
+    "q_quarantine" -> QueryDef(
+      (s, d) => operators.Quarantine.auditCounts(
+        ds(s, d, "events").toDF, "props",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))),
+        Seq("k_out_of_range" -> col("k").between(0, 90))),
+      Some("""WITH p AS (SELECT json_extract_string(props, '$.k')::BIGINT AS k FROM events),
+        |c AS (SELECT CASE WHEN k IS NULL THEN 'parse_error'
+        |  WHEN NOT (k BETWEEN 0 AND 90) THEN 'k_out_of_range'
+        |  ELSE 'ok' END AS status FROM p)
+        |SELECT status, count(*)::BIGINT AS n FROM c GROUP BY 1""".stripMargin)),
+
+    // §2.2/222 — dedup yield report: the cluster-size histogram +
+    // per-size droppable-document count — "what would dedup buy us"
+    // BEFORE committing to the full pass. Same clustering as row 61,
+    // two more combinable aggregations; output bounded by the largest
+    // cluster size. The oracle extends the cluster replay with the
+    // histogram.
+    "dedup_yield" -> QueryDef(
+      (s, d) => Dedup.yieldReport(ds(s, d, "documents").toDF,
+        "doc_id", "text", bands = 2, rowsPerBand = 4, iterations = 3),
+      Some {
+        val mh = mhSigSql(8)
+        def band(b: Int) = (0 until 4).map(r => s"m${b * 4 + r}::varchar").mkString(" || '_' || ")
+        val iters = labelPropIters("band, sig")
+        s"""WITH toks AS (SELECT doc_id,
+           |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |hp AS (SELECT doc_id, list_transform(toks, w ->
+           |  [('0x' || substring(md5(w), 1, 14))::bigint,
+           |   ('0x' || substring(md5(w), 15, 14))::bigint]) AS hs FROM toks),
+           |sigs AS (SELECT doc_id, $mh FROM hp),
+           |mem AS (SELECT doc_id AS id, 0 AS band, ${band(0)} AS sig FROM sigs
+           |  UNION ALL SELECT doc_id AS id, 1 AS band, ${band(1)} AS sig FROM sigs),
+           |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
+           |$iters,
+           |cl AS (SELECT id AS doc_id, label AS cluster_id FROM l3
+           |  UNION ALL SELECT doc_id, doc_id FROM documents WHERE text IS NULL),
+           |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+           |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+           |  (sum(cluster_size) - count(*))::BIGINT AS docs_droppable
+           |FROM sz GROUP BY 1""".stripMargin
+      })
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

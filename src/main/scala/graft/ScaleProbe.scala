@@ -481,19 +481,33 @@ object ScaleProbe {
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
     }
     t("join_ivm_build")(Ivm.writeJoinTable(path, ord, cust, "custkey", 64))
-    // delta: ~0.5% of orders churn, one customer nation re-keyed
-    val deltaR = ord.filter(col("o_orderkey") % 200 === 0)
+    def joinFiles(): Set[String] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(_.getName.startsWith("__jb=")).flatMap(d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}:${f.lastModified()}")).toSet
+    }
+    val beforeFiles = joinFiles()
+    // delta CONCENTRATED in ~15 customers' join keys — the realistic
+    // shape (a day's churn touches recent keys, not all of history);
+    // the uniform-delta case degenerates to full recompute by design
+    val hotCust = col("custkey") % 1000 === 0
+    val deltaR = ord.filter(hotCust && col("o_orderkey") % 5 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 100000000000L)
       .withColumn("__op", lit("I"))
-      .unionByName(ord.filter(col("o_orderkey") % 300 === 0).withColumn("__op", lit("D")))
+      .unionByName(ord.filter(hotCust && col("o_orderkey") % 7 === 0)
+        .withColumn("__op", lit("D")))
       .cache()
-    val deltaS = cust.filter(col("custkey") % 500 === 0).withColumn("__op", lit("D"))
-      .unionByName(cust.filter(col("custkey") % 500 === 0)
+    val deltaS = cust.filter(hotCust).withColumn("__op", lit("D"))
+      .unionByName(cust.filter(hotCust)
         .withColumn("c_nationkey", col("c_nationkey") + 1).withColumn("__op", lit("I")))
       .cache()
     println(s"deltaR=${deltaR.count()} deltaS=${deltaS.count()}")
     t("join_ivm_refresh")(Ivm.refreshJoinTable(path, ord, deltaR, cust, deltaS,
       "__op", "o_orderkey", "custkey", "custkey", 64))
+    val afterFiles = joinFiles()
+    println(s"join state files untouched=${(beforeFiles intersect afterFiles).size} " +
+      s"rewritten=${(afterFiles diff beforeFiles).size} of ${beforeFiles.size}")
     t("join_full_recompute") {
       val rPost = ord.join(deltaR.filter(col("__op") === "D").select("o_orderkey"),
           Seq("o_orderkey"), "left_anti")

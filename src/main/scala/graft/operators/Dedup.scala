@@ -529,6 +529,24 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).as("keep"))
   }
 
+  /** Dedup yield report — the "what would dedup buy us" diagnostic a
+    * pipeline runs BEFORE committing to a full dedup pass: the
+    * near-dup cluster-size histogram plus, per size, how many
+    * documents canonical selection would drop (size − 1 per cluster).
+    * Planning-level companion to [[keepCanonical]]: same clustering,
+    * two more combinable aggregations (cluster → size, size →
+    * histogram), output bounded by the largest cluster — a handful of
+    * rows at any corpus size.
+    */
+  def yieldReport(df: DataFrame, idCol: String, textCol: String,
+                  bands: Int, rowsPerBand: Int, iterations: Int = 3): DataFrame = {
+    val clusters = minhashClusters(df, idCol, textCol, bands, rowsPerBand, iterations)
+    clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (sum(col("cluster_size")) - count(lit(1))).as("docs_droppable"))
+  }
+
   /** 56-bit SimHash over the distinct-token set: bit b is set when
     * more than half the token hashes have bit b set. The per-doc
     * majority vote runs as the native codegen'd
