@@ -4192,7 +4192,151 @@ object Queries {
            |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
            |  (sum(cluster_size) - count(*))::BIGINT AS docs_droppable
            |FROM sz GROUP BY 1""".stripMargin
-      })
+      }),
+
+    // §2.2/223 — recursive hierarchy rollup (BOM explosion): subtree
+    // count + cents-sum for every node of the parent-pointer forest
+    // parent(k) = k div 10 over part. The closure is built by pointer
+    // DOUBLING — ⌈log₂ depth⌉ self-joins, not depth rounds — then one
+    // combinable ancestor-key aggregation; the oracle is the textbook
+    // WITH RECURSIVE walking one level per step, landing on the
+    // identical closure.
+    "q_bom_rollup" -> QueryDef(
+      (s, d) => {
+        val p = ds(s, d, "part").toDF
+        val edges = p.select(col("p_partkey").as("child"),
+            floor(col("p_partkey") / 10).cast("long").as("parent"))
+          .filter(col("parent") >= 1)
+        operators.Hierarchy.subtreeRollup(edges, "child", "parent",
+          p.select(col("p_partkey"),
+            round(col("p_retailprice") * 100).cast("long").as("cents")),
+          "p_partkey", "cents")
+      },
+      Some("""WITH RECURSIVE anc(node, a) AS (
+        |  SELECT p_partkey, p_partkey // 10 FROM part WHERE p_partkey // 10 >= 1
+        |  UNION ALL
+        |  SELECT node, a // 10 FROM anc WHERE a // 10 >= 1),
+        |m AS (SELECT p_partkey AS node, round(p_retailprice * 100)::BIGINT AS cents FROM part),
+        |cws AS (SELECT node, a FROM anc UNION ALL SELECT node, node FROM m)
+        |SELECT c.a AS p_partkey, count(*)::BIGINT AS subtree_n,
+        |  sum(m.cents)::BIGINT AS subtree_sum
+        |FROM cws c JOIN m ON m.node = c.node GROUP BY 1""".stripMargin)),
+
+    // §2.2/224 — functional-dependency discovery over orders: for
+    // every ordered column pair A → B, do all A groups map to one B?
+    // One combinable group-by per LHS column covers all its RHS
+    // columns at once (k scans for k² pairs); o_orderkey → * proves
+    // itself a key, the rest report exact violation counts. The FK
+    // complement of row 216's inclusion-dependency sketch — this one
+    // is exact, not sketched, because the verdict is a zero test.
+    "q_fd_discovery" -> QueryDef(
+      (s, d) => operators.Discovery.functionalDependencies(
+        ds(s, d, "orders").toDF,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        (for { a <- cols; b <- cols if b != a } yield
+          s"""SELECT '$a' AS lhs, '$b' AS rhs, count(*)::BIGINT AS n_lhs,
+             |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+             |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+             |FROM (SELECT count(DISTINCT $b) AS nd FROM orders GROUP BY $a) t""".stripMargin)
+          .mkString("\nUNION ALL\n")
+      }),
+
+    // §2.2/225 — chi-square independence decomposition: event_type ×
+    // (user_id % 4) contingency cells with exact marginals, expected
+    // counts in integer micro-units, and the per-cell χ² contribution
+    // as ONE multiply + ONE divide of exactly-representable integers
+    // — emitted per cell so no float summation order exists to drift.
+    "q_chisq" -> QueryDef(
+      (s, d) => operators.Stats.chiSquareCells(ds(s, d, "events").toDF,
+        col("event_type"), col("user_id") % 4),
+      Some("""WITH c AS (SELECT event_type AS a, user_id % 4 AS b, count(*)::BIGINT AS o
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(o)::BIGINT AS rt FROM c GROUP BY 1),
+        |ct AS (SELECT b, sum(o)::BIGINT AS ct FROM c GROUP BY 1),
+        |n AS (SELECT sum(o)::BIGINT AS n FROM c)
+        |SELECT c.a, c.b, c.o, rt.rt, ct.ct, n.n,
+        |  rt.rt * ct.ct * 1000000 // n.n AS e_micro,
+        |  ((c.o * n.n - rt.rt * ct.ct)::DOUBLE * (c.o * n.n - rt.rt * ct.ct)::DOUBLE)
+        |    / (n.n * rt.rt * ct.ct)::DOUBLE AS contrib
+        |FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n""".stripMargin)),
+
+    // §2.2/226 — exact ROC-AUC (Mann–Whitney U, tie-corrected): how
+    // well does document length separate English docs? The U
+    // statistic is assembled from the per-DISTINCT-SCORE (pos, neg)
+    // table — 2U = Σ pos·(2·below + neg), all integers — so the only
+    // float is the final division and the only window runs over score
+    // cardinality, not rows.
+    "q_auc" -> QueryDef(
+      (s, d) => operators.Stats.rocAuc(ds(s, d, "documents").toDF,
+        col("n_chars"), col("lang") === "en"),
+      Some("""WITH g AS (SELECT n_chars AS s,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos,
+        |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS neg
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+        |w AS (SELECT *, coalesce(sum(neg) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below FROM g)
+        |SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+        |  sum(pos * (2 * below + neg))::BIGINT AS u2,
+        |  sum(pos * (2 * below + neg))::DOUBLE / (2 * sum(pos) * sum(neg))::DOUBLE AS auc
+        |FROM w""".stripMargin)),
+
+    // §2.2/227 — peak session concurrency per epoch-day: the +1/−1
+    // interval sweep over row 27's sessions, partitioned by day
+    // (midnight-spanning sessions exploded + clipped) so the
+    // running-sum window orders one day's boundary events, never the
+    // whole history. End+1 deltas with −1 before +1 at equal instants:
+    // a session ending as another starts never double-counts.
+    "q_peak_concurrency" -> QueryDef(
+      (s, d) => operators.Analytics.peakConcurrency(ds(s, d, "events").toDF,
+        "user_id", "ts", 1800),
+      Some("""WITH y AS (SELECT user_id, ep,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, ts, floor(epoch(ts))::BIGINT AS ep,
+        |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |sess AS (SELECT min(ep) AS t0, max(ep) + 1 AS t1 FROM y GROUP BY user_id, session_id),
+        |spans AS (SELECT t0, t1, unnest(generate_series(t0 // 86400, (t1 - 1) // 86400)) AS day FROM sess),
+        |clip AS (SELECT day, greatest(t0, day * 86400) AS lo, least(t1, (day + 1) * 86400) AS hi FROM spans),
+        |deltas AS (SELECT day, lo AS t, 1 AS d FROM clip UNION ALL SELECT day, hi, -1 FROM clip),
+        |run AS (SELECT day, sum(d) OVER (PARTITION BY day ORDER BY t, d) AS run FROM deltas)
+        |SELECT day, (count(*) // 2)::BIGINT AS n_sessions, max(run)::BIGINT AS peak_concurrent
+        |FROM run GROUP BY day""".stripMargin)),
+
+    // §2.2/228 — zero-clamped running balance per supplier: the
+    // inventory recursion S_t = max(0, S_{t-1} + delta) via the
+    // Lindley closed form S = P − min(0, running_min P) — two windows
+    // on one spec instead of a stateful scan. Receipts are non-return
+    // lineitems, returns subtract; (shipdate, orderkey, linenumber)
+    // totally orders each supplier's moves.
+    "q_clamped_balance" -> QueryDef(
+      (s, d) => {
+        val mv = ds(s, d, "lineitem").toDF
+          .select(col("l_suppkey"),
+            (when(col("l_returnflag") === "R", -1L).otherwise(1L) *
+              round(col("l_quantity")).cast("long")).as("delta"),
+            unix_timestamp(col("l_shipdate")).as("ep"),
+            col("l_orderkey"), col("l_linenumber"))
+        operators.TimeSeries.clampedBalance(mv, "l_suppkey", "delta",
+          Seq("ep", "l_orderkey", "l_linenumber"))
+      },
+      Some("""WITH mv AS (SELECT l_suppkey AS sk,
+        |    (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END * round(l_quantity)::BIGINT) AS delta,
+        |    floor(epoch(l_shipdate))::BIGINT AS ep, l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem),
+        |w AS (SELECT sk, ep, ok, ln, delta,
+        |    sum(delta) OVER (PARTITION BY sk ORDER BY ep, ok, ln
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS p FROM mv),
+        |w2 AS (SELECT *, least(0, min(p) OVER (PARTITION BY sk ORDER BY ep, ok, ln
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS fl FROM w)
+        |SELECT sk AS l_suppkey, count(*)::BIGINT AS n_moves,
+        |  max(p - fl)::BIGINT AS peak_balance,
+        |  (sum(delta) - least(0, min(p)))::BIGINT AS final_balance,
+        |  (-least(0, min(p)))::BIGINT AS lost_units
+        |FROM w2 GROUP BY sk""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

@@ -24,6 +24,7 @@ object ScaleProbe {
     if (args.length > 1 && args(1) == "ivm") { ivm(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "r9") { r9ops(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "r10") { r10ops(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "r10b") { r10bOps(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bpe") { bpeEncode(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloom") { bloomBreakEven(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloomat") { bloomAt(spark, factor); spark.stop(); return }
@@ -558,6 +559,87 @@ object ScaleProbe {
       .queryExecution.toRdd.count())
     time("bpe_rescan")(graft.operators.Bpe.encode(docs, "doc_id", "text", merges,
       forceRescan = true).queryExecution.toRdd.count())
+  }
+
+  /** Round-10b operators at 1× and N×: hierarchy rollup (forest ×N,
+    * same depth — the closure row count scales with nodes·depth),
+    * functional dependencies (orders ×N), chi-square cells (events ×N,
+    * same cell grid), ROC-AUC (documents ×N, bounded score domain),
+    * and peak concurrency (events ×N with DISTINCT users per replica —
+    * the per-day boundary-event windows grow linearly, the realistic
+    * way concurrency scales).
+    */
+  private def r10bOps(spark: SparkSession, factor: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs, $rows rows")
+    }
+    Seq(1, factor).distinct.foreach { k =>
+      val pt = (0 until k).map { i =>
+        Tables.load(spark, dir, "part")
+          .withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 100000000L))
+      }.reduce(_.unionByName(_)).cache()
+      pt.count()
+      val edges = pt.select(col("p_partkey").as("child"),
+          floor((col("p_partkey") % 100000000L) / 10).cast("long").as("parent"))
+        .filter(col("parent") >= 1)
+        .withColumn("parent",
+          col("parent") + (col("child") - col("child") % 100000000L))
+      time(s"bom_rollup_x$k")(operators.Hierarchy.subtreeRollup(
+        edges, "child", "parent",
+        pt.select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("cents")),
+        "p_partkey", "cents").count())
+      pt.unpersist()
+
+      val ord = (0 until k).map { i =>
+        Tables.load(spark, dir, "orders")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+      }.reduce(_.unionByName(_)).cache()
+      ord.count()
+      time(s"fd_discovery_x$k")(operators.Discovery.functionalDependencies(
+        ord, Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")).count())
+      ord.unpersist()
+
+      val ev = (0 until k).map { i =>
+        Tables.load(spark, dir, "events")
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+      }.reduce(_.unionByName(_)).cache()
+      ev.count()
+      time(s"chisq_x$k")(operators.Stats.chiSquareCells(ev,
+        col("event_type"), col("user_id") % 4).count())
+      time(s"peak_concurrency_x$k")(operators.Analytics.peakConcurrency(
+        ev, "user_id", "ts", 1800).count())
+      ev.unpersist()
+
+      val docs = (0 until k).map { i =>
+        Tables.load(spark, dir, "documents")
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+      }.reduce(_.unionByName(_)).cache()
+      docs.count()
+      time(s"auc_x$k")(operators.Stats.rocAuc(docs,
+        col("n_chars"), col("lang") === "en").count())
+      docs.unpersist()
+
+      // distinct suppliers per replica: more window partitions of the
+      // same size — the shape a bigger fleet actually has
+      val mv = (0 until k).map { i =>
+        Tables.load(spark, dir, "lineitem")
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 100000000L))
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+      }.reduce(_.unionByName(_))
+        .select(col("l_suppkey"),
+          (when(col("l_returnflag") === "R", -1L).otherwise(1L) *
+            round(col("l_quantity")).cast("long")).as("delta"),
+          unix_timestamp(col("l_shipdate")).as("ep"),
+          col("l_orderkey"), col("l_linenumber")).cache()
+      mv.count()
+      time(s"clamped_balance_x$k")(operators.TimeSeries.clampedBalance(
+        mv, "l_suppkey", "delta", Seq("ep", "l_orderkey", "l_linenumber")).count())
+      mv.unpersist()
+    }
   }
 
   /** OLAP-side probe: the Q1 multi-agg scan and Q3 join+agg+topk over

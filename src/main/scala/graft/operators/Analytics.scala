@@ -455,4 +455,40 @@ object Analytics {
       .withColumn("gini",
         col("gini_num").cast("double") / (col("n_units") * col("sum_value")))
   }
+
+  /** Peak concurrency per epoch-day: the maximum number of sessions
+    * simultaneously active during each day — the capacity-planning
+    * number (licence seats, connection pools) an interval count can't
+    * give. Sessions come from [[Sessionize.sessions]] (gap rule shared
+    * with the rest of the session family); a session covers the
+    * INCLUSIVE second range [start, end], so the sweep places +1 at
+    * `start` and −1 at `end+1`, with −1 ordered before +1 at equal
+    * instants — a session ending as another starts never double-counts.
+    *
+    * Scale shape: the sweep is the classic +1/−1 prefix-sum, but
+    * PARTITIONED BY DAY: sessions spanning midnight are exploded into
+    * their covered days (span/86400 rows — sessions are gap-bounded,
+    * so the explosion is tiny) and clipped, so the running-sum window
+    * orders one day's boundary events, never the whole history.
+    * Output: (day, n_sessions, peak_concurrent).
+    */
+  def peakConcurrency(events: DataFrame, keyCol: String, tsCol: String,
+                      gapSeconds: Long): DataFrame = {
+    val sess = Sessionize.sessions(events, keyCol, tsCol, gapSeconds)
+      .select(col("session_start").as("t0"),
+        (col("session_end") + 1).as("t1"))
+    val spans = sess
+      .withColumn("day", explode(sequence(
+        expr("t0 div 86400"), expr("(t1 - 1) div 86400"))))
+      .withColumn("lo", greatest(col("t0"), col("day") * 86400))
+      .withColumn("hi", least(col("t1"), (col("day") + 1) * 86400))
+    val deltas = spans.select(col("day"), col("lo").as("t"), lit(1).as("d"))
+      .unionByName(spans.select(col("day"), col("hi").as("t"), lit(-1).as("d")))
+    val sweep = Window.partitionBy("day").orderBy("t", "d")
+    deltas
+      .withColumn("run", sum("d").over(sweep))
+      .groupBy("day")
+      .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
+        max("run").as("peak_concurrent"))
+  }
 }

@@ -142,4 +142,42 @@ object TimeSeries {
       .withColumn("is_change", row_number().over(peak) === 1)
       .select("series", "day", "t", "n_events", "s_num", "is_change")
   }
+
+  /** Zero-clamped running balance per series — the inventory / queue /
+    * credit-balance recursion S_t = max(0, S_{t−1} + x_t), which looks
+    * inherently sequential (each step consults the clamp) but has the
+    * Lindley-recursion closed form S_t = P_t − min(0, min_{i≤t} P_i)
+    * over the plain prefix sums P: two running windows on the SAME
+    * partition-and-order spec, evaluated in one window exec, no
+    * stateful scan, no mapGroups. Per-series reduction then reports
+    * the move count, the PEAK clamped balance, the final clamped
+    * balance (= Σdelta − min(0, min P): the last row's running min is
+    * the global min), and how much demand the clamp discarded
+    * (`lost = −min(0, min P)` — the stockout units a naive unclamped
+    * sum would silently go negative by).
+    *
+    * Scale shape: one shuffle on the series key; windows order one
+    * series' moves, never the global stream. The order columns must
+    * totally order each series or the recursion itself is ill-defined
+    * — ties are the CALLER's modeling bug, so pass tie-breakers.
+    */
+  def clampedBalance(moves: DataFrame, seriesCol: String, deltaCol: String,
+                     orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(seriesCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bal = moves
+      .withColumn("__p", sum(col(deltaCol)).over(w))
+      // same spec: the second window reuses the first's shuffle + sort
+      .withColumn("__floor", least(lit(0L), min(col("__p")).over(w)))
+      .withColumn("__bal", col("__p") - col("__floor"))
+    // the final row's running min IS the global min and its prefix IS
+    // the total, so final balance = Σdelta − min(0, min P): plain
+    // aggregates, no last-row selection needed
+    val gmin = least(lit(0L), min(col("__p")))
+    bal.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("n_moves"),
+        max(col("__bal")).as("peak_balance"),
+        (sum(col(deltaCol)) - gmin).as("final_balance"),
+        (-gmin).as("lost_units"))
+  }
 }

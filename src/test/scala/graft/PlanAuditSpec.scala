@@ -442,7 +442,8 @@ class PlanAuditSpec extends SparkSpecBase {
       "q_domain_mix",    // temperatureMix: totals over group-cardinality frame
       "q_token_budget",  // tokenBudget: cumsum over ≤buckets frame
       "q_exact_sample",  // exactKSample: cumsum over ≤buckets frame
-      "q_upsample_mix")  // upsampleMix: max over group-cardinality frame
+      "q_upsample_mix",  // upsampleMix: max over group-cardinality frame
+      "q_auc")           // rocAuc: cumsum over score-cardinality frame
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = Queries.registry.flatMap { case (name, q) =>
       val df = q.build(spark, sf())

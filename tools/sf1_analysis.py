@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Compare BENCH_sf1.json (replica-scaled 10x data, SfScale) against the
+sf0.1 official record (BENCH.json): per-query scale ratio, flagging any
+query whose sf1 time exceeds 10x its sf0.1 time — the super-linear-term
+detector the sf1 run exists for. A ratio <= 10 means at-or-below-linear
+scaling in data volume; most graft operators sit well below because
+fixed stage overhead dominates at sf0.1.
+
+Usage: python3 tools/sf1_analysis.py [BENCH_sf1.json] [BENCH.json]
+"""
+import json, sys
+
+sf1_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1.json"
+sf01_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH.json"
+sf1 = json.load(open(sf1_path))
+sf01 = json.load(open(sf01_path))
+q1, q0 = sf1["queries"], sf01["queries"]
+rows = []
+for name, rec in sorted(q1.items()):
+    t1 = rec["sec"]
+    t0 = q0.get(name, {}).get("sec")
+    if t1 < 0:
+        rows.append((float("inf"), name, t0, t1, "FAILED"))
+    elif t0 is None or t0 <= 0:
+        rows.append((0.0, name, t0, t1, "new-query (no sf0.1 record)"))
+    else:
+        r = t1 / t0
+        rows.append((r, name, t0, t1, ""))
+rows.sort(reverse=True)
+over = [r for r in rows if r[0] > 10 and r[4] != "new-query (no sf0.1 record)"]
+print(f"sf1 total: {sf1['value']:.1f}s over {len(q1)} queries "
+      f"(contaminated={sf1['contaminated']}, failed={sum(1 for r in rows if r[4]=='FAILED')})")
+print(f"sf0.1 total (shared queries): "
+      f"{sum(q0[n]['sec'] for n in q1 if n in q0 and q0[n]['sec'] >= 0):.1f}s")
+print(f"\n{'ratio':>7}  {'sf0.1':>8}  {'sf1':>8}  query")
+for r, name, t0, t1, note in rows[:25]:
+    t0s = f"{t0:.2f}" if t0 is not None else "-"
+    print(f"{r:7.2f}  {t0s:>8}  {t1:8.2f}  {name} {note}")
+print(f"\nqueries over 10x their sf0.1 time: {len(over)}")
+for r, name, t0, t1, note in over:
+    print(f"  {name}: {t0:.2f}s -> {t1:.2f}s ({r:.1f}x) {note}")
+sys.exit(1 if over or sf1["contaminated"] else 0)
