@@ -4336,7 +4336,184 @@ object Queries {
         |  max(p - fl)::BIGINT AS peak_balance,
         |  (sum(delta) - least(0, min(p)))::BIGINT AS final_balance,
         |  (-least(0, min(p)))::BIGINT AS lost_units
-        |FROM w2 GROUP BY sk""".stripMargin))
+        |FROM w2 GROUP BY sk""".stripMargin)),
+
+    // §2.2/229 — exact Pearson correlation matrix over four scaled
+    // lineitem measures in ONE fact scan: every Σx/Σx²/Σxy is an
+    // exact int64 from one combinable aggregation; corr is a fixed
+    // double expression over those integers (price in TENS of dollars
+    // keeps Σx² double-exact through sf1000's ~6·10⁹ rows).
+    "q_corr_matrix" -> QueryDef(
+      (s, d) => operators.Stats.correlationMatrix(ds(s, d, "lineitem").toDF, Seq(
+        "qty" -> round(col("l_quantity")),
+        "price_dd" -> round(col("l_extendedprice") / 10),
+        "disc_c" -> round(col("l_discount") * 100),
+        "tax_c" -> round(col("l_tax") * 100))),
+      Some {
+        val cols = Seq("qty", "price_dd", "disc_c", "tax_c")
+        val pairs = cols.combinations(2).map { case Seq(a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+             |  s_$a AS sum_a, s_$b AS sum_b, q_$a AS sumsq_a, q_$b AS sumsq_b,
+             |  p_${a}_$b AS sum_ab,
+             |  CASE WHEN n::DOUBLE * q_$a::DOUBLE - s_$a::DOUBLE * s_$a::DOUBLE > 0
+             |        AND n::DOUBLE * q_$b::DOUBLE - s_$b::DOUBLE * s_$b::DOUBLE > 0
+             |    THEN (n::DOUBLE * p_${a}_$b::DOUBLE - s_$a::DOUBLE * s_$b::DOUBLE)
+             |      / (sqrt(n::DOUBLE * q_$a::DOUBLE - s_$a::DOUBLE * s_$a::DOUBLE)
+             |       * sqrt(n::DOUBLE * q_$b::DOUBLE - s_$b::DOUBLE * s_$b::DOUBLE))
+             |  END AS corr FROM m""".stripMargin
+        }.mkString("\n", "\nUNION ALL\n", "")
+        val sums = cols.map(c => s"sum($c)::BIGINT AS s_$c, sum($c * $c)::BIGINT AS q_$c") ++
+          cols.combinations(2).map { case Seq(a, b) => s"sum($a * $b)::BIGINT AS p_${a}_$b" }
+        s"""WITH v AS (SELECT round(l_quantity)::BIGINT AS qty,
+           |    round(l_extendedprice / 10)::BIGINT AS price_dd,
+           |    round(l_discount * 100)::BIGINT AS disc_c,
+           |    round(l_tax * 100)::BIGINT AS tax_c FROM lineitem
+           |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+           |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+           |m AS (SELECT count(*)::BIGINT AS n, ${sums.mkString(", ")} FROM v)$pairs""".stripMargin
+      }),
+
+    // §2.2/230 — Benford first-digit audit over order totals: observed
+    // digit counts vs the Benford expectation shipped as nine integer
+    // micro-unit constants (they sum to exactly 10⁶) — expected count
+    // and signed deviation are pure int64, no engine-side log.
+    "q_benford" -> QueryDef(
+      (s, d) => operators.Stats.benfordDigits(ds(s, d, "orders").toDF,
+        col("o_totalprice")),
+      Some("""WITH d AS (SELECT substring(v::VARCHAR, 1, 1)::BIGINT AS digit,
+        |    count(*)::BIGINT AS n_d
+        |  FROM (SELECT floor(o_totalprice)::BIGINT AS v FROM orders) WHERE v >= 1 GROUP BY 1),
+        |t AS (SELECT sum(n_d)::BIGINT AS n FROM d)
+        |SELECT digit, n_d, n,
+        |  (n * CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+        |    WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
+        |    WHEN 8 THEN 51153 WHEN 9 THEN 45757 END)::BIGINT AS expected_micro,
+        |  (n_d * 1000000 - n * CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |    WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+        |    WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END)::BIGINT AS dev_micro
+        |FROM d CROSS JOIN t""".stripMargin)),
+
+    // §2.2/231 — rolling distinct actives (DAU + trailing-7-day WAU)
+    // per epoch-day: COUNT(DISTINCT) OVER a sliding range rewritten as
+    // the contribution expansion — distinct (user, day), explode to
+    // the ≤7 window-ends each falls in, distinct (user, end), count.
+    // All hash aggregations; zero-activity days report via the
+    // day-spine from the one-row broadcast bounds.
+    "q_rolling_actives" -> QueryDef(
+      (s, d) => operators.Analytics.rollingActives(ds(s, d, "events").toDF,
+        "user_id", "ts", 7),
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    floor(epoch(ts))::BIGINT // 86400 AS day FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+        |contrib AS (SELECT DISTINCT u,
+        |    unnest(generate_series(day, least(day + 6, (SELECT d1 FROM b)))) AS day FROM ud),
+        |rolling AS (SELECT day, count(*)::BIGINT AS rolling_actives FROM contrib GROUP BY day),
+        |spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b)
+        |SELECT s.day AS day, coalesce(dau.dau, 0)::BIGINT AS dau,
+        |  coalesce(rolling.rolling_actives, 0)::BIGINT AS rolling_actives
+        |FROM spine s LEFT JOIN dau ON s.day = dau.day
+        |LEFT JOIN rolling ON s.day = rolling.day""".stripMargin)),
+
+    // §2.2/232 — golden-record construction (MDM survivorship): per
+    // near-dup cluster the field-level majority merge — most frequent
+    // non-NULL value per field, ties to the smallest (the canonical
+    // determinism rule) — the composite-row complement of row 206's
+    // whole-row canonical pick. Oracle replays the shared cluster
+    // CTEs then votes per field.
+    "q_golden_record" -> QueryDef(
+      (s, d) => Dedup.goldenRecord(ds(s, d, "documents").toDF,
+        "doc_id", "text", Seq("lang", "source"), bands = 2, rowsPerBand = 4),
+      Some {
+        val mh = mhSigSql(8)
+        def band(b: Int) = (0 until 4).map(r => s"m${b * 4 + r}::varchar").mkString(" || '_' || ")
+        val iters = labelPropIters("band, sig")
+        def vote(f: String) =
+          s"""c_$f AS (SELECT cluster_id, $f, count(*) AS c FROM mem2
+             |  WHERE $f IS NOT NULL GROUP BY 1, 2),
+             |m_$f AS (SELECT cluster_id, max(c) AS m FROM c_$f GROUP BY 1),
+             |p_$f AS (SELECT c.cluster_id, min(c.$f) AS $f FROM c_$f c
+             |  JOIN m_$f USING (cluster_id) WHERE c.c = m_$f.m GROUP BY 1)""".stripMargin
+        s"""WITH toks AS (SELECT doc_id,
+           |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |hp AS (SELECT doc_id, list_transform(toks, w ->
+           |  [('0x' || substring(md5(w), 1, 14))::bigint,
+           |   ('0x' || substring(md5(w), 15, 14))::bigint]) AS hs FROM toks),
+           |sigs AS (SELECT doc_id, $mh FROM hp),
+           |mem AS (SELECT doc_id AS id, 0 AS band, ${band(0)} AS sig FROM sigs
+           |  UNION ALL SELECT doc_id AS id, 1 AS band, ${band(1)} AS sig FROM sigs),
+           |l0 AS (SELECT DISTINCT id, id AS label FROM mem),
+           |$iters,
+           |cl AS (SELECT id AS doc_id, label AS cluster_id FROM l3
+           |  UNION ALL SELECT doc_id, doc_id FROM documents WHERE text IS NULL),
+           |mem2 AS (SELECT cl.cluster_id, d.lang, d.source
+           |  FROM cl JOIN documents d USING (doc_id)),
+           |base AS (SELECT cluster_id, count(*)::BIGINT AS n_members FROM mem2 GROUP BY 1),
+           |${vote("lang")},
+           |${vote("source")}
+           |SELECT b.cluster_id, b.n_members, p_lang.lang, p_source.source
+           |FROM base b LEFT JOIN p_lang USING (cluster_id)
+           |LEFT JOIN p_source USING (cluster_id)""".stripMargin
+      }),
+
+    // §2.2/233 — hop-bounded weighted shortest paths over the
+    // co-purchase graph (edge weight 10⁶ div co-occurrence count:
+    // frequent pairings are cheap to traverse): Bellman–Ford with
+    // frontier deltas and per-round combinable min merges — the
+    // cheapest-route companion to row 152's unweighted BFS. The hop
+    // bound is the contract the bounded recursive CTE replays.
+    "q_sssp" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_quantity") >= 45)
+          .select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("src"), col("dst"), expr("1000000L div cnt").as("w"))
+        val nodes = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct()
+        operators.ShortestPaths.weightedHops(e, "src", "dst", "w",
+          nodes.filter(col("id") % 100 === 0), maxHops = 4)
+      },
+      Some("""WITH RECURSIVE e AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |    count(*)::BIGINT AS cnt
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_quantity >= 45 AND y.l_quantity >= 45 GROUP BY 1, 2),
+        |u AS (SELECT a AS s, b AS t, 1000000 // cnt AS w FROM e
+        |  UNION ALL SELECT b, a, 1000000 // cnt FROM e),
+        |src AS (SELECT DISTINCT s FROM u WHERE s % 100 = 0),
+        |r(n, d, h) AS (SELECT s, 0::BIGINT, 0 FROM src
+        |  UNION SELECT u.t, r.d + u.w, r.h + 1 FROM r JOIN u ON u.s = r.n WHERE r.h < 4)
+        |SELECT n AS node_id, min(d)::BIGINT AS dist FROM r GROUP BY n""".stripMargin)),
+
+    // §2.2/234 — proximity search (the NEAR operator): both terms of
+    // each characteristic-term pair within 5 positions, per document —
+    // row 172's phrase adjacency relaxed to a band. Terms are
+    // df-capped then top-by-count (deterministic, oracle re-derives);
+    // the positional band join runs only over broadcast-filtered
+    // postings of those terms.
+    "text_proximity" -> QueryDef(
+      (s, d) => operators.Retrieval.proximitySearch(
+        ds(s, d, "documents").toDF, "doc_id", "text",
+        nTerms = 4, window = 5, maxDfFrac = 0.9),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(len(toks)))::INT AS pos, unnest(toks) AS token FROM t),
+        |tf AS (SELECT token, doc_id, count(*)::BIGINT AS tf FROM pos GROUP BY 1, 2),
+        |stats AS (SELECT token, sum(tf)::BIGINT AS cnt, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(doc_id)::BIGINT AS nd FROM documents),
+        |terms AS (SELECT token FROM stats CROSS JOIN nd WHERE df <= nd * 0.9
+        |  ORDER BY cnt DESC, token LIMIT 4)
+        |SELECT a.token AS w1, b.token AS w2, a.doc_id AS doc_id, count(*)::BIGINT AS n_pairs
+        |FROM pos a JOIN terms ta ON a.token = ta.token
+        |JOIN pos b ON b.doc_id = a.doc_id
+        |JOIN terms tb ON b.token = tb.token
+        |WHERE a.token < b.token AND abs(a.pos - b.pos) <= 5
+        |GROUP BY 1, 2, 3""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

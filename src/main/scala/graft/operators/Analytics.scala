@@ -491,4 +491,53 @@ object Analytics {
       .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
         max("run").as("peak_concurrent"))
   }
+
+  /** Rolling distinct active users (DAU / WAU-style) per epoch-day:
+    * for every day in the observed range, the exact count of distinct
+    * users active that day and within the trailing `windowDays`-day
+    * window ending that day. COUNT(DISTINCT) OVER a sliding range
+    * isn't a combinable window — the classic exact rewrite is the
+    * CONTRIBUTION expansion: each distinct (user, day) activity row
+    * contributes to the `windowDays` window-ends it falls inside, and
+    * a second distinct on (user, window_end) collapses multi-day
+    * users so nobody is counted twice in one window.
+    *
+    * Scale shape: the fact table reduces to distinct (user, day)
+    * FIRST (combinable, the big shuffle); the explosion is
+    * windowDays× that — bounded, chosen, and tiny next to raw events
+    * — then one more distinct + count, all hash aggregations keyed by
+    * (user, window_end). No window function orders anything global.
+    * Days with zero activity still report (0, rolling) via the
+    * day-spine sequence from the one-row broadcast bounds. Window
+    * ends past the last observed day are not reported; the first
+    * `windowDays−1` days report their clipped (partial) windows —
+    * the standard dashboard convention.
+    */
+  def rollingActives(events: DataFrame, userCol: String, tsCol: String,
+                     windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = events
+      .select(col(userCol).as("u"), expr(s"unix_timestamp($tsCol) div 86400").as("day"))
+      .filter(col("u").isNotNull && col("day").isNotNull)
+      .distinct()
+    val bounds = ud.agg(min("day").as("d0"), max("day").as("d1"))
+    // ud is already distinct (u, day): plain count IS the distinct count
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val rolling = ud
+      .crossJoin(broadcast(bounds))
+      .withColumn("w", explode(sequence(col("day"),
+        least(col("day") + lit(windowDays.toLong - 1), col("d1")))))
+      .select(col("u"), col("w"))
+      .distinct()
+      .groupBy(col("w").as("day"))
+      .agg(count(lit(1)).as("rolling_actives"))
+    // spine is the LEFT (probe) side: no broadcast hint — the
+    // day-cardinality dau/rolling sides auto-broadcast by size
+    bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(dau, Seq("day"), "left")
+      .join(rolling, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("rolling_actives"), lit(0L)).as("rolling_actives"))
+  }
 }

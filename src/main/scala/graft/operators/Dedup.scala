@@ -1120,4 +1120,40 @@ object Dedup {
         expr("bit_count(__new_hash ^ __ref_hash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Golden-record construction (MDM survivorship): per
+    * [[minhashClusters]] cluster, the field-level MAJORITY merge —
+    * each listed field resolves to its most frequent non-NULL value
+    * among the cluster's members, ties to the SMALLEST value (the
+    * [[keepCanonical]] determinism rule, type-agnostic). Where
+    * keepCanonical picks one whole ROW as canonical, this builds the
+    * best COMPOSITE row — the standard entity-resolution step after
+    * match/cluster. A field NULL across the whole cluster stays NULL
+    * (absence survives; it is not invented).
+    *
+    * Scale shape: ONE membership join carries all fields; per field
+    * the vote is two combinable aggregates (value counts per cluster,
+    * then the max-count), with the tie broken by a min over the
+    * null-safe maxima — never a per-cluster window or sort. The
+    * membership frame is pinned once so the per-field chains share
+    * its scan. Output: (cluster_id, n_members, fields…).
+    */
+  def goldenRecord(df: DataFrame, idCol: String, textCol: String,
+                   fields: Seq[String], bands: Int, rowsPerBand: Int,
+                   iterations: Int = 3): DataFrame = {
+    require(fields.nonEmpty, "need at least one field to merge")
+    require(fields.distinct.size == fields.size, "duplicate field")
+    val clusters = minhashClusters(df, idCol, textCol, bands, rowsPerBand, iterations)
+    val mem = registerPin(clusters.join(
+      df.select(col(idCol).as("doc_id") +: fields.map(col): _*), "doc_id"))
+    val base = mem.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    fields.foldLeft(base) { (acc, f) =>
+      val cnt = mem.filter(col(f).isNotNull)
+        .groupBy(col("cluster_id"), col(f)).agg(count(lit(1)).as("__c"))
+      val mx = cnt.groupBy("cluster_id").agg(max("__c").as("__m"))
+      val pick = cnt.join(mx, "cluster_id").filter(col("__c") === col("__m"))
+        .groupBy("cluster_id").agg(min(col(f)).as(f))
+      acc.join(pick, Seq("cluster_id"), "left")
+    }
+  }
 }

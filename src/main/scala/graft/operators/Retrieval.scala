@@ -173,4 +173,59 @@ object Retrieval {
           col("token2") === col("w2"))
       .groupBy("w1", "w2", "doc_id").agg(count(lit(1)).as("n_occ"))
   }
+
+  /** Proximity search: for every unordered pair of the corpus's
+    * `nTerms` characteristic terms, the documents where both occur
+    * within `window` token positions, with the count of qualifying
+    * position pairs — the NEAR operator of lexical retrieval,
+    * [[phraseSearch]]'s adjacency relaxed to a band. Characteristic
+    * terms are chosen deterministically so the oracle re-derives
+    * them: document frequency ≤ `maxDfFrac` of the corpus (drops
+    * stopword-like tokens whose postings would dominate the
+    * positional join for no signal), then top `nTerms` by total
+    * count, ties lexicographic.
+    *
+    * Scale shape: term stats are two combinable aggregations over the
+    * postings ((token, doc) term frequencies, then per-token totals —
+    * df is a plain count of the tf rows, no count-distinct shuffle);
+    * the term table (`nTerms` rows)
+    * BROADCASTS into the posting scan so only selected-term postings
+    * — bounded by nTerms·df ≤ nTerms·maxDfFrac·corpus — survive to
+    * the per-document positional band join. That join is equi on
+    * doc_id with the |Δpos| ≤ window band as residual: per-doc work
+    * is tf_a·tf_b with df-capped terms, never corpus².
+    *
+    * Output: (w1, w2, doc_id, n_pairs), w1 < w2 lexicographically.
+    */
+  def proximitySearch(docs: DataFrame, idCol: String, textCol: String,
+                      nTerms: Int = 4, window: Int = 5,
+                      maxDfFrac: Double = 0.2): DataFrame = {
+    require(nTerms >= 2, s"need at least two terms, got $nTerms")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val postings = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "token")))
+    val nDocs = docs.select(count(col(idCol)).as("__nd"))
+    // df without a count-distinct shuffle: the (token, doc) tf rows
+    // are one per posting doc, so their count IS the df
+    val stats = postings.groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy("token")
+      .agg(sum("__tf").as("__cnt"), count(lit(1)).as("__df"))
+    val terms = Dedup.registerPin(stats
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") <= col("__nd") * maxDfFrac)
+      .orderBy(col("__cnt").desc, col("token"))
+      .limit(nTerms)
+      .select("token"))
+    val p = postings.join(broadcast(terms), "token")
+    val a = p.select(col("doc_id"), col("token").as("w1"), col("pos").as("p1"))
+    val b = p.select(col("doc_id").as("doc_id2"), col("token").as("w2"),
+      col("pos").as("p2"))
+    a.join(b,
+        col("doc_id") === col("doc_id2") && col("w1") < col("w2") &&
+          abs(col("p1") - col("p2")) <= window)
+      .groupBy("w1", "w2", "doc_id").agg(count(lit(1)).as("n_pairs"))
+  }
 }

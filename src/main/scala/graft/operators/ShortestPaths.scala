@@ -93,4 +93,66 @@ object ShortestPaths {
     adj.unpersist(blocking = false)
     settled
   }
+
+  /** Hop-bounded WEIGHTED shortest paths (Bellman–Ford with frontier
+    * deltas): `dist(v)` = the minimum total integer edge weight over
+    * any path of at most `maxHops` edges from any source — the
+    * cheapest-route companion to [[bfsHops]]' hop count. The hop
+    * bound is the CONTRACT (it is what a bounded recursive-CTE oracle
+    * replays), not a convergence heuristic; a run that stabilizes
+    * early exits early.
+    *
+    * Scale shape: the symmetrized adjacency collapses parallel edges
+    * to their min weight, is partitioned on `src` once and persisted.
+    * Each round expands ONLY the frontier — the nodes whose distance
+    * improved last round (classic Bellman–Ford delta optimization:
+    * any path improving at round h extends a node improved at h−1) —
+    * pre-merged by a combinable min before touching the distance
+    * table, and the new distance table is one more combinable min
+    * over (settled ∪ candidates). Distances only decrease, so the
+    * improved set is found by one join against the previous table;
+    * state is one (node, dist) row per reached node, checkpointed per
+    * round (the [[bfsHops]] lineage discipline).
+    */
+  def weightedHops(edges: DataFrame, srcCol: String, dstCol: String,
+                   weightCol: String, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val s = col(srcCol).cast("long")
+    val t = col(dstCol).cast("long")
+    val w = col(weightCol).cast("long")
+    val dir = edges.filter(s =!= t && w.isNotNull)
+      .select(s.as("src"), t.as("dst"), w.as("w"))
+    val adj = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(sources.columns.head)
+      .distinct()
+      .select(col(sources.columns.head).cast("long").as("node_id"),
+        lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var h = 0
+    var done = maxHops == 0 || frontier.count() == 0
+    while (!done) {
+      val cand = frontier.join(adj, frontier("node_id") === adj("src"))
+        .select(col("dst").as("node_id"), (col("dist") + col("w")).as("dist"))
+        .groupBy("node_id").agg(min("dist").as("dist"))
+      val merged = dist.unionByName(cand)
+        .groupBy("node_id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      frontier = merged.join(
+          dist.select(col("node_id"), col("dist").as("__old")),
+          Seq("node_id"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select("node_id", "dist")
+        .localCheckpoint(true)
+      dist = merged
+      h += 1
+      done = h >= maxHops || frontier.count() == 0
+    }
+    adj.unpersist(blocking = false)
+    dist
+  }
 }

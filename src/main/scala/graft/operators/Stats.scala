@@ -81,4 +81,90 @@ object Stats {
       .withColumn("auc",
         col("u2").cast("double") / (lit(2) * col("n_pos") * col("n_neg")).cast("double"))
   }
+
+  /** Exact Pearson correlation matrix over k integer-valued columns in
+    * ONE fact scan: every Σx, Σx² and pairwise Σxy is an exact int64
+    * sum from a single combinable global aggregation (k²/2 + 2k sums,
+    * map-side partial), and the correlation itself is the textbook
+    *   (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))
+    * evaluated as a FIXED double expression over those exact integers
+    * — IEEE multiply/divide/sqrt are correctly rounded, so identical
+    * integer inputs give bit-identical doubles on any engine; only
+    * float SUMMATION order drifts, and no float is ever summed here.
+    *
+    * Rows with a NULL in ANY listed column are dropped (complete-case
+    * — one shared n keeps the matrix positive-semidefinite). Output:
+    * one row per unordered pair in input order, carrying the shared n,
+    * both moment sums, Σxy, and `corr` (NULL when a side is constant —
+    * zero variance has no correlation, not a 0.0 one).
+    *
+    * Exactness bound (documented, same discipline as
+    * [[chiSquareCells]]): each int64 SUM must stay ≤ 2^53 so its
+    * double conversion is exact — values scaled to ≤10⁴ hold through
+    * ~9·10⁷ rows per scan (Σx² ≤ n·v² ≤ 2^53); rescale coarser or
+    * shard wider scans. The n·Σ products round in double on both engines
+    * identically, so they carry no cross-engine bound.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.map(_._1).distinct.size == cols.size, "duplicate column name")
+    val named = df.select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
+      .na.drop("any")
+    val aggs =
+      cols.map { case (n, _) => sum(col(n)).as(s"__s_$n") } ++
+      cols.map { case (n, _) => sum(col(n) * col(n)).as(s"__q_$n") } ++
+      cols.combinations(2).map { case Seq((a, _), (b, _)) =>
+        sum(col(a) * col(b)).as(s"__p_${a}_$b") }.toSeq
+    // one row; eagerly materialized so the per-pair projections below
+    // share ONE fact scan instead of re-deriving the aggregation each
+    val m = named.agg(count(lit(1)).as("n"), aggs: _*).localCheckpoint(true)
+    // n·Σ products can exceed int64 — they are formed in DOUBLE from
+    // the exact int64 sums (correctly-rounded multiply: deterministic
+    // on any engine; an int64 product would overflow differently per
+    // engine — DuckDB throws, Spark wraps)
+    def d(c: Column) = c.cast("double")
+    cols.combinations(2).map { case Seq((a, _), (b, _)) =>
+      val va = d(col("n")) * d(col(s"__q_$a")) - d(col(s"__s_$a")) * d(col(s"__s_$a"))
+      val vb = d(col("n")) * d(col(s"__q_$b")) - d(col(s"__s_$b")) * d(col(s"__s_$b"))
+      val cov = d(col("n")) * d(col(s"__p_${a}_$b")) - d(col(s"__s_$a")) * d(col(s"__s_$b"))
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        col(s"__s_$a").as("sum_a"), col(s"__s_$b").as("sum_b"),
+        col(s"__q_$a").as("sumsq_a"), col(s"__q_$b").as("sumsq_b"),
+        col(s"__p_${a}_$b").as("sum_ab"),
+        when(va > 0 && vb > 0, cov / (sqrt(va) * sqrt(vb))).as("corr"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Benford first-significant-digit audit: the observed count of each
+    * leading digit 1–9 against the Benford expectation — the classic
+    * fabricated-numbers screen for financial and measurement columns.
+    * The expectation log₁₀(1+1/d) is irrational, so it ships as NINE
+    * INTEGER CONSTANTS in micro-units (they sum to exactly 10⁶),
+    * making every output column exact integer arithmetic: expected
+    * counts in micro-row units (`n·C_d`) and the signed deviation
+    * `n_d·10⁶ − n·C_d` — no engine-side log, no float anywhere.
+    *
+    * Scale shape: leading-digit extraction is per-row arithmetic
+    * (repeated div-by-10 via floor(log10) would need a float — instead
+    * the digit comes from string truncation of the integer part, exact
+    * for any magnitude) and the reduction is one combinable 9-group
+    * count. Values < 1 or NULL are excluded (no leading digit).
+    * Exactness bound: n·10⁶ within int64 → n ≤ 9·10¹². */
+  def benfordDigits(df: DataFrame, valueCol: Column): DataFrame = {
+    val micro = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expect = map(micro.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(i + 1L), lit(c)) }: _*)
+    // ≤9 rows, eagerly materialized: the grand total below reuses it
+    // instead of re-deriving the digit counts (a second fact scan)
+    val d = df.select(floor(valueCol).cast("long").as("v"))
+      .filter(col("v") >= 1)
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_d"))
+      .localCheckpoint(true)
+    d.crossJoin(broadcast(d.agg(sum("n_d").as("n"))))
+      .withColumn("expected_micro", col("n") * expect(col("digit")))
+      .withColumn("dev_micro", col("n_d") * lit(1000000L) - col("expected_micro"))
+      .select("digit", "n_d", "n", "expected_micro", "dev_micro")
+  }
 }

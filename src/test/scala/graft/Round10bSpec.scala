@@ -121,4 +121,121 @@ class Round10bSpec extends SparkSpecBase {
     assert(r.getLong(2) === seq.max, "peak equals the recursion's max")
     assert(r.getLong(3) === seq.last, "final equals the recursion's last")
   }
+
+  test("correlation matrix: exact sums, known correlations, NULL handling") {
+    import spark.implicits._
+    // y = 2x (corr 1), z = -x (corr -1), c constant (corr NULL);
+    // one row with a NULL drops entirely (complete-case n = 4)
+    val df = Seq(
+      (1L, 2L, -1L, 7L), (2L, 4L, -2L, 7L), (3L, 6L, -3L, 7L),
+      (4L, 8L, -4L, 7L)).toDF("x", "y", "z", "c")
+      .unionByName(Seq((Some(9L), None: Option[Long], Some(1L), Some(7L)))
+        .toDF("x", "y", "z", "c"))
+    val out = Stats.correlationMatrix(df, Seq(
+        "x" -> col("x"), "y" -> col("y"), "z" -> col("z"), "c" -> col("c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size === 6)
+    val xy = out(("x", "y"))
+    assert(xy.getLong(2) === 4L, "complete-case n excludes the NULL row")
+    assert(xy.getLong(3) === 10L && xy.getLong(4) === 20L, "exact sums")
+    assert(xy.getLong(7) === 60L, "exact sum of products")
+    assert(math.abs(xy.getDouble(8) - 1.0) < 1e-12, "y=2x correlates at 1")
+    assert(math.abs(out(("x", "z")).getDouble(8) + 1.0) < 1e-12, "z=-x at -1")
+    assert(out(("x", "c")).isNullAt(8), "constant column has NULL corr")
+    assert(out(("y", "c")).isNullAt(8) && out(("z", "c")).isNullAt(8))
+  }
+
+  test("benford digits: exact counts, micro-constants sum to 1e6, exclusions") {
+    import spark.implicits._
+    // digits: 1,1,2,2,3,1,9 — 0.5, 0 and NULL excluded (no leading digit)
+    val df = Seq(Some(1.0), Some(19.4), Some(2.0), Some(25.0), Some(3.9),
+      Some(123.0), Some(9999.0), Some(0.5), Some(0.0), None).toDF("v")
+    val out = Stats.benfordDigits(df, col("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 9L))
+    assert(out(1L) === ((3L, 7L, 7L * 301030L, 3L * 1000000L - 7L * 301030L)))
+    assert(out(2L) === ((2L, 7L, 7L * 176091L, 2L * 1000000L - 7L * 176091L)))
+    assert(out(9L) === ((1L, 7L, 7L * 45757L, 1L * 1000000L - 7L * 45757L)))
+    // the shipped micro-unit Benford table telescopes to exactly 1
+    assert(Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
+      51153L, 45757L).sum === 1000000L)
+  }
+
+  test("rolling actives: contribution expansion equals the sliding distinct") {
+    import spark.implicits._
+    // day0: u1,u2 (u1 twice); day1: u1; day3: u3 — day2 has no events
+    val ev = Seq((1L, 100L), (1L, 200L), (2L, 300L), (1L, 86400L + 10L),
+        (3L, 3L * 86400L + 10L))
+      .toDF("user_id", "ep")
+      .withColumn("ts", timestamp_seconds(col("ep")))
+    val out = Analytics.rollingActives(ev, "user_id", "ts", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L), "full day spine incl. empty day 2")
+    assert(out(0L) === ((2L, 2L)), "day 0: {u1,u2}")
+    assert(out(1L) === ((1L, 2L)), "day 1 window {0,1}: {u1,u2}")
+    assert(out(2L) === ((0L, 2L)), "empty day still rolls {u1,u2} from days 0-1")
+    assert(out(3L) === ((1L, 2L)), "day 3 window {1,2,3}: {u1,u3}")
+  }
+
+  test("golden record: field majority, tie to smallest, NULL survives only alone") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // docs 1,2,3 share identical text (one cluster); 4 distinct; 5 NULL text
+    val docs = Seq(
+      (1L, Option("alpha beta gamma delta epsilon zeta"), Option("en"), Option("s1")),
+      (2L, Option("alpha beta gamma delta epsilon zeta"), Option("en"), None),
+      (3L, Option("alpha beta gamma delta epsilon zeta"), Option("de"), Option("s2")),
+      (4L, Option("omega psi chi phi upsilon tau"), Option("fr"), Option("s9")),
+      (5L, None, None, None)
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.goldenRecord(docs, "doc_id", "text", Seq("lang", "source"),
+        bands = 2, rowsPerBand = 4)
+      .collect().map(r => r.getLong(1) -> r).toList
+    val byN = out.toMap
+    assert(out.map(_._1).sorted === List(1L, 1L, 3L), "one 3-cluster, two singletons")
+    val big = byN(3L)
+    assert(big.getString(2) === "en", "lang majority 2-1")
+    assert(big.getString(3) === "s1", "source tie 1-1 breaks to the smaller value")
+    val singles = out.filter(_._1 == 1L).map(_._2)
+    assert(singles.exists(r => r.getString(2) == "fr" && r.getString(3) == "s9"))
+    assert(singles.exists(r => r.isNullAt(2) && r.isNullAt(3)),
+      "all-NULL cluster keeps NULL fields")
+  }
+
+  test("weighted shortest paths: hop bound, min-weight parallel collapse, frontier exactness") {
+    import graft.operators.ShortestPaths
+    import spark.implicits._
+    // 1-2 (w1, plus a w7 parallel restated reversed), 2-3 (w1), 1-3 (w5):
+    // best 1→3 is 2 via two hops, 5 within one hop
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 7L), (2L, 3L, 1L), (1L, 3L, 5L),
+        (3L, 3L, 99L)) // self-loop dropped
+      .toDF("s", "t", "w")
+    val src = Seq(1L).toDF("id")
+    val h1 = ShortestPaths.weightedHops(e, "s", "t", "w", src, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 === Map(1L -> 0L, 2L -> 1L, 3L -> 5L), s"one hop: direct only: $h1")
+    val h3 = ShortestPaths.weightedHops(e, "s", "t", "w", src, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h3 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L), s"two hops beat direct: $h3")
+    // unreachable island never appears
+    val e2 = e.unionByName(Seq((8L, 9L, 1L)).toDF("s", "t", "w"))
+    val r2 = ShortestPaths.weightedHops(e2, "s", "t", "w", src, maxHops = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(r2 === Set(1L, 2L, 3L))
+  }
+
+  test("proximity search: position pairs within window per term pair") {
+    import graft.operators.Retrieval
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    // counts: a=3, b=2, c=3 → top-2 by (cnt desc, token): a, c; c never
+    // meets a → pick nTerms=3 so (a,b) and (a,c)/(b,c) candidates exist
+    val out = Retrieval.proximitySearch(docs, "doc_id", "text",
+        nTerms = 3, window = 1, maxDfFrac = 1.0)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(out === Map(("a", "b", 1L) -> 2L, ("a", "b", 2L) -> 1L),
+      s"doc1: a@0,a@2 vs b@1 (2 pairs), doc2: b@0,a@1 (1): $out")
+  }
 }

@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Generate tools/sf1_ceilings.json for a replica-scaled sf1 bench run
+(SPARK_GRAFT_BENCH_CEILINGS=tools/sf1_ceilings.json).
+
+Band model: a query's sf1 ceiling is 30x its official sf0.1 seconds
+(10x data x 3 headroom), floored at 15s (fixed stage overhead does not
+scale down). Queries with no sf0.1 record yet (added since the last
+adjudicated BENCH.json) get a permissive 60s band until one exists.
+
+OUTPUT-JUSTIFIED overrides (measured, see tools/sf1_analysis.py
+EXEMPT for the evidence): operators whose OUTPUT grows super-linearly
+with duplicate multiplicity/graph density get a ceiling sized to the
+measured work, not the x30 linear band — a linear band on an
+output-quadratic operator would flag correct behavior.
+
+Usage: python3 tools/gen_sf1_ceilings.py [BENCH.json] [> tools/sf1_ceilings.json]
+"""
+import json, sys
+
+OVERRIDES = {
+    # 574x output rows (169,618 -> 97.3M pairs); DuckDB replaying the
+    # identical oracle needs 107s — 110s Spark is the computation, not
+    # a plan defect. r4-documented quadratic pair-multiplicity contract.
+    "q_substring_pairs": 150.0,
+    # 7.8x output (666,524 -> 5.18M pairs); DuckDB identical
+    # computation 7.3s vs Spark 8.9s; 0.66s sf0.1 base is overhead-bound.
+    "dedup_simhash": 20.0,
+    # labels linear (20k -> 200k) but the sf1 co-purchase graph is
+    # DENSER per replica (shared part catalog): 13.8s for 3 rounds.
+    "q_communities": 25.0,
+}
+
+def main():
+    bench = sys.argv[1] if len(sys.argv) > 1 else "BENCH.json"
+    manifest = "tools/oracle_types.json"
+    q = json.load(open(bench))["queries"]
+    ceilings = {}
+    for name, rec in q.items():
+        sec = rec["sec"] if isinstance(rec, dict) else rec
+        if sec is not None and sec >= 0:
+            ceilings[name] = max(15.0, round(sec * 30, 2))
+    # registry queries newer than the official record: permissive band
+    for name in json.load(open(manifest)):
+        ceilings.setdefault(name, 60.0)
+    ceilings.update(OVERRIDES)
+    json.dump(ceilings, sys.stdout, indent=1, sort_keys=True)
+    print()
+
+if __name__ == "__main__":
+    main()
