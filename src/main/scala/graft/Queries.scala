@@ -4513,7 +4513,82 @@ object Queries {
         |JOIN pos b ON b.doc_id = a.doc_id
         |JOIN terms tb ON b.token = tb.token
         |WHERE a.token < b.token AND abs(a.pos - b.pos) <= 5
-        |GROUP BY 1, 2, 3""".stripMargin))
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // §2.2/235 — per-supplier winsorized + trimmed robust price stats:
+    // discrete-percentile bounds (k-th smallest MEMBER, never an
+    // interpolated float) keep everything int64; the winsorized sum
+    // closes as trim_sum + (kLo−1)·lo + (n−kHi)·hi — one per-group
+    // window + one combinable aggregation, no clip re-scan.
+    "q_winsorized" -> QueryDef(
+      (s, d) => operators.Stats.winsorizedStats(ds(s, d, "lineitem").toDF,
+        col("l_suppkey"), round(col("l_extendedprice") * 100), 0.05, 0.95),
+      Some("""WITH v AS (SELECT l_suppkey AS g, round(l_extendedprice * 100)::BIGINT AS v
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |t AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rnk,
+        |    count(*) OVER (PARTITION BY g)::BIGINT AS n FROM v),
+        |k AS (SELECT *, greatest(1, ceil(0.05 * n)::BIGINT) AS klo,
+        |    ceil(0.95 * n)::BIGINT AS khi FROM t),
+        |a AS (SELECT g, max(n)::BIGINT AS n, max(klo)::BIGINT AS klo, max(khi)::BIGINT AS khi,
+        |    max(CASE WHEN rnk = klo THEN v END)::BIGINT AS lo,
+        |    max(CASE WHEN rnk = khi THEN v END)::BIGINT AS hi,
+        |    sum(CASE WHEN rnk BETWEEN klo AND khi THEN 1 END)::BIGINT AS trim_n,
+        |    sum(CASE WHEN rnk BETWEEN klo AND khi THEN v END)::BIGINT AS trim_sum
+        |  FROM k GROUP BY g)
+        |SELECT g, n, lo, hi, trim_n, trim_sum,
+        |  (trim_sum + (klo - 1) * lo + (n - khi) * hi)::BIGINT AS wins_sum,
+        |  trim_sum::DOUBLE / trim_n::DOUBLE AS trim_mean,
+        |  (trim_sum + (klo - 1) * lo + (n - khi) * hi)::DOUBLE / n::DOUBLE AS wins_mean
+        |FROM a""".stripMargin)),
+
+    // §2.2/236 — URL canonicalization + collapse: crawl-prep
+    // normalization (case, www, default port, fragment, utm_* params,
+    // param order, trailing slash) over deterministically constructed
+    // variant URLs — three cosmetic variants per resource collapse to
+    // one canonical key. Pure codegen string/array expressions,
+    // SQL-replayable step for step.
+    "q_url_canonical" -> QueryDef(
+      (s, d) => {
+        val raw = concat(
+          lit("HTTPS://WWW.Example"), (col("doc_id") % 5).cast("string"),
+          lit(".com:443/Docs/"), col("source"),
+          lit("/Item"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/?b=2&a=1&utm_source=feed"))
+            .when(col("doc_id") % 3 === 1, lit("?a=1&utm_campaign=x&b=2#frag"))
+            .otherwise(lit("?a=1&b=2")))
+        ds(s, d, "documents").toDF
+          .select(col("doc_id"), raw.as("url"))
+          .select(col("doc_id"), col("url"),
+            graft.functions.UrlFunctions.canonicalizeUrl(col("url")).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("url")).as("n_raw_forms"),
+            min("doc_id").as("first_doc"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+        |    'HTTPS://WWW.Example' || (doc_id % 5)::VARCHAR || '.com:443/Docs/' || source
+        |      || '/Item' || (doc_id % 40)::VARCHAR ||
+        |    CASE doc_id % 3 WHEN 0 THEN '/?b=2&a=1&utm_source=feed'
+        |      WHEN 1 THEN '?a=1&utm_campaign=x&b=2#frag' ELSE '?a=1&b=2' END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, url, string_split(url, '#')[1] AS nofrag FROM u),
+        |s2 AS (SELECT *, string_split(nofrag, '?')[1] AS pre,
+        |    string_split(nofrag, '?')[2] AS query FROM s1),
+        |s3 AS (SELECT *, lower(string_split(pre, '://')[1]) AS scheme,
+        |    string_split(pre, '://')[2] AS rest FROM s2),
+        |s4 AS (SELECT *, string_split(rest, '/')[1] AS hostport FROM s3),
+        |s5 AS (SELECT *,
+        |    regexp_replace(regexp_replace(lower(hostport), '^www\.', ''), ':(80|443)$', '') AS host,
+        |    rtrim(substring(rest, length(hostport) + 1), '/') AS path,
+        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      p -> substring(p, 1, 4) <> 'utm_')), '&') AS canonq FROM s4),
+        |c AS (SELECT doc_id, url,
+        |    scheme || '://' || host || path ||
+        |    CASE WHEN canonq IS NOT NULL AND canonq <> '' THEN '?' || canonq ELSE '' END
+        |      AS canonical_url FROM s5)
+        |SELECT canonical_url, count(*)::BIGINT AS n_urls,
+        |  count(DISTINCT url)::BIGINT AS n_raw_forms, min(doc_id)::BIGINT AS first_doc
+        |FROM c GROUP BY canonical_url""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

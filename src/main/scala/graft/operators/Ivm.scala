@@ -317,4 +317,75 @@ object Ivm {
         partitionDirName("__jb", v)), true)
     }
   }
+
+  /** The bucketed layout [[mergeKeyedTable]] maintains: rows hashed on
+    * the merge key into a fixed bucket count (integer buckets never
+    * need path escaping, and the count is independent of key
+    * cardinality — the [[writeJoinTable]] discipline).
+    */
+  def writeKeyedTable(path: String, df: DataFrame, keyCol: String,
+                      numBuckets: Int): Unit =
+    df.withColumn("__kb", pmod(hash(col(keyCol)), lit(numBuckets)))
+      .write.mode("overwrite").partitionBy("__kb").parquet(path)
+
+  /** Keyed MERGE — the SQL `MERGE INTO` contract on a plain
+    * [[writeKeyedTable]] parquet layout, no table format required:
+    * each change row carries `opCol` = I/U (the full replacement row;
+    * matched → update, unmatched → insert — upsert) or D (delete by
+    * key — its other columns are ignored). Only the hash buckets the
+    * change keys touch are read back and rewritten (dynamic
+    * overwrite); untouched buckets' files are never opened, so merge
+    * IO tracks the CHANGE batch, not table size. Buckets whose rows
+    * all vanished are dropped explicitly (the
+    * [[refreshGroupBySumTable]] resurrect-on-read sweep).
+    *
+    * At most ONE change row per key per batch — enforced, because two
+    * same-key changes in one unordered batch have no defined merge
+    * result (CDC feeds net their batches first: [[applyGroupDelta]]'s
+    * netting discipline). NULL merge keys are rejected: NULL never
+    * equals itself in the anti-join, so a NULL-keyed "update" would
+    * silently insert forever.
+    */
+  def mergeKeyedTable(path: String, changes: DataFrame, opCol: String,
+                      keyCol: String, numBuckets: Int,
+                      maxPartitionsPerBatch: Int = 4096): Unit = {
+    val spark = changes.sparkSession
+    require(!changes.schema.fieldNames.contains("__kb"),
+      "'__kb' is the reserved bucket column")
+    require(changes.filter(col(keyCol).isNull).limit(1).collect().isEmpty,
+      s"NULL '$keyCol' merge keys are not supported")
+    val dup = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"multiple change rows for '$keyCol' = ${dup.headOption.map(_.get(0)).orNull} " +
+        "in one batch — merge order would be undefined; net the batch first")
+    val kb = pmod(hash(col(keyCol)), lit(numBuckets))
+    val touched = changes.select(kb.as("__kb")).distinct()
+      .limit(maxPartitionsPerBatch + 1).collect().map(_.getInt(0))
+    require(touched.length <= maxPartitionsPerBatch,
+      s"change batch touches > $maxPartitionsPerBatch buckets — raise the bound " +
+        "or lower numBuckets")
+    if (touched.isEmpty) return
+    val inTouched = col("__kb").isin(touched.toIndexedSeq: _*)
+    val shape = changes.drop(opCol).limit(0).withColumn("__kb", lit(0))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (!fs.exists(hPath)) shape
+      else spark.read.schema(shape.schema).parquet(path).filter(inTouched)
+    val keep = existing.drop("__kb")
+      .join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
+    val merged = keep.unionByName(upserts)
+      .withColumn("__kb", kb)
+      .localCheckpoint(true) // severs lineage from the files being overwritten
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__kb").parquet(path)
+    val survived = merged.select("__kb").distinct().collect().map(_.getInt(0)).toSet
+    touched.filterNot(survived.contains).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(hPath,
+        partitionDirName("__kb", v)), true)
+    }
+  }
 }

@@ -167,4 +167,59 @@ object Stats {
       .withColumn("dev_micro", col("n_d") * lit(1000000L) - col("expected_micro"))
       .select("digit", "n_d", "n", "expected_micro", "dev_micro")
   }
+
+  /** Per-group winsorized AND trimmed robust statistics over an
+    * integer measure, exactly — the outlier-taming prep step
+    * (clip-at-percentile) for training targets and metrics. Bounds
+    * are the DISCRETE percentiles (k-th smallest member value,
+    * k = ceil(p·n) — an actual member, never an interpolated float),
+    * so clipping stays in int64 and both means are one exact sum into
+    * one final IEEE division. Ties need no tiebreak: the k-th
+    * smallest VALUE of a multiset and the sum over sorted positions
+    * [kLo, kHi] are deterministic however equal values are ordered.
+    *
+    * One pass, no clip-join: the winsorized sum has the closed form
+    *   trim_sum + (kLo−1)·lo + (n−kHi)·hi
+    * (every value below position kLo clips to lo, above kHi to hi),
+    * so ONE per-group window (row_number + count on the same
+    * partition) and ONE combinable aggregation produce everything —
+    * no second fact scan to apply the bounds.
+    *
+    * Scale shape: the window partitions by group and orders one
+    * group's rows (the [[Analytics]] per-group discipline, never a
+    * global sort); everything after is hash aggregation. Output:
+    * (group, n, lo, hi, trim_n, trim_sum, wins_sum, trim_mean,
+    * wins_mean).
+    */
+  def winsorizedStats(df: DataFrame, groupCol: Column, valueCol: Column,
+                      pLo: Double, pHi: Double): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val byV = Window.partitionBy("g").orderBy("v")
+    val whole = Window.partitionBy("g")
+    val t = base
+      .withColumn("rnk", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("kLo", greatest(lit(1L), ceil(lit(pLo) * col("n")).cast("long")))
+      .withColumn("kHi", ceil(lit(pHi) * col("n")).cast("long"))
+    t.groupBy(col("g"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("kLo")).as("__kLo"),
+        max(col("kHi")).as("__kHi"),
+        max(when(col("rnk") === col("kLo"), col("v"))).as("lo"),
+        max(when(col("rnk") === col("kHi"), col("v"))).as("hi"),
+        sum(when(col("rnk").between(col("kLo"), col("kHi")), 1L)).as("trim_n"),
+        sum(when(col("rnk").between(col("kLo"), col("kHi")), col("v"))).as("trim_sum"))
+      .withColumn("wins_sum", col("trim_sum") +
+        (col("__kLo") - 1) * col("lo") + (col("n") - col("__kHi")) * col("hi"))
+      .withColumn("trim_mean",
+        col("trim_sum").cast("double") / col("trim_n").cast("double"))
+      .withColumn("wins_mean",
+        col("wins_sum").cast("double") / col("n").cast("double"))
+      .select("g", "n", "lo", "hi", "trim_n", "trim_sum", "wins_sum",
+        "trim_mean", "wins_mean")
+  }
 }

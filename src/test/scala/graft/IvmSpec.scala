@@ -260,4 +260,61 @@ class IvmSpec extends SparkSpecBase {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
       "refreshed table must equal recompute")
   }
+
+  test("keyed MERGE: upsert + delete semantics, touched-bucket-only IO, batch guards") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivm-merge").toString
+    val path = s"$dir/tbl"
+    val nb = 32
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L), (5L, "e", 50L)).toDF("k", "name", "v")
+    Ivm.writeKeyedTable(path, base, "k", nb)
+    def files(): Map[String, Long] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(_.getName.startsWith("__kb=")).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+      }.toMap
+    }
+    val before = files()
+    val bucketOf = base.select(col("k"),
+        org.apache.spark.sql.functions.pmod(hash(col("k")), lit(nb)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // update 1, delete 3, insert 9 — the MERGE INTO triple
+    val changes = Seq((1L, "a2", 11L, "U"), (3L, "zz", 0L, "D"),
+      (9L, "i", 90L, "I")).toDF("k", "name", "v", "op")
+    Ivm.mergeKeyedTable(path, changes, "op", "k", nb)
+    val got = spark.read.parquet(path).drop("__kb")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "a2", 11L), (2L, "b", 20L), (4L, "d", 40L),
+      (5L, "e", 50L), (9L, "i", 90L)), s"merge result: $got")
+    // untouched buckets' files never moved
+    val touchedB = changes.select(
+        org.apache.spark.sql.functions.pmod(hash(col("k")), lit(nb)).as("b"))
+      .collect().map(_.getInt(0)).toSet
+    val after = files()
+    before.keys.filterNot(f => touchedB.exists(b => f.startsWith(s"__kb=$b/")))
+      .foreach { f =>
+        assert(after.get(f) === before.get(f), s"untouched bucket file moved: $f")
+      }
+    // a key alone in its bucket, deleted → its bucket directory vanishes
+    val lone = bucketOf.find { case (k, b) =>
+      k != 3L && bucketOf.values.count(_ == b) == 1 && !touchedB.contains(b) }
+    lone.foreach { case (k, b) =>
+      Ivm.mergeKeyedTable(path,
+        Seq((k, "x", 0L, "D")).toDF("k", "name", "v", "op"), "op", "k", nb)
+      assert(!new java.io.File(path, s"__kb=$b").exists(),
+        s"emptied bucket __kb=$b must be dropped")
+    }
+    // guards: two changes to one key, and NULL keys, both refuse
+    intercept[IllegalArgumentException] {
+      Ivm.mergeKeyedTable(path, Seq((2L, "x", 1L, "U"), (2L, "y", 2L, "U"))
+        .toDF("k", "name", "v", "op"), "op", "k", nb)
+    }
+    intercept[IllegalArgumentException] {
+      Ivm.mergeKeyedTable(path,
+        Seq((Option.empty[Long], "x", 1L, "U")).toDF("k", "name", "v", "op"),
+        "op", "k", nb)
+    }
+  }
 }

@@ -238,4 +238,45 @@ class Round10bSpec extends SparkSpecBase {
     assert(out === Map(("a", "b", 1L) -> 2L, ("a", "b", 2L) -> 1L),
       s"doc1: a@0,a@2 vs b@1 (2 pairs), doc2: b@0,a@1 (1): $out")
   }
+
+  test("winsorized stats: discrete bounds, closed-form winsorized sum, hand check") {
+    import spark.implicits._
+    // A: 1..20 at (0.1, 0.9): kLo=2, kHi=18 → lo=2, hi=18;
+    // trim = Σ2..18 = 170; wins = 170 + 1·2 + 2·18 = 208
+    // B: ties at the boundary — [5,5,5,9]: kLo=1, kHi=4 → untrimmed
+    val df = ((1L to 20L).map(("A", _)) ++ Seq(5L, 5L, 5L, 9L).map(("B", _)))
+      .toDF("g", "v")
+    val out = Stats.winsorizedStats(df, col("g"), col("v"), 0.1, 0.9)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((20L, 2L, 18L)), "n, lo, hi")
+    assert((a.getLong(4), a.getLong(5), a.getLong(6)) === ((17L, 170L, 208L)),
+      "trim_n, trim_sum, wins_sum")
+    assert(a.getDouble(8) === 208.0 / 20.0, "wins_mean one exact division")
+    val manual = (1L to 20L).map(v => math.max(2L, math.min(18L, v))).sum
+    assert(manual === 208L, "closed form equals the literal clip")
+    val b = out("B")
+    assert((b.getLong(2), b.getLong(3), b.getLong(5), b.getLong(6)) ===
+      ((5L, 9L, 24L, 24L)), "full-range percentiles leave the group untouched")
+  }
+
+  test("url canonicalization: case, www, port, fragment, utm, order, slash") {
+    import graft.functions.UrlFunctions
+    import spark.implicits._
+    val in = Seq(
+      "HTTPS://WWW.Example.COM:443/A/b/?b=2&a=1&utm_source=x#frag",
+      "http://Host.com:80",
+      "https://h.com/p?utm_a=1&utm_b=2",
+      "host.com/no-scheme",
+      null
+    ).toDF("url")
+    val out = in.select(UrlFunctions.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toList
+    assert(out(0) === "https://example.com/A/b?a=1&b=2",
+      s"all seven rules at once: ${out(0)}")
+    assert(out(1) === "http://host.com", "default port and empty path")
+    assert(out(2) === "https://h.com/p", "all-utm query drops the '?' entirely")
+    assert(out(3) === null, "no scheme → malformed → NULL")
+    assert(out(4) === null, "NULL in, NULL out")
+  }
 }
