@@ -4588,7 +4588,159 @@ object Queries {
         |      AS canonical_url FROM s5)
         |SELECT canonical_url, count(*)::BIGINT AS n_urls,
         |  count(DISTINCT url)::BIGINT AS n_raw_forms, min(doc_id)::BIGINT AS first_doc
-        |FROM c GROUP BY canonical_url""".stripMargin))
+        |FROM c GROUP BY canonical_url""".stripMargin)),
+
+    // §2.2/238 — per-supplier OLS fit (price-in-tens ~ quantity): the
+    // corr-matrix discipline per group — exact int64 moment sums from
+    // one combinable aggregation, slope/intercept/R² fixed double
+    // expressions over them, n·Σ products formed in double.
+    "q_ols" -> QueryDef(
+      (s, d) => operators.Stats.olsPerGroup(ds(s, d, "lineitem").toDF,
+        col("l_suppkey"), round(col("l_quantity")), round(col("l_extendedprice") / 10)),
+      Some("""WITH v AS (SELECT l_suppkey AS g, round(l_quantity)::BIGINT AS x,
+        |    round(l_extendedprice / 10)::BIGINT AS y
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |m AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sum_x,
+        |    sum(y)::BIGINT AS sum_y, sum(x * x)::BIGINT AS sum_xx,
+        |    sum(x * y)::BIGINT AS sum_xy, sum(y * y)::BIGINT AS sum_yy
+        |  FROM v GROUP BY g),
+        |c AS (SELECT *,
+        |    n::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE AS vx,
+        |    n::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE AS vy,
+        |    n::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE AS cov FROM m),
+        |s AS (SELECT *, CASE WHEN vx > 0 THEN cov / vx END AS slope FROM c)
+        |SELECT g, n, sum_x, sum_y, sum_xx, sum_xy, sum_yy, slope,
+        |  CASE WHEN vx > 0 THEN (sum_y::DOUBLE - slope * sum_x::DOUBLE) / n::DOUBLE END
+        |    AS intercept,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN (cov / vx) * (cov / vy) END AS r2
+        |FROM s""".stripMargin)),
+
+    // §2.2/239 — calibration / reliability table of an integer quality
+    // score vs a boolean label: equal-width bins assigned by pure
+    // int64 arithmetic (no float ever decides membership), per bin
+    // exact counts + two final IEEE divisions.
+    "q_calibration" -> QueryDef(
+      (s, d) => operators.Stats.calibrationBins(ds(s, d, "documents").toDF,
+        col("n_chars"), col("lang") === "en", nBins = 10),
+      Some("""WITH v AS (SELECT n_chars::BIGINT AS s, (lang = 'en') AS pos
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |b AS (SELECT min(s) AS mn, max(s) AS mx FROM v),
+        |binned AS (SELECT least(9, (s - mn) * 10 // (mx - mn + 1)) AS bin, s, pos, mn, mx
+        |  FROM v CROSS JOIN b),
+        |a AS (SELECT bin, min(mn) AS mn, min(mx) AS mx, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(s)::BIGINT AS sum_score
+        |  FROM binned GROUP BY bin)
+        |SELECT bin::BIGINT AS bin, (mn + bin * (mx - mn + 1) // 10)::BIGINT AS bin_lo,
+        |  (mn + (bin + 1) * (mx - mn + 1) // 10 - 1)::BIGINT AS bin_hi,
+        |  n, n_pos, sum_score,
+        |  n_pos::DOUBLE / n::DOUBLE AS pos_rate,
+        |  sum_score::DOUBLE / n::DOUBLE AS mean_score
+        |FROM a""".stripMargin)),
+
+    // §2.2/240 — Newman modularity of row 213's label-propagation
+    // partition over the part co-purchase graph: per community the
+    // exact int64 numerator 4m·L_c − D_c², global Q one IEEE division
+    // of exact integers — "was the clustering better than chance".
+    "q_modularity" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF.select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.LabelPropagation.modularity(e, "src", "dst", rounds = 3)
+      },
+      Some {
+        val rounds = (0 until 3).map { r =>
+          s"""r$r AS (SELECT u.a, l.label, count(*)::BIGINT AS cnt
+             |  FROM u JOIN l$r l ON u.b = l.id GROUP BY 1, 2),
+             |l${r + 1} AS (SELECT a AS id,
+             |  arg_max(label, cnt * 100000000 - label) AS label FROM r$r GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           |  FROM lineitem x JOIN lineitem y
+           |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+           |u AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+           |l0 AS (SELECT DISTINCT a AS id, a AS label FROM u),
+           |$rounds,
+           |mm AS (SELECT count(*)::BIGINT AS m FROM e0),
+           |deg AS (SELECT a AS id, count(*)::BIGINT AS deg FROM u GROUP BY a),
+           |dc AS (SELECT l.label AS c, count(*)::BIGINT AS n_nodes,
+           |    sum(deg)::BIGINT AS degree_sum
+           |  FROM deg JOIN l3 l ON deg.id = l.id GROUP BY 1),
+           |lc AS (SELECT la.label AS c, count(*)::BIGINT AS in_edges
+           |  FROM e0 JOIN l3 la ON e0.a = la.id JOIN l3 lb ON e0.b = lb.id
+           |  WHERE la.label = lb.label GROUP BY 1),
+           |perc AS (SELECT dc.c AS c, n_nodes, coalesce(in_edges, 0)::BIGINT AS in_edges,
+           |    degree_sum, m,
+           |    (4 * m * coalesce(in_edges, 0) - degree_sum * degree_sum)::BIGINT AS contrib_num
+           |  FROM dc LEFT JOIN lc ON dc.c = lc.c CROSS JOIN mm),
+           |t AS (SELECT sum(contrib_num)::BIGINT AS tt, max(m)::BIGINT AS mmx FROM perc)
+           |SELECT c AS community, n_nodes, in_edges, degree_sum, m, contrib_num,
+           |  tt::DOUBLE / (4.0 * mmx::DOUBLE * mmx::DOUBLE) AS modularity
+           |FROM perc CROSS JOIN t""".stripMargin
+      }),
+
+    // §2.2/241 — MinHash estimator accuracy audit: per agreeing-
+    // component level of the 8-hash sketch over the LSH candidates,
+    // exact Σinter/Σunion vs the sketch estimate — both one IEEE
+    // division of exact integers.
+    "dedup_minhash_accuracy" -> QueryDef(
+      (s, d) => Dedup.minhashAccuracy(ds(s, d, "documents").toDF,
+        "doc_id", "text", bands = 2, rowsPerBand = 4),
+      Some {
+        val mh = mhSigSql(8)
+        val matchSum = (0 until 8).map(i =>
+          s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH t AS (SELECT doc_id,
+           |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |hp AS (SELECT doc_id, list_transform(toks, w ->
+           |  [('0x' || substring(md5(w), 1, 14))::bigint,
+           |   ('0x' || substring(md5(w), 15, 14))::bigint]) AS hs FROM t),
+           |sigs AS (SELECT doc_id, $mh FROM hp),
+           |cand AS (SELECT a.doc_id AS da, b.doc_id AS db,
+           |    ($matchSum)::BIGINT AS n_match
+           |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
+           |    (a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3) OR
+           |    (a.m4 = b.m4 AND a.m5 = b.m5 AND a.m6 = b.m6 AND a.m7 = b.m7))),
+           |j AS (SELECT n_match,
+           |    len(list_intersect(ta.toks, tb.toks)) AS inter,
+           |    len(list_distinct(ta.toks || tb.toks)) AS un
+           |  FROM cand JOIN t ta ON da = ta.doc_id JOIN t tb ON db = tb.doc_id)
+           |SELECT n_match, count(*)::BIGINT AS n_pairs, sum(inter)::BIGINT AS sum_inter,
+           |  sum(un)::BIGINT AS sum_union,
+           |  sum(inter)::DOUBLE / sum(un)::DOUBLE AS micro_j,
+           |  n_match::DOUBLE / 8.0 AS est_j
+           |FROM j GROUP BY n_match""".stripMargin
+      }),
+
+    // §2.2/242 — LSH banding S-curve over the corpus's OWN observed
+    // pair-similarity histogram: J≥0.5 within-source pairs bucketed
+    // into deciles by integer arithmetic, textbook catch probability
+    // 1−(1−j^r)^b per (r,b) budget split of 8 hashes.
+    "dedup_lsh_tuning" -> QueryDef(
+      (s, d) => Dedup.lshTuningCurve(ds(s, d, "documents").toDF,
+        "doc_id", "text", "source", num = 1, den = 2,
+        grid = Seq((1, 8), (2, 4), (4, 2), (8, 1))),
+      Some("""WITH t AS (SELECT doc_id, source,
+        |  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks FROM documents)
+        |, p AS (SELECT len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+        |    len(list_distinct(a.toks || b.toks))::BIGINT AS un
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 2 >=
+        |        len(list_distinct(a.toks || b.toks)) * 1),
+        |h AS (SELECT least(9, inter * 10 // un) AS j_bucket, count(*)::BIGINT AS n_pairs
+        |  FROM p GROUP BY 1),
+        |g AS (SELECT * FROM (VALUES (1, 8), (2, 4), (4, 2), (8, 1)) AS v(rr, bb))
+        |SELECT rr, bb, j_bucket, n_pairs,
+        |  1.0 - pow(1.0 - pow((j_bucket::DOUBLE + 0.5) / 10.0, rr::DOUBLE), bb::DOUBLE)
+        |    AS p_catch,
+        |  n_pairs::DOUBLE *
+        |    (1.0 - pow(1.0 - pow((j_bucket::DOUBLE + 0.5) / 10.0, rr::DOUBLE), bb::DOUBLE))
+        |    AS exp_caught
+        |FROM h CROSS JOIN g""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

@@ -395,6 +395,95 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash estimator accuracy audit over the LSH candidate pairs —
+    * the "can I trust the sketch instead of the exact confirm"
+    * measurement: for every banded candidate pair, the number of
+    * agreeing minhash components (the sketch's Jaccard estimate,
+    * `n_match/numHashes`) against the EXACT intersection/union,
+    * reduced per n_match level to exact integer tallies. `micro_j`
+    * (Σinter/Σunion — the micro-averaged true Jaccard at that estimate
+    * level) and `est_j` are each ONE IEEE division of exact integers,
+    * so the whole audit replays bit-for-bit; a per-pair mean of float
+    * ratios would sum in engine-dependent order.
+    *
+    * Scale shape: identical to [[minhashDedup]] (banded candidates via
+    * the salted self-join, never all-pairs) with the signature columns
+    * riding the exploded band rows (numHashes·8 bytes per row); the
+    * reduction is one combinable aggregation into ≤ numHashes+1 rows.
+    * Candidates require ≥1 full band match, so low-n_match levels are
+    * the band-collision tail, not a uniform pair sample — exactly the
+    * population the confirm stage would score, which is what the audit
+    * is about.
+    */
+  def minhashAccuracy(df: DataFrame, idCol: String, textCol: String,
+                      bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val toks = fanOut(df).select(col(idCol).as("id"),
+      TextFunctions.tokenSet(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull)
+    val ps = pairScorer(withMinhashSignature(toks, numHashes))
+    val mCols = (0 until numHashes).map(i => col(s"m$i"))
+    val exploded = ps.repr
+      .select(Seq(col("id"), col("repr")) ++ mCols :+
+        explode(array(bandKeyStructs(bands, rowsPerBand): _*)).as("bk"): _*)
+      .select(Seq(col("id"), col("repr")) ++ mCols ++
+        Seq(col("bk.band").as("band"), col("bk.sig").as("sig")): _*)
+    val matches = (0 until numHashes).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L)).reduce(_ + _)
+    saltedSelfJoin(exploded, Seq("band", "sig"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        matches.as("n_match"),
+        ps.inter(col("a.repr"), col("b.repr")).as("inter"),
+        ps.union(col("a.repr"), col("b.repr")).as("un"))
+      .distinct()
+      .groupBy("n_match")
+      .agg(count(lit(1)).as("n_pairs"), sum("inter").as("sum_inter"),
+        sum("un").as("sum_union"))
+      .withColumn("micro_j",
+        col("sum_inter").cast("double") / col("sum_union").cast("double"))
+      .withColumn("est_j",
+        col("n_match").cast("double") / lit(numHashes).cast("double"))
+      .select("n_match", "n_pairs", "sum_inter", "sum_union",
+        "micro_j", "est_j")
+  }
+
+  /** LSH banding-parameter planning curve (the Mining-of-Massive-
+    * Datasets S-curve, computed over the corpus's OWN observed pair
+    * similarities instead of a hypothetical distribution): exact
+    * Jaccard pairs at/above `num/den` are bucketed into Jaccard
+    * deciles by pure integer arithmetic (`inter·10 div union`, top
+    * bucket folds J = 1), and each (rowsPerBand r, bands b)
+    * configuration in `grid` gets the textbook candidate probability
+    * `p = 1 − (1 − j_mid^r)^b` at each decile's midpoint plus the
+    * expected number of these pairs that configuration would surface.
+    * The decision the table drives: which (r, b) catches the
+    * similarity range this corpus actually has, before paying for a
+    * full dedup run at that configuration.
+    *
+    * Scale shape: all fact-sized work is [[jaccardPairs]] (bucketed,
+    * never all-pairs); the decile histogram is one combinable count
+    * into ≤10 rows, and the grid cross join is 10×|grid| rows. The
+    * only floats are pow/multiply of exact inputs (correctly-rounded
+    * to ≤1 ulp on any libm — within the oracle tolerance).
+    */
+  def lshTuningCurve(df: DataFrame, idCol: String, textCol: String,
+                     bucketCol: String, num: Int, den: Int,
+                     grid: Seq[(Int, Int)]): DataFrame = {
+    require(grid.nonEmpty && grid.forall { case (r, b) => r >= 1 && b >= 1 },
+      "grid needs (rowsPerBand >= 1, bands >= 1) entries")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = jaccardPairs(df, idCol, textCol, bucketCol, num, den)
+      .select(least(lit(9L), expr("inter_size * 10 div union_size")).as("j_bucket"))
+      .groupBy("j_bucket").agg(count(lit(1)).as("n_pairs"))
+    val jMid = (col("j_bucket").cast("double") + lit(0.5)) / lit(10.0)
+    hist.crossJoin(broadcast(grid.toDF("rr", "bb")))
+      .withColumn("p_catch", lit(1.0) -
+        pow(lit(1.0) - pow(jMid, col("rr").cast("double")), col("bb").cast("double")))
+      .withColumn("exp_caught", col("n_pairs").cast("double") * col("p_catch"))
+      .select("rr", "bb", "j_bucket", "n_pairs", "p_catch", "exp_caught")
+  }
+
   /** Skew-proof `a.key == b.key AND a.id < b.id` self-join with
     * two-pass SELECTIVE salting.
     *

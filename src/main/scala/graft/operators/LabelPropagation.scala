@@ -65,4 +65,69 @@ object LabelPropagation {
     und.unpersist()
     out
   }
+
+  /** Newman modularity decomposition of the partition [[communities]]
+    * produces — the "was this clustering better than chance" number,
+    * kept EXACT: with m = |distinct undirected edges|, L_c = edges
+    * inside community c and D_c = Σ degrees of c's nodes,
+    *
+    *   Q = Σ_c (L_c/m − (D_c/2m)²) = Σ_c (4m·L_c − D_c²) / 4m²
+    *
+    * so each community's row carries the exact int64 numerator
+    * contribution `4m·L_c − D_c²` (plus its node/edge/degree counts
+    * and m), and the global Q is ONE IEEE division of two exact
+    * integers `Σ numer / 4m²`, repeated per row from a one-row
+    * broadcast — no per-community float ever sums. Overflow bound:
+    * D_c² ≤ 4m² needs m < 1.5·10⁹ distinct edges per run (int64);
+    * shard by component or rescale past it.
+    *
+    * Scale shape: the canonical edge set and the label table are the
+    * fact-sized frames; L_c is one edge-keyed double label join +
+    * combinable count, D_c one degree aggregation + label join +
+    * combinable sum. The per-community table (broadcast-sized) does
+    * everything else. A community with no internal edge contributes
+    * −D_c²/4m² (L_c = 0 via the left join).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 rounds: Int = 3): DataFrame = {
+    val e = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+    val canon = e.select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = communities(canon, "a", "b", rounds)
+      .select(col("node_id").as("id"), col("community").as("c"))
+    val m = canon.agg(count(lit(1)).as("m"))
+    // D_c: degree over the symmetrized distinct edge set, then one
+    // label join + combinable sum; n_nodes rides the same aggregation
+    val deg = canon.select(col("a").as("id"))
+      .unionByName(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val dC = deg.join(labels, "id")
+      .groupBy(col("c")).agg(count(lit(1)).as("n_nodes"),
+        sum("deg").as("degree_sum"))
+    // L_c: both endpoints' labels equal — two label joins on the edge
+    // keys (each a node-keyed shuffle), then a combinable count
+    val lC = canon
+      .join(labels.select(col("id").as("a"), col("c").as("ca")), "a")
+      .join(labels.select(col("id").as("b"), col("c").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("in_edges"))
+    val perC = dC.join(lC, Seq("c"), "left")
+      .na.fill(0L, Seq("in_edges"))
+      .crossJoin(broadcast(m))
+      .withColumn("contrib_num",
+        lit(4L) * col("m") * col("in_edges") - col("degree_sum") * col("degree_sum"))
+      .localCheckpoint(true) // total below reuses it, no second pass
+    val total = perC.agg(sum("contrib_num").as("__t"),
+      first(col("m")).as("__m"))
+    val out = perC.crossJoin(broadcast(total))
+      .withColumn("modularity", col("__t").cast("double") /
+        (lit(4.0) * col("__m").cast("double") * col("__m").cast("double")))
+      .select(col("c").as("community"), col("n_nodes"), col("in_edges"),
+        col("degree_sum"), col("m"), col("contrib_num"), col("modularity"))
+    canon.unpersist()
+    out
+  }
 }

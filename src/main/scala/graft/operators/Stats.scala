@@ -191,6 +191,88 @@ object Stats {
     * (group, n, lo, hi, trim_n, trim_sum, wins_sum, trim_mean,
     * wins_mean).
     */
+  /** Per-group simple ordinary-least-squares fit y ~ a + b·x from
+    * EXACT int64 moment sums — the per-segment trend/elasticity
+    * estimator, computed the [[correlationMatrix]] way: one combinable
+    * fact aggregation produces (n, Σx, Σy, Σx², Σxy, Σy²) exactly;
+    * slope, intercept and R² are fixed double expressions over those
+    * integers (correctly-rounded IEEE multiply/divide — bit-identical
+    * on any engine), with the n·Σ cross-products formed in DOUBLE
+    * because an int64 product would overflow differently per engine.
+    *
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r2 = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    *
+    * Zero-variance x → NULL slope/intercept/r2 (no fit exists);
+    * zero-variance y with varying x → slope 0, r2 NULL (convention:
+    * 0/0). Complete-case rows only. Exactness bound as
+    * [[correlationMatrix]]: values ≤10⁴ keep every Σ within 2^53
+    * through ~9·10⁷ rows PER GROUP.
+    */
+  def olsPerGroup(df: DataFrame, groupCol: Column, xCol: Column,
+                  yCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .filter(col("g").isNotNull && col("x").isNotNull && col("y").isNotNull)
+    val m = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sum_x"), sum("y").as("sum_y"),
+      sum(col("x") * col("x")).as("sum_xx"),
+      sum(col("x") * col("y")).as("sum_xy"),
+      sum(col("y") * col("y")).as("sum_yy"))
+    def d(c: Column) = c.cast("double")
+    val vx = d(col("n")) * d(col("sum_xx")) - d(col("sum_x")) * d(col("sum_x"))
+    val vy = d(col("n")) * d(col("sum_yy")) - d(col("sum_y")) * d(col("sum_y"))
+    val cov = d(col("n")) * d(col("sum_xy")) - d(col("sum_x")) * d(col("sum_y"))
+    m.withColumn("slope", when(vx > 0, cov / vx))
+      .withColumn("intercept",
+        when(vx > 0, (d(col("sum_y")) - col("slope") * d(col("sum_x"))) / d(col("n"))))
+      .withColumn("r2", when(vx > 0 && vy > 0, (cov / vx) * (cov / vy)))
+      .select("g", "n", "sum_x", "sum_y", "sum_xx", "sum_xy", "sum_yy",
+        "slope", "intercept", "r2")
+  }
+
+  /** Calibration / reliability table of an INTEGER score against a
+    * boolean label: equal-width bins over the observed [min, max]
+    * assigned by pure int64 arithmetic
+    * `bin = min(nBins−1, (s − mn)·nBins div (mx − mn + 1))` — no float
+    * ever decides membership, so binning replays exactly on any
+    * engine (the classic float-binning failure is a boundary score
+    * landing in different bins per engine). Per bin: row count,
+    * positive count, exact score sum, the bin's value bounds, and the
+    * two diagnostic rates (observed positive rate, mean score) as one
+    * IEEE division each — what a reliability diagram plots to decide
+    * whether a quality classifier's scores can be thresholded as
+    * probabilities.
+    *
+    * Scale shape: ONE combinable fact aggregation keyed by the bin id
+    * after a broadcast join of the one-row (mn, mx) bounds; output is
+    * nBins rows. Degenerate all-one-score input lands in bin 0.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: Column, labelCol: Column,
+                      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need at least 2 bins, got $nBins")
+    val base = df.select(scoreCol.cast("long").as("s"),
+        labelCol.cast("boolean").as("pos"))
+      .filter(col("s").isNotNull && col("pos").isNotNull)
+    val bounds = base.agg(min("s").as("mn"), max("s").as("mx"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("bin", least(lit(nBins - 1L),
+        expr(s"(s - mn) * $nBins div (mx - mn + 1)")))
+      .groupBy("bin")
+      .agg(min("mn").as("mn"), min("mx").as("mx"),
+        count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("s")).as("sum_score"))
+      .withColumn("bin_lo", col("mn") + expr(s"bin * (mx - mn + 1) div $nBins"))
+      .withColumn("bin_hi", col("mn") + expr(s"(bin + 1) * (mx - mn + 1) div $nBins") - 1)
+      .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("mean_score", col("sum_score").cast("double") / col("n").cast("double"))
+      .select("bin", "bin_lo", "bin_hi", "n", "n_pos", "sum_score",
+        "pos_rate", "mean_score")
+  }
+
   def winsorizedStats(df: DataFrame, groupCol: Column, valueCol: Column,
                       pLo: Double, pHi: Double): DataFrame = {
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
