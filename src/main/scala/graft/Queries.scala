@@ -4740,7 +4740,146 @@ object Queries {
         |  n_pairs::DOUBLE *
         |    (1.0 - pow(1.0 - pow((j_bucket::DOUBLE + 0.5) / 10.0, rr::DOUBLE), bb::DOUBLE))
         |    AS exp_caught
-        |FROM h CROSS JOIN g""".stripMargin))
+        |FROM h CROSS JOIN g""".stripMargin)),
+
+    // §2.2/243 — per-query nDCG@10 of label-match retrieval over the
+    // oracled brute-force ranking: DCG gains are integer micro
+    // constants (no engine-side log), ideal DCG normalizes by
+    // min(k, true same-label count), ndcg one IEEE division.
+    "q_ndcg" -> QueryDef(
+      (s, d) => {
+        val emb = ds(s, d, "embeddings").toDF
+        Similarity.ndcgAtK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", "label", k = 10)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 20 AND label IS NOT NULL),
+        |sc AS (SELECT qid, ql, e.vec_id AS nid, e.label AS nl,
+        |    list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]) AS c
+        |  FROM q JOIN embeddings e ON e.vec_id <> qid),
+        |r AS (SELECT qid, ql, nl,
+        |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        |  FROM sc WHERE c IS NOT NULL),
+        |g(rank, gain) AS (VALUES (1, 1000000), (2, 630929), (3, 500000),
+        |  (4, 430676), (5, 386852), (6, 356207), (7, 333333), (8, 315464),
+        |  (9, 301029), (10, 289064)),
+        |ic(rr, cum) AS (VALUES (0, 0), (1, 1000000), (2, 1630929), (3, 2130929),
+        |  (4, 2561605), (5, 2948457), (6, 3304664), (7, 3637997), (8, 3953461),
+        |  (9, 4254490), (10, 4543554)),
+        |dcg AS (SELECT qid, max(ql) AS label,
+        |    sum(CASE WHEN nl = ql THEN gain ELSE 0 END)::BIGINT AS dcg_micro
+        |  FROM r JOIN g USING (rank) WHERE rank <= 10 GROUP BY qid),
+        |nr AS (SELECT qid, count(*)::BIGINT AS n_rel FROM q JOIN embeddings e
+        |    ON e.label = q.ql AND e.vec_id <> q.qid GROUP BY qid)
+        |SELECT d.qid AS query_id, d.label, coalesce(nr.n_rel, 0)::BIGINT AS n_rel,
+        |  d.dcg_micro, ic.cum::BIGINT AS idcg_micro,
+        |  CASE WHEN ic.cum > 0 THEN d.dcg_micro::DOUBLE / ic.cum::DOUBLE END AS ndcg
+        |FROM dcg d LEFT JOIN nr ON d.qid = nr.qid
+        |JOIN ic ON ic.rr = least(10, coalesce(nr.n_rel, 0))""".stripMargin)),
+
+    // §2.2/244 — CUPED variance-reduced A/B means: user-level purchase
+    // cents split into pre (even epoch-days) covariate X and post (odd
+    // days) metric Y, θ = cov/var from exact pooled int64 moments,
+    // per-arm adjusted mean a fixed double expression.
+    "q_cuped" -> QueryDef(
+      (s, d) => {
+        val pe = ds(s, d, "events").toDF
+          .filter(col("event_type") === "purchase" && col("user_id").isNotNull &&
+            col("value").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"),
+            expr("unix_timestamp(ts) div 86400").as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val units = pe.groupBy("user_id").agg(
+          sum(when(col("day") % 2 === 0, col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("day") % 2 === 1, col("cents")).otherwise(0L)).as("y"))
+        operators.Stats.cupedMeans(units, col("user_id") % 2, col("x"), col("y"))
+      },
+      Some("""WITH pe AS (SELECT user_id, floor(epoch(ts))::BIGINT // 86400 AS day,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND value IS NOT NULL AND ts IS NOT NULL),
+        |u AS (SELECT user_id, user_id % 2 AS arm,
+        |    sum(CASE WHEN day % 2 = 0 THEN cents ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN day % 2 = 1 THEN cents ELSE 0 END)::BIGINT AS y
+        |  FROM pe GROUP BY user_id),
+        |p AS (SELECT count(*)::BIGINT AS np, sum(x)::BIGINT AS sxp,
+        |    sum(y)::BIGINT AS syp, sum(x * x)::BIGINT AS sxxp,
+        |    sum(x * y)::BIGINT AS sxyp FROM u),
+        |a AS (SELECT arm, count(*)::BIGINT AS n, sum(x)::BIGINT AS sum_x,
+        |    sum(y)::BIGINT AS sum_y FROM u GROUP BY arm),
+        |t AS (SELECT a.*, np, sxp,
+        |    CASE WHEN np::DOUBLE * sxxp::DOUBLE - sxp::DOUBLE * sxp::DOUBLE > 0
+        |      THEN (np::DOUBLE * sxyp::DOUBLE - sxp::DOUBLE * syp::DOUBLE)
+        |         / (np::DOUBLE * sxxp::DOUBLE - sxp::DOUBLE * sxp::DOUBLE) END AS theta
+        |  FROM a CROSS JOIN p)
+        |SELECT arm, n, sum_x, sum_y, theta,
+        |  sum_y::DOUBLE / n::DOUBLE AS raw_mean,
+        |  sum_y::DOUBLE / n::DOUBLE -
+        |    theta * (sum_x::DOUBLE / n::DOUBLE - sxp::DOUBLE / np::DOUBLE) AS adj_mean
+        |FROM t""".stripMargin)),
+
+    // §2.2/245 — Welch's unequal-variance t over user-level purchase
+    // cents, arms = user_id parity: one row of exact per-arm moments
+    // beside t and the Welch–Satterthwaite df, every float a fixed
+    // expression over exact integers.
+    "q_ab_ttest" -> QueryDef(
+      (s, d) => {
+        val units = ds(s, d, "events").toDF
+          .filter(col("event_type") === "purchase" && col("user_id").isNotNull &&
+            col("value").isNotNull)
+          .groupBy("user_id")
+          .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        operators.Stats.welchTTest(units, col("user_id") % 2, col("y"))
+      },
+      Some("""WITH u AS (SELECT user_id, user_id % 2 AS arm,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS y
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND value IS NOT NULL GROUP BY user_id),
+        |a AS (SELECT arm, count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
+        |    sum(y * y)::BIGINT AS q FROM u GROUP BY arm),
+        |lo AS (SELECT min(arm) AS lo FROM a),
+        |piv AS (SELECT max(CASE WHEN arm = lo THEN arm END)::BIGINT AS arm0,
+        |    max(CASE WHEN arm <> lo THEN arm END)::BIGINT AS arm1,
+        |    max(CASE WHEN arm = lo THEN n END)::BIGINT AS n0,
+        |    max(CASE WHEN arm <> lo THEN n END)::BIGINT AS n1,
+        |    max(CASE WHEN arm = lo THEN s END)::BIGINT AS sum0,
+        |    max(CASE WHEN arm <> lo THEN s END)::BIGINT AS sum1,
+        |    max(CASE WHEN arm = lo THEN q END)::BIGINT AS sumsq0,
+        |    max(CASE WHEN arm <> lo THEN q END)::BIGINT AS sumsq1
+        |  FROM a CROSS JOIN lo),
+        |w AS (SELECT *,
+        |    ((n1::DOUBLE * sumsq1::DOUBLE - sum1::DOUBLE * sum1::DOUBLE)
+        |      / (n1::DOUBLE * (n1::DOUBLE - 1.0))) / n1::DOUBLE AS v1,
+        |    ((n0::DOUBLE * sumsq0::DOUBLE - sum0::DOUBLE * sum0::DOUBLE)
+        |      / (n0::DOUBLE * (n0::DOUBLE - 1.0))) / n0::DOUBLE AS v0
+        |  FROM piv),
+        |w2 AS (SELECT *, v1 + v0 AS se2,
+        |    sum1::DOUBLE / n1::DOUBLE - sum0::DOUBLE / n0::DOUBLE AS mean_diff
+        |  FROM w)
+        |SELECT arm0, arm1, n0, n1, sum0, sum1, sumsq0, sumsq1, mean_diff,
+        |  CASE WHEN se2 > 0 THEN mean_diff / sqrt(se2) END AS t_stat,
+        |  CASE WHEN se2 > 0 THEN se2 * se2 /
+        |    (v1 * v1 / (n1::DOUBLE - 1.0) + v0 * v0 / (n0::DOUBLE - 1.0)) END AS welch_df
+        |FROM w2""".stripMargin)),
+
+    // §2.2/246 — rendezvous-sharding fleet-growth report (8 → 9
+    // shards): HRW argmax over md5 weights, per old shard the keys
+    // that move — all of them to the NEW shard, expected n/9.
+    "q_rendezvous" -> QueryDef(
+      (s, d) => operators.Sharding.rendezvousMovement(
+        ds(s, d, "documents").toDF, "doc_id", k = 8),
+      Some("""WITH w AS (SELECT doc_id, s,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || '#' || s::VARCHAR), 1, 14))::BIGINT AS wt
+        |  FROM documents CROSS JOIN range(9) AS t(s) WHERE doc_id IS NOT NULL),
+        |before AS (SELECT doc_id, arg_max(s, wt) AS sb FROM w WHERE s < 8 GROUP BY doc_id),
+        |after AS (SELECT doc_id, arg_max(s, wt) AS sa FROM w GROUP BY doc_id),
+        |g AS (SELECT sb, count(*)::BIGINT AS n_keys,
+        |    sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+        |    sum(CASE WHEN sa = 8 THEN 1 ELSE 0 END)::BIGINT AS n_to_new
+        |  FROM before JOIN after USING (doc_id) GROUP BY sb)
+        |SELECT sb AS shard_before, n_keys, n_moved, n_to_new,
+        |  n_moved::DOUBLE / n_keys::DOUBLE AS moved_frac
+        |FROM g""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

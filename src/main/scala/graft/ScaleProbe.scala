@@ -25,6 +25,7 @@ object ScaleProbe {
     if (args.length > 1 && args(1) == "r9") { r9ops(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "r10") { r10ops(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "r10b") { r10bOps(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "r10c") { r10cOps(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bpe") { bpeEncode(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloom") { bloomBreakEven(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloomat") { bloomAt(spark, factor); spark.stop(); return }
@@ -639,6 +640,73 @@ object ScaleProbe {
       time(s"clamped_balance_x$k")(operators.TimeSeries.clampedBalance(
         mv, "l_suppkey", "delta", Seq("ep", "l_orderkey", "l_linenumber")).count())
       mv.unpersist()
+    }
+  }
+
+  /** Round-10c operators at x1 and xN: winsorized/OLS ride
+    * replica-distinct supplier keys (more window partitions / groups
+    * of the same size — the bigger-fleet shape), modularity rides
+    * disjoint graph replicas (the graph-probe convention), and the
+    * document operators token-suffix each replica (the SfScale
+    * lesson: verbatim copies would explode pair multiplicity
+    * quadratically and measure output writing, not the operator).
+    */
+  private def r10cOps(spark: SparkSession, factor: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs, $rows rows")
+    }
+    Seq(1, factor).distinct.foreach { k =>
+      val li = (0 until k).map { i =>
+        Tables.load(spark, dir, "lineitem")
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 100000000L))
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 100000000L))
+      }.reduce(_.unionByName(_)).cache()
+      li.count()
+      time(s"winsorized_x$k")(operators.Stats.winsorizedStats(li,
+        col("l_suppkey"), round(col("l_extendedprice") * 100), 0.05, 0.95).count())
+      time(s"ols_x$k")(operators.Stats.olsPerGroup(li,
+        col("l_suppkey"), round(col("l_quantity")), round(col("l_extendedprice") / 10)).count())
+      val e = li.select("l_orderkey", "l_partkey").as("x")
+        .join(li.select("l_orderkey", "l_partkey").as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      time(s"modularity_x$k")(operators.LabelPropagation.modularity(
+        e, "src", "dst", rounds = 3).count())
+      li.unpersist()
+
+      val docs = (0 until k).map { i =>
+        Tables.load(spark, dir, "documents")
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", concat(col("text"), lit(s" zrep$i")))
+      }.reduce(_.unionByName(_)).cache()
+      docs.count()
+      time(s"calibration_x$k")(operators.Stats.calibrationBins(docs,
+        col("n_chars"), col("lang") === "en", 10).count())
+      time(s"url_canonical_x$k") {
+        val raw = concat(lit("HTTPS://WWW.Example"), (col("doc_id") % 5).cast("string"),
+          lit(".com:443/Docs/"), col("source"), lit("/Item"),
+          (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/?b=2&a=1&utm_source=feed"))
+            .when(col("doc_id") % 3 === 1, lit("?a=1&utm_campaign=x&b=2#frag"))
+            .otherwise(lit("?a=1&b=2")))
+        docs.select(col("doc_id"), raw.as("url"))
+          .select(col("doc_id"), col("url"),
+            graft.functions.UrlFunctions.canonicalizeUrl(col("url")).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_urls"), countDistinct(col("url")).as("n_raw_forms"),
+            min("doc_id").as("first_doc")).count()
+      }
+      time(s"minhash_accuracy_x$k")(Dedup.minhashAccuracy(
+        docs, "doc_id", "text", 2, 4).count())
+      time(s"lsh_tuning_x$k")(Dedup.lshTuningCurve(
+        docs, "doc_id", "text", "source", 1, 2,
+        Seq((1, 8), (2, 4), (4, 2), (8, 1))).count())
+      docs.unpersist()
     }
   }
 

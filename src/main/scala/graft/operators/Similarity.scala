@@ -478,4 +478,63 @@ object Similarity {
       .digest(s"$i:$j".getBytes("UTF-8"))
     if (((d(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
   }
+
+  /** `floor(10⁶ / log₂(r+1))` for ranks 1..20 — the DCG gain ladder as
+    * INTEGER CONSTANTS (the [[Stats.benfordDigits]] convention: the
+    * irrational never computes engine-side, so DCG sums are exact
+    * int64 on any engine).
+    */
+  private[graft] val dcgGainsMicro: Seq[Long] = Seq(
+    1000000L, 630929L, 500000L, 430676L, 386852L, 356207L, 333333L,
+    315464L, 301029L, 289064L, 278942L, 270238L, 262649L, 255958L,
+    250000L, 244650L, 239812L, 235408L, 231378L, 227670L)
+
+  /** Per-query nDCG@k of label-match retrieval — the ranking-quality
+    * number an embedding/eval suite reports, kept exact: the ranked
+    * list is [[bruteForceTopK]]'s (the already-oracled deterministic
+    * `score desc, id` order), relevance is binary label equality, and
+    * both DCG and the ideal DCG are SUMS OF INTEGER CONSTANTS
+    * ([[dcgGainsMicro]]) — `ndcg = dcg_micro / idcg_micro` is the one
+    * IEEE division. The ideal normalizer uses R = min(k, n_rel) where
+    * n_rel counts the query's true same-label corpus rows, so a query
+    * whose class has fewer than k members is not penalized for
+    * physics. A query with no same-label rows reports NULL (undefined,
+    * not zero). NULL-label queries are excluded; NULL-label neighbors
+    * count as non-relevant (unknown is not known-same).
+    *
+    * Scale shape: [[bruteForceTopK]]'s broadcast + combinable top-k
+    * (one corpus scan, no shuffle of the corpus); everything after
+    * operates on queries×k rows; the n_rel count is one broadcast
+    * label-join + combinable count.
+    */
+  def ndcgAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= dcgGainsMicro.length,
+      s"k must be in [1, ${dcgGainsMicro.length}], got $k")
+    val q = queries.filter(col(labelCol).isNotNull)
+    val qlab = q.select(col(idCol).as("query_id"), col(labelCol).as("ql"))
+    val ranked = bruteForceTopK(corpus, q, idCol, vecCol, k)
+    val gains = map((1 to k).flatMap(r =>
+      Seq(lit(r), lit(dcgGainsMicro(r - 1)))): _*)
+    val idealCum = map((0 to k).flatMap(r =>
+      Seq(lit(r.toLong), lit(dcgGainsMicro.take(r).sum))): _*)
+    val dcg = ranked
+      .join(broadcast(qlab), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("nl")),
+        "neighbor_id")
+      .groupBy("query_id")
+      .agg(first(col("ql")).as("label"),
+        sum(when(col("nl") === col("ql"), gains(col("rank")))
+          .otherwise(0L)).as("dcg_micro"))
+    val nRel = broadcast(qlab)
+      .join(corpus.select(col(idCol).as("nid"), col(labelCol).as("nl")),
+        col("nl") === col("ql") && col("nid") =!= col("query_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    dcg.join(nRel, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel"))
+      .withColumn("idcg_micro", idealCum(least(lit(k.toLong), col("n_rel"))))
+      .withColumn("ndcg", when(col("idcg_micro") > 0,
+        col("dcg_micro").cast("double") / col("idcg_micro").cast("double")))
+      .select("query_id", "label", "n_rel", "dcg_micro", "idcg_micro", "ndcg")
+  }
 }

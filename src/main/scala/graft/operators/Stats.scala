@@ -191,6 +191,106 @@ object Stats {
     * (group, n, lo, hi, trim_n, trim_sum, wins_sum, trim_mean,
     * wins_mean).
     */
+  /** CUPED variance-reduced A/B means (Deng et al. 2013, "Improving
+    * the Sensitivity of Online Controlled Experiments"): each unit's
+    * metric Y is adjusted by its PRE-EXPERIMENT covariate X,
+    * `Ŷ = Y − θ·(X − E[X])` with `θ = cov(X,Y)/var(X)` pooled across
+    * arms — the industry-standard way to shrink experiment confidence
+    * intervals without touching the treatment effect (E[Ŷ] = E[Y]
+    * because θ·E[X − E[X]] = 0).
+    *
+    * Exactness: unit-level (x, y) must be integers; θ and the adjusted
+    * means are fixed double expressions over the exact pooled int64
+    * moments (n·Σ products formed in double — the
+    * [[correlationMatrix]] overflow rule). Per arm the output carries
+    * the exact n/Σx/Σy plus raw_mean, and
+    * `adj_mean = raw_mean − θ·(mean_x − grand_mean_x)` with every
+    * operand deterministic. Zero covariate variance → θ undefined →
+    * adj_mean NULL (a constant covariate cannot adjust anything).
+    *
+    * Scale shape: one combinable unit-level aggregation (the caller
+    * builds units), one one-row pooled-moment aggregate broadcast
+    * back, one arm-level combinable aggregation. Nothing fact-sized
+    * shuffles twice.
+    */
+  def cupedMeans(units: DataFrame, armCol: Column, xCol: Column,
+                 yCol: Column): DataFrame = {
+    val base = units.select(armCol.as("arm"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .filter(col("arm").isNotNull && col("x").isNotNull && col("y").isNotNull)
+      .localCheckpoint(true) // pooled and per-arm aggs share one pass
+    def d(c: Column) = c.cast("double")
+    val pooled = base.agg(count(lit(1)).as("np"), sum("x").as("sxp"),
+      sum("y").as("syp"), sum(col("x") * col("x")).as("sxxp"),
+      sum(col("x") * col("y")).as("sxyp"))
+    val arms = base.groupBy("arm").agg(count(lit(1)).as("n"),
+      sum("x").as("sum_x"), sum("y").as("sum_y"))
+    val vx = d(col("np")) * d(col("sxxp")) - d(col("sxp")) * d(col("sxp"))
+    val cov = d(col("np")) * d(col("sxyp")) - d(col("sxp")) * d(col("syp"))
+    arms.crossJoin(broadcast(pooled))
+      .withColumn("theta", when(vx > 0, cov / vx))
+      .withColumn("raw_mean", d(col("sum_y")) / d(col("n")))
+      .withColumn("adj_mean", col("raw_mean") -
+        col("theta") * (d(col("sum_x")) / d(col("n")) - d(col("sxp")) / d(col("np"))))
+      .select("arm", "n", "sum_x", "sum_y", "theta", "raw_mean", "adj_mean")
+  }
+
+  /** Welch's unequal-variance two-sample t statistic over unit-level
+    * integer metrics — the A/B significance primitive: per arm the
+    * exact int64 (n, Σy, Σy²), then
+    *
+    *   t  = (m₁ − m₀) / √(v₁/n₁ + v₀/n₀)
+    *   df = (v₁/n₁ + v₀/n₀)² / ((v₁/n₁)²/(n₁−1) + (v₀/n₀)²/(n₀−1))
+    *
+    * with vᵢ the unbiased sample variance `(nΣy² − (Σy)²)/(n(n−1))` —
+    * every float a fixed expression over exact integers. Output is ONE
+    * row carrying both arms' exact moments beside t and df, so a
+    * downstream consumer re-derives anything (CIs, p-values against
+    * its own t-table) from the integers. Arms are the two DISTINCT
+    * values of `armCol` ordered ascending (arm₀ = lower); requires
+    * exactly 2 arms with ≥2 units each, else a named error.
+    *
+    * Scale shape: one combinable unit aggregation into two rows, then
+    * a two-row pivot — nothing else touches the units.
+    */
+  def welchTTest(units: DataFrame, armCol: Column, yCol: Column): DataFrame = {
+    val base = units.select(armCol.as("arm"), yCol.cast("long").as("y"))
+      .filter(col("arm").isNotNull && col("y").isNotNull)
+    val arms = base.groupBy("arm").agg(count(lit(1)).as("n"),
+      sum("y").as("s"), sum(col("y") * col("y")).as("q"))
+      .localCheckpoint(true) // tiny; guards + pivot reuse it
+    val got = arms.count()
+    require(got == 2, s"welchTTest needs exactly 2 arms, got $got")
+    require(arms.filter(col("n") < 2).isEmpty,
+      "welchTTest needs >= 2 units per arm")
+    def d(c: Column) = c.cast("double")
+    // two-row pivot via conditional aggregation against the min arm
+    val piv = arms.crossJoin(broadcast(arms.agg(min(col("arm")).as("__lo"))))
+      .groupBy()
+      .agg(
+        max(when(col("arm") === col("__lo"), col("arm"))).as("arm0"),
+        max(when(col("arm") =!= col("__lo"), col("arm"))).as("arm1"),
+        max(when(col("arm") === col("__lo"), col("n"))).as("n0"),
+        max(when(col("arm") =!= col("__lo"), col("n"))).as("n1"),
+        max(when(col("arm") === col("__lo"), col("s"))).as("sum0"),
+        max(when(col("arm") =!= col("__lo"), col("s"))).as("sum1"),
+        max(when(col("arm") === col("__lo"), col("q"))).as("sumsq0"),
+        max(when(col("arm") =!= col("__lo"), col("q"))).as("sumsq1"))
+    def v(n: Column, s: Column, q: Column) =
+      (d(n) * d(q) - d(s) * d(s)) / (d(n) * (d(n) - lit(1.0)))
+    val v0 = v(col("n0"), col("sum0"), col("sumsq0")) / d(col("n0"))
+    val v1 = v(col("n1"), col("sum1"), col("sumsq1")) / d(col("n1"))
+    piv
+      .withColumn("mean_diff", d(col("sum1")) / d(col("n1")) - d(col("sum0")) / d(col("n0")))
+      .withColumn("se2", v1 + v0)
+      .withColumn("t_stat", when(col("se2") > 0, col("mean_diff") / sqrt(col("se2"))))
+      .withColumn("welch_df", when(col("se2") > 0,
+        col("se2") * col("se2") /
+          (v1 * v1 / (d(col("n1")) - lit(1.0)) + v0 * v0 / (d(col("n0")) - lit(1.0)))))
+      .select("arm0", "arm1", "n0", "n1", "sum0", "sum1", "sumsq0", "sumsq1",
+        "mean_diff", "t_stat", "welch_df")
+  }
+
   /** Per-group simple ordinary-least-squares fit y ~ a + b·x from
     * EXACT int64 moment sums — the per-segment trend/elasticity
     * estimator, computed the [[correlationMatrix]] way: one combinable
