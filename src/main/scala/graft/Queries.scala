@@ -4879,7 +4879,138 @@ object Queries {
         |  FROM before JOIN after USING (doc_id) GROUP BY sb)
         |SELECT sb AS shard_before, n_keys, n_moved, n_to_new,
         |  n_moved::DOUBLE / n_keys::DOUBLE AS moved_frac
-        |FROM g""".stripMargin))
+        |FROM g""".stripMargin)),
+
+    // §2.2/247 — per-series calendar-lag autocorrelation (lag 1 vs 7
+    // seasonality detector) over per-supplier daily quantity series:
+    // exact calendar alignment via a (series, day)-keyed equi-join,
+    // Pearson r per lag from exact int64 moments.
+    "q_autocorr" -> QueryDef(
+      (s, d) => {
+        val ser = ds(s, d, "lineitem").toDF
+          .filter(col("l_suppkey").isNotNull && col("l_shipdate").isNotNull &&
+            col("l_quantity").isNotNull)
+          .groupBy(col("l_suppkey").as("g"),
+            expr("unix_timestamp(l_shipdate) div 86400").as("day"))
+          .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+        operators.TimeSeries.autocorrelation(ser, "g", "day", "qty", Seq(1, 7))
+      },
+      Some("""WITH ser AS (SELECT l_suppkey AS g,
+        |    floor(epoch(l_shipdate))::BIGINT // 86400 AS d,
+        |    sum(round(l_quantity)::BIGINT)::BIGINT AS v
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+        |    AND l_quantity IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT unnest([1, 7])::BIGINT AS lag),
+        |p AS (SELECT a.g AS g, l.lag AS lag, a.v AS x, b.v AS y
+        |  FROM l, ser a, ser b WHERE a.g = b.g AND a.d = b.d + l.lag),
+        |m AS (SELECT g, lag, count(*)::BIGINT AS n_pairs, sum(x)::BIGINT AS sum_x,
+        |    sum(y)::BIGINT AS sum_y, sum(x * x)::BIGINT AS sum_xx,
+        |    sum(y * y)::BIGINT AS sum_yy, sum(x * y)::BIGINT AS sum_xy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT g, lag, n_pairs, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+        |  CASE WHEN n_pairs::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE > 0
+        |        AND n_pairs::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE > 0
+        |    THEN (n_pairs::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE)
+        |       / (sqrt(n_pairs::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE)
+        |        * sqrt(n_pairs::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE))
+        |  END AS acf
+        |FROM m""".stripMargin)),
+
+    // §2.2/248 — Soundex phonetic blocking over part-name first words
+    // (the vowel-separator variant, spelled out as
+    // upper/translate/regexp/rpad builtins so keys replay exactly):
+    // the record-linkage blocking key beside rows 59/100's edit
+    // distance — candidate pairs form within keys, never all-pairs.
+    "text_soundex" -> QueryDef(
+      (s, d) => {
+        val w = element_at(split(trim(col("p_name")), "\\s+"), 1)
+        ds(s, d, "part").toDF.filter(col("p_name").isNotNull)
+          .select(w.as("w"))
+          .select(col("w"),
+            graft.functions.TextFunctions.soundexKey(col("w")).as("skey"))
+          .filter(col("skey").isNotNull)
+          .groupBy("skey")
+          .agg(count(lit(1)).as("n_parts"), countDistinct(col("w")).as("n_words"))
+      },
+      Some("""WITH w AS (SELECT regexp_split_to_array(trim(p_name), '\s+')[1] AS w
+        |  FROM part WHERE p_name IS NOT NULL),
+        |c1 AS (SELECT w, regexp_replace(upper(w), '[^A-Z]', '', 'g') AS letters FROM w),
+        |c2 AS (SELECT w, letters, translate(letters,
+        |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202') AS codes FROM c1),
+        |c3 AS (SELECT w, letters, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(codes,
+        |    '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'), '44+', '4', 'g'),
+        |    '55+', '5', 'g'), '66+', '6', 'g') AS collapsed FROM c2),
+        |c4 AS (SELECT w, letters,
+        |    regexp_replace(substring(collapsed, 2), '0', '', 'g') AS rest FROM c3),
+        |k AS (SELECT w, CASE WHEN length(letters) >= 1
+        |    THEN substring(letters, 1, 1) || rpad(substring(rest, 1, 3), 3, '0') END AS skey
+        |  FROM c4)
+        |SELECT skey, count(*)::BIGINT AS n_parts, count(DISTINCT w)::BIGINT AS n_words
+        |FROM k WHERE skey IS NOT NULL GROUP BY skey""".stripMargin)),
+
+    // §2.2/249 — feature hashing (the hashing trick): tokens into 64
+    // signed buckets off ONE md5 per token (bucket = h mod 64, sign =
+    // next-bit parity), sparse (doc, bucket, Σsign) output.
+    "q_feature_hash" -> QueryDef(
+      (s, d) => operators.FeaturePrep.featureHash(
+        ds(s, d, "documents").toDF, "doc_id", "text", dim = 64),
+      Some("""WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |t2 AS (SELECT doc_id, ('0x' || substring(md5(token), 1, 14))::BIGINT AS h
+        |  FROM toks WHERE length(token) > 0)
+        |SELECT doc_id, h % 64 AS bucket,
+        |  sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS feat
+        |FROM t2 GROUP BY doc_id, h % 64""".stripMargin)),
+
+    // §2.2/250 — difference-in-differences over user-period purchase
+    // cents (arm = user parity, post = odd epoch-days): the
+    // quasi-experimental estimate with all four cells' exact moments
+    // on one row.
+    "q_did" -> QueryDef(
+      (s, d) => {
+        val pe = ds(s, d, "events").toDF
+          .filter(col("event_type") === "purchase" && col("user_id").isNotNull &&
+            col("value").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"),
+            expr("unix_timestamp(ts) div 86400").as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val units = pe.groupBy(col("user_id"), (col("day") % 2 === 1).as("post"))
+          .agg(sum(col("cents")).as("y"))
+        operators.Stats.diffInDiff(units, col("user_id") % 2, col("post"), col("y"))
+      },
+      Some("""WITH pe AS (SELECT user_id, floor(epoch(ts))::BIGINT // 86400 AS day,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND value IS NOT NULL AND ts IS NOT NULL),
+        |u AS (SELECT user_id, user_id % 2 AS arm, day % 2 = 1 AS post,
+        |    sum(cents)::BIGINT AS y FROM pe GROUP BY user_id, day % 2 = 1),
+        |cells AS (SELECT arm, post, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+        |  FROM u GROUP BY arm, post),
+        |lo AS (SELECT min(arm) AS lo FROM cells),
+        |piv AS (SELECT
+        |    max(CASE WHEN arm = lo THEN arm END)::BIGINT AS arm_c,
+        |    max(CASE WHEN arm <> lo THEN arm END)::BIGINT AS arm_t,
+        |    max(CASE WHEN arm = lo AND NOT post THEN n END)::BIGINT AS n_c_pre,
+        |    max(CASE WHEN arm = lo AND post THEN n END)::BIGINT AS n_c_post,
+        |    max(CASE WHEN arm <> lo AND NOT post THEN n END)::BIGINT AS n_t_pre,
+        |    max(CASE WHEN arm <> lo AND post THEN n END)::BIGINT AS n_t_post,
+        |    max(CASE WHEN arm = lo AND NOT post THEN s END)::BIGINT AS sum_c_pre,
+        |    max(CASE WHEN arm = lo AND post THEN s END)::BIGINT AS sum_c_post,
+        |    max(CASE WHEN arm <> lo AND NOT post THEN s END)::BIGINT AS sum_t_pre,
+        |    max(CASE WHEN arm <> lo AND post THEN s END)::BIGINT AS sum_t_post
+        |  FROM cells CROSS JOIN lo)
+        |SELECT arm_c, arm_t, n_c_pre, n_c_post, n_t_pre, n_t_post,
+        |  sum_c_pre, sum_c_post, sum_t_pre, sum_t_post,
+        |  sum_c_pre::DOUBLE / n_c_pre::DOUBLE AS m_c_pre,
+        |  sum_c_post::DOUBLE / n_c_post::DOUBLE AS m_c_post,
+        |  sum_t_pre::DOUBLE / n_t_pre::DOUBLE AS m_t_pre,
+        |  sum_t_post::DOUBLE / n_t_post::DOUBLE AS m_t_post,
+        |  (sum_t_post::DOUBLE / n_t_post::DOUBLE - sum_t_pre::DOUBLE / n_t_pre::DOUBLE)
+        |   - (sum_c_post::DOUBLE / n_c_post::DOUBLE - sum_c_pre::DOUBLE / n_c_pre::DOUBLE)
+        |   AS did
+        |FROM piv""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

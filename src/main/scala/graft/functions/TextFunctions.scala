@@ -197,4 +197,27 @@ object TextFunctions {
       array_distinct(transform(sequence(lit(1), length(c) - (k - 1)),
         i => c.substr(i, lit(k)))))
       .otherwise(array().cast("array<string>"))
+
+  /** Soundex phonetic key (the vowel-separator variant: standard
+    * American Soundex WITHOUT the H/W-transparency refinement —
+    * adjacent equal codes merge, a vowel between equal codes keeps
+    * both, exactly the rule set every engine's builtin family
+    * implements identically when spelled out): uppercase letters only,
+    * per-letter digit classes via one `translate`, adjacent-run
+    * collapse per digit, first LETTER + first three surviving non-zero
+    * codes zero-padded. Non-letter-bearing or NULL input → NULL.
+    * Every step is upper/translate/regexp_replace/substr/rpad —
+    * identical builtins on any ANSI engine, so blocking keys replay
+    * exactly.
+    */
+  def soundexKey(c: Column): Column = {
+    val letters = regexp_replace(upper(c), "[^A-Z]", "")
+    val codes = translate(letters,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    val collapsed = (1 to 6).foldLeft(codes)((acc, d) =>
+      regexp_replace(acc, s"$d$d+", s"$d"))
+    val rest = regexp_replace(collapsed.substr(lit(2), length(collapsed)), "0", "")
+    when(length(letters) >= 1,
+      concat(substring(letters, 1, 1), rpad(substring(rest, 1, 3), 3, "0")))
+  }
 }

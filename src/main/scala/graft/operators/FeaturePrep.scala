@@ -27,6 +27,39 @@ object FeaturePrep {
     * category-cardinality: (category, n_rows, sum_target, enc_num,
     * enc_den, enc).
     */
+  /** The hashing trick (Weinberger et al. 2009): tokens map into a
+    * FIXED `dim`-bucket feature space by a stable hash, with a second
+    * hash bit supplying the ±1 sign that makes collisions cancel in
+    * expectation — how linear/GBM pipelines featurize unbounded
+    * vocabularies without a fitted dictionary (nothing to train, ship,
+    * or version; any engine reproduces the exact features from the
+    * formula). Emits the SPARSE form (doc, bucket, Σsign) — zero
+    * buckets never materialize, so output is bounded by tokens, not
+    * docs×dim.
+    *
+    * Both hashes ride ONE md5 per token ([[graft.functions
+    * .HashFunctions.stableHash56]]): bucket = h mod dim, sign from the
+    * next bit (`h div dim` parity) — SQL-replayable and independent of
+    * the bucket bits for any power-of-two-free dim too. Per-row
+    * expressions + one combinable (doc, bucket) aggregation; nothing
+    * else shuffles.
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val toks = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    toks
+      .withColumn("__h", graft.functions.HashFunctions.stableHash56(col("token")))
+      .withColumn("bucket", pmod(col("__h"), lit(dim.toLong)))
+      .withColumn("sign",
+        when(pmod(expr(s"__h div $dim"), lit(2L)) === 0, 1L).otherwise(-1L))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sign")).as("feat"))
+  }
+
   def targetEncoding(facts: DataFrame, catCol: String, targetCol: String,
                      m: Long = 100L): DataFrame = {
     require(m >= 0, s"smoothing pseudo-count must be >= 0, got $m")

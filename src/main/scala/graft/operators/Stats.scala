@@ -291,6 +291,57 @@ object Stats {
         "mean_diff", "t_stat", "welch_df")
   }
 
+  /** Difference-in-differences estimator over unit-period integer
+    * metrics — the quasi-experimental effect size when treatment
+    * wasn't randomized: with arms t (treated = the HIGHER arm value)
+    * and c, `did = (m_t_post − m_t_pre) − (m_c_post − m_c_pre)`, which
+    * cancels both the arms' level difference and the common time
+    * trend. One output row carries all four cells' exact int64
+    * (n, Σy) beside the four means and the estimate — every float a
+    * fixed expression over exact integers. Requires exactly 2 arms and
+    * at least one unit in each (arm, period) cell, else a named error.
+    *
+    * Scale shape: one combinable (arm, post) aggregation into four
+    * rows, then a four-row pivot; nothing else touches units.
+    */
+  def diffInDiff(units: DataFrame, armCol: Column, postCol: Column,
+                 yCol: Column): DataFrame = {
+    val base = units.select(armCol.as("arm"), postCol.cast("boolean").as("post"),
+        yCol.cast("long").as("y"))
+      .filter(col("arm").isNotNull && col("post").isNotNull && col("y").isNotNull)
+    val cells = base.groupBy("arm", "post")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"))
+      .localCheckpoint(true) // four rows; guard + pivot reuse
+    val arms = cells.select("arm").distinct().count()
+    require(arms == 2, s"diffInDiff needs exactly 2 arms, got $arms")
+    require(cells.count() == 4, "diffInDiff needs units in all four (arm, period) cells")
+    def d(c: Column) = c.cast("double")
+    def cell(treated: Boolean, post: Boolean, c: String) = {
+      val armPick = if (treated) col("arm") =!= col("__lo") else col("arm") === col("__lo")
+      max(when(armPick && col("post") === post, col(c)))
+    }
+    val piv = cells.crossJoin(broadcast(cells.agg(min(col("arm")).as("__lo"))))
+      .groupBy()
+      .agg(
+        max(when(col("arm") === col("__lo"), col("arm"))).as("arm_c"),
+        max(when(col("arm") =!= col("__lo"), col("arm"))).as("arm_t"),
+        cell(false, false, "n").as("n_c_pre"), cell(false, false, "s").as("sum_c_pre"),
+        cell(false, true, "n").as("n_c_post"), cell(false, true, "s").as("sum_c_post"),
+        cell(true, false, "n").as("n_t_pre"), cell(true, false, "s").as("sum_t_pre"),
+        cell(true, true, "n").as("n_t_post"), cell(true, true, "s").as("sum_t_post"))
+    def m(s: String, n: String) = d(col(s)) / d(col(n))
+    piv
+      .withColumn("m_c_pre", m("sum_c_pre", "n_c_pre"))
+      .withColumn("m_c_post", m("sum_c_post", "n_c_post"))
+      .withColumn("m_t_pre", m("sum_t_pre", "n_t_pre"))
+      .withColumn("m_t_post", m("sum_t_post", "n_t_post"))
+      .withColumn("did", (col("m_t_post") - col("m_t_pre")) -
+        (col("m_c_post") - col("m_c_pre")))
+      .select("arm_c", "arm_t", "n_c_pre", "n_c_post", "n_t_pre", "n_t_post",
+        "sum_c_pre", "sum_c_post", "sum_t_pre", "sum_t_post",
+        "m_c_pre", "m_c_post", "m_t_pre", "m_t_post", "did")
+  }
+
   /** Per-group simple ordinary-least-squares fit y ~ a + b·x from
     * EXACT int64 moment sums — the per-segment trend/elasticity
     * estimator, computed the [[correlationMatrix]] way: one combinable

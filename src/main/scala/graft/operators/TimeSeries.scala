@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -179,5 +179,49 @@ object TimeSeries {
         max(col("__bal")).as("peak_balance"),
         (sum(col(deltaCol)) - gmin).as("final_balance"),
         (-gmin).as("lost_units"))
+  }
+
+  /** Per-series calendar-lag autocorrelation — the seasonality
+    * detector (lag 7 on a daily series ≫ lag 1 says "weekly"). For
+    * each lag k, pairs (x_t, x_{t−k}) align by EXACT calendar distance
+    * (an equi-join of the series on `day = day + k`; missing days
+    * simply contribute no pair — no imputation is invented), and the
+    * Pearson r over the pairs comes from exact int64 moment sums the
+    * [[Stats.correlationMatrix]] way: one combinable aggregation per
+    * lag, r a fixed double expression, n·Σ products formed in double.
+    * Constant series (either leg) → NULL r.
+    *
+    * Scale shape: the series table materializes once
+    * (localCheckpoint) and each lag is one self-equi-join on
+    * (series, day) — shuffle keyed by the series+day pair, never a
+    * window over the global history — plus a combinable per-series
+    * aggregation. Output: (series, lag, n_pairs, exact sums, acf).
+    */
+  def autocorrelation(series: DataFrame, seriesCol: String, dayCol: String,
+                      valCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    val base = series.select(col(seriesCol).as("g"), col(dayCol).cast("long").as("d"),
+        col(valCol).cast("long").as("v"))
+      .filter(col("g").isNotNull && col("d").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true)
+    def dd(c: Column) = c.cast("double")
+    lags.map { k =>
+      val m = base.as("a").join(base.as("b"),
+          col("a.g") === col("b.g") && col("a.d") === col("b.d") + lit(k.toLong))
+        .select(col("a.g").as("g"), col("a.v").as("x"), col("b.v").as("y"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("x").as("sum_x"), sum("y").as("sum_y"),
+          sum(col("x") * col("x")).as("sum_xx"),
+          sum(col("y") * col("y")).as("sum_yy"),
+          sum(col("x") * col("y")).as("sum_xy"))
+      val vx = dd(col("n_pairs")) * dd(col("sum_xx")) - dd(col("sum_x")) * dd(col("sum_x"))
+      val vy = dd(col("n_pairs")) * dd(col("sum_yy")) - dd(col("sum_y")) * dd(col("sum_y"))
+      val cov = dd(col("n_pairs")) * dd(col("sum_xy")) - dd(col("sum_x")) * dd(col("sum_y"))
+      m.withColumn("lag", lit(k.toLong))
+        .withColumn("acf", when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))))
+        .select("g", "lag", "n_pairs", "sum_x", "sum_y", "sum_xx", "sum_yy",
+          "sum_xy", "acf")
+    }.reduce(_.unionByName(_))
   }
 }
