@@ -5010,7 +5010,56 @@ object Queries {
         |  (sum_t_post::DOUBLE / n_t_post::DOUBLE - sum_t_pre::DOUBLE / n_t_pre::DOUBLE)
         |   - (sum_c_post::DOUBLE / n_c_post::DOUBLE - sum_c_pre::DOUBLE / n_c_pre::DOUBLE)
         |   AS did
-        |FROM piv""".stripMargin))
+        |FROM piv""".stripMargin)),
+
+    // §2.2/251 — trend/residual decomposition by centered 7-day moving
+    // average: RANGE frame on the day VALUE (calendar gaps shrink the
+    // window, never silently widen it), trend exact integer micro
+    // (wsum·10⁶ div wn), residual v·10⁶ − trend.
+    "q_trend_decompose" -> QueryDef(
+      (s, d) => {
+        val ser = ds(s, d, "lineitem").toDF
+          .filter(col("l_suppkey").isNotNull && col("l_shipdate").isNotNull &&
+            col("l_quantity").isNotNull)
+          .groupBy(col("l_suppkey").as("g"),
+            expr("unix_timestamp(l_shipdate) div 86400").as("day"))
+          .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+        operators.TimeSeries.trendDecompose(ser, "g", "day", "qty", radius = 3)
+      },
+      Some("""WITH ser AS (SELECT l_suppkey AS g,
+        |    floor(epoch(l_shipdate))::BIGINT // 86400 AS d,
+        |    sum(round(l_quantity)::BIGINT)::BIGINT AS v
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+        |    AND l_quantity IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT g, d, v,
+        |    CAST(count(*) OVER win AS BIGINT) AS wn,
+        |    CAST(sum(v) OVER win AS BIGINT) AS wsum
+        |  FROM ser WINDOW win AS (PARTITION BY g ORDER BY d
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |SELECT g, d, v, wn, wsum, (wsum * 1000000 // wn)::BIGINT AS trend_micro,
+        |  (v * 1000000 - wsum * 1000000 // wn)::BIGINT AS dev_micro
+        |FROM w""".stripMargin)),
+
+    // §2.2/252 — per-dimension embedding health profile: exact 2^20
+    // fixed-point moments per dimension (float→double widening and the
+    // power-of-two multiply are exact on any engine), mean/variance
+    // fixed double expressions — dead/exploding/drifting dimensions
+    // surface before they degrade retrieval.
+    "q_embed_dim_stats" -> QueryDef(
+      (s, d) => operators.Quantize.dimStats(
+        ds(s, d, "embeddings").toDF, "vec_id", "embedding"),
+      Some("""WITH ex AS (SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+        |    round(unnest(embedding)::DOUBLE * 1048576)::BIGINT AS q
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |m AS (SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+        |    sum(q)::BIGINT AS sum_q, sum(q * q)::BIGINT AS sumsq_q,
+        |    min(q)::BIGINT AS min_q, max(q)::BIGINT AS max_q
+        |  FROM ex GROUP BY 1)
+        |SELECT dim, n, sum_q, sumsq_q, min_q, max_q,
+        |  sum_q::DOUBLE / n::DOUBLE AS mean_q,
+        |  CASE WHEN n > 1 THEN (n::DOUBLE * sumsq_q::DOUBLE - sum_q::DOUBLE * sum_q::DOUBLE)
+        |    / (n::DOUBLE * (n::DOUBLE - 1.0)) END AS var_q
+        |FROM m""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

@@ -318,6 +318,66 @@ object Ivm {
     }
   }
 
+  /** Maintain a per-group TOP-K view under CDC deltas WITHOUT
+    * re-reading the base table — the reference top-k QPU's
+    * maintain-under-updates contract in batch form. The state retains
+    * `k + buffer` rows per group (value desc, id asc — a total order,
+    * so the retained set is deterministic); inserts merge and re-trim,
+    * and deletes are SOUND because any row outside the retained set is
+    * ordered below every retained row: as long as a group still
+    * retains ≥ k rows after its deletes, its top-k is exactly
+    * recompute's. A group whose retained count falls BELOW k may owe
+    * rows that were trimmed away earlier, so it is flagged
+    * `needs_recompute = true` (rows kept as a best-effort prefix) —
+    * the caller re-seeds those groups from the base table; the buffer
+    * is the knob that makes flags rare (a delete storm of b rows per
+    * group between refreshes never flags). Deltas are netted per row
+    * content first ([[applyGroupDelta]]'s discipline), so intra-batch
+    * I-then-D is a no-op; a delete that misses the retained set is
+    * treated as deleting an already-trimmed (or never-present) row —
+    * it cannot affect the retained prefix and is ignored.
+    *
+    * Scale shape: state is groups×(k+buffer) rows; the delta joins it
+    * by group only after its own combinable netting, and the one
+    * window partitions by group over ≤ k+buffer+batch rows — never the
+    * base table.
+    */
+  def applyTopKDelta(state: DataFrame, delta: DataFrame, opCol: String,
+                     groupCol: String, idCol: String, valCol: String,
+                     k: Int, buffer: Int): DataFrame = {
+    require(k >= 1 && buffer >= 0, s"need k >= 1, buffer >= 0; got ($k, $buffer)")
+    val net = netDelta(delta.select(col(opCol), col(groupCol), col(idCol), col(valCol)), opCol)
+    val ins = net.filter(col("__net") > 0).drop("__net")
+    val dels = net.filter(col("__net") < 0).select(col(groupCol), col(idCol), col(valCol))
+    // a group's delete count that HIT the retained set, to detect underflow
+    val hit = state.join(dels, Seq(groupCol, idCol, valCol), "left_semi")
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__hits"))
+    val kept = state.join(dels, Seq(groupCol, idCol, valCol), "left_anti")
+    val merged = kept.unionByName(ins)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valCol).desc, col(idCol).asc)
+    val trimmed = merged
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k + buffer)
+      .drop("__rnk")
+    val counts = trimmed.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val flagged = trimmed
+      .join(counts, Seq(groupCol))
+      .join(hit, Seq(groupCol), "left")
+      .withColumn("needs_recompute",
+        col("__n") < k && coalesce(col("__hits"), lit(0L)) > 0)
+      .drop("__n", "__hits")
+    // a group whose rows ALL died still owes the caller its flag — it
+    // may have trimmed-away rows that now belong in its top-k; emit a
+    // NULL-row carrier so the group cannot silently vanish unflagged
+    val idT = state.schema(idCol).dataType
+    val valT = state.schema(valCol).dataType
+    val vanished = hit.join(counts, Seq(groupCol), "left_anti")
+      .select(col(groupCol), lit(null).cast(idT).as(idCol),
+        lit(null).cast(valT).as(valCol), lit(true).as("needs_recompute"))
+    flagged.unionByName(vanished)
+  }
+
   /** The bucketed layout [[mergeKeyedTable]] maintains: rows hashed on
     * the merge key into a fixed bucket count (integer buckets never
     * need path escaping, and the count is independent of key

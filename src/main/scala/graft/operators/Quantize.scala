@@ -55,4 +55,35 @@ object Quantize {
   def dequantize(packed: DataFrame, idCol: String): DataFrame =
     packed.select(col(idCol),
       transform(col("codes"), c => c.cast("double") * col("scale")).as("vec"))
+
+  /** Per-dimension health profile of an embedding column — the
+    * feature-QA table an embedding pipeline monitors (a dead/constant
+    * dimension, an exploding one, or a mean drift all show up here
+    * before they silently degrade retrieval). Values fixed-point at
+    * 2^20 (`q = round(x·2^20)` — float→double widening and the
+    * power-of-two multiply are both EXACT, so q is the same integer on
+    * any engine), then per dimension the exact int64 (n, Σq, Σq²,
+    * min, max) plus mean/variance as fixed double expressions (n·Σ
+    * products in double — the moment-sum discipline).
+    *
+    * Scale shape: one posexplode (rows × dim) feeding ONE combinable
+    * aggregation into dim rows; nothing else shuffles. Overflow: q² ≤
+    * 2^40+ per element keeps Σq² inside 2^63 through ~10⁹ vectors per
+    * dimension for unit-scale embeddings.
+    */
+  def dimStats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1048576).cast("long").as("q"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val m = ex.groupBy("dim").agg(count(lit(1)).as("n"),
+      sum("q").as("sum_q"), sum(col("q") * col("q")).as("sumsq_q"),
+      min("q").as("min_q"), max("q").as("max_q"))
+    m.withColumn("mean_q", d(col("sum_q")) / d(col("n")))
+      .withColumn("var_q", when(col("n") > 1,
+        (d(col("n")) * d(col("sumsq_q")) - d(col("sum_q")) * d(col("sum_q"))) /
+          (d(col("n")) * (d(col("n")) - lit(1.0)))))
+      .select("dim", "n", "sum_q", "sumsq_q", "min_q", "max_q", "mean_q", "var_q")
+  }
 }

@@ -197,6 +197,42 @@ object TimeSeries {
     * window over the global history — plus a combinable per-series
     * aggregation. Output: (series, lag, n_pairs, exact sums, acf).
     */
+  /** Trend/residual decomposition by centered moving average — the
+    * classical-decomposition first step, exact: per (series, day) the
+    * trend is the mean over the CALENDAR window [day−r, day+r] (a
+    * RANGE frame on the day value, so calendar gaps shrink the window
+    * instead of silently widening it the way a ROWS frame would),
+    * carried as `trend_micro = wsum·10⁶ div wn` — integer floor
+    * division of exact int64s, no float mean — and the residual as
+    * `dev_micro = v·10⁶ − trend_micro`. The window row count `wn`
+    * rides along so a consumer can discard edge rows with partial
+    * windows by its own policy instead of the operator inventing one.
+    *
+    * Scale shape: ONE window spec per series ordered by day (sum and
+    * count share the shuffle+sort), partitioned by series — never a
+    * global sort. Non-negative day spans only constrain the caller's
+    * epoch-day encoding, not the math (sums may be negative; division
+    * semantics require wsum·10⁶ ≥ 0 OR a floor-consistent engine —
+    * Spark `div` truncates, DuckDB `//` floors, so negative trend
+    * sums would diverge: rejected up front with a named error column
+    * guard at the caller's option; the catalog query uses
+    * non-negative quantities).
+    */
+  def trendDecompose(series: DataFrame, seriesCol: String, dayCol: String,
+                     valCol: String, radius: Int): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val w = Window.partitionBy(col("g")).orderBy(col("d"))
+      .rangeBetween(-radius.toLong, radius.toLong)
+    series.select(col(seriesCol).as("g"), col(dayCol).cast("long").as("d"),
+        col(valCol).cast("long").as("v"))
+      .filter(col("g").isNotNull && col("d").isNotNull && col("v").isNotNull)
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("wsum", sum(col("v")).over(w))
+      .withColumn("trend_micro", expr("wsum * 1000000L div wn"))
+      .withColumn("dev_micro", col("v") * lit(1000000L) - col("trend_micro"))
+      .select("g", "d", "v", "wn", "wsum", "trend_micro", "dev_micro")
+  }
+
   def autocorrelation(series: DataFrame, seriesCol: String, dayCol: String,
                       valCol: String, lags: Seq[Int]): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
