@@ -5059,7 +5059,78 @@ object Queries {
         |  sum_q::DOUBLE / n::DOUBLE AS mean_q,
         |  CASE WHEN n > 1 THEN (n::DOUBLE * sumsq_q::DOUBLE - sum_q::DOUBLE * sum_q::DOUBLE)
         |    / (n::DOUBLE * (n::DOUBLE - 1.0)) END AS var_q
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+
+    // §2.2/254 — event-burst dedup (bot double-fire / retry-storm
+    // cleanup): per (user, type) events chaining closer than 5s form
+    // one burst kept as its first event; gap-chaining is the closed
+    // form of the sequential keep-first recursion. Report per type.
+    "q_event_dedup" -> QueryDef(
+      (s, d) => {
+        val b = operators.Sessionize.burstDedup(ds(s, d, "events").toDF,
+          Seq("user_id", "event_type"), "ts", gapSeconds = 5)
+        b.groupBy("event_type")
+          .agg(sum("n_in_burst").as("n_events"), count(lit(1)).as("n_kept"))
+          .withColumn("n_dropped", col("n_events") - col("n_kept"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, ts, floor(epoch(ts))::BIGINT AS ep
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |brk AS (SELECT user_id, event_type, ts, ep,
+        |    CASE WHEN lag(ep) OVER win IS NULL OR ep - lag(ep) OVER win > 5
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts)),
+        |w AS (SELECT user_id, event_type, ep,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id, event_type ORDER BY ts)
+        |      AS BIGINT) AS burst_id
+        |  FROM brk),
+        |b AS (SELECT user_id, event_type, burst_id, count(*)::BIGINT AS n_in_burst
+        |  FROM w GROUP BY 1, 2, 3)
+        |SELECT event_type, sum(n_in_burst)::BIGINT AS n_events,
+        |  count(*)::BIGINT AS n_kept,
+        |  (sum(n_in_burst) - count(*))::BIGINT AS n_dropped
+        |FROM b GROUP BY event_type""".stripMargin)),
+
+    // §2.2/255 — k-anonymity audit (k=5) over (nation, balance-bucket)
+    // quasi-identifiers: every combination with its size, the at-risk
+    // flag, and the global exposure totals broadcast back.
+    "q_kanon" -> QueryDef(
+      (s, d) => operators.Stats.kAnonymityAudit(
+        ds(s, d, "customer").toDF.select(col("c_nationkey"),
+          round(col("c_acctbal") / 100).cast("long").as("bal_100")),
+        Seq("c_nationkey", "bal_100"), k = 5),
+      Some("""WITH q AS (SELECT c_nationkey, round(c_acctbal / 100)::BIGINT AS bal_100
+        |  FROM customer),
+        |combos AS (SELECT c_nationkey, bal_100, count(*)::BIGINT AS n
+        |  FROM q GROUP BY 1, 2),
+        |c2 AS (SELECT *, n < 5 AS at_risk FROM combos),
+        |t AS (SELECT sum(CASE WHEN at_risk THEN 1 ELSE 0 END)::BIGINT AS combos_at_risk,
+        |    sum(CASE WHEN at_risk THEN n ELSE 0 END)::BIGINT AS records_at_risk FROM c2)
+        |SELECT c_nationkey, bal_100, n, at_risk, combos_at_risk, records_at_risk
+        |FROM c2 CROSS JOIN t""".stripMargin)),
+
+    // §2.2/256 — weight-of-evidence + information value per source
+    // against the lang='en' label: Laplace half-counts as exact
+    // integers, woe one IEEE division + one ln of exact products.
+    "q_woe" -> QueryDef(
+      (s, d) => operators.FeaturePrep.woeEncoding(
+        ds(s, d, "documents").toDF
+          .select(col("source"), (col("lang") === "en").as("is_en")),
+        "source", "is_en"),
+      Some("""WITH b AS (SELECT source AS cat, (lang = 'en') AS pos FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT cat, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS n_neg FROM b GROUP BY cat),
+        |t AS (SELECT sum(n_pos)::BIGINT AS p_tot, sum(n_neg)::BIGINT AS n_tot FROM c),
+        |x AS (SELECT cat, n_pos, n_neg, (2 * n_pos + 1)::BIGINT AS pos2,
+        |    (2 * n_neg + 1)::BIGINT AS neg2, p_tot, n_tot FROM c CROSS JOIN t),
+        |y AS (SELECT *, (pos2 * n_tot)::BIGINT AS woe_num,
+        |    (neg2 * p_tot)::BIGINT AS woe_den FROM x),
+        |z AS (SELECT *, ln(woe_num::DOUBLE / woe_den::DOUBLE) AS woe FROM y)
+        |SELECT cat, n_pos, n_neg, woe_num, woe_den, woe,
+        |  (pos2::DOUBLE / (2.0 * p_tot::DOUBLE) - neg2::DOUBLE / (2.0 * n_tot::DOUBLE))
+        |    * woe AS iv_contrib
+        |FROM z""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

@@ -8,6 +8,48 @@ import org.apache.spark.sql.functions._
   */
 object FeaturePrep {
 
+  /** Weight-of-evidence encoding + information value — the
+    * credit-scoring-lineage categorical encoder beside
+    * [[targetEncoding]]: per category,
+    * `woe = ln(((pos+0.5)/P) / ((neg+0.5)/N))` (the 0.5 Laplace term
+    * keeps empty cells finite) and the category's IV contribution
+    * `((pos+0.5)/P − (neg+0.5)/N) · woe`, whose sum is the classic
+    * predictive-power screen (IV < 0.02 ≈ useless, > 0.5 ≈ suspect).
+    *
+    * Exactness: the half-counts are carried as INTEGERS
+    * (`pos2 = 2·pos+1`), so the woe argument is the ratio of two exact
+    * int64 products `pos2·N / neg2·P` — one IEEE division and one
+    * `ln` (≤1 ulp on any libm, inside the oracle tolerance); both
+    * exact products ride along as columns. Bound: pos2·N within int64
+    * — holds to ~10⁹-row corpora with ~10⁹-row categories; shard past
+    * it.
+    *
+    * Scale shape: one combinable (category, label) fold into category
+    * rows; totals fold from that table and broadcast back — the
+    * [[targetEncoding]] shape exactly.
+    */
+  def woeEncoding(facts: DataFrame, catCol: String, labelCol: String): DataFrame = {
+    val base = facts.select(col(catCol).as("cat"),
+        col(labelCol).cast("boolean").as("pos"))
+      .filter(col("cat").isNotNull && col("pos").isNotNull)
+    val cats = base.groupBy("cat").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"))
+      .localCheckpoint(true) // totals reuse it
+    val tot = cats.agg(sum("n_pos").as("p_tot"), sum("n_neg").as("n_tot"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    cats.crossJoin(broadcast(tot))
+      .withColumn("pos2", lit(2L) * col("n_pos") + 1L)
+      .withColumn("neg2", lit(2L) * col("n_neg") + 1L)
+      .withColumn("woe_num", col("pos2") * col("n_tot"))
+      .withColumn("woe_den", col("neg2") * col("p_tot"))
+      .withColumn("woe", log(d(col("woe_num")) / d(col("woe_den"))))
+      .withColumn("iv_contrib",
+        (d(col("pos2")) / (lit(2.0) * d(col("p_tot"))) -
+          d(col("neg2")) / (lit(2.0) * d(col("n_tot")))) * col("woe"))
+      .select("cat", "n_pos", "n_neg", "woe_num", "woe_den", "woe", "iv_contrib")
+  }
+
   /** Smoothed target encoding (Micci-Barreca 2001): each category's
     * target mean shrunk toward the global mean with pseudo-count `m` —
     * `enc = (Σ_cat + m·μ) / (n_cat + m)` — the leakage-resistant

@@ -41,4 +41,35 @@ object Sessionize {
         max(col("__epoch")).as("session_end"),
         (max(col("__epoch")) - min(col("__epoch"))).as("duration_sec"))
   }
+
+  /** Event-burst deduplication — the bot-double-fire / retry-storm
+    * cleanup: within each composite key, events closer than
+    * `gapSeconds` to their predecessor chain into one BURST, and the
+    * burst reduces to its FIRST event plus a multiplicity count.
+    * "Keep the first of each burst" sounds sequential (each kept event
+    * re-anchors the window) but gap-chaining IS that recursion's
+    * closed form: a burst ends exactly where a gap exceeds the
+    * threshold, so one lag-compare + running-sum window and one
+    * combinable aggregation produce the same kept set the row-by-row
+    * scan would.
+    *
+    * Scale shape: one window per (composite key) ordered by time —
+    * partitions are key-sized, never the global stream — then a
+    * combinable (key, burst) aggregation. Output: keyCols…, burst_id,
+    * first_epoch, n_in_burst (n − kept = rows a dedup would drop).
+    */
+  def burstDedup(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    require(keyCols.nonEmpty, "burstDedup needs at least one key column")
+    val byTime = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val epoch = unix_timestamp(col(tsCol))
+    val prev = lag(epoch, 1).over(byTime)
+    val isBreak = when(prev.isNull || epoch - prev > gapSeconds, 1L).otherwise(0L)
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
+      .withColumn("__epoch", epoch)
+      .withColumn("burst_id", sum(isBreak).over(byTime))
+      .groupBy(keyCols.map(col) :+ col("burst_id"): _*)
+      .agg(min(col("__epoch")).as("first_epoch"),
+        count(lit(1)).as("n_in_burst"))
+  }
 }

@@ -191,6 +191,32 @@ object Stats {
     * (group, n, lo, hi, trim_n, trim_sum, wins_sum, trim_mean,
     * wins_mean).
     */
+  /** k-anonymity audit over a quasi-identifier column set — the
+    * privacy/data-governance gate before a dataset ships: every
+    * distinct quasi-identifier combination with its group size, an
+    * `at_risk` flag for combinations smaller than `k` (those records
+    * are re-identifiable by the quasi-identifiers alone), and the
+    * global exposure totals (distinct at-risk combinations, records
+    * inside them) repeated from a one-row broadcast so the report is
+    * self-contained. NULL quasi-values form their own group (SQL GROUP
+    * BY semantics on both engines) — absent is itself an identifier.
+    *
+    * Scale shape: ONE combinable aggregation over the facts into
+    * combination-cardinality rows; the exposure totals fold from that
+    * table (never a second fact pass) and broadcast back.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, s"need quasi columns and k >= 2, got $k")
+    val combos = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+      .localCheckpoint(true) // the exposure totals reuse it
+    val tot = combos.agg(
+      sum(when(col("at_risk"), 1L).otherwise(0L)).as("combos_at_risk"),
+      sum(when(col("at_risk"), col("n")).otherwise(0L)).as("records_at_risk"))
+    combos.crossJoin(broadcast(tot))
+  }
+
   /** CUPED variance-reduced A/B means (Deng et al. 2013, "Improving
     * the Sensitivity of Online Controlled Experiments"): each unit's
     * metric Y is adjusted by its PRE-EXPERIMENT covariate X,
