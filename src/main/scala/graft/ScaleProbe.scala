@@ -26,6 +26,7 @@ object ScaleProbe {
     if (args.length > 1 && args(1) == "r10") { r10ops(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "r10b") { r10bOps(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "r10c") { r10cOps(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "r10d") { r10dOps(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bpe") { bpeEncode(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloom") { bloomBreakEven(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloomat") { bloomAt(spark, factor); spark.stop(); return }
@@ -706,6 +707,71 @@ object ScaleProbe {
       time(s"lsh_tuning_x$k")(Dedup.lshTuningCurve(
         docs, "doc_id", "text", "source", 1, 2,
         Seq((1, 8), (2, 4), (4, 2), (8, 1))).count())
+      docs.unpersist()
+    }
+  }
+
+  /** Round-10d/e/f operators at x1 and xN — the heavier shapes among
+    * the late-round additions: nDCG (broadcast queries × corpus scan),
+    * autocorrelation (per-lag self-equi-join), feature hashing
+    * (explode + combinable agg), burst dedup (per-key window), trend
+    * decomposition (RANGE window), rendezvous movement (map-side
+    * argmax). Same replica discipline as [[r10cOps]].
+    */
+  private def r10dOps(spark: SparkSession, factor: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs, $rows rows")
+    }
+    Seq(1, factor).distinct.foreach { k =>
+      val emb = (0 until k).map { i =>
+        Tables.load(spark, dir, "embeddings")
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
+      }.reduce(_.unionByName(_)).cache()
+      emb.count()
+      time(s"ndcg_x$k")(operators.Similarity.ndcgAtK(emb,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", "label", 10).count())
+      time(s"embed_dim_stats_x$k")(operators.Quantize.dimStats(
+        emb, "vec_id", "embedding").count())
+      emb.unpersist()
+
+      val li = (0 until k).map { i =>
+        Tables.load(spark, dir, "lineitem")
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 100000000L))
+      }.reduce(_.unionByName(_))
+        .filter(col("l_suppkey").isNotNull && col("l_shipdate").isNotNull &&
+          col("l_quantity").isNotNull)
+        .groupBy(col("l_suppkey").as("g"),
+          expr("unix_timestamp(l_shipdate) div 86400").as("day"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty")).cache()
+      li.count()
+      time(s"autocorr_x$k")(operators.TimeSeries.autocorrelation(
+        li, "g", "day", "qty", Seq(1, 7)).count())
+      time(s"trend_decompose_x$k")(operators.TimeSeries.trendDecompose(
+        li, "g", "day", "qty", 3).count())
+      li.unpersist()
+
+      val ev = (0 until k).map { i =>
+        Tables.load(spark, dir, "events")
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+      }.reduce(_.unionByName(_)).cache()
+      ev.count()
+      time(s"event_dedup_x$k")(operators.Sessionize.burstDedup(
+        ev, Seq("user_id", "event_type"), "ts", 5).count())
+      ev.unpersist()
+
+      val docs = (0 until k).map { i =>
+        Tables.load(spark, dir, "documents")
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", concat(col("text"), lit(s" zrep$i")))
+      }.reduce(_.unionByName(_)).cache()
+      docs.count()
+      time(s"feature_hash_x$k")(operators.FeaturePrep.featureHash(
+        docs, "doc_id", "text", 64).count())
+      time(s"rendezvous_x$k")(operators.Sharding.rendezvousMovement(
+        docs, "doc_id", 8).count())
       docs.unpersist()
     }
   }
