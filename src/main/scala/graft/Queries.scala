@@ -5130,7 +5130,75 @@ object Queries {
         |SELECT cat, n_pos, n_neg, woe_num, woe_den, woe,
         |  (pos2::DOUBLE / (2.0 * p_tot::DOUBLE) - neg2::DOUBLE / (2.0 * n_tot::DOUBLE))
         |    * woe AS iv_contrib
-        |FROM z""".stripMargin))
+        |FROM z""".stripMargin)),
+
+    // §2.2/257 — language-ID confusion matrix: row 36's heuristic
+    // prediction crossed with the declared label, per-declared totals
+    // broadcast back — the classifier-QA table that says where the
+    // langid heuristic actually errs.
+    "text_lang_confusion" -> QueryDef(
+      (s, d) => {
+        val p = ds(s, d, "documents").toDF
+          .filter(col("lang").isNotNull)
+          .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+        val cells = p.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val tot = cells.groupBy("lang").agg(sum("n").as("n_declared"))
+        cells.join(broadcast(tot), "lang")
+          .withColumn("rate", col("n").cast("double") / col("n_declared").cast("double"))
+          .select("lang", "lang_pred", "n", "n_declared", "rate")
+      },
+      Some("""WITH p AS (SELECT lang, CASE
+        |  WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |  WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('the','and','of','to','a','in','is','it'))) >=
+        |       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('el','la','de','los','que','y')))
+        |   AND len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('the','and','of','to','a','in','is','it'))) > 0 THEN 'en'
+        |  WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('el','la','de','los','que','y'))) >
+        |       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('the','and','of','to','a','in','is','it'))) THEN 'es'
+        |  ELSE 'unknown' END AS lang_pred
+        |  FROM documents WHERE lang IS NOT NULL),
+        |cells AS (SELECT lang, lang_pred, count(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(n)::BIGINT AS n_declared FROM cells GROUP BY lang)
+        |SELECT cells.lang AS lang, lang_pred, n, n_declared,
+        |  n::DOUBLE / n_declared::DOUBLE AS rate
+        |FROM cells JOIN tot ON cells.lang = tot.lang""".stripMargin)),
+
+    // §2.2/258 — measured LSH recall per Jaccard decile: ground-truth
+    // within-source pairs (J >= 0.5) vs the 2x4 banding's candidate
+    // set — theory (row 242) vs what this corpus actually got.
+    "q_lsh_recall" -> QueryDef(
+      (s, d) => Dedup.lshRecall(ds(s, d, "documents").toDF,
+        "doc_id", "text", "source", num = 1, den = 2,
+        bands = 2, rowsPerBand = 4),
+      Some {
+        val mh = mhSigSql(8)
+        s"""WITH t AS (SELECT doc_id, source,
+           |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    least(9, len(list_intersect(a.toks, b.toks)) * 10 //
+           |      len(list_distinct(a.toks || b.toks)))::BIGINT AS j_bucket
+           |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.toks, b.toks)) * 2 >=
+           |        len(list_distinct(a.toks || b.toks)) * 1),
+           |hp AS (SELECT doc_id, list_transform(toks, w ->
+           |  [('0x' || substring(md5(w), 1, 14))::bigint,
+           |   ('0x' || substring(md5(w), 15, 14))::bigint]) AS hs FROM t),
+           |sigs AS (SELECT doc_id, $mh FROM hp),
+           |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1::BIGINT AS c
+           |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
+           |    (a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3) OR
+           |    (a.m4 = b.m4 AND a.m5 = b.m5 AND a.m6 = b.m6 AND a.m7 = b.m7)))
+           |SELECT j_bucket, count(*)::BIGINT AS n_truth,
+           |  sum(coalesce(c, 0))::BIGINT AS n_caught,
+           |  sum(coalesce(c, 0))::DOUBLE / count(*)::DOUBLE AS recall
+           |FROM truth LEFT JOIN cand USING (doc_a, doc_b)
+           |GROUP BY j_bucket""".stripMargin
+      })
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

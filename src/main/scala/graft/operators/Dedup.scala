@@ -484,6 +484,39 @@ object Dedup {
       .select("rr", "bb", "j_bucket", "n_pairs", "p_catch", "exp_caught")
   }
 
+  /** MEASURED LSH recall — the empirical companion to
+    * [[lshTuningCurve]]'s theoretical S-curve: ground-truth near-dup
+    * pairs (exact Jaccard ≥ num/den within the bucket column) bucketed
+    * into Jaccard deciles, each decile reporting how many of its truth
+    * pairs the (bands × rowsPerBand) banding actually surfaced as
+    * candidates. Theory says 1−(1−j^r)^b; this table says what THIS
+    * corpus got — the gap is the banding's real-world miss rate, per
+    * similarity level, before anyone trusts the sketch pipeline's
+    * output as "the duplicates".
+    *
+    * Scale shape: truth = [[jaccardPairs]] (bucketed), candidates =
+    * [[minhashDedup]] with the confirm disabled (num 0 — the banded
+    * candidate set itself); the recall join is pair-table × pair-table
+    * on the (doc_a, doc_b) key, then one combinable ≤10-row
+    * aggregation. Both pair tables use the identical `a.id < b.id`
+    * orientation, so the join key is canonical.
+    */
+  def lshRecall(df: DataFrame, idCol: String, textCol: String,
+                bucketCol: String, num: Int, den: Int,
+                bands: Int, rowsPerBand: Int): DataFrame = {
+    val truth = jaccardPairs(df, idCol, textCol, bucketCol, num, den)
+      .select(col("doc_a"), col("doc_b"),
+        least(lit(9L), expr("inter_size * 10 div union_size")).as("j_bucket"))
+    val cand = minhashDedup(df, idCol, textCol, bands, rowsPerBand, 0, 1)
+      .select(col("doc_a"), col("doc_b")).withColumn("__c", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy("j_bucket")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__c"), lit(0L))).as("n_caught"))
+      .withColumn("recall",
+        col("n_caught").cast("double") / col("n_truth").cast("double"))
+  }
+
   /** Skew-proof `a.key == b.key AND a.id < b.id` self-join with
     * two-pass SELECTIVE salting.
     *

@@ -70,4 +70,24 @@ class Round10gSpec extends SparkSpecBase {
     assert(out("A").getDouble(5) > 0 && out("B").getDouble(5) < 0,
       "signs follow the class balance")
   }
+
+  test("lsh recall: identical docs are always caught; truth buckets partition") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // identical pair (J=1, every band matches) + a J~0.5 pair the
+    // 4-row bands may or may not catch + a below-threshold pair
+    val docs = Seq(
+      (1L, "s", "a b c d e f g h"), (2L, "s", "a b c d e f g h"),
+      (3L, "s", "a b c d e f q r"), (4L, "s", "x y z w v u t q"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.lshRecall(docs, "doc_id", "text", "source",
+      num = 1, den = 2, bands = 2, rowsPerBand = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val top = out(9L)
+    assert(top._1 >= 1L && top._2 === top._1 && top._3 === 1.0,
+      s"identical docs always collide in every band: $out")
+    out.values.foreach { case (t, c, r) =>
+      assert(c <= t && r >= 0.0 && r <= 1.0, "recall is a fraction of truth")
+    }
+  }
 }
