@@ -5198,7 +5198,68 @@ object Queries {
            |  sum(coalesce(c, 0))::DOUBLE / count(*)::DOUBLE AS recall
            |FROM truth LEFT JOIN cand USING (doc_a, doc_b)
            |GROUP BY j_bucket""".stripMargin
-      })
+      }),
+
+    // §2.2/259 — HTML boilerplate strip + content-ratio report over
+    // deterministically wrapped documents: tags become single spaces
+    // (never splicing words), whitespace collapses, per-source exact
+    // char tallies + one ratio division.
+    "text_html_strip" -> QueryDef(
+      (s, d) => {
+        val html = concat(lit("<html><body><h1>"), col("source"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><div class=\"nav\">home about contact</div></body></html>"))
+        ds(s, d, "documents").toDF.filter(col("text").isNotNull)
+          .select(col("source"), html.as("html"))
+          .select(col("source"), length(col("html")).as("hc"),
+            length(TextFunctions.stripHtmlTags(col("html"))).as("tc"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("hc").as("sum_html_chars"),
+            sum("tc").as("sum_text_chars"))
+          .withColumn("content_ratio",
+            col("sum_text_chars").cast("double") / col("sum_html_chars").cast("double"))
+      },
+      Some("""WITH h AS (SELECT source,
+        |    '<html><body><h1>' || source || '</h1><p>' || text ||
+        |    '</p><div class="nav">home about contact</div></body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL),
+        |s2 AS (SELECT source, length(html)::BIGINT AS hc,
+        |    length(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')))::BIGINT AS tc
+        |  FROM h),
+        |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(hc)::BIGINT AS sum_html_chars, sum(tc)::BIGINT AS sum_text_chars
+        |  FROM s2 GROUP BY source)
+        |SELECT source, n_docs, sum_html_chars, sum_text_chars,
+        |  sum_text_chars::DOUBLE / sum_html_chars::DOUBLE AS content_ratio
+        |FROM g""".stripMargin)),
+
+    // §2.2/260 — mojibake / double-encoding detection: every 7th doc
+    // deterministically corrupted (e -> 'Ã©', the classic UTF-8-as-
+    // Latin-1 artifact), marker counts exact integers, per-source
+    // encoding-health rollup.
+    "q_mojibake" -> QueryDef(
+      (s, d) => {
+        val corrupted = when(col("doc_id") % 7 === 0,
+          regexp_replace(col("text"), "e", "Ã©")).otherwise(col("text"))
+        ds(s, d, "documents").toDF.filter(col("text").isNotNull)
+          .select(col("source"),
+            TextFunctions.mojibakeCount(corrupted).as("m"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_flagged"),
+            sum("m").as("sum_markers"))
+      },
+      Some("""WITH c AS (SELECT source,
+        |    CASE WHEN doc_id % 7 = 0 THEN regexp_replace(text, 'e', 'Ã©', 'g')
+        |      ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT source,
+        |    (len(regexp_split_to_array(t, 'Ã|â€|Â')) - 1)::BIGINT AS m FROM c)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+        |  sum(m)::BIGINT AS sum_markers
+        |FROM m GROUP BY source""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

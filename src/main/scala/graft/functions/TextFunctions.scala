@@ -198,6 +198,29 @@ object TextFunctions {
         i => c.substr(i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
+  /** HTML tag strip — the crawl boilerplate-removal first pass: every
+    * `<...>` run becomes one space (tags NEVER splice adjacent words
+    * together), then whitespace collapses and trims. Pure
+    * regexp_replace — identical semantics on any ANSI engine (the
+    * oracle adds the 'g' flag DuckDB needs where Spark is global by
+    * default). Script/style CONTENT is out of scope for the regex
+    * pass (a real extractor pairs this with a tag-aware fence);
+    * documented, not pretended.
+    */
+  def stripHtmlTags(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Mojibake marker count — the double-encoding detector (UTF-8 read
+    * as Latin-1 re-encoded as UTF-8 leaves 'Ã', 'â€¦'-class artifacts
+    * that virtually never occur in clean text): occurrences of the
+    * classic marker prefixes. An exact integer count per document —
+    * the per-source rollup is the encoding-health dashboard a crawl
+    * pipeline watches.
+    */
+  def mojibakeCount(c: Column): Column =
+    when(c.isNotNull,
+      size(split(c, "Ã|â€|Â")) - 1)
+
   /** Soundex phonetic key (the vowel-separator variant: standard
     * American Soundex WITHOUT the H/W-transparency refinement —
     * adjacent equal codes merge, a vowel between equal codes keeps
