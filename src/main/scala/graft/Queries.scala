@@ -5259,7 +5259,62 @@ object Queries {
         |SELECT source, count(*)::BIGINT AS n_docs,
         |  sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
         |  sum(m)::BIGINT AS sum_markers
-        |FROM m GROUP BY source""".stripMargin))
+        |FROM m GROUP BY source""".stripMargin)),
+
+    // §2.2/261 — two-proportion z-test on user conversion (any
+    // purchase) between parity arms: exact per-arm (n, conversions),
+    // pooled z a fixed double expression — rates' counterpart to row
+    // 245's Welch means test.
+    "q_prop_ztest" -> QueryDef(
+      (s, d) => {
+        val u = ds(s, d, "events").toDF
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .groupBy("user_id")
+          .agg((max(when(col("event_type") === "purchase", 1L).otherwise(0L)) === 1L)
+            .as("converted"))
+        operators.Stats.propZTest(u, col("user_id") % 2, col("converted"))
+      },
+      Some("""WITH u AS (SELECT user_id, user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS c
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY user_id),
+        |a AS (SELECT arm, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS conv FROM u GROUP BY arm),
+        |lo AS (SELECT min(arm) AS lo FROM a),
+        |piv AS (SELECT max(CASE WHEN arm = lo THEN arm END)::BIGINT AS arm0,
+        |    max(CASE WHEN arm <> lo THEN arm END)::BIGINT AS arm1,
+        |    max(CASE WHEN arm = lo THEN n END)::BIGINT AS n0,
+        |    max(CASE WHEN arm <> lo THEN n END)::BIGINT AS n1,
+        |    max(CASE WHEN arm = lo THEN conv END)::BIGINT AS conv0,
+        |    max(CASE WHEN arm <> lo THEN conv END)::BIGINT AS conv1
+        |  FROM a CROSS JOIN lo),
+        |w AS (SELECT *,
+        |    conv0::DOUBLE / n0::DOUBLE AS rate0, conv1::DOUBLE / n1::DOUBLE AS rate1,
+        |    (conv0 + conv1)::DOUBLE / (n0 + n1)::DOUBLE AS phat FROM piv)
+        |SELECT arm0, arm1, n0, n1, conv0, conv1, rate0, rate1,
+        |  conv1::DOUBLE / n1::DOUBLE - conv0::DOUBLE / n0::DOUBLE AS rate_diff,
+        |  CASE WHEN phat * (1.0 - phat) * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE) > 0
+        |    THEN (conv1::DOUBLE / n1::DOUBLE - conv0::DOUBLE / n0::DOUBLE)
+        |       / sqrt(phat * (1.0 - phat) * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) END AS z
+        |FROM w""".stripMargin)),
+
+    // §2.2/262 — type-token ratio per source: exact token and distinct
+    // -type counts, the lexical-diversity QA signal (template-heavy or
+    // generated text shows an anomalously low TTR for its size).
+    "text_ttr" -> QueryDef(
+      (s, d) => ds(s, d, "documents").toDF.filter(col("text").isNotNull)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_types"))
+        .withColumn("ttr", col("n_types").cast("double") / col("n_tokens").cast("double")),
+      Some("""WITH t AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, count(*)::BIGINT AS n_tokens,
+        |  count(DISTINCT tok)::BIGINT AS n_types,
+        |  count(DISTINCT tok)::DOUBLE / count(*)::DOUBLE AS ttr
+        |FROM t WHERE length(tok) > 0 GROUP BY source""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

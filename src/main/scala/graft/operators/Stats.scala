@@ -317,6 +317,49 @@ object Stats {
         "mean_diff", "t_stat", "welch_df")
   }
 
+  /** Two-proportion z-test — the conversion-rate significance
+    * primitive ([[welchTTest]] covers means; rates get the pooled
+    * z): per arm the exact (n, conversions), then
+    *
+    *   z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₀ + 1/n₁)),  p̂ pooled
+    *
+    * every float a fixed expression over exact int64s, the one output
+    * row carrying the integers so a consumer re-derives CIs itself.
+    * Degenerate pools (p̂ of 0 or 1 — zero variance) report NULL z.
+    * Requires exactly 2 arms with ≥1 unit each, else a named error.
+    * Scale shape: one combinable unit aggregation into two rows, then
+    * the two-row pivot.
+    */
+  def propZTest(units: DataFrame, armCol: Column, convCol: Column): DataFrame = {
+    val base = units.select(armCol.as("arm"), convCol.cast("boolean").as("c"))
+      .filter(col("arm").isNotNull && col("c").isNotNull)
+    val arms = base.groupBy("arm").agg(count(lit(1)).as("n"),
+      sum(when(col("c"), 1L).otherwise(0L)).as("conv"))
+      .localCheckpoint(true)
+    val got = arms.count()
+    require(got == 2, s"propZTest needs exactly 2 arms, got $got")
+    def d(c: Column) = c.cast("double")
+    val piv = arms.crossJoin(broadcast(arms.agg(min(col("arm")).as("__lo"))))
+      .groupBy()
+      .agg(
+        max(when(col("arm") === col("__lo"), col("arm"))).as("arm0"),
+        max(when(col("arm") =!= col("__lo"), col("arm"))).as("arm1"),
+        max(when(col("arm") === col("__lo"), col("n"))).as("n0"),
+        max(when(col("arm") =!= col("__lo"), col("n"))).as("n1"),
+        max(when(col("arm") === col("__lo"), col("conv"))).as("conv0"),
+        max(when(col("arm") =!= col("__lo"), col("conv"))).as("conv1"))
+    val p0 = d(col("conv0")) / d(col("n0"))
+    val p1 = d(col("conv1")) / d(col("n1"))
+    val phat = d(col("conv0") + col("conv1")) / d(col("n0") + col("n1"))
+    val se2 = phat * (lit(1.0) - phat) * (lit(1.0) / d(col("n0")) + lit(1.0) / d(col("n1")))
+    piv
+      .withColumn("rate0", p0).withColumn("rate1", p1)
+      .withColumn("rate_diff", p1 - p0)
+      .withColumn("z", when(se2 > 0, (p1 - p0) / sqrt(se2)))
+      .select("arm0", "arm1", "n0", "n1", "conv0", "conv1",
+        "rate0", "rate1", "rate_diff", "z")
+  }
+
   /** Difference-in-differences estimator over unit-period integer
     * metrics — the quasi-experimental effect size when treatment
     * wasn't randomized: with arms t (treated = the HIGHER arm value)
