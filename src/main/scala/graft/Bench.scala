@@ -97,6 +97,31 @@ object Bench {
       }.sorted
       times(1)
     }
+    // Storage-memory audit (r11): the sf1 late-suite GC pressure came
+    // from accumulated internal persists — localCheckpoint blocks are
+    // NOT cleared by catalog.clearCache, only the async ContextCleaner
+    // frees them once their RDD is unreferenced. After each query:
+    // clear the cache manager, hint GC, and poll (<= 2s) until the
+    // persisted-RDD count returns to the suite baseline of zero; a
+    // query that leaves pinned blocks anyway is recorded in
+    // storage.leaks, and the pre-GC byte high-water across the suite
+    // lands in BENCH.json so drift is visible per record.
+    def storageBlocks() = spark.sparkContext.getRDDStorageInfo
+    var storageHwm = 0L
+    val storageLeaks = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def storageAudit(name: String): Unit = {
+      val pre = storageBlocks()
+      storageHwm = math.max(storageHwm, pre.map(_.memSize).sum)
+      if (pre.nonEmpty) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        var left = storageBlocks()
+        while (left.nonEmpty && (System.nanoTime() - t0) < 2000000000L) {
+          System.gc(); Thread.sleep(100); left = storageBlocks()
+        }
+        if (left.nonEmpty) storageLeaks(name) = left.map(_.memSize).sum
+      }
+    }
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run — for
     // adjudicating one query's number without the other 99 in the JVM
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -107,13 +132,17 @@ object Bench {
     // A failed query carries the single sentinel attempt -1.
     val firstPass: scala.collection.mutable.LinkedHashMap[String, Seq[Double]] =
       scala.collection.mutable.LinkedHashMap(selected.map { case (name, fn) =>
-        name -> (try {
-          spark.catalog.clearCache()
-          fn(spark, sfDir).count() // warmup
-          val first = medianOf3(fn)
-          val ceiling = ceilings.getOrElse(name, defaultCeiling)
-          if (first > ceiling) Seq(first, medianOf3(fn)) else Seq(first)
-        } catch { case _: Throwable => Seq(-1.0) })
+        name -> {
+          val attempts = try {
+            spark.catalog.clearCache()
+            fn(spark, sfDir).count() // warmup
+            val first = medianOf3(fn)
+            val ceiling = ceilings.getOrElse(name, defaultCeiling)
+            if (first > ceiling) Seq(first, medianOf3(fn)) else Seq(first)
+          } catch { case _: Throwable => Seq(-1.0) }
+          storageAudit(name)
+          attempts
+        }
       }: _*)
     def best(attempts: Seq[Double]): Double = {
       val ok = attempts.filter(_ >= 0)
@@ -138,6 +167,7 @@ object Bench {
           medianOf3(fn)
         } catch { case _: Throwable => -1.0 }
         if (post >= 0) firstPass(n) = firstPass(n) :+ post
+        storageAudit(n)
       }
     }
     val results: Seq[(String, Double, Seq[Double])] =
@@ -156,7 +186,10 @@ object Bench {
     // failed queries carry the -1 sentinel; they must not SHRINK the total
     val total = official.values.filter(_ >= 0).sum
     val envJson = s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"gate_wait_sec":$gateWaitSec,"jvm":"$jvmFlags","cpus":$cpus"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"reruns":$reruns,"over_ceiling":${overCeiling.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},$envJson,"queries":$qs,"sf":"$sfDir"}"""
+    val leaksJson = storageLeaks.map { case (n, b) => s""""$n":$b""" }
+      .mkString("{", ",", "}")
+    val storageJson = s""""storage":{"hwm_bytes":$storageHwm,"leaks":$leaksJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"reruns":$reruns,"over_ceiling":${overCeiling.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},$envJson,$storageJson,"queries":$qs,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so the JSON is the process's final
     // stdout line (Spark's shutdown logging goes to stderr, but order
     // still matters for line-oriented parsers); build.sbt routes forked
@@ -179,7 +212,7 @@ object Bench {
     // over_ceiling names are capped in the SUMMARY (full list in detail
     // artifact) so the final stdout line stays well under the 2 kB tail
     val ocSummary = overCeiling.sorted.take(6).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"contaminated":$contaminated,"reruns":$reruns,"over_ceiling":$ocSummary,$envJson,"queries":$headline,"sf":"$sfDir","detail":"$outName"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"contaminated":$contaminated,"reruns":$reruns,"over_ceiling":$ocSummary,$envJson,"storage_leaks":${storageLeaks.size},"storage_hwm_mb":${storageHwm / 1048576},"queries":$headline,"sf":"$sfDir","detail":"$outName"}"""
     println(summary)
   }
 }

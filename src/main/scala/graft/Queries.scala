@@ -4255,12 +4255,16 @@ object Queries {
         |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2),
         |rt AS (SELECT a, sum(o)::BIGINT AS rt FROM c GROUP BY 1),
         |ct AS (SELECT b, sum(o)::BIGINT AS ct FROM c GROUP BY 1),
-        |n AS (SELECT sum(o)::BIGINT AS n FROM c)
-        |SELECT c.a, c.b, c.o, rt.rt, ct.ct, n.n,
-        |  rt.rt * ct.ct * 1000000 // n.n AS e_micro,
-        |  ((c.o * n.n - rt.rt * ct.ct)::DOUBLE * (c.o * n.n - rt.rt * ct.ct)::DOUBLE)
-        |    / (n.n * rt.rt * ct.ct)::DOUBLE AS contrib
-        |FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n""".stripMargin)),
+        |n AS (SELECT sum(o)::BIGINT AS n FROM c),
+        |spine AS (SELECT rt.a, ct.b, rt.rt, ct.ct,
+        |    coalesce(c.o, 0)::BIGINT AS o
+        |  FROM rt CROSS JOIN ct LEFT JOIN c ON rt.a = c.a AND ct.b = c.b)
+        |SELECT spine.a, spine.b, spine.o, spine.rt, spine.ct, n.n,
+        |  spine.rt * spine.ct * 1000000 // n.n AS e_micro,
+        |  ((spine.o * n.n - spine.rt * spine.ct)::DOUBLE
+        |    * (spine.o * n.n - spine.rt * spine.ct)::DOUBLE)
+        |    / (n.n::DOUBLE * spine.rt::DOUBLE * spine.ct::DOUBLE) AS contrib
+        |FROM spine CROSS JOIN n""".stripMargin)),
 
     // §2.2/226 — exact ROC-AUC (Mann–Whitney U, tie-corrected): how
     // well does document length separate English docs? The U
@@ -4383,15 +4387,18 @@ object Queries {
       Some("""WITH d AS (SELECT substring(v::VARCHAR, 1, 1)::BIGINT AS digit,
         |    count(*)::BIGINT AS n_d
         |  FROM (SELECT floor(o_totalprice)::BIGINT AS v FROM orders) WHERE v >= 1 GROUP BY 1),
-        |t AS (SELECT sum(n_d)::BIGINT AS n FROM d)
-        |SELECT digit, n_d, n,
-        |  (n * CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+        |t AS (SELECT sum(n_d)::BIGINT AS n FROM d),
+        |spine AS (SELECT unnest(generate_series(1, 9))::BIGINT AS digit, n
+        |  FROM t WHERE n IS NOT NULL)
+        |SELECT spine.digit AS digit, coalesce(d.n_d, 0)::BIGINT AS n_d, n,
+        |  (n * CASE spine.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
         |    WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
         |    WHEN 8 THEN 51153 WHEN 9 THEN 45757 END)::BIGINT AS expected_micro,
-        |  (n_d * 1000000 - n * CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
-        |    WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
-        |    WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END)::BIGINT AS dev_micro
-        |FROM d CROSS JOIN t""".stripMargin)),
+        |  (coalesce(d.n_d, 0) * 1000000 - n * CASE spine.digit WHEN 1 THEN 301030
+        |    WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |    WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |    WHEN 9 THEN 45757 END)::BIGINT AS dev_micro
+        |FROM spine LEFT JOIN d ON spine.digit = d.digit""".stripMargin)),
 
     // §2.2/231 — rolling distinct actives (DAU + trailing-7-day WAU)
     // per epoch-day: COUNT(DISTINCT) OVER a sliding range rewritten as
@@ -4522,13 +4529,13 @@ object Queries {
     // window + one combinable aggregation, no clip re-scan.
     "q_winsorized" -> QueryDef(
       (s, d) => operators.Stats.winsorizedStats(ds(s, d, "lineitem").toDF,
-        col("l_suppkey"), round(col("l_extendedprice") * 100), 0.05, 0.95),
+        col("l_suppkey"), round(col("l_extendedprice") * 100), 5, 95, 100),
       Some("""WITH v AS (SELECT l_suppkey AS g, round(l_extendedprice * 100)::BIGINT AS v
         |  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL),
         |t AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rnk,
         |    count(*) OVER (PARTITION BY g)::BIGINT AS n FROM v),
-        |k AS (SELECT *, greatest(1, ceil(0.05 * n)::BIGINT) AS klo,
-        |    ceil(0.95 * n)::BIGINT AS khi FROM t),
+        |k AS (SELECT *, greatest(1, (5 * n + 99) // 100)::BIGINT AS klo,
+        |    ((95 * n + 99) // 100)::BIGINT AS khi FROM t),
         |a AS (SELECT g, max(n)::BIGINT AS n, max(klo)::BIGINT AS klo, max(khi)::BIGINT AS khi,
         |    max(CASE WHEN rnk = klo THEN v END)::BIGINT AS lo,
         |    max(CASE WHEN rnk = khi THEN v END)::BIGINT AS hi,
@@ -4626,18 +4633,21 @@ object Queries {
       Some("""WITH v AS (SELECT n_chars::BIGINT AS s, (lang = 'en') AS pos
         |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
         |b AS (SELECT min(s) AS mn, max(s) AS mx FROM v),
-        |binned AS (SELECT least(9, (s - mn) * 10 // (mx - mn + 1)) AS bin, s, pos, mn, mx
+        |binned AS (SELECT least(9, (s - mn) * 10 // (mx - mn + 1)) AS bin, s, pos
         |  FROM v CROSS JOIN b),
-        |a AS (SELECT bin, min(mn) AS mn, min(mx) AS mx, count(*)::BIGINT AS n,
+        |a AS (SELECT bin, count(*)::BIGINT AS n,
         |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
         |    sum(s)::BIGINT AS sum_score
-        |  FROM binned GROUP BY bin)
-        |SELECT bin::BIGINT AS bin, (mn + bin * (mx - mn + 1) // 10)::BIGINT AS bin_lo,
-        |  (mn + (bin + 1) * (mx - mn + 1) // 10 - 1)::BIGINT AS bin_hi,
-        |  n, n_pos, sum_score,
-        |  n_pos::DOUBLE / n::DOUBLE AS pos_rate,
-        |  sum_score::DOUBLE / n::DOUBLE AS mean_score
-        |FROM a""".stripMargin)),
+        |  FROM binned GROUP BY bin),
+        |spine AS (SELECT unnest(generate_series(0, 9))::BIGINT AS bin, mn, mx
+        |  FROM b WHERE mn IS NOT NULL)
+        |SELECT spine.bin AS bin, (mn + spine.bin * (mx - mn + 1) // 10)::BIGINT AS bin_lo,
+        |  (mn + (spine.bin + 1) * (mx - mn + 1) // 10 - 1)::BIGINT AS bin_hi,
+        |  coalesce(a.n, 0)::BIGINT AS n, coalesce(a.n_pos, 0)::BIGINT AS n_pos,
+        |  coalesce(a.sum_score, 0)::BIGINT AS sum_score,
+        |  CASE WHEN coalesce(a.n, 0) > 0 THEN a.n_pos::DOUBLE / a.n::DOUBLE END AS pos_rate,
+        |  CASE WHEN coalesce(a.n, 0) > 0 THEN a.sum_score::DOUBLE / a.n::DOUBLE END AS mean_score
+        |FROM spine LEFT JOIN a ON spine.bin = a.bin""".stripMargin)),
 
     // §2.2/240 — Newman modularity of row 213's label-propagation
     // partition over the part co-purchase graph: per community the

@@ -559,8 +559,12 @@ object ScaleProbe {
     }
     time("bpe_heap")(graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
       .queryExecution.toRdd.count())
-    time("bpe_rescan")(graft.operators.Bpe.encode(docs, "doc_id", "text", merges,
-      forceRescan = true).queryExecution.toRdd.count())
+    // the rescan baseline is O(merges × len) per word BY DESIGN — at a
+    // production table (32k merges) it only proves it's unusable, so
+    // it is skippable when the question is "is the heap flat vs 1k?"
+    if (sys.env.getOrElse("SPARK_GRAFT_BPE_RESCAN", "1") == "1")
+      time("bpe_rescan")(graft.operators.Bpe.encode(docs, "doc_id", "text", merges,
+        forceRescan = true).queryExecution.toRdd.count())
   }
 
   /** Round-10b operators at 1× and N×: hierarchy rollup (forest ×N,
@@ -668,7 +672,7 @@ object ScaleProbe {
       }.reduce(_.unionByName(_)).cache()
       li.count()
       time(s"winsorized_x$k")(operators.Stats.winsorizedStats(li,
-        col("l_suppkey"), round(col("l_extendedprice") * 100), 0.05, 0.95).count())
+        col("l_suppkey"), round(col("l_extendedprice") * 100), 5, 95, 100).count())
       time(s"ols_x$k")(operators.Stats.olsPerGroup(li,
         col("l_suppkey"), round(col("l_quantity")), round(col("l_extendedprice") / 10)).count())
       val e = li.select("l_orderkey", "l_partkey").as("x")

@@ -360,19 +360,24 @@ object Ivm {
       .withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") <= k + buffer)
       .drop("__rnk")
-    val counts = trimmed.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // the soundness condition is the POST-DELETE (pre-insert) retained
+    // count: a batch's inserts can refill the merged count back to k
+    // while the group still owes rows trimmed away earlier, so the
+    // underflow flag must come from `kept`, never from `trimmed`
+    val keptCounts = kept.groupBy(col(groupCol)).agg(count(lit(1)).as("__kn"))
     val flagged = trimmed
-      .join(counts, Seq(groupCol))
+      .join(keptCounts, Seq(groupCol), "left")
       .join(hit, Seq(groupCol), "left")
       .withColumn("needs_recompute",
-        col("__n") < k && coalesce(col("__hits"), lit(0L)) > 0)
-      .drop("__n", "__hits")
+        coalesce(col("__kn"), lit(0L)) < k && coalesce(col("__hits"), lit(0L)) > 0)
+      .drop("__kn", "__hits")
     // a group whose rows ALL died still owes the caller its flag — it
     // may have trimmed-away rows that now belong in its top-k; emit a
     // NULL-row carrier so the group cannot silently vanish unflagged
     val idT = state.schema(idCol).dataType
     val valT = state.schema(valCol).dataType
-    val vanished = hit.join(counts, Seq(groupCol), "left_anti")
+    val vanished = hit.join(trimmed.select(col(groupCol)).distinct(),
+        Seq(groupCol), "left_anti")
       .select(col(groupCol), lit(null).cast(idT).as(idCol),
         lit(null).cast(valT).as(valCol), lit(true).as("needs_recompute"))
     flagged.unionByName(vanished)

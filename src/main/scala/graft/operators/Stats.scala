@@ -24,13 +24,21 @@ object Stats {
     * representable integers. Emitting per-cell rows (cells =
     * |A|·|B|, tiny) instead of Σ keeps the statistic order-free and
     * replayable; the caller sums `contrib` knowing its float caveat.
+    * The cell spine is the FULL marginal cross product, so an
+    * unobserved (a, b) combination still emits its row with o = 0 —
+    * its contribution (0−e)²/e = e is part of the statistic, and
+    * dropping it would underestimate χ² on sparse tables.
     *
     * Scale shape: the only fact-sized work is the combinable
     * (a, b) count; marginals reduce the cell table (broadcast-sized)
-    * and join back broadcast. Exactness bound: |o·n − rt·ct| ≤ n² must
-    * stay within 2^53 for the double path and `rt·ct·10⁶` within
-    * int64 — holds through n ≈ 3·10⁶ rows per test, far past any
-    * per-experiment cohort; shard bigger tests by experiment id.
+    * and the |A|·|B| spine is a broadcast nested-loop of two
+    * broadcast-sized marginal tables. Exactness bound: |o·n − rt·ct|
+    * ≤ n² must stay within 2^53 for the double path and `rt·ct·10⁶`
+    * within int64 — holds through n ≈ 3·10⁶ rows per test, far past
+    * any per-experiment cohort; shard bigger tests by experiment id.
+    * The denominator n·rt·ct is formed in DOUBLE (each factor ≤ n is
+    * exactly representable; the int64 product would wrap at skewed
+    * marginals long before the double path loses anything).
     */
   def chiSquareCells(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val cells = df.select(aCol.as("a"), bCol.as("b"))
@@ -40,13 +48,15 @@ object Stats {
     val colTot = cells.groupBy("b").agg(sum("o").as("ct"))
     val grand = cells.agg(sum("o").as("n"))
     val d = col("o") * col("n") - col("rt") * col("ct")
-    cells.join(broadcast(rowTot), "a")
-      .join(broadcast(colTot), "b")
+    def dd(c: Column) = c.cast("double")
+    rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(grand))
       .withColumn("e_micro", expr("rt * ct * 1000000L div n"))
       .withColumn("contrib",
         (d.cast("double") * d.cast("double")) /
-          (col("n") * col("rt") * col("ct")).cast("double"))
+          (dd(col("n")) * dd(col("rt")) * dd(col("ct"))))
       .select("a", "b", "o", "rt", "ct", "n", "e_micro", "contrib")
   }
 
@@ -148,7 +158,9 @@ object Stats {
     * (repeated div-by-10 via floor(log10) would need a float — instead
     * the digit comes from string truncation of the integer part, exact
     * for any magnitude) and the reduction is one combinable 9-group
-    * count. Values < 1 or NULL are excluded (no leading digit).
+    * count. Values < 1 or NULL are excluded (no leading digit). Output
+    * is always all NINE digits (a digit nobody used carries n_d = 0
+    * and its full negative deviation), except on empty input → empty.
     * Exactness bound: n·10⁶ within int64 → n ≤ 9·10¹². */
   def benfordDigits(df: DataFrame, valueCol: Column): DataFrame = {
     val micro = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
@@ -162,35 +174,19 @@ object Stats {
       .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_d"))
       .localCheckpoint(true)
-    d.crossJoin(broadcast(d.agg(sum("n_d").as("n"))))
+    // full 1..9 spine: a digit with ZERO observations still owes its
+    // row — its deviation −n·C_d is evidence, not absence (empty
+    // input stays empty: the NULL-total filter drops the spine)
+    val spine = d.agg(sum("n_d").as("n"))
+      .filter(col("n").isNotNull)
+      .select(explode(sequence(lit(1L), lit(9L))).as("digit"), col("n"))
+    spine.join(d, Seq("digit"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
       .withColumn("expected_micro", col("n") * expect(col("digit")))
       .withColumn("dev_micro", col("n_d") * lit(1000000L) - col("expected_micro"))
       .select("digit", "n_d", "n", "expected_micro", "dev_micro")
   }
 
-  /** Per-group winsorized AND trimmed robust statistics over an
-    * integer measure, exactly — the outlier-taming prep step
-    * (clip-at-percentile) for training targets and metrics. Bounds
-    * are the DISCRETE percentiles (k-th smallest member value,
-    * k = ceil(p·n) — an actual member, never an interpolated float),
-    * so clipping stays in int64 and both means are one exact sum into
-    * one final IEEE division. Ties need no tiebreak: the k-th
-    * smallest VALUE of a multiset and the sum over sorted positions
-    * [kLo, kHi] are deterministic however equal values are ordered.
-    *
-    * One pass, no clip-join: the winsorized sum has the closed form
-    *   trim_sum + (kLo−1)·lo + (n−kHi)·hi
-    * (every value below position kLo clips to lo, above kHi to hi),
-    * so ONE per-group window (row_number + count on the same
-    * partition) and ONE combinable aggregation produce everything —
-    * no second fact scan to apply the bounds.
-    *
-    * Scale shape: the window partitions by group and orders one
-    * group's rows (the [[Analytics]] per-group discipline, never a
-    * global sort); everything after is hash aggregation. Output:
-    * (group, n, lo, hi, trim_n, trim_sum, wins_sum, trim_mean,
-    * wins_mean).
-    */
   /** k-anonymity audit over a quasi-identifier column set — the
     * privacy/data-governance gate before a dataset ships: every
     * distinct quasi-identifier combination with its group size, an
@@ -468,7 +464,11 @@ object Stats {
     *
     * Scale shape: ONE combinable fact aggregation keyed by the bin id
     * after a broadcast join of the one-row (mn, mx) bounds; output is
-    * nBins rows. Degenerate all-one-score input lands in bin 0.
+    * exactly nBins rows — an empty bin (including bins structurally
+    * unreachable when the value range spans fewer than nBins integers)
+    * carries zero counts and NULL rates instead of vanishing from the
+    * reliability table. Empty input → empty output. Degenerate
+    * all-one-score input lands in bin 0.
     */
   def calibrationBins(df: DataFrame, scoreCol: Column, labelCol: Column,
                       nBins: Int): DataFrame = {
@@ -477,26 +477,62 @@ object Stats {
         labelCol.cast("boolean").as("pos"))
       .filter(col("s").isNotNull && col("pos").isNotNull)
     val bounds = base.agg(min("s").as("mn"), max("s").as("mx"))
-    base.crossJoin(broadcast(bounds))
+    val agg = base.crossJoin(broadcast(bounds))
       .withColumn("bin", least(lit(nBins - 1L),
         expr(s"(s - mn) * $nBins div (mx - mn + 1)")))
       .groupBy("bin")
-      .agg(min("mn").as("mn"), min("mx").as("mx"),
-        count(lit(1)).as("n"),
+      .agg(count(lit(1)).as("n"),
         sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
         sum(col("s")).as("sum_score"))
+    val spine = bounds.filter(col("mn").isNotNull)
+      .select(explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"),
+        col("mn"), col("mx"))
+    spine.join(agg, Seq("bin"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_pos", coalesce(col("n_pos"), lit(0L)))
+      .withColumn("sum_score", coalesce(col("sum_score"), lit(0L)))
       .withColumn("bin_lo", col("mn") + expr(s"bin * (mx - mn + 1) div $nBins"))
       .withColumn("bin_hi", col("mn") + expr(s"(bin + 1) * (mx - mn + 1) div $nBins") - 1)
-      .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
-      .withColumn("mean_score", col("sum_score").cast("double") / col("n").cast("double"))
+      .withColumn("pos_rate", when(col("n") > 0,
+        col("n_pos").cast("double") / col("n").cast("double")))
+      .withColumn("mean_score", when(col("n") > 0,
+        col("sum_score").cast("double") / col("n").cast("double")))
       .select("bin", "bin_lo", "bin_hi", "n", "n_pos", "sum_score",
         "pos_rate", "mean_score")
   }
 
+  /** Per-group winsorized AND trimmed robust statistics over an
+    * integer measure, exactly — the outlier-taming prep step
+    * (clip-at-percentile) for training targets and metrics. Bounds
+    * are the DISCRETE percentiles (k-th smallest member value,
+    * k = ceil(p·n) — an actual member, never an interpolated float),
+    * so clipping stays in int64 and both means are one exact sum into
+    * one final IEEE division. The percentiles arrive as RATIONALS
+    * (pLoNum/pDen, pHiNum/pDen) and k is the integer ceiling division
+    * `(pNum·n + pDen − 1) div pDen` — a float ceil(p·n) can land one
+    * rank past the exact cutoff when the double product rounds just
+    * above an integer (0.07·100 → 7.000000000000001 → ceil 8), so no
+    * float ever decides a rank. Ties need no tiebreak: the k-th
+    * smallest VALUE of a multiset and the sum over sorted positions
+    * [kLo, kHi] are deterministic however equal values are ordered.
+    *
+    * One pass, no clip-join: the winsorized sum has the closed form
+    *   trim_sum + (kLo−1)·lo + (n−kHi)·hi
+    * (every value below position kLo clips to lo, above kHi to hi),
+    * so ONE per-group window (row_number + count on the same
+    * partition) and ONE combinable aggregation produce everything —
+    * no second fact scan to apply the bounds.
+    *
+    * Scale shape: the window partitions by group and orders one
+    * group's rows (the [[Analytics]] per-group discipline, never a
+    * global sort); everything after is hash aggregation. Output:
+    * (group, n, lo, hi, trim_n, trim_sum, wins_sum, trim_mean,
+    * wins_mean).
+    */
   def winsorizedStats(df: DataFrame, groupCol: Column, valueCol: Column,
-                      pLo: Double, pHi: Double): DataFrame = {
-    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
-      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+                      pLoNum: Int, pHiNum: Int, pDen: Int): DataFrame = {
+    require(pDen >= 1 && 0 <= pLoNum && pLoNum < pHiNum && pHiNum <= pDen,
+      s"need 0 <= pLoNum < pHiNum <= pDen >= 1, got ($pLoNum, $pHiNum, $pDen)")
     val base = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
     val byV = Window.partitionBy("g").orderBy("v")
@@ -504,8 +540,9 @@ object Stats {
     val t = base
       .withColumn("rnk", row_number().over(byV))
       .withColumn("n", count(lit(1)).over(whole))
-      .withColumn("kLo", greatest(lit(1L), ceil(lit(pLo) * col("n")).cast("long")))
-      .withColumn("kHi", ceil(lit(pHi) * col("n")).cast("long"))
+      .withColumn("kLo", greatest(lit(1L), expr(
+        s"($pLoNum * n + ${pDen - 1}) div $pDen")))
+      .withColumn("kHi", expr(s"($pHiNum * n + ${pDen - 1}) div $pDen"))
     t.groupBy(col("g"))
       .agg(
         max(col("n")).as("n"),

@@ -208,6 +208,61 @@ class NewOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("exactly-once across a real checkpointed restart (engine-level re-delivery)") {
+    import graft.streaming.ExactlyOnceSink
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import spark.implicits._
+    // a REPLAYABLE source (file stream), a real checkpoint dir, and a
+    // real stop → crash → restart: the first query commits epoch 0;
+    // deleting its commit marker (the crash window between sink write
+    // and offset commit) forces the RESTARTED engine to re-deliver
+    // epoch 0 through foreachBatch with the same id — the idempotent
+    // epoch write must absorb it, then the tail file arrives as epoch 1
+    val in = java.nio.file.Files.createTempDirectory("graft-eo2-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-eo2-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-eo2-ck").toString
+    val schema = new StructType().add("id", LongType).add("v", StringType)
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(ExactlyOnceSink.epochWriter(out)).start()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(in)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    // the run-loop thread unregisters the checkpoint AFTER stop()
+    // returns — wait it out or the restart sees a concurrent user
+    val t0 = System.nanoTime()
+    while (spark.streams.active.exists(_.id == q1.id) &&
+      (System.nanoTime() - t0) < 30000000000L) Thread.sleep(100)
+    assert(ExactlyOnceSink.readAll(spark, out).count() === 2)
+    // crash simulation at the exactly-once hazard point: sink output
+    // exists but the batch's commit marker does not
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty, "the first run must have committed a batch")
+    val newest = commits.maxBy(_.getName.toInt)
+    // the local FS checkpoints are checksummed: the stale .N.crc must
+    // go with the marker or the re-commit's rename throws
+    // FileAlreadyExists (surfacing as "concurrently using")
+    val crc = new java.io.File(newest.getParentFile, s".${newest.getName}.crc")
+    assert(newest.delete(), "drop the newest commit marker")
+    if (crc.exists()) crc.delete()
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(in)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val all = ExactlyOnceSink.readAll(spark, out)
+      assert(all.count() === 3, "re-delivered epoch 0 must overwrite, not append")
+      assert(all.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+      assert(all.groupBy("id").count().filter(col("count") > 1).count() === 0,
+        "no duplicates across the restart")
+      assert(all.select("epoch").distinct().count() === 2,
+        "epoch 0 (re-delivered) + epoch 1 (tail)")
+    } finally q2.stop()
+  }
+
   test("streaming heavy hitters: bucketed MG state keeps every global heavy item") {
     import graft.streaming.StreamingSketch
     implicit val sc = spark.sqlContext

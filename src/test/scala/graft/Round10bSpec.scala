@@ -66,6 +66,17 @@ class Round10bSpec extends SparkSpecBase {
     assert(out(("x", 0L)) === ((10L, 30L, 40L, 100L, 12000000L, 200.0 * 200 / 120000)))
     assert(out(("y", 1L))._5 === 42000000L, "e(y,1) = 70*60/100 in micro")
     assert(out.size === 4)
+    // sparse table (ADVICE r10): an UNOBSERVED cell still emits with
+    // o=0 — its contribution (0−e)²/e = e is part of the statistic
+    val sp = (Seq.fill(5)(("x", 0L)) ++ Seq.fill(5)(("y", 0L)) ++
+      Seq.fill(5)(("y", 1L))).toDF("a", "b")
+    val so = Stats.chiSquareCells(sp, col("a"), col("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7)))).toMap
+    assert(so.size === 4, "full |A|*|B| spine")
+    // (x,1): o=0 rt=5 ct=5 n=15 → e_micro = 25e6 div 15, contrib = 625/375
+    assert(so(("x", 1L)) === ((0L, 5L, 5L, 15L, 1666666L, 625.0 / 375.0)))
   }
 
   test("roc auc: tie-corrected Mann-Whitney matches the hand pair count") {
@@ -153,10 +164,14 @@ class Round10bSpec extends SparkSpecBase {
     val out = Stats.benfordDigits(df, col("v"))
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(out.keySet === Set(1L, 2L, 3L, 9L))
+    assert(out.keySet === (1L to 9L).toSet, "all nine digits always emit")
     assert(out(1L) === ((3L, 7L, 7L * 301030L, 3L * 1000000L - 7L * 301030L)))
     assert(out(2L) === ((2L, 7L, 7L * 176091L, 2L * 1000000L - 7L * 176091L)))
     assert(out(9L) === ((1L, 7L, 7L * 45757L, 1L * 1000000L - 7L * 45757L)))
+    // an unobserved digit carries its full negative deviation
+    assert(out(4L) === ((0L, 7L, 7L * 96910L, -7L * 96910L)))
+    // empty input stays empty (no NULL-total spine rows)
+    assert(Stats.benfordDigits(Seq(0.5, 0.0).toDF("v"), col("v")).count() === 0L)
     // the shipped micro-unit Benford table telescopes to exactly 1
     assert(Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
       51153L, 45757L).sum === 1000000L)
@@ -246,7 +261,7 @@ class Round10bSpec extends SparkSpecBase {
     // B: ties at the boundary — [5,5,5,9]: kLo=1, kHi=4 → untrimmed
     val df = ((1L to 20L).map(("A", _)) ++ Seq(5L, 5L, 5L, 9L).map(("B", _)))
       .toDF("g", "v")
-    val out = Stats.winsorizedStats(df, col("g"), col("v"), 0.1, 0.9)
+    val out = Stats.winsorizedStats(df, col("g"), col("v"), 1, 9, 10)
       .collect().map(r => r.getString(0) -> r).toMap
     val a = out("A")
     assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((20L, 2L, 18L)), "n, lo, hi")
@@ -258,6 +273,13 @@ class Round10bSpec extends SparkSpecBase {
     val b = out("B")
     assert((b.getLong(2), b.getLong(3), b.getLong(5), b.getLong(6)) ===
       ((5L, 9L, 24L, 24L)), "full-range percentiles leave the group untouched")
+    // the float-ceil trap (ADVICE r10): 7% of 100 must cut at rank 7 —
+    // ceil(0.07 * 100) in double is ceil(7.000000000000001) = 8
+    val c = (1L to 100L).map(("C", _)).toDF("g", "v")
+    val cc = Stats.winsorizedStats(c, col("g"), col("v"), 7, 93, 100)
+      .collect().head
+    assert((cc.getLong(2), cc.getLong(3)) === ((7L, 93L)),
+      s"integer ceil-div cutoffs, got (${cc.getLong(2)}, ${cc.getLong(3)})")
   }
 
   test("url canonicalization: case, www, port, fragment, utm, order, slash") {

@@ -45,11 +45,20 @@ class Round10cSpec extends SparkSpecBase {
       assert(r.getDouble(6) === (if (k >= 5) 1.0 else 0.0), s"bin $k pos_rate")
       assert(r.getDouble(7) === (10 * k + 4.5), s"bin $k mean score")
     }
-    // degenerate single score -> one bin 0 row
+    // degenerate single score -> bin 0 holds everything; the other
+    // nine bins still emit, with zero counts and NULL rates
     val one = Stats.calibrationBins(Seq((7L, true), (7L, false)).toDF("s", "lab"),
       col("s"), col("lab"), 10).collect()
-    assert(one.length === 1 && one(0).getLong(0) === 0L && one(0).getLong(3) === 2L,
-      "all-one-score input lands in bin 0")
+    assert(one.length === 10, "nBins rows always")
+    val b0 = one.find(_.getLong(0) == 0L).get
+    assert(b0.getLong(3) === 2L, "all-one-score input lands in bin 0")
+    one.filter(_.getLong(0) > 0L).foreach { r =>
+      assert(r.getLong(3) === 0L && r.isNullAt(6) && r.isNullAt(7),
+        s"empty bin ${r.getLong(0)} carries zero count and NULL rates")
+    }
+    // empty input stays empty
+    assert(Stats.calibrationBins(Seq.empty[(Long, Boolean)].toDF("s", "lab"),
+      col("s"), col("lab"), 10).count() === 0L)
   }
 
   test("modularity: hand graph invariants and exact contributions") {

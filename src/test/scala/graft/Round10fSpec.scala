@@ -84,6 +84,17 @@ class Round10fSpec extends SparkSpecBase {
     assert(gone.length === 1 && gone(0).isNullAt(1) && gone(0).getBoolean(3),
       "vanished group cannot disappear unflagged")
 
+    // ADVICE r10 counterexample: inserts refilling the merged count
+    // must NOT clear the underflow flag — k=2, b=0: state {10,9} with
+    // 8 trimmed away earlier; delete 9, insert 1 → kept={10} < k, the
+    // group owes the trimmed 8 even though merged count is back to 2
+    val st3 = Seq(("A", 1L, 10L), ("A", 2L, 9L)).toDF("g", "id", "v")
+    val refill = Seq(("D", "A", 2L, 9L), ("I", "A", 3L, 1L))
+      .toDF("op", "g", "id", "v")
+    val ref = Ivm.applyTopKDelta(st3, refill, "op", "g", "id", "v", 2, 0).collect()
+    assert(ref.length === 2 && ref.forall(_.getBoolean(3)),
+      s"post-delete count < k flags even when inserts refill to k: ${ref.toSeq}")
+
     // intra-batch I-then-D nets to a no-op
     val noop = Seq(("I", "A", 9L, 99L), ("D", "A", 9L, 99L)).toDF("op", "g", "id", "v")
     val same = Ivm.applyTopKDelta(st2, noop, "op", "g", "id", "v", k, b)
