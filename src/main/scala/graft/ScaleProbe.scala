@@ -529,28 +529,42 @@ object ScaleProbe {
   }
 
   /** BPE encode throughput, heap vs rescan (`sbt "runMain
-    * graft.ScaleProbe 1000 bpe"` — arg = merge-table size): a
-    * synthetic well-formed chain of `factor` merges over the sf0.1
-    * corpus. The rescan is O(merges × len) per word, the heap
-    * O(len log len) — the gap is the whole point of the kernel.
+    * graft.ScaleProbe 32768 bpe"` — arg = merge-table size): a
+    * well-formed table of `factor` merges over the sf0.1 corpus. The
+    * rescan is O(merges × len) per word, the heap O(len log len) —
+    * the gap is the whole point of the kernel, and at a production
+    * 32k vocabulary the claim under test is that the heap encode's
+    * wall-time is FLAT in table size.
+    *
+    * Table shape: a FIRING prefix — `SPARK_GRAFT_BPE_TRAIN` real
+    * [[graft.operators.Bpe.train]]-learned merges (default 64; these
+    * hit the corpus constantly, so the rank map is hot, not
+    * decorative) — padded to `factor` with independent never-firing
+    * rules (shared atomic left outside the corpus alphabet, distinct
+    * atomic rights), the realistic big-vocabulary shape where most
+    * of the table is irrelevant to any given word. The pad is O(1)
+    * chars per rule — the earlier left-association chain grew rule
+    * strings linearly with rank (O(n²) table chars ≈ 1 GB at 32k),
+    * which would have measured table materialization, not encode.
     */
   private def bpeEncode(spark: SparkSession, nMerges: Int): Unit = {
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
       .select("doc_id", "text").cache()
-    println(s"docs=${docs.count()}, merges=$nMerges")
-    // well-formed by construction: a deepening left-association chain
-    // over two seed pairs, padded with distinct never-matching rules
-    val seed = Seq(("t", "h"), ("th", "e</w>"), ("t", "a"), ("ta", "b"))
-    // padding rules over characters outside the corpus alphabet: a
-    // left-association chain (rule i's left IS rule i-1's output), so
-    // the table stays well-formed while the rules scan but never fire
-    // — the realistic big-vocabulary shape for ordinary words
-    val nPad = math.max(0, nMerges - seed.size)
-    val padChars = (0 to nPad).map(i => (0x2500 + i).toChar.toString)
-    val pad = (0 until nPad).map { i =>
-      (padChars.take(i + 1).mkString, padChars(i + 1))
-    }
-    val merges = seed ++ pad
+    val nTrain = sys.env.getOrElse("SPARK_GRAFT_BPE_TRAIN", "64").toInt
+    println(s"docs=${docs.count()}, merges=$nMerges (trained prefix=$nTrain)")
+    val t0 = System.nanoTime()
+    val trained = graft.operators.Bpe.train(docs, "text", math.min(nTrain, nMerges))
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    println(f"bpe_train: ${(System.nanoTime() - t0) / 1e9}%.1fs, ${trained.size} merges")
+    // pad over characters outside the corpus alphabet (0x2500.., below
+    // the surrogate block): rule i = (shared left, distinct right),
+    // both atomic, outputs distinct — wellFormed by construction
+    val nPad = math.max(0, nMerges - trained.size)
+    require(0x2501 + nPad < 0xD800, s"pad alphabet exhausted at $nPad rules")
+    val padLeft = 0x2500.toChar.toString
+    val pad = (0 until nPad).map(i => (padLeft, (0x2501 + i).toChar.toString))
+    val merges = trained ++ pad
     require(graft.operators.Bpe.wellFormed(merges))
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

@@ -232,6 +232,92 @@ class EndpointSpec extends SparkSpecBase with BeforeAndAfterAll {
       "both sessions must compute the identical kernel result every time")
   }
 
+  /** The r11 concurrency soak (verdict #6): the 2-client test above
+    * proves the wiring; this one holds N=16 mixed kernel+metrics
+    * clients against the endpoint for a sustained window
+    * (`SPARK_GRAFT_SOAK_SEC`, default 45 s in CI — run manually at
+    * 180 s+ for the recorded soak) and asserts the properties that
+    * only show up under sustained load:
+    *
+    *  - zero client errors across the whole window;
+    *  - no cross-client interference: every client's own temp view
+    *    keeps its value (the server runs singleSession=true by
+    *    design — kernels and metrics views are shared — so the
+    *    interference probe is per-client NAMED state, not session
+    *    cloning), and the kernel query returns the identical value
+    *    on every iteration of every client;
+    *  - flat latency: the median per-iteration latency of the last
+    *    third of the window must not exceed 3× the first third's
+    *    (a leak — metrics accumulation, session state, thrift
+    *    operation handles — shows up as monotonic latency growth).
+    */
+  test("16-client mixed-workload soak: zero errors, no interference, flat latency") {
+    import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+    val nClients = 16
+    val soakSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_SEC", "45").toInt
+    MetricsRegistry.clear()
+    MetricsService.record(spark, "soak_probe") {
+      spark.sql("SELECT count(*) FROM lineitem").collect()
+    }
+    val kernelSql =
+      "SELECT sum(element_at(minhash_sig(split(text, '\\\\s+'), 4), 1)) AS s " +
+      "FROM documents WHERE doc_id < 50"
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val kernelValues = new ConcurrentLinkedQueue[java.lang.Long]()
+    // (wall-clock ms at iteration start, iteration latency ms)
+    val latencies = new ConcurrentLinkedQueue[(Long, Double)]()
+    val iterations = new java.util.concurrent.atomic.AtomicLongArray(nClients)
+    val t0 = System.nanoTime()
+    val deadline = t0 + soakSec * 1000000000L
+    val pool = Executors.newFixedThreadPool(nClients)
+    (0 until nClients).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            val conn = DriverManager.getConnection(url, s"graft_$i", "")
+            try {
+              val st = conn.createStatement()
+              // per-client named state: clobbering by any other client
+              // (or by the server recycling sessions) flips the probe
+              st.execute(s"CREATE OR REPLACE TEMPORARY VIEW soak_probe_$i AS SELECT $i AS me")
+              while (System.nanoTime() < deadline) {
+                val it0 = System.nanoTime()
+                val r = st.executeQuery(kernelSql)
+                assert(r.next()); kernelValues.add(r.getLong(1))
+                val v = st.executeQuery(s"SELECT me FROM soak_probe_$i")
+                assert(v.next() && v.getInt(1) === i,
+                  s"client $i's view returned someone else's row")
+                val m = st.executeQuery(
+                  "SELECT n_queries FROM graft_metrics_summary WHERE name = 'soak_probe'")
+                assert(m.next() && m.getLong(1) === 1L)
+                latencies.add(((it0 - t0) / 1000000L, (System.nanoTime() - it0) / 1e6))
+                iterations.incrementAndGet(i)
+              }
+            } finally conn.close()
+          } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(soakSec + 180, TimeUnit.SECONDS), "soak clients hung")
+    assert(errors.isEmpty, s"soak client failed: ${Option(errors.peek()).map(_.toString)}")
+    import scala.jdk.CollectionConverters._
+    (0 until nClients).foreach(i =>
+      assert(iterations.get(i) >= 3, s"client $i starved (${iterations.get(i)} iterations)"))
+    assert(kernelValues.asScala.toSet.size === 1,
+      "kernel result drifted across clients/iterations")
+    val lats = latencies.asScala.toVector.sortBy(_._1)
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val third = lats.size / 3
+    val first = median(lats.take(third).map(_._2))
+    val last = median(lats.takeRight(third).map(_._2))
+    info(f"soak: ${lats.size} iterations over $soakSec s, " +
+      f"p50 first-third $first%.0f ms, last-third $last%.0f ms")
+    assert(last <= math.max(first * 3, 1000.0),
+      f"latency grew across the soak window: $first%.0f ms -> $last%.0f ms")
+  }
+
   test("STREAMING batch latencies are retrievable via SQL too (the other half of GetMetrics)") {
     import graft.streaming.StreamingMetrics
     implicit val sc = spark.sqlContext
