@@ -100,33 +100,38 @@ object Bench {
     // Storage-memory audit (r11): the sf1 late-suite GC pressure came
     // from accumulated internal persists — localCheckpoint blocks are
     // NOT cleared by catalog.clearCache, only the async ContextCleaner
-    // frees them once their RDD is unreferenced. After each query:
-    // clear the cache manager, hint GC, and poll (<= 2s) until the
-    // persisted-RDD count returns to the suite baseline of zero; a
-    // query that leaves pinned blocks anyway is recorded in
-    // storage.leaks, and the pre-GC byte high-water across the suite
-    // lands in BENCH.json so drift is visible per record.
+    // frees them once their RDD is unreferenced. After each query the
+    // audit releases the bounded holders (pin-registry LRU, cache
+    // manager) — a registered pin holds its DataFrame (and any
+    // checkpoint RDD in its plan) strongly reachable, so its blocks
+    // could never drain however long we polled. The FORCED-GC drain is
+    // gated on a byte threshold and run once at suite end: the first
+    // r11 sf1 run drained after EVERY query and the System.gc() poll
+    // loop (full collections on a 48 g heap, per query) inflated
+    // mid-suite medians 4-6x vs the same queries isolated — the audit
+    // was the contamination it existed to catch. Residue below the
+    // threshold rides along (hwm still tracks it); anything above
+    // triggers the drain, and whatever survives the END-of-suite drain
+    // is the suite's leak record.
     def storageBlocks() = spark.sparkContext.getRDDStorageInfo
     var storageHwm = 0L
+    val drainThreshold = 1L << 30 // 1 GiB of lingering blocks
     val storageLeaks = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def gcDrain(name: String): Unit = {
+      val t0 = System.nanoTime()
+      var left = storageBlocks()
+      while (left.nonEmpty && (System.nanoTime() - t0) < 2000000000L) {
+        System.gc(); Thread.sleep(100); left = storageBlocks()
+      }
+      if (left.nonEmpty) storageLeaks(name) = left.map(_.memSize).sum
+    }
     def storageAudit(name: String): Unit = {
       val pre = storageBlocks()
       storageHwm = math.max(storageHwm, pre.map(_.memSize).sum)
       if (pre.nonEmpty) {
-        // drop graft's bounded pin registry first: a registered pin
-        // holds its DataFrame (and any checkpoint RDD in its plan)
-        // strongly reachable, so its blocks can never drain however
-        // long we poll — by design between queries (the LRU), but the
-        // audit's question is "does anything UNBOUNDED survive", so
-        // release the known-bounded holders and measure the rest
         graft.operators.Dedup.releasePins()
         spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        var left = storageBlocks()
-        while (left.nonEmpty && (System.nanoTime() - t0) < 2000000000L) {
-          System.gc(); Thread.sleep(100); left = storageBlocks()
-        }
-        if (left.nonEmpty) storageLeaks(name) = left.map(_.memSize).sum
+        if (storageBlocks().map(_.memSize).sum > drainThreshold) gcDrain(name)
       }
     }
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run — for
@@ -177,6 +182,11 @@ object Bench {
         storageAudit(n)
       }
     }
+    // end-of-suite leak record: everything bounded has been released
+    // per query; whatever survives a forced drain here leaked
+    graft.operators.Dedup.releasePins()
+    spark.catalog.clearCache()
+    gcDrain("suite_end")
     val results: Seq[(String, Double, Seq[Double])] =
       firstPass.toSeq.map { case (n, a) => (n, best(a), a) }
     val official = results.map { case (n, v, _) => n -> v }.toMap
