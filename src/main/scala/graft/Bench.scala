@@ -68,6 +68,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftLogging.quietBoundedWindowWarnings()
+    GraftLogging.quietCheckpointUnpersistWarnings()
+    // Box-drift calibration (r12): a FIXED pure-CPU + one-shuffle
+    // workload (64M xxhash64 rows into a 4096-group sum), warmed once,
+    // median of 3, recorded as "calib_sec" in the artifact. Two
+    // rounds' records now live on boxes measuring ~1.4x apart on
+    // identical queries; cross-round and sf0.1-vs-sf1 comparisons
+    // (tools/sf1_analysis.py) divide per-query ratios by the calib
+    // ratio instead of hand-adjudicating isolated TimeQ reruns.
+    val calibSec = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 64000000L, 1L, cpus.toInt)
+          .selectExpr("xxhash64(id) AS h")
+          .selectExpr("pmod(h, 4096) AS b", "h")
+          .groupBy("b").agg(Map("h" -> "sum"))
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // warmup (codegen + JIT)
+      val t = (1 to 3).map(_ => run()).sorted
+      t(1)
+    }
     // Ceilings: repo-root bench_ceilings.json (generated from the last
     // adjudicated clean run). A query absent from the map (newly added
     // since the last regeneration) gets a permissive default so new work
@@ -97,26 +119,34 @@ object Bench {
       }.sorted
       times(1)
     }
-    // Storage-memory audit (r11): the sf1 late-suite GC pressure came
-    // from accumulated internal persists — localCheckpoint blocks are
-    // NOT cleared by catalog.clearCache, only the async ContextCleaner
-    // frees them once their RDD is unreferenced. After each query the
-    // audit releases the bounded holders (pin-registry LRU, cache
-    // manager) — a registered pin holds its DataFrame (and any
-    // checkpoint RDD in its plan) strongly reachable, so its blocks
-    // could never drain however long we polled. The FORCED-GC drain is
-    // gated on a byte threshold and run once at suite end: the first
-    // r11 sf1 run drained after EVERY query and the System.gc() poll
-    // loop (full collections on a 48 g heap, per query) inflated
-    // mid-suite medians 4-6x vs the same queries isolated — the audit
-    // was the contamination it existed to catch. Residue below the
-    // threshold rides along (hwm still tracks it); anything above
-    // triggers the drain, and whatever survives the END-of-suite drain
-    // is the suite's leak record.
+    // Storage-memory audit (r12, structural): a finished query's
+    // lingering blocks are (a) catalog caches, (b) pin-registry
+    // persists, (c) eager localCheckpoint RDDs created inside operator
+    // pipelines. (a) and (b) always had registries; (c) had none — its
+    // blocks waited on the async ContextCleaner (GC-driven), and by
+    // late suite up to the r11 drain threshold (1 GiB) of checkpoint
+    // debt rode along with, and contended against, the RUNNING query.
+    // That is the suite-position inflation that cost a hand-exemption
+    // two rounds running (r10 q_substring_pairs, r11 q_autocorr). The
+    // SparkContext's own persistent-RDD registry reaches all three
+    // classes — localCheckpoint persists its internal RDD there — so
+    // the drain is now ONE synchronous unpersist sweep between
+    // queries: no System.gc(), no poll loop, no byte threshold, and
+    // (unlike r11's per-query forced-GC drain) nothing that perturbs
+    // the next measurement. Safe exactly here because nothing from the
+    // finished query is still live: every timed run rebuilds its
+    // DataFrame from the registry function, and unpersisting a
+    // checkpoint RDD only matters if someone re-executes the OLD
+    // DataFrame that wrapped it.
     def storageBlocks() = spark.sparkContext.getRDDStorageInfo
     var storageHwm = 0L
-    val drainThreshold = 1L << 30 // 1 GiB of lingering blocks
     val storageLeaks = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def releaseAll(): Unit = {
+      graft.operators.Dedup.releasePins()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     def gcDrain(name: String): Unit = {
       val t0 = System.nanoTime()
       var left = storageBlocks()
@@ -128,11 +158,7 @@ object Bench {
     def storageAudit(name: String): Unit = {
       val pre = storageBlocks()
       storageHwm = math.max(storageHwm, pre.map(_.memSize).sum)
-      if (pre.nonEmpty) {
-        graft.operators.Dedup.releasePins()
-        spark.catalog.clearCache()
-        if (storageBlocks().map(_.memSize).sum > drainThreshold) gcDrain(name)
-      }
+      if (pre.nonEmpty) releaseAll()
     }
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run — for
     // adjudicating one query's number without the other 99 in the JVM
@@ -182,10 +208,11 @@ object Bench {
         storageAudit(n)
       }
     }
-    // end-of-suite leak record: everything bounded has been released
-    // per query; whatever survives a forced drain here leaked
-    graft.operators.Dedup.releasePins()
-    spark.catalog.clearCache()
+    // end-of-suite leak record: everything registered has been released
+    // per query; whatever survives the sweep + a forced drain here
+    // leaked (a block whose RDD vanished from the registry without
+    // freeing its storage)
+    releaseAll()
     gcDrain("suite_end")
     val results: Seq[(String, Double, Seq[Double])] =
       firstPass.toSeq.map { case (n, a) => (n, best(a), a) }
@@ -202,7 +229,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // failed queries carry the -1 sentinel; they must not SHRINK the total
     val total = official.values.filter(_ >= 0).sum
-    val envJson = s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"gate_wait_sec":$gateWaitSec,"jvm":"$jvmFlags","cpus":$cpus"""
+    val envJson = s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"gate_wait_sec":$gateWaitSec,"calib_sec":${f(calibSec)},"jvm":"$jvmFlags","cpus":$cpus"""
     val leaksJson = storageLeaks.map { case (n, b) => s""""$n":$b""" }
       .mkString("{", ",", "}")
     val storageJson = s""""storage":{"hwm_bytes":$storageHwm,"leaks":$leaksJson}"""

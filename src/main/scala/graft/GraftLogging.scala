@@ -18,4 +18,18 @@ object GraftLogging {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+
+  /** Bench's between-query storage drain unpersists every persistent
+    * RDD — including locally-checkpointed ones, which log a WARN
+    * ("lineage has been truncated and cannot be recomputed") per RDD.
+    * That is the drain working as designed (nothing re-executes a
+    * finished query's checkpoint), and at 220 queries the repetitions
+    * would drown the stderr tail. RDD unpersist logs under the
+    * concrete RDD class; the checkpoint path is always a
+    * MapPartitionsRDD.
+    */
+  def quietCheckpointUnpersistWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
 }

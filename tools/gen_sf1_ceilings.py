@@ -15,7 +15,7 @@ output-quadratic operator would flag correct behavior.
 
 Usage: python3 tools/gen_sf1_ceilings.py [BENCH.json] [> tools/sf1_ceilings.json]
 """
-import json, sys
+import json, os, sys
 
 OVERRIDES = {
     # 574x output rows (169,618 -> 97.3M pairs); DuckDB replaying the
@@ -34,9 +34,12 @@ OVERRIDES = {
     "q_communities": 25.0,
 }
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def main():
-    bench = sys.argv[1] if len(sys.argv) > 1 else "BENCH.json"
-    manifest = "tools/oracle_types.json"
+    bench = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH.json")
+    manifest = os.path.join(REPO, "tools", "oracle_types.json")
     q = json.load(open(bench))["queries"]
     ceilings = {}
     for name, rec in q.items():
@@ -54,15 +57,26 @@ def main():
     # the band still encodes the fast-box sf1 evidence, re-based to
     # today's hardware. factor is clamped to >= 1 (a faster box keeps
     # the measured band - only a slower one needs more room).
+    # Path resolved relative to this script (r12, ADVICE): a bare
+    # relative open() silently lost the slow-box factor when run from
+    # any cwd but the repo root, producing too-tight ceilings and false
+    # "contaminated" flags. Missing record now warns to stderr.
+    rec_path = os.path.join(REPO, "bench_ceilings.json")
     try:
-        rec_ceil = json.load(open("bench_ceilings.json"))["ceilings"]
-    except Exception:
+        rec_ceil = json.load(open(rec_path))["ceilings"]
+    except Exception as e:
+        print(f"WARNING: {rec_path} unreadable ({e}) - override ceilings "
+              f"keep factor=1.0 and may be too tight on a slower box",
+              file=sys.stderr)
         rec_ceil = {}
+    # bench_ceilings.json rule: ceiling = max(3x clean median, 1.5s).
+    # A FLOORED ceiling (== 1.5) does not encode the median, so the
+    # sec/(ceiling/3) transport factor would be garbage — skip it.
     for name, band in OVERRIDES.items():
         sec = q.get(name)
         sec = sec["sec"] if isinstance(sec, dict) else sec
         factor = 1.0
-        if sec and name in rec_ceil and rec_ceil[name] > 0:
+        if sec and rec_ceil.get(name, 0) > 1.5:
             factor = max(1.0, sec / (rec_ceil[name] / 3.0))
         ceilings[name] = round(band * factor, 2)
     json.dump(ceilings, sys.stdout, indent=1, sort_keys=True)

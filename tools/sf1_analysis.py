@@ -40,19 +40,30 @@ EXEMPT = {
         "(10.0x/10.6x/11.3x) straddle the bar within run noise on identical "
         "code, and the 0.36s in-suite sf0.1 base is warm-cache-favored (a "
         "fresh-JVM single-query sf0.1 run measures 1.56s)"),
-    "q_autocorr": (20, "isolated TimeQ on the same box and sf1 data: "
-        "4.07s median (3.3x - true scaling is linear: one groupBy plus a "
-        "(series,day) equi-join per lag); the in-suite 19.8s is "
-        "suite-position (the query eagerly localCheckpoints its ~3.5M-row "
-        "series under the storage debt of the ~30 preceding queries), the "
-        "r10 q_substring_pairs late-suite effect in miniature"),
 }
+# r12: the q_autocorr exemption (r11: 19.8s in-suite vs 4.07s isolated,
+# a suite-position artifact) is DELETED — Bench now drains every
+# finished query's localCheckpoint blocks synchronously through the
+# SparkContext persistent-RDD registry (Bench.scala releaseAll), so the
+# storage debt that inflated late-suite queries no longer exists to be
+# exempted.
 
 sf1_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1.json"
 sf01_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH.json"
 sf1 = json.load(open(sf1_path))
 sf01 = json.load(open(sf01_path))
 q1, q0 = sf1["queries"], sf01["queries"]
+# Box normalization (r12): both artifacts carry "calib_sec" — the same
+# fixed CPU+shuffle workload measured at each suite's start. When the
+# two records come from different boxes (the r11 episode: ~1.4x apart
+# on identical queries), raw ratios carry the hardware delta; dividing
+# by the calib ratio removes it. Clamped to [1, 4]: a FASTER sf1 box
+# must not shrink real ratios (that would hide a regression), and
+# beyond 4x the calibration itself is suspect.
+box_factor = 1.0
+c1, c0 = sf1.get("calib_sec"), sf01.get("calib_sec")
+if c1 and c0 and c0 > 0:
+    box_factor = min(max(c1 / c0, 1.0), 4.0)
 rows = []
 for name, rec in sorted(q1.items()):
     t1 = rec["sec"]
@@ -62,7 +73,7 @@ for name, rec in sorted(q1.items()):
     elif t0 is None or t0 <= 0:
         rows.append((0.0, name, t0, t1, "new-query (no sf0.1 record)"))
     else:
-        r = t1 / t0
+        r = (t1 / t0) / box_factor
         rows.append((r, name, t0, t1, ""))
 rows.sort(reverse=True)
 # A ratio over 10x on a TINY base is stage-count overhead, not a
@@ -71,7 +82,12 @@ rows.sort(reverse=True)
 # (the r10 record's 0.16s-sf1 queries measured 10-15x on this round's
 # box purely from fixed per-stage costs against a 0.02s-class base).
 # These land in an 'overhead-band' list - visible, never flagged.
+# The carve-out is BOUNDED (r12, ADVICE): a sub-3s absolute time only
+# excuses ratios up to OVERHEAD_RATIO_CAP — a 0.2s -> 2.9s (14.5x)
+# overhead artifact passes, but a pathological small-base blow-up
+# (say 40x) still fails the gate even under 3s absolute.
 OVERHEAD_FLOOR = 3.0
+OVERHEAD_RATIO_CAP = 30.0
 over, exempt_ok, exempt_bad, overhead = [], [], [], []
 for r in rows:
     ratio, name, t1 = r[0], r[1], r[3]
@@ -79,12 +95,15 @@ for r in rows:
         continue
     if name in EXEMPT:
         (exempt_ok if ratio <= EXEMPT[name][0] else exempt_bad).append(r)
-    elif t1 is not None and 0 <= t1 < OVERHEAD_FLOOR:
+    elif t1 is not None and 0 <= t1 < OVERHEAD_FLOOR and ratio < OVERHEAD_RATIO_CAP:
         overhead.append(r)
     else:
         over.append(r)
 print(f"sf1 total: {sf1['value']:.1f}s over {len(q1)} queries "
       f"(contaminated={sf1['contaminated']}, failed={sum(1 for r in rows if r[4]=='FAILED')})")
+if c1 and c0:
+    print(f"calib: sf1 box {c1:.2f}s vs sf0.1 record {c0:.2f}s -> "
+          f"box_factor {box_factor:.2f} (ratios below are calib-normalized)")
 print(f"sf0.1 total (shared queries): "
       f"{sum(q0[n]['sec'] for n in q1 if n in q0 and q0[n]['sec'] >= 0):.1f}s")
 print(f"\n{'ratio':>7}  {'sf0.1':>8}  {'sf1':>8}  query")
