@@ -27,6 +27,7 @@ object ScaleProbe {
     if (args.length > 1 && args(1) == "r10b") { r10bOps(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "r10c") { r10cOps(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "r10d") { r10dOps(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "stream") { streamState(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bpe") { bpeEncode(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloom") { bloomBreakEven(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloomat") { bloomAt(spark, factor); spark.stop(); return }
@@ -791,6 +792,67 @@ object ScaleProbe {
       time(s"rendezvous_x$k")(operators.Sharding.rendezvousMovement(
         docs, "doc_id", 8).count())
       docs.unpersist()
+    }
+  }
+
+  /** Streaming state-store scale probe (r12, verdict #6): the
+    * mapGroupsWithState sketches DECLARE bounded per-group state (k
+    * minima / k samples, never the stream's cardinality); this probe
+    * MEASURES it. For each group-count decade it drives `factor`×10
+    * micro-batches of [[StreamingSketch.streamingKmvDistinct]] through
+    * a MemoryStream with full value churn (every batch brings each
+    * group 8 NEVER-SEEN values, so distinct-values-per-group grows
+    * ~8× per 10 batches while state must stay k-bounded), snapshots
+    * the state operator's numRowsTotal/memoryUsedBytes at three
+    * points of the run, and prints the groups → bytes curve. Healthy:
+    * rows == groups, bytes/group flat across decades (state is
+    * groups×k), and bytes@end/bytes@early ≈ 1 once the k minima
+    * saturate (~batch 8) — a caught leak is bytes growing with the
+    * CHURN instead of the group count. A second, shorter pass probes
+    * [[StreamingSketch.streamingExactKSample]] the same way.
+    * Run: `sbt "runMain graft.ScaleProbe 10 stream"`.
+    */
+  private def streamState(spark: SparkSession, factor: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSketch
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batches = math.max(10, factor * 10)
+    def drive(name: String, groups: Int,
+              mk: DataFrame => DataFrame): Unit = {
+      val in = MemoryStream[(Long, Long)]
+      val q = mk(in.toDF.toDF("g", "v"))
+        .writeStream.format("noop").outputMode("update")
+        .queryName(s"${name}_$groups").start()
+      def stateSnapshot(): (Long, Long) = {
+        val p = q.lastProgress
+        if (p == null || p.stateOperators.isEmpty) (0L, 0L)
+        else (p.stateOperators.head.numRowsTotal,
+          p.stateOperators.head.memoryUsedBytes)
+      }
+      val marks = Set(math.max(1, batches / 10), batches / 2, batches)
+      val snaps = scala.collection.mutable.LinkedHashMap[Int, (Long, Long)]()
+      (1 to batches).foreach { b =>
+        // churn: 8 fresh values per group per batch — never repeated
+        in.addData((0 until groups).flatMap(g =>
+          (0 until 8).map(i => (g.toLong, b.toLong * 1000000 + g.toLong * 8 + i))))
+        q.processAllAvailable()
+        if (marks(b)) snaps(b) = stateSnapshot()
+      }
+      q.stop()
+      val line = snaps.map { case (b, (rows, bytes)) =>
+        f"b$b%d rows=$rows%d bytes=$bytes%d" }.mkString("  ")
+      val (_, endBytes) = snaps.last._2
+      println(f"$name groups=$groups%6d  $line  bytes/group=${endBytes.toDouble / groups}%.0f")
+    }
+    Seq(100, 1000, 10000).foreach { g =>
+      drive("kmv_distinct", g,
+        df => StreamingSketch.streamingKmvDistinct(df, "g", "v", k = 64))
+    }
+    Seq(100, 1000).foreach { g =>
+      drive("exactk_sample", g,
+        df => StreamingSketch.streamingExactKSample(df, "g", "v", k = 64))
     }
   }
 

@@ -38,6 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // composed pipeline operators as TABLE functions (r12): pure-SQL
+    // clients compose quality -> dedup -> sample without any Scala
+    SqlPipelines.builders.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
     ext.injectOptimizerRule(_ => SelfIntersectFold)
   }
 }
@@ -101,6 +109,9 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, builder)
+    }
+    SqlPipelines.builders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerTableFunction(spark, name, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(SelfIntersectFold))
       spark.experimental.extraOptimizations =

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Pack, Sampling}
+
+/** SQL table functions over the COMPOSED pipeline operators (r12,
+  * verdict #5). The scalar kernels have had SQL names since r9
+  * ([[GraftExtensions.builders]]), but the multi-stage operators
+  * (near-dup clustering, canonical selection, deterministic sampling,
+  * chunking) were Scala-only — a pure-SQL client (Thrift JDBC, Spark
+  * Connect, the CLI) could not run the very pipelines the library is
+  * for. The reference ships client libraries that reach EVERY operator
+  * (pkg/proteus-go-client/proteus_client.go); this is the Spark-native
+  * equivalent: each operator becomes a Catalyst TABLE function
+  * (`SparkSessionExtensions.injectTableFunction`) whose builder calls
+  * the exact same Scala operator and returns its logical plan, so
+  *
+  *   SELECT * FROM graft_dedup_clusters('documents', 2, 4, 3)
+  *
+  * is the same Catalyst plan as `Dedup.minhashClusters(...)` — same
+  * shuffles, same broadcasts, same pushdown into whatever sits under
+  * the named view. Composition crosses statements through temp views
+  * (CREATE TEMPORARY VIEW q AS SELECT ... FROM graft_quality(...)),
+  * which is how a JDBC client chains quality -> dedup -> sample in
+  * pure SQL (EndpointSpec proves it end to end).
+  *
+  * Contract: the first argument is always the NAME of a resolvable
+  * table/view. Document-shaped functions expect the `documents`
+  * schema (doc_id, text, n_chars) — the same contract the Scala API
+  * has. All other arguments are literals (analysis-time constants,
+  * like the kernel shape literals).
+  */
+object SqlPipelines {
+
+  private def session: SparkSession =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException("no active SparkSession"))
+
+  private def strLit(fn: String, e: Expression): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a string literal, got $other")
+  }
+
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal, got $other")
+  }
+
+  private def arity(fn: String, n: Int, sig: String)(
+      f: Seq[Expression] => DataFrame): Seq[Expression] => LogicalPlan =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n arguments: $fn($sig), got ${args.length}")
+      f(args).queryExecution.logical
+    }
+
+  private def table(fn: String, e: Expression): DataFrame =
+    session.table(strLit(fn, e))
+
+  /** name -> TVF builder. Every builder delegates to the SAME operator
+    * the Scala API exposes — zero forked logic.
+    */
+  private[graft] val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    // text-analysis battery over a documents-shaped view
+    "graft_quality" -> arity("graft_quality", 1, "'table'") { a =>
+      val sig = TextFunctions.qualitySignals(col("text"), col("n_chars"))
+        .map { case (n, c) => c.as(n) }
+      table("graft_quality", a(0)).select((col("doc_id") +: sig): _*)
+    },
+    "graft_langid" -> arity("graft_langid", 1, "'table'") { a =>
+      table("graft_langid", a(0))
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+    },
+    "graft_tokens" -> arity("graft_tokens", 1, "'table'") { a =>
+      table("graft_tokens", a(0)).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+    },
+    "graft_fingerprint" -> arity("graft_fingerprint", 1, "'table'") { a =>
+      table("graft_fingerprint", a(0)).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    },
+    // dedup family
+    "graft_exact_dedup" -> arity("graft_exact_dedup", 1, "'table'") { a =>
+      Dedup.exact(table("graft_exact_dedup", a(0)), "doc_id", "text")
+    },
+    "graft_minhash_pairs" ->
+      arity("graft_minhash_pairs", 5, "'table', bands, rowsPerBand, num, den") { a =>
+        Dedup.minhashDedup(table("graft_minhash_pairs", a(0)), "doc_id", "text",
+          bands = intLit("graft_minhash_pairs", a(1)),
+          rowsPerBand = intLit("graft_minhash_pairs", a(2)),
+          num = intLit("graft_minhash_pairs", a(3)),
+          den = intLit("graft_minhash_pairs", a(4)))
+      },
+    "graft_dedup_clusters" ->
+      arity("graft_dedup_clusters", 4, "'table', bands, rowsPerBand, iterations") { a =>
+        Dedup.minhashClusters(table("graft_dedup_clusters", a(0)), "doc_id", "text",
+          bands = intLit("graft_dedup_clusters", a(1)),
+          rowsPerBand = intLit("graft_dedup_clusters", a(2)),
+          iterations = intLit("graft_dedup_clusters", a(3)))
+      },
+    "graft_dedup_canonical" ->
+      arity("graft_dedup_canonical", 4, "'table', bands, rowsPerBand, iterations") { a =>
+        Dedup.keepCanonical(table("graft_dedup_canonical", a(0)), "doc_id", "text",
+          "n_chars",
+          bands = intLit("graft_dedup_canonical", a(1)),
+          rowsPerBand = intLit("graft_dedup_canonical", a(2)),
+          iterations = intLit("graft_dedup_canonical", a(3)))
+      },
+    // sampling / selection (any table, key column named per call)
+    "graft_hash_sample" ->
+      arity("graft_hash_sample", 4, "'table', 'idCol', lo, hi") { a =>
+        Sampling.hashBucketSample(table("graft_hash_sample", a(0)),
+          strLit("graft_hash_sample", a(1)),
+          lo = intLit("graft_hash_sample", a(2)),
+          hi = intLit("graft_hash_sample", a(3)))
+      },
+    // RAG / long-doc prep
+    "graft_chunk_windows" ->
+      arity("graft_chunk_windows", 3, "'table', windowTokens, strideTokens") { a =>
+        Pack.slidingWindows(table("graft_chunk_windows", a(0)), "doc_id", "text",
+          windowTokens = intLit("graft_chunk_windows", a(1)),
+          strideTokens = intLit("graft_chunk_windows", a(2)))
+      }
+  )
+}

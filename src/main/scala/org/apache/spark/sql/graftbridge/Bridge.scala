@@ -22,6 +22,14 @@ object Bridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Register a temp TABLE function (a `Seq[Expression] => LogicalPlan`
+    * builder, usable in FROM clauses) on an existing session — the
+    * live-session counterpart of `injectTableFunction`.
+    */
+  def registerTableFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+
   /** Parse a SQL statement to its unresolved logical plan (no analysis,
     * no file listing — safe to cache across data changes).
     */

