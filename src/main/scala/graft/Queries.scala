@@ -5324,7 +5324,395 @@ object Queries {
         |SELECT source, count(*)::BIGINT AS n_tokens,
         |  count(DISTINCT tok)::BIGINT AS n_types,
         |  count(DISTINCT tok)::DOUBLE / count(*)::DOUBLE AS ttr
-        |FROM t WHERE length(tok) > 0 GROUP BY source""".stripMargin))
+        |FROM t WHERE length(tok) > 0 GROUP BY source""".stripMargin)),
+
+    // §2.2/263 — Spearman rank-correlation matrix (r12): Pearson over
+    // tie-averaged DOUBLED ranks (integers), decimal128 sums, one
+    // double formula per pair — the monotone-association complement
+    // to row 229's Pearson matrix.
+    "q_spearman" -> QueryDef(
+      (s, d) => operators.Stats.spearmanMatrix(ds(s, d, "lineitem").toDF, Seq(
+        "qty" -> round(col("l_quantity")),
+        "disc_c" -> round(col("l_discount") * 100),
+        "tax_c" -> round(col("l_tax") * 100))),
+      Some {
+        val cols = Seq("qty", "disc_c", "tax_c")
+        val rankCtes = cols.map { c =>
+          s"""r_$c AS (SELECT $c AS vv,
+             |  (2 * sum(count(*)) OVER (ORDER BY $c
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |   - count(*) + 1)::BIGINT AS r FROM v GROUP BY $c)""".stripMargin
+        }.mkString(",\n")
+        val sums = cols.map(c => s"sum(r_$c) AS s_$c, sum(r_$c * r_$c) AS q_$c") ++
+          cols.combinations(2).map { case Seq(a, b) => s"sum(r_$a * r_$b) AS p_${a}_$b" }
+        val pairs = cols.combinations(2).map { case Seq(a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+             |  CASE WHEN n::DOUBLE * q_$a::DOUBLE - s_$a::DOUBLE * s_$a::DOUBLE > 0
+             |        AND n::DOUBLE * q_$b::DOUBLE - s_$b::DOUBLE * s_$b::DOUBLE > 0
+             |    THEN (n::DOUBLE * p_${a}_$b::DOUBLE - s_$a::DOUBLE * s_$b::DOUBLE)
+             |      / (sqrt(n::DOUBLE * q_$a::DOUBLE - s_$a::DOUBLE * s_$a::DOUBLE)
+             |       * sqrt(n::DOUBLE * q_$b::DOUBLE - s_$b::DOUBLE * s_$b::DOUBLE))
+             |  END AS rho FROM m""".stripMargin
+        }.mkString("\n", "\nUNION ALL\n", "")
+        s"""WITH v AS (SELECT round(l_quantity)::BIGINT AS qty,
+           |    round(l_discount * 100)::BIGINT AS disc_c,
+           |    round(l_tax * 100)::BIGINT AS tax_c FROM lineitem
+           |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+           |$rankCtes,
+           |j AS (SELECT ${cols.map(c => s"r_$c.r AS r_$c").mkString(", ")} FROM v
+           |  ${cols.map(c => s"JOIN r_$c ON v.$c = r_$c.vv").mkString("\n  ")}),
+           |m AS (SELECT count(*)::BIGINT AS n, ${sums.mkString(", ")} FROM j)$pairs""".stripMargin
+      }),
+
+    // §2.2/264 — Cramér's V association strength (r12): row 225's
+    // chi-square decomposition normalized to [0,1] — χ² summed in
+    // order-free integer micro-units (per-cell floor at 2²⁰), V one
+    // double expression. Cells: event_type × epoch-day-of-week.
+    "q_cramers_v" -> QueryDef(
+      (s, d) => operators.Stats.cramersV(
+        ds(s, d, "events").toDF
+          .filter(col("event_type").isNotNull && col("ts").isNotNull),
+        col("event_type"),
+        expr("(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000L) div 86400L) % 7")),
+      Some("""WITH base AS (SELECT event_type AS a,
+        |    (floor(epoch(ts))::BIGINT // 86400) % 7 AS b FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT a, b, count(*)::BIGINT AS o FROM base GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(o)::BIGINT AS rt FROM cells GROUP BY a),
+        |ct AS (SELECT b, sum(o)::BIGINT AS ct FROM cells GROUP BY b),
+        |g AS (SELECT sum(o)::BIGINT AS n FROM cells),
+        |cc AS (SELECT rt.a, ct.b, coalesce(cells.o, 0)::BIGINT AS o, rt.rt, ct.ct, g.n
+        |  FROM rt CROSS JOIN ct LEFT JOIN cells ON rt.a = cells.a AND ct.b = cells.b
+        |  CROSS JOIN g),
+        |q AS (SELECT *, floor(((o * n - rt * ct)::DOUBLE * (o * n - rt * ct)::DOUBLE
+        |    / (n::DOUBLE * rt::DOUBLE * ct::DOUBLE)) * 1048576)::BIGINT AS qq FROM cc)
+        |SELECT min(n)::BIGINT AS n, count(DISTINCT a)::BIGINT AS r_levels,
+        |  count(DISTINCT b)::BIGINT AS c_levels, sum(qq)::BIGINT AS chi2_q,
+        |  CASE WHEN least(count(DISTINCT a), count(DISTINCT b)) > 1
+        |    THEN sqrt(sum(qq)::DOUBLE / 1048576.0
+        |      / (min(n)::DOUBLE * (least(count(DISTINCT a), count(DISTINCT b)) - 1)::DOUBLE))
+        |  END AS cramers_v FROM q""".stripMargin)),
+
+    // §2.2/265 — per-source Jensen–Shannon divergence vs the corpus
+    // (r12): the symmetric bounded companion to row 200's KL drift;
+    // micro-nat integer terms, absent-token corpus mass as the exact
+    // (t − Σ c_w)·⌊ln2·2²⁰⌋ lump, sums clamped at 0 (JS ≥ 0; the
+    // per-term floor could otherwise push a near-zero sum negative,
+    // where div/floor-division semantics diverge).
+    "text_js_divergence" -> QueryDef(
+      (s, d) => operators.Analytics.jsDivergence(
+        ds(s, d, "documents").toDF, "source", "text"),
+      Some("""WITH tok AS (SELECT source AS grp,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE source IS NOT NULL),
+        |gt AS (SELECT grp, w, count(*)::BIGINT AS c_gw FROM tok WHERE length(w) > 0 GROUP BY 1, 2),
+        |pt AS (SELECT w, sum(c_gw)::BIGINT AS c_w FROM gt GROUP BY 1),
+        |tg AS (SELECT grp, sum(c_gw)::BIGINT AS t_g, count(*)::BIGINT AS n_distinct FROM gt GROUP BY 1),
+        |tot AS (SELECT sum(c_w)::BIGINT AS t FROM pt),
+        |terms AS (SELECT gt.grp, gt.c_gw, pt.c_w, tg.t_g, tg.n_distinct, tot.t,
+        |    gt.c_gw * floor(ln((2 * gt.c_gw * tot.t)::DOUBLE
+        |      / (gt.c_gw * tot.t + pt.c_w * tg.t_g)::DOUBLE) * 1048576)::BIGINT AS pm,
+        |    pt.c_w * floor(ln((2 * pt.c_w * tg.t_g)::DOUBLE
+        |      / (gt.c_gw * tot.t + pt.c_w * tg.t_g)::DOUBLE) * 1048576)::BIGINT AS qm
+        |  FROM gt JOIN pt USING (w) JOIN tg USING (grp) CROSS JOIN tot),
+        |agg AS (SELECT grp AS source, min(t_g)::BIGINT AS n_tokens,
+        |    min(n_distinct)::BIGINT AS n_distinct,
+        |    (greatest(sum(pm), 0) // min(t_g))::BIGINT AS kl_pm_q,
+        |    (greatest(sum(qm) + (min(t) - sum(c_w)) * 726817, 0) // min(t))::BIGINT AS kl_qm_q
+        |  FROM terms GROUP BY 1)
+        |SELECT source, n_tokens, n_distinct, kl_pm_q, kl_qm_q,
+        |  ((kl_pm_q + kl_qm_q) // 2)::BIGINT AS js_q FROM agg""".stripMargin)),
+
+    // §2.2/266 — retrieval MRR / precision@k / recall@k (r12): the
+    // rank-position companions to row 243's nDCG, same deterministic
+    // brute-force ranking contract; rr_micro = 10⁶ div first-hit rank
+    // exact, P@k / R@k single divisions of exact counts.
+    "q_mrr" -> QueryDef(
+      (s, d) => {
+        val emb = ds(s, d, "embeddings").toDF
+        Similarity.retrievalEval(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", "label", k = 10)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 20 AND label IS NOT NULL),
+        |sc AS (SELECT qid, ql, e.vec_id AS nid, e.label AS nl,
+        |    list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]) AS c
+        |  FROM q JOIN embeddings e ON e.vec_id <> qid),
+        |r AS (SELECT qid, ql, nl,
+        |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        |  FROM sc WHERE c IS NOT NULL),
+        |h AS (SELECT qid, max(ql) AS label,
+        |    sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
+        |    min(CASE WHEN nl = ql THEN rank END)::BIGINT AS first_rel_rank
+        |  FROM r WHERE rank <= 10 GROUP BY qid),
+        |nr AS (SELECT qid, count(*)::BIGINT AS n_rel FROM q JOIN embeddings e
+        |    ON e.label = q.ql AND e.vec_id <> q.qid GROUP BY qid)
+        |SELECT h.qid AS query_id, h.label, coalesce(nr.n_rel, 0)::BIGINT AS n_rel,
+        |  h.first_rel_rank, coalesce(1000000 // h.first_rel_rank, 0)::BIGINT AS rr_micro,
+        |  h.hits_at_k, h.hits_at_k::DOUBLE / 10.0 AS precision_at_k,
+        |  CASE WHEN coalesce(nr.n_rel, 0) > 0
+        |    THEN h.hits_at_k::DOUBLE / nr.n_rel::DOUBLE END AS recall_at_k
+        |FROM h LEFT JOIN nr ON h.qid = nr.qid""".stripMargin)),
+
+    // §2.2/267 — integer EWMA smoothing + anomaly flag per user series
+    // (r12): α = 1/2 level filter folded in exact int64 milli-units
+    // over (ts, id) order — Spark `aggregate` ↔ DuckDB `list_reduce`,
+    // both seeded with the first observation.
+    "q_ewma" -> QueryDef(
+      (s, d) => operators.TimeSeries.ewmaSmooth(
+        ds(s, d, "events").toDF, "user_id", "ts", "value"),
+      Some("""WITH r0 AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    round(abs(value) * 1000)::BIGINT AS x FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |l AS (SELECT user_id, list(x ORDER BY tsu, event_id) AS xs FROM r0 GROUP BY user_id)
+        |SELECT user_id, len(xs)::BIGINT AS n_obs, xs[-1]::BIGINT AS last_milli,
+        |  list_reduce(xs, (a, b) -> (a + b) // 2)::BIGINT AS ewma_milli,
+        |  (xs[-1] - list_reduce(xs, (a, b) -> (a + b) // 2))::BIGINT AS dev_milli,
+        |  abs(xs[-1] - list_reduce(xs, (a, b) -> (a + b) // 2))
+        |    > list_reduce(xs, (a, b) -> (a + b) // 2) AS is_anomaly
+        |FROM l""".stripMargin)),
+
+    // §2.2/268 — SAX symbolization per user series (r12, Lin et al.
+    // 2003): equal-count PAA frames by integer split, frame means
+    // z-scored from exact int64 moments, 4-letter alphabet at the
+    // N(0,1) quartile breakpoints.
+    "q_sax" -> QueryDef(
+      (s, d) => operators.TimeSeries.saxSymbols(
+        ds(s, d, "events").toDF, "user_id", "ts", "value"),
+      Some("""WITH r0 AS (SELECT user_id AS k, epoch_us(ts) AS tsu, event_id,
+        |    round(value * 1000)::BIGINT AS x FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |idx AS (SELECT k, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY tsu, event_id) - 1 AS i,
+        |    count(*) OVER (PARTITION BY k) AS n FROM r0),
+        |fr AS (SELECT k, (i * 4) // n AS frame, count(*)::BIGINT AS cf,
+        |    sum(x)::BIGINT AS sf, min(n)::BIGINT AS n FROM idx GROUP BY k, (i * 4) // n),
+        |pk AS (SELECT k, min(n)::BIGINT AS n, sum(sf)::BIGINT AS s FROM fr GROUP BY k),
+        |sq AS (SELECT k, sum(x * x)::BIGINT AS q FROM r0 GROUP BY k),
+        |z AS (SELECT fr.k, fr.frame, pk.n, (pk.n * sq.q - pk.s * pk.s)::BIGINT AS var_num,
+        |    (fr.sf::DOUBLE / fr.cf::DOUBLE - pk.s::DOUBLE / pk.n::DOUBLE)
+        |      * pk.n::DOUBLE AS znum
+        |  FROM fr JOIN pk USING (k) JOIN sq USING (k))
+        |SELECT k AS user_id, min(n)::BIGINT AS n_obs,
+        |  string_agg(CASE WHEN var_num = 0 THEN 'c'
+        |    WHEN znum / sqrt(var_num::DOUBLE) < -0.6745 THEN 'a'
+        |    WHEN znum / sqrt(var_num::DOUBLE) < 0.0 THEN 'b'
+        |    WHEN znum / sqrt(var_num::DOUBLE) < 0.6745 THEN 'c'
+        |    ELSE 'd' END, '' ORDER BY frame) AS sax_word
+        |FROM z GROUP BY k""".stripMargin)),
+
+    // §2.2/269 — degree assortativity coefficient (r12, Newman 2002)
+    // of the co-purchase graph: Pearson of endpoint degrees over the
+    // symmetrized edge list, exact int64 sums, one double expression.
+    "q_assortativity" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_partkey") % 7 === 0)
+          .select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.GraphMetrics.assortativity(e, "src", "dst")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 7 = 0),
+        |e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b FROM li x JOIN li y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |u AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT a AS z, count(*)::BIGINT AS d FROM u GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS m_directed, sum(j.d * k.d)::BIGINT AS sum_jk,
+        |    sum(j.d)::BIGINT AS sum_j, sum(j.d * j.d)::BIGINT AS sum_j2
+        |  FROM u JOIN deg j ON u.a = j.z JOIN deg k ON u.b = k.z),
+        |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg)
+        |SELECT n_nodes, (m_directed // 2)::BIGINT AS n_edges, m_directed,
+        |  sum_jk, sum_j, sum_j2,
+        |  CASE WHEN m_directed * sum_j2 <> sum_j * sum_j
+        |    THEN (m_directed::DOUBLE * sum_jk::DOUBLE - sum_j::DOUBLE * sum_j::DOUBLE)
+        |      / (m_directed::DOUBLE * sum_j2::DOUBLE - sum_j::DOUBLE * sum_j::DOUBLE)
+        |  END AS assortativity FROM m CROSS JOIN nn""".stripMargin)),
+
+    // §2.2/270 — Poisson-bootstrap CI for the mean order value (r12,
+    // Chamandy et al. 2012): per-replicate Poisson(1) weights from a
+    // 20-bit md5 uniform against pre-scaled CDF thresholds — B
+    // replicates in ONE stateless map + ONE combinable aggregation.
+    "q_bootstrap" -> QueryDef(
+      (s, d) => operators.Stats.poissonBootstrap(ds(s, d, "orders").toDF,
+        col("o_orderkey"), round(col("o_totalprice") * 100)),
+      Some("""WITH r0 AS (SELECT o_orderkey::VARCHAR AS id,
+        |    round(o_totalprice * 100)::BIGINT AS x FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |e AS (SELECT id, x, unnest(generate_series(0, 31)) AS b FROM r0),
+        |w0 AS (SELECT b, x,
+        |    ('0x' || substring(md5(id || ':' || b::VARCHAR), 1, 5))::BIGINT AS u FROM e),
+        |w AS (SELECT b, x, (CASE WHEN u < 385749 THEN 0 WHEN u < 771498 THEN 1
+        |    WHEN u < 964372 THEN 2 WHEN u < 1028664 THEN 3 WHEN u < 1044738 THEN 4
+        |    WHEN u < 1047952 THEN 5 WHEN u < 1048488 THEN 6 WHEN u < 1048565 THEN 7
+        |    WHEN u < 1048574 THEN 8 ELSE 9 END)::BIGINT AS w FROM w0),
+        |reps AS (SELECT b::BIGINT AS replicate, sum(w)::BIGINT AS n_eff,
+        |    sum(w * x)::BIGINT AS sum_cents FROM w GROUP BY b),
+        |mm AS (SELECT *, CASE WHEN n_eff > 0
+        |    THEN sum_cents::DOUBLE / n_eff::DOUBLE END AS mean_cents FROM reps)
+        |SELECT replicate, n_eff, sum_cents, mean_cents,
+        |  row_number() OVER (ORDER BY mean_cents ASC NULLS LAST, replicate)::BIGINT AS rank_asc
+        |FROM mm""".stripMargin)),
+
+    // §2.2/271 — Kaplan–Meier survival curve of user lifetime (r12):
+    // right-censored product-limit estimator folded in integer
+    // micro-units (packed (n_risk, n_risk−d) elements, seeded 2²⁰) —
+    // the churn curve, hash-exact.
+    "q_survival" -> QueryDef(
+      (s, d) => operators.Analytics.kaplanMeier(
+        ds(s, d, "events").toDF, "user_id", "ts"),
+      Some("""WITH pu AS (SELECT user_id AS u,
+        |    min(floor(epoch(ts))::BIGINT // 86400) AS fd,
+        |    max(floor(epoch(ts))::BIGINT // 86400) AS ld FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id),
+        |mx AS (SELECT max(ld) AS maxd FROM pu),
+        |lt AS (SELECT (ld - fd)::BIGINT AS t,
+        |    sum(CASE WHEN ld <= maxd - 7 THEN 1 ELSE 0 END)::BIGINT AS d,
+        |    sum(CASE WHEN ld <= maxd - 7 THEN 0 ELSE 1 END)::BIGINT AS c
+        |  FROM pu CROSS JOIN mx GROUP BY 1),
+        |tt AS (SELECT sum(d + c)::BIGINT AS total FROM lt),
+        |rk AS (SELECT t, d, c, (total - coalesce(sum(d + c) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+        |  FROM lt CROSS JOIN tt),
+        |pk AS (SELECT list(n_risk * 2147483648 + (n_risk - d) ORDER BY t) AS es,
+        |    list(t ORDER BY t) AS ts FROM rk)
+        |SELECT rk.t AS t_days, rk.n_risk, rk.d AS d_churned, rk.c AS c_censored,
+        |  list_reduce(list_prepend(1048576::BIGINT, es[1:list_position(ts, rk.t)]),
+        |    (a, e) -> (a * (e % 2147483648)) // (e // 2147483648))::BIGINT AS s_micro
+        |FROM rk CROSS JOIN pk""".stripMargin)),
+
+    // §2.2/272 — candidate-key / unique-column-combination discovery
+    // (r12): exact distinct counts for singles and pairs in ONE
+    // multi-distinct aggregation, TANE-style minimality at emit;
+    // NULLs sentinel-packed so both engines count identically.
+    "q_key_discovery" -> QueryDef(
+      (s, d) => operators.Discovery.keyDiscovery(ds(s, d, "customer").toDF,
+        Seq("c_name", "c_nationkey", "c_mktsegment", "c_acctbal")),
+      Some {
+        val cols = Seq("c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+        val combos = cols.map(Seq(_)) ++ cols.combinations(2).toSeq
+        def nm(cs: Seq[String]) = cs.mkString("+")
+        def key(cs: Seq[String]) =
+          cs.map(c => s"coalesce($c::VARCHAR, '␀NULL')").mkString(
+            "concat_ws(chr(1), ", ", ", ")")
+        val aggs = combos.map(cs =>
+          s"count(DISTINCT ${key(cs)})::BIGINT AS \"d_${nm(cs)}\"").mkString(", ")
+        val rows = combos.map { cs =>
+          val uniq = s"\"d_${nm(cs)}\" = n"
+          val minimal =
+            if (cs.size == 1) uniq
+            else uniq + cs.map(c => s" AND \"d_$c\" <> n").mkString
+          s"""SELECT '${nm(cs)}' AS combo, ${cs.size}::BIGINT AS n_cols,
+             |  "d_${nm(cs)}" AS n_distinct, n AS n_rows, $uniq AS is_unique,
+             |  ($minimal) AS is_minimal_key FROM m""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH m AS (SELECT count(*)::BIGINT AS n, $aggs FROM customer)
+           |$rows""".stripMargin
+      }),
+
+    // §2.2/273 — Herfindahl–Hirschman concentration per market segment
+    // (r12): per-customer revenue shares floored to basis points,
+    // HHI = Σ share_bp² exact int64 — the concentration screen.
+    "q_hhi" -> QueryDef(
+      (s, d) => {
+        val o = ds(s, d, "orders").toDF
+        val c = ds(s, d, "customer").toDF
+        operators.Analytics.hhiConcentration(
+          o.join(c, o("o_custkey") === c("c_custkey")),
+          col("c_mktsegment"), col("o_custkey"),
+          round(col("o_totalprice") * 100))
+      },
+      Some("""WITH rev AS (SELECT c.c_mktsegment AS mkt, o.o_custkey AS ent,
+        |    sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IS NOT NULL AND o.o_custkey IS NOT NULL
+        |    AND o.o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2 HAVING sum(round(o.o_totalprice * 100)::BIGINT) > 0),
+        |tot AS (SELECT mkt, sum(rev)::BIGINT AS tot FROM rev GROUP BY 1)
+        |SELECT rev.mkt AS market, count(*)::BIGINT AS n_firms,
+        |  min(tot.tot)::BIGINT AS tot_cents,
+        |  sum((rev.rev * 10000 // tot.tot) * (rev.rev * 10000 // tot.tot))::BIGINT AS hhi_bp2,
+        |  max(rev.rev * 10000 // tot.tot)::BIGINT AS top_share_bp
+        |FROM rev JOIN tot USING (mkt) GROUP BY 1""".stripMargin)),
+
+    // §2.2/274 — tokenizer fertility per source (r12): BPE-ish
+    // subtokens per whitespace word and bytes per subtoken — the
+    // tokenizer-QA signal (fertility spikes flag scripts/noise the
+    // tokenizer fragments). Byte length (octet_length ↔ strlen), not
+    // codepoints, so the signal sees encoding bloat.
+    "text_fertility" -> QueryDef(
+      (s, d) => ds(s, d, "documents").toDF.filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_words"),
+          sum(TextFunctions.bpeTokenCount(col("text")).cast("long")).as("n_subtokens"),
+          sum(expr("octet_length(text)").cast("long")).as("n_bytes"))
+        .withColumn("fertility", when(col("n_words") > 0,
+          col("n_subtokens").cast("double") / col("n_words").cast("double")))
+        .withColumn("bytes_per_subtoken", when(col("n_subtokens") > 0,
+          col("n_bytes").cast("double") / col("n_subtokens").cast("double"))),
+      Some("""SELECT source,
+        |  sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS n_words,
+        |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS n_subtokens,
+        |  sum(strlen(text))::BIGINT AS n_bytes,
+        |  CASE WHEN sum(len(regexp_split_to_array(trim(text), '\s+'))) > 0
+        |    THEN sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::DOUBLE
+        |      / sum(len(regexp_split_to_array(trim(text), '\s+')))::DOUBLE END AS fertility,
+        |  CASE WHEN sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) > 0
+        |    THEN sum(strlen(text))::DOUBLE
+        |      / sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::DOUBLE
+        |  END AS bytes_per_subtoken
+        |FROM documents WHERE text IS NOT NULL GROUP BY source""".stripMargin)),
+
+    // §2.2/275 — lead-lag cross-correlation purchases → errors (r12):
+    // daily exact counts zero-filled over the full day spine, Pearson
+    // of (x_d, y_{d+L}) per lag from exact integer sums.
+    "q_xcorr" -> QueryDef(
+      (s, d) => operators.TimeSeries.crossCorrelation(
+        ds(s, d, "events").toDF, "ts", "event_type", "purchase", "error", 7),
+      Some("""WITH dd AS (SELECT floor(epoch(ts))::BIGINT // 86400 AS d,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1),
+        |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM dd),
+        |sp AS (SELECT s.d, coalesce(dd.x, 0)::BIGINT AS x, coalesce(dd.y, 0)::BIGINT AS y
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS d FROM b) s
+        |  LEFT JOIN dd USING (d)),
+        |lags AS (SELECT unnest(generate_series(0, 7))::BIGINT AS lag),
+        |m AS (SELECT l.lag, count(*)::BIGINT AS n_days, sum(a.x)::BIGINT AS sum_x,
+        |    sum(bb.y)::BIGINT AS sum_y, sum(a.x * a.x)::BIGINT AS sum_xx,
+        |    sum(bb.y * bb.y)::BIGINT AS sum_yy, sum(a.x * bb.y)::BIGINT AS sum_xy
+        |  FROM lags l JOIN sp a ON true JOIN sp bb ON bb.d = a.d + l.lag GROUP BY 1)
+        |SELECT lag, n_days, sum_x, sum_y, sum_xy,
+        |  CASE WHEN n_days::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE > 0
+        |        AND n_days::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE > 0
+        |    THEN (n_days::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE)
+        |      / (sqrt(n_days::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE)
+        |       * sqrt(n_days::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE))
+        |  END AS xcorr FROM m""".stripMargin)),
+
+    // §2.2/276 — RFM segmentation (r12): recency/frequency/monetary
+    // quintiles via ntile(5) with the customer key as total-order
+    // tiebreak (recency DESC so 5 = most recent), ≤125-cell rollup.
+    "q_rfm" -> QueryDef(
+      (s, d) => operators.Analytics.rfmSegments(
+        ds(s, d, "orders").toDF, "o_custkey", "o_orderdate", "o_totalprice"),
+      Some("""WITH pc AS (SELECT o_custkey AS cust,
+        |    max(floor(epoch(o_orderdate))::BIGINT // 86400) AS ld,
+        |    count(*)::BIGINT AS f, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS m
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL GROUP BY 1),
+        |mx AS (SELECT max(ld) AS maxd FROM pc),
+        |sc AS (SELECT cust, f, m,
+        |    ntile(5) OVER (ORDER BY (maxd - ld) DESC, cust)::BIGINT AS r_score,
+        |    ntile(5) OVER (ORDER BY f, cust)::BIGINT AS f_score,
+        |    ntile(5) OVER (ORDER BY m, cust)::BIGINT AS m_score
+        |  FROM pc CROSS JOIN mx)
+        |SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_customers,
+        |  sum(f)::BIGINT AS sum_orders, sum(m)::BIGINT AS sum_cents
+        |FROM sc GROUP BY 1, 2, 3""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

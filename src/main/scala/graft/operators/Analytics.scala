@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -539,5 +539,169 @@ object Analytics {
       .join(rolling, Seq("day"), "left")
       .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
         coalesce(col("rolling_actives"), lit(0L)).as("rolling_actives"))
+  }
+
+  /** Per-source Jensen–Shannon divergence vs the whole corpus — the
+    * SYMMETRIC, [0, ln2]-bounded companion to [[klDrift]] (KL(P‖Q)
+    * blows up on any source-only token; JS vs the mixture
+    * M = (P+Q)/2 is finite by construction, the standard corpus-drift
+    * distance). Same micro-nat discipline as klDrift: each present
+    * (source, token) pair contributes `c·⌊ln(ratio)·2²⁰⌋` with the
+    * ratio formed from exact integer counts —
+    * p/m = 2·c_gw·t / (c_gw·t + c_w·t_g) and
+    * q/m = 2·c_w·t_g / (c_gw·t + c_w·t_g) — and the corpus-side mass
+    * of tokens ABSENT from the source needs no spine: for those
+    * q/m = 2 exactly, so their lump sum is `(t − Σ_present c_w)·⌊ln2·2²⁰⌋`.
+    * Output per source: (n_tokens, n_distinct, kl_pm_q, kl_qm_q,
+    * js_q = (kl_pm_q + kl_qm_q) div 2), all micro-nats.
+    *
+    * Scale shape: identical to klDrift — one token explode, two
+    * combinable count tables, per-token hash join, broadcast totals;
+    * int64 products c_gw·t bound n_tokens ≲ 3·10⁹ per run (shard by
+    * corpus slice past that), same as klDrift's documented bound.
+    */
+  def jsDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val perGroupTok = toks.groupBy("grp", "w").agg(count(lit(1)).as("c_gw"))
+    val perTok = perGroupTok.groupBy("w").agg(sum("c_gw").as("c_w"))
+    val totals = perGroupTok.groupBy("grp")
+      .agg(sum("c_gw").as("t_g"), count(lit(1)).as("n_distinct"))
+    val corpus = perTok.agg(sum("c_w").as("t")) // one row, broadcast
+    val ln2Micro = 726817L // floor(ln 2 * 2^20)
+    val denom = col("c_gw") * col("t") + col("c_w") * col("t_g")
+    perGroupTok.join(perTok, "w").join(broadcast(totals), "grp")
+      .crossJoin(broadcast(corpus))
+      .withColumn("__pm", col("c_gw") *
+        floor(log((lit(2) * col("c_gw") * col("t")).cast("double") /
+          denom.cast("double")) * 1048576).cast("long"))
+      .withColumn("__qm", col("c_w") *
+        floor(log((lit(2) * col("c_w") * col("t_g")).cast("double") /
+          denom.cast("double")) * 1048576).cast("long"))
+      .groupBy(col("grp").as(groupCol))
+      // clamp at 0: KL >= 0 mathematically, but the per-term floor can
+      // push a near-zero sum a few micro-nats negative, where div
+      // (truncate) and // (floor) would disagree across engines
+      .agg(min("t_g").as("n_tokens"), min("n_distinct").as("n_distinct"),
+        expr("greatest(sum(__pm), 0L) div min(t_g)").as("kl_pm_q"),
+        expr(s"greatest(sum(__qm) + (min(t) - sum(c_w)) * ${ln2Micro}L, 0L) div min(t)")
+          .as("kl_qm_q"))
+      .withColumn("js_q", expr("(kl_pm_q + kl_qm_q) div 2"))
+  }
+
+  /** Kaplan–Meier survival curve of user lifetime (days between a
+    * user's first and last event), right-censored for users still
+    * active within `censorDays` of the corpus end — the churn
+    * product-limit estimator. Ŝ(t) = Π_{u ≤ t} (1 − d_u/n_u) is a
+    * cumulative product of rationals, which a float Π would make
+    * engine-dependent; here it folds in INTEGER micro-units —
+    * `s ← s·(n_t − d_t) div n_t` left-to-right over lifetimes
+    * ascending, seeded at 2²⁰ — so every step is exact int64 on both
+    * engines (s ≤ 2²⁰, n ≤ users, product ≤ 2²⁰·n).
+    *
+    * Scale shape: the fact scan reduces to per-user (first, last)
+    * epoch-days (combinable); everything after lives on the DISTINCT-
+    * LIFETIME table (≤ the corpus day span — hundreds), where the
+    * O(T²) prefix folds are negligible. Output: one row per distinct
+    * lifetime — (t_days, n_risk, d_churned, c_censored, s_micro).
+    */
+  def kaplanMeier(events: DataFrame, keyCol: String, tsCol: String,
+                  censorDays: Long = 7): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    val perUser = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("u"),
+        expr(s"floor(unix_micros(CAST($tsCol AS TIMESTAMP)) / 1000000L) div 86400L").as("d"))
+      .groupBy("u").agg(min("d").as("fd"), max("d").as("ld"))
+    val maxd = perUser.agg(max("ld").as("maxd"))
+    val lt = perUser.crossJoin(broadcast(maxd))
+      .withColumn("t", col("ld") - col("fd"))
+      .withColumn("churned", col("ld") <= col("maxd") - lit(censorDays))
+      .groupBy("t")
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("c"))
+    // distinct-lifetime table: cumulative risk set, then the packed
+    // integer fold (elem = n_risk * 2^31 + (n_risk - d)) per prefix
+    val wPrior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val tot = lt.agg(sum(col("d") + col("c")).as("total"))
+    val risk = lt.crossJoin(broadcast(tot))
+      .withColumn("prior", coalesce(sum(col("d") + col("c")).over(wPrior), lit(0L)))
+      .withColumn("n_risk", col("total") - col("prior"))
+      .withColumn("e", col("n_risk") * lit(1L << 31) + (col("n_risk") - col("d")))
+    val packed = risk.agg(
+      sort_array(collect_list(struct(col("t"), col("e")))).as("tes"))
+    risk.crossJoin(broadcast(packed))
+      .withColumn("i", expr("array_position(transform(tes, x -> x.t), t)"))
+      .withColumn("s_micro", expr(
+        s"""aggregate(slice(transform(tes, x -> x.e), 1, CAST(i AS INT)), ${1L << 20}L,
+           |  (acc, e) -> (acc * (e % ${1L << 31}L)) div (e div ${1L << 31}L))""".stripMargin))
+      .select(col("t").as("t_days"), col("n_risk"),
+        col("d").as("d_churned"), col("c").as("c_censored"), col("s_micro"))
+  }
+
+  /** RFM segmentation: per customer recency (days since last order,
+    * vs the corpus max date), frequency (order count) and monetary
+    * (exact cents), each scored into quintiles by `ntile(5)` with the
+    * customer key as the total-order tiebreak (ntile over a non-unique
+    * sort is engine-dependent; with the key appended both engines
+    * split identically), recency DESCENDING so score 5 = most recent.
+    * Output: the ≤125-cell segment rollup — (r_score, f_score,
+    * m_score, n_customers, sum_orders, sum_cents).
+    *
+    * Scale note: ntile is an inherently global window (one sort over
+    * customers — fine to ~10⁸; past that use the per-group quantile
+    * cut, SURVEY §2 row 123, which scores against sketched cutoffs
+    * instead of a global sort).
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
+                  valCol: String): DataFrame = {
+    val perCust = orders
+      .filter(col(custCol).isNotNull && col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(custCol).as("cust"),
+        expr(s"floor(unix_micros(CAST($tsCol AS TIMESTAMP)) / 1000000L) div 86400L").as("d"),
+        round(col(valCol) * 100).cast("long").as("cents"))
+      .groupBy("cust")
+      .agg(max("d").as("ld"), count(lit(1)).as("f"), sum("cents").as("m"))
+    val maxd = perCust.agg(max("ld").as("maxd"))
+    val scored = perCust.crossJoin(broadcast(maxd))
+      .withColumn("r_days", col("maxd") - col("ld"))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("r_days").desc, col("cust"))).cast("long"))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("f"), col("cust"))).cast("long"))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("m"), col("cust"))).cast("long"))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), sum("f").as("sum_orders"),
+        sum("m").as("sum_cents"))
+  }
+
+  /** Herfindahl–Hirschman concentration index per market: revenue
+    * shares in basis points (`share_bp = rev·10⁴ div tot` — integer
+    * floor, the deterministic contract), HHI = Σ share_bp² ∈
+    * [0, 10⁸]. The antitrust/concentration screen (DOJ thresholds
+    * 1500/2500 in conventional 10⁴-scaled points = 15·10⁴/25·10⁴
+    * here). Only positive-revenue entities participate (shares of a
+    * mixed-sign total are undefined; the filter also keeps the
+    * integer division in floor==truncate territory). Output per
+    * market: (n_firms, tot_cents, hhi_bp2, top_share_bp).
+    * Scale shape: two combinable aggregations (entity rollup, market
+    * rollup) + one broadcast-join of market totals — no windows.
+    */
+  def hhiConcentration(facts: DataFrame, marketCol: Column, entityCol: Column,
+                       centsCol: Column): DataFrame = {
+    val rev = facts.select(marketCol.as("mkt"), entityCol.as("ent"),
+        centsCol.cast("long").as("cents"))
+      .filter(col("mkt").isNotNull && col("ent").isNotNull && col("cents").isNotNull)
+      .groupBy("mkt", "ent").agg(sum("cents").as("rev"))
+      .filter(col("rev") > 0)
+    val tot = rev.groupBy("mkt").agg(sum("rev").as("tot"))
+    rev.join(tot, "mkt")
+      .withColumn("share_bp", expr("rev * 10000L div tot"))
+      .groupBy(col("mkt").as("market"))
+      .agg(count(lit(1)).as("n_firms"), min("tot").as("tot_cents"),
+        sum(col("share_bp") * col("share_bp")).as("hhi_bp2"),
+        max("share_bp").as("top_share_bp"))
   }
 }

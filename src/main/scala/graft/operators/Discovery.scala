@@ -110,4 +110,47 @@ object Discovery {
           col("n_violating"), (col("n_violating") === 0).as("holds"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Candidate-key discovery (the UNIQUE-constraint half of schema
+    * discovery, beside [[functionalDependencies]] and
+    * [[inclusionCandidates]]): exact distinct counts for every single
+    * column and every column pair, flagged `is_unique` when the count
+    * reaches the row count and `is_minimal_key` when additionally no
+    * proper subset is already unique (the TANE/HyUCC minimality
+    * pruning, applied at emit — a pair whose member is a key is
+    * redundant, not a discovery). NULLs: engines disagree on
+    * multi-column COUNT(DISTINCT ...) null handling, so every column
+    * is coalesced to a reserved sentinel and the combination packed
+    * into ONE string key — NULL participates as a value (a column with
+    * NULLs can still be declared unique-as-observed; the consumer adds
+    * NOT NULL separately).
+    *
+    * Scale shape: all 𝑘 + C(𝑘,2) distinct counts ride ONE aggregation
+    * (Catalyst plans multi-distinct via Expand — (combos+1)× the scan
+    * width, one shuffle); the combo table is unpivoted from the
+    * single result row, never collected.
+    */
+  def keyDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "duplicate column in list")
+    def sent(c: String) = coalesce(col(c).cast("string"), lit("␀NULL"))
+    def key(cs: Seq[String]) = concat_ws("\u0001", cs.map(sent): _*)
+    val combos = cols.map(Seq(_)) ++ cols.combinations(2).toSeq
+    def nm(cs: Seq[String]) = cs.mkString("+")
+    val aggs = combos.map(cs => countDistinct(key(cs)).as(s"__d_${nm(cs)}")) :+
+      count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = combos.map { cs =>
+      val uniq = col(s"__d_${nm(cs)}") === col("__n")
+      val minimal =
+        if (cs.size == 1) uniq
+        else uniq && cs.map(c => col(s"__d_$c") =!= col("__n")).reduce(_ && _)
+      struct(lit(nm(cs)).as("combo"), lit(cs.size.toLong).as("n_cols"),
+        col(s"__d_${nm(cs)}").as("n_distinct"), col("__n").as("n_rows"),
+        uniq.as("is_unique"), minimal.as("is_minimal_key"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select("r.combo", "r.n_cols", "r.n_distinct", "r.n_rows",
+        "r.is_unique", "r.is_minimal_key")
+  }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph structural summaries (beside the per-node family:
+  * [[Triangles]], [[KCore]], [[LabelPropagation.modularity]]).
+  * Reference behavior-parity note: the reference engine has no graph
+  * QPU; these extend the analytics surface the same way the graph
+  * rows in SURVEY §2.2 do.
+  */
+object GraphMetrics {
+
+  /** Degree assortativity coefficient (Newman 2002, "Assortative
+    * mixing in networks"): the Pearson correlation of endpoint degrees
+    * over the DIRECTED edge list (each undirected edge counted both
+    * ways — the standard symmetrization, which makes Σj = Σk and
+    * Σj² = Σk² so the formula collapses to
+    * r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)). Positive = hubs attach
+    * to hubs (social nets), negative = hubs attach to leaves
+    * (technological nets). All sums are exact int64 over integer
+    * degrees (Σjk ≤ M·deg_max² — wraps only past ~10⁹ edges of
+    * ~10⁴-degree hubs; shard by component past that), r is the one
+    * fixed double expression. A degree-regular graph (zero variance,
+    * exact integer test) reports NULL.
+    *
+    * Input: UNDIRECTED unique edges (src < dst or any one-per-pair
+    * convention; self-loops dropped). Output one row:
+    * (n_nodes, n_edges, m_directed, sum_jk, sum_j, sum_j2,
+    * assortativity).
+    *
+    * Scale shape: one symmetrizing union, one combinable degree
+    * count, two hash joins of the edge list against the (node-sized,
+    * auto-broadcast when small) degree table, one combinable final
+    * aggregation — no windows, nothing quadratic.
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonicalize to (min, max) before dedup so a pair arriving in
+    // both orientations is still ONE undirected edge
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val u = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+    val deg = u.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
+    val m = u
+      .join(deg.select(col("z").as("a"), col("d").as("j")), "a")
+      .join(deg.select(col("z").as("b"), col("d").as("k")), "b")
+      .agg(count(lit(1)).as("m_directed"),
+        sum(col("j") * col("k")).as("sum_jk"),
+        sum(col("j")).as("sum_j"),
+        sum(col("j") * col("j")).as("sum_j2"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val num = dd(col("m_directed")) * dd(col("sum_jk")) - dd(col("sum_j")) * dd(col("sum_j"))
+    val den = dd(col("m_directed")) * dd(col("sum_j2")) - dd(col("sum_j")) * dd(col("sum_j"))
+    m.crossJoin(broadcast(nodes))
+      .withColumn("n_edges", expr("m_directed div 2"))
+      .withColumn("assortativity",
+        when(col("m_directed") * col("sum_j2") =!= col("sum_j") * col("sum_j"),
+          num / den))
+      .select("n_nodes", "n_edges", "m_directed", "sum_jk", "sum_j", "sum_j2",
+        "assortativity")
+  }
+}

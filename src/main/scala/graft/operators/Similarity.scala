@@ -537,4 +537,53 @@ object Similarity {
         col("dcg_micro").cast("double") / col("idcg_micro").cast("double")))
       .select("query_id", "label", "n_rel", "dcg_micro", "idcg_micro", "ndcg")
   }
+
+  /** Per-query MRR / precision@k / recall@k — the rank-position
+    * complements to [[ndcgAtK]] (nDCG grades the whole list; MRR asks
+    * "how deep is the FIRST hit", P@k/R@k ask "how much of the page is
+    * relevant / how much of the relevant set did the page find").
+    * Same retrieval contract: [[bruteForceTopK]]'s deterministic
+    * (score desc, id) ranking, binary label-match relevance, NULL-label
+    * queries excluded, NULL-label neighbors non-relevant. The
+    * reciprocal rank is the exact integer `rr_micro = 10⁶ div rank`
+    * (0 when no hit in the top k); precision and recall are single
+    * IEEE divisions of exact counts; recall of a query with no
+    * same-label corpus rows is NULL (undefined, not zero).
+    * Output per query: (query_id, label, n_rel, first_rel_rank,
+    * rr_micro, hits_at_k, precision_at_k, recall_at_k).
+    *
+    * Scale shape: identical to [[ndcgAtK]] — broadcast queries +
+    * combinable top-k over ONE corpus scan; post-ranking work is
+    * queries×k rows.
+    */
+  def retrievalEval(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.filter(col(labelCol).isNotNull)
+    val qlab = q.select(col(idCol).as("query_id"), col(labelCol).as("ql"))
+    val ranked = bruteForceTopK(corpus, q, idCol, vecCol, k)
+    val hits = ranked
+      .join(broadcast(qlab), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("nl")),
+        "neighbor_id")
+      .groupBy("query_id")
+      .agg(first(col("ql")).as("label"),
+        sum(when(col("nl") === col("ql"), 1L).otherwise(0L)).as("hits_at_k"),
+        min(when(col("nl") === col("ql"), col("rank"))).as("first_rel_rank"))
+    val nRel = broadcast(qlab)
+      .join(corpus.select(col(idCol).as("nid"), col(labelCol).as("nl")),
+        col("nl") === col("ql") && col("nid") =!= col("query_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    hits.join(nRel, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel"))
+      .withColumn("first_rel_rank", col("first_rel_rank").cast("long"))
+      .withColumn("rr_micro", coalesce(
+        expr("1000000L div CAST(first_rel_rank AS BIGINT)"), lit(0L)))
+      .withColumn("precision_at_k",
+        col("hits_at_k").cast("double") / lit(k.toDouble))
+      .withColumn("recall_at_k", when(col("n_rel") > 0,
+        col("hits_at_k").cast("double") / col("n_rel").cast("double")))
+      .select("query_id", "label", "n_rel", "first_rel_rank", "rr_micro",
+        "hits_at_k", "precision_at_k", "recall_at_k")
+  }
 }

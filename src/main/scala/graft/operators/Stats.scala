@@ -561,4 +561,126 @@ object Stats {
       .select("g", "n", "lo", "hi", "trim_n", "trim_sum", "wins_sum",
         "trim_mean", "wins_mean")
   }
+
+  /** Spearman rank-correlation matrix: Pearson over tie-averaged ranks,
+    * the distribution-free complement to [[correlationMatrix]] (a
+    * monotone-but-nonlinear relationship Pearson underreports scores
+    * |ρ| → 1 here). Exactness: ranks are DOUBLED average ranks — for a
+    * run of `cnt` equal values ending at cumulative position `w`, the
+    * averaged rank (w−cnt+1+w)/2 doubles to the integer `2w−cnt+1` —
+    * so every Σr/Σr²/Σr_ar_b is an exact integer (DECIMAL(38,0) sums:
+    * doubled ranks are O(n), their squares O(n²), and int64 would wrap
+    * past n ≈ 1.3M rows; decimal128 holds to n ≈ 10¹²), and ρ is the
+    * one fixed double formula over those exact sums.
+    *
+    * Scale shape: per column, the rank map is built on the DISTINCT-
+    * value table (groupBy value, then a cumulative window over values
+    * — value-cardinality, not row-cardinality) and hash-joined back;
+    * the pair sums are one combinable aggregation. Rows with a NULL in
+    * ANY column are excluded first so all columns rank the same row
+    * set.
+    */
+  def spearmanMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val names = cols.map(_._1)
+    var rows = df.select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
+      .filter(names.map(col(_).isNotNull).reduce(_ && _))
+    for (n <- names) {
+      val ranks = rows.groupBy(col(n).as("__v"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__w", sum("__cnt").over(
+          Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("__v").as(n), (lit(2) * col("__w") - col("__cnt") + 1).as(s"__r_$n"))
+      rows = rows.join(ranks, n)
+    }
+    def dec(c: Column) = c.cast("decimal(18,0)")
+    val sums = names.flatMap { n =>
+      Seq(sum(dec(col(s"__r_$n"))).as(s"s_$n"),
+        sum(dec(col(s"__r_$n")) * dec(col(s"__r_$n"))).as(s"q_$n"))
+    } ++ names.combinations(2).map { case Seq(a, b) =>
+      sum(dec(col(s"__r_$a")) * dec(col(s"__r_$b"))).as(s"p_${a}_$b")
+    }
+    val allAggs = count(lit(1)).as("n") +: sums
+    val m = rows.agg(allAggs.head, allAggs.tail: _*)
+    def dd(c: Column) = c.cast("double")
+    val pairs = names.combinations(2).map { case Seq(a, b) =>
+      val va = dd(col("n")) * dd(col(s"q_$a")) - dd(col(s"s_$a")) * dd(col(s"s_$a"))
+      val vb = dd(col("n")) * dd(col(s"q_$b")) - dd(col(s"s_$b")) * dd(col(s"s_$b"))
+      val cv = dd(col("n")) * dd(col(s"p_${a}_$b")) - dd(col(s"s_$a")) * dd(col(s"s_$b"))
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        when(va > 0 && vb > 0, cv / (sqrt(va) * sqrt(vb))).as("rho"))
+    }
+    pairs.reduce(_.unionByName(_))
+  }
+
+  /** Cramér's V association strength for two categorical columns: the
+    * [0,1]-normalized chi-square `V = √(χ² / (n·(min(r,c)−1)))` — the
+    * "is this association big, not just significant" companion to
+    * [[chiSquareCells]], which supplies the per-cell decomposition
+    * (full marginal spine, zero-observed cells included). χ² is
+    * summed in integer micro-units — each cell's deterministic double
+    * contribution floored at 2²⁰ then integer-summed, so the total is
+    * order-free (a straight float Σ would drift with partitioning).
+    * Output is one row: (n, r_levels, c_levels, chi2_q, cramers_v);
+    * a 1-level margin (min(r,c) = 1) yields NULL V.
+    */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = chiSquareCells(df, aCol, bCol)
+      .withColumn("__q", floor(col("contrib") * (1L << 20)).cast("long"))
+    cells.agg(min("n").as("n"),
+        countDistinct(col("a")).as("r_levels"),
+        countDistinct(col("b")).as("c_levels"),
+        sum("__q").as("chi2_q"))
+      .withColumn("__k",
+        least(col("r_levels"), col("c_levels")).cast("long") - 1)
+      .withColumn("cramers_v", when(col("__k") > 0,
+        sqrt(col("chi2_q").cast("double") / (1L << 20).toDouble /
+          (col("n").cast("double") * col("__k").cast("double")))))
+      .select("n", "r_levels", "c_levels", "chi2_q", "cramers_v")
+  }
+
+  /** Poisson-bootstrap confidence interval for a mean (Chamandy et al.
+    * 2012, "Estimating Uncertainty for Massive Data Streams" — the
+    * resampling scheme built FOR this execution model): classic
+    * bootstrap resampling needs n draws per replicate coordinated
+    * across the cluster; the Poisson approximation gives every row an
+    * iid Poisson(1) multiplicity per replicate, so B replicates are
+    * ONE stateless map (row → B weighted copies) + ONE combinable
+    * aggregation — no global coordination, no second scan.
+    *
+    * Determinism: the replicate-b weight of row `id` inverts the
+    * Poisson(1) CDF at a 20-bit uniform carved from
+    * `md5(id:b)` (the repo's portable-hash idiom), thresholds
+    * pre-scaled to 2²⁰ integers — both engines draw the identical
+    * weight. Replicate sums are exact int64; each mean is one IEEE
+    * division; `rank_asc` orders the B means (ties by replicate id)
+    * so the 2.5%/97.5% CI reads off ranks 1 and B directly.
+    * Output: one row per replicate — (replicate, n_eff, sum_cents,
+    * mean_cents, rank_asc).
+    */
+  def poissonBootstrap(df: DataFrame, idCol: Column, centsCol: Column,
+                       replicates: Int = 32): DataFrame = {
+    require(replicates >= 2 && replicates <= 256,
+      s"replicates must be in [2, 256], got $replicates")
+    // P(X <= k) for X ~ Poisson(1), scaled to 2^20 and floored
+    val cum = Seq(385749L, 771498L, 964372L, 1028664L, 1044738L,
+      1047952L, 1048488L, 1048565L, 1048574L)
+    val rows = df.select(idCol.cast("string").as("id"), centsCol.cast("long").as("x"))
+      .filter(col("id").isNotNull && col("x").isNotNull)
+      .withColumn("b", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("u", conv(substring(
+        md5(concat(col("id"), lit(":"), col("b").cast("string"))), 1, 5), 16, 10)
+        .cast("long"))
+    val weight = cum.zipWithIndex.foldRight(lit(cum.length.toLong): Column) {
+      case ((thr, k), rest) => when(col("u") < thr, k.toLong).otherwise(rest)
+    }
+    val reps = rows.withColumn("w", weight)
+      .groupBy(col("b").cast("long").as("replicate"))
+      .agg(sum("w").as("n_eff"), sum(col("w") * col("x")).as("sum_cents"))
+      .withColumn("mean_cents", when(col("n_eff") > 0,
+        col("sum_cents").cast("double") / col("n_eff").cast("double")))
+    reps.withColumn("rank_asc", row_number().over(
+        Window.orderBy(col("mean_cents").asc_nulls_last, col("replicate"))).cast("long"))
+      .select("replicate", "n_eff", "sum_cents", "mean_cents", "rank_asc")
+  }
 }

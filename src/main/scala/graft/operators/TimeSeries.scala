@@ -260,4 +260,156 @@ object TimeSeries {
           "sum_xy", "acf")
     }.reduce(_.unionByName(_))
   }
+
+  /** Integer EWMA smoothing per series, α = 1/2: the classic
+    * exponentially-weighted level filter made hash-exact by folding in
+    * INTEGER milli-units — `s ← (s + x) div 2` left-folded over the
+    * series in (ts, id) order, seeded with the FIRST observation (the
+    * standard warm start; a zero seed would bias every short series
+    * toward 0). α = 1/2 keeps the recurrence a single integer add +
+    * shift, so both engines (Spark `aggregate`, DuckDB `list_reduce`)
+    * land on the identical int64 at every step — no float-summation
+    * order anywhere. Values enter as `round(abs(value)·1000)`: the
+    * abs keeps the fold domain non-negative, where Spark's truncating
+    * `div` and the oracle's flooring `//` agree.
+    *
+    * Scale shape: one shuffle on the series key; per-key state is the
+    * series' own observation list (the same per-entity bound every
+    * series operator here carries — events per user, not events
+    * total). The fold is O(len) per key, codegen'd higher-order
+    * `aggregate`, no window over raw events, no driver collect.
+    * Output: (key, n_obs, last_milli, ewma_milli, dev_milli,
+    * is_anomaly = |dev| > ewma).
+    */
+  def ewmaSmooth(events: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, idCol: String = "event_id"): DataFrame = {
+    val rows = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        struct(unix_micros(col(tsCol).cast("timestamp")).as("ts"),
+          col(idCol).as("id"),
+          round(abs(col(valCol)) * 1000).cast("long").as("x")).as("ob"))
+    rows.groupBy("k")
+      .agg(sort_array(collect_list(col("ob"))).as("obs"))
+      .withColumn("xs", expr("transform(obs, o -> o.x)"))
+      .withColumn("n_obs", size(col("xs")).cast("long"))
+      .withColumn("last_milli", expr("element_at(xs, -1)"))
+      .withColumn("ewma_milli",
+        expr("aggregate(slice(xs, 2, size(xs) - 1), xs[0], (acc, x) -> (acc + x) div 2L)"))
+      .withColumn("dev_milli", col("last_milli") - col("ewma_milli"))
+      .withColumn("is_anomaly", abs(col("dev_milli")) > col("ewma_milli"))
+      .select(col("k").as(keyCol), col("n_obs"), col("last_milli"),
+        col("ewma_milli"), col("dev_milli"), col("is_anomaly"))
+  }
+
+  /** SAX symbolization (Lin et al. 2003, "A Symbolic Representation of
+    * Time Series"): each series is PAA-reduced to `frames` equal-count
+    * frames (frame of the i-th observation = `i·frames div n` — the
+    * deterministic integer split), each frame mean z-scored against
+    * the series' own mean/std and binned into the 4-letter alphabet at
+    * the standard N(0,1) quartile breakpoints ±0.6745 and 0. Every
+    * mean/variance input is an exact int64 sum of milli-scaled values;
+    * z is a fixed double expression over those integers, so the
+    * breakpoint comparisons see bit-identical doubles on both engines.
+    * A flat series (n·Σx² = (Σx)², exact integer test) maps to 'c'
+    * (z = 0 falls in [0, 0.6745)). Output: one row per series —
+    * (key, n_obs, sax_word).
+    *
+    * Scale shape: two keyed aggregations (per-frame, then per-series
+    * pivot through `sort_array(collect_list)` over ≤ `frames`
+    * elements) — no window over raw observations, state per key is
+    * `frames` structs.
+    */
+  def saxSymbols(events: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, idCol: String = "event_id",
+                 frames: Int = 4): DataFrame = {
+    require(frames >= 1, s"frames must be >= 1, got $frames")
+    val w = Window.partitionBy("k")
+      .orderBy(col("ts"), col("id"))
+    val rows = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts"), col(idCol).as("id"),
+        round(col(valCol) * 1000).cast("long").as("x"))
+      .withColumn("idx", row_number().over(w).cast("long") - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("k")))
+      .withColumn("frame", expr(s"idx * ${frames}L div n"))
+    val perFrame = rows.groupBy("k", "frame")
+      .agg(count(lit(1)).as("cf"), sum("x").as("sf"),
+        first(col("n")).as("n"))
+    val perKey = perFrame.groupBy("k")
+      .agg(first(col("n")).as("n"), sum("sf").as("s"),
+        sort_array(collect_list(struct(col("frame"), col("cf"), col("sf")))).as("fs"))
+    // Σx² must come from the row table (frame sums lose it)
+    val sq = rows.groupBy("k").agg(sum(col("x") * col("x")).as("q"))
+    def dd(c: Column) = c.cast("double")
+    perKey.join(sq, "k")
+      .withColumn("var_num", col("n") * col("q") - col("s") * col("s"))
+      .withColumn("sax_word", expr(
+        """concat_ws('', transform(fs, f ->
+          |  CASE WHEN var_num = 0L THEN 'c'
+          |    ELSE CASE
+          |      WHEN (CAST(f.sf AS DOUBLE) / CAST(f.cf AS DOUBLE)
+          |            - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |           * CAST(n AS DOUBLE) / SQRT(CAST(var_num AS DOUBLE)) < -0.6745D THEN 'a'
+          |      WHEN (CAST(f.sf AS DOUBLE) / CAST(f.cf AS DOUBLE)
+          |            - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |           * CAST(n AS DOUBLE) / SQRT(CAST(var_num AS DOUBLE)) < 0.0D THEN 'b'
+          |      WHEN (CAST(f.sf AS DOUBLE) / CAST(f.cf AS DOUBLE)
+          |            - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |           * CAST(n AS DOUBLE) / SQRT(CAST(var_num AS DOUBLE)) < 0.6745D THEN 'c'
+          |      ELSE 'd' END END))""".stripMargin))
+      .select(col("k").as(keyCol), col("n").as("n_obs"), col("sax_word"))
+  }
+
+  /** Lead-lag cross-correlation between two daily count series: for
+    * each lag L in [0, maxLag], Pearson correlation of (x_d, y_{d+L})
+    * over the shared day spine d ∈ [d0, d1−L] — the does-x-precede-y
+    * diagnostic (errors after deploys, purchases after campaigns).
+    * Both series are zero-filled over the FULL [d0, d1] spine first —
+    * skipping absent days would silently correlate only co-active
+    * days and flip signs on sparse series. Counts are exact int64;
+    * each lag's Σx/Σy/Σxy/Σx²/Σy² are exact integer sums over the
+    * spine join, and the correlation is the one fixed double formula.
+    *
+    * Scale shape: the fact scan reduces to per-day counts (combinable,
+    * day-cardinality output); everything after — spine, per-lag joins
+    * — is day-spine-sized (years, not rows). maxLag+1 spine self-joins
+    * on consecutive integers, each broadcast-sized.
+    */
+  def crossCorrelation(events: DataFrame, tsCol: String, typeCol: String,
+                       xType: String, yType: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val days = events.filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(expr(s"floor(unix_micros(CAST($tsCol AS TIMESTAMP)) / 1000000L) div 86400L").as("d"),
+        col(typeCol).as("t"))
+      .groupBy("d")
+      .agg(sum(when(col("t") === xType, 1L).otherwise(0L)).as("x"),
+        sum(when(col("t") === yType, 1L).otherwise(0L)).as("y"))
+    val bounds = days.agg(min("d").as("d0"), max("d").as("d1"))
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .join(days, Seq("d"), "left")
+      .na.fill(0L, Seq("x", "y"))
+    def dd(c: Column) = c.cast("double")
+    (0 to maxLag).map { lagK =>
+      val m = spine.as("a").join(spine.as("b"),
+          col("b.d") === col("a.d") + lit(lagK.toLong))
+        .select(col("a.x").as("x"), col("b.y").as("y"))
+        .agg(count(lit(1)).as("n_days"),
+          sum("x").as("sum_x"), sum("y").as("sum_y"),
+          sum(col("x") * col("x")).as("sum_xx"),
+          sum(col("y") * col("y")).as("sum_yy"),
+          sum(col("x") * col("y")).as("sum_xy"))
+      val vx = dd(col("n_days")) * dd(col("sum_xx")) - dd(col("sum_x")) * dd(col("sum_x"))
+      val vy = dd(col("n_days")) * dd(col("sum_yy")) - dd(col("sum_y")) * dd(col("sum_y"))
+      val cov = dd(col("n_days")) * dd(col("sum_xy")) - dd(col("sum_x")) * dd(col("sum_y"))
+      m.withColumn("lag", lit(lagK.toLong))
+        .withColumn("xcorr", when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))))
+        // an ungrouped agg yields its count-0 row even when the lag
+        // exceeds the day span; a lag with no pairs must be ABSENT
+        .filter(col("n_days") > 0)
+        .select("lag", "n_days", "sum_x", "sum_y", "sum_xy", "xcorr")
+    }.reduce(_.unionByName(_))
+  }
 }
