@@ -40,6 +40,25 @@ object Queries {
        |p${k + 1} AS (SELECT n.id, (1 - 0.85) / nn.n + 0.85 * (coalesce(c.c, 0) + d.dm / nn.n) AS pr
        |  FROM nodes n CROSS JOIN nn CROSS JOIN dang$k d LEFT JOIN c$k c ON n.id = c.id)""".stripMargin
 
+  /** The row-36 langid heuristic as a SQL CASE — shared by the
+    * text_langid / q_cohens_kappa oracles so the replayed classifier
+    * cannot drift from itself.
+    */
+  private val langIdCaseSql: String =
+    """CASE
+      |  WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+      |  WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |         t -> t IN ('the','and','of','to','a','in','is','it'))) >=
+      |       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |         t -> t IN ('el','la','de','los','que','y')))
+      |   AND len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |         t -> t IN ('the','and','of','to','a','in','is','it'))) > 0 THEN 'en'
+      |  WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |         t -> t IN ('el','la','de','los','que','y'))) >
+      |       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |         t -> t IN ('the','and','of','to','a','in','is','it'))) THEN 'es'
+      |  ELSE 'unknown' END""".stripMargin
+
   /** Kirsch–Mitzenmacher minhash select list `m0..m{n-1}` over `hs`. */
   private def mhSigSql(numHashes: Int): String =
     (0 until numHashes).map(i =>
@@ -5712,7 +5731,250 @@ object Queries {
         |  FROM pc CROSS JOIN mx)
         |SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_customers,
         |  sum(f)::BIGINT AS sum_orders, sum(m)::BIGINT AS sum_cents
-        |FROM sc GROUP BY 1, 2, 3""".stripMargin))
+        |FROM sc GROUP BY 1, 2, 3""".stripMargin)),
+
+    // §2.2/277 — one-way ANOVA F (r12): between/within sum-of-squares
+    // from exact integer moments; the per-group rational S²/n is
+    // floor-quantized BEFORE summation so the statistic is
+    // partitioning-order-free.
+    "q_anova" -> QueryDef(
+      (s, d) => operators.Stats.oneWayAnova(ds(s, d, "lineitem").toDF,
+        col("l_returnflag"), round(col("l_quantity"))),
+      Some("""WITH g AS (SELECT l_returnflag AS g, count(*)::BIGINT AS n_g,
+        |    sum(round(l_quantity)::BIGINT)::BIGINT AS s_g,
+        |    sum(round(l_quantity)::BIGINT * round(l_quantity)::BIGINT)::BIGINT AS q_g
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS k_groups, sum(n_g)::BIGINT AS n,
+        |    sum(s_g)::BIGINT AS s, sum(q_g)::BIGINT AS q,
+        |    sum(s_g * s_g // n_g)::BIGINT AS tsum FROM g)
+        |SELECT k_groups, n, (tsum - s * s // n)::BIGINT AS ssb_q,
+        |  (q - tsum)::BIGINT AS ssw_q, (k_groups - 1)::BIGINT AS df_between,
+        |  (n - k_groups)::BIGINT AS df_within,
+        |  CASE WHEN k_groups > 1 AND n > k_groups AND q - tsum > 0
+        |    THEN ((tsum - s * s // n)::DOUBLE / (k_groups - 1)::DOUBLE)
+        |       / ((q - tsum)::DOUBLE / (n - k_groups)::DOUBLE) END AS f_stat
+        |FROM t""".stripMargin)),
+
+    // §2.2/278 — Lorenz curve points (r12): the distribution behind
+    // row 189's Gini scalar — deciled by value ascending with the
+    // entity key tiebreak, exact cumulative shares in micro-units.
+    "q_lorenz" -> QueryDef(
+      (s, d) => operators.Analytics.lorenzCurve(ds(s, d, "orders").toDF,
+        col("o_custkey"), round(col("o_totalprice") * 100)),
+      Some("""WITH rev AS (SELECT o_custkey AS ent,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS v FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1 HAVING sum(round(o_totalprice * 100)::BIGINT) > 0),
+        |dt AS (SELECT ntile(10) OVER (ORDER BY v, ent)::BIGINT AS decile, v FROM rev),
+        |bd AS (SELECT decile, count(*)::BIGINT AS n_units,
+        |    sum(v)::BIGINT AS decile_cents FROM dt GROUP BY 1),
+        |c AS (SELECT *, sum(decile_cents) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cents FROM bd),
+        |t AS (SELECT sum(decile_cents)::BIGINT AS tot FROM bd)
+        |SELECT decile, n_units, decile_cents, cum_cents,
+        |  (cum_cents * 1000000 // tot)::BIGINT AS cum_share_micro
+        |FROM c CROSS JOIN t""".stripMargin)),
+
+    // §2.2/279 — Holt level+trend forecast (r12): double-exponential
+    // smoothing with both states packed into ONE int64 accumulator
+    // folded in (ts, id) order — floor-Holt, hash-exact cross-engine.
+    "q_holt_forecast" -> QueryDef(
+      (s, d) => operators.TimeSeries.holtForecast(
+        ds(s, d, "events").toDF, "user_id", "ts", "value"),
+      Some("""WITH r0 AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    round(abs(value) * 1000)::BIGINT + 1073741824 AS y FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |l AS (SELECT user_id, list(y ORDER BY tsu, event_id) AS ys FROM r0 GROUP BY user_id),
+        |f AS (SELECT user_id, len(ys)::BIGINT AS n_obs,
+        |    list_reduce(list_prepend(ys[1] * 4294967296 + 2147483648, ys[2:]),
+        |      (acc, y) -> ((y + (acc // 4294967296) + ((acc % 4294967296) - 2147483648)) // 2) * 4294967296
+        |        + ((((y + (acc // 4294967296) + ((acc % 4294967296) - 2147483648)) // 2)
+        |            - (acc // 4294967296) + (acc % 4294967296) + 2147483648) // 2)) AS acc
+        |  FROM l)
+        |SELECT user_id, n_obs,
+        |  (acc // 4294967296 - 1073741824)::BIGINT AS level_milli,
+        |  (acc % 4294967296 - 2147483648)::BIGINT AS trend_milli,
+        |  (acc // 4294967296 - 1073741824 + (acc % 4294967296 - 2147483648))::BIGINT AS forecast_1,
+        |  (acc // 4294967296 - 1073741824 + 2 * (acc % 4294967296 - 2147483648))::BIGINT AS forecast_2,
+        |  (acc // 4294967296 - 1073741824 + 3 * (acc % 4294967296 - 2147483648))::BIGINT AS forecast_3
+        |FROM f""".stripMargin)),
+
+    // §2.2/280 — A/B power analysis / required sample size (r12):
+    // n = ceil((z_a + z_b)² · 2σ² / δ²) at 5% MDE, moments exact.
+    "q_power_mde" -> QueryDef(
+      (s, d) => {
+        val units = ds(s, d, "events").toDF
+          .filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase" && col("value").isNotNull,
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+        operators.Stats.powerSampleSize(units, col("cents"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |      THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS v
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS n_units, sum(v)::BIGINT AS sum_v,
+        |    sum(v * v)::BIGINT AS sumsq_v FROM u),
+        |w AS (SELECT *, sum_v::DOUBLE / n_units::DOUBLE AS mean_v,
+        |    (n_units::DOUBLE * sumsq_v::DOUBLE - sum_v::DOUBLE * sum_v::DOUBLE)
+        |      / (n_units::DOUBLE * n_units::DOUBLE) AS var_v FROM m),
+        |w2 AS (SELECT *, mean_v * 0.05 AS mde_v FROM w)
+        |SELECT n_units, sum_v, sumsq_v, mean_v, var_v, mde_v,
+        |  CASE WHEN mean_v > 0 AND var_v > 0
+        |    THEN ceil((1.959964 + 0.841621) * (1.959964 + 0.841621) * 2.0
+        |      * var_v / (mde_v * mde_v))::BIGINT END AS n_required
+        |FROM w2""".stripMargin)),
+
+    // §2.2/281 — Cohen's kappa (r12): chance-corrected agreement of
+    // the declared language label vs the row-36 langid heuristic —
+    // κ from exact integer counts, one division.
+    "q_cohens_kappa" -> QueryDef(
+      (s, d) => {
+        val p = ds(s, d, "documents").toDF
+        operators.Stats.cohensKappa(p, col("lang"),
+          TextFunctions.langId(col("text")))
+      },
+      Some(s"""WITH p AS (SELECT lang AS r1, $langIdCaseSql AS r2 FROM documents),
+        |f AS (SELECT r1, r2 FROM p WHERE r1 IS NOT NULL AND r2 IS NOT NULL),
+        |a AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END)::BIGINT AS agree FROM f),
+        |m1 AS (SELECT r1 AS c, count(*)::BIGINT AS m1 FROM f GROUP BY 1),
+        |m2 AS (SELECT r2 AS c, count(*)::BIGINT AS m2 FROM f GROUP BY 1),
+        |pe AS (SELECT coalesce(sum(m1.m1 * m2.m2), 0)::BIGINT AS pe_q
+        |  FROM m1 JOIN m2 USING (c))
+        |SELECT n, agree, pe_q,
+        |  CASE WHEN n * n <> pe_q THEN (agree * n - pe_q)::DOUBLE
+        |    / (n * n - pe_q)::DOUBLE END AS kappa
+        |FROM a CROSS JOIN pe""".stripMargin)),
+
+    // §2.2/282 — time-decayed popularity ranking (r12): per-event
+    // score 10⁶ div 2^(age div halflife) — exact integer halving
+    // decay — summed per part, top-50.
+    "q_decay_popularity" -> QueryDef(
+      (s, d) => operators.Analytics.decayPopularity(
+        ds(s, d, "lineitem").toDF, col("l_partkey"), "l_shipdate"),
+      Some("""WITH r0 AS (SELECT l_partkey AS item,
+        |    floor(epoch(l_shipdate))::BIGINT // 86400 AS day FROM lineitem
+        |  WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL),
+        |mx AS (SELECT max(day) AS maxd FROM r0),
+        |sc AS (SELECT item, count(*)::BIGINT AS n_events,
+        |    sum(1000000 // (1::BIGINT << least((maxd - day) // 28, 40)))::BIGINT AS score_micro
+        |  FROM r0 CROSS JOIN mx GROUP BY 1),
+        |rk AS (SELECT item, n_events, score_micro,
+        |    row_number() OVER (ORDER BY score_micro DESC, item)::BIGINT AS rank FROM sc)
+        |SELECT item, n_events, score_micro, rank FROM rk WHERE rank <= 50""".stripMargin)),
+
+    // §2.2/283 — exact 1-D earth mover's distance per event type vs
+    // all events (r12): the integral companion to row 218's KS max —
+    // Σ|cross-multiplied CDF dev|·support-gap exact, one division.
+    "q_emd" -> QueryDef(
+      (s, d) => operators.Stats.emd1d(
+        ds(s, d, "events").toDF.withColumn("v_dollars", round(col("value"))),
+        "event_type", "v_dollars"),
+      Some("""WITH vals AS (SELECT event_type AS grp, round(value)::BIGINT AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |sc AS (SELECT grp, v, count(*)::BIGINT AS n_sv FROM vals GROUP BY 1, 2),
+        |g AS (SELECT grp, count(*)::BIGINT AS n_s FROM vals GROUP BY 1),
+        |sup AS (SELECT DISTINCT v FROM vals),
+        |tot AS (SELECT count(*)::BIGINT AS n_g FROM vals),
+        |cum AS (SELECT g.grp, g.n_s, sup.v,
+        |    sum(coalesce(sc.n_sv, 0)) OVER (PARTITION BY g.grp ORDER BY sup.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_s,
+        |    coalesce(lead(sup.v) OVER (PARTITION BY g.grp ORDER BY sup.v) - sup.v,
+        |      0)::BIGINT AS gap
+        |  FROM g CROSS JOIN sup LEFT JOIN sc ON sc.grp = g.grp AND sc.v = sup.v),
+        |gc AS (SELECT v, sum(cum_s)::BIGINT AS cum_g FROM cum GROUP BY v)
+        |SELECT cum.grp AS event_type, min(cum.n_s)::BIGINT AS n_group,
+        |  min(tot.n_g)::BIGINT AS n_total,
+        |  sum(abs(tot.n_g * cum.cum_s - cum.n_s * gc.cum_g) * cum.gap)::BIGINT AS emd_num,
+        |  sum(abs(tot.n_g * cum.cum_s - cum.n_s * gc.cum_g) * cum.gap)::DOUBLE
+        |    / (min(tot.n_g) * min(cum.n_s))::DOUBLE AS emd
+        |FROM cum JOIN gc USING (v) CROSS JOIN tot GROUP BY 1""".stripMargin)),
+
+    // §2.2/284 — hapax legomena rate per source (r12): once-seen types
+    // / all types — the vocabulary-health companion to row 262's TTR.
+    "text_hapax" -> QueryDef(
+      (s, d) => ds(s, d, "documents").toDF
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("hapax_rate",
+          col("n_hapax").cast("double") / col("n_types").cast("double")),
+      Some("""WITH t AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |c AS (SELECT source, tok, count(*)::BIGINT AS c FROM t
+        |  WHERE length(tok) > 0 GROUP BY 1, 2)
+        |SELECT source, count(*)::BIGINT AS n_types,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS hapax_rate
+        |FROM c GROUP BY 1""".stripMargin)),
+
+    // §2.2/285 — first-order partial correlation (r12): ρ_xy·z over
+    // the three pairwise Pearsons from ONE scan's exact moments — the
+    // confounder screen beside row 229's matrix.
+    "q_partial_corr" -> QueryDef(
+      (s, d) => operators.Stats.partialCorrelation(ds(s, d, "lineitem").toDF,
+        "qty" -> round(col("l_quantity")),
+        "price_dd" -> round(col("l_extendedprice") / 10),
+        "disc_c" -> round(col("l_discount") * 100)),
+      Some("""WITH v AS (SELECT round(l_quantity)::BIGINT AS x,
+        |    round(l_extendedprice / 10)::BIGINT AS y,
+        |    round(l_discount * 100)::BIGINT AS z FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(z)::BIGINT AS sz, sum(x * x)::BIGINT AS qx, sum(y * y)::BIGINT AS qy,
+        |    sum(z * z)::BIGINT AS qz, sum(x * y)::BIGINT AS pxy,
+        |    sum(x * z)::BIGINT AS pxz, sum(y * z)::BIGINT AS pyz FROM v),
+        |r AS (SELECT n,
+        |    CASE WHEN n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+        |          AND n::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+        |      THEN (n::DOUBLE * pxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |        / (sqrt(n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         * sqrt(n::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END AS r_xy,
+        |    CASE WHEN n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+        |          AND n::DOUBLE * qz::DOUBLE - sz::DOUBLE * sz::DOUBLE > 0
+        |      THEN (n::DOUBLE * pxz::DOUBLE - sx::DOUBLE * sz::DOUBLE)
+        |        / (sqrt(n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         * sqrt(n::DOUBLE * qz::DOUBLE - sz::DOUBLE * sz::DOUBLE)) END AS r_xz,
+        |    CASE WHEN n::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+        |          AND n::DOUBLE * qz::DOUBLE - sz::DOUBLE * sz::DOUBLE > 0
+        |      THEN (n::DOUBLE * pyz::DOUBLE - sy::DOUBLE * sz::DOUBLE)
+        |        / (sqrt(n::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+        |         * sqrt(n::DOUBLE * qz::DOUBLE - sz::DOUBLE * sz::DOUBLE)) END AS r_yz
+        |  FROM m)
+        |SELECT n, r_xy, r_xz, r_yz,
+        |  CASE WHEN r_xy IS NOT NULL AND r_xz IS NOT NULL AND r_yz IS NOT NULL
+        |        AND (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0
+        |    THEN (r_xy - r_xz * r_yz)
+        |      / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) END AS partial_r
+        |FROM r""".stripMargin)),
+
+    // §2.2/286 — token burstiness / Fano factor for the top-30 tokens
+    // (r12): D·Σc² − tot² over per-doc counts (zeros through D) in
+    // exact milli-units — the boilerplate-token detector.
+    "text_burstiness" -> QueryDef(
+      (s, d) => operators.Analytics.tokenBurstiness(
+        ds(s, d, "documents").toDF, "doc_id", "text"),
+      Some("""WITH pd AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |d AS (SELECT count(*)::BIGINT AS d_docs FROM pd),
+        |c AS (SELECT doc_id, tok AS w, count(*)::BIGINT AS c FROM
+        |    (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM pd)
+        |  WHERE length(tok) > 0 GROUP BY 1, 2),
+        |pt AS (SELECT w, sum(c)::BIGINT AS tot, count(*)::BIGINT AS n_docs_with,
+        |    sum(c * c)::BIGINT AS sumsq FROM c GROUP BY 1),
+        |top AS (SELECT *, row_number() OVER (ORDER BY tot DESC, w) AS rk FROM pt)
+        |SELECT w AS token, tot, n_docs_with,
+        |  ((d_docs * sumsq - tot * tot) * 1000 // (d_docs * tot))::BIGINT AS fano_milli
+        |FROM top CROSS JOIN d WHERE rk <= 30""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

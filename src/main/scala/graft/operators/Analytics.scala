@@ -704,4 +704,112 @@ object Analytics {
         sum(col("share_bp") * col("share_bp")).as("hhi_bp2"),
         max("share_bp").as("top_share_bp"))
   }
+
+  /** Lorenz curve points — the DISTRIBUTION behind row 189's Gini
+    * scalar ("the top decile holds 45% of revenue" is read off this
+    * table, not off a coefficient): entities deciled by value
+    * ascending (`ntile(10)` with the entity key as total-order
+    * tiebreak), per decile exact counts/sums and the cumulative value
+    * share in integer micro-units (`cum·10⁶ div total`). Positive
+    * values only (cumulative shares of a mixed-sign total are not
+    * monotone, and the floor division needs a positive domain).
+    * Output ≤10 rows: (decile, n_units, decile_cents, cum_cents,
+    * cum_share_micro). The ntile sort is global — fine to ~10⁸
+    * entities, then pre-aggregate or sample.
+    */
+  def lorenzCurve(facts: DataFrame, entityCol: Column, centsCol: Column,
+                  deciles: Int = 10): DataFrame = {
+    require(deciles >= 2 && deciles <= 100, s"deciles in [2,100], got $deciles")
+    val rev = facts.select(entityCol.as("ent"), centsCol.cast("long").as("cents"))
+      .filter(col("ent").isNotNull && col("cents").isNotNull)
+      .groupBy("ent").agg(sum("cents").as("v"))
+      .filter(col("v") > 0)
+    val byDecile = rev
+      .withColumn("decile", ntile(deciles).over(
+        Window.orderBy(col("v"), col("ent"))).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_units"), sum("v").as("decile_cents"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum_cents", sum("decile_cents").over(wCum))
+      .crossJoin(broadcast(byDecile.agg(sum("decile_cents").as("tot"))))
+      .withColumn("cum_share_micro", expr("cum_cents * 1000000L div tot"))
+      .select("decile", "n_units", "decile_cents", "cum_cents",
+        "cum_share_micro")
+  }
+
+  /** Time-decayed popularity ranking — the recsys/trending primitive:
+    * each event contributes `10⁶ div 2^(age_days div halfLife)` score
+    * micro-units (exact integer halving steps — the deterministic
+    * stand-in for continuous exponential decay; within a halving
+    * window recency does not discriminate, by contract), summed per
+    * item, top-k by (score desc, item). Age is measured from the
+    * corpus max day (broadcast one-row), so the ranking is
+    * reproducible from the data alone. Output ≤ k rows:
+    * (item, n_events, score_micro, rank).
+    * Scale shape: one combinable per-item aggregation after a
+    * stateless age map; the rank window runs on the item table.
+    */
+  def decayPopularity(facts: DataFrame, itemCol: Column, tsCol: String,
+                      halfLifeDays: Int = 28, topK: Int = 50): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val rows = facts.select(itemCol.as("item"),
+        expr(s"floor(unix_micros(CAST($tsCol AS TIMESTAMP)) / 1000000L) div 86400L")
+          .as("day"))
+      .filter(col("item").isNotNull && col("day").isNotNull)
+    val maxd = rows.agg(max("day").as("maxd"))
+    val scored = rows.crossJoin(broadcast(maxd))
+      .withColumn("steps",
+        least(expr(s"(maxd - day) div ${halfLifeDays}L"), lit(40L)))
+      .withColumn("contrib", expr("1000000L div shiftleft(1L, CAST(steps AS INT))"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_events"), sum("contrib").as("score_micro"))
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("item"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("item", "n_events", "score_micro", "rank")
+  }
+
+  /** Token burstiness (Fano factor) for the corpus' top-N tokens — the
+    * template/boilerplate detector: a token whose occurrences CLUMP
+    * (variance ≫ mean across documents, zeros included) is structural
+    * boilerplate, not vocabulary; content words sit near Poisson
+    * (Fano ≈ 1 + a bit). Exact integers end to end:
+    * `fano_micro = (D·Σc² − tot²)·10⁶ div (D·tot)` over per-document
+    * counts c (documents NOT containing the token contribute zeros
+    * through D, never materialized). Top-N selection is deterministic
+    * (count desc, token). Output N rows: (token, tot, n_docs_with,
+    * fano_micro).
+    * Scale shape: one token explode + combinable (token, doc) counts;
+    * the moment reduction and top-N window run on token-cardinality
+    * tables; D is a one-row broadcast.
+    */
+  def tokenBurstiness(df: DataFrame, idCol: String, textCol: String,
+                      topN: Int = 30): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val perDoc = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+    val d = perDoc.agg(count(lit(1)).as("d_docs")) // one row, broadcast
+    val counts = perDoc
+      .select(col("__doc"), explode(col("__toks")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("__doc", "w").agg(count(lit(1)).as("c"))
+    val perTok = counts.groupBy("w")
+      .agg(sum("c").as("tot"), count(lit(1)).as("n_docs_with"),
+        sum(col("c") * col("c")).as("sumsq"))
+    val top = perTok.withColumn("__rk", row_number().over(
+        Window.orderBy(col("tot").desc, col("w"))))
+      .filter(col("__rk") <= topN)
+    // milli (not micro) scale: tot² · scale must stay in int64 —
+    // 10³ holds to ~6·10⁷ total occurrences of one token (sf10-ish);
+    // shard the corpus past that
+    top.crossJoin(broadcast(d))
+      .withColumn("fano_milli",
+        expr("(d_docs * sumsq - tot * tot) * 1000L div (d_docs * tot)"))
+      .select(col("w").as("token"), col("tot"), col("n_docs_with"),
+        col("fano_milli"))
+  }
 }

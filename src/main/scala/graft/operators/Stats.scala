@@ -683,4 +683,175 @@ object Stats {
         Window.orderBy(col("mean_cents").asc_nulls_last, col("replicate"))).cast("long"))
       .select("replicate", "n_eff", "sum_cents", "mean_cents", "rank_asc")
   }
+
+  /** One-way ANOVA F-statistic — "do the group means differ more than
+    * chance": between/within sum-of-squares decomposition over exact
+    * integer moments. Cross-engine exactness needs ORDER-FREE sums, so
+    * the per-group rational S_g²/n_g is floor-quantized to the integer
+    * `S_g² div n_g` BEFORE summation (the documented contract —
+    * truncation error ≤ k units against sums of ~N·var, invisible at
+    * any real effect size): `ssb_q = Σ_g(S_g² div n_g) − S² div N`,
+    * `ssw_q = ΣX² − Σ_g(S_g² div n_g)`, F one double expression.
+    * Bound: S_g² must stay in int64 → Σ_g x ≲ 3·10⁹ per group (shard
+    * by a secondary key past that). Degenerate inputs (k < 2 or
+    * ssw_q ≤ 0) report NULL F. Output one row:
+    * (k_groups, n, ssb_q, ssw_q, df_between, df_within, f_stat).
+    * Scale shape: one combinable per-group aggregation, one k-row
+    * reduction — nothing else.
+    */
+  def oneWayAnova(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val g = df.select(groupCol.as("g"), valueCol.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_g"), sum("x").as("s_g"),
+        sum(col("x") * col("x")).as("q_g"))
+      .withColumn("term", expr("s_g * s_g div n_g"))
+    def dd(c: Column) = c.cast("double")
+    g.agg(count(lit(1)).as("k_groups"), sum("n_g").as("n"),
+        sum("s_g").as("s"), sum("q_g").as("q"), sum("term").as("tsum"))
+      .withColumn("ssb_q", col("tsum") - expr("s * s div n"))
+      .withColumn("ssw_q", col("q") - col("tsum"))
+      .withColumn("df_between", col("k_groups") - 1)
+      .withColumn("df_within", col("n") - col("k_groups"))
+      .withColumn("f_stat", when(
+        col("df_between") > 0 && col("df_within") > 0 && col("ssw_q") > 0,
+        (dd(col("ssb_q")) / dd(col("df_between"))) /
+          (dd(col("ssw_q")) / dd(col("df_within")))))
+      .select("k_groups", "n", "ssb_q", "ssw_q", "df_between", "df_within",
+        "f_stat")
+  }
+
+  /** Cohen's kappa — inter-rater agreement corrected for chance (the
+    * classifier-vs-ground-truth QA number a labeling pipeline
+    * reports). From exact integer counts only:
+    * `κ = (agree·n − Σ_c m1_c·m2_c) / (n² − Σ_c m1_c·m2_c)` — the
+    * n-scaled form of (p_o − p_e)/(1 − p_e), one IEEE division at the
+    * end. NULL ratings are excluded pairwise (a rating of NULL is "no
+    * rating", not a category). Perfect chance agreement (pe = n²)
+    * reports NULL. Bound: n² in int64 → n ≲ 3·10⁹ pairs.
+    * Output one row: (n, agree, pe_q, kappa).
+    */
+  def cohensKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame = {
+    val pairs = df.select(rater1.as("r1"), rater2.as("r2"))
+      .filter(col("r1").isNotNull && col("r2").isNotNull)
+    val agree = pairs.agg(count(lit(1)).as("n"),
+      sum(when(col("r1") === col("r2"), 1L).otherwise(0L)).as("agree"))
+    val m1 = pairs.groupBy(col("r1").as("c")).agg(count(lit(1)).as("m1"))
+    val m2 = pairs.groupBy(col("r2").as("c")).agg(count(lit(1)).as("m2"))
+    val pe = m1.join(m2, "c")
+      .agg(coalesce(sum(col("m1") * col("m2")), lit(0L)).as("pe_q"))
+    agree.crossJoin(broadcast(pe))
+      .withColumn("kappa", when(col("n") * col("n") =!= col("pe_q"),
+        (col("agree") * col("n") - col("pe_q")).cast("double") /
+          (col("n") * col("n") - col("pe_q")).cast("double")))
+      .select("n", "agree", "pe_q", "kappa")
+  }
+
+  /** A/B power analysis — the required per-arm sample size to detect a
+    * `mdePct`% lift on a unit-level metric at α = 0.05 (two-sided) /
+    * 80% power: `n = ⌈(z_{α/2} + z_β)² · 2σ² / δ²⌉` with
+    * z constants as literals (1.959964 + 0.841621, squared in-engine
+    * so both sides run the identical double ops). μ and σ² come from
+    * exact integer moments over the unit metric (one combinable
+    * aggregation); δ = mdePct% of μ. Degenerate inputs (μ ≤ 0 or zero
+    * variance) report NULL. Output one row:
+    * (n_units, sum_v, sumsq_v, mean_v, var_v, mde_v, n_required).
+    */
+  def powerSampleSize(units: DataFrame, valueCol: Column,
+                      mdePct: Int = 5): DataFrame = {
+    require(mdePct >= 1 && mdePct <= 100, s"mdePct in [1,100], got $mdePct")
+    def dd(c: Column) = c.cast("double")
+    units.select(valueCol.cast("long").as("v")).filter(col("v").isNotNull)
+      .agg(count(lit(1)).as("n_units"), sum("v").as("sum_v"),
+        sum(col("v") * col("v")).as("sumsq_v"))
+      .withColumn("mean_v", dd(col("sum_v")) / dd(col("n_units")))
+      .withColumn("var_v",
+        (dd(col("n_units")) * dd(col("sumsq_v")) - dd(col("sum_v")) * dd(col("sum_v"))) /
+          (dd(col("n_units")) * dd(col("n_units"))))
+      .withColumn("mde_v", col("mean_v") * lit(mdePct / 100.0))
+      .withColumn("n_required", when(col("mean_v") > 0 && col("var_v") > 0,
+        ceil(lit(1.959964 + 0.841621) * lit(1.959964 + 0.841621) *
+          lit(2.0) * col("var_v") / (col("mde_v") * col("mde_v")))))
+      .select("n_units", "sum_v", "sumsq_v", "mean_v", "var_v", "mde_v",
+        "n_required")
+  }
+
+  /** First-order partial correlation ρ_xy·z — the association of x and
+    * y with z "held constant", the confounder screen:
+    * `(ρxy − ρxz·ρyz) / √((1−ρxz²)(1−ρyz²))` over the three pairwise
+    * Pearsons, each the fixed double formula over exact int64 moments
+    * from ONE fact scan (the [[correlationMatrix]] discipline). NULL
+    * when any marginal variance is zero or a denominator term
+    * vanishes. Output one row: (n, r_xy, r_xz, r_yz, partial_r).
+    */
+  def partialCorrelation(df: DataFrame, xCol: (String, Column),
+                         yCol: (String, Column), zCol: (String, Column)): DataFrame = {
+    val base = df.select(xCol._2.cast("long").as("x"), yCol._2.cast("long").as("y"),
+        zCol._2.cast("long").as("z"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("z").isNotNull)
+    val m = base.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum(col("x") * col("x")).as("qx"), sum(col("y") * col("y")).as("qy"),
+      sum(col("z") * col("z")).as("qz"),
+      sum(col("x") * col("y")).as("pxy"), sum(col("x") * col("z")).as("pxz"),
+      sum(col("y") * col("z")).as("pyz"))
+    def dd(c: Column) = c.cast("double")
+    def r(p: Column, sa: Column, sb: Column, qa: Column, qb: Column) = {
+      val va = dd(col("n")) * dd(qa) - dd(sa) * dd(sa)
+      val vb = dd(col("n")) * dd(qb) - dd(sb) * dd(sb)
+      when(va > 0 && vb > 0,
+        (dd(col("n")) * dd(p) - dd(sa) * dd(sb)) / (sqrt(va) * sqrt(vb)))
+    }
+    m.withColumn("r_xy", r(col("pxy"), col("sx"), col("sy"), col("qx"), col("qy")))
+      .withColumn("r_xz", r(col("pxz"), col("sx"), col("sz"), col("qx"), col("qz")))
+      .withColumn("r_yz", r(col("pyz"), col("sy"), col("sz"), col("qy"), col("qz")))
+      .withColumn("partial_r", when(
+        col("r_xy").isNotNull && col("r_xz").isNotNull && col("r_yz").isNotNull &&
+          (lit(1.0) - col("r_xz") * col("r_xz")) * (lit(1.0) - col("r_yz") * col("r_yz")) > 0,
+        (col("r_xy") - col("r_xz") * col("r_yz")) /
+          sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+            (lit(1.0) - col("r_yz") * col("r_yz")))))
+      .select("n", "r_xy", "r_xz", "r_yz", "partial_r")
+  }
+
+  /** Exact 1-D earth mover's distance per group vs the whole corpus —
+    * the INTEGRAL companion to [[Analytics.ksDrift]]'s max-deviation
+    * (KS is blind to how long a small CDF gap persists; EMD = ∫|F_g −
+    * F_corpus| dv charges for it). Same cross-multiplied-rational
+    * discipline as ksDrift: at each support value,
+    * dev = |n_corp·cum_g − n_g·cum_corp| (exact int), weighted by the
+    * gap to the NEXT support value (both CDFs are flat between support
+    * points, and both reach 1 after the last — the last point carries
+    * no gap), `emd_num = Σ dev·gap` exact, emd = one division by
+    * n_corp·n_g. Output per group: (group, n_group, n_total, emd_num,
+    * emd). Bound: dev ≤ n_corp·n_g and Σgap = range, so emd_num ≤
+    * n_corp·n_g·range — int64-safe for value ranges ≲ 10⁴ at 10⁷ rows;
+    * quantize wider domains first.
+    * Scale shape: ksDrift's — per-(group, value) combinable counts,
+    * a support×groups cumulative window (value-cardinality), one
+    * group-keyed reduction.
+    */
+  def emd1d(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vals = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+    val sCounts = vals.groupBy("grp", "v").agg(count(lit(1)).as("n_sv"))
+    val groups = vals.groupBy("grp").agg(count(lit(1)).as("n_s"))
+    val support = vals.select("v").distinct()
+    val total = vals.agg(count(lit(1)).as("n_g")) // one row, broadcast
+    val run = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nxt = Window.partitionBy("grp").orderBy("v")
+    val cum = groups.crossJoin(broadcast(support))
+      .join(sCounts, Seq("grp", "v"), "left")
+      .withColumn("cum_s", sum(coalesce(col("n_sv"), lit(0L))).over(run))
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(nxt) - col("v"), lit(0L)))
+    val gcum = cum.groupBy("v").agg(sum("cum_s").as("cum_g"))
+    cum.join(gcum, "v").crossJoin(broadcast(total))
+      .withColumn("dev", abs(col("n_g") * col("cum_s") - col("n_s") * col("cum_g")))
+      .groupBy(col("grp").as(groupCol))
+      .agg(min("n_s").as("n_group"), min("n_g").as("n_total"),
+        sum(col("dev") * col("gap")).as("emd_num"))
+      .withColumn("emd", col("emd_num").cast("double") /
+        (col("n_total") * col("n_group")).cast("double"))
+  }
 }

@@ -412,4 +412,61 @@ object TimeSeries {
         .select("lag", "n_days", "sum_x", "sum_y", "sum_xy", "xcorr")
     }.reduce(_.unionByName(_))
   }
+
+  /** Holt double-exponential (level + trend) forecast per series,
+    * α = β = 1/2 — [[ewmaSmooth]]'s big sibling: EWMA flattens a
+    * trending series into permanent lag; Holt carries an explicit
+    * trend state and extrapolates it. Both states ride ONE packed
+    * int64 accumulator through the same fold machinery (Spark
+    * `aggregate` ↔ DuckDB `list_reduce`):
+    *
+    *   acc = λ·2³² + (t + 2³¹)
+    *   λ' = (y + λ + t) div 2          (floor-Holt level update)
+    *   t' = (λ' − λ + t) div 2         (floor-Holt trend update)
+    *
+    * where y = x_milli + 2³⁰ is the OFFSET observation: the level then
+    * orbits 2³⁰, keeping every div operand strictly positive — the
+    * domain where Spark's truncating `div` and the oracle's flooring
+    * `//` are the same function (the trend update adds its offset
+    * inside the numerator for the same reason: `(λ'−λ+u+2³¹) div 2`
+    * with u = t+2³¹ is exactly floor((λ'−λ+t)/2)+2³¹ because the
+    * shifted operand is positive). Quantization error vs real-valued
+    * Holt is < 1 milli-unit per step, by the floor contract.
+    * Seed: λ₀ = y₀, t₀ = 0 (the standard cold start).
+    * Forecast_h = level + h·trend, exact integers.
+    * Output per series: (key, n_obs, level_milli, trend_milli,
+    * forecast_1, forecast_2, forecast_3).
+    * Bound: |x| ≤ 2²⁹ milli-units (~5·10⁸) keeps the pack in int64.
+    */
+  def holtForecast(events: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, idCol: String = "event_id"): DataFrame = {
+    val C = 1L << 30 // level-domain offset
+    val P = 1L << 32 // pack base
+    val H = 1L << 31 // trend offset inside the pack
+    val rows = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        struct(unix_micros(col(tsCol).cast("timestamp")).as("ts"),
+          col(idCol).as("id"),
+          (round(abs(col(valCol)) * 1000).cast("long") + lit(C)).as("y")).as("ob"))
+    rows.groupBy("k")
+      .agg(sort_array(collect_list(col("ob"))).as("obs"))
+      .withColumn("ys", expr("transform(obs, o -> o.y)"))
+      .withColumn("n_obs", size(col("ys")).cast("long"))
+      // trend repack: stored u' = (λ'−λ+u+H) div 2 where u = t+H, so
+      // the operand is λ'−λ+t+2H — positive, and dividing the 2H by 2
+      // leaves exactly the +H offset the unpack below removes
+      .withColumn("acc", expr(
+        s"""aggregate(slice(ys, 2, size(ys) - 1), ys[0] * ${P}L + ${H}L,
+           |  (acc, y) -> ((y + (acc div ${P}L) + ((acc % ${P}L) - ${H}L)) div 2L) * ${P}L
+           |    + ((((y + (acc div ${P}L) + ((acc % ${P}L) - ${H}L)) div 2L)
+           |        - (acc div ${P}L) + (acc % ${P}L) + ${H}L) div 2L))""".stripMargin))
+      .withColumn("level_milli", expr(s"acc div ${P}L - ${C}L"))
+      .withColumn("trend_milli", expr(s"acc % ${P}L - ${H}L"))
+      .withColumn("forecast_1", col("level_milli") + col("trend_milli"))
+      .withColumn("forecast_2", col("level_milli") + lit(2L) * col("trend_milli"))
+      .withColumn("forecast_3", col("level_milli") + lit(3L) * col("trend_milli"))
+      .select(col("k").as(keyCol), col("n_obs"), col("level_milli"),
+        col("trend_milli"), col("forecast_1"), col("forecast_2"), col("forecast_3"))
+  }
 }

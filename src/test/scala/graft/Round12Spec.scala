@@ -333,6 +333,182 @@ class Round12Spec extends SparkSpecBase {
 
   // ---- RFM ------------------------------------------------------------
 
+  // ---- one-way ANOVA ---------------------------------------------------
+
+  test("anova: textbook decomposition on a hand case, flat groups F near 0") {
+    import spark.implicits._
+    // groups: a = (1,2,3), b = (7,8,9): S_a=6 S_b=24 q=1+4+9+49+64+81=208
+    // terms: 36 div 3 = 12, 576 div 3 = 192 -> tsum 204
+    // ssb = 204 - 900 div 6 = 54; ssw = 208 - 204 = 4
+    // F = (54/1)/(4/4) = 54
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 7L), ("b", 8L), ("b", 9L))
+      .toDF("g", "x")
+    val r = Stats.oneWayAnova(df, col("g"), col("x")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 6L, 54L, 4L)))
+    assert(math.abs(r.getDouble(6) - 54.0) < 1e-12, s"F: ${r.getDouble(6)}")
+    // one group only -> F undefined
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "x")
+    assert(Stats.oneWayAnova(one, col("g"), col("x")).collect()(0).isNullAt(6))
+  }
+
+  // ---- Cohen's kappa ---------------------------------------------------
+
+  test("cohens kappa: perfect = 1, chance-level ~ 0, exact formula") {
+    import spark.implicits._
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("b", "b")).toDF("r1", "r2")
+    val rp = Stats.cohensKappa(perfect, col("r1"), col("r2")).collect()(0)
+    assert(math.abs(rp.getDouble(3) - 1.0) < 1e-12)
+    // hand case: n=10, agree=7, marginals r1: a=6 b=4; r2: a=5 b=5
+    // pe_q = 6*5 + 4*5 = 50; kappa = (70-50)/(100-50) = 0.4
+    val mixed = (Seq.fill(4)(("a", "a")) ++ Seq.fill(2)(("a", "b")) ++
+      Seq.fill(1)(("b", "a")) ++ Seq.fill(3)(("b", "b"))).toDF("r1", "r2")
+    val rm = Stats.cohensKappa(mixed, col("r1"), col("r2")).collect()(0)
+    assert((rm.getLong(0), rm.getLong(1), rm.getLong(2)) === ((10L, 7L, 50L)))
+    assert(math.abs(rm.getDouble(3) - 0.4) < 1e-12, s"kappa: ${rm.getDouble(3)}")
+  }
+
+  // ---- power / MDE ------------------------------------------------------
+
+  test("power analysis: literal formula over exact moments") {
+    import spark.implicits._
+    val units = Seq(100L, 200L, 300L, 400L).toDF("v")
+    val r = Stats.powerSampleSize(units, col("v")).collect()(0)
+    val mean = 250.0
+    val varv = (4.0 * (100.0 * 100 + 200.0 * 200 + 300.0 * 300 + 400.0 * 400) -
+      1000.0 * 1000.0) / 16.0
+    val mde = mean * 0.05
+    val want = math.ceil((1.959964 + 0.841621) * (1.959964 + 0.841621) *
+      2.0 * varv / (mde * mde))
+    assert(math.abs(r.getDouble(3) - mean) < 1e-12)
+    assert(math.abs(r.getDouble(4) - varv) < 1e-9)
+    assert(r.getLong(6) === want.toLong, s"n_req: ${r.getLong(6)} vs $want")
+  }
+
+  // ---- partial correlation ----------------------------------------------
+
+  test("partial correlation: removing the confounder kills a spurious r") {
+    import spark.implicits._
+    // x and y both equal z plus tiny independent wiggles: r_xy high,
+    // but partial r_xy.z collapses toward the wiggle correlation
+    val rows = (1 to 40).map { i =>
+      val z = i.toLong
+      (z * 10 + (i % 3), z * 10 + ((i + 1) % 3), z)
+    }
+    val df = rows.toDF("x", "y", "z")
+    val r = Stats.partialCorrelation(df,
+      "x" -> col("x"), "y" -> col("y"), "z" -> col("z")).collect()(0)
+    assert(r.getDouble(1) > 0.99, s"raw r_xy: ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(4)) < 0.7,
+      s"partial collapses: ${r.getDouble(4)}")
+  }
+
+  // ---- 1-D EMD -----------------------------------------------------------
+
+  test("emd: point masses one unit apart have emd = 1, identical = 0") {
+    import spark.implicits._
+    // grp a: all at 0; grp b: all at 2. corpus CDF at 0 is 1/2.
+    // For a: |F_a - F_corp| = 1/2 on [0,2) -> emd = 1.0. Same for b.
+    val df = (1 to 5).map(_ => ("a", 0.0)) ++ (1 to 5).map(_ => ("b", 2.0))
+    val out = Stats.emd1d(df.toDF("g", "v").withColumn("vv", round(col("v"))),
+      "g", "vv").collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(out("a") - 1.0) < 1e-12, s"emd a: ${out("a")}")
+    assert(math.abs(out("b") - 1.0) < 1e-12)
+    // a group that IS the corpus distribution scores 0
+    val same = ((1 to 4).map(_ => ("a", 1.0)) ++ (1 to 4).map(_ => ("b", 1.0)))
+      .toDF("g", "v").withColumn("vv", round(col("v")))
+    val s0 = Stats.emd1d(same, "g", "vv").collect()
+    s0.foreach(r => assert(r.getLong(3) === 0L, "identical dists: emd_num 0"))
+  }
+
+  // ---- Lorenz ------------------------------------------------------------
+
+  test("lorenz: uniform values give linear shares; zero/negative excluded") {
+    import spark.implicits._
+    val df = ((1 to 20).map(i => (i.toLong, 100L)) :+ (99L, -5L) :+ (98L, 0L))
+      .toDF("ent", "cents")
+    val out = Analytics.lorenzCurve(df, col("ent"), col("cents"))
+      .collect().sortBy(_.getLong(0))
+    assert(out.length === 10 && out.map(_.getLong(1)).sum === 20L,
+      "nonpositive entities excluded")
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(4) === (i + 1) * 100000L,
+        s"decile ${i + 1} share: ${r.getLong(4)}")
+    }
+  }
+
+  // ---- decay popularity ---------------------------------------------------
+
+  test("decay popularity: one halving per half-life, rank by score then item") {
+    import spark.implicits._
+    // items: 1 fresh (age 0) x1, 2 stale (age 28d) x2 -> scores 1e6 vs 2*5e5
+    val now = 86400000L * 1000
+    val df = Seq(
+      (1L, new Timestamp(now)),
+      (2L, new Timestamp(now - 28L * 86400000L)),
+      (2L, new Timestamp(now - 28L * 86400000L)))
+      .toDF("item", "ts")
+    val out = Analytics.decayPopularity(df, col("item"), "ts", 28, 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((1000000L, 1L)), "fresh event: full score, tie-rank 1")
+    assert(out(2L) === ((1000000L, 2L)), "two half-decayed events tie the score")
+  }
+
+  // ---- Holt forecast -------------------------------------------------------
+
+  test("holt: level and trend track a pure ramp, forecast extrapolates") {
+    import spark.implicits._
+    // x (milli): 0, 2000, 4000, ..., 16000 (step 2000)
+    val df = (0 until 9).map(i =>
+      (1L, ts(f"2024-01-01 00:0$i:00"), i.toLong, i * 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = TimeSeries.holtForecast(df, "user_id", "ts", "value").collect()(0)
+    // floor-Holt on a ramp: level approaches x_last - lag, trend
+    // approaches the step; assert the hand-folded exact values
+    var l = 0L; var t = 0L
+    (1 until 9).foreach { i =>
+      val y = i * 2000L
+      val l2 = (y + l + t) / 2 // all non-negative here: / == div
+      t = {
+        val num = l2 - l + t
+        if (num >= 0) num / 2 else (num - 1) / 2 // floor, matching offset math
+      }
+      l = l2
+    }
+    assert(r.getLong(2) === l, s"level: ${r.getLong(2)} vs $l")
+    assert(r.getLong(3) === t, s"trend: ${r.getLong(3)} vs $t")
+    assert(r.getLong(4) === l + t && r.getLong(6) === l + 3 * t)
+    // alpha=beta=1/2 Holt is underdamped: the trend OVERSHOOTS the
+    // true 2000 step on a ramp transient before settling
+    assert(t > 1500L && t < 2600L, s"trend near the 2000 step: $t")
+  }
+
+  test("holt: single observation = level itself, zero trend") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L, 5.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = TimeSeries.holtForecast(df, "user_id", "ts", "value").collect()(0)
+    assert(r.getLong(2) === 5000L && r.getLong(3) === 0L)
+    assert(r.getLong(4) === 5000L, "flat forecast")
+  }
+
+  // ---- burstiness -----------------------------------------------------------
+
+  test("token burstiness: clumped token scores higher fano than spread token") {
+    import spark.implicits._
+    // 'spread' once in each of 8 docs; 'clump' 8 times in one doc
+    val docs = (1 to 8).map { i =>
+      (i.toLong, if (i == 1) "spread " + Seq.fill(8)("clump").mkString(" ")
+      else "spread filler")
+    }.toDF("doc_id", "text")
+    val out = Analytics.tokenBurstiness(docs, "doc_id", "text", topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // spread: every doc has c=1 -> var 0 -> fano 0
+    assert(out("spread") === 0L, s"uniform token fano: ${out("spread")}")
+    // clump: D=8, tot=8, sumsq=64 -> (8*64-64)*1000 div 64 = 7000
+    assert(out("clump") === 7000L, s"clumped fano: ${out("clump")}")
+  }
+
   test("rfm: quintiles with key tiebreak, exact rollup") {
     import spark.implicits._
     // 10 customers, one order each on distinct days with rising value:
