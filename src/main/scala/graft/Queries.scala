@@ -127,12 +127,12 @@ object Queries {
     val dsum = (0 until 16).map(j => s"s$j.dists[x.c$j + 1]").mkString(" + ")
     s"""c0 AS (SELECT vec_id, embedding,
        |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) >= 64
        |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
        |don AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, embedding::DOUBLE[] AS cv
        |  FROM c0 ORDER BY h LIMIT 256),
-       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+       |emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) >= 64
        |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
        |cb0 AS (SELECT r.j AS j,
        |    list(list_transform(generate_series(1, 4), t -> d.cv[r.j*4 + t])
@@ -144,7 +144,8 @@ object Queries {
        |${assignSql("asf", "scf")},
        |codes AS (SELECT vec_id, $codes FROM asf GROUP BY vec_id),
        |adc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, $dsum AS d
-       |  FROM codes x CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+       |  FROM codes x CROSS JOIN (SELECT vec_id FROM embeddings
+       |    WHERE vec_id < 5 AND embedding IS NOT NULL) q
        |$joins
        |  WHERE x.vec_id <> q.vec_id)""".stripMargin
   }
@@ -240,8 +241,13 @@ object Queries {
         }
         RouterQpu(children).toDF.select("event_id", "user_id", "event_type", "value")
       },
+      // the router returns only rows SOME child covers: an event type
+      // outside the routing table is unrouted, not implicitly scanned
+      // (fuzz r12 — the old oracle assumed the child list covers the
+      // data's whole type domain)
       Some("SELECT event_id, user_id, event_type, value FROM events " +
-        "WHERE value >= 100.0 AND value < 1000000.0")),
+        "WHERE value >= 100.0 AND value < 1000000.0 AND event_type IN (" +
+        eventTypes.map(t => s"'$t'").mkString(", ") + ")")),
 
     // §2.1/12 — cache QPU: cached plan must serve identical results
     "q_cache" -> QueryDef(
@@ -278,7 +284,8 @@ object Queries {
       Some("SELECT user_id, event_id, event_type, value FROM (" +
         "SELECT user_id, event_id, event_type, value, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
-        "FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t WHERE rn = 1")),
+        "FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' " +
+        "AND user_id IS NOT NULL AND event_id IS NOT NULL) t WHERE rn = 1")),
 
     // §2.1/47 — versioned index read (reference: inMemIndex keeps
     // vector-clock versioned postings): index lookup over the as-of-T
@@ -295,7 +302,8 @@ object Queries {
       Some("""SELECT user_id, event_id, value FROM (
         |  SELECT user_id, event_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL) t
         |WHERE rn = 1 AND value >= 100.0 AND value < 200.0 ORDER BY value""".stripMargin)),
 
     // §2.1/71 — config-driven graph assembly (reference: qpuGraph.go +
@@ -321,11 +329,13 @@ object Queries {
       Some("""WITH s1 AS (SELECT user_id, ts, event_id FROM (
         |  SELECT user_id, ts, event_id, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00') x WHERE rn = 1),
+        |FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL) x WHERE rn = 1),
         |s2 AS (SELECT user_id, ts, event_id FROM (
         |  SELECT user_id, ts, event_id, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') x WHERE rn = 1)
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL) x WHERE rn = 1)
         |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
         |  CASE WHEN s1.user_id IS NULL THEN 'created'
         |       WHEN s2.user_id IS NULL THEN 'deleted'
@@ -352,9 +362,11 @@ object Queries {
             (unix_timestamp(col("ts")) - unix_timestamp(col("click_ts"))).as("gap_sec"))
       },
       Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, ts
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
         |c AS (SELECT event_id AS click_id, user_id, ts FROM events
-        |  WHERE event_type = 'click'),
+        |  WHERE event_type = 'click'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
         |j AS (SELECT p.purchase_id, p.user_id, c.click_id,
         |    floor(epoch(p.ts))::BIGINT - floor(epoch(c.ts))::BIGINT AS gap_sec,
         |    row_number() OVER (PARTITION BY p.purchase_id
@@ -383,7 +395,7 @@ object Queries {
         |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
-        |    THEN 1 ELSE 0 END AS brk FROM events) x) y
+        |    THEN 1 ELSE 0 END AS brk FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) x) y
         |GROUP BY user_id, session_id),
         |e AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ep FROM events)
         |SELECT e.event_id, e.user_id, s.session_id, s.n_events
@@ -520,7 +532,7 @@ object Queries {
         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
         |    ORDER BY ('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint, doc_id)
         |    AS rank
-        |  FROM documents) t WHERE rank <= 10""".stripMargin)),
+        |  FROM documents WHERE doc_id IS NOT NULL) t WHERE rank <= 10""".stripMargin)),
 
     // §2.3/118 — temperature-scaled mixture sampling (alpha = 0.5
     // square-root scaling, the mBERT/XLM-R multilingual mixing
@@ -660,14 +672,17 @@ object Queries {
     "sim_hard_negatives" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
         Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", "label", k = 10)
       },
-      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
-        |  FROM embeddings WHERE vec_id < 5 AND label IS NOT NULL),
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM e WHERE vec_id < 5 AND label IS NOT NULL),
         |s AS (SELECT qid, vec_id AS nid,
         |  list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS c
-        |  FROM q JOIN embeddings ON label IS NOT NULL AND label <> ql)
+        |  FROM q JOIN e ON label IS NOT NULL AND label <> ql)
         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid)::INT AS rank
         |  FROM s WHERE c IS NOT NULL) t WHERE rank <= 10""".stripMargin)),
@@ -693,7 +708,7 @@ object Queries {
       (s, d) => Dedup.chunkDedup(ds(s, d, "documents").toDF,
         "doc_id", "text", chunkTokens = 20),
       Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
         |chunks AS (SELECT doc_id,
         |    unnest(list_transform(generate_series(0, (len(toks)-1)//20),
         |      i -> {'i': i, 'c': array_to_string(list_slice(toks, i*20+1, i*20+20), ' ')})) AS u
@@ -943,13 +958,16 @@ object Queries {
     "sim_ann_topk" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10)
       },
-      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id < 5),
         |s AS (SELECT qid, vec_id AS nid,
         |  list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS c
-        |  FROM q JOIN embeddings ON vec_id <> qid)
+        |  FROM q JOIN e ON vec_id <> qid)
         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid)::INT AS rank
         |  FROM s WHERE c IS NOT NULL) t WHERE rank <= 10""".stripMargin)),
@@ -963,6 +981,7 @@ object Queries {
     "sim_ann_lsh" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, dim = 64, planes = 4)
       },
@@ -972,7 +991,8 @@ object Queries {
         |         THEN -1.0 ELSE 1.0 END AS s
         |  FROM range(16) AS t1(tp), range(64) AS t2(j)),
         |svec AS (SELECT tp, list(s ORDER BY j) AS sv FROM signs GROUP BY tp),
-        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
         |buckets AS (
         |  SELECT e.vec_id, (sv.tp // 4)::BIGINT AS tbl,
         |    sum(CASE WHEN list_inner_product(e.v, sv.sv) > 0
@@ -998,16 +1018,23 @@ object Queries {
     "sim_ann_ivf" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, cells = 16, nprobe = 2)
       },
-      Some("""WITH c0 AS (SELECT vec_id, embedding,
-        |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM embeddings),
+      // eb MATERIALIZED: DuckDB 1.0 otherwise pushes the query-id
+      // filter through the window into the inlined CTE, reordering it
+      // past the embedding IS NOT NULL guard and tripping
+      // list_cosine_similarity's NULL-element error (fuzz r12)
+      Some("""WITH eb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |c0 AS (SELECT vec_id, embedding,
+        |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM eb),
         |cent AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, embedding AS cv
         |  FROM c0 ORDER BY h LIMIT 16),
         |scores AS (SELECT v.vec_id, c.cell,
         |    list_cosine_similarity(v.embedding::DOUBLE[], c.cv::DOUBLE[]) AS s
-        |  FROM embeddings v CROSS JOIN cent c),
+        |  FROM eb v CROSS JOIN cent c),
         |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
         |  FROM scores) x WHERE rn = 1),
@@ -1018,8 +1045,8 @@ object Queries {
         |  FROM qcells q JOIN assign a USING (cell) WHERE a.vec_id <> q.query_id),
         |scored AS (SELECT query_id, neighbor_id,
         |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS cosine
-        |  FROM cand JOIN embeddings qe ON qe.vec_id = query_id
-        |  JOIN embeddings ne ON ne.vec_id = neighbor_id)
+        |  FROM cand JOIN eb qe ON qe.vec_id = query_id
+        |  JOIN eb ne ON ne.vec_id = neighbor_id)
         |SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::INT AS rank
         |  FROM scored) x WHERE rank <= 10""".stripMargin)),
@@ -1033,6 +1060,7 @@ object Queries {
     "sim_ann_pq" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
         Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, subspaces = 16, subDim = 4, cells = 256)
       },
@@ -1047,6 +1075,7 @@ object Queries {
     "sim_ann_rerank" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
         Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, shortlist = 50)
       },
@@ -1071,7 +1100,8 @@ object Queries {
     // and the 3 min-label hop+jump rounds are replayed as chained CTEs
     // exactly as in dedup_cluster's oracle.
     "sim_embed_cluster" -> QueryDef(
-      (s, d) => Similarity.nearDupClusters(ds(s, d, "embeddings").toDF,
+      (s, d) => Similarity.nearDupClusters(ds(s, d, "embeddings").toDF
+          .filter(col("vec_id").isNotNull),
         "vec_id", "embedding", dim = 64, planes = 8, tables = 2),
       Some {
         val iters = labelPropIters("t, b")
@@ -1081,8 +1111,9 @@ object Queries {
            |         THEN -1.0 ELSE 1.0 END AS s
            |  FROM range(16) AS t1(tp), range(64) AS t2(j)),
            |svec AS (SELECT tp, list(s ORDER BY j) AS sv FROM signs GROUP BY tp),
-           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+           |emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |  WHERE vec_id IS NOT NULL
+           |    AND embedding IS NOT NULL AND len(embedding) >= 64
            |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
            |mem AS (
            |  SELECT e.vec_id AS id, (sv.tp // 8)::BIGINT AS t,
@@ -1094,8 +1125,8 @@ object Queries {
            |$iters
            |SELECT id AS vec_id, label AS cluster_id FROM l3
            |UNION ALL SELECT vec_id, vec_id FROM embeddings
-           |  WHERE embedding IS NULL OR len(embedding) < 64
-           |    OR len(list_filter(embedding[1:64], x -> x IS NULL)) > 0""".stripMargin
+           |  WHERE vec_id IS NOT NULL AND (embedding IS NULL OR len(embedding) < 64
+           |    OR len(list_filter(embedding[1:64], x -> x IS NULL)) > 0)""".stripMargin
       }),
 
     // §2.3/103 — SemDeDup semantic dedup: one keep-flag row per vector;
@@ -1141,7 +1172,8 @@ object Queries {
     // SQL (deterministic IEEE double chain: widen → *127/s → +0.5 →
     // floor → clamp; no ties-dependent rounding mode)
     "sim_quantize" -> QueryDef(
-      (s, d) => Quantize.scalarQuantize(ds(s, d, "embeddings").toDF,
+      (s, d) => Quantize.scalarQuantize(ds(s, d, "embeddings").toDF
+          .filter(col("embedding").isNotNull),
         "vec_id", "embedding"),
       Some("""SELECT vec_id, (i - 1)::INT AS dim,
         |  CASE WHEN s = 0 THEN 0
@@ -1149,7 +1181,8 @@ object Queries {
         |  END AS code
         |FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
-        |  FROM embeddings) t, generate_series(1, 64) AS g(i)""".stripMargin)),
+        |  FROM embeddings WHERE embedding IS NOT NULL) t,
+        |  generate_series(1, 64) AS g(i)""".stripMargin)),
 
     // §2.3/36 — language ID heuristic
     "text_langid" -> QueryDef(
@@ -1218,8 +1251,13 @@ object Queries {
     // by the oracle — an encode/decode regression now turns into a
     // driver-visible hash mismatch instead of a rows-only shrug.
     "multimodal_decode" -> QueryDef(
+      // payload synthesis is defined for non-negative ids only (sample
+      // and frame counts derive from id remainders), and the typed
+      // MediaRecord encoder rejects NULL ids — both excluded (fuzz r12)
       (s, d) => Multimodal.decodeAudit(s,
-        Multimodal.attachMediaPayload(ds(s, d, "documents").toDF, "doc_id", "text")).toDF(),
+        Multimodal.attachMediaPayload(ds(s, d, "documents").toDF
+          .filter(col("doc_id").isNotNull && col("doc_id") >= 0),
+          "doc_id", "text")).toDF(),
       Some("""WITH m AS (SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |    CASE WHEN doc_id % 3 = 0 THEN
@@ -1228,7 +1266,7 @@ object Queries {
         |         WHEN doc_id % 9 = 2 THEN 'avi'
         |         WHEN doc_id % 9 = 5 THEN 'gif'
         |         WHEN doc_id % 18 = 17 THEN 'gmc' ELSE 'gvid' END AS codec
-        |  FROM documents),
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
         |img AS (SELECT m.doc_id,
         |    sum((m.doc_id * 31 + x * 7 + y * 13) % 256) AS s_r,
         |    sum((m.doc_id * 31 + x * 7 + y * 13 + 101) % 256) AS s_g,
@@ -1264,7 +1302,7 @@ object Queries {
            |  FROM (SELECT doc_id, CASE WHEN length(text) >= $k
            |      THEN list_transform(generate_series(1, length(text) - ${k - 1}),
            |        i -> substring(text, i, $k))
-           |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b""".stripMargin
+           |      ELSE []::VARCHAR[] END AS grams FROM documents WHERE doc_id IS NOT NULL) a) b""".stripMargin
       }),
 
     // §2.3/92 — shared-substring provenance pairs: docs sharing >= 8
@@ -1290,7 +1328,7 @@ object Queries {
            |  FROM (SELECT doc_id, CASE WHEN length(text) >= $k
            |      THEN list_transform(generate_series(1, length(text) - ${k - 1}),
            |        i -> substring(text, i, $k))
-           |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b),
+           |      ELSE []::VARCHAR[] END AS grams FROM documents WHERE doc_id IS NOT NULL) a) b),
            |rare AS (SELECT fp FROM f GROUP BY fp
            |  HAVING count(*) >= 2
            |    AND count(*) * 8 <= (SELECT count(*) FROM documents) * 1),
@@ -1320,7 +1358,7 @@ object Queries {
            |  FROM (SELECT doc_id, CASE WHEN length(text) >= $k
            |      THEN list_transform(generate_series(1, length(text) - ${k - 1}),
            |        i -> substring(text, i, $k))
-           |      ELSE []::VARCHAR[] END AS grams FROM documents) a) b),
+           |      ELSE []::VARCHAR[] END AS grams FROM documents WHERE doc_id IS NOT NULL) a) b),
            |rare AS (SELECT fp FROM f GROUP BY fp
            |  HAVING count(*) >= 2
            |    AND count(*) * 8 <= (SELECT count(*) FROM documents) * 1),
@@ -1330,7 +1368,7 @@ object Queries {
            |SELECT id AS doc_id, label AS cluster_id FROM l3
            |UNION ALL
            |SELECT doc_id, doc_id FROM documents
-           |  WHERE doc_id NOT IN (SELECT id FROM mem)""".stripMargin
+           |  WHERE doc_id IS NOT NULL AND doc_id NOT IN (SELECT id FROM mem)""".stripMargin
       }),
 
     // §2.3/44 — char-5-gram shingle Jaccard >= 0.7 within (source, lang),
@@ -1405,7 +1443,8 @@ object Queries {
            |      * (tf_cnt * $k1p1) / (tf_cnt + $k1 * ($omb + $b * dl / (sum_dl / n_docs)))
            |      * 1099511627776.0)::BIGINT AS cs
            |  FROM tf JOIN q USING (token) JOIN dfreq USING (token) CROSS JOIN gstats),
-           |s AS (SELECT query_id, doc_id, sum(cs) AS sc FROM c GROUP BY 1, 2)
+           |s AS (SELECT query_id, doc_id, sum(cs) AS sc FROM c
+           |  WHERE doc_id IS NOT NULL GROUP BY 1, 2)
            |SELECT query_id, doc_id,
            |  row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rank,
            |  sc / 1099511627776.0 AS score
@@ -1420,7 +1459,8 @@ object Queries {
       (s, d) => Retrieval.invertedIndex(ds(s, d, "documents").toDF,
         "doc_id", "text", numBlocks = 8),
       Some("""WITH tok AS (SELECT doc_id,
-        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents
+        |  WHERE doc_id IS NOT NULL),
         |tf AS (SELECT doc_id, token, count(*) AS tf_cnt FROM tok GROUP BY 1, 2),
         |tb AS (SELECT *,
         |  ('0x' || substring(md5(doc_id::varchar), 1, 14))::bigint % 8 AS block FROM tf)
@@ -1437,6 +1477,7 @@ object Queries {
       (s, d) => {
         val docs = ds(s, d, "documents").toDF
         val emb = ds(s, d, "embeddings").toDF
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
         val q = docs.filter(col("doc_id") < 5)
           .select(col("doc_id").as("query_id"),
             array_join(slice(TextFunctions.tokens(col("text")), 1, 3), " ").as("qtext"))
@@ -1461,14 +1502,17 @@ object Queries {
            |      * (tf_cnt * $k1p1) / (tf_cnt + $k1 * ($omb + $b * dl / (sum_dl / n_docs)))
            |      * 1099511627776.0)::BIGINT AS cs
            |  FROM tf JOIN q USING (token) JOIN dfreq USING (token) CROSS JOIN gstats),
-           |s AS (SELECT query_id, doc_id, sum(cs) AS sc FROM c GROUP BY 1, 2),
+           |s AS (SELECT query_id, doc_id, sum(cs) AS sc FROM c
+           |  WHERE doc_id IS NOT NULL GROUP BY 1, 2),
            |sparse AS (SELECT query_id, doc_id,
            |    row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rank
            |  FROM s QUALIFY rank <= 20),
-           |dq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+           |de AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+           |dq AS (SELECT vec_id AS qid, embedding AS qv FROM de WHERE vec_id < 5),
            |ds AS (SELECT qid, vec_id AS nid,
            |    list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS cos
-           |  FROM dq JOIN embeddings ON vec_id <> qid),
+           |  FROM dq JOIN de ON vec_id <> qid),
            |dense AS (SELECT qid AS query_id, nid AS doc_id, rank FROM (
            |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            |    FROM ds WHERE cos IS NOT NULL) x WHERE rank <= 20),
@@ -1611,7 +1655,7 @@ object Queries {
         "source", "doc_id", "n_chars", k = 64),
       Some("""WITH h AS (SELECT source, n_chars,
         |    ('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint AS hv
-        |  FROM documents WHERE n_chars IS NOT NULL),
+        |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
         |r AS (SELECT source, n_chars,
         |    row_number() OVER (PARTITION BY source ORDER BY hv, n_chars) AS rn FROM h),
         |s AS (SELECT source, list(n_chars ORDER BY n_chars) AS vals
@@ -1806,7 +1850,8 @@ object Queries {
       Some("""SELECT source, doc_id, rank::INT AS rank FROM (
         |  SELECT source, doc_id, row_number() OVER (
         |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
-        |  FROM documents) t WHERE rank <= 3""".stripMargin)),
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL) t
+        |WHERE rank <= 3""".stripMargin)),
 
     // §2.3/70 — column profiling (data-quality stats per column) in ONE
     // scan: all columns' stats in a single aggregation, unpivoted with
@@ -1963,12 +2008,17 @@ object Queries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-        ds(s, d, "orders").toDF.select(col("o_orderkey"), col("o_custkey"),
-          sum("o_totalprice").over(w).as("running_spend"))
+        // NULL ordering keys excluded (fuzz r12): engines disagree on
+        // where NULLs sort (Spark windows NULLS FIRST, DuckDB LAST),
+        // so a running sum over them is engine-dependent
+        ds(s, d, "orders").toDF
+          .filter(col("o_orderdate").isNotNull && col("o_orderkey").isNotNull)
+          .select(col("o_orderkey"), col("o_custkey"),
+            sum("o_totalprice").over(w).as("running_spend"))
       },
       Some("SELECT o_orderkey, o_custkey, sum(o_totalprice) OVER " +
         "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS running_spend " +
-        "FROM orders")),
+        "FROM orders WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL")),
 
     // §2.2/24 — distinct aggregation
     "q_distinct" -> QueryDef(
@@ -2130,13 +2180,17 @@ object Queries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+        // NULL ordering keys excluded (fuzz r12): percent_rank's
+        // denominator and every row's position shift with NULL sort
+        // placement, which engines disagree on
         ds(s, d, "documents").toDF
+          .filter(col("n_chars").isNotNull && col("doc_id").isNotNull)
           .select(col("doc_id"), col("source"), col("n_chars"),
             percent_rank().over(w).as("pr"))
       },
       Some("""SELECT doc_id, source, n_chars,
         |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
-        |FROM documents""".stripMargin)),
+        |FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL""".stripMargin)),
 
     // §2.2/163 — 2-D skyline / Pareto-maximal vectors (Börzsönyi et
     // al. 2001): undominated (quantity, price-cents) points, by per-x
@@ -2291,12 +2345,17 @@ object Queries {
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_orderdate"), col("o_orderkey"))
           .rowsBetween(-3, 0)
-        ds(s, d, "orders").toDF.select(col("o_orderkey"), col("o_custkey"),
-          avg("o_totalprice").over(w).as("avg_last4"))
+        // NULL ordering keys excluded (fuzz r12): rows-frame membership
+        // depends on sort position, which engines NULL-order differently
+        ds(s, d, "orders").toDF
+          .filter(col("o_orderdate").isNotNull && col("o_orderkey").isNotNull)
+          .select(col("o_orderkey"), col("o_custkey"),
+            avg("o_totalprice").over(w).as("avg_last4"))
       },
       Some("SELECT o_orderkey, o_custkey, avg(o_totalprice) OVER (" +
         "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
-        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS avg_last4 FROM orders")),
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS avg_last4 FROM orders " +
+        "WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL")),
 
     // §2.2/27 — sessionization (30-minute gap)
     "q_sessionize" -> QueryDef(
@@ -2309,7 +2368,7 @@ object Queries {
         |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
-        |    THEN 1 ELSE 0 END AS brk FROM events) x) y
+        |    THEN 1 ELSE 0 END AS brk FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) x) y
         |GROUP BY user_id, session_id""".stripMargin)),
 
     // §2.2/141 — ordered funnel conversion within sessions: per
@@ -2327,7 +2386,7 @@ object Queries {
         |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
-        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |    THEN 1 ELSE 0 END AS brk FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) x),
         |m AS (SELECT user_id, session_id,
         |    min(CASE WHEN event_type = 'view' THEN ep END) AS t0,
         |    min(CASE WHEN event_type = 'click' THEN ep END) AS t1,
@@ -2403,7 +2462,7 @@ object Queries {
         |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
-        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |    THEN 1 ELSE 0 END AS brk FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) x),
         |p AS (SELECT event_type AS from_type,
         |    lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts) AS to_type
         |  FROM sess),
@@ -2421,7 +2480,9 @@ object Queries {
       (s, d) => operators.Scd2.history(ds(s, d, "orders").toDF,
         "o_custkey", "o_orderdate", "o_orderkey", Seq("o_orderpriority")),
       Some("""WITH e AS (SELECT o_custkey, o_orderkey, o_orderpriority,
-        |    floor(epoch(o_orderdate))::BIGINT AS ep FROM orders),
+        |    floor(epoch(o_orderdate))::BIGINT AS ep FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL),
         |k AS (SELECT * FROM (SELECT *, lag(o_orderpriority)
         |    OVER (PARTITION BY o_custkey ORDER BY ep, o_orderkey) AS prev FROM e)
         |  WHERE prev IS NULL OR prev <> o_orderpriority)
@@ -2442,14 +2503,16 @@ object Queries {
         |    ('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint AS hv
         |  FROM documents WHERE n_chars IS NOT NULL),
         |r1 AS (SELECT source, n_chars,
-        |    row_number() OVER (PARTITION BY source ORDER BY hv, n_chars) AS rn FROM h),
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, n_chars) AS rn FROM h
+        |  WHERE hv IS NOT NULL),
         |s1 AS (SELECT source, list(n_chars ORDER BY n_chars) AS vals
         |  FROM r1 WHERE rn <= 64 GROUP BY source),
         |m1 AS (SELECT source, vals[(len(vals)+1)//2] + vals[(len(vals)+2)//2] AS med2 FROM s1),
         |d AS (SELECT h.source, h.hv, abs(2 * h.n_chars - m1.med2) AS dev, m1.med2
         |  FROM h JOIN m1 USING (source)),
         |r2 AS (SELECT source, dev,
-        |    row_number() OVER (PARTITION BY source ORDER BY hv, dev) AS rn FROM d),
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, dev) AS rn FROM d
+        |  WHERE hv IS NOT NULL),
         |s2 AS (SELECT source, list(dev ORDER BY dev) AS vals
         |  FROM r2 WHERE rn <= 64 GROUP BY source),
         |m2 AS (SELECT source, vals[(len(vals)+1)//2] + vals[(len(vals)+2)//2] AS madd2 FROM s2)
@@ -2647,7 +2710,8 @@ object Queries {
         "source", pmod(col("doc_id"), lit(16)), "doc_id", "n_chars", k = 64),
       Some("""WITH h AS (SELECT source, doc_id % 16 AS shard, n_chars,
         |    ('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint AS hv
-        |  FROM documents WHERE n_chars IS NOT NULL),
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        |    AND doc_id IS NOT NULL),
         |r1 AS (SELECT source, shard, n_chars, hv,
         |    row_number() OVER (PARTITION BY source, shard ORDER BY hv, n_chars) AS rn
         |  FROM h),
@@ -2695,7 +2759,8 @@ object Queries {
         Seq("event_type"), to_date(col("ts")), "user_id", k = 64),
       Some("""WITH h AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS dday,
         |    ('0x' || substring(md5(user_id::VARCHAR), 1, 14))::bigint AS hv
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
         |r1 AS (SELECT event_type, dday, hv,
         |    row_number() OVER (PARTITION BY event_type, dday ORDER BY hv) AS rn FROM h),
         |u AS (SELECT DISTINCT event_type, hv FROM r1 WHERE rn <= 64),
@@ -2758,7 +2823,8 @@ object Queries {
     "q_basket_rules" -> QueryDef(
       (s, d) => operators.Association.basketRules(
         ds(s, d, "lineitem").toDF, "l_orderkey", "l_partkey", minSupport = 3),
-      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
         |pairs AS (SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS pair_count
         |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
         |  GROUP BY 1, 2 HAVING count(*) >= 3),
@@ -2950,7 +3016,8 @@ object Queries {
     "q_item_sim" -> QueryDef(
       (s, d) => operators.Association.itemSimilarity(
         ds(s, d, "lineitem").toDF, "l_orderkey", "l_partkey", minCooc = 3, topK = 5),
-      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
         |pairs AS (SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS cooc
         |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
         |  GROUP BY 1, 2 HAVING count(*) >= 3),
@@ -2977,7 +3044,7 @@ object Queries {
         |    datediff('day', DATE '2024-01-01', ts::DATE)::INT AS day_no,
         |    round(value * 100)::BIGINT AS cents,
         |    printf('%020d|%010d', epoch_us(ts), event_id) AS ord
-        |  FROM events WHERE value IS NOT NULL)
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL)
         |SELECT series, day_no, count(*)::BIGINT AS n_events,
         |  arg_min(cents, ord) AS open_cents, max(cents) AS high_cents,
         |  min(cents) AS low_cents, arg_max(cents, ord) AS close_cents
@@ -3010,7 +3077,7 @@ object Queries {
         |  FROM (SELECT *, CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |        OVER (PARTITION BY user_id ORDER BY ts) > 1800
-        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |    THEN 1 ELSE 0 END AS brk FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL) x),
         |sess AS (SELECT user_id, session_id,
         |    arg_min(event_type, printf('%020d|%010d', epoch_us(ts), event_id)) AS first_channel,
         |    sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
@@ -3282,7 +3349,7 @@ object Queries {
         |  FROM (SELECT *, CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |        OVER (PARTITION BY user_id ORDER BY ts) > 1800
-        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |    THEN 1 ELSE 0 END AS brk FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL AND event_type IS NOT NULL) x),
         |paths AS (SELECT user_id, session_id,
         |    array_to_string(list_slice(list(event_type
         |      ORDER BY printf('%020d|%010d', epoch_us(ts), event_id)), 1, 3), '>') AS path
@@ -3331,7 +3398,9 @@ object Queries {
       },
       Some("""WITH cr AS (SELECT c.c_nationkey AS nationkey, c.c_custkey,
         |    sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS rev
-        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY 1, 2),
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey IS NOT NULL AND o.o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
         |rk AS (SELECT nationkey, rev,
         |    row_number() OVER (PARTITION BY nationkey ORDER BY rev, c_custkey) AS i,
         |    count(*) OVER (PARTITION BY nationkey) AS n FROM cr)
@@ -3467,7 +3536,7 @@ object Queries {
         |  FROM (SELECT *, CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |        OVER (PARTITION BY user_id ORDER BY ts) > 1800
-        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |    THEN 1 ELSE 0 END AS brk FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL) x),
         |per AS (SELECT user_id, session_id,
         |    arg_min(event_type, printf('%020d|%010d', epoch_us(ts), event_id)) AS entry_type,
         |    count(*)::BIGINT AS n_events
@@ -3489,7 +3558,7 @@ object Queries {
         |  FROM (SELECT *, CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |        OVER (PARTITION BY user_id ORDER BY ts) > 1800
-        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |    THEN 1 ELSE 0 END AS brk FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) x),
         |m AS (SELECT user_id, session_id,
         |    min(CASE WHEN event_type = 'view' THEN ep END) AS t0,
         |    min(CASE WHEN event_type = 'purchase' THEN ep END) AS t2
@@ -3758,7 +3827,8 @@ object Queries {
       Some("""SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
         |  count(*)::BIGINT AS n_rows
         |FROM orders
-        |WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
+        |WHERE (o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0)
+        |  AND o_custkey IS NOT NULL
         |GROUP BY 1""".stripMargin)),
 
     // §2.2/219 — GENERAL two-sided join IVM: a materialized
@@ -3852,7 +3922,7 @@ object Queries {
       (s, d) => operators.TimeSeries.cusumChangepoint(
         ds(s, d, "events").toDF, "event_type", "ts"),
       Some("""WITH d AS (SELECT event_type AS series, floor(epoch(ts) / 86400)::BIGINT AS day,
-        |    count(*)::BIGINT AS n_events FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |    count(*)::BIGINT AS n_events FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
         |c AS (SELECT series, day, n_events,
         |    row_number() OVER (PARTITION BY series ORDER BY day)::BIGINT AS t,
         |    sum(n_events) OVER (PARTITION BY series ORDER BY day
@@ -3880,7 +3950,9 @@ object Queries {
       },
       Some("""WITH per AS (SELECT c_nationkey, c_custkey,
         |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS v
-        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
         |c AS (SELECT c_nationkey, c_custkey, v,
         |    sum(v) OVER (PARTITION BY c_nationkey ORDER BY v DESC, c_custkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
@@ -3906,7 +3978,7 @@ object Queries {
         |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
-        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |    THEN 1 ELSE 0 END AS brk FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) x),
         |m AS (SELECT user_id, session_id,
         |    min(CASE WHEN event_type = 'view' THEN ep END) AS t0,
         |    min(CASE WHEN event_type = 'click' THEN ep END) AS t1,
@@ -4083,7 +4155,7 @@ object Queries {
       },
       Some("""WITH f AS (SELECT c_mktsegment, round(o_totalprice * 100)::BIGINT AS cents
         |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  WHERE c_mktsegment IS NOT NULL),
+        |  WHERE c_mktsegment IS NOT NULL AND o_totalprice IS NOT NULL),
         |per AS (SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
         |    sum(cents)::BIGINT AS sum_target FROM f GROUP BY 1),
         |g AS (SELECT sum(n_rows)::BIGINT AS g_n, sum(sum_target)::BIGINT AS g_sum FROM per)
@@ -4320,7 +4392,7 @@ object Queries {
         |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
-        |    THEN 1 ELSE 0 END AS brk FROM events) x),
+        |    THEN 1 ELSE 0 END AS brk FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) x),
         |sess AS (SELECT min(ep) AS t0, max(ep) + 1 AS t1 FROM y GROUP BY user_id, session_id),
         |spans AS (SELECT t0, t1, unnest(generate_series(t0 // 86400, (t1 - 1) // 86400)) AS day FROM sess),
         |clip AS (SELECT day, greatest(t0, day * 86400) AS lo, least(t1, (day + 1) * 86400) AS hi FROM spans),
@@ -4338,6 +4410,7 @@ object Queries {
     "q_clamped_balance" -> QueryDef(
       (s, d) => {
         val mv = ds(s, d, "lineitem").toDF
+          .filter(col("l_returnflag").isNotNull) // NULL flag = dirty move (fuzz r12)
           .select(col("l_suppkey"),
             (when(col("l_returnflag") === "R", -1L).otherwise(1L) *
               round(col("l_quantity")).cast("long")).as("delta"),
@@ -4349,7 +4422,9 @@ object Queries {
       Some("""WITH mv AS (SELECT l_suppkey AS sk,
         |    (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END * round(l_quantity)::BIGINT) AS delta,
         |    floor(epoch(l_shipdate))::BIGINT AS ep, l_orderkey AS ok, l_linenumber AS ln
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL AND l_orderkey IS NOT NULL
+        |    AND l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_returnflag IS NOT NULL),
         |w AS (SELECT sk, ep, ok, ln, delta,
         |    sum(delta) OVER (PARTITION BY sk ORDER BY ep, ok, ln
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS p FROM mv),
@@ -4821,13 +4896,13 @@ object Queries {
         val units = pe.groupBy("user_id").agg(
           sum(when(col("day") % 2 === 0, col("cents")).otherwise(0L)).as("x"),
           sum(when(col("day") % 2 === 1, col("cents")).otherwise(0L)).as("y"))
-        operators.Stats.cupedMeans(units, col("user_id") % 2, col("x"), col("y"))
+        operators.Stats.cupedMeans(units, pmod(col("user_id"), lit(2L)), col("x"), col("y"))
       },
       Some("""WITH pe AS (SELECT user_id, floor(epoch(ts))::BIGINT // 86400 AS day,
         |    round(value * 100)::BIGINT AS cents
         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
         |    AND value IS NOT NULL AND ts IS NOT NULL),
-        |u AS (SELECT user_id, user_id % 2 AS arm,
+        |u AS (SELECT user_id, ((user_id % 2) + 2) % 2 AS arm,
         |    sum(CASE WHEN day % 2 = 0 THEN cents ELSE 0 END)::BIGINT AS x,
         |    sum(CASE WHEN day % 2 = 1 THEN cents ELSE 0 END)::BIGINT AS y
         |  FROM pe GROUP BY user_id),
@@ -4858,9 +4933,10 @@ object Queries {
             col("value").isNotNull)
           .groupBy("user_id")
           .agg(sum(round(col("value") * 100).cast("long")).as("y"))
-        operators.Stats.welchTTest(units, col("user_id") % 2, col("y"))
+        // pmod: negative (sign-flipped) ids must not invent arm -1
+        operators.Stats.welchTTest(units, pmod(col("user_id"), lit(2L)), col("y"))
       },
-      Some("""WITH u AS (SELECT user_id, user_id % 2 AS arm,
+      Some("""WITH u AS (SELECT user_id, ((user_id % 2) + 2) % 2 AS arm,
         |    sum(round(value * 100)::BIGINT)::BIGINT AS y
         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
         |    AND value IS NOT NULL GROUP BY user_id),
@@ -5007,13 +5083,13 @@ object Queries {
             round(col("value") * 100).cast("long").as("cents"))
         val units = pe.groupBy(col("user_id"), (col("day") % 2 === 1).as("post"))
           .agg(sum(col("cents")).as("y"))
-        operators.Stats.diffInDiff(units, col("user_id") % 2, col("post"), col("y"))
+        operators.Stats.diffInDiff(units, pmod(col("user_id"), lit(2L)), col("post"), col("y"))
       },
       Some("""WITH pe AS (SELECT user_id, floor(epoch(ts))::BIGINT // 86400 AS day,
         |    round(value * 100)::BIGINT AS cents
         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
         |    AND value IS NOT NULL AND ts IS NOT NULL),
-        |u AS (SELECT user_id, user_id % 2 AS arm, day % 2 = 1 AS post,
+        |u AS (SELECT user_id, ((user_id % 2) + 2) % 2 AS arm, day % 2 = 1 AS post,
         |    sum(cents)::BIGINT AS y FROM pe GROUP BY user_id, day % 2 = 1),
         |cells AS (SELECT arm, post, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
         |  FROM u GROUP BY arm, post),
@@ -5301,9 +5377,12 @@ object Queries {
           .groupBy("user_id")
           .agg((max(when(col("event_type") === "purchase", 1L).otherwise(0L)) === 1L)
             .as("converted"))
-        operators.Stats.propZTest(u, col("user_id") % 2, col("converted"))
+        // pmod, not %: a negative user id (sign-flip dirty data) must
+        // land in arm 0/1, not invent arm -1 (fuzz r12 — propZTest's
+        // exactly-2-arms require caught it)
+        operators.Stats.propZTest(u, pmod(col("user_id"), lit(2L)), col("converted"))
       },
-      Some("""WITH u AS (SELECT user_id, user_id % 2 AS arm,
+      Some("""WITH u AS (SELECT user_id, ((user_id % 2) + 2) % 2 AS arm,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS c
         |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         |  GROUP BY user_id),
@@ -5974,7 +6053,200 @@ object Queries {
         |top AS (SELECT *, row_number() OVER (ORDER BY tot DESC, w) AS rk FROM pt)
         |SELECT w AS token, tot, n_docs_with,
         |  ((d_docs * sumsq - tot * tot) * 1000 // (d_docs * tot))::BIGINT AS fano_milli
-        |FROM top CROSS JOIN d WHERE rk <= 30""".stripMargin))
+        |FROM top CROSS JOIN d WHERE rk <= 30""".stripMargin)),
+
+    // §2.2/287 — Kendall τ-b (r12): the tie-robust third correlation
+    // beside Pearson (229) and Spearman (263), exact over the joint
+    // frequency table — V² cell pairs, never n² rows; pair counts
+    // DECIMAL(38,0) (n(n−1)/2 outgrows int64 past ~4.3e9 rows).
+    "q_kendall" -> QueryDef(
+      (s, d) => operators.Stats.kendallTau(ds(s, d, "lineitem").toDF,
+        round(col("l_quantity")), round(col("l_discount") * 100)),
+      Some("""WITH v AS (SELECT round(l_quantity)::BIGINT AS x,
+        |    round(l_discount * 100)::BIGINT AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |cells AS (SELECT x, y, count(*)::BIGINT AS m FROM v GROUP BY 1, 2),
+        |pr AS (SELECT
+        |    coalesce(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+        |      THEN a.m::HUGEINT * b.m ELSE 0 END), 0)::DECIMAL(38,0) AS c_pairs,
+        |    coalesce(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+        |      THEN a.m::HUGEINT * b.m ELSE 0 END), 0)::DECIMAL(38,0) AS d_pairs
+        |  FROM cells a JOIN cells b
+        |    ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+        |tx AS (SELECT sum(t::HUGEINT * (t - 1) // 2)::DECIMAL(38,0) AS ties_x
+        |  FROM (SELECT sum(m)::BIGINT AS t FROM cells GROUP BY x) z),
+        |ty AS (SELECT sum(t::HUGEINT * (t - 1) // 2)::DECIMAL(38,0) AS ties_y
+        |  FROM (SELECT sum(m)::BIGINT AS t FROM cells GROUP BY y) z),
+        |nn AS (SELECT count(*)::BIGINT AS n,
+        |    (count(*)::HUGEINT * (count(*) - 1) // 2)::DECIMAL(38,0) AS n0 FROM v)
+        |SELECT n, c_pairs, d_pairs, ties_x, ties_y,
+        |  CASE WHEN n0 > ties_x AND n0 > ties_y THEN
+        |    (c_pairs - d_pairs)::DOUBLE
+        |      / sqrt((n0 - ties_x)::DOUBLE * (n0 - ties_y)::DOUBLE) END AS tau
+        |FROM nn CROSS JOIN pr CROSS JOIN tx CROSS JOIN ty""".stripMargin)),
+
+    // §2.2/288 — Mann–Kendall trend test per series (r12): S and the
+    // ×18-scaled tie-adjusted variance exact int64 from the per-series
+    // DAY-pair join (day-curve-sized, never event-sized); z one double.
+    "q_mann_kendall" -> QueryDef(
+      (s, d) => operators.TimeSeries.mannKendall(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts) / 86400)::BIGINT AS day, count(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT a.series, sum(sign(b.x - a.x))::BIGINT AS s_stat
+        |  FROM d a JOIN d b ON a.series = b.series AND a.day < b.day GROUP BY 1),
+        |t AS (SELECT series,
+        |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+        |  FROM (SELECT series, x, count(*)::BIGINT AS t FROM d GROUP BY 1, 2) z
+        |  GROUP BY 1),
+        |m AS (SELECT series, count(*)::BIGINT AS m_days FROM d GROUP BY 1)
+        |SELECT m.series, m_days, coalesce(s.s_stat, 0)::BIGINT AS s_stat,
+        |  (m_days * (m_days - 1) * (2 * m_days + 5) - tie18)::BIGINT AS var18,
+        |  CASE WHEN m_days * (m_days - 1) * (2 * m_days + 5) - tie18 > 0 THEN
+        |    (coalesce(s.s_stat, 0) - sign(coalesce(s.s_stat, 0)))::DOUBLE
+        |      / sqrt((m_days * (m_days - 1) * (2 * m_days + 5) - tie18)::DOUBLE / 18.0)
+        |  END AS z
+        |FROM m LEFT JOIN s ON m.series = s.series
+        |JOIN t ON m.series = t.series""".stripMargin)),
+
+    // §2.2/289 — Wald–Wolfowitz runs test per series (r12): above/
+    // below-median day signs (exact med2 over the full day curve,
+    // median-equal days dropped — the textbook rule), runs from one
+    // lag window, z over exact integer counts.
+    "q_runs_test" -> QueryDef(
+      (s, d) => operators.TimeSeries.runsTest(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts) / 86400)::BIGINT AS day, count(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |md AS (SELECT series, vals[(len(vals)+1)//2] + vals[(len(vals)+2)//2] AS med2
+        |  FROM (SELECT series, list(x ORDER BY x) AS vals FROM d GROUP BY 1) z),
+        |sg AS (SELECT d.series, d.day,
+        |    CASE WHEN d.x * 2 > md.med2 THEN 1 ELSE -1 END AS sgn
+        |  FROM d JOIN md ON d.series = md.series WHERE d.x * 2 <> md.med2),
+        |ch AS (SELECT series, sgn,
+        |    CASE WHEN lag(sgn) OVER (PARTITION BY series ORDER BY day) IS NULL
+        |      OR lag(sgn) OVER (PARTITION BY series ORDER BY day) <> sgn
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM sg),
+        |agg AS (SELECT series,
+        |    sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_above,
+        |    sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_below,
+        |    sum(chg)::BIGINT AS runs FROM ch GROUP BY 1)
+        |SELECT series, n_above, n_below, runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+        |    AND (2.0 * n_above * n_below
+        |         * (2.0 * n_above * n_below - (n_above + n_below)))
+        |        / ((n_above + n_below)::DOUBLE * (n_above + n_below)
+        |           * (n_above + n_below - 1.0)) > 0
+        |  THEN (runs::DOUBLE
+        |        - (2.0 * n_above * n_below / (n_above + n_below)::DOUBLE + 1.0))
+        |     / sqrt((2.0 * n_above * n_below
+        |             * (2.0 * n_above * n_below - (n_above + n_below)))
+        |            / ((n_above + n_below)::DOUBLE * (n_above + n_below)
+        |               * (n_above + n_below - 1.0)))
+        |  END AS z
+        |FROM agg""".stripMargin)),
+
+    // §2.2/290 — Flesch–Kincaid readability per source (r12): exact
+    // integer word / vowel-group / sentence-mark counts (ASCII-class
+    // regexes, identical on both engines), grade one double expression;
+    // punctuation-free synthetic docs floor at 1 sentence per doc.
+    "text_readability" -> QueryDef(
+      (s, d) => ds(s, d, "documents").toDF
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("w"),
+          regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long").as("syl"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+            .as("sent"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+          sum("syl").as("n_syllables"), sum("sent").as("n_sentences"))
+        .withColumn("fk_grade",
+          when(col("n_words") > 0,
+            lit(0.39) * col("n_words").cast("double") / col("n_sentences").cast("double")
+              + lit(11.8) * col("n_syllables").cast("double") / col("n_words").cast("double")
+              - lit(15.59))),
+      Some("""WITH p AS (SELECT source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS w,
+        |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT AS syl,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS sent
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words,
+        |  sum(syl)::BIGINT AS n_syllables, sum(sent)::BIGINT AS n_sentences,
+        |  CASE WHEN sum(w) > 0 THEN
+        |    0.39 * sum(w)::DOUBLE / sum(sent)::DOUBLE
+        |      + 11.8 * sum(syl)::DOUBLE / sum(w)::DOUBLE - 15.59 END AS fk_grade
+        |FROM p GROUP BY 1""".stripMargin)),
+
+    // §2.2/291 — l-diversity audit (r12): the sensitive-attribute
+    // complement of row 255's k-anonymity — per quasi-identifier group
+    // (order priority × epoch-week) the count of DISTINCT sensitive
+    // values (customers); a group below `l` is re-identifiable by
+    // attribute disclosure even when k-anonymous.
+    "q_ldiversity" -> QueryDef(
+      (s, d) => ds(s, d, "orders").toDF
+        .filter(col("o_orderpriority").isNotNull && col("o_orderdate").isNotNull &&
+          col("o_custkey").isNotNull)
+        .groupBy(col("o_orderpriority"),
+          floor(unix_timestamp(col("o_orderdate")) / 604800L).as("epoch_week"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("l_distinct"))
+        .withColumn("below_l5", col("l_distinct") < 5),
+      Some("""SELECT o_orderpriority, floor(epoch(o_orderdate) / 604800)::BIGINT AS epoch_week,
+        |  count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT o_custkey)::BIGINT AS l_distinct,
+        |  count(DISTINCT o_custkey) < 5 AS below_l5
+        |FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+        |  AND o_custkey IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // §2.2/292 — Lloyd k-means in exact fixed point (r12): md5-seeded
+    // k=8 centers + 2 refinement rounds; every centroid is an exact
+    // int64 floor-mean and every distance an exact int64, so the WHOLE
+    // training trajectory replays in SQL — the codebook-training
+    // primitive behind IVF/PQ, oracled end-to-end.
+    "sim_kmeans" -> QueryDef(
+      (s, d) => Similarity.kmeansLloyd(ds(s, d, "embeddings").toDF,
+        "vec_id", "embedding", k = 8, dim = 64, iters = 2),
+      Some {
+        def assign(cb: String, name: String) =
+          s"""$name AS (SELECT vec_id, cid, dist FROM (
+             |  SELECT vec_id, cid, dist,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |  FROM (SELECT q.vec_id, c.cid,
+             |      sum((q.q - c.c) * (q.q - c.c)) AS dist
+             |    FROM quant q JOIN $cb c USING (pos) GROUP BY 1, 2) t) z
+             |  WHERE rn = 1)""".stripMargin
+        def update(asg: String, prev: String, name: String) =
+          s"""$name AS (SELECT g.cid, g.pos, coalesce(u.s // u.n, g.c)::BIGINT AS c
+             |  FROM $prev g LEFT JOIN (
+             |    SELECT a.cid, q.pos, sum(q.q)::HUGEINT AS s, count(*) AS n
+             |    FROM $asg a JOIN quant q USING (vec_id) GROUP BY 1, 2) u
+             |  ON u.cid = g.cid AND u.pos = g.pos)""".stripMargin
+        s"""WITH eb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) >= 64
+           |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
+           |quant AS (SELECT vec_id, g.i - 1 AS pos,
+           |    round(v[g.i] * 1048576)::BIGINT AS q
+           |  FROM eb, generate_series(1, 64) AS g(i)),
+           |sd AS (SELECT vec_id, v,
+           |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM eb),
+           |cent0 AS (SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::BIGINT AS cid, v
+           |  FROM (SELECT * FROM sd ORDER BY h, vec_id LIMIT 8) z),
+           |c0 AS (SELECT cid, g.i - 1 AS pos, round(v[g.i] * 1048576)::BIGINT AS c
+           |  FROM cent0, generate_series(1, 64) AS g(i)),
+           |${assign("c0", "asg0")},
+           |${update("asg0", "c0", "c1")},
+           |${assign("c1", "asg1")},
+           |${update("asg1", "c1", "c2")},
+           |${assign("c2", "asgf")}
+           |SELECT vec_id, cid AS cluster_id, dist::BIGINT AS dist_q FROM asgf""".stripMargin
+      })
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

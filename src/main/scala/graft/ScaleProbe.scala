@@ -28,6 +28,7 @@ object ScaleProbe {
     if (args.length > 1 && args(1) == "r10c") { r10cOps(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "r10d") { r10dOps(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "stream") { streamState(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "top5") { top5(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bpe") { bpeEncode(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloom") { bloomBreakEven(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloomat") { bloomAt(spark, factor); spark.stop(); return }
@@ -853,6 +854,92 @@ object ScaleProbe {
     Seq(100, 1000).foreach { g =>
       drive("exactk_sample", g,
         df => StreamingSketch.streamingExactKSample(df, "g", "v", k = 64))
+    }
+  }
+
+  /** The SECOND scale decade (r12, carried verdict item): the five
+    * most expensive registry operators at ×10 (the sf1 replica scale
+    * every curve so far stops at) and ×100 (sf10-equivalent) of the
+    * sf0.1 inputs, measured in ONE run on ONE box so the ×10→×100
+    * ratio is a true decade, not a cross-round comparison.
+    *
+    * Replica discipline: graph operators get DISJOINT node-id-offset
+    * copies (per-copy degree structure preserved — cross-copy work
+    * appearing would be a real super-linear bug); document operators
+    * get token-suffixed copies (the SfScale lesson: byte-identical
+    * replicas make every pair operator quadratic in REPLICATION, which
+    * measures output writing, not candidate generation).
+    *
+    * This is also where the §5 sizing rules get their first exercise
+    * past ×10: triangles re-runs at ×100 with `bloomWords` raised per
+    * the one-power-of-two-per-4×-edges rule (1<<20 → 1<<23) and with
+    * the default, so the rule's value is MEASURED; dedup_simhash's
+    * 4×14-bit chunk banding has a random-collision candidate floor of
+    * ~4·n²/2¹⁵ that is invisible at 50k docs and real at 500k — the
+    * probe prints pair output so the floor's onset is recorded.
+    * Run: `SPARK_DRIVER_MEM=48g sbt "runMain graft.ScaleProbe 100 top5"`.
+    */
+  private def top5(spark: SparkSession, factor: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs, $rows rows")
+    }
+    // every iteration's inputs come off disk, and between operators
+    // EVERYTHING cached/checkpointed is dropped — the decade ratio
+    // must not ride on a warm block store (the suite-position lesson)
+    def releaseEverything(): Unit = {
+      Dedup.releasePins()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-top5").toString
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      .distinct()
+      .write.parquet(s"$tmp/edges")
+    Seq(10, factor).distinct.foreach { k =>
+      val baseEdges = spark.read.parquet(s"$tmp/edges")
+      (0 until k).map { i =>
+        baseEdges.select((col("src") + lit(i.toLong * 100000000L)).as("src"),
+          (col("dst") + lit(i.toLong * 100000000L)).as("dst"))
+      }.reduce(_.unionByName(_)).write.parquet(s"$tmp/edges_x$k")
+      val e = spark.read.parquet(s"$tmp/edges_x$k")
+      println(s"--- x$k: edges=${e.count()}")
+      time(s"triangles_x$k")(
+        operators.Triangles.triangleCount(e, "src", "dst").count())
+      releaseEverything()
+      if (k > 10) {
+        // the §5 rule under test: +1 power of two per 4x edges past x10
+        time(s"triangles_x${k}_bloom23")(
+          operators.Triangles.triangleCount(e, "src", "dst",
+            bloomWords = 1 << 23).count())
+        releaseEverything()
+      }
+      time(s"communities_x$k")(
+        operators.LabelPropagation.communities(e, "src", "dst").count())
+      releaseEverything()
+      time(s"modularity_x$k")(
+        operators.LabelPropagation.modularity(e, "src", "dst", rounds = 3).count())
+      releaseEverything()
+      (0 until k).map { i =>
+        Tables.load(spark, dir, "documents")
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", concat(col("text"), lit(s" zrep$i")))
+      }.reduce(_.unionByName(_)).write.parquet(s"$tmp/docs_x$k")
+      val docs = spark.read.parquet(s"$tmp/docs_x$k")
+      println(s"--- x$k: docs=${docs.count()}")
+      time(s"substring_clusters_x$k")(
+        Dedup.substringClusters(docs, "doc_id", "text", k = 5, window = 8).count())
+      releaseEverything()
+      time(s"simhash_pairs_x$k")(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count())
+      releaseEverything()
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions.udaf
   * shuffle carries `groups * k` rows regardless of corpus size.
   * Selection order (score desc, id asc) is total, so results are
   * deterministic and identical to the window form.
+  *
+  * NULL id or NULL score rows are SKIPPED (fuzz r12): the previous
+  * primitive (Long, Double) input encoder silently read a NULL id as
+  * 0 — a fabricated identity in the top-k output. Skipping matches
+  * SQL's `max_by`/aggregate NULL semantics, and a row with no identity
+  * or no score has no defensible rank anyway.
   */
-class TopKAgg(k: Int) extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+class TopKAgg(k: Int) extends Aggregator[(java.lang.Long, java.lang.Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
 
   private def better(a: (Long, Double), b: (Long, Double)): Boolean = {
     // NaN scores (e.g. cosine of a zero vector) rank LAST,
@@ -39,8 +45,9 @@ class TopKAgg(k: Int) extends Aggregator[(Long, Double), Seq[(Long, Double)], Se
   }
 
   override def zero: Seq[(Long, Double)] = Vector.empty
-  override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
-    insert(buf, x)
+  override def reduce(buf: Seq[(Long, Double)], x: (java.lang.Long, java.lang.Double)): Seq[(Long, Double)] =
+    if (x._1 == null || x._2 == null) buf
+    else insert(buf, (x._1.longValue(), x._2.doubleValue()))
   override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
     b.foldLeft(a)(insert)
   override def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
@@ -51,7 +58,7 @@ class TopKAgg(k: Int) extends Aggregator[(Long, Double), Seq[(Long, Double)], Se
 
 object TopKAgg {
   /** Column form: `topK(k)(idCol, scoreCol)` → array<struct<_1,_2>>
-    * sorted best-first.
+    * sorted best-first. NULL id/score inputs contribute nothing.
     */
   def topK(k: Int): (Column, Column) => Column = {
     val fn = udaf(new TopKAgg(k))

@@ -145,7 +145,8 @@ object Analytics {
   def bounceRate(events: DataFrame, keyCol: String, tsCol: String,
                  typeCol: String, idCol: String = "event_id",
                  gapSeconds: Long = 1800): DataFrame = {
-    val s = Sessionize.assignSessions(events, keyCol, tsCol, gapSeconds)
+    val s = Sessionize.assignSessions(
+        events.filter(col(idCol).isNotNull), keyCol, tsCol, gapSeconds)
       .withColumn("__ord",
         format_string("%020d|%010d", unix_micros(col(tsCol).cast("timestamp")), col(idCol)))
     val per = s.groupBy(col(keyCol), col("session_id"))
@@ -236,7 +237,11 @@ object Analytics {
                             typeCol: String, valCol: String,
                             idCol: String = "event_id",
                             gapSeconds: Long = 1800): DataFrame = {
-    val s = Sessionize.assignSessions(events, keyCol, tsCol, gapSeconds)
+    // NULL-id events excluded (fuzz r12): the (micros, id) total order
+    // is the operator's determinism contract, and engines disagree on
+    // NULL arg_min/min_by keys
+    val s = Sessionize.assignSessions(
+        events.filter(col(idCol).isNotNull), keyCol, tsCol, gapSeconds)
       .withColumn("__ord",
         format_string("%020d|%010d", unix_micros(col(tsCol).cast("timestamp")), col(idCol)))
       .withColumn("__cents",
@@ -265,7 +270,9 @@ object Analytics {
                typeCol: String, idCol: String = "event_id",
                gapSeconds: Long = 1800, depth: Int = 3,
                topK: Int = 10): DataFrame = {
-    val s = Sessionize.assignSessions(events, keyCol, tsCol, gapSeconds)
+    val s = Sessionize.assignSessions(
+        events.filter(col(idCol).isNotNull && col(typeCol).isNotNull),
+        keyCol, tsCol, gapSeconds)
       .withColumn("__ord",
         format_string("%020d|%010d", unix_micros(col(tsCol).cast("timestamp")), col(idCol)))
     s.groupBy(col(keyCol), col("session_id"))
@@ -360,7 +367,10 @@ object Analytics {
   def abcClassification(facts: DataFrame, groupCol: String, unitCol: String,
                         valueCol: String, aPct: Int = 80,
                         bPct: Int = 95): DataFrame = {
-    val perUnit = facts.filter(col(groupCol).isNotNull && col(unitCol).isNotNull)
+    // NULL value rows excluded too (fuzz r12): an all-NULL unit would
+    // aggregate to v = NULL, which engines ORDER differently
+    val perUnit = facts.filter(col(groupCol).isNotNull && col(unitCol).isNotNull &&
+        col(valueCol).isNotNull)
       .groupBy(col(groupCol).as("grp"), col(unitCol).as("unit"))
       .agg(sum(col(valueCol)).as("v"))
     val run = Window.partitionBy("grp").orderBy(col("v").desc, col("unit"))

@@ -27,8 +27,13 @@ object AsOf {
     * "latest" shared by snapshots, diffs, and the streaming upsert
     * sink, so tie-breaking can never silently diverge between them.
     */
-  def latestPerKey(df: DataFrame, timeCol: String,
+  def latestPerKey(df0: DataFrame, timeCol: String,
                    key: Seq[String], tiebreak: Seq[String]): DataFrame = {
+    // a record missing its event time, tiebreak, or key has no place
+    // in the version order — excluded (fuzz r12; engines NULL-sort
+    // differently, and a NULL-key "latest" is meaningless)
+    val df = df0.filter(
+      (timeCol +: (key ++ tiebreak)).map(col(_).isNotNull).reduce(_ && _))
     val order = (col(timeCol).desc +: tiebreak.map(col(_).desc))
     val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
@@ -69,16 +74,25 @@ object AsOf {
     val rvCols = (rightCols ++ rightTiebreak).distinct
     val rvType = right.select(rvCols.map(q): _*).schema
     val lrowType = left.schema
-    val l2 = left.select(q(leftKey).as(kc), q(leftTs).as(tc),
+    // NULL key/ts rows excluded on BOTH sides (fuzz r12): the as-of
+    // predicate ts<=t is undefined for NULL time, and a NULL key row
+    // would window-group with other NULL keys where a join never
+    // matches them — engine-dependent either way
+    val left1 = left.filter(q(leftKey).isNotNull && q(leftTs).isNotNull)
+    val right1 = right.filter(
+      (Seq(rightKey, rightTs) ++ rightTiebreak).map(q(_).isNotNull).reduce(_ && _))
+    val l2 = left1.select(q(leftKey).as(kc), q(leftTs).as(tc),
       lit(1).as(sc), lit(null).cast(rvType).as(rv),
       struct(left.columns.toIndexedSeq.map(q): _*).as(lrow))
-    val r2 = right.select(q(rightKey).as(kc), q(rightTs).as(tc),
+    val r2 = right1.select(q(rightKey).as(kc), q(rightTs).as(tc),
       lit(0).as(sc), struct(rvCols.map(q): _*).as(rv),
       lit(null).cast(lrowType).as(lrow))
     val order = col(tc).asc +: col(sc).asc +:
       rightTiebreak.map(c => col(rv).getField(c).asc)
     val w = Window.partitionBy(kc).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // left1/l2 reference left.columns for the output projection;
+    // the filter above only drops rows, never columns
     l2.unionByName(r2)
       .withColumn(m, last(col(rv), ignoreNulls = true).over(w))
       .filter(col(sc) === 1)

@@ -161,15 +161,23 @@ object Bpe {
 
   private sealed trait WordEncoder {
     def encodeWord(w: String, out: scala.collection.mutable.ArrayBuffer[String]): Unit
-    /** Split `w` into base symbols in `syms`, return count. */
+    /** Split `w` into base symbols in `syms`, return count. Symbols
+      * are Unicode CODE POINTS, not UTF-16 chars (fuzz r12): charAt
+      * would split a non-BMP character (emoji, rare CJK) into two
+      * lone surrogates — invalid strings the SQL oracle (which slices
+      * per character) can never produce.
+      */
     protected final def baseSyms(w: String, syms: Array[String]): Int = {
       var i = 0
+      var n = 0
       while (i < w.length) {
-        syms(i) = if (i == w.length - 1) w.charAt(i).toString + "</w>"
-                  else w.charAt(i).toString
-        i += 1
+        val l = Character.charCount(w.codePointAt(i))
+        syms(n) = w.substring(i, i + l)
+        n += 1
+        i += l
       }
-      w.length
+      if (n > 0) syms(n - 1) = syms(n - 1) + "</w>"
+      n
     }
   }
 
@@ -184,11 +192,12 @@ object Bpe {
     def encodeWord(w: String, out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
       cur.clear()
       var i = 0
-      while (i < w.length) {
-        cur += (if (i == w.length - 1) w.charAt(i).toString + "</w>"
-                else w.charAt(i).toString)
-        i += 1
+      while (i < w.length) { // code-point split, same contract as baseSyms
+        val l = Character.charCount(w.codePointAt(i))
+        cur += w.substring(i, i + l)
+        i += l
       }
+      if (cur.nonEmpty) cur(cur.length - 1) = cur(cur.length - 1) + "</w>"
       var m = 0
       while (m < mArr.length) {
         val l = mArr(m)._1; val r = mArr(m)._2
@@ -315,7 +324,9 @@ object Bpe {
   private[graft] def toSymbols(w: String): Seq[String] = {
     if (w.isEmpty) Seq.empty
     else {
-      val cs = w.map(_.toString)
+      // code points, not UTF-16 chars — see baseSyms (fuzz r12)
+      val cs = w.codePoints().toArray.toIndexedSeq
+        .map(cp => new String(Character.toChars(cp)))
       cs.init :+ (cs.last + "</w>")
     }
   }

@@ -915,7 +915,12 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val exploded = fanOut(df).select(col(idCol).as("doc_id"),
+    // NULL-id docs excluded (fuzz r12): the sliding-minima window
+    // partitions by doc_id, so every NULL-id document would share ONE
+    // window partition and mix its hashes with every other id-less
+    // document's — fingerprints keyed by nothing are meaningless anyway
+    val exploded = fanOut(df.filter(col(idCol).isNotNull))
+      .select(col(idCol).as("doc_id"),
         posexplode(TextFunctions.gramHashes(col(textCol), k)).as(Seq("pos", "h")))
     val sliding = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, window - 1)
@@ -977,7 +982,11 @@ object Dedup {
 
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 20): DataFrame = {
-    val occ = registerPin(chunkOccurrences(fanOut(df), idCol, textCol, chunkTokens))
+    // NULL-id docs excluded (fuzz r12): "first occurrence" is the min
+    // (doc_id, chunk_idx) struct, and engines order NULL struct fields
+    // differently — an id-less doc must not own anyone's chunks
+    val occ = registerPin(chunkOccurrences(
+      fanOut(df.filter(col(idCol).isNotNull)), idCol, textCol, chunkTokens))
     val owners = occ.groupBy("h")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
     occ.join(owners, "h")
@@ -1084,7 +1093,9 @@ object Dedup {
                         k: Int, window: Int,
                         dfNum: Int = 1, dfDen: Int = 8,
                         iterations: Int = 3): DataFrame = {
-    val ids = df.select(col(idCol).as("id"))
+    // NULL-id docs are excluded end-to-end (winnowFingerprints drops
+    // them from membership; the singleton branch must match — fuzz r12)
+    val ids = df.filter(col(idCol).isNotNull).select(col(idCol).as("id"))
     // The winnow is the expensive leaf (positional k-gram hashes +
     // windowed minima over every document) and BOTH the df-count pass
     // and the membership need it. Pin it ONCE, and sever the membership

@@ -38,7 +38,12 @@ object Ivm {
     * count reaches zero, which a bare sum cannot detect).
     */
   def groupState(rows: DataFrame, keyCols: Seq[String], valCol: String): DataFrame =
-    rows.groupBy(keyCols.map(col): _*)
+    // NULL group keys excluded (fuzz r12): state merging is a KEY JOIN
+    // (applyGroupDelta's full-outer), and SQL joins never match NULL
+    // keys — a NULL-key group would accumulate inserts while deletes
+    // pass it by, silently diverging from recompute
+    rows.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
       .agg(sum(col(valCol)).as(s"sum_$valCol"), count(lit(1)).as("n_rows"))
 
   /** Apply a CDC delta to a group-by-sum state without touching base
@@ -59,6 +64,7 @@ object Ivm {
       .otherwise(raise_error(concat(lit("IVM delta op must be I or D, got: "),
         col(opCol))).cast("long"))
     val d = delta
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _)) // same key contract as groupState
       .select(keyCols.map(col) :+ sgn.as("__sgn") :+ col(valCol).as("__v"): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__sgn") * col("__v")).as("__dsum"), sum(col("__sgn")).as("__dn"))

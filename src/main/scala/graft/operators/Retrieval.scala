@@ -84,8 +84,11 @@ object Retrieval {
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     numBlocks: Int = 8): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    // NULL-id docs excluded (fuzz r12): a posting "NULL:tf" is
+    // unaddressable, and its hash block is engine-dependent
+    val tok = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf_cnt"))
       .withColumn("block",
         pmod(HashFunctions.stableHash56(col("doc_id").cast("string")), lit(numBlocks.toLong)))

@@ -30,10 +30,15 @@ object Scd2 {
   def history(changes: DataFrame, keyCol: String, tsCol: String,
               tieCol: String, attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "SCD-2 needs at least one tracked attribute")
+    // NULL ts/tie rows can't be versioned (engines NULL-sort
+    // differently) and a NULL tracked attribute makes the
+    // change-detection comparison three-valued — all excluded
+    // (fuzz r12); dirty rows belong in the quarantine path
+    val clean = (Seq(tsCol, tieCol) ++ attrCols).map(col(_).isNotNull).reduce(_ && _)
     val order = Seq(unix_timestamp(col(tsCol)).as("__ep"), col(tieCol).as("__tie"))
     val attrs = struct(attrCols.map(col): _*)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__ep"), col("__tie"))
-    val collapsed = changes
+    val collapsed = changes.filter(clean)
       .select(col(keyCol) +: (order ++ attrCols.map(col)): _*)
       .withColumn("__prev", lag(attrs, 1).over(w))
       // first event per key (lag NULL) always opens version 1

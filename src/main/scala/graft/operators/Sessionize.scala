@@ -16,9 +16,17 @@ object Sessionize {
   /** Per-event session assignment: the input rows plus `__epoch` and
     * `session_id` — the shared first stage of [[sessions]] and the
     * funnel/path analyses that need the events themselves.
+    *
+    * NULL-key/NULL-timestamp rows are EXCLUDED (r12, fuzz-pinned): an
+    * event with no owner can't belong to a session and an event with
+    * no time can't be ordered into one — and engines disagree on where
+    * NULLs sort (Spark windows default NULLS FIRST, DuckDB NULLS
+    * LAST), so leaving them in makes every downstream session id
+    * engine-dependent. Dirty rows belong in the q_quarantine path.
     */
-  def assignSessions(df: DataFrame, keyCol: String, tsCol: String,
+  def assignSessions(df0: DataFrame, keyCol: String, tsCol: String,
                      gapSeconds: Long): DataFrame = {
+    val df = df0.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
     val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol))
     val epoch = unix_timestamp(col(tsCol))
     val prev = lag(epoch, 1).over(byTime)

@@ -586,4 +586,80 @@ object Similarity {
       .select("query_id", "label", "n_rel", "first_rel_rank", "rr_micro",
         "hits_at_k", "precision_at_k", "recall_at_k")
   }
+
+  /** Lloyd's k-means over fixed-point embeddings (r12) — the training
+    * half the ANN family was missing (IVF uses raw md5-seeded seeds;
+    * this is the same seeding plus `iters` exact refinement rounds, the
+    * primitive behind codebook training / corpus partitioning).
+    *
+    * Hash-exact by construction, so the WHOLE trajectory replays in an
+    * external SQL engine: vectors quantize per element to
+    * q = round(v·2²⁰) (the q_embed_centroids convention — exact int64
+    * everywhere), distances are exact integer Σ(q−c)² (≤ 2⁴²·dim, safe
+    * to dim ≤ 2 million), assignment argmin ties to the LOWER cell id,
+    * and the centroid update is exact TRUNCATING integer division
+    * (`s div n` ↔ DuckDB integer `//` — both truncate toward zero, so
+    * negative sums replay bit-for-bit). Empty cells keep their
+    * previous centroid.
+    *
+    * Scale shape per round: one broadcast of k·dim centroid rows
+    * against the exploded corpus (combinable argmin via min(struct)),
+    * one combinable (cell, pos) re-aggregation — no corpus self-join,
+    * no shuffle keyed by anything bigger than (cell, pos). Output:
+    * (vec_id, cluster_id, dist_q) — the final assignment with its
+    * exact integer squared distance.
+    */
+  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, dim: Int, iters: Int = 2): DataFrame = {
+    require(k >= 2 && k <= 256, s"k must be in [2, 256], got $k")
+    require(iters >= 0 && iters <= 8, s"iters must be in [0, 8], got $iters")
+    val usable = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) >= dim &&
+        !exists(slice(col(vecCol), 1, dim), _.isNull))
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val quant = usable
+      .select(col("vid"), posexplode(slice(col("v"), 1, dim)).as(Seq("pos", "x")))
+      .select(col("vid"), col("pos"),
+        round(col("x").cast("double") * (1 << 20)).cast("long").as("q"))
+    // seeds: the k vectors with the smallest md5-derived id hash — the
+    // ivfTopK convention, replayable as ORDER BY hash LIMIT k
+    val seeds = usable
+      .select(col("vid"), col("v"),
+        graft.functions.HashFunctions.stableHash56(col("vid").cast("string")).as("h"))
+      .orderBy(col("h"), col("vid")).limit(k)
+      // k rows: the single-partition window is fine here by construction
+      .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vid")))
+          .cast("long") - 1).as("cid"), col("v"))
+      .select(col("cid"), posexplode(slice(col("v"), 1, dim)).as(Seq("pos", "x")))
+      .select(col("cid"), col("pos"),
+        round(col("x").cast("double") * (1 << 20)).cast("long").as("c"))
+    def assign(cent: DataFrame): DataFrame = {
+      val d2 = (col("q") - col("c")) * (col("q") - col("c"))
+      quant.join(broadcast(cent), "pos")
+        .groupBy("vid", "cid").agg(sum(d2).as("dist"))
+        .groupBy("vid")
+        .agg(min(struct(col("dist"), col("cid"))).as("w"))
+        .select(col("vid"), col("w.cid").as("cid"), col("w.dist").as("dist_q"))
+    }
+    def update(prev: DataFrame, asg: DataFrame): DataFrame = {
+      val sums = asg.join(quant, "vid")
+        .groupBy("cid", "pos")
+        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        // exact TRUNCATING integer division: Spark `div` and DuckDB's
+        // integer `//` both truncate toward zero (measured: -7 // 2 =
+        // -3 in DuckDB 1.0), so the replay is bit-exact on the
+        // negative sums real embeddings produce
+        .select(col("cid"), col("pos"), expr("s div n").as("cnew"))
+      prev.join(sums, Seq("cid", "pos"), "left")
+        .select(col("cid"), col("pos"), coalesce(col("cnew"), col("c")).as("c"))
+    }
+    var cent = seeds.localCheckpoint(true)
+    var asg = assign(cent)
+    for (_ <- 0 until iters) {
+      cent = update(cent, asg).localCheckpoint(true)
+      asg = assign(cent)
+    }
+    asg.select(col("vid").as(idCol), col("cid").as("cluster_id"), col("dist_q"))
+  }
 }

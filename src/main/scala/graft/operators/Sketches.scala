@@ -157,7 +157,12 @@ object Sketches {
                      k: Int = 64): DataFrame = {
     require(k >= 2 && k <= 128, s"kmv k must be in [2, 128], got $k")
     val gc = groupCols.map(col)
-    val daily = df.filter(col(valueCol).isNotNull)
+    // NULL group/bucket rows excluded (fuzz r12): a sketch bucket keyed
+    // by NULL can't be joined back by an external consumer (SQL
+    // equi-joins drop NULL keys), so the rollup would be
+    // engine-dependent; dirty rows belong in the quarantine path
+    val daily = df.filter((col(valueCol).isNotNull +:
+        bucketCol.isNotNull +: gc.map(_.isNotNull)).reduce(_ && _))
       .groupBy(gc :+ bucketCol.as("__bucket"): _*)
       .agg(graft.functions.KMinAgg.kMin(k)(kmvHash(col(valueCol))).as("__mins"))
     daily
@@ -215,7 +220,8 @@ object Sketches {
                                bucketCol: Column, idCol: String,
                                valueCol: String, k: Int = 64): DataFrame = {
     val h52 = graft.functions.HashFunctions.stableHash52(col(idCol).cast("string"))
-    val stage1 = df.filter(col(valueCol).isNotNull)
+    val stage1 = df.filter(col(valueCol).isNotNull &&
+        col(groupCol).isNotNull && bucketCol.isNotNull && col(idCol).isNotNull)
       .groupBy(col(groupCol), bucketCol.as("__bucket"))
       .agg(graft.functions.TopKAgg.topK(k)(
         col(valueCol).cast("long"), -h52.cast("double")).as("__top"))

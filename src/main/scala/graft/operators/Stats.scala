@@ -854,4 +854,55 @@ object Stats {
       .withColumn("emd", col("emd_num").cast("double") /
         (col("n_total") * col("n_group")).cast("double"))
   }
+
+  /** Kendall's τ-b rank correlation (r12) — the third correlation
+    * beside Pearson (correlationMatrix) and Spearman (spearmanMatrix),
+    * the one that stays meaningful under heavy ties. Computed EXACTLY
+    * over the joint frequency table: with V distinct (x, y) cells the
+    * concordant/discordant/tie pair counts come from a V² cell
+    * self-join, never an n² row join — V is domain-bounded (quantity ×
+    * discount is ≤ 50·11 cells at any corpus size), so the plan is one
+    * combinable count + a broadcast-sized join however large the fact
+    * table. Pair counts are DECIMAL(38,0): n(n−1)/2 overflows int64
+    * past ~4.3e9 rows, the same bound Spearman's rank squares hit.
+    *
+    * τ-b = (C − D) / √((n0 − n1)(n0 − n2)), n0 = n(n−1)/2, n1/n2 the
+    * tie-pair counts per x / per y — one fixed double expression over
+    * the exact decimals; NULL when either margin is fully tied.
+    */
+  def kendallTau(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .agg(count(lit(1)).as("m"))
+    // every unordered cell pair once: (a.x, a.y) < (b.x, b.y) lexicographic
+    val pairs = cells.as("a").join(cells.as("b"),
+      col("a.x") < col("b.x") ||
+        (col("a.x") === col("b.x") && col("a.y") < col("b.y")))
+    val prod = (col("a.m").cast(dec) * col("b.m").cast(dec))
+    val pairAgg = pairs.agg(
+      coalesce(sum(when((col("b.x") - col("a.x")) * (col("b.y") - col("a.y")) > 0, prod)
+        .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).cast(dec).as("c_pairs"),
+      coalesce(sum(when((col("b.x") - col("a.x")) * (col("b.y") - col("a.y")) < 0, prod)
+        .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).cast(dec).as("d_pairs"))
+    // t(t−1) is always even, so the /2 is exact in decimal
+    def tiePairs(k: String, out: String) = cells.groupBy(col(k))
+      .agg(sum("m").as("t"))
+      .agg(sum((col("t").cast(dec) * (col("t") - 1).cast(dec) / 2).cast(dec))
+        .cast(dec).as(out))
+    val margins = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n0",
+        (col("n").cast(dec) * (col("n") - 1).cast(dec) / 2).cast(dec))
+    val txDf = tiePairs("x", "ties_x")
+    val tyDf = tiePairs("y", "ties_y")
+    margins.crossJoin(pairAgg).crossJoin(broadcast(txDf)).crossJoin(broadcast(tyDf))
+      .withColumn("tau",
+        when((col("n0") > col("ties_x")) && (col("n0") > col("ties_y")),
+          (col("c_pairs") - col("d_pairs")).cast("double") /
+            sqrt((col("n0") - col("ties_x")).cast("double") *
+              (col("n0") - col("ties_y")).cast("double"))))
+      .select(col("n"), col("c_pairs"), col("d_pairs"),
+        col("ties_x"), col("ties_y"), col("tau"))
+  }
 }

@@ -92,7 +92,11 @@ object TimeSeries {
   def dailyOhlc(events: DataFrame, keyCol: String, tsCol: String,
                 valCol: String, idCol: String = "event_id",
                 epochDay: String = "2024-01-01"): DataFrame = {
-    val e = events.filter(col(valCol).isNotNull)
+    // NULL ts/id excluded (fuzz r12): the open/close total order is
+    // (epoch, id) — a row missing either can't be ordered, and engines
+    // disagree on NULL arg_min/max keys (DuckDB skips, Spark ranks)
+    val e = events.filter(col(valCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
       .select(col(keyCol).as("series"),
         datediff(to_date(col(tsCol)), lit(epochDay).cast("date")).as("day_no"),
         round(col(valCol) * 100).cast("long").as("cents"),
@@ -124,7 +128,7 @@ object TimeSeries {
     */
   def cusumChangepoint(events: DataFrame, seriesCol: String,
                        tsCol: String): DataFrame = {
-    val daily = events.filter(col(seriesCol).isNotNull)
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(seriesCol).as("series"),
         floor(unix_timestamp(col(tsCol)) / 86400L).as("day"))
       .agg(count(lit(1)).as("n_events"))
@@ -161,8 +165,13 @@ object TimeSeries {
     * totally order each series or the recursion itself is ill-defined
     * — ties are the CALLER's modeling bug, so pass tie-breakers.
     */
-  def clampedBalance(moves: DataFrame, seriesCol: String, deltaCol: String,
+  def clampedBalance(moves0: DataFrame, seriesCol: String, deltaCol: String,
                      orderCols: Seq[String]): DataFrame = {
+    // a row with a NULL order column can't be placed in the recursion
+    // (and engines NULL-sort differently); a NULL delta isn't a move.
+    // Both excluded (fuzz r12) — quarantine is the dirty-row path.
+    val moves = moves0.filter(
+      (orderCols :+ deltaCol).map(col(_).isNotNull).reduce(_ && _))
     val w = Window.partitionBy(seriesCol).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bal = moves
@@ -468,5 +477,103 @@ object TimeSeries {
       .withColumn("forecast_3", col("level_milli") + lit(3L) * col("trend_milli"))
       .select(col("k").as(keyCol), col("n_obs"), col("level_milli"),
         col("trend_milli"), col("forecast_1"), col("forecast_2"), col("forecast_3"))
+  }
+
+  /** Mann–Kendall trend test per series (r12) — the distribution-free
+    * "is this series trending" monitor beside [[cusumChangepoint]]'s
+    * regime-shift flag: S = Σ_{i<j} sign(x_j − x_i) over the series'
+    * daily values in day order, with the tie-adjusted variance
+    * var = (m(m−1)(2m+5) − Σ_t t(t−1)(2t+5)) / 18 and the
+    * continuity-corrected z = (S − sign(S)) / √var.
+    *
+    * Everything except the final z is EXACT int64: S from a per-series
+    * day-pair self-join (series are day-curves, ≤ a few thousand rows
+    * each at any corpus size — the pair join is per-series quadratic
+    * in DAYS, never in events), var18 (the ×18-scaled variance) from
+    * per-value tie counts. Output: (series, m_days, s_stat, var18, z);
+    * z NULL for constant series (var18 = 0) or m < 2.
+    */
+  def mannKendall(events: DataFrame, seriesCol: String,
+                  tsCol: String): DataFrame = {
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        floor(unix_timestamp(col(tsCol)) / 86400L).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val s = daily.as("a").join(daily.as("b"),
+        col("a.series") === col("b.series") && col("a.day") < col("b.day"))
+      .groupBy(col("a.series").as("series"))
+      .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy(col("series"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("series")
+      .agg(count(lit(1)).as("n_vals"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie18"))
+    val m = daily.groupBy("series").agg(count(lit(1)).as("m_days"))
+    m.join(s, Seq("series"), "left").join(ties, Seq("series"))
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("var18",
+        col("m_days") * (col("m_days") - 1) * (col("m_days") * 2 + 5) - col("tie18"))
+      .withColumn("z",
+        when(col("var18") > 0,
+          (col("s_stat") - signum(col("s_stat")).cast("long")).cast("double") /
+            sqrt(col("var18").cast("double") / 18.0)))
+      .select("series", "m_days", "s_stat", "var18", "z")
+  }
+
+  /** Wald–Wolfowitz runs test per series (r12) — "is the sequence of
+    * above/below-median days random, or does it cluster" (sticky
+    * regimes give FEW runs; oscillation gives many). The series median
+    * is exact (`2·median` as the sum of the two middle order
+    * statistics — the sampled-median convention, but over the FULL
+    * day curve, which is bounded by the calendar); days equal to the
+    * median are dropped (the textbook rule), runs counted by one lag
+    * window in day order, and z = (R − μ) / σ with
+    * μ = 2·n1·n2/(n1+n2) + 1 computed as one double expression over
+    * exact integer counts.
+    *
+    * Scale shape: one combinable (series, day) count, two per-series
+    * windows over day-curve-sized frames, one combinable reduction.
+    * Output: (series, n_above, n_below, runs, z); z NULL when either
+    * side is empty or n < 2.
+    */
+  def runsTest(events: DataFrame, seriesCol: String,
+               tsCol: String): DataFrame = {
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        floor(unix_timestamp(col(tsCol)) / 86400L).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val byVal = Window.partitionBy("series").orderBy(col("x"), col("day"))
+    val per = Window.partitionBy("series")
+    val med = daily
+      .withColumn("rn", row_number().over(byVal).cast("long"))
+      .withColumn("m", count(lit(1)).over(per))
+      // integer div, NOT Column `/` (which is double division and
+      // never equals rn when m is even)
+      .withColumn("lo", when(col("rn") === expr("(m + 1) div 2"), col("x")))
+      .withColumn("hi", when(col("rn") === expr("(m + 2) div 2"), col("x")))
+      .groupBy("series")
+      .agg((max("lo") + max("hi")).as("med2"))
+    val signed = daily.join(med, "series")
+      .filter(col("x") * 2 =!= col("med2"))
+      .withColumn("sgn", when(col("x") * 2 > col("med2"), 1).otherwise(-1))
+    val byDay = Window.partitionBy("series").orderBy("day")
+    signed
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(byDay).isNull ||
+          lag(col("sgn"), 1).over(byDay) =!= col("sgn"), 1L).otherwise(0L))
+      .groupBy("series")
+      .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_below"),
+        sum("chg").as("runs"))
+      .withColumn("z", {
+        val n1 = col("n_above").cast("double"); val n2 = col("n_below").cast("double")
+        val n = n1 + n2
+        val mu = lit(2.0) * n1 * n2 / n + lit(1.0)
+        val sig2 = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n)) / (n * n * (n - lit(1.0)))
+        when(col("n_above") > 0 && col("n_below") > 0 &&
+          (col("n_above") + col("n_below")) > 1 && sig2 > 0,
+          (col("runs").cast("double") - mu) / sqrt(sig2))
+      })
+      .select("series", "n_above", "n_below", "runs", "z")
   }
 }

@@ -1,0 +1,178 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Bpe, Dedup, Ivm, Quantize, Sessionize, Stats}
+
+/** Pinned counterexamples from the round-12 property-fuzz harness
+  * (tools/fuzz_oracle.py): every case here reproduced a real Spark/
+  * DuckDB divergence — or a crash — over seeded NULL / sign-flip /
+  * non-BMP-unicode mutations of the generator tables. Each test
+  * encodes the fixed CONTRACT, with the literal rows that broke it.
+  */
+class FuzzPinSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- TopKAgg: the fabricated-zero bug -------------------------------
+
+  test("TopKAgg skips NULL ids and NULL scores instead of reading id 0") {
+    import spark.implicits._
+    // seed-1 text_bm25/q_topn_per_group: a NULL doc_id ranked as doc 0
+    // because the primitive (Long, Double) input encoder reads NULL as 0
+    val df = Seq[(String, java.lang.Long, java.lang.Double)](
+      ("g", 7L, 1.0), ("g", null, 9.0), ("g", 3L, null), ("g", 5L, 2.0))
+      .toDF("g", "id", "score")
+    val top = df.groupBy("g")
+      .agg(graft.functions.TopKAgg.topK(3)(col("id"), col("score")).as("t"))
+      .select(explode(col("t"))).select(col("col._1").as("id"))
+      .as[Long].collect().toSeq
+    assert(top === Seq(5L, 7L), s"NULL id/score rows must not rank: $top")
+  }
+
+  // ---- BPE: non-BMP code points --------------------------------------
+
+  test("BPE base symbols are code points, not UTF-16 chars") {
+    // seed-2 text_bpe_encode: an emoji word encoded as two lone
+    // surrogates ("? ?</w>") where DuckDB's per-character slicing sees
+    // one symbol
+    val word = "a😀b" // a 😀 b — 4 UTF-16 chars, 3 code points
+    assert(Bpe.toSymbols(word) === Seq("a", "😀", "b</w>"))
+    import spark.implicits._
+    val docs = Seq((1L, "x 😀")).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, "doc_id", "text", merges = Seq.empty)
+      .select(array_join(col("bpe_tokens"), " ")).as[String].collect()(0)
+    assert(out === "x</w> 😀</w>",
+      s"emoji must stay one symbol, got: $out")
+    assert(!out.contains('�') && out.codePoints().toArray.forall(cp =>
+      !Character.isSurrogate(cp.toChar) || Character.isSupplementaryCodePoint(cp)),
+      "no lone surrogates in encoded output")
+  }
+
+  // ---- winnowing: NULL-id window mixing -------------------------------
+
+  test("winnowFingerprints excludes NULL-id docs (no shared window partition)") {
+    import spark.implicits._
+    // seed-1 text_winnow: all NULL-id docs landed in ONE window
+    // partition, so their sliding minima mixed hashes across documents
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "the quick brown fox jumps over it"),
+      (null.asInstanceOf[java.lang.Long], "completely different text body one"),
+      (null.asInstanceOf[java.lang.Long], "another unrelated document entirely"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, window = 8)
+    assert(fps.filter(col("doc_id").isNull).count() === 0L,
+      "fingerprints keyed by NULL must not exist")
+    assert(fps.filter(col("doc_id") === 1L).count() > 0L)
+  }
+
+  test("chunkDedup: a NULL-id doc cannot own anyone's first occurrence") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (null.asInstanceOf[java.lang.Long], shared),
+      (java.lang.Long.valueOf(5L), shared)).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 20)
+    val r = out.filter(col("doc_id") === 5L).collect()(0)
+    assert(r.getAs[Long]("n_kept") === 1L,
+      "doc 5 keeps its chunk — the id-less doc is excluded, not an owner")
+    assert(out.filter(col("doc_id").isNull).count() === 0L)
+  }
+
+  // ---- sessionization: NULL key/ts ------------------------------------
+
+  test("assignSessions drops NULL key/ts rows (engine-stable numbering)") {
+    import spark.implicits._
+    // seed-1 q_sessionize: a NULL-ts event sorted FIRST in Spark and
+    // LAST in DuckDB, shifting every later session id for that user
+    val ev = Seq(
+      (java.lang.Long.valueOf(1L), ts("2024-01-01 00:00:00")),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[Timestamp]),
+      (java.lang.Long.valueOf(1L), ts("2024-01-01 02:00:00")),
+      (null.asInstanceOf[java.lang.Long], ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "ts")
+    val s = Sessionize.sessions(ev, "user_id", "ts", 1800)
+    assert(s.count() === 2L, "two sessions from the two timestamped events")
+    assert(s.filter(col("user_id").isNull).count() === 0L)
+    assert(s.agg(sum("n_events")).collect()(0).getLong(0) === 2L,
+      "the NULL-ts and NULL-user events are excluded")
+  }
+
+  // ---- as-of: NULL time/key/tiebreak ----------------------------------
+
+  test("latestPerKey ignores rows missing time, key, or tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), ts("2024-01-01 00:00:00"), java.lang.Long.valueOf(10L)),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[Timestamp], java.lang.Long.valueOf(99L)),
+      (java.lang.Long.valueOf(1L), ts("2024-01-02 00:00:00"), null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "t", "tie")
+    val win = AsOf.latestPerKey(df, "t", Seq("k"), Seq("tie")).collect()
+    assert(win.length === 1 && win(0).getLong(2) === 10L,
+      "only the fully-keyed row can win")
+  }
+
+  test("asofJoin never matches a right row with NULL time") {
+    import spark.implicits._
+    // seed-1 q_asof_join: a NULL-ts click won the as-of window in Spark
+    // (NULLS FIRST) while DuckDB's ts <= t predicate dropped it
+    val purchases = Seq((100L, 1L, ts("2024-01-01 12:00:00")))
+      .toDF("purchase_id", "user_id", "ts")
+    val clicks = Seq(
+      (java.lang.Long.valueOf(50L), java.lang.Long.valueOf(1L), null.asInstanceOf[Timestamp]),
+      (java.lang.Long.valueOf(60L), java.lang.Long.valueOf(1L), ts("2024-01-01 11:00:00")))
+      .toDF("click_id", "user_id", "click_ts")
+    val j = AsOf.asofJoin(purchases, clicks, "user_id", "user_id", "ts", "click_ts",
+      rightCols = Seq("click_id"), rightTiebreak = Seq("click_id")).collect()
+    assert(j.length === 1 && j(0).getAs[Long]("click_id") === 60L)
+  }
+
+  // ---- A/B arms: sign-flipped ids -------------------------------------
+
+  test("pmod arms: negative user ids do not create a third arm") {
+    import spark.implicits._
+    // seed-1 q_prop_ztest crashed: user_id % 2 of a sign-flipped id is
+    // -1, and propZTest's exactly-2-arms require (correctly) threw
+    val u = Seq((-3L, true), (-2L, false), (1L, true), (2L, false), (5L, false))
+      .toDF("user_id", "converted")
+    val r = Stats.propZTest(u, pmod(col("user_id"), lit(2L)), col("converted"))
+      .collect()(0)
+    assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") === 5L)
+  }
+
+  // ---- IVM: NULL group keys --------------------------------------------
+
+  test("IVM excludes NULL group keys (deletes can never reach them)") {
+    import spark.implicits._
+    // seed-1 q_ivm_refresh: the NULL-key group accumulated inserts while
+    // deletes passed it by (full-outer merge joins never match NULL)
+    val base = Seq(
+      (java.lang.Long.valueOf(1L), 100L), (null.asInstanceOf[java.lang.Long], 50L))
+      .toDF("k", "v")
+    val state = Ivm.groupState(base, Seq("k"), "v")
+    assert(state.filter(col("k").isNull).count() === 0L)
+    val delta = Seq(
+      (null.asInstanceOf[java.lang.Long], 50L, "D"),
+      (java.lang.Long.valueOf(1L), 7L, "I")).toDF("k", "v", "__op")
+    val after = Ivm.applyGroupDelta(state, delta, "__op", Seq("k"), "v").collect()
+    assert(after.length === 1 && after(0).getAs[Long]("sum_v") === 107L)
+  }
+
+  // ---- quantize: NULL vector -------------------------------------------
+
+  test("scalarQuantize emits no rows for a NULL vector") {
+    import spark.implicits._
+    // seed-1 sim_quantize: DuckDB's generate_series spine fabricated 64
+    // code-127 rows for the NULL vector (least/greatest skip NULLs);
+    // the contract is zero rows on both engines
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val q = Quantize.scalarQuantize(df.filter(col("embedding").isNotNull),
+      "vec_id", "embedding")
+    assert(q.filter(col("vec_id") === 2L).count() === 0L)
+    assert(q.filter(col("vec_id") === 1L).count() === 2L)
+  }
+}

@@ -443,7 +443,16 @@ class PlanAuditSpec extends SparkSpecBase {
       "q_token_budget",  // tokenBudget: cumsum over ≤buckets frame
       "q_exact_sample",  // exactKSample: cumsum over ≤buckets frame
       "q_upsample_mix",  // upsampleMix: max over group-cardinality frame
-      "q_auc")           // rocAuc: cumsum over score-cardinality frame
+      "q_auc",           // rocAuc: cumsum over score-cardinality frame
+      // r12 additions, each bounded or documented:
+      "q_spearman",      // rank maps over the distinct-VALUE table (value-cardinality)
+      "q_bootstrap",     // rank over B=32 replicate means
+      "q_survival",      // product-limit over the distinct-lifetime table (≤ day span)
+      "q_rfm",           // ntile(5) over per-customer rows — DOCUMENTED global sort;
+                         //   the quantile-cut row is the >10⁸-entity scale path
+      "q_lorenz",        // ntile(10) over per-entity rows — same documented contract
+      "q_decay_popularity", // top-50 rank over item-cardinality scores
+      "text_burstiness") // top-30 rank over vocabulary-cardinality totals
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = Queries.registry.flatMap { case (name, q) =>
       val df = q.build(spark, sf())

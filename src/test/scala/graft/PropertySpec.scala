@@ -33,8 +33,11 @@ class PropertySpec extends SparkSpecBase {
     check(Prop.forAllNoShrink(gen) { case (items, k, parts) =>
       val agg = new TopKAgg(k)
       // simulate partitioned reduce + a genuinely varied merge order
-      val merged = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
-        .foldLeft(agg.zero)(agg.merge)
+      // boxed input form (the aggregator now skips NULL id/score rows;
+      // this property feeds non-null values only)
+      val merged = parts.map(p => p.foldLeft(agg.zero)((b, x) =>
+          agg.reduce(b, (java.lang.Long.valueOf(x._1), java.lang.Double.valueOf(x._2)))))
+        .foldLeft(agg.zero)((a, b) => agg.merge(a, b))
       // reference: total order (score desc NaN-last, id asc), take k
       def key(t: (Long, Double)) =
         (if (t._2.isNaN) 1 else 0, -t._2, t._1)
