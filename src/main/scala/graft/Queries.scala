@@ -351,7 +351,8 @@ object Queries {
     "q_asof_join" -> QueryDef(
       (s, d) => {
         val ev = ds(s, d, "events").toDF
-        val purchases = ev.filter(col("event_type") === "purchase")
+        val purchases = ev.filter(col("event_type") === "purchase" &&
+            col("event_id").isNotNull) // identity contract (fuzz r12)
           .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
@@ -363,7 +364,7 @@ object Queries {
       },
       Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, ts
         |  FROM events WHERE event_type = 'purchase'
-        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
         |c AS (SELECT event_id AS click_id, user_id, ts FROM events
         |  WHERE event_type = 'click'
         |    AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
@@ -2708,7 +2709,7 @@ object Queries {
     "q_median_rollup" -> QueryDef(
       (s, d) => Sketches.sampledMedianReaggregate(ds(s, d, "documents").toDF,
         "source", pmod(col("doc_id"), lit(16)), "doc_id", "n_chars", k = 64),
-      Some("""WITH h AS (SELECT source, doc_id % 16 AS shard, n_chars,
+      Some("""WITH h AS (SELECT source, ((doc_id % 16) + 16) % 16 AS shard, n_chars,
         |    ('0x' || substring(md5(doc_id::varchar), 1, 13))::bigint AS hv
         |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
         |    AND doc_id IS NOT NULL),

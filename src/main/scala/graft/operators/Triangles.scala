@@ -41,7 +41,7 @@ object Triangles {
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
                     saltFactor: Int = 8, hotThreshold: Int = 4096,
-                    bloomWords: Int = 1 << 20): DataFrame =
+                    bloomWords: Int = 0): DataFrame =
     corners(edges, srcCol, dstCol, saltFactor, hotThreshold, bloomWords)._1
       .agg(count(lit(1)).as("n_triangles"))
 
@@ -56,7 +56,7 @@ object Triangles {
     */
   def nodeClusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String,
                                 saltFactor: Int = 8, hotThreshold: Int = 4096,
-                                bloomWords: Int = 1 << 20): DataFrame = {
+                                bloomWords: Int = 0): DataFrame = {
     val (tri, deg) = corners(edges, srcCol, dstCol, saltFactor, hotThreshold, bloomWords)
     val perNode = tri
       .select(explode(array(col("u"), col("x"), col("y"))).as("node_id"))
@@ -98,7 +98,25 @@ object Triangles {
     // join's two sides and the closing join otherwise race to fill the
     // cache concurrently inside one job and re-execute the whole
     // edge-build upstream per side (the PageRank lazy-persist lesson)
-    oriented.count()
+    val nEdges = oriented.count()
+    // bloomWords <= 0 = AUTO: size the wedge-prune Bloom from the edge
+    // count the materialization above just paid for anyway. The r12
+    // second-decade probe measured the fixed 1<<20 default saturating
+    // at 120M edges (x100 co-purchase: 606s, a 20x/decade blow-up vs
+    // 2.4x in the first decade) and nextPow2(E/16) = 1<<23 restoring
+    // 210s (7x/decade). Clamped to [1<<20, 1<<24]: below the floor the
+    // broadcast is already trivial; above the cap the broadcast frame
+    // itself (~16B/word) stops paying for the shuffle it saves — past
+    // that, fp degrades gracefully toward pass-through, never toward
+    // wrong answers (the exact close join confirms every survivor).
+    val bloomW: Int =
+      if (bloomWords > 0) bloomWords
+      else {
+        val target = nEdges / 16
+        var w = 1 << 20
+        while (w < target && w < (1 << 24)) w <<= 1
+        w
+      }
     val hotOnly = oriented.groupBy("u").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > hotThreshold).select(col("u"), lit(true).as("__hot"))
     // Hot apexes pair within the hot slice only (the tag is per-u), so
@@ -134,12 +152,12 @@ object Triangles {
     // the wedge-generation stage, and shuffle only survivors (true
     // triangles + ~0.5% fp at bench load; measured 41M -> ~2M rows
     // into the close join, 8.7s -> ~2s). The bloom frame is <=
-    // `bloomWords` rows NO MATTER |E| — at extreme scale the load
+    // `bloomW` rows NO MATTER |E| — at extreme scale the load
     // factor rises and the fp rate degrades gracefully toward
     // pass-through (never toward wrong answers; the exact join
-    // confirms) — size bloomWords ~ E/6 to keep ~1% fp.
+    // confirms) — the AUTO sizing above keeps ~1% fp to 250M edges.
     def pairW(x: Column, y: Column): Column =
-      pmod(xxhash64(x, y, lit(1)), lit(bloomWords.toLong))
+      pmod(xxhash64(x, y, lit(1)), lit(bloomW.toLong))
     def withMask(df: DataFrame, x: String, y: String): DataFrame = df
       .withColumn("__h2", xxhash64(col(x), col(y), lit(2)))
       .withColumn("__m", expr((0 until 4).map(j =>
