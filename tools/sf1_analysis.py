@@ -19,27 +19,17 @@ Usage: python3 tools/sf1_analysis.py [BENCH_sf1.json] [BENCH.json]
 import json, sys
 
 # name -> (justified ratio bound, measured evidence)
+# r12 prune: with the synchronous checkpoint drain in Bench, FIVE of
+# the six r11 exemptions measure INSIDE the plain 10x bar on the clean
+# 250-query sf1 record (dedup_simhash 8.9x, pipeline_corpus 6.7x,
+# q_communities 2.8x, dedup_phash 9.4x, multimodal_decode 2.9x) and
+# are DELETED - each was covering suite-position contamination, not a
+# data term. Only the genuinely output-quadratic pair operator keeps
+# its output-justified bound.
 EXEMPT = {
     "q_substring_pairs": (120, "output 169,618 -> 97.3M rows (574x) per 10x "
         "input - the r4 quadratic pair-multiplicity contract; DuckDB replaying "
         "the identical oracle: 107s vs Spark 110s"),
-    "dedup_simhash": (16, "output 666,524 -> 5.18M pairs (7.8x); DuckDB "
-        "identical computation 7.3s vs Spark 8.9s; 0.66s sf0.1 base is "
-        "overhead-bound so the ratio overstates"),
-    "pipeline_corpus": (14, "output 2,535 -> 24,871 (9.8x linear); 0.22s "
-        "sf0.1 base is fixed-overhead dominated; 2.75s absolute at sf1"),
-    "q_communities": (12, "labels 20k -> 200k (linear) but the sf1 "
-        "co-purchase graph is DENSER per replica (shared part catalog), "
-        "unlike the disjoint-replica probe's 2.0x; 13.8s absolute"),
-    "dedup_phash": (16, "output 32,623 -> 3.32M pairs (101.6x) per 10x "
-        "input - SfScale replicates image binaries unchanged, so identical "
-        "images pair QUADRATICALLY across replicas (the r4 pair-multiplicity "
-        "contract, image edition); clean re-measure 5.4s absolute"),
-    "multimodal_decode": (12, "per-row decode, no pair output - no term to "
-        "be super-linear; three clean sf1 re-measures 3.59/3.77/4.03s "
-        "(10.0x/10.6x/11.3x) straddle the bar within run noise on identical "
-        "code, and the 0.36s in-suite sf0.1 base is warm-cache-favored (a "
-        "fresh-JVM single-query sf0.1 run measures 1.56s)"),
 }
 # r12: the q_autocorr exemption (r11: 19.8s in-suite vs 4.07s isolated,
 # a suite-position artifact) is DELETED — Bench now drains every
