@@ -6056,10 +6056,13 @@ object Queries {
         |  ((d_docs * sumsq - tot * tot) * 1000 // (d_docs * tot))::BIGINT AS fano_milli
         |FROM top CROSS JOIN d WHERE rk <= 30""".stripMargin)),
 
-    // §2.2/287 — Kendall τ-b (r12): the tie-robust third correlation
-    // beside Pearson (229) and Spearman (263), exact over the joint
-    // frequency table — V² cell pairs, never n² rows; pair counts
-    // DECIMAL(38,0) (n(n−1)/2 outgrows int64 past ~4.3e9 rows).
+    // §2.2/287 — Kendall τ-b (r12, emission fixed r13): the tie-robust
+    // third correlation beside Pearson (229) and Spearman (263), exact
+    // over the joint frequency table — V² cell pairs, never n² rows.
+    // Pair counts are DECIMAL(38,0) internally (n(n−1)/2 outgrows
+    // int64 past ~4.3e9 rows) but EMITTED as overflow-guarded BIGINT:
+    // the r12 gate proved the driver's hash canonicalization diverges
+    // on DECIMAL columns even when values are bit-exact.
     "q_kendall" -> QueryDef(
       (s, d) => operators.Stats.kendallTau(ds(s, d, "lineitem").toDF,
         round(col("l_quantity")), round(col("l_discount") * 100)),
@@ -6069,18 +6072,19 @@ object Queries {
         |cells AS (SELECT x, y, count(*)::BIGINT AS m FROM v GROUP BY 1, 2),
         |pr AS (SELECT
         |    coalesce(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
-        |      THEN a.m::HUGEINT * b.m ELSE 0 END), 0)::DECIMAL(38,0) AS c_pairs,
+        |      THEN a.m::HUGEINT * b.m ELSE 0 END), 0) AS c_pairs,
         |    coalesce(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
-        |      THEN a.m::HUGEINT * b.m ELSE 0 END), 0)::DECIMAL(38,0) AS d_pairs
+        |      THEN a.m::HUGEINT * b.m ELSE 0 END), 0) AS d_pairs
         |  FROM cells a JOIN cells b
         |    ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
-        |tx AS (SELECT sum(t::HUGEINT * (t - 1) // 2)::DECIMAL(38,0) AS ties_x
+        |tx AS (SELECT sum(t::HUGEINT * (t - 1) // 2) AS ties_x
         |  FROM (SELECT sum(m)::BIGINT AS t FROM cells GROUP BY x) z),
-        |ty AS (SELECT sum(t::HUGEINT * (t - 1) // 2)::DECIMAL(38,0) AS ties_y
+        |ty AS (SELECT sum(t::HUGEINT * (t - 1) // 2) AS ties_y
         |  FROM (SELECT sum(m)::BIGINT AS t FROM cells GROUP BY y) z),
         |nn AS (SELECT count(*)::BIGINT AS n,
-        |    (count(*)::HUGEINT * (count(*) - 1) // 2)::DECIMAL(38,0) AS n0 FROM v)
-        |SELECT n, c_pairs, d_pairs, ties_x, ties_y,
+        |    count(*)::HUGEINT * (count(*) - 1) // 2 AS n0 FROM v)
+        |SELECT n, c_pairs::BIGINT AS c_pairs, d_pairs::BIGINT AS d_pairs,
+        |  ties_x::BIGINT AS ties_x, ties_y::BIGINT AS ties_y,
         |  CASE WHEN n0 > ties_x AND n0 > ties_y THEN
         |    (c_pairs - d_pairs)::DOUBLE
         |      / sqrt((n0 - ties_x)::DOUBLE * (n0 - ties_y)::DOUBLE) END AS tau

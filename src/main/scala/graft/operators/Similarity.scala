@@ -643,9 +643,14 @@ object Similarity {
         .select(col("vid"), col("w.cid").as("cid"), col("w.dist").as("dist_q"))
     }
     def update(prev: DataFrame, asg: DataFrame): DataFrame = {
+      // sum into DECIMAL(38,0), not long (r13): the oracle sums
+      // HUGEINT, and a cell with ~1e13+ scaled component mass would
+      // silently wrap Spark's non-ANSI int64 sum while DuckDB stays
+      // exact — the q_kendall precedent. The mean (s div n) is always
+      // within component range, so the emitted centroid stays BIGINT.
       val sums = asg.join(quant, "vid")
         .groupBy("cid", "pos")
-        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("q").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
         // exact TRUNCATING integer division: Spark `div` and DuckDB's
         // integer `//` both truncate toward zero (measured: -7 // 2 =
         // -3 in DuckDB 1.0), so the replay is bit-exact on the

@@ -863,8 +863,13 @@ object Stats {
     * self-join, never an n² row join — V is domain-bounded (quantity ×
     * discount is ≤ 50·11 cells at any corpus size), so the plan is one
     * combinable count + a broadcast-sized join however large the fact
-    * table. Pair counts are DECIMAL(38,0): n(n−1)/2 overflows int64
-    * past ~4.3e9 rows, the same bound Spearman's rank squares hit.
+    * table. Pair counts are DECIMAL(38,0) INTERNALLY (n(n−1)/2
+    * overflows int64 past ~4.3e9 rows, the same bound Spearman's rank
+    * squares hit) but EMITTED as BIGINT behind a named overflow guard —
+    * the registry-wide convention is no decimal in the emitted row (the
+    * r12 gate proved the driver's hash canonicalization diverges on
+    * DECIMAL columns even when values are bit-exact), and int64 pair
+    * counts hold to ~4.3e9 input rows, beyond any verify/bench scale.
     *
     * τ-b = (C − D) / √((n0 − n1)(n0 − n2)), n0 = n(n−1)/2, n1/n2 the
     * tie-pair counts per x / per y — one fixed double expression over
@@ -872,8 +877,12 @@ object Stats {
     */
   def kendallTau(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
     val dec = "decimal(38,0)"
+    // round before the long cast: a raw fractional column (e.g. an
+    // un-scaled l_discount) must not silently truncate toward zero and
+    // collapse its domain — match the oracle's round(...)::BIGINT.
     val cells = df.filter(xCol.isNotNull && yCol.isNotNull)
-      .groupBy(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .groupBy(round(xCol).cast("long").as("x"),
+        round(yCol).cast("long").as("y"))
       .agg(count(lit(1)).as("m"))
     // every unordered cell pair once: (a.x, a.y) < (b.x, b.y) lexicographic
     val pairs = cells.as("a").join(cells.as("b"),
@@ -896,13 +905,23 @@ object Stats {
         (col("n").cast(dec) * (col("n") - 1).cast(dec) / 2).cast(dec))
     val txDf = tiePairs("x", "ties_x")
     val tyDf = tiePairs("y", "ties_y")
+    // tau is computed over the exact decimals; the pair counts are
+    // then narrowed to BIGINT behind a named guard (they fit int64
+    // whenever n < ~4.3e9 — the guard names the operator so an
+    // overflow at extreme scale fails loudly, never wraps).
+    val maxLong = lit("9223372036854775807").cast(dec)
+    def asLong(name: String): Column =
+      when(col(name) > maxLong, raise_error(concat(
+        lit(s"graft.kendallTau: $name overflows BIGINT at this scale ("),
+        col(name).cast("string"), lit(") — widen the emitted type"))))
+        .otherwise(col(name).cast("long")).as(name)
     margins.crossJoin(pairAgg).crossJoin(broadcast(txDf)).crossJoin(broadcast(tyDf))
       .withColumn("tau",
         when((col("n0") > col("ties_x")) && (col("n0") > col("ties_y")),
           (col("c_pairs") - col("d_pairs")).cast("double") /
             sqrt((col("n0") - col("ties_x")).cast("double") *
               (col("n0") - col("ties_y")).cast("double"))))
-      .select(col("n"), col("c_pairs"), col("d_pairs"),
-        col("ties_x"), col("ties_y"), col("tau"))
+      .select(col("n"), asLong("c_pairs"), asLong("d_pairs"),
+        asLong("ties_x"), asLong("ties_y"), col("tau"))
   }
 }

@@ -16,9 +16,17 @@ Mutations per seed (deterministic from seed x table, schema-preserving):
   - events.props stays WELL-FORMED-or-NULL (NULL injection only):
     malformed JSON makes DuckDB's json functions throw, which would
     fail the oracle rather than reveal a Spark bug
-  - timestamps: ~0.3% NULLs (value mutations would only shift
-    distributions, not exercise new code paths)
-  - embedding vectors: ~1% element sign flips, ~0.3% NULL vectors
+  - timestamps: ~0.3% NULLs, plus VALUE mutations (r13): ~0.3%
+    pre-1970 instants (negative epoch - floor-vs-truncate day
+    bucketing), ~0.3% far-future (sparse multi-year resample spans),
+    ~0.2% DST-boundary instants (spring-forward nonexistent /
+    fall-back ambiguous local times - any localtime conversion
+    diverges)
+  - embedding vectors: ~1% element sign flips, ~0.3% NULL vectors,
+    plus (r13) ~0.2% each of NaN / +Inf / -Inf elements in FLOAT
+    lists (the cosine/IVF/PQ family divides by norms and casts
+    quantized elements to int64 - NaN::BIGINT throws in DuckDB while
+    Spark's non-ANSI cast yields 0, so unguarded paths diverge loudly)
 
 Usage:
   python3 tools/fuzz_oracle.py [--seeds 1,2,3] [--sf DIR] [--workdir DIR]
@@ -29,7 +37,7 @@ For each seed S: writes mutated tables to <workdir>/seed<S>/data, runs
 with verify_local.main over the SAME mutated data. Exit 0 iff every
 seed reports 0 fail.
 """
-import argparse, json, os, random, subprocess, sys
+import argparse, datetime, json, os, random, subprocess, sys
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -82,9 +90,28 @@ def mutate_table(table, name, rng):
                     col[i] = ""
         elif pa.types.is_timestamp(t):
             for i in range(n):
-                if rng.random() < 0.003:
+                r = rng.random()
+                if col[i] is None:
+                    continue
+                if r < 0.003:
                     col[i] = None
+                elif r < 0.006:
+                    # pre-1970: negative epoch - day bucketing via
+                    # floor(epoch/86400) vs truncating // diverges here
+                    col[i] = datetime.datetime(1969, 6, 14, 23, 45, 1, 123456)
+                elif r < 0.009:
+                    # far-future but bounded (+~6y): stretches resample /
+                    # window grids without an unbounded row explosion
+                    col[i] = datetime.datetime(2029, 12, 31, 23, 59, 59, 999999)
+                elif r < 0.011:
+                    # DST boundaries: US spring-forward nonexistent local
+                    # time / fall-back ambiguous local time - any
+                    # session-timezone localtime conversion diverges
+                    col[i] = rng.choice([
+                        datetime.datetime(2021, 3, 14, 2, 30, 0),
+                        datetime.datetime(2021, 11, 7, 1, 30, 0)])
         elif pa.types.is_list(t):
+            float_elems = pa.types.is_floating(t.value_type)
             for i in range(n):
                 r = rng.random()
                 if col[i] is None:
@@ -94,6 +121,12 @@ def mutate_table(table, name, rng):
                 elif r < 0.013:
                     j = rng.randrange(len(col[i]))
                     col[i] = col[i][:j] + [-col[i][j]] + col[i][j + 1:]
+                elif float_elems and r < 0.019 and len(col[i]) > 0:
+                    # non-finite elements: NaN / +Inf / -Inf (r13)
+                    v = (float("nan") if r < 0.015
+                         else float("inf") if r < 0.017 else float("-inf"))
+                    j = rng.randrange(len(col[i]))
+                    col[i] = col[i][:j] + [v] + col[i][j + 1:]
         cols[cname] = pa.array(col, type=t)
     return pa.table(cols, schema=table.schema)
 

@@ -46,13 +46,18 @@ def main(seed_dir, name, limit=10):
         print("  O:", r)
     if not only_g and not only_w:
         # value-identical as strings: fall back to exact positional diff
+        diverged = False
         for i, (a, b) in enumerate(zip(grows, wrows)):
             if not all(exact_eq(x, y) for x, y in zip(a, b)):
+                diverged = True
                 print(f"row {i}: S={a} O={b}")
                 if limit := limit - 1:
                     continue
                 break
-    return 0
+        return 1 if diverged else 0
+    # a printed spark-only/oracle-only row IS a divergence — exit
+    # nonzero so scripting on the status can't read it as clean (r13)
+    return 1
 
 
 if __name__ == "__main__":

