@@ -128,12 +128,12 @@ object Queries {
     s"""c0 AS (SELECT vec_id, embedding,
        |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM embeddings
        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) >= 64
-       |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
+       |    AND len(list_filter(embedding[1:64], x -> x IS NULL OR NOT isfinite(x))) = 0),
        |don AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, embedding::DOUBLE[] AS cv
        |  FROM c0 ORDER BY h LIMIT 256),
        |emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) >= 64
-       |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
+       |    AND len(list_filter(embedding[1:64], x -> x IS NULL OR NOT isfinite(x))) = 0),
        |cb0 AS (SELECT r.j AS j,
        |    list(list_transform(generate_series(1, 4), t -> d.cv[r.j*4 + t])
        |         ORDER BY d.cell) AS cents
@@ -360,7 +360,7 @@ object Queries {
         AsOf.asofJoin(purchases, clicks, "user_id", "user_id", "ts", "click_ts",
           rightCols = Seq("click_id", "click_ts"), rightTiebreak = Seq("click_id"))
           .select(col("purchase_id"), col("user_id"), col("click_id"),
-            (unix_timestamp(col("ts")) - unix_timestamp(col("click_ts"))).as("gap_sec"))
+            (graft.functions.TimeFunctions.epochSec(col("ts")) - graft.functions.TimeFunctions.epochSec(col("click_ts"))).as("gap_sec"))
       },
       Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, ts
         |  FROM events WHERE event_type = 'purchase'
@@ -383,7 +383,7 @@ object Queries {
         val ev = ds(s, d, "events").toDF
         val sessions = Sessionize.sessions(ev, "user_id", "ts", 1800)
         val points = ev.select(col("event_id"), col("user_id"),
-          unix_timestamp(col("ts")).as("ep"))
+          graft.functions.TimeFunctions.epochSec(col("ts")).as("ep"))
         RangeJoin.pointInInterval(points, sessions, "user_id", "user_id",
           "ep", "session_start", "session_end", bucketWidth = 3600)
           .select(col("event_id"), col("p.user_id").as("user_id"),
@@ -412,7 +412,7 @@ object Queries {
         val w = Window.partitionBy("user_id").orderBy(col("ep"))
           .rangeBetween(-3600, Window.currentRow)
         ds(s, d, "events").toDF
-          .withColumn("ep", unix_timestamp(col("ts")))
+          .withColumn("ep", graft.functions.TimeFunctions.epochSec(col("ts")))
           .select(col("event_id"), col("user_id"), col("ep"),
             sum("value").over(w).as("hour_sum"))
       },
@@ -673,12 +673,14 @@ object Queries {
     "sim_hard_negatives" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
-          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            graft.functions.VectorFunctions.allFinite(col("embedding")))
         Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", "label", k = 10)
       },
       Some("""WITH e AS MATERIALIZED (SELECT vec_id, embedding, label FROM embeddings
-        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
         |q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
         |  FROM e WHERE vec_id < 5 AND label IS NOT NULL),
         |s AS (SELECT qid, vec_id AS nid,
@@ -949,22 +951,27 @@ object Queries {
 
     // §2.3/33 — embedding-cosine near-dup pairs within label buckets
     "dedup_embed" -> QueryDef(
-      (s, d) => Similarity.nearDupPairs(ds(s, d, "embeddings").toDF,
+      (s, d) => Similarity.nearDupPairs(ds(s, d, "embeddings").toDF
+          .filter(graft.functions.VectorFunctions.allFinite(col("embedding"))),
         "vec_id", "embedding", "label", threshold = 0.3),
-      Some("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b " +
-        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+      Some("WITH e AS (SELECT vec_id, label, embedding FROM embeddings " +
+        "WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0) " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3")),
 
     // §2.3/34 — brute-force cosine top-k ANN (query set: vec_id < 5)
     "sim_ann_topk" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
-          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            graft.functions.VectorFunctions.allFinite(col("embedding")))
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10)
       },
       Some("""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
         |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id < 5),
         |s AS (SELECT qid, vec_id AS nid,
         |  list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS c
@@ -982,7 +989,8 @@ object Queries {
     "sim_ann_lsh" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
-          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            graft.functions.VectorFunctions.allFinite(col("embedding")))
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, dim = 64, planes = 4)
       },
@@ -993,7 +1001,8 @@ object Queries {
         |  FROM range(16) AS t1(tp), range(64) AS t2(j)),
         |svec AS (SELECT tp, list(s ORDER BY j) AS sv FROM signs GROUP BY tp),
         |emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
         |buckets AS (
         |  SELECT e.vec_id, (sv.tp // 4)::BIGINT AS tbl,
         |    sum(CASE WHEN list_inner_product(e.v, sv.sv) > 0
@@ -1019,7 +1028,8 @@ object Queries {
     "sim_ann_ivf" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
-          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            graft.functions.VectorFunctions.allFinite(col("embedding")))
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, cells = 16, nprobe = 2)
       },
@@ -1028,7 +1038,8 @@ object Queries {
       // past the embedding IS NOT NULL guard and tripping
       // list_cosine_similarity's NULL-element error (fuzz r12)
       Some("""WITH eb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
         |c0 AS (SELECT vec_id, embedding,
         |    ('0x' || substring(md5(vec_id::varchar), 1, 14))::bigint AS h FROM eb),
         |cent AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, embedding AS cv
@@ -1061,7 +1072,8 @@ object Queries {
     "sim_ann_pq" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
-          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            graft.functions.VectorFunctions.allFinite(col("embedding")))
         Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, subspaces = 16, subDim = 4, cells = 256)
       },
@@ -1076,7 +1088,8 @@ object Queries {
     "sim_ann_rerank" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
-          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            graft.functions.VectorFunctions.allFinite(col("embedding")))
         Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, shortlist = 50)
       },
@@ -1115,7 +1128,7 @@ object Queries {
            |emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            |  WHERE vec_id IS NOT NULL
            |    AND embedding IS NOT NULL AND len(embedding) >= 64
-           |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
+           |    AND len(list_filter(embedding[1:64], x -> x IS NULL OR NOT isfinite(x))) = 0),
            |mem AS (
            |  SELECT e.vec_id AS id, (sv.tp // 8)::BIGINT AS t,
            |    sum(CASE WHEN list_inner_product(e.v, sv.sv) > 0
@@ -1127,7 +1140,7 @@ object Queries {
            |SELECT id AS vec_id, label AS cluster_id FROM l3
            |UNION ALL SELECT vec_id, vec_id FROM embeddings
            |  WHERE vec_id IS NOT NULL AND (embedding IS NULL OR len(embedding) < 64
-           |    OR len(list_filter(embedding[1:64], x -> x IS NULL)) > 0)""".stripMargin
+           |    OR len(list_filter(embedding[1:64], x -> x IS NULL OR NOT isfinite(x))) > 0)""".stripMargin
       }),
 
     // §2.3/103 — SemDeDup semantic dedup: one keep-flag row per vector;
@@ -1148,7 +1161,7 @@ object Queries {
            |svec AS (SELECT tp, list(s ORDER BY j) AS sv FROM signs GROUP BY tp),
            |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
-           |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
+           |    AND len(list_filter(embedding[1:64], x -> x IS NULL OR NOT isfinite(x))) = 0),
            |mem AS (
            |  SELECT e.vec_id AS id, (sv.tp // 8)::BIGINT AS t,
            |    sum(CASE WHEN list_inner_product(e.v, sv.sv) > 0
@@ -1165,7 +1178,7 @@ object Queries {
            |JOIN emb r ON r.vec_id = c.cluster_id
            |UNION ALL SELECT vec_id, vec_id, TRUE FROM embeddings
            |  WHERE embedding IS NULL OR len(embedding) < 64
-           |    OR len(list_filter(embedding[1:64], x -> x IS NULL)) > 0""".stripMargin
+           |    OR len(list_filter(embedding[1:64], x -> x IS NULL OR NOT isfinite(x))) > 0""".stripMargin
       }),
 
     // §2.3/98 — int8 scalar quantization of embeddings (4 bytes/dim →
@@ -1174,7 +1187,7 @@ object Queries {
     // floor → clamp; no ties-dependent rounding mode)
     "sim_quantize" -> QueryDef(
       (s, d) => Quantize.scalarQuantize(ds(s, d, "embeddings").toDF
-          .filter(col("embedding").isNotNull),
+          .filter(col("embedding").isNotNull && graft.functions.VectorFunctions.allFinite(col("embedding"))),
         "vec_id", "embedding"),
       Some("""SELECT vec_id, (i - 1)::INT AS dim,
         |  CASE WHEN s = 0 THEN 0
@@ -1182,7 +1195,8 @@ object Queries {
         |  END AS code
         |FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
-        |  FROM embeddings WHERE embedding IS NOT NULL) t,
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0) t,
         |  generate_series(1, 64) AS g(i)""".stripMargin)),
 
     // §2.3/36 — language ID heuristic
@@ -1478,7 +1492,8 @@ object Queries {
       (s, d) => {
         val docs = ds(s, d, "documents").toDF
         val emb = ds(s, d, "embeddings").toDF
-          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            graft.functions.VectorFunctions.allFinite(col("embedding")))
         val q = docs.filter(col("doc_id") < 5)
           .select(col("doc_id").as("query_id"),
             array_join(slice(TextFunctions.tokens(col("text")), 1, 3), " ").as("qtext"))
@@ -1509,7 +1524,8 @@ object Queries {
            |    row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rank
            |  FROM s QUALIFY rank <= 20),
            |de AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
-           |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+           |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+           |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
            |dq AS (SELECT vec_id AS qid, embedding AS qv FROM de WHERE vec_id < 5),
            |ds AS (SELECT qid, vec_id AS nid,
            |    list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS cos
@@ -1723,8 +1739,12 @@ object Queries {
             countDistinct(col("user_id")).as("__exact"),
             graft.functions.KMinAgg.kMin(k)(Sketches.kmvHash(col("user_id"))).as("__mins"))
           .select(col("event_type"),
+            // band = max(8, 15% of exact): HLL++ register collisions
+            // make tiny groups miss a RELATIVE band (r13 fuzz: exact 5
+            // estimated 4 = 20%); the absolute floor absorbs that
+            // while 15% (3 sigma at rsd 0.05) still binds at scale
             (abs(col("__approx") - col("__exact")) <=
-              lit(0.15) * col("__exact")).as("hll_ok"),
+              greatest(lit(8.0), lit(0.15) * col("__exact"))).as("hll_ok"),
             Sketches.kmvEstimate("__mins", k).as("approx_users_kmv"))
       },
       Some("""WITH h AS (SELECT DISTINCT event_type,
@@ -2039,7 +2059,7 @@ object Queries {
     // §2.2/26 — event-time tumbling window (hourly)
     "q_events_window" -> QueryDef(
       (s, d) => ds(s, d, "events").toDF
-        .groupBy(expr("(unix_timestamp(ts) div 3600) * 3600").as("win_start"))
+        .groupBy((graft.functions.TimeFunctions.floorDiv(graft.functions.TimeFunctions.epochSec(col("ts")), 3600L) * 3600).as("win_start"))
         .agg(count(lit(1)).as("n_events"), sum("value").as("value_sum")),
       Some("SELECT (floor(epoch(ts) / 3600))::BIGINT * 3600 AS win_start, " +
         "count(*) AS n_events, sum(value) AS value_sum FROM events GROUP BY 1")),
@@ -2152,7 +2172,7 @@ object Queries {
       (s, d) => {
         val ev = ds(s, d, "events").toDF
           .select(col("event_id"), col("user_id"),
-            col("event_type"), unix_timestamp(col("ts")).as("ep"))
+            col("event_type"), graft.functions.TimeFunctions.epochSec(col("ts")).as("ep"))
         val views = ev.filter(col("event_type") === "view")
           .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
             col("ep").as("v_start"), (col("ep") + 600).as("v_end"))
@@ -2437,7 +2457,7 @@ object Queries {
           .join(big, col("o_orderkey") === col("l_orderkey"))
           .join(ds(s, d, "customer").toDF, col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
-            unix_timestamp(col("o_orderdate")).as("o_date"),
+            graft.functions.TimeFunctions.epochSec(col("o_orderdate")).as("o_date"),
             col("o_totalprice"), col("sum_qty"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
           .limit(100)
@@ -2531,7 +2551,7 @@ object Queries {
         ds(s, d, "embeddings").toDF, "vec_id", "embedding", 64, 16),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |  WHERE embedding IS NOT NULL AND len(embedding) >= 64
-        |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0)
+        |    AND len(list_filter(embedding[1:64], x -> x IS NULL OR NOT isfinite(x))) = 0)
         |SELECT vec_id, r.j AS j,
         |  list_sum(list_transform(generate_series(1, 64), i -> v[i] *
         |    (CASE WHEN ('0x' || substring(md5((i-1)::varchar || ':' || r.j::varchar), 1, 1))::int % 2 = 0
@@ -2734,7 +2754,8 @@ object Queries {
     // engines reproduce bit-for-bit where a float mean never is.
     "q_embed_centroids" -> QueryDef(
       (s, d) => ds(s, d, "embeddings").toDF
-        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .filter(col("embedding").isNotNull && col("label").isNotNull &&
+          graft.functions.VectorFunctions.allFinite(col("embedding")))
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("label", "pos")
         .agg(count(lit(1)).as("n"),
@@ -2744,7 +2765,8 @@ object Queries {
       // outer ::BIGINT undoes DuckDB's sum()->HUGEINT widening.
       Some("""WITH e AS (SELECT label,
         |    unnest(range(len(embedding)))::INT AS pos, unnest(embedding) AS v
-        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL)
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0)
         |SELECT label, pos, count(*) AS n,
         |  sum(round(v::DOUBLE * 1048576)::BIGINT)::BIGINT AS sum_q
         |FROM e GROUP BY label, pos""".stripMargin)),
@@ -3293,15 +3315,18 @@ object Queries {
     "sim_mmr_rerank" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
+          .filter(col("embedding").isNotNull && graft.functions.VectorFunctions.allFinite(col("embedding")))
         Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", shortlist = 20, k = 5)
       },
-      Some("""        |WITH q AS (SELECT vec_id AS qid,
+      Some("""        |WITH meb AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
+        |q AS (SELECT vec_id AS qid,
         |    list_transform(embedding, v -> round(v::DOUBLE * 1048576)::BIGINT) AS qv
-        |  FROM embeddings WHERE vec_id < 5),
+        |  FROM meb WHERE vec_id < 5),
         |c0 AS (SELECT q.qid, e.vec_id AS id, q.qv,
         |    list_transform(e.embedding, v -> round(v::DOUBLE * 1048576)::BIGINT) AS ev
-        |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+        |  FROM q JOIN meb e ON e.vec_id <> q.qid),
         |rels AS (SELECT qid, id, ev, list_sum(list_transform(range(1, len(ev) + 1), i -> (qv)[i] * (ev)[i]))::BIGINT AS rel FROM c0),
         |shortlist AS (SELECT qid, id, ev, rel FROM (
         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn FROM rels) t
@@ -4296,18 +4321,27 @@ object Queries {
     "q_bom_rollup" -> QueryDef(
       (s, d) => {
         val p = ds(s, d, "part").toDF
+        // truncDiv, not floor (r13 fuzz, sf0.01 seed): the oracle's
+        // `// 10` truncates toward zero, so a sign-flipped part key
+        // must derive the same parent on both engines
         val edges = p.select(col("p_partkey").as("child"),
-            floor(col("p_partkey") / 10).cast("long").as("parent"))
+            graft.functions.TimeFunctions.truncDiv(col("p_partkey"), 10L).as("parent"))
           .filter(col("parent") >= 1)
         operators.Hierarchy.subtreeRollup(edges, "child", "parent",
           p.select(col("p_partkey"),
             round(col("p_retailprice") * 100).cast("long").as("cents")),
           "p_partkey", "cents")
       },
-      Some("""WITH RECURSIVE anc(node, a) AS (
-        |  SELECT p_partkey, p_partkey // 10 FROM part WHERE p_partkey // 10 >= 1
+      // the recursion follows the EDGE SET, not re-derived `a // 10`
+      // arithmetic (r13 fuzz, sf0.01 seed): the operator chains edges,
+      // so a missing intermediate part breaks the ancestor chain — an
+      // arithmetic oracle silently bridged the gap and over-counted
+      Some("""WITH RECURSIVE e AS (SELECT p_partkey AS child,
+        |    p_partkey // 10 AS parent FROM part WHERE p_partkey // 10 >= 1),
+        |anc(node, a) AS (
+        |  SELECT child, parent FROM e
         |  UNION ALL
-        |  SELECT node, a // 10 FROM anc WHERE a // 10 >= 1),
+        |  SELECT anc.node, e.parent FROM anc JOIN e ON e.child = anc.a),
         |m AS (SELECT p_partkey AS node, round(p_retailprice * 100)::BIGINT AS cents FROM part),
         |cws AS (SELECT node, a FROM anc UNION ALL SELECT node, node FROM m)
         |SELECT c.a AS p_partkey, count(*)::BIGINT AS subtree_n,
@@ -4415,7 +4449,7 @@ object Queries {
           .select(col("l_suppkey"),
             (when(col("l_returnflag") === "R", -1L).otherwise(1L) *
               round(col("l_quantity")).cast("long")).as("delta"),
-            unix_timestamp(col("l_shipdate")).as("ep"),
+            graft.functions.TimeFunctions.epochSec(col("l_shipdate")).as("ep"),
             col("l_orderkey"), col("l_linenumber"))
         operators.TimeSeries.clampedBalance(mv, "l_suppkey", "delta",
           Seq("ep", "l_orderkey", "l_linenumber"))
@@ -4854,14 +4888,19 @@ object Queries {
     "q_ndcg" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            graft.functions.VectorFunctions.allFinite(col("embedding")))
         Similarity.ndcgAtK(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", "label", k = 10)
       },
-      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
-        |  FROM embeddings WHERE vec_id < 20 AND label IS NOT NULL),
+      Some("""WITH reb AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM reb WHERE vec_id < 20 AND label IS NOT NULL),
         |sc AS (SELECT qid, ql, e.vec_id AS nid, e.label AS nl,
         |    list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]) AS c
-        |  FROM q JOIN embeddings e ON e.vec_id <> qid),
+        |  FROM q JOIN reb e ON e.vec_id <> qid),
         |r AS (SELECT qid, ql, nl,
         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
         |  FROM sc WHERE c IS NOT NULL),
@@ -4874,7 +4913,7 @@ object Queries {
         |dcg AS (SELECT qid, max(ql) AS label,
         |    sum(CASE WHEN nl = ql THEN gain ELSE 0 END)::BIGINT AS dcg_micro
         |  FROM r JOIN g USING (rank) WHERE rank <= 10 GROUP BY qid),
-        |nr AS (SELECT qid, count(*)::BIGINT AS n_rel FROM q JOIN embeddings e
+        |nr AS (SELECT qid, count(*)::BIGINT AS n_rel FROM q JOIN reb e
         |    ON e.label = q.ql AND e.vec_id <> q.qid GROUP BY qid)
         |SELECT d.qid AS query_id, d.label, coalesce(nr.n_rel, 0)::BIGINT AS n_rel,
         |  d.dcg_micro, ic.cum::BIGINT AS idcg_micro,
@@ -4892,7 +4931,7 @@ object Queries {
           .filter(col("event_type") === "purchase" && col("user_id").isNotNull &&
             col("value").isNotNull && col("ts").isNotNull)
           .select(col("user_id"),
-            expr("unix_timestamp(ts) div 86400").as("day"),
+            graft.functions.TimeFunctions.truncDiv(graft.functions.TimeFunctions.epochSec(col("ts")), 86400L).as("day"),
             round(col("value") * 100).cast("long").as("cents"))
         val units = pe.groupBy("user_id").agg(
           sum(when(col("day") % 2 === 0, col("cents")).otherwise(0L)).as("x"),
@@ -4997,7 +5036,7 @@ object Queries {
           .filter(col("l_suppkey").isNotNull && col("l_shipdate").isNotNull &&
             col("l_quantity").isNotNull)
           .groupBy(col("l_suppkey").as("g"),
-            expr("unix_timestamp(l_shipdate) div 86400").as("day"))
+            graft.functions.TimeFunctions.truncDiv(graft.functions.TimeFunctions.epochSec(col("l_shipdate")), 86400L).as("day"))
           .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
         operators.TimeSeries.autocorrelation(ser, "g", "day", "qty", Seq(1, 7))
       },
@@ -5080,7 +5119,7 @@ object Queries {
           .filter(col("event_type") === "purchase" && col("user_id").isNotNull &&
             col("value").isNotNull && col("ts").isNotNull)
           .select(col("user_id"),
-            expr("unix_timestamp(ts) div 86400").as("day"),
+            graft.functions.TimeFunctions.truncDiv(graft.functions.TimeFunctions.epochSec(col("ts")), 86400L).as("day"),
             round(col("value") * 100).cast("long").as("cents"))
         val units = pe.groupBy(col("user_id"), (col("day") % 2 === 1).as("post"))
           .agg(sum(col("cents")).as("y"))
@@ -5128,7 +5167,7 @@ object Queries {
           .filter(col("l_suppkey").isNotNull && col("l_shipdate").isNotNull &&
             col("l_quantity").isNotNull)
           .groupBy(col("l_suppkey").as("g"),
-            expr("unix_timestamp(l_shipdate) div 86400").as("day"))
+            graft.functions.TimeFunctions.truncDiv(graft.functions.TimeFunctions.epochSec(col("l_shipdate")), 86400L).as("day"))
           .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
         operators.TimeSeries.trendDecompose(ser, "g", "day", "qty", radius = 3)
       },
@@ -5153,10 +5192,13 @@ object Queries {
     // surface before they degrade retrieval.
     "q_embed_dim_stats" -> QueryDef(
       (s, d) => operators.Quantize.dimStats(
-        ds(s, d, "embeddings").toDF, "vec_id", "embedding"),
+        ds(s, d, "embeddings").toDF
+          .filter(col("embedding").isNotNull && graft.functions.VectorFunctions.allFinite(col("embedding"))),
+        "vec_id", "embedding"),
       Some("""WITH ex AS (SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
         |    round(unnest(embedding)::DOUBLE * 1048576)::BIGINT AS q
-        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
         |m AS (SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
         |    sum(q)::BIGINT AS sum_q, sum(q * q)::BIGINT AS sumsq_q,
         |    min(q)::BIGINT AS min_q, max(q)::BIGINT AS max_q
@@ -5529,14 +5571,19 @@ object Queries {
     "q_mrr" -> QueryDef(
       (s, d) => {
         val emb = ds(s, d, "embeddings").toDF
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            graft.functions.VectorFunctions.allFinite(col("embedding")))
         Similarity.retrievalEval(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", "label", k = 10)
       },
-      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
-        |  FROM embeddings WHERE vec_id < 20 AND label IS NOT NULL),
+      Some("""WITH reb AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM reb WHERE vec_id < 20 AND label IS NOT NULL),
         |sc AS (SELECT qid, ql, e.vec_id AS nid, e.label AS nl,
         |    list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]) AS c
-        |  FROM q JOIN embeddings e ON e.vec_id <> qid),
+        |  FROM q JOIN reb e ON e.vec_id <> qid),
         |r AS (SELECT qid, ql, nl,
         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
         |  FROM sc WHERE c IS NOT NULL),
@@ -5544,7 +5591,7 @@ object Queries {
         |    sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
         |    min(CASE WHEN nl = ql THEN rank END)::BIGINT AS first_rel_rank
         |  FROM r WHERE rank <= 10 GROUP BY qid),
-        |nr AS (SELECT qid, count(*)::BIGINT AS n_rel FROM q JOIN embeddings e
+        |nr AS (SELECT qid, count(*)::BIGINT AS n_rel FROM q JOIN reb e
         |    ON e.label = q.ql AND e.vec_id <> q.qid GROUP BY qid)
         |SELECT h.qid AS query_id, h.label, coalesce(nr.n_rel, 0)::BIGINT AS n_rel,
         |  h.first_rel_rank, coalesce(1000000 // h.first_rel_rank, 0)::BIGINT AS rr_micro,
@@ -6198,7 +6245,7 @@ object Queries {
         .filter(col("o_orderpriority").isNotNull && col("o_orderdate").isNotNull &&
           col("o_custkey").isNotNull)
         .groupBy(col("o_orderpriority"),
-          floor(unix_timestamp(col("o_orderdate")) / 604800L).as("epoch_week"))
+          graft.functions.TimeFunctions.floorDiv(graft.functions.TimeFunctions.epochSec(col("o_orderdate")), 604800L).as("epoch_week"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("o_custkey")).as("l_distinct"))
         .withColumn("below_l5", col("l_distinct") < 5),
@@ -6235,7 +6282,7 @@ object Queries {
              |  ON u.cid = g.cid AND u.pos = g.pos)""".stripMargin
         s"""WITH eb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) >= 64
-           |    AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0),
+           |    AND len(list_filter(embedding[1:64], x -> x IS NULL OR NOT isfinite(x))) = 0),
            |quant AS (SELECT vec_id, g.i - 1 AS pos,
            |    round(v[g.i] * 1048576)::BIGINT AS q
            |  FROM eb, generate_series(1, 64) AS g(i)),

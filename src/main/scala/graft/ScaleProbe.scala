@@ -32,6 +32,7 @@ object ScaleProbe {
     if (args.length > 1 && args(1) == "bpe") { bpeEncode(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloom") { bloomBreakEven(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloomat") { bloomAt(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "bloomcap") { bloomCap(spark, factor); spark.stop(); return }
     val r4Only = args.length > 1 && args(1) == "r4"
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val big = (0 until factor).map { i =>
@@ -655,7 +656,7 @@ object ScaleProbe {
         .select(col("l_suppkey"),
           (when(col("l_returnflag") === "R", -1L).otherwise(1L) *
             round(col("l_quantity")).cast("long")).as("delta"),
-          unix_timestamp(col("l_shipdate")).as("ep"),
+          graft.functions.TimeFunctions.epochSec(col("l_shipdate")).as("ep"),
           col("l_orderkey"), col("l_linenumber")).cache()
       mv.count()
       time(s"clamped_balance_x$k")(operators.TimeSeries.clampedBalance(
@@ -764,7 +765,8 @@ object ScaleProbe {
         .filter(col("l_suppkey").isNotNull && col("l_shipdate").isNotNull &&
           col("l_quantity").isNotNull)
         .groupBy(col("l_suppkey").as("g"),
-          expr("unix_timestamp(l_shipdate) div 86400").as("day"))
+          graft.functions.TimeFunctions.truncDiv(
+            graft.functions.TimeFunctions.epochSec(col("l_shipdate")), 86400L).as("day"))
         .agg(sum(round(col("l_quantity")).cast("long")).as("qty")).cache()
       li.count()
       time(s"autocorr_x$k")(operators.TimeSeries.autocorrelation(
@@ -793,6 +795,55 @@ object ScaleProbe {
       time(s"rendezvous_x$k")(operators.Sharding.rendezvousMovement(
         docs, "doc_id", 8).count())
       docs.unpersist()
+    }
+  }
+
+  /** Wedge-Bloom cap-boundary probe (r13, verdict #5): the triangle
+    * wedge Bloom auto-sizes to nextPow2(E/16) clamped to
+    * [1<<20, 1<<24]; the r12 decade run MEASURED ~1% fp to 250M edges,
+    * but past the cap "fp degrades gracefully toward pass-through" was
+    * asserted from design only. This leg replicates the EXACT Bloom
+    * construction (Triangles.scala: one 64-bit block per pair, k=4
+    * bits, xxhash64 word/mask split) at the CAP (1<<24 words = 128 MB
+    * broadcast) over synthetic edge sets at 1x/2x/4x the cap's design
+    * load (268M/536M/1073M edges) and measures the false-positive rate
+    * on known-absent wedge pairs — the fraction of non-triangle wedges
+    * that would survive into the exact close join.
+    * Run: `sbt "runMain graft.ScaleProbe 4 bloomcap"` (factor bounds
+    * the largest multiple).
+    */
+  private def bloomCap(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.{Column, DataFrame}
+    val w = 1 << 24
+    def pairW(x: Column, y: Column): Column =
+      pmod(xxhash64(x, y, lit(1)), lit(w.toLong))
+    def withMask(df: DataFrame, x: String, y: String): DataFrame = df
+      .withColumn("__h2", xxhash64(col(x), col(y), lit(2)))
+      .withColumn("__m", expr((0 until 4).map(j =>
+        s"shiftleft(1L, cast(shiftright(__h2, ${6 * j}) & 63L as int))")
+        .mkString(" | ")))
+      .drop("__h2")
+    val probes = 4L * 1000 * 1000
+    for (mult <- Seq(1L, 2L, 4L) if mult <= factor) {
+      val e = (1L << 24) * 16 * mult
+      val edges = spark.range(e)
+        .select(col("id").as("x"), (col("id") * 2654435761L + 17L).as("y"))
+      val bloom = withMask(
+          edges.select(pairW(col("x"), col("y")).as("__w"), col("x"), col("y")),
+          "x", "y")
+        .groupBy("__w").agg(expr("bit_or(__m)").as("__bits"))
+      // probe pairs are disjoint from every inserted pair by
+      // construction (y = -1 is never an edge endpoint above)
+      val absent = spark.range(probes).select((col("id") + e).as("x"), lit(-1L).as("y"))
+      val t0 = System.nanoTime()
+      val fp = withMask(absent, "x", "y")
+        .withColumn("__w", pairW(col("x"), col("y")))
+        .join(broadcast(bloom), "__w")
+        .filter(col("__bits").bitwiseAND(col("__m")) === col("__m"))
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"bloomcap edges=$e%d words=$w loadx=$mult%d fp=${fp.toDouble / probes}%.4f " +
+        f"close_join_input_per_1M_nontriangle_wedges=${fp.toDouble / probes * 1e6}%.0f sec=$sec%.1f")
     }
   }
 
@@ -854,6 +905,22 @@ object ScaleProbe {
     Seq(100, 1000).foreach { g =>
       drive("exactk_sample", g,
         df => StreamingSketch.streamingExactKSample(df, "g", "v", k = 64))
+    }
+    // r13 (verdict #7): the two sketches the r12 curve didn't cover.
+    // sampled-median state is k (hash, value) pairs per group — same
+    // contract as kmv; the fresh-values churn exercises exactly the
+    // path that would leak if the buffer insert kept more than k.
+    Seq(100, 1000).foreach { g =>
+      drive("sampled_median", g,
+        df => StreamingSketch.streamingSampledMedian(df, "g", "v", "v", k = 64))
+    }
+    // streaming Misra-Gries keys its state by BUCKET (the group axis
+    // here IS the bucket count); full-churn fresh tokens per batch is
+    // the adversarial input — a correct MG summary stays <= k tokens
+    // per bucket while total distinct tokens grow without bound.
+    Seq(100, 1000).foreach { g =>
+      drive("heavy_hitters", g,
+        df => StreamingSketch.streamingHeavyHitters(df, "v", k = 48, buckets = g))
     }
   }
 

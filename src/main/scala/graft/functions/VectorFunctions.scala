@@ -30,6 +30,18 @@ object VectorFunctions {
   def cosineNative(a: Column, b: Column): Column =
     graft.plans.CosineSimilarity(a, b)
 
+  /** TRUE iff every element of the vector is present and finite — the
+    * embedding-family input contract (r13 fuzz): a NaN/±Inf element
+    * poisons norms and, under ANSI mode, makes the fixed-point
+    * quantization cast throw, so non-finite vectors are treated like
+    * NULL-element vectors everywhere. DuckDB mirror:
+    * `len(list_filter(v, x -> x IS NULL OR NOT isfinite(x))) = 0`.
+    * Native codegen kernel ([[graft.plans.AllFinite]]): the `exists`
+    * HOF form plans an interpreted lambdafunction on the corpus scan —
+    * the regression class PlanAuditSpec pins for the PQ path.
+    */
+  def allFinite(vec: Column): Column = graft.plans.AllFinite(vec)
+
   /** Random-hyperplane LSH bucket ids: see the native
     * [[graft.plans.HyperplaneBuckets]] kernel (one fused loop per row;
     * deterministic splitmix64 sign matrix). Exposed here so operator

@@ -94,7 +94,7 @@ object Analytics {
     */
   def cohortRetention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val weeks = events.select(col(keyCol).as("u"),
-      floor(unix_timestamp(col(tsCol)) / lit(604800L)).as("wk"))
+      graft.functions.TimeFunctions.floorDiv(graft.functions.TimeFunctions.epochSec(col(tsCol)), 604800L).as("wk"))
     val cohorts = weeks.groupBy("u").agg(min("wk").as("cohort_week"))
     val active = weeks.join(cohorts, "u")
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
@@ -150,7 +150,11 @@ object Analytics {
       .withColumn("__ord",
         format_string("%020d|%010d", unix_micros(col(tsCol).cast("timestamp")), col(idCol)))
     val per = s.groupBy(col(keyCol), col("session_id"))
-      .agg(min_by(col(typeCol), col("__ord")).as("entry_type"),
+      // key nulled when the ARG is null (r13 fuzz, sf0.01 seed):
+      // DuckDB's arg_min SKIPS null-arg rows while Spark's min_by
+      // returns them — nulling the key makes min_by skip them too
+      .agg(min_by(col(typeCol), when(col(typeCol).isNotNull, col("__ord")))
+        .as("entry_type"),
         count(lit(1)).as("n_events"))
     per.groupBy("entry_type")
       .agg(count(lit(1)).as("n_sessions"),
@@ -170,8 +174,8 @@ object Analytics {
                     gapSeconds: Long = 1800): DataFrame = {
     val s = Sessionize.assignSessions(events, keyCol, tsCol, gapSeconds)
     val lat = s.groupBy(col(keyCol), col("session_id"))
-      .agg(min(when(col(typeCol) === fromType, unix_timestamp(col(tsCol)))).as("t0"),
-        min(when(col(typeCol) === toType, unix_timestamp(col(tsCol)))).as("t2"))
+      .agg(min(when(col(typeCol) === fromType, graft.functions.TimeFunctions.epochSec(col(tsCol)))).as("t0"),
+        min(when(col(typeCol) === toType, graft.functions.TimeFunctions.epochSec(col(tsCol)))).as("t2"))
       .filter(col("t0").isNotNull && col("t2") > col("t0"))
       .withColumn("latency_sec", col("t2") - col("t0"))
     lat.agg(count(lit(1)).as("n_converted"),
@@ -248,7 +252,9 @@ object Analytics {
         when(col(typeCol) === "purchase" && col(valCol).isNotNull,
           round(col(valCol) * 100).cast("long")).otherwise(0L))
     val sessions = s.groupBy(col(keyCol), col("session_id"))
-      .agg(min_by(col(typeCol), col("__ord")).as("first_channel"),
+      // arg_min null-skip emulation — see bounceRate (r13 fuzz)
+      .agg(min_by(col(typeCol), when(col(typeCol).isNotNull, col("__ord")))
+        .as("first_channel"),
         sum("__cents").as("rev_cents"))
     sessions.groupBy("first_channel")
       .agg(count(lit(1)).as("n_sessions"),
@@ -342,7 +348,7 @@ object Analytics {
                        tsCol: String): DataFrame = {
     val days = events.filter(col(keyCol).isNotNull)
       .select(col(keyCol).as("k"),
-        floor(unix_timestamp(col(tsCol)) / 86400L).as("day"))
+        graft.functions.TimeFunctions.floorDiv(graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
       .distinct()
     val w = Window.partitionBy("k").orderBy("day")
     days.withColumn("island", col("day") - row_number().over(w))
@@ -527,7 +533,7 @@ object Analytics {
                      windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val ud = events
-      .select(col(userCol).as("u"), expr(s"unix_timestamp($tsCol) div 86400").as("day"))
+      .select(col(userCol).as("u"), graft.functions.TimeFunctions.truncDiv(graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
       .filter(col("u").isNotNull && col("day").isNotNull)
       .distinct()
     val bounds = ud.agg(min("day").as("d0"), max("day").as("d1"))
@@ -650,6 +656,47 @@ object Analytics {
         col("d").as("d_churned"), col("c").as("c_censored"), col("s_micro"))
   }
 
+  /** Exact global `ntile(k)` WITHOUT the single-task global sort
+    * (r13, ADVICE): range-repartition on the (total-order) sort key,
+    * rank = per-partition row_number + broadcast cumulative partition
+    * offsets, then the standard ntile bucket formula (first n%k
+    * buckets get ceil(n/k) rows) — bit-identical to Spark's and
+    * DuckDB's ntile over the same total order, but every stage is
+    * partition-parallel; the only partition-less window left is the
+    * offset cumsum over <= spark.sql.shuffle.partitions count rows.
+    * The order columns MUST be a total order (append the entity key),
+    * exactly the contract the ntile form already documented.
+    */
+  private def distributedNtile(df: DataFrame, k: Int, order: Seq[Column],
+                               out: String): DataFrame = {
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__c"))
+    val offs = counts
+      .withColumn("__off", coalesce(sum("__c").over(Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    val total = counts.agg(sum("__c").as("__n"))
+    def td(x: Column, y: Column): Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftbridge.Bridge.expression(x),
+          org.apache.spark.sql.graftbridge.Bridge.expression(y)))
+    parted
+      .join(broadcast(offs), "__pid")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("__pid").orderBy(order: _*)).cast("long") + col("__off"))
+      .crossJoin(broadcast(total))
+      .withColumn("__q", td(col("__n"), lit(k.toLong)))
+      .withColumn("__rem", col("__n") % lit(k.toLong))
+      .withColumn(out,
+        when(col("__r") <= (col("__q") + 1L) * col("__rem"),
+          td(col("__r") - 1L, col("__q") + 1L) + 1L)
+        .otherwise(col("__rem") +
+          td(col("__r") - 1L - (col("__q") + 1L) * col("__rem"), col("__q")) + 1L))
+      .drop("__pid", "__off", "__r", "__n", "__q", "__rem")
+  }
+
   /** RFM segmentation: per customer recency (days since last order,
     * vs the corpus max date), frequency (order count) and monetary
     * (exact cents), each scored into quintiles by `ntile(5)` with the
@@ -659,10 +706,9 @@ object Analytics {
     * Output: the ≤125-cell segment rollup — (r_score, f_score,
     * m_score, n_customers, sum_orders, sum_cents).
     *
-    * Scale note: ntile is an inherently global window (one sort over
-    * customers — fine to ~10⁸; past that use the per-group quantile
-    * cut, SURVEY §2 row 123, which scores against sketched cutoffs
-    * instead of a global sort).
+    * Scale note (r13): quintiles via [[distributedNtile]] — exact
+    * ntile semantics with range-partitioned parallel ranking, no
+    * single-task global sort at any size.
     */
   def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
                   valCol: String): DataFrame = {
@@ -674,14 +720,15 @@ object Analytics {
       .groupBy("cust")
       .agg(max("d").as("ld"), count(lit(1)).as("f"), sum("cents").as("m"))
     val maxd = perCust.agg(max("ld").as("maxd"))
-    val scored = perCust.crossJoin(broadcast(maxd))
+    val base = perCust.crossJoin(broadcast(maxd))
       .withColumn("r_days", col("maxd") - col("ld"))
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("r_days").desc, col("cust"))).cast("long"))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("f"), col("cust"))).cast("long"))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("m"), col("cust"))).cast("long"))
+    val scored = Seq[(String, Seq[Column])](
+      ("r_score", Seq(col("r_days").desc, col("cust"))),
+      ("f_score", Seq(col("f"), col("cust"))),
+      ("m_score", Seq(col("m"), col("cust"))))
+      .foldLeft(base) { case (df, (out, ord)) =>
+        distributedNtile(df, 5, ord, out)
+      }
     scored.groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"), sum("f").as("sum_orders"),
         sum("m").as("sum_cents"))
@@ -724,8 +771,8 @@ object Analytics {
     * values only (cumulative shares of a mixed-sign total are not
     * monotone, and the floor division needs a positive domain).
     * Output ≤10 rows: (decile, n_units, decile_cents, cum_cents,
-    * cum_share_micro). The ntile sort is global — fine to ~10⁸
-    * entities, then pre-aggregate or sample.
+    * cum_share_micro). Deciling via [[distributedNtile]] (r13): exact
+    * ntile semantics, range-partitioned, no global single-task sort.
     */
   def lorenzCurve(facts: DataFrame, entityCol: Column, centsCol: Column,
                   deciles: Int = 10): DataFrame = {
@@ -734,9 +781,8 @@ object Analytics {
       .filter(col("ent").isNotNull && col("cents").isNotNull)
       .groupBy("ent").agg(sum("cents").as("v"))
       .filter(col("v") > 0)
-    val byDecile = rev
-      .withColumn("decile", ntile(deciles).over(
-        Window.orderBy(col("v"), col("ent"))).cast("long"))
+    val byDecile = distributedNtile(rev, deciles,
+        Seq(col("v"), col("ent")), "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_units"), sum("v").as("decile_cents"))
     val wCum = Window.orderBy("decile")

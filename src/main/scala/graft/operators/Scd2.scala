@@ -35,7 +35,7 @@ object Scd2 {
     // change-detection comparison three-valued — all excluded
     // (fuzz r12); dirty rows belong in the quarantine path
     val clean = (Seq(tsCol, tieCol) ++ attrCols).map(col(_).isNotNull).reduce(_ && _)
-    val order = Seq(unix_timestamp(col(tsCol)).as("__ep"), col(tieCol).as("__tie"))
+    val order = Seq(graft.functions.TimeFunctions.epochSec(col(tsCol)).as("__ep"), col(tieCol).as("__tie"))
     val attrs = struct(attrCols.map(col): _*)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__ep"), col("__tie"))
     val collapsed = changes.filter(clean)

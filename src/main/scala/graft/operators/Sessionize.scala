@@ -28,7 +28,7 @@ object Sessionize {
                      gapSeconds: Long): DataFrame = {
     val df = df0.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
     val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol))
-    val epoch = unix_timestamp(col(tsCol))
+    val epoch = graft.functions.TimeFunctions.epochSec(col(tsCol))
     val prev = lag(epoch, 1).over(byTime)
     val isBreak = when(prev.isNull || epoch - prev > gapSeconds, 1).otherwise(0)
     df.withColumn("__epoch", epoch)
@@ -70,7 +70,7 @@ object Sessionize {
                  gapSeconds: Long): DataFrame = {
     require(keyCols.nonEmpty, "burstDedup needs at least one key column")
     val byTime = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
-    val epoch = unix_timestamp(col(tsCol))
+    val epoch = graft.functions.TimeFunctions.epochSec(col(tsCol))
     val prev = lag(epoch, 1).over(byTime)
     val isBreak = when(prev.isNull || epoch - prev > gapSeconds, 1L).otherwise(0L)
     df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)

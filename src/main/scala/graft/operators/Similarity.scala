@@ -220,7 +220,8 @@ object Similarity {
     // rows (PqCodes scans exactly the first subspaces*subDim elements)
     val usable = corpus
       .filter(col(vecCol).isNotNull && size(col(vecCol)) >= subspaces * subDim &&
-        !exists(slice(col(vecCol), 1, subspaces * subDim), _.isNull))
+        graft.functions.VectorFunctions.allFinite(
+          slice(col(vecCol), 1, subspaces * subDim)))
     val donors: Array[Seq[Float]] = usable
       .select(col(vecCol),
         graft.functions.HashFunctions.stableHash56(col(idCol).cast("string")).as("h"))
@@ -280,12 +281,18 @@ object Similarity {
   def nearDupClusters(df: DataFrame, idCol: String, vecCol: String,
                       dim: Int, planes: Int, tables: Int = 4,
                       iterations: Int = 3): DataFrame = {
-    // posexplode of a NULL bucket array emits no rows, so un-bucketable
-    // vectors drop out of the membership on their own — no
-    // intermediate frame or filter needed
-    val membership = df.select(col(idCol).as("id"),
-      posexplode(graft.plans.HyperplaneBuckets(col(vecCol), dim, planes, tables))
-        .as(Seq("t", "b")))
+    // posexplode of a NULL bucket array emits no rows, so NULL/short
+    // vectors drop out of the membership on their own; a NON-FINITE
+    // element does NOT null the kernel's buckets (NaN/Inf dot products
+    // compare like ordinary doubles), so the r13 finite contract is an
+    // explicit filter here — non-finite vectors take the same singleton
+    // fallback as null-element ones
+    val membership = df
+      .filter(col(vecCol).isNotNull &&
+        graft.functions.VectorFunctions.allFinite(slice(col(vecCol), 1, dim)))
+      .select(col(idCol).as("id"),
+        posexplode(graft.plans.HyperplaneBuckets(col(vecCol), dim, planes, tables))
+          .as(Seq("t", "b")))
     // the propagation result comes back PERSISTED (caller-owned cache);
     // register it in Dedup's bounded pin LRU so repeated clustering
     // runs cannot accumulate unreleasable entries
@@ -304,7 +311,7 @@ object Similarity {
     // testing the whole array would emit that row twice.
     clustered.unionByName(df.filter(col(vecCol).isNull ||
         size(col(vecCol)) < dim ||
-        exists(slice(col(vecCol), 1, dim), _.isNull))
+        !graft.functions.VectorFunctions.allFinite(slice(col(vecCol), 1, dim)))
       .select(col(idCol).as("vec_id"), col(idCol).as("cluster_id")))
   }
 
@@ -378,7 +385,7 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
     }
     df.filter(col(vecCol).isNotNull && size(col(vecCol)) >= inDim &&
-        !exists(v, _.isNull))
+        graft.functions.VectorFunctions.allFinite(v))
       .select(col(idCol), posexplode(array(projs: _*)))
       .select(col(idCol), col("pos").cast("long").as("j"), col("col").as("proj"))
   }
@@ -615,7 +622,7 @@ object Similarity {
     require(iters >= 0 && iters <= 8, s"iters must be in [0, 8], got $iters")
     val usable = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
         size(col(vecCol)) >= dim &&
-        !exists(slice(col(vecCol), 1, dim), _.isNull))
+        graft.functions.VectorFunctions.allFinite(slice(col(vecCol), 1, dim)))
       .select(col(idCol).as("vid"), col(vecCol).as("v"))
     val quant = usable
       .select(col("vid"), posexplode(slice(col("v"), 1, dim)).as(Seq("pos", "x")))

@@ -103,10 +103,14 @@ object TimeSeries {
         format_string("%020d|%010d", unix_micros(col(tsCol).cast("timestamp")), col(idCol)).as("__ord"))
     e.groupBy("series", "day_no")
       .agg(count(lit(1)).as("n_events"),
-        min_by(col("cents"), col("__ord")).as("open_cents"),
+        // key nulled when cents is null: DuckDB arg_min/arg_max skip
+        // null-arg rows, Spark min_by/max_by return them (r13 fuzz)
+        min_by(col("cents"), when(col("cents").isNotNull, col("__ord")))
+          .as("open_cents"),
         max(col("cents")).as("high_cents"),
         min(col("cents")).as("low_cents"),
-        max_by(col("cents"), col("__ord")).as("close_cents"))
+        max_by(col("cents"), when(col("cents").isNotNull, col("__ord")))
+          .as("close_cents"))
   }
 
   /** CUSUM changepoint curve per series: daily event counts reduced to
@@ -130,7 +134,7 @@ object TimeSeries {
                        tsCol: String): DataFrame = {
     val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(seriesCol).as("series"),
-        floor(unix_timestamp(col(tsCol)) / 86400L).as("day"))
+        graft.functions.TimeFunctions.floorDiv(graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
       .agg(count(lit(1)).as("n_events"))
     val byDay = Window.partitionBy("series").orderBy("day")
     val run = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -497,7 +501,7 @@ object TimeSeries {
                   tsCol: String): DataFrame = {
     val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(seriesCol).as("series"),
-        floor(unix_timestamp(col(tsCol)) / 86400L).as("day"))
+        graft.functions.TimeFunctions.floorDiv(graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
       .agg(count(lit(1)).as("x"))
     val s = daily.as("a").join(daily.as("b"),
         col("a.series") === col("b.series") && col("a.day") < col("b.day"))
@@ -540,7 +544,7 @@ object TimeSeries {
                tsCol: String): DataFrame = {
     val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(seriesCol).as("series"),
-        floor(unix_timestamp(col(tsCol)) / 86400L).as("day"))
+        graft.functions.TimeFunctions.floorDiv(graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
       .agg(count(lit(1)).as("x"))
     val byVal = Window.partitionBy("series").orderBy(col("x"), col("day"))
     val per = Window.partitionBy("series")

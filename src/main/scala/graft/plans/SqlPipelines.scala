@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Pack, Sampling}
+import graft.operators.{Dedup, Pack, Sampling, Stats}
 
 /** SQL table functions over the COMPOSED pipeline operators (r12,
   * verdict #5). The scalar kernels have had SQL names since r9
@@ -129,6 +129,63 @@ object SqlPipelines {
         Pack.slidingWindows(table("graft_chunk_windows", a(0)), "doc_id", "text",
           windowTokens = intLit("graft_chunk_windows", a(1)),
           strideTokens = intLit("graft_chunk_windows", a(2)))
+      },
+    // statistics family (r13, verdict #6): the r12 stats operators were
+    // registry-only; these give a JDBC client the same kernels in pure
+    // SQL. Column arguments are string-literal COLUMN NAMES of the
+    // named view — the operators' own input contracts (integral-moment
+    // scaling etc.) are documented on each Stats method.
+    "graft_kendall" ->
+      arity("graft_kendall", 3, "'table', 'xCol', 'yCol'") { a =>
+        Stats.kendallTau(table("graft_kendall", a(0)),
+          col(strLit("graft_kendall", a(1))), col(strLit("graft_kendall", a(2))))
+      },
+    "graft_spearman" -> { args =>
+      if (args.length < 3) throw new IllegalArgumentException(
+        s"graft_spearman expects >= 3 arguments: graft_spearman('table', " +
+          s"'col1', 'col2', ...), got ${args.length}")
+      val names = args.tail.map(strLit("graft_spearman", _))
+      Stats.spearmanMatrix(table("graft_spearman", args.head),
+        names.map(n => n -> col(n))).queryExecution.logical
+    },
+    "graft_anova" ->
+      arity("graft_anova", 3, "'table', 'groupCol', 'valueCol'") { a =>
+        Stats.oneWayAnova(table("graft_anova", a(0)),
+          col(strLit("graft_anova", a(1))), col(strLit("graft_anova", a(2))))
+      },
+    "graft_welch_ttest" ->
+      arity("graft_welch_ttest", 3, "'table', 'armCol', 'yCol'") { a =>
+        Stats.welchTTest(table("graft_welch_ttest", a(0)),
+          col(strLit("graft_welch_ttest", a(1))),
+          col(strLit("graft_welch_ttest", a(2))))
+      },
+    "graft_auc" ->
+      arity("graft_auc", 3, "'table', 'scoreCol', 'labelCol'") { a =>
+        Stats.rocAuc(table("graft_auc", a(0)),
+          col(strLit("graft_auc", a(1))), col(strLit("graft_auc", a(2))))
+      },
+    "graft_chisq" ->
+      arity("graft_chisq", 3, "'table', 'aCol', 'bCol'") { a =>
+        Stats.chiSquareCells(table("graft_chisq", a(0)),
+          col(strLit("graft_chisq", a(1))), col(strLit("graft_chisq", a(2))))
+      },
+    "graft_cramers_v" ->
+      arity("graft_cramers_v", 3, "'table', 'aCol', 'bCol'") { a =>
+        Stats.cramersV(table("graft_cramers_v", a(0)),
+          col(strLit("graft_cramers_v", a(1))), col(strLit("graft_cramers_v", a(2))))
+      },
+    "graft_cohens_kappa" ->
+      arity("graft_cohens_kappa", 3, "'table', 'rater1Col', 'rater2Col'") { a =>
+        Stats.cohensKappa(table("graft_cohens_kappa", a(0)),
+          col(strLit("graft_cohens_kappa", a(1))),
+          col(strLit("graft_cohens_kappa", a(2))))
+      },
+    "graft_bootstrap" ->
+      arity("graft_bootstrap", 4, "'table', 'idCol', 'centsCol', replicates") { a =>
+        Stats.poissonBootstrap(table("graft_bootstrap", a(0)),
+          col(strLit("graft_bootstrap", a(1))),
+          col(strLit("graft_bootstrap", a(2))),
+          replicates = intLit("graft_bootstrap", a(3)))
       }
   )
 }

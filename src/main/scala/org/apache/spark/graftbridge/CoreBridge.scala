@@ -11,4 +11,11 @@ object CoreBridge {
     * just-finished query's task metrics are all counted.
     */
   def drainListenerBus(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+
+  /** The shuffle dependency a completed stage wrote (None for result
+    * stages) — the identity of a shuffle for construction-phase
+    * counting; `private[spark]` on [[StageInfo]].
+    */
+  def shuffleDepId(info: org.apache.spark.scheduler.StageInfo): Option[Int] =
+    info.shuffleDepId
 }

@@ -278,6 +278,73 @@ class EndpointSpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  /** r13 (verdict #6): the r12 statistics operators are reachable in
+    * pure SQL too — a JDBC client scales its columns in a temp view
+    * (the TVF column arguments are names, the scaling contract is the
+    * view's job) and calls each kernel by SQL name. Assertion: the
+    * wire result equals the SAME Stats method invoked in-process on
+    * the SAME view, row for row and bit for bit (the TVF builders
+    * delegate to the identical Scala functions — zero forked logic).
+    */
+  test("a JDBC client runs the stats family (kendall/spearman/anova/ttest/auc/chisq/kappa/bootstrap) over the wire") {
+    import org.apache.spark.sql.functions.col
+    val conn = DriverManager.getConnection(url, "graft", "")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW stats_v AS SELECT " +
+        "round(l_quantity) AS qty, round(l_discount * 100) AS disc_c, " +
+        "round(l_tax * 100) AS tax_c, round(l_extendedprice) AS price_c, " +
+        "CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS arm, " +
+        "l_returnflag = 'R' AS label, " +
+        "l_orderkey, l_linenumber, l_returnflag, l_linestatus, (l_partkey % 7)::STRING AS pk7 " +
+        "FROM lineitem")
+      val wireCalls: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "graft_kendall('stats_v', 'qty', 'disc_c')" ->
+          (() => operators.Stats.kendallTau(spark.table("stats_v"),
+            col("qty"), col("disc_c"))),
+        "graft_spearman('stats_v', 'qty', 'disc_c', 'tax_c')" ->
+          (() => operators.Stats.spearmanMatrix(spark.table("stats_v"),
+            Seq("qty" -> col("qty"), "disc_c" -> col("disc_c"),
+              "tax_c" -> col("tax_c")))),
+        "graft_anova('stats_v', 'l_returnflag', 'price_c')" ->
+          (() => operators.Stats.oneWayAnova(spark.table("stats_v"),
+            col("l_returnflag"), col("price_c"))),
+        "graft_welch_ttest('stats_v', 'arm', 'price_c')" ->
+          (() => operators.Stats.welchTTest(spark.table("stats_v"),
+            col("arm"), col("price_c"))),
+        "graft_auc('stats_v', 'price_c', 'label')" ->
+          (() => operators.Stats.rocAuc(spark.table("stats_v"),
+            col("price_c"), col("label"))),
+        "graft_chisq('stats_v', 'l_returnflag', 'l_linestatus')" ->
+          (() => operators.Stats.chiSquareCells(spark.table("stats_v"),
+            col("l_returnflag"), col("l_linestatus"))),
+        "graft_cramers_v('stats_v', 'l_returnflag', 'pk7')" ->
+          (() => operators.Stats.cramersV(spark.table("stats_v"),
+            col("l_returnflag"), col("pk7"))),
+        "graft_cohens_kappa('stats_v', 'l_returnflag', 'l_linestatus')" ->
+          (() => operators.Stats.cohensKappa(spark.table("stats_v"),
+            col("l_returnflag"), col("l_linestatus"))),
+        "graft_bootstrap('stats_v', 'l_orderkey', 'price_c', 8)" ->
+          (() => operators.Stats.poissonBootstrap(spark.table("stats_v"),
+            col("l_orderkey"), col("price_c"), replicates = 8))
+      )
+      for ((call, local) <- wireCalls) {
+        val rs = st.executeQuery(s"SELECT * FROM $call")
+        val ncols = rs.getMetaData.getColumnCount
+        val wire = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (1 to ncols).map(i => String.valueOf(r.getObject(i))).mkString("|"))
+          .toVector.sorted
+        val scalaSide = local().collect()
+          .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|"))
+          .toVector.sorted
+        assert(wire.nonEmpty, s"$call returned no rows")
+        assert(wire === scalaSide, s"$call: wire != Scala")
+      }
+      st.execute("DROP VIEW IF EXISTS stats_v")
+    } finally conn.close()
+  }
+
   /** The r11 concurrency soak (verdict #6): the 2-client test above
     * proves the wiring; this one holds N=16 mixed kernel+metrics
     * clients against the endpoint for a sustained window

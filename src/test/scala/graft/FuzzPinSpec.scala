@@ -175,4 +175,58 @@ class FuzzPinSpec extends SparkSpecBase {
     assert(q.filter(col("vec_id") === 2L).count() === 0L)
     assert(q.filter(col("vec_id") === 1L).count() === 2L)
   }
+
+  // ---- epoch seconds: floor, not truncate (r13) ------------------------
+
+  test("epochSec floors pre-1970 fractional instants like DuckDB floor(epoch)") {
+    import spark.implicits._
+    // r13 seed-1 q_sessionize/q_scd2/q_range_frame/q_events_window:
+    // Spark's unix_timestamp truncates toward zero (-17280898) where
+    // every oracle's floor(epoch(ts)) floors (-17280899)
+    val df = Seq(
+      Timestamp.valueOf("1969-06-14 23:45:01.123456"),
+      Timestamp.valueOf("2024-01-01 00:00:00.5")).toDF("ts")
+    val got = df.select(graft.functions.TimeFunctions.epochSec(col("ts")))
+      .as[Long].collect().toSeq
+    assert(got === Seq(-17280899L, 1704067200L),
+      s"floor semantics: $got (truncation would give -17280898)")
+  }
+
+  test("floorDiv floors and truncDiv truncates on negative epochs") {
+    import spark.implicits._
+    val df = Seq(-17280899L, 17280899L, -86400L).toDF("x")
+    val got = df.select(
+        graft.functions.TimeFunctions.floorDiv(col("x"), 86400L),
+        graft.functions.TimeFunctions.truncDiv(col("x"), 86400L))
+      .as[(Long, Long)].collect().toSeq
+    // DuckDB: floor(x/86400) vs x // 86400 on the same inputs
+    assert(got === Seq((-201L, -200L), (200L, 200L), (-1L, -1L)), got.toString)
+  }
+
+  // ---- embeddings: the finite-vector contract (r13) ---------------------
+
+  test("non-finite vectors are unusable everywhere: dropped by allFinite, singletons in clustering") {
+    import spark.implicits._
+    // r13 seed-1: a NaN/±Inf element poisons norms, diverges NaN
+    // ordering between engines, and (ANSI mode) makes the fixed-point
+    // quantization cast throw — the contract treats such vectors like
+    // NULL-element vectors
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(Float.NaN, 2.0f)),
+      (3L, Seq(1.0f, Float.PositiveInfinity)),
+      (4L, Seq(Float.NegativeInfinity, 1.0f))).toDF("vec_id", "embedding")
+    val kept = df.filter(
+        graft.functions.VectorFunctions.allFinite(col("embedding")))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L), s"only the finite vector survives: $kept")
+    // clustering keeps the one-row-per-vector contract: non-finite
+    // vectors come back as their own singleton clusters
+    val clusters = graft.operators.Similarity
+      .nearDupClusters(df, "vec_id", "embedding", dim = 2, planes = 2, tables = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.keySet === Set(1L, 2L, 3L, 4L))
+    assert(Seq(2L, 3L, 4L).forall(id => clusters(id) === id),
+      s"non-finite vectors must be singletons: $clusters")
+  }
 }

@@ -448,9 +448,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "q_spearman",      // rank maps over the distinct-VALUE table (value-cardinality)
       "q_bootstrap",     // rank over B=32 replicate means
       "q_survival",      // product-limit over the distinct-lifetime table (≤ day span)
-      "q_rfm",           // ntile(5) over per-customer rows — DOCUMENTED global sort;
-                         //   the quantile-cut row is the >10⁸-entity scale path
-      "q_lorenz",        // ntile(10) over per-entity rows — same documented contract
+      "q_rfm",           // distributedNtile (r13): the only partition-less window
+                         //   left is the offset cumsum over <= shuffle-partition
+                         //   COUNT rows (~32) — same bounded class as q_token_budget
+      "q_lorenz",        // distributedNtile offset cumsum, same <= 32-row frame
       "q_decay_popularity", // top-50 rank over item-cardinality scores
       "text_burstiness") // top-30 rank over vocabulary-cardinality totals
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
