@@ -6298,7 +6298,401 @@ object Queries {
            |${update("asg1", "c1", "c2")},
            |${assign("c2", "asgf")}
            |SELECT vec_id, cid AS cluster_id, dist::BIGINT AS dist_q FROM asgf""".stripMargin
-      })
+      }),
+
+    // ---- round 13 additions (§2 rows 293+) -----------------------------
+
+    // §2.2/293 — Kruskal–Wallis H: rank-based one-way ANOVA over
+    // quantity by return flag — the distribution-free companion to
+    // row 277; tie-averaged double-ranks from the value-cardinality
+    // rank table (spearman's construction), H/H_adj fixed doubles
+    // over exact integer/decimal sums.
+    "q_kruskal" -> QueryDef(
+      (s, d) => operators.Stats.kruskalWallis(ds(s, d, "lineitem").toDF,
+        col("l_returnflag"), col("l_quantity")),
+      Some("""WITH r0 AS (SELECT l_returnflag AS g, round(l_quantity)::BIGINT AS v
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        |cells AS (SELECT g, v, count(*)::BIGINT AS m FROM r0 GROUP BY 1, 2),
+        |pv AS (SELECT v, sum(m)::BIGINT AS t FROM cells GROUP BY v),
+        |rk AS (SELECT v, 2 * sum(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1 AS dr FROM pv),
+        |pg AS (SELECT g, sum(m)::BIGINT AS n_g, sum(m * rk.dr)::BIGINT AS s_g
+        |  FROM cells JOIN rk USING (v) GROUP BY g),
+        |agg AS (SELECT sum(n_g)::BIGINT AS n, count(*)::BIGINT AS k_groups,
+        |    sum((s_g::HUGEINT * s_g) // n_g)::HUGEINT AS rank_t FROM pg),
+        |ties AS (SELECT coalesce(sum(t::HUGEINT * t * t - t), 0)::HUGEINT AS tie_cub FROM pv),
+        |hh AS (SELECT n, k_groups, tie_cub,
+        |    CASE WHEN n > 1 THEN 3.0 * rank_t::DOUBLE / (n::DOUBLE * (n::DOUBLE + 1.0))
+        |      - 3.0 * (n::DOUBLE + 1.0) END AS h_stat
+        |  FROM agg CROSS JOIN ties)
+        |SELECT n, k_groups, h_stat,
+        |  CASE WHEN n > 2 AND tie_cub::DOUBLE <
+        |      n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE
+        |    THEN h_stat / (1.0 - tie_cub::DOUBLE /
+        |      (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)) END AS h_adj
+        |FROM hh""".stripMargin)),
+
+    // §2.2/294 — McNemar's paired-binary test: per user "purchased on
+    // even days" vs "purchased on odd days" — did behavior flip
+    // asymmetrically; discordant counts exact, chi2 one double.
+    "q_mcnemar" -> QueryDef(
+      (s, d) => {
+        val pe = ds(s, d, "events").toDF
+          .filter(col("event_type") === "purchase" && col("user_id").isNotNull &&
+            col("ts").isNotNull)
+          .select(col("user_id"),
+            graft.functions.TimeFunctions.truncDiv(
+              graft.functions.TimeFunctions.epochSec(col("ts")), 86400L).as("day"))
+        val base = ds(s, d, "events").toDF.filter(col("user_id").isNotNull)
+          .select("user_id").distinct()
+        val units = base.join(
+          pe.groupBy("user_id").agg(
+            max(pmod(col("day"), lit(2L)) === 0L).as("a0"),
+            max(pmod(col("day"), lit(2L)) === 1L).as("b0")),
+          Seq("user_id"), "left")
+          .select(col("user_id"), coalesce(col("a0"), lit(false)).as("a"),
+            coalesce(col("b0"), lit(false)).as("b"))
+        operators.Stats.mcnemar(units, col("a"), col("b"))
+      },
+      Some("""WITH pe AS (SELECT user_id,
+        |    floor(epoch(ts))::BIGINT // 86400 AS day FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |agg AS (SELECT user_id, max(((day % 2) + 2) % 2 = 0) AS a0,
+        |    max(((day % 2) + 2) % 2 = 1) AS b0 FROM pe GROUP BY user_id),
+        |units AS (SELECT b.user_id, coalesce(a0, false) AS a, coalesce(b0, false) AS b
+        |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) b
+        |  LEFT JOIN agg USING (user_id))
+        |SELECT count(*)::BIGINT AS n_pairs,
+        |  sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS b_only,
+        |  sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS c_only,
+        |  CASE WHEN sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) > 0 THEN
+        |    (abs(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |       - sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)) - 1)::DOUBLE
+        |    * (abs(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |       - sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)) - 1)::DOUBLE
+        |    / (sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |       + sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END))::DOUBLE END AS chi2
+        |FROM units""".stripMargin)),
+
+    // §2.2/295 — Murphy decomposition of the Brier score: reliability −
+    // resolution + uncertainty over row 239's min-max integer bins —
+    // per-bin contributions floor-quantized at 2^20 and integer-summed
+    // (order-free), every emitted float a fixed expression.
+    "q_brier" -> QueryDef(
+      (s, d) => operators.Stats.brierDecomposition(ds(s, d, "documents").toDF,
+        col("n_chars"), col("lang") === "en", nBins = 10),
+      Some("""WITH v AS (SELECT n_chars::BIGINT AS s, (lang = 'en') AS pos
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |b AS (SELECT min(s) AS mn, max(s) AS mx FROM v),
+        |binned AS (SELECT least(9, (s - mn) * 10 // (mx - mn + 1)) AS bin,
+        |    s - mn AS sm, pos, (mx - mn + 1)::DOUBLE AS dspan FROM v CROSS JOIN b),
+        |bins AS (SELECT bin, count(*)::BIGINT AS n_b,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS pos_b,
+        |    sum(sm)::BIGINT AS ss_b, min(dspan) AS dspan FROM binned GROUP BY bin),
+        |tot AS (SELECT sum(n_b)::BIGINT AS n, sum(pos_b)::BIGINT AS n_pos,
+        |    count(*)::BIGINT AS n_bins_used FROM bins),
+        |terms AS (SELECT
+        |    floor(n_b::DOUBLE * (ss_b::DOUBLE / (n_b::DOUBLE * dspan) - pos_b::DOUBLE / n_b::DOUBLE)
+        |      * (ss_b::DOUBLE / (n_b::DOUBLE * dspan) - pos_b::DOUBLE / n_b::DOUBLE)
+        |      * 1048576.0)::BIGINT AS rel_t,
+        |    floor(n_b::DOUBLE * (pos_b::DOUBLE / n_b::DOUBLE - n_pos::DOUBLE / n::DOUBLE)
+        |      * (pos_b::DOUBLE / n_b::DOUBLE - n_pos::DOUBLE / n::DOUBLE)
+        |      * 1048576.0)::BIGINT AS res_t,
+        |    n, n_pos, n_bins_used
+        |  FROM bins CROSS JOIN tot),
+        |qq AS (SELECT min(n)::BIGINT AS n, min(n_bins_used)::BIGINT AS n_bins_used,
+        |    min(n_pos)::BIGINT AS n_pos,
+        |    sum(rel_t)::BIGINT AS rel_q, sum(res_t)::BIGINT AS res_q FROM terms)
+        |SELECT n, n_bins_used, n_pos, rel_q, res_q,
+        |  rel_q::DOUBLE / (n::DOUBLE * 1048576.0) AS reliability,
+        |  res_q::DOUBLE / (n::DOUBLE * 1048576.0) AS resolution,
+        |  n_pos::DOUBLE / n::DOUBLE * (1.0 - n_pos::DOUBLE / n::DOUBLE) AS uncertainty,
+        |  rel_q::DOUBLE / (n::DOUBLE * 1048576.0)
+        |    - res_q::DOUBLE / (n::DOUBLE * 1048576.0)
+        |    + n_pos::DOUBLE / n::DOUBLE * (1.0 - n_pos::DOUBLE / n::DOUBLE) AS brier
+        |FROM qq""".stripMargin)),
+
+    // §2.2/296 — mutual information source↔lang in 2^-20-nat units:
+    // the dependence-STRENGTH companion to chi-square (225) and
+    // Cramér's V (264); per-cell ln floor-quantized (entropy's idiom).
+    "q_mutual_info" -> QueryDef(
+      (s, d) => operators.Stats.mutualInformation(ds(s, d, "documents").toDF,
+        col("source"), col("lang")),
+      Some("""WITH cells AS (SELECT source AS a, lang AS b, count(*)::BIGINT AS n_ab
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM cells GROUP BY a),
+        |mb AS (SELECT b, sum(n_ab)::BIGINT AS n_b FROM cells GROUP BY b),
+        |nn AS (SELECT sum(n_ab)::BIGINT AS n, count(DISTINCT a)::BIGINT AS a_levels,
+        |    count(DISTINCT b)::BIGINT AS b_levels FROM cells)
+        |SELECT min(nn.n)::BIGINT AS n, min(a_levels)::BIGINT AS a_levels,
+        |  min(b_levels)::BIGINT AS b_levels,
+        |  (sum(n_ab * floor(ln(n_ab::DOUBLE * nn.n::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE))
+        |     * 1048576)::BIGINT)::BIGINT // min(nn.n))::BIGINT AS mi_q
+        |FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn""".stripMargin)),
+
+    // §2.2/297 — Theil–Sen robust slope per series: lower median of
+    // exact integer milli-slopes over the day-curve pair join (the
+    // mannKendall shape — never event-sized).
+    "q_theil_sen" -> QueryDef(
+      (s, d) => operators.TimeSeries.theilSen(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts) / 86400)::BIGINT AS day, count(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |sl AS (SELECT a.series, ((b.x - a.x) * 1000) // (b.day - a.day) AS slope_milli
+        |  FROM d a JOIN d b ON a.series = b.series AND a.day < b.day),
+        |rk AS (SELECT series, slope_milli,
+        |    row_number() OVER (PARTITION BY series ORDER BY slope_milli) AS rn,
+        |    count(*) OVER (PARTITION BY series) AS np FROM sl),
+        |m AS (SELECT series, count(*)::BIGINT AS m_days FROM d GROUP BY 1)
+        |SELECT rk.series AS series, m.m_days, rk.np::BIGINT AS n_pairs,
+        |  rk.slope_milli::BIGINT AS slope_milli
+        |FROM rk JOIN m USING (series) WHERE rn = (np + 1) // 2""".stripMargin)),
+
+    // §2.2/298 — MASE-style forecastability diagnostic per series:
+    // seasonal (calendar lag-7) vs successive-day naive error, exact
+    // int64 absolute-error sums, one IEEE division.
+    "q_mase" -> QueryDef(
+      (s, d) => operators.TimeSeries.maseDiagnostic(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts) / 86400)::BIGINT AS day, count(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |l1 AS (SELECT series, count(*)::BIGINT AS n1_pairs,
+        |    sum(abs(x - px))::BIGINT AS sae1 FROM (
+        |    SELECT series, x, lag(x) OVER (PARTITION BY series ORDER BY day) AS px
+        |    FROM d) z WHERE px IS NOT NULL GROUP BY series),
+        |l7 AS (SELECT c.series, count(*)::BIGINT AS n7_pairs,
+        |    sum(abs(c.x - p.x))::BIGINT AS sae7
+        |  FROM d c JOIN d p ON c.series = p.series AND p.day = c.day - 7 GROUP BY 1)
+        |SELECT l1.series AS series, n1_pairs, sae1,
+        |  coalesce(n7_pairs, 0)::BIGINT AS n7_pairs,
+        |  coalesce(sae7, 0)::BIGINT AS sae7,
+        |  CASE WHEN n1_pairs > 0 AND coalesce(n7_pairs, 0) > 0 AND sae1 > 0 THEN
+        |    (sae7::DOUBLE / n7_pairs::DOUBLE) / (sae1::DOUBLE / n1_pairs::DOUBLE)
+        |  END AS mase
+        |FROM l1 LEFT JOIN l7 ON l1.series = l7.series""".stripMargin)),
+
+    // §2.2/299 — log-rank test between two survival arms (user-id
+    // parity): the "do the churn curves differ" companion to row 271's
+    // Kaplan–Meier; per-lifetime hypergeometric terms floor-quantized
+    // at 2^20 and integer-summed, chi2 one fixed double.
+    "q_log_rank" -> QueryDef(
+      // censorDays=1: the synthetic events table keeps every user
+      // active through month-end, so the KM default (7) censors all
+      (s, d) => operators.Analytics.logRankTest(
+        ds(s, d, "events").toDF, "user_id", "ts", pmod(col("u"), lit(2L)),
+        censorDays = 1),
+      Some("""WITH pu AS (SELECT user_id AS u,
+        |    min(floor(epoch(ts) / 86400)::BIGINT) AS fd,
+        |    max(floor(epoch(ts) / 86400)::BIGINT) AS ld,
+        |    ((user_id % 2) + 2) % 2 AS arm
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 4),
+        |mx AS (SELECT max(ld) AS maxd FROM pu),
+        |lt AS (SELECT ld - fd AS t,
+        |    sum(CASE WHEN ld <= maxd - 1 AND arm = 1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+        |    sum(CASE WHEN ld <= maxd - 1 THEN 1 ELSE 0 END)::BIGINT AS d,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS m1,
+        |    count(*)::BIGINT AS m
+        |  FROM pu CROSS JOIN mx GROUP BY 1),
+        |tt AS (SELECT sum(m)::BIGINT AS total, sum(m1)::BIGINT AS total1 FROM lt),
+        |rk AS (SELECT t, d1, d, total - coalesce(sum(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n,
+        |    total1 - coalesce(sum(m1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n1
+        |  FROM lt CROSS JOIN tt),
+        |ev AS (SELECT d1,
+        |    floor(d::DOUBLE * n1::DOUBLE / n::DOUBLE * 1048576.0)::BIGINT AS e1_t,
+        |    floor(d::DOUBLE * (n1::DOUBLE / n::DOUBLE)
+        |      * (1.0 - n1::DOUBLE / n::DOUBLE)
+        |      * (n::DOUBLE - d::DOUBLE) / (n::DOUBLE - 1.0) * 1048576.0)::BIGINT AS v_t
+        |  FROM rk WHERE d > 0 AND n > 1),
+        |un AS (SELECT count(*)::BIGINT AS n_units FROM pu),
+        |ag AS (SELECT coalesce(sum(d1), 0)::BIGINT AS o1,
+        |    coalesce(sum(e1_t), 0)::BIGINT AS e1_q,
+        |    coalesce(sum(v_t), 0)::BIGINT AS v_q FROM ev)
+        |SELECT n_units, o1, e1_q, v_q,
+        |  CASE WHEN v_q > 0 THEN
+        |    (o1::DOUBLE * 1048576.0 - e1_q::DOUBLE)
+        |    * (o1::DOUBLE * 1048576.0 - e1_q::DOUBLE)
+        |    / (v_q::DOUBLE * 1048576.0) END AS chi2
+        |FROM ag CROSS JOIN un""".stripMargin)),
+
+    // §2.2/300 — HITS hubs & authorities over the customer→supplier
+    // bipartite graph (row 149's edge set): ENTIRELY integer power
+    // iteration — micro-unit scores, exact int64 sums, max-normalized
+    // with truncating division — so the trajectory replays bit-exact.
+    "q_hits" -> QueryDef(
+      (s, d) => {
+        val edges = ds(s, d, "orders").toDF.select("o_orderkey", "o_custkey")
+          .join(ds(s, d, "lineitem").toDF.select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        operators.GraphMetrics.hits(edges, "src", "dst", iters = 2)
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT DISTINCT src AS id, 1000000::BIGINT AS h FROM e),
+        |a1r AS (SELECT dst AS id, sum(h)::BIGINT AS a FROM e JOIN h0 ON h0.id = e.src GROUP BY dst),
+        |a1 AS (SELECT id, ((a * 1000000) // (SELECT max(a) FROM a1r))::BIGINT AS a FROM a1r),
+        |h1r AS (SELECT src AS id, sum(a)::BIGINT AS h FROM e JOIN a1 ON a1.id = e.dst GROUP BY src),
+        |h1 AS (SELECT id, ((h * 1000000) // (SELECT max(h) FROM h1r))::BIGINT AS h FROM h1r),
+        |a2r AS (SELECT dst AS id, sum(h)::BIGINT AS a FROM e JOIN h1 ON h1.id = e.src GROUP BY dst),
+        |a2 AS (SELECT id, ((a * 1000000) // (SELECT max(a) FROM a2r))::BIGINT AS a FROM a2r),
+        |h2r AS (SELECT src AS id, sum(a)::BIGINT AS h FROM e JOIN a2 ON a2.id = e.dst GROUP BY src),
+        |h2 AS (SELECT id, ((h * 1000000) // (SELECT max(h) FROM h2r))::BIGINT AS h FROM h2r)
+        |SELECT n.id AS node_id, coalesce(h2.h, 0)::BIGINT AS hub_micro,
+        |  coalesce(a2.a, 0)::BIGINT AS auth_micro
+        |FROM nodes n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id""".stripMargin)),
+
+    // §2.2/301 — per-query Average Precision (MAP@k): the
+    // order-sensitive grade between MRR (266) and nDCG (243), entirely
+    // integer (cum_hits·10^6 div rank summed, divided by min(n_rel,k)).
+    "sim_map_eval" -> QueryDef(
+      (s, d) => {
+        val emb = ds(s, d, "embeddings").toDF
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            graft.functions.VectorFunctions.allFinite(col("embedding")))
+        Similarity.mapAtK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", "label", k = 10)
+      },
+      Some("""WITH reb AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM reb WHERE vec_id < 20 AND label IS NOT NULL),
+        |sc AS (SELECT qid, ql, e.vec_id AS nid, e.label AS nl,
+        |    list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]) AS c
+        |  FROM q JOIN reb e ON e.vec_id <> qid),
+        |r AS (SELECT qid, ql, nl,
+        |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        |  FROM sc WHERE c IS NOT NULL),
+        |r2 AS (SELECT qid, ql, nl, rank,
+        |    sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) OVER (PARTITION BY qid
+        |      ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM r WHERE rank <= 10),
+        |h AS (SELECT qid, max(ql) AS label,
+        |    sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
+        |    sum(CASE WHEN nl = ql THEN (cum * 1000000) // rank ELSE 0 END)::BIGINT AS ap_num
+        |  FROM r2 GROUP BY qid),
+        |nr AS (SELECT qid, count(*)::BIGINT AS n_rel FROM q JOIN reb e
+        |    ON e.label = q.ql AND e.vec_id <> q.qid GROUP BY qid)
+        |SELECT h.qid AS query_id, h.label, coalesce(nr.n_rel, 0)::BIGINT AS n_rel,
+        |  h.hits_at_k,
+        |  CASE WHEN coalesce(nr.n_rel, 0) > 0
+        |    THEN (ap_num // least(nr.n_rel, 10))::BIGINT END AS ap_micro
+        |FROM h LEFT JOIN nr ON h.qid = nr.qid""".stripMargin)),
+
+    // §2.2/302 — population stability index per source vs corpus over
+    // digit-count length buckets (exact integer bucketing — no
+    // log-boundary ambiguity): the scorecard-drift companion to KL
+    // (200) and JS (265); per-bucket terms floor-quantized at 2^20,
+    // one-sided over the source's support (documented).
+    "text_psi" -> QueryDef(
+      (s, d) => {
+        val base = ds(s, d, "documents").toDF
+          .filter(col("source").isNotNull && col("n_chars").isNotNull &&
+            col("n_chars") > 0)
+          .select(col("source"), length(col("n_chars").cast("string")).as("b"))
+        val sb = base.groupBy("source", "b").agg(count(lit(1)).as("n_sb"))
+        val cb = base.groupBy("b").agg(count(lit(1)).as("n_cb"))
+        val ns = sb.groupBy("source").agg(sum("n_sb").as("n_s"), count(lit(1)).as("n_buckets"))
+        val nc = cb.agg(sum("n_cb").as("n_c"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        sb.join(broadcast(cb), "b").join(ns, "source").crossJoin(broadcast(nc))
+          .withColumn("term", floor(
+            (dd(col("n_sb")) / dd(col("n_s")) - dd(col("n_cb")) / dd(col("n_c"))) *
+            log((dd(col("n_sb")) * dd(col("n_c"))) / (dd(col("n_cb")) * dd(col("n_s")))) *
+            1048576.0).cast("long"))
+          .groupBy("source")
+          .agg(min("n_s").as("n_docs"), min("n_buckets").as("n_buckets"),
+            sum("term").as("psi_q"))
+      },
+      Some("""WITH base AS (SELECT source, length((n_chars)::VARCHAR) AS b
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND n_chars > 0),
+        |sb AS (SELECT source, b, count(*)::BIGINT AS n_sb FROM base GROUP BY 1, 2),
+        |cb AS (SELECT b, count(*)::BIGINT AS n_cb FROM base GROUP BY 1),
+        |ns AS (SELECT source, sum(n_sb)::BIGINT AS n_s, count(*)::BIGINT AS n_buckets
+        |  FROM sb GROUP BY 1),
+        |nc AS (SELECT sum(n_cb)::BIGINT AS n_c FROM cb)
+        |SELECT sb.source AS source, min(n_s)::BIGINT AS n_docs,
+        |  min(n_buckets)::BIGINT AS n_buckets,
+        |  sum(floor((n_sb::DOUBLE / n_s::DOUBLE - n_cb::DOUBLE / n_c::DOUBLE)
+        |    * ln((n_sb::DOUBLE * n_c::DOUBLE) / (n_cb::DOUBLE * n_s::DOUBLE))
+        |    * 1048576.0)::BIGINT)::BIGINT AS psi_q
+        |FROM sb JOIN cb USING (b) JOIN ns USING (source) CROSS JOIN nc
+        |GROUP BY 1""".stripMargin)),
+
+    // §2.2/303 — blocklist term filtering: per source the docs
+    // containing any blocklisted token and the total distinct-term
+    // hits — the moderation / content-policy scrub pass every crawl
+    // corpus needs; map-side token explode + a 4-literal IN filter.
+    "text_blocklist" -> QueryDef(
+      (s, d) => {
+        val bl = Seq("slow", "dup", "spam", "leak")
+        val docs = ds(s, d, "documents").toDF
+          .filter(col("source").isNotNull && col("text").isNotNull)
+        val hits = docs
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+          .filter(col("tok").isInCollection(bl))
+          .groupBy("doc_id", "source").agg(count(lit(1)).as("h"))
+        docs.select("doc_id", "source")
+          .join(hits.select(col("doc_id"), col("h")), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("h") > 0, 1L).otherwise(0L)).as("n_flagged"),
+            coalesce(sum("h"), lit(0L)).cast("long").as("total_hits"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, source, text FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL),
+        |hits AS (SELECT doc_id, source, count(*)::BIGINT AS h FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+        |    FROM docs) z
+        |  WHERE tok IN ('slow', 'dup', 'spam', 'leak') GROUP BY 1, 2)
+        |SELECT d.source AS source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN h > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+        |  coalesce(sum(h), 0)::BIGINT AS total_hits
+        |FROM docs d LEFT JOIN hits USING (doc_id) GROUP BY 1""".stripMargin)),
+
+    // §2.2/304 — t-closeness audit: per quasi-group (customer nation)
+    // the exact 1-D EMD (row 283's operator) between the group's
+    // account-balance distribution and the corpus — the
+    // attribute-disclosure companion to k-anonymity (255) and
+    // l-diversity (291); is_tclose flags groups within the threshold.
+    "q_tcloseness" -> QueryDef(
+      (s, d) => operators.Stats.emd1d(
+          ds(s, d, "customer").toDF.withColumn("bal_d", round(col("c_acctbal"))),
+          "c_nationkey", "bal_d")
+        .withColumn("is_tclose", col("emd") <= lit(500.0))
+        .select(col("c_nationkey"), col("n_group"), col("n_total"),
+          col("emd_num"), col("emd"), col("is_tclose")),
+      Some("""WITH vals AS (SELECT c_nationkey AS grp, round(c_acctbal)::BIGINT AS v
+        |  FROM customer WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL),
+        |sc AS (SELECT grp, v, count(*)::BIGINT AS n_sv FROM vals GROUP BY 1, 2),
+        |g AS (SELECT grp, count(*)::BIGINT AS n_s FROM vals GROUP BY 1),
+        |sup AS (SELECT DISTINCT v FROM vals),
+        |tot AS (SELECT count(*)::BIGINT AS n_g FROM vals),
+        |cum AS (SELECT g.grp, g.n_s, sup.v,
+        |    sum(coalesce(sc.n_sv, 0)) OVER (PARTITION BY g.grp ORDER BY sup.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_s,
+        |    coalesce(lead(sup.v) OVER (PARTITION BY g.grp ORDER BY sup.v) - sup.v,
+        |      0)::BIGINT AS gap
+        |  FROM g CROSS JOIN sup LEFT JOIN sc ON sc.grp = g.grp AND sc.v = sup.v),
+        |gc AS (SELECT v, sum(cum_s)::BIGINT AS cum_g FROM cum GROUP BY v),
+        |e AS (SELECT cum.grp AS c_nationkey, min(cum.n_s)::BIGINT AS n_group,
+        |    min(tot.n_g)::BIGINT AS n_total,
+        |    sum(abs(tot.n_g * cum.cum_s - cum.n_s * gc.cum_g) * cum.gap)::BIGINT AS emd_num,
+        |    sum(abs(tot.n_g * cum.cum_s - cum.n_s * gc.cum_g) * cum.gap)::DOUBLE
+        |      / (min(tot.n_g) * min(cum.n_s))::DOUBLE AS emd
+        |  FROM cum JOIN gc USING (v) CROSS JOIN tot GROUP BY 1)
+        |SELECT c_nationkey, n_group, n_total, emd_num, emd,
+        |  emd <= 500.0 AS is_tclose FROM e""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

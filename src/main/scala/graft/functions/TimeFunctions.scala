@@ -34,7 +34,10 @@ object TimeFunctions {
     */
   def floorDiv(x: Column, n: Long): Column = {
     require(n > 0, s"floorDiv needs n > 0, got $n")
-    ((x - pmod(x, lit(n))).cast("decimal(38,0)") / lit(n)).cast("long")
+    // x - pmod(x, n) is exactly divisible, so the truncating integer
+    // division IS the floor — all int64, fully codegen'd (a decimal or
+    // double division would be slower / round past 2^53)
+    truncDiv(x - pmod(x, lit(n)), n)
   }
 
   /** x div n — truncating integer division as a Column op (pairs with
@@ -42,9 +45,16 @@ object TimeFunctions {
     */
   def truncDiv(x: Column, n: Long): Column = {
     require(n > 0, s"truncDiv needs n > 0, got $n")
+    truncDiv(x, lit(n))
+  }
+
+  /** Column-divisor form of [[truncDiv]] — `x div y` with DuckDB-`//`
+    * truncation semantics, for per-row divisors (NULL/zero divisor →
+    * NULL, Spark's div contract).
+    */
+  def truncDiv(x: Column, y: Column): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
       new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         org.apache.spark.sql.graftbridge.Bridge.expression(x),
-        org.apache.spark.sql.graftbridge.Bridge.expression(lit(n))))
-  }
+        org.apache.spark.sql.graftbridge.Bridge.expression(y)))
 }

@@ -678,10 +678,7 @@ object Analytics {
       .select("__pid", "__off")
     val total = counts.agg(sum("__c").as("__n"))
     def td(x: Column, y: Column): Column =
-      org.apache.spark.sql.graftbridge.Bridge.column(
-        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.graftbridge.Bridge.expression(x),
-          org.apache.spark.sql.graftbridge.Bridge.expression(y)))
+      graft.functions.TimeFunctions.truncDiv(x, y)
     parted
       .join(broadcast(offs), "__pid")
       .withColumn("__r", row_number().over(
@@ -695,6 +692,60 @@ object Analytics {
         .otherwise(col("__rem") +
           td(col("__r") - 1L - (col("__q") + 1L) * col("__rem"), col("__q")) + 1L))
       .drop("__pid", "__off", "__r", "__n", "__q", "__rem")
+  }
+
+  /** Log-rank test between two survival arms — "do the two groups'
+    * churn curves differ" ([[kaplanMeier]]'s lifetime construction,
+    * arms from `armCol`): at each distinct event lifetime t the exact
+    * integer risk/death counts (n1, n, d1, d) give the hypergeometric
+    * expectation and variance; per-t doubles are floor-quantized at
+    * 2²⁰ and integer-summed (order-free over the ≤day-span lifetime
+    * table), chi² = (O1·2²⁰ − E1_q)² / (V_q·2²⁰) one fixed double
+    * expression. Output one row:
+    * (n_units, o1, e1_q, v_q, chi2) — chi2 NULL when V_q = 0.
+    */
+  def logRankTest(events: DataFrame, keyCol: String, tsCol: String,
+                  armCol: Column, censorDays: Long = 7): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    val perUser = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("u"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("d"))
+      .groupBy("u").agg(min("d").as("fd"), max("d").as("ld"))
+      .withColumn("arm", armCol)
+      .filter(col("arm").isNotNull)
+    val maxd = perUser.agg(max("ld").as("maxd"))
+    val lt = perUser.crossJoin(broadcast(maxd))
+      .withColumn("t", col("ld") - col("fd"))
+      .withColumn("churned", col("ld") <= col("maxd") - lit(censorDays))
+      .groupBy("t")
+      .agg(sum(when(col("churned") && col("arm") === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("m1"),
+        count(lit(1)).as("m"))
+    val wPrior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val tot = lt.agg(sum("m").as("total"), sum("m1").as("total1"))
+    def dd(c: Column) = c.cast("double")
+    val risk = lt.crossJoin(broadcast(tot))
+      .withColumn("n", col("total") - coalesce(sum("m").over(wPrior), lit(0L)))
+      .withColumn("n1", col("total1") - coalesce(sum("m1").over(wPrior), lit(0L)))
+      .filter(col("d") > 0 && col("n") > 1)
+      .withColumn("e1_t", floor(dd(col("d")) * dd(col("n1")) / dd(col("n")) *
+        1048576.0).cast("long"))
+      .withColumn("v_t", floor(dd(col("d")) *
+        (dd(col("n1")) / dd(col("n"))) * (lit(1.0) - dd(col("n1")) / dd(col("n"))) *
+        (dd(col("n")) - dd(col("d"))) / (dd(col("n")) - 1.0) *
+        1048576.0).cast("long"))
+    val units = perUser.agg(count(lit(1)).as("n_units"))
+    risk.agg(coalesce(sum("d1"), lit(0L)).as("o1"),
+        coalesce(sum("e1_t"), lit(0L)).as("e1_q"),
+        coalesce(sum("v_t"), lit(0L)).as("v_q"))
+      .crossJoin(broadcast(units))
+      .withColumn("chi2", when(col("v_q") > 0,
+        (dd(col("o1")) * 1048576.0 - dd(col("e1_q"))) *
+          (dd(col("o1")) * 1048576.0 - dd(col("e1_q"))) /
+          (dd(col("v_q")) * 1048576.0)))
+      .select("n_units", "o1", "e1_q", "v_q", "chi2")
   }
 
   /** RFM segmentation: per customer recency (days since last order,

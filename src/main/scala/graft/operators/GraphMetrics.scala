@@ -11,6 +11,62 @@ import org.apache.spark.sql.functions._
   */
 object GraphMetrics {
 
+  /** HITS hubs & authorities over a DIRECTED edge list — the second
+    * eigen-ranking beside [[PageRank]]: hubs point at good
+    * authorities, authorities are pointed at by good hubs. ENTIRELY
+    * INTEGER power iteration, so the whole trajectory replays
+    * bit-for-bit in SQL: scores live in micro-units (start hub = 10⁶
+    * per source node), each half-step is an exact int64 sum over
+    * in/out edges, and normalization is `score·10⁶ div max(score)`
+    * (max is order-free where a float L2 norm never is). Bound:
+    * Σ_in hub ≤ deg_max·10⁶ — int64-safe to ~9·10⁹-degree hubs.
+    * Per-round lineage is truncated with eager localCheckpoints (the
+    * [[PageRank]] plan-hygiene lesson). Output one row per node:
+    * (node_id, hub_micro, auth_micro) — zeros for nodes on one side
+    * only.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node set checkpointed eagerly: the final assembly must not
+    // re-derive it after the edge cache is released
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var hub = e.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1000000L).as("h"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 0 until iters) {
+      val rawAuth = e.join(hub.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
+      val amax = rawAuth.agg(max("a").as("amax"))
+      auth = rawAuth.crossJoin(broadcast(amax))
+        .select(col("id"), graft.functions.TimeFunctions.truncDiv(col("a") * 1000000L, col("amax"))
+          .as("a"))
+        .localCheckpoint(true)
+      val rawHub = e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum("a").as("h"))
+      val hmax = rawHub.agg(max("h").as("hmax"))
+      hub = rawHub.crossJoin(broadcast(hmax))
+        .select(col("id"), graft.functions.TimeFunctions.truncDiv(col("h") * 1000000L, col("hmax"))
+          .as("h"))
+        .localCheckpoint(true)
+    }
+    val out = nodes
+      .join(hub.select(col("id"), col("h").as("hub_micro")), Seq("id"), "left")
+      .join(auth.select(col("id"), col("a").as("auth_micro")), Seq("id"), "left")
+      .na.fill(0L, Seq("hub_micro", "auth_micro"))
+      .select(col("id").as("node_id"), col("hub_micro"), col("auth_micro"))
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Degree assortativity coefficient (Newman 2002, "Assortative
     * mixing in networks"): the Pearson correlation of endpoint degrees
     * over the DIRECTED edge list (each undirected edge counted both

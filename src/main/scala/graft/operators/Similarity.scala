@@ -545,6 +545,54 @@ object Similarity {
       .select("query_id", "label", "n_rel", "dcg_micro", "idcg_micro", "ndcg")
   }
 
+  /** Per-query Average Precision (MAP@k) — the order-sensitive
+    * retrieval grade between MRR (first hit only) and nDCG (graded
+    * gains): AP@k = (Σ over hit positions i of P@i) / min(n_rel, k),
+    * computed ENTIRELY in exact integers — each hit contributes
+    * `cum_hits·10⁶ div i` micro-units, the per-query sum divides by
+    * the exact denominator — so the emitted ap_micro replays
+    * bit-for-bit in SQL. Same retrieval contract as [[retrievalEval]]:
+    * [[bruteForceTopK]] ranking, binary label-match relevance,
+    * NULL-label queries excluded. Output per query:
+    * (query_id, label, n_rel, hits_at_k, ap_micro) — ap_micro 0 when
+    * no hit, NULL when the query has no same-label corpus rows.
+    */
+  def mapAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.filter(col(labelCol).isNotNull)
+    val qlab = q.select(col(idCol).as("query_id"), col(labelCol).as("ql"))
+    val ranked = bruteForceTopK(corpus, q, idCol, vecCol, k)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rank")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val perHit = ranked
+      .join(broadcast(qlab), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("nl")),
+        "neighbor_id")
+      .withColumn("hit", when(col("nl") === col("ql"), 1L).otherwise(0L))
+      .withColumn("cum_hits", sum("hit").over(wCum))
+      .withColumn("contrib", when(col("hit") === 1L,
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              col("cum_hits") * 1000000L),
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              col("rank").cast("long"))))).otherwise(0L))
+      .groupBy("query_id")
+      .agg(first(col("ql")).as("label"),
+        sum("hit").as("hits_at_k"), sum("contrib").as("ap_num"))
+    val nRel = broadcast(qlab)
+      .join(corpus.select(col(idCol).as("nid"), col(labelCol).as("nl")),
+        col("nl") === col("ql") && col("nid") =!= col("query_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    perHit.join(nRel, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel"))
+      .withColumn("ap_micro", when(col("n_rel") > 0,
+        graft.functions.TimeFunctions.truncDiv(col("ap_num"), least(col("n_rel"), lit(k.toLong)))))
+      .select("query_id", "label", "n_rel", "hits_at_k", "ap_micro")
+  }
+
   /** Per-query MRR / precision@k / recall@k — the rank-position
     * complements to [[ndcgAtK]] (nDCG grades the whole list; MRR asks
     * "how deep is the FIRST hit", P@k/R@k ask "how much of the page is

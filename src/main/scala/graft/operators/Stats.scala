@@ -855,6 +855,173 @@ object Stats {
         (col("n_total") * col("n_group")).cast("double"))
   }
 
+  /** Kruskal–Wallis H — the rank-based one-way ANOVA ("do the group
+    * DISTRIBUTIONS differ", robust to non-normal values): tie-averaged
+    * ranks via the value-cardinality rank table ([[spearmanMatrix]]'s
+    * cumulative-count construction — never a row window), per-group
+    * double-rank sums S_g exact int64, Σ S_g²/n_g floor-quantized per
+    * group in DECIMAL(38,0) before the integer sum (order-free; the
+    * ≤k-units truncation is invisible at any real H), and the tie
+    * correction Σ(t³−t) summed in decimal. H and the tie-adjusted
+    * H/C are fixed double expressions over those exact integers
+    * (the N³-scale internals stay decimal and are NOT emitted — the
+    * registry-wide no-decimal-in-the-emitted-row convention).
+    * Output one row: (n, k_groups, h_stat, h_adj).
+    * Scale shape: one combinable (group, value) count, a
+    * value-cardinality rank table, k-row reductions — no row windows.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = df.select(groupCol.as("g"), round(valueCol).cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val cells = rows.groupBy("g", "v").agg(count(lit(1)).as("m"))
+    val perValue = cells.groupBy("v").agg(sum("m").as("t"))
+    // double-rank dr(v) = 2·avgrank = 2w − t + 1 over the value table
+    val ranked = perValue
+      .withColumn("w", sum("t").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("v"), (lit(2) * col("w") - col("t") + 1).as("dr"))
+    val perGroup = cells.join(ranked, "v")
+      .groupBy("g")
+      .agg(sum("m").as("n_g"), sum(col("m") * col("dr")).as("s_g"))
+    val tieSum = perValue.agg(
+      coalesce(sum((col("t").cast(dec) * col("t") * col("t") - col("t"))
+        .cast(dec)), lit(0).cast(dec)).cast(dec).as("tie_cub"))
+    def dd(c: Column) = c.cast("double")
+    perGroup.agg(
+        sum("n_g").as("n"), count(lit(1)).as("k_groups"),
+        // floor(S_g²/n_g) per group, integer-summed — order-free
+        sum(org.apache.spark.sql.graftbridge.Bridge.column(
+          new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              (col("s_g").cast(dec) * col("s_g").cast(dec)).cast(dec)),
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              col("n_g").cast(dec)))).cast(dec)).cast(dec).as("rank_t"))
+      .crossJoin(broadcast(tieSum))
+      .withColumn("h_stat", when(col("n") > 1,
+        lit(3.0) * dd(col("rank_t")) / (dd(col("n")) * (dd(col("n")) + 1.0)) -
+          lit(3.0) * (dd(col("n")) + 1.0)))
+      .withColumn("h_adj", when(col("n") > 2 &&
+          dd(col("tie_cub")) < dd(col("n")) * dd(col("n")) * dd(col("n")) - dd(col("n")),
+        col("h_stat") / (lit(1.0) - dd(col("tie_cub")) /
+          (dd(col("n")) * dd(col("n")) * dd(col("n")) - dd(col("n"))))))
+      .select(col("n"), col("k_groups"), col("h_stat"), col("h_adj"))
+  }
+
+  /** McNemar's test for paired binary outcomes ("did the treatment
+    * flip answers asymmetrically"): the discordant-pair counts b (yes
+    * under A only) and c (yes under B only) are exact int64 sums; the
+    * continuity-corrected statistic (|b−c|−1)²/(b+c) is one fixed
+    * double expression. Output one row: (n_pairs, b_only, c_only,
+    * chi2) — chi2 NULL when b+c = 0 (no discordance, nothing to test).
+    * Scale shape: one combinable aggregation over the unit frame.
+    */
+  def mcnemar(units: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val u = units.select(aCol.cast("boolean").as("a"), bCol.cast("boolean").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    u.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("b_only"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("c_only"))
+      .withColumn("chi2", when(col("b_only") + col("c_only") > 0,
+        (abs(col("b_only") - col("c_only")) - lit(1)).cast("double") *
+          (abs(col("b_only") - col("c_only")) - lit(1)).cast("double") /
+          (col("b_only") + col("c_only")).cast("double")))
+  }
+
+  /** Murphy decomposition of the Brier score — reliability −
+    * resolution + uncertainty, the "is the forecast sharp AND
+    * calibrated" companion to [[calibrationBins]] (same min-max
+    * integer binning over the score column). Every term is a fixed
+    * double expression over exact per-bin integers: with the score
+    * normalized to p = (s−mn)/(mx−mn+1−1)… kept as the bin's exact
+    * mean score over the integer score domain, reliability =
+    * Σ n_b(p̄_b − ȳ_b)²/N, resolution = Σ n_b(ȳ_b − ȳ)²/N,
+    * uncertainty = ȳ(1−ȳ). Per-bin doubles are floor-quantized at
+    * 2²⁰ and integer-summed, so the totals are order-free. Output one
+    * row: (n, n_bins_used, rel_q, res_q, reliability, resolution,
+    * uncertainty, brier).
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: Column, labelCol: Column,
+                         nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need at least 2 bins, got $nBins")
+    val base = df.select(scoreCol.cast("long").as("s"),
+        labelCol.cast("boolean").as("pos"))
+      .filter(col("s").isNotNull && col("pos").isNotNull)
+    val bounds = base.agg(min("s").as("mn"), max("s").as("mx"))
+    def dd(c: Column) = c.cast("double")
+    val binned = base.crossJoin(broadcast(bounds))
+      .withColumn("bin", least(lit(nBins - 1L),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              (col("s") - col("mn")) * nBins),
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              col("mx") - col("mn") + 1)))))
+      // p = score scaled into [0,1] over the integer domain
+      .withColumn("p", (col("s") - col("mn")).cast("double") /
+        (col("mx") - col("mn") + 1).cast("double"))
+    val bins = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n_b"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("pos_b"),
+        sum((col("s") - col("mn"))).as("ss_b"))
+    val tot = bins.agg(sum("n_b").as("n"), sum("pos_b").as("n_pos"),
+      count(lit(1)).as("n_bins_used"))
+    val span = bounds.select((col("mx") - col("mn") + 1).cast("double").as("dspan"))
+    val terms = bins.crossJoin(broadcast(tot)).crossJoin(broadcast(span))
+      .withColumn("pbar", dd(col("ss_b")) / (dd(col("n_b")) * col("dspan")))
+      .withColumn("ybar_b", dd(col("pos_b")) / dd(col("n_b")))
+      .withColumn("ybar", dd(col("n_pos")) / dd(col("n")))
+      // per-bin floor-quantized contributions — order-free int sums
+      .withColumn("rel_t", floor(dd(col("n_b")) *
+        (col("pbar") - col("ybar_b")) * (col("pbar") - col("ybar_b")) *
+        1048576.0).cast("long"))
+      .withColumn("res_t", floor(dd(col("n_b")) *
+        (col("ybar_b") - col("ybar")) * (col("ybar_b") - col("ybar")) *
+        1048576.0).cast("long"))
+    terms.agg(min("n").as("n"), min("n_bins_used").as("n_bins_used"),
+        min("n_pos").as("n_pos"),
+        sum("rel_t").as("rel_q"), sum("res_t").as("res_q"))
+      .withColumn("reliability", dd(col("rel_q")) / (dd(col("n")) * 1048576.0))
+      .withColumn("resolution", dd(col("res_q")) / (dd(col("n")) * 1048576.0))
+      .withColumn("uncertainty", dd(col("n_pos")) / dd(col("n")) *
+        (lit(1.0) - dd(col("n_pos")) / dd(col("n"))))
+      .withColumn("brier",
+        col("reliability") - col("resolution") + col("uncertainty"))
+      .select("n", "n_bins_used", "n_pos", "rel_q", "res_q",
+        "reliability", "resolution", "uncertainty", "brier")
+  }
+
+  /** Mutual information between two categorical columns in integer
+    * micro-nats — the dependence-strength companion to
+    * [[chiSquareCells]]/[[cramersV]] that answers "how many nats does
+    * knowing A tell you about B". Exactness contract =
+    * `groupEntropy`'s: each CELL's ln term is floor-quantized at 2²⁰
+    * (a deterministic double per cell), weighted by the exact cell
+    * count and integer-summed — order-free; `mi_q = Σ n_ab ·
+    * floor(ln(n_ab·N/(n_a·n_b))·2²⁰) div N` (micro-nat-ish 2⁻²⁰ nat
+    * units). Bound: n_a·n_b ≤ N² must stay double-exact → N ≤ ~9·10⁷
+    * per scan (shard past that). Output one row:
+    * (n, a_levels, b_levels, mi_q).
+    */
+  def mutualInformation(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val base = df.select(aCol.as("a"), bCol.as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val cells = base.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val ma = cells.groupBy("a").agg(sum("n_ab").as("n_a"))
+    val mb = cells.groupBy("b").agg(sum("n_ab").as("n_b"))
+    val nn = cells.agg(sum("n_ab").as("n"),
+      countDistinct("a").as("a_levels"), countDistinct("b").as("b_levels"))
+    def dd(c: Column) = c.cast("double")
+    cells.join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .crossJoin(broadcast(nn))
+      .withColumn("term", col("n_ab") *
+        floor(log(dd(col("n_ab")) * dd(col("n")) /
+          (dd(col("n_a")) * dd(col("n_b")))) * 1048576).cast("long"))
+      .agg(min("n").as("n"), min("a_levels").as("a_levels"),
+        min("b_levels").as("b_levels"),
+        expr("sum(term) div min(n)").as("mi_q"))
+  }
+
   /** Kendall's τ-b rank correlation (r12) — the third correlation
     * beside Pearson (correlationMatrix) and Spearman (spearmanMatrix),
     * the one that stays meaningful under heavy ties. Computed EXACTLY

@@ -524,6 +524,80 @@ object TimeSeries {
       .select("series", "m_days", "s_stat", "var18", "z")
   }
 
+  /** Theil–Sen robust trend slope per series — the median of all
+    * pairwise day-curve slopes, the estimator that shrugs off the
+    * outlier days that wreck an OLS fit. Slopes are exact integers in
+    * milli-units: `1000·(x_b − x_a) div (day_b − day_a)` (truncating ÷
+    * pairs with the oracle's `//`), the median is the LOWER median
+    * (element ⌈n/2⌉ by slope order — value-deterministic under ties),
+    * and the pair set is the DAY-CURVE self-join (≤ span² pairs per
+    * series, never event-sized — the mannKendall shape). Output per
+    * series: (series, m_days, n_pairs, slope_milli).
+    */
+  def theilSen(events: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val slopes = daily.as("a").join(daily.as("b"),
+        col("a.series") === col("b.series") && col("a.day") < col("b.day"))
+      .select(col("a.series").as("series"),
+        ((col("b.x") - col("a.x")) * 1000L).as("__num"),
+        (col("b.day") - col("a.day")).as("__den"))
+      .select(col("series"),
+        graft.functions.TimeFunctions.truncDiv(col("__num"), col("__den"))
+          .as("slope_milli"))
+    val w = Window.partitionBy("series").orderBy("slope_milli")
+    val ranked = slopes
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__np", count(lit(1)).over(Window.partitionBy("series")))
+    val m = daily.groupBy("series").agg(count(lit(1)).as("m_days"))
+    ranked.filter(col("__rn") ===
+        graft.functions.TimeFunctions.truncDiv(col("__np") + 1, lit(2L)))
+      .select(col("series"), col("__np").as("n_pairs"), col("slope_milli"))
+      .join(m, "series")
+      .select("series", "m_days", "n_pairs", "slope_milli")
+  }
+
+  /** MASE-style forecastability diagnostic per series: the seasonal
+    * (calendar lag-7) naive forecast's summed absolute error against
+    * the successive-observed-day naive's — "is there weekly structure
+    * worth modeling". Both error sums are exact int64 (absolute count
+    * differences over the day curve); `mase` is one IEEE division.
+    * The lag-1 pairing is between successive OBSERVED days (row
+    * order), the lag-7 pairing is exact calendar day−7 (missing days
+    * skip the pair) — both deterministic. Output per series:
+    * (series, n1_pairs, sae1, n7_pairs, sae7, mase) — mase NULL when
+    * either pair set is empty or the lag-1 error sum is zero.
+    */
+  def maseDiagnostic(events: DataFrame, seriesCol: String,
+                     tsCol: String): DataFrame = {
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val byDay = Window.partitionBy("series").orderBy("day")
+    val lag1 = daily
+      .withColumn("__px", lag(col("x"), 1).over(byDay))
+      .filter(col("__px").isNotNull)
+      .groupBy("series")
+      .agg(count(lit(1)).as("n1_pairs"), sum(abs(col("x") - col("__px"))).as("sae1"))
+    val lag7 = daily.as("c").join(daily.as("p"),
+        col("c.series") === col("p.series") && col("p.day") === col("c.day") - 7)
+      .groupBy(col("c.series").as("series"))
+      .agg(count(lit(1)).as("n7_pairs"),
+        sum(abs(col("c.x") - col("p.x"))).as("sae7"))
+    lag1.join(lag7, Seq("series"), "left")
+      .na.fill(0L, Seq("n7_pairs", "sae7"))
+      .withColumn("mase", when(col("n1_pairs") > 0 && col("n7_pairs") > 0 &&
+          col("sae1") > 0,
+        (col("sae7").cast("double") / col("n7_pairs").cast("double")) /
+          (col("sae1").cast("double") / col("n1_pairs").cast("double"))))
+      .select("series", "n1_pairs", "sae1", "n7_pairs", "sae7", "mase")
+  }
+
   /** Wald–Wolfowitz runs test per series (r12) — "is the sequence of
     * above/below-median days random, or does it cluster" (sticky
     * regimes give FEW runs; oscillation gives many). The series median

@@ -453,7 +453,10 @@ class PlanAuditSpec extends SparkSpecBase {
                          //   COUNT rows (~32) — same bounded class as q_token_budget
       "q_lorenz",        // distributedNtile offset cumsum, same <= 32-row frame
       "q_decay_popularity", // top-50 rank over item-cardinality scores
-      "text_burstiness") // top-30 rank over vocabulary-cardinality totals
+      "text_burstiness", // top-30 rank over vocabulary-cardinality totals
+      // r13 additions, both bounded:
+      "q_kruskal",       // rank cumsum over the distinct-VALUE table (spearman's frame)
+      "q_log_rank")      // cumulative risk over the ≤day-span lifetime table (survival's frame)
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = Queries.registry.flatMap { case (name, q) =>
       val df = q.build(spark, sf())
