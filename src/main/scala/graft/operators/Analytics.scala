@@ -656,6 +656,20 @@ object Analytics {
         col("d").as("d_churned"), col("c").as("c_censored"), col("s_micro"))
   }
 
+  /** Size-dispatched exact ntile: the plain window form below
+    * `NTILE_WINDOW_MAX` entities (one sort task of bounded size — the
+    * fast path at any bench scale), [[distributedNtile]] above it
+    * (range-partitioned parallel ranking). Both produce EXACT ntile
+    * output over the same total order (NtileSpec pins equality), so
+    * the dispatch is a plan choice, never a result choice.
+    */
+  private val NTILE_WINDOW_MAX = 10000000L
+  private def ntileScored(df: DataFrame, n: Long, k: Int,
+                          order: Seq[Column], out: String): DataFrame =
+    if (n <= NTILE_WINDOW_MAX)
+      df.withColumn(out, ntile(k).over(Window.orderBy(order: _*)).cast("long"))
+    else distributedNtile(df, k, order, out)
+
   /** Exact global `ntile(k)` WITHOUT the single-task global sort
     * (r13, ADVICE): range-repartition on the (total-order) sort key,
     * rank = per-partition row_number + broadcast cumulative partition
@@ -667,8 +681,8 @@ object Analytics {
     * The order columns MUST be a total order (append the entity key),
     * exactly the contract the ntile form already documented.
     */
-  private def distributedNtile(df: DataFrame, k: Int, order: Seq[Column],
-                               out: String): DataFrame = {
+  private[graft] def distributedNtile(df: DataFrame, k: Int, order: Seq[Column],
+                                      out: String): DataFrame = {
     val parted = df.repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
     val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__c"))
@@ -771,14 +785,22 @@ object Analytics {
       .groupBy("cust")
       .agg(max("d").as("ld"), count(lit(1)).as("f"), sum("cents").as("m"))
     val maxd = perCust.agg(max("ld").as("maxd"))
+    // checkpoint once (the three scorings would otherwise re-run the
+    // orders aggregation per range-sampling pass), then size-dispatch:
+    // ntileScored picks the single-window path below the 10M-entity
+    // threshold and the distributed two-phase rank above it — both
+    // EXACT ntile semantics (NtileSpec pins their equality), so the
+    // dispatch can never change results, only plans
     val base = perCust.crossJoin(broadcast(maxd))
       .withColumn("r_days", col("maxd") - col("ld"))
+      .localCheckpoint(true)
+    val nCust = base.count()
     val scored = Seq[(String, Seq[Column])](
       ("r_score", Seq(col("r_days").desc, col("cust"))),
       ("f_score", Seq(col("f"), col("cust"))),
       ("m_score", Seq(col("m"), col("cust"))))
       .foldLeft(base) { case (df, (out, ord)) =>
-        distributedNtile(df, 5, ord, out)
+        ntileScored(df, nCust, 5, ord, out)
       }
     scored.groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"), sum("f").as("sum_orders"),
@@ -832,7 +854,8 @@ object Analytics {
       .filter(col("ent").isNotNull && col("cents").isNotNull)
       .groupBy("ent").agg(sum("cents").as("v"))
       .filter(col("v") > 0)
-    val byDecile = distributedNtile(rev, deciles,
+    val revC = rev.localCheckpoint(true)
+    val byDecile = ntileScored(revC, revC.count(), deciles,
         Seq(col("v"), col("ent")), "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_units"), sum("v").as("decile_cents"))

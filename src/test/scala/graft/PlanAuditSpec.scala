@@ -448,10 +448,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "q_spearman",      // rank maps over the distinct-VALUE table (value-cardinality)
       "q_bootstrap",     // rank over B=32 replicate means
       "q_survival",      // product-limit over the distinct-lifetime table (≤ day span)
-      "q_rfm",           // distributedNtile (r13): the only partition-less window
-                         //   left is the offset cumsum over <= shuffle-partition
-                         //   COUNT rows (~32) — same bounded class as q_token_budget
-      "q_lorenz",        // distributedNtile offset cumsum, same <= 32-row frame
+      "q_rfm",           // ntile dual path (r13): window form <= 10M entities (one
+                         //   BOUNDED sort task), distributedNtile beyond — the scale
+                         //   path is exercised + pinned equal in NtileSpec
+      "q_lorenz",        // same ntile dual path (NtileSpec)
       "q_decay_popularity", // top-50 rank over item-cardinality scores
       "text_burstiness", // top-30 rank over vocabulary-cardinality totals
       // r13 additions, both bounded:
