@@ -6692,7 +6692,813 @@ object Queries {
         |      / (min(tot.n_g) * min(cum.n_s))::DOUBLE AS emd
         |  FROM cum JOIN gc USING (v) CROSS JOIN tot GROUP BY 1)
         |SELECT c_nationkey, n_group, n_total, emd_num, emd,
-        |  emd <= 500.0 AS is_tclose FROM e""".stripMargin))
+        |  emd <= 500.0 AS is_tclose FROM e""".stripMargin)),
+
+    // §2.2/305 — Cochran's Q over three related binary behaviors per
+    // user (viewed / clicked / purchased): did the same users respond
+    // asymmetrically across the three actions; exact int64 sums, Q
+    // one fixed double (row 294's k-treatment generalization).
+    "q_cochran_q" -> QueryDef(
+      (s, d) => {
+        val e = ds(s, d, "events").toDF.filter(col("user_id").isNotNull)
+        val units = e.groupBy("user_id").agg(
+          max(col("event_type") === "view").as("t_view"),
+          max(col("event_type") === "click").as("t_click"),
+          max(col("event_type") === "purchase").as("t_purchase"))
+        operators.Stats.cochranQ(units, Seq(
+          ("t_view", col("t_view")), ("t_click", col("t_click")),
+          ("t_purchase", col("t_purchase"))))
+      },
+      Some("""WITH u AS (SELECT user_id,
+        |    max(event_type = 'view') AS t_view,
+        |    max(event_type = 'click') AS t_click,
+        |    max(event_type = 'purchase') AS t_purchase
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |f AS (SELECT * FROM u WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+        |  AND t_purchase IS NOT NULL),
+        |a AS (SELECT count(*)::BIGINT AS n_units,
+        |    coalesce(sum((t_view::INT + t_click::INT + t_purchase::INT)::BIGINT),
+        |      0)::BIGINT AS n_yes,
+        |    coalesce(sum(((t_view::INT + t_click::INT + t_purchase::INT)
+        |      * (t_view::INT + t_click::INT + t_purchase::INT))::BIGINT),
+        |      0)::BIGINT AS r_sq,
+        |    coalesce(sum(t_view::INT), 0)::BIGINT AS c1,
+        |    coalesce(sum(t_click::INT), 0)::BIGINT AS c2,
+        |    coalesce(sum(t_purchase::INT), 0)::BIGINT AS c3
+        |  FROM f)
+        |SELECT n_units, 3::BIGINT AS k_treat, n_yes, r_sq,
+        |  CASE WHEN 3 * n_yes - r_sq > 0 THEN
+        |    2.0 * (3.0 * (c1::DOUBLE * c1::DOUBLE + c2::DOUBLE * c2::DOUBLE
+        |        + c3::DOUBLE * c3::DOUBLE)
+        |      - n_yes::DOUBLE * n_yes::DOUBLE)
+        |    / (3 * n_yes - r_sq)::DOUBLE END AS q_stat
+        |FROM a""".stripMargin)),
+
+    // §2.2/306 — Wilcoxon signed-rank: per user, spend cents on
+    // even-numbered days vs odd-numbered days (paired halves of the
+    // same unit's behavior); tie-averaged double-ranks over the
+    // |diff| value table, z from exact sums. truncDiv ↔ `//` and
+    // pmod ↔ ((x%n)+n)%n per the §4 epoch contract.
+    "q_wilcoxon" -> QueryDef(
+      (s, d) => {
+        val e = ds(s, d, "events").toDF
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .select(col("user_id"),
+            graft.functions.TimeFunctions.truncDiv(
+              graft.functions.TimeFunctions.epochSec(col("ts")), 86400L).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val units = e.groupBy("user_id").agg(
+          coalesce(sum(when(pmod(col("day"), lit(2L)) === 0L, col("cents"))),
+            lit(0L)).as("x"),
+          coalesce(sum(when(pmod(col("day"), lit(2L)) === 1L, col("cents"))),
+            lit(0L)).as("y"))
+        operators.Stats.wilcoxonSignedRank(units, col("x"), col("y"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+        |    floor(epoch(ts))::BIGINT // 86400 AS day,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |u AS (SELECT user_id,
+        |    coalesce(sum(CASE WHEN ((day % 2) + 2) % 2 = 0 THEN cents END),
+        |      0)::BIGINT AS x,
+        |    coalesce(sum(CASE WHEN ((day % 2) + 2) % 2 = 1 THEN cents END),
+        |      0)::BIGINT AS y
+        |  FROM e GROUP BY user_id),
+        |dif AS (SELECT x - y AS diff FROM u),
+        |counts AS (SELECT count(*)::BIGINT AS n_pairs,
+        |    coalesce(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END), 0)::BIGINT
+        |      AS n_zero FROM dif),
+        |cells AS (SELECT abs(diff) AS a, count(*)::BIGINT AS t,
+        |    sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END)::BIGINT AS p
+        |  FROM dif WHERE diff <> 0 GROUP BY 1),
+        |rk AS (SELECT a, t, p, 2 * sum(t) OVER (ORDER BY a
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1 AS dr
+        |  FROM cells),
+        |agg AS (SELECT coalesce(sum(t), 0)::BIGINT AS n_eff,
+        |    coalesce(sum(p * dr), 0)::BIGINT AS w_plus2,
+        |    coalesce(sum(t::HUGEINT * t * t - t), 0)::HUGEINT AS tie_cub FROM rk)
+        |SELECT n_pairs, n_zero, n_eff, w_plus2, tie_cub::BIGINT AS tie_cub,
+        |  CASE WHEN n_eff > 0 AND (n_eff::DOUBLE * (n_eff::DOUBLE + 1.0)
+        |      * (2.0 * n_eff::DOUBLE + 1.0) / 6.0 - tie_cub::DOUBLE / 12.0) > 0
+        |    THEN (w_plus2::DOUBLE - n_eff::DOUBLE * (n_eff::DOUBLE + 1.0) / 2.0)
+        |      / sqrt(n_eff::DOUBLE * (n_eff::DOUBLE + 1.0)
+        |        * (2.0 * n_eff::DOUBLE + 1.0) / 6.0 - tie_cub::DOUBLE / 12.0)
+        |    END AS z_stat
+        |FROM agg CROSS JOIN counts""".stripMargin)),
+
+    // §2.2/307 — Friedman rank test: blocks = users, treatments = the
+    // event-type catalog, value = zero-filled per-type event count —
+    // "do users rank the five actions consistently"; within-block
+    // tie-averaged ranks, tie-general chi-square.
+    "q_friedman" -> QueryDef(
+      (s, d) => {
+        val e = ds(s, d, "events").toDF
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        val counts = e.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+        val cells = e.select("user_id").distinct()
+          .crossJoin(broadcast(e.select("event_type").distinct()))
+          .join(counts, Seq("user_id", "event_type"), "left")
+          .select(col("user_id"), col("event_type"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        operators.Stats.friedmanTest(cells, col("user_id"),
+          col("event_type"), col("c"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |cnt AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+        |  FROM e GROUP BY 1, 2),
+        |cells AS (SELECT u.user_id AS b, t.event_type AS j,
+        |    coalesce(c, 0)::BIGINT AS v
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+        |  LEFT JOIN cnt ON cnt.user_id = u.user_id
+        |    AND cnt.event_type = t.event_type),
+        |vc AS (SELECT b, v, count(*)::BIGINT AS t FROM cells GROUP BY 1, 2),
+        |rk AS (SELECT b, v, 2 * sum(t) OVER (PARTITION BY b ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1 AS dr
+        |  FROM vc),
+        |dr AS (SELECT cells.b, cells.j, rk.dr FROM cells
+        |  JOIN rk ON rk.b = cells.b AND rk.v = cells.v),
+        |shape AS (SELECT count(*)::BIGINT AS n_blocks, min(sz)::BIGINT AS k_treat
+        |  FROM (SELECT b, count(*) AS sz FROM cells GROUP BY b) z),
+        |pt AS (SELECT j, count(*)::BIGINT AS n_blocks_t,
+        |    coalesce(sum(dr), 0)::BIGINT AS r2_sum FROM dr GROUP BY j),
+        |a4t AS (SELECT coalesce(sum(dr * dr), 0)::BIGINT AS a4 FROM dr),
+        |rsq AS (SELECT coalesce(sum(r2_sum::HUGEINT * r2_sum), 0)::HUGEINT
+        |  AS rsq FROM pt),
+        |st AS (SELECT n_blocks, k_treat,
+        |    CASE WHEN (a4::DOUBLE - n_blocks::DOUBLE * k_treat::DOUBLE
+        |        * (k_treat::DOUBLE + 1.0) * (k_treat::DOUBLE + 1.0)) > 0 THEN
+        |      (k_treat::DOUBLE - 1.0) * (rsq::DOUBLE
+        |        - n_blocks::DOUBLE * n_blocks::DOUBLE * k_treat::DOUBLE
+        |          * (k_treat::DOUBLE + 1.0) * (k_treat::DOUBLE + 1.0))
+        |      / (a4::DOUBLE - n_blocks::DOUBLE * k_treat::DOUBLE
+        |        * (k_treat::DOUBLE + 1.0) * (k_treat::DOUBLE + 1.0)) END AS chi2
+        |  FROM shape CROSS JOIN a4t CROSS JOIN rsq)
+        |SELECT j AS treat, n_blocks_t, r2_sum, n_blocks, k_treat, chi2
+        |FROM pt CROSS JOIN st""".stripMargin)),
+
+    // §2.2/308 — Cohen's d + Hedges' g effect size: BUILDING-segment
+    // account balances vs the rest — "how big is the difference",
+    // the magnitude companion to rows 245 (Welch) and 313
+    // (permutation significance). Exact sums, fixed double d/g.
+    "q_cohens_d" -> QueryDef(
+      (s, d) => operators.Stats.cohensD(ds(s, d, "customer").toDF
+          .filter(col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull),
+        col("c_mktsegment") === "BUILDING",
+        round(col("c_acctbal") * 100).cast("long")),
+      Some("""WITH u AS (SELECT (c_mktsegment = 'BUILDING') AS g,
+        |    round(c_acctbal * 100)::BIGINT AS v FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+        |a AS (SELECT
+        |    coalesce(sum(CASE WHEN g THEN 1 ELSE 0 END), 0)::BIGINT AS n1,
+        |    coalesce(sum(CASE WHEN NOT g THEN 1 ELSE 0 END), 0)::BIGINT AS n2,
+        |    coalesce(sum(CASE WHEN g THEN v ELSE 0 END), 0)::BIGINT AS s1,
+        |    coalesce(sum(CASE WHEN NOT g THEN v ELSE 0 END), 0)::BIGINT AS s2,
+        |    coalesce(sum(CASE WHEN g THEN v::HUGEINT * v ELSE 0 END),
+        |      0)::HUGEINT AS q1,
+        |    coalesce(sum(CASE WHEN NOT g THEN v::HUGEINT * v ELSE 0 END),
+        |      0)::HUGEINT AS q2
+        |  FROM u),
+        |p AS (SELECT *, CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2 THEN
+        |    (q1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE
+        |      + q2::DOUBLE - s2::DOUBLE * s2::DOUBLE / n2::DOUBLE)
+        |    / (n1::DOUBLE + n2::DOUBLE - 2.0) END AS pooled FROM a),
+        |dstat AS (SELECT n1, n2, s1, s2,
+        |    CASE WHEN n1 > 0 AND n2 > 0 AND pooled > 0 THEN
+        |      (s1::DOUBLE / n1::DOUBLE - s2::DOUBLE / n2::DOUBLE) / sqrt(pooled)
+        |    END AS d_stat FROM p)
+        |SELECT n1, n2, s1, s2, d_stat,
+        |  d_stat * (1.0 - 3.0 / (4.0 * (n1::DOUBLE + n2::DOUBLE) - 9.0))
+        |    AS g_stat
+        |FROM dstat""".stripMargin)),
+
+    // §2.2/309 — 2×2 odds-ratio battery: exposure = user ever
+    // clicked, outcome = user ever purchased; OR, RR, Woolf 95% CI —
+    // the epidemiology view of the click→purchase funnel.
+    "q_odds_ratio" -> QueryDef(
+      (s, d) => {
+        val e = ds(s, d, "events").toDF.filter(col("user_id").isNotNull)
+        val units = e.groupBy("user_id").agg(
+          max(col("event_type") === "click").as("e_click"),
+          max(col("event_type") === "purchase").as("o_purchase"))
+        operators.Stats.oddsRatio(units, col("e_click"), col("o_purchase"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+        |    max(event_type = 'click') AS e, max(event_type = 'purchase') AS o
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |f AS (SELECT * FROM u WHERE e IS NOT NULL AND o IS NOT NULL),
+        |c AS (SELECT count(*)::BIGINT AS n_units,
+        |    coalesce(sum(CASE WHEN e AND o THEN 1 ELSE 0 END), 0)::BIGINT AS a,
+        |    coalesce(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END), 0)::BIGINT AS b,
+        |    coalesce(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END), 0)::BIGINT AS c,
+        |    coalesce(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END), 0)::BIGINT AS d
+        |  FROM f),
+        |r AS (SELECT *,
+        |    CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |      a::DOUBLE * d::DOUBLE / (b::DOUBLE * c::DOUBLE) END AS odds_ratio,
+        |    CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |      a::DOUBLE * (c::DOUBLE + d::DOUBLE)
+        |        / (c::DOUBLE * (a::DOUBLE + b::DOUBLE)) END AS risk_ratio,
+        |    CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |      sqrt(1.0 / a::DOUBLE + 1.0 / b::DOUBLE + 1.0 / c::DOUBLE
+        |        + 1.0 / d::DOUBLE) END AS se
+        |  FROM c)
+        |SELECT n_units, a, b, c, d, odds_ratio, risk_ratio,
+        |  exp(ln(odds_ratio) - 1.96 * se) AS or_ci_lo,
+        |  exp(ln(odds_ratio) + 1.96 * se) AS or_ci_hi
+        |FROM r""".stripMargin)),
+
+    // §2.2/310 — per-class classifier eval battery over row 36's
+    // langid heuristic vs the declared label: confusion cells,
+    // precision/recall/F1/MCC per class + global accuracy — row 257
+    // gives the raw matrix, this row the model-card metrics.
+    "q_confusion" -> QueryDef(
+      (s, d) => operators.Stats.confusionStats(
+        ds(s, d, "documents").toDF.filter(col("lang").isNotNull),
+        col("lang"), TextFunctions.langId(col("text"))),
+      Some("""WITH p AS (SELECT lang AS actual, CASE
+        |  WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |  WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('the','and','of','to','a','in','is','it'))) >=
+        |       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('el','la','de','los','que','y')))
+        |   AND len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('the','and','of','to','a','in','is','it'))) > 0 THEN 'en'
+        |  WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('el','la','de','los','que','y'))) >
+        |       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('the','and','of','to','a','in','is','it'))) THEN 'es'
+        |  ELSE 'unknown' END AS pred
+        |  FROM documents WHERE lang IS NOT NULL),
+        |p2 AS (SELECT actual, pred FROM p
+        |  WHERE actual IS NOT NULL AND pred IS NOT NULL),
+        |cells AS (SELECT actual, pred, count(*)::BIGINT AS n FROM p2 GROUP BY 1, 2),
+        |tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS total,
+        |    coalesce(sum(CASE WHEN actual = pred THEN n ELSE 0 END), 0)::BIGINT
+        |      AS correct FROM cells),
+        |cls AS (SELECT DISTINCT cls FROM
+        |  (SELECT actual AS cls FROM cells UNION SELECT pred FROM cells) z),
+        |tp AS (SELECT actual AS cls, n AS tp0 FROM cells WHERE actual = pred),
+        |act AS (SELECT actual AS cls, sum(n)::BIGINT AS n_actual0
+        |  FROM cells GROUP BY 1),
+        |prd AS (SELECT pred AS cls, sum(n)::BIGINT AS n_pred0
+        |  FROM cells GROUP BY 1),
+        |j AS (SELECT cls.cls, coalesce(tp0, 0)::BIGINT AS tp,
+        |    coalesce(n_actual0, 0)::BIGINT AS n_actual,
+        |    coalesce(n_pred0, 0)::BIGINT AS n_pred, total, correct
+        |  FROM cls LEFT JOIN tp USING (cls) LEFT JOIN act USING (cls)
+        |  LEFT JOIN prd USING (cls) CROSS JOIN tot),
+        |k AS (SELECT *, (n_pred - tp)::BIGINT AS fp, (n_actual - tp)::BIGINT AS fn,
+        |    (total - n_actual - n_pred + tp)::BIGINT AS tn FROM j)
+        |SELECT cls, tp, fp, fn, tn, n_actual, n_pred,
+        |  CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred::DOUBLE END AS "precision",
+        |  CASE WHEN n_actual > 0 THEN tp::DOUBLE / n_actual::DOUBLE END AS recall,
+        |  CASE WHEN n_pred + n_actual > 0 THEN
+        |    2.0 * tp::DOUBLE / (n_pred::DOUBLE + n_actual::DOUBLE) END AS f1,
+        |  CASE WHEN sqrt((tp::DOUBLE + fp::DOUBLE) * (tp::DOUBLE + fn::DOUBLE)
+        |      * (tn::DOUBLE + fp::DOUBLE) * (tn::DOUBLE + fn::DOUBLE)) > 0 THEN
+        |    (tp::DOUBLE * tn::DOUBLE - fp::DOUBLE * fn::DOUBLE)
+        |    / sqrt((tp::DOUBLE + fp::DOUBLE) * (tp::DOUBLE + fn::DOUBLE)
+        |      * (tn::DOUBLE + fp::DOUBLE) * (tn::DOUBLE + fn::DOUBLE)) END AS mcc,
+        |  CASE WHEN total > 0 THEN correct::DOUBLE / total::DOUBLE END AS accuracy
+        |FROM k""".stripMargin)),
+
+    // §2.2/311 — exact average precision (PR-curve AP) for length as
+    // an 'en' detector: rank by (n_chars DESC, doc_id), per-positive
+    // floor-quantized precision terms integer-summed; rank + prefix
+    // counts computed with the range-partitioned distributedNtile
+    // construction — no global single-task sort.
+    "q_pr_auc" -> QueryDef(
+      (s, d) => operators.Stats.averagePrecision(ds(s, d, "documents").toDF,
+        col("doc_id"), col("n_chars"), col("lang") === "en"),
+      Some("""WITH r AS (SELECT doc_id, n_chars::BIGINT AS s, (lang = 'en') AS y
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |rk AS (SELECT y, row_number() OVER (ORDER BY s DESC, doc_id) AS r,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) OVER (ORDER BY s DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp FROM r),
+        |t AS (SELECT (cp * 1048576) // r AS term FROM rk WHERE y),
+        |a AS (SELECT count(*)::BIGINT AS n_pos,
+        |    coalesce(sum(term), 0)::BIGINT AS ap_q FROM t),
+        |n AS (SELECT count(*)::BIGINT AS n FROM r)
+        |SELECT n, n_pos, ap_q,
+        |  CASE WHEN n_pos > 0 THEN ap_q::DOUBLE / (n_pos::DOUBLE * 1048576.0)
+        |    END AS avg_precision
+        |FROM a CROSS JOIN n""".stripMargin)),
+
+    // §2.2/312 — exact lower weighted median: extendedprice cents per
+    // return flag weighted by quantity — "the price of the median
+    // UNIT shipped", not the median line; partitioned cumulative
+    // weights, all int64.
+    "q_weighted_median" -> QueryDef(
+      (s, d) => operators.Stats.weightedMedian(ds(s, d, "lineitem").toDF,
+          col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long"),
+          round(col("l_quantity")).cast("long"))
+        .withColumnRenamed("g", "l_returnflag"),
+      Some("""WITH r AS (SELECT l_returnflag AS g,
+        |    round(l_extendedprice * 100)::BIGINT AS v,
+        |    round(l_quantity)::BIGINT AS w FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND round(l_quantity)::BIGINT > 0),
+        |cells AS (SELECT g, v, sum(w)::BIGINT AS wv FROM r GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(wv)::BIGINT AS total_weight,
+        |    count(*)::BIGINT AS n_values FROM cells GROUP BY g),
+        |cum AS (SELECT g, v, sum(wv) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cw
+        |  FROM cells)
+        |SELECT cum.g AS l_returnflag, min(v)::BIGINT AS w_median,
+        |  min(total_weight)::BIGINT AS total_weight,
+        |  min(n_values)::BIGINT AS n_values
+        |FROM cum JOIN tot ON cum.g = tot.g
+        |WHERE cw * 2 >= total_weight GROUP BY 1""".stripMargin)),
+
+    // §2.2/313 — seeded permutation test: is the BUILDING-segment
+    // balance difference (row 308's d) significant under label
+    // exchange; 199 md5-seeded reassignments, each replica one
+    // combinable aggregation over the exploded frame.
+    "q_permutation" -> QueryDef(
+      (s, d) => operators.Stats.permutationTest(ds(s, d, "customer").toDF,
+        col("c_custkey"), col("c_mktsegment") === "BUILDING",
+        round(col("c_acctbal") * 100).cast("long"), reps = 199),
+      Some("""WITH u AS (SELECT c_custkey::VARCHAR AS id,
+        |    (c_mktsegment = 'BUILDING') AS arm,
+        |    round(c_acctbal * 100)::BIGINT AS v FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |    AND c_acctbal IS NOT NULL),
+        |obs AS (SELECT count(*)::BIGINT AS n_units,
+        |    CASE WHEN sum(CASE WHEN arm THEN 1 ELSE 0 END) > 0
+        |        AND sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) > 0 THEN
+        |      sum(CASE WHEN arm THEN v ELSE 0 END)::DOUBLE
+        |        / sum(CASE WHEN arm THEN 1 ELSE 0 END)::DOUBLE
+        |      - sum(CASE WHEN NOT arm THEN v ELSE 0 END)::DOUBLE
+        |        / sum(CASE WHEN NOT arm THEN 1 ELSE 0 END)::DOUBLE
+        |    END AS obs_diff
+        |  FROM u),
+        |x AS (SELECT rep,
+        |    ('0x' || substring(md5(id || ':' || rep::VARCHAR), 1, 14))::BIGINT
+        |      % 2 = 1 AS arm_r, v
+        |  FROM u CROSS JOIN (SELECT unnest(generate_series(1, 199)) AS rep) reps),
+        |pr AS (SELECT rep,
+        |    sum(CASE WHEN arm_r THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN arm_r THEN v ELSE 0 END)::BIGINT AS s1,
+        |    sum(CASE WHEN NOT arm_r THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN NOT arm_r THEN v ELSE 0 END)::BIGINT AS s0
+        |  FROM x GROUP BY rep),
+        |pd AS (SELECT CASE WHEN n1 > 0 AND n0 > 0 THEN
+        |    s1::DOUBLE / n1::DOUBLE - s0::DOUBLE / n0::DOUBLE END AS rdiff
+        |  FROM pr),
+        |ge AS (SELECT coalesce(sum(CASE WHEN abs(rdiff) >= abs(obs_diff)
+        |    THEN 1 ELSE 0 END), 0)::BIGINT AS n_ge FROM pd CROSS JOIN obs)
+        |SELECT n_units, 199::BIGINT AS reps, obs_diff, n_ge,
+        |  CASE WHEN obs_diff IS NOT NULL THEN (n_ge::DOUBLE + 1.0) / 200.0
+        |    END AS p_value
+        |FROM ge CROSS JOIN obs""".stripMargin)),
+
+    // §2.2/314 — decile lift/gains table: account balance as a
+    // BUILDING-segment targeting score; exact ntile machinery
+    // (size-dispatched to the distributed form past 10M rows),
+    // per-decile capture and lift.
+    "q_lift" -> QueryDef(
+      (s, d) => operators.Analytics.liftTable(ds(s, d, "customer").toDF,
+        col("c_custkey"), round(col("c_acctbal") * 100).cast("long"),
+        col("c_mktsegment") === "BUILDING", k = 10),
+      Some("""WITH r AS (SELECT c_custkey AS id,
+        |    round(c_acctbal * 100)::BIGINT AS s,
+        |    (c_mktsegment = 'BUILDING') AS y FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_acctbal IS NOT NULL
+        |    AND c_mktsegment IS NOT NULL),
+        |tl AS (SELECT y, ntile(10) OVER (ORDER BY s DESC, id)::BIGINT AS tile
+        |  FROM r),
+        |t AS (SELECT tile, count(*)::BIGINT AS n_t,
+        |    coalesce(sum(CASE WHEN y THEN 1 ELSE 0 END), 0)::BIGINT AS pos_t
+        |  FROM tl GROUP BY tile),
+        |g AS (SELECT coalesce(sum(n_t), 0)::BIGINT AS nn,
+        |    coalesce(sum(pos_t), 0)::BIGINT AS pp FROM t),
+        |c AS (SELECT tile, n_t, pos_t,
+        |    sum(n_t) OVER (ORDER BY tile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_n,
+        |    sum(pos_t) OVER (ORDER BY tile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_pos
+        |  FROM t)
+        |SELECT tile, n_t, pos_t,
+        |  CASE WHEN n_t > 0 THEN pos_t::DOUBLE / n_t::DOUBLE END AS rate,
+        |  cum_n, cum_pos,
+        |  CASE WHEN pp > 0 THEN cum_pos::DOUBLE / pp::DOUBLE END AS cum_capture,
+        |  CASE WHEN pp > 0 AND n_t > 0 THEN
+        |    pos_t::DOUBLE * nn::DOUBLE / (n_t::DOUBLE * pp::DOUBLE) END AS lift
+        |FROM c CROSS JOIN g""".stripMargin)),
+
+    // §2.2/315 — ordered pair support within sessions ("a eventually
+    // followed by b"): sequence mining's 2-step atom, first-occurrence
+    // strict ordering (the funnel convention), support over all
+    // sessions. Row 144 counts adjacent transitions; this row counts
+    // eventual precedence.
+    "q_seq_pairs" -> QueryDef(
+      (s, d) => operators.Analytics.seqPairSupport(ds(s, d, "events").toDF,
+        "user_id", "ts", "event_type", gapSeconds = 1800),
+      Some("""WITH sess AS (SELECT user_id, ep, event_type,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+        |      AS session_id
+        |  FROM (SELECT user_id, ts, event_type, floor(epoch(ts))::BIGINT AS ep,
+        |    CASE WHEN lag(floor(epoch(ts))::BIGINT)
+        |        OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM events
+        |    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |      AND event_type IS NOT NULL) x),
+        |firsts AS (SELECT user_id AS u, session_id AS sid, event_type AS t,
+        |    min(ep) AS ft FROM sess GROUP BY 1, 2, 3),
+        |ns AS (SELECT count(*)::BIGINT AS n_sessions
+        |  FROM (SELECT DISTINCT u, sid FROM firsts) z),
+        |p AS (SELECT a.t AS from_type, b.t AS to_type,
+        |    count(*)::BIGINT AS n_sessions_pair
+        |  FROM firsts a JOIN firsts b ON a.u = b.u AND a.sid = b.sid
+        |    AND a.ft < b.ft
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_sessions_pair, n_sessions,
+        |  CASE WHEN n_sessions > 0 THEN
+        |    n_sessions_pair::DOUBLE / n_sessions::DOUBLE END AS support
+        |FROM p CROSS JOIN ns""".stripMargin)),
+
+    // §2.2/316 — Zipf law fit per source: OLS of quantized ln(freq)
+    // on ln(rank) over the token frequency table — the "is this
+    // source natural language" diagnostic (natural text ≈ slope −1).
+    "text_zipf" -> QueryDef(
+      (s, d) => TfIdf.zipfFit(ds(s, d, "documents").toDF, "source", "text"),
+      Some("""WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE source IS NOT NULL),
+        |cnt AS (SELECT source, w, count(*)::BIGINT AS c FROM tok
+        |  WHERE len(w) > 0 GROUP BY 1, 2),
+        |pts AS (SELECT source,
+        |    floor(ln((row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, w))::DOUBLE) * 1048576)::BIGINT AS x,
+        |    floor(ln(c::DOUBLE) * 1048576)::BIGINT AS y FROM cnt),
+        |a AS (SELECT source, count(*)::BIGINT AS n_types,
+        |    coalesce(sum(x), 0)::HUGEINT AS sx, coalesce(sum(y), 0)::HUGEINT AS sy,
+        |    coalesce(sum(x::HUGEINT * y), 0)::HUGEINT AS sxy,
+        |    coalesce(sum(x::HUGEINT * x), 0)::HUGEINT AS sxx,
+        |    coalesce(sum(y::HUGEINT * y), 0)::HUGEINT AS syy
+        |  FROM pts GROUP BY source),
+        |f AS (SELECT source, n_types,
+        |    n_types::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+        |    n_types::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS dx,
+        |    n_types::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS dy,
+        |    sx::DOUBLE AS sxd, sy::DOUBLE AS syd FROM a)
+        |SELECT source, n_types,
+        |  CASE WHEN n_types > 1 AND dx > 0 THEN num / dx END AS slope,
+        |  CASE WHEN n_types > 1 AND dx > 0 THEN
+        |    (syd - (num / dx) * sxd) / (n_types::DOUBLE * 1048576.0)
+        |    END AS intercept_nats,
+        |  CASE WHEN n_types > 1 AND dx > 0 AND dy > 0 THEN
+        |    num * num / (dx * dy) END AS r2
+        |FROM f""".stripMargin)),
+
+    // §2.2/317 — Slope One collaborative filtering: pairwise
+    // event-type intensity deviations over per-user total spend —
+    // row 174 ranks co-occurrence; this row carries magnitude. The
+    // pair join is co-partitioned on the user key.
+    "q_slope_one" -> QueryDef(
+      (s, d) => operators.Association.slopeOne(ds(s, d, "events").toDF,
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long")),
+      Some("""WITH r AS (SELECT user_id AS u, event_type AS i,
+        |    round(value * 100)::BIGINT AS rr FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL),
+        |ui AS (SELECT u, i, sum(rr)::BIGINT AS r FROM r GROUP BY 1, 2),
+        |p AS (SELECT a.i AS item_i, b.i AS item_j, count(*)::BIGINT AS n_common,
+        |    coalesce(sum(a.r - b.r), 0)::BIGINT AS dev_num
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2)
+        |SELECT item_i, item_j, n_common, dev_num,
+        |  dev_num::DOUBLE / n_common::DOUBLE AS dev FROM p""".stripMargin)),
+
+    // §2.2/318 — turning-points randomness test per event-type daily
+    // series: strict local extrema of (prev, cur, next) triples,
+    // z against E[T] = 2(n−2)/3, Var = (16n−29)/90 — row 289's
+    // shape-sensitive sibling.
+    "q_turning_points" -> QueryDef(
+      (s, d) => operators.TimeSeries.turningPoints(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts) / 86400)::BIGINT AS day, count(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |l AS (SELECT series, x,
+        |    lag(x) OVER (PARTITION BY series ORDER BY day) AS pv,
+        |    lead(x) OVER (PARTITION BY series ORDER BY day) AS nx FROM d),
+        |f AS (SELECT series, count(*)::BIGINT AS n_days,
+        |    coalesce(sum(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+        |      AND ((x > pv AND x > nx) OR (x < pv AND x < nx))
+        |      THEN 1 ELSE 0 END), 0)::BIGINT AS t_points
+        |  FROM l GROUP BY series)
+        |SELECT series, n_days, t_points,
+        |  CASE WHEN n_days >= 4 THEN
+        |    (t_points::DOUBLE - 2.0 * (n_days::DOUBLE - 2.0) / 3.0)
+        |    / sqrt((16.0 * n_days::DOUBLE - 29.0) / 90.0) END AS z
+        |FROM f""".stripMargin)),
+
+    // §2.2/319 — Durbin–Watson on per-series OLS trend residuals:
+    // "after detrending, do adjacent days still co-move"; residuals
+    // fixed doubles over exact sums, DW sums per-term quantized.
+    "q_durbin_watson" -> QueryDef(
+      (s, d) => operators.TimeSeries.durbinWatson(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts) / 86400)::BIGINT AS day, count(*)::BIGINT AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT series, day, y,
+        |    day - min(day) OVER (PARTITION BY series) AS x FROM d),
+        |m AS (SELECT series, count(*)::BIGINT AS n_days, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+        |    sum(x * y)::BIGINT AS sxy FROM b GROUP BY series),
+        |fit AS (SELECT series, n_days, sx, sy,
+        |    CASE WHEN n_days::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+        |      THEN (n_days::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |        / (n_days::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |    END AS slope FROM m),
+        |f2 AS (SELECT series, n_days, slope,
+        |    (sy::DOUBLE - slope * sx::DOUBLE) / n_days::DOUBLE AS icept FROM fit),
+        |e AS (SELECT b.series, b.day,
+        |    y::DOUBLE - icept - slope * x::DOUBLE AS e
+        |  FROM b JOIN f2 ON b.series = f2.series),
+        |l AS (SELECT series, e,
+        |    lag(e) OVER (PARTITION BY series ORDER BY day) AS pe FROM e),
+        |t AS (SELECT series,
+        |    CASE WHEN pe IS NOT NULL
+        |      THEN floor((e - pe) * (e - pe) * 1048576.0)::BIGINT
+        |      ELSE 0 END AS num_t,
+        |    floor(e * e * 1048576.0)::BIGINT AS den_t FROM l),
+        |g AS (SELECT series, count(*)::BIGINT AS n_days,
+        |    coalesce(sum(num_t), 0)::BIGINT AS num_q,
+        |    coalesce(sum(den_t), 0)::BIGINT AS den_q FROM t GROUP BY series)
+        |SELECT series, n_days, num_q, den_q,
+        |  CASE WHEN den_q > 0 THEN num_q::DOUBLE / den_q::DOUBLE END AS dw
+        |FROM g""".stripMargin)),
+
+    // §2.2/320 — weekly seasonal strength per series:
+    // F = max(0, 1 − SSW(dow)/SST) over the daily curve — "is there a
+    // weekly profile worth modeling", the variance view beside row
+    // 298's error-ratio MASE.
+    "q_seasonal_strength" -> QueryDef(
+      (s, d) => operators.TimeSeries.seasonalStrength(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts) / 86400)::BIGINT AS day, count(*)::BIGINT AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |dw AS (SELECT series, ((day % 7) + 7) % 7 AS dow, y FROM d),
+        |pd AS (SELECT series, dow, count(*)::BIGINT AS n_d, sum(y)::BIGINT AS s_d,
+        |    sum(y * y)::BIGINT AS q_d FROM dw GROUP BY 1, 2),
+        |pt AS (SELECT series, floor((q_d::DOUBLE
+        |    - s_d::DOUBLE * s_d::DOUBLE / n_d::DOUBLE) * 1048576.0)::BIGINT
+        |    AS ssw_t FROM pd),
+        |sw AS (SELECT series, coalesce(sum(ssw_t), 0)::BIGINT AS ssw_q
+        |  FROM pt GROUP BY series),
+        |tt AS (SELECT series, count(*)::BIGINT AS n_days, sum(y)::BIGINT AS s,
+        |    sum(y * y)::BIGINT AS q FROM d GROUP BY series)
+        |SELECT sw.series AS series, n_days, ssw_q,
+        |  CASE WHEN (q::DOUBLE - s::DOUBLE * s::DOUBLE / n_days::DOUBLE) > 0 THEN
+        |    greatest(0.0, 1.0 - ssw_q::DOUBLE
+        |      / ((q::DOUBLE - s::DOUBLE * s::DOUBLE / n_days::DOUBLE)
+        |        * 1048576.0)) END AS strength
+        |FROM sw JOIN tt ON sw.series = tt.series""".stripMargin)),
+
+    // §2.2/321 — information-gain feature ranking: which of
+    // (priority, order month, customer band) best predicts order
+    // status — the decision-tree split criterion; ONE stacked scan,
+    // exact N-scaled quantized-nat entropies.
+    "q_info_gain" -> QueryDef(
+      (s, d) => operators.Stats.infoGain(ds(s, d, "orders").toDF,
+        col("o_orderstatus"), Seq(
+          ("priority", col("o_orderpriority")),
+          ("order_month", month(col("o_orderdate"))),
+          ("cust_band", pmod(col("o_custkey"), lit(10L))))),
+      Some("""WITH st AS (
+        |  SELECT o_orderstatus AS l, 'priority' AS f,
+        |    o_orderpriority::VARCHAR AS v FROM orders
+        |  UNION ALL SELECT o_orderstatus, 'order_month',
+        |    month(o_orderdate)::VARCHAR FROM orders
+        |  UNION ALL SELECT o_orderstatus, 'cust_band',
+        |    (((o_custkey % 10) + 10) % 10)::VARCHAR FROM orders),
+        |f0 AS (SELECT * FROM st WHERE l IS NOT NULL AND v IS NOT NULL),
+        |cells AS (SELECT f, v, l, count(*)::BIGINT AS c FROM f0 GROUP BY 1, 2, 3),
+        |pv AS (SELECT f, v, sum(c)::BIGINT AS nv FROM cells GROUP BY 1, 2),
+        |pf AS (SELECT f, coalesce(sum(c * floor(ln(c::DOUBLE)
+        |    * 1048576)::BIGINT), 0)::BIGINT AS cell_t, sum(c)::BIGINT AS n
+        |  FROM cells GROUP BY f),
+        |vt AS (SELECT f, coalesce(sum(nv * floor(ln(nv::DOUBLE)
+        |    * 1048576)::BIGINT), 0)::BIGINT AS val_t FROM pv GROUP BY f),
+        |lt AS (SELECT f, coalesce(sum(cl * floor(ln(cl::DOUBLE)
+        |    * 1048576)::BIGINT), 0)::BIGINT AS lab_t
+        |  FROM (SELECT f, l, sum(c)::BIGINT AS cl FROM cells GROUP BY 1, 2) z
+        |  GROUP BY f),
+        |j AS (SELECT pf.f, n, cell_t, val_t, lab_t,
+        |    n * floor(ln(n::DOUBLE) * 1048576)::BIGINT AS nqn
+        |  FROM pf JOIN vt ON pf.f = vt.f JOIN lt ON pf.f = lt.f)
+        |SELECT f AS feature, n, (nqn - lab_t)::BIGINT AS hl_q,
+        |  (nqn - val_t)::BIGINT AS hf_q, (val_t - cell_t)::BIGINT AS hcond_q,
+        |  (nqn - lab_t - val_t + cell_t)::BIGINT AS ig_q,
+        |  CASE WHEN nqn - val_t > 0 THEN
+        |    (nqn - lab_t - val_t + cell_t)::DOUBLE / (nqn - val_t)::DOUBLE
+        |  END AS gain_ratio
+        |FROM j""".stripMargin)),
+
+    // §2.2/322 — sample-ratio-mismatch guardrail on the deterministic
+    // md5 1:1 user split: the first check before ANY experiment
+    // readout; 1-df chi-square, α = 0.05 flag.
+    "q_srm" -> QueryDef(
+      (s, d) => {
+        val u = ds(s, d, "events").toDF.filter(col("user_id").isNotNull)
+          .select("user_id").distinct()
+        operators.Stats.srmCheck(u,
+          graft.functions.HashFunctions.stableHash56(
+            col("user_id").cast("string")) % 2L === 1L)
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |a AS (SELECT (('0x' || substring(md5(user_id::VARCHAR), 1, 14))::BIGINT
+        |    % 2 = 1) AS arm FROM u),
+        |g AS (SELECT
+        |    coalesce(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END), 0)::BIGINT AS n0,
+        |    coalesce(sum(CASE WHEN arm THEN 1 ELSE 0 END), 0)::BIGINT AS n1
+        |  FROM a)
+        |SELECT n0, n1,
+        |  CASE WHEN n0 + n1 > 0 THEN (n1::DOUBLE - n0::DOUBLE)
+        |    * (n1::DOUBLE - n0::DOUBLE) / (n0::DOUBLE + n1::DOUBLE) END AS chi2,
+        |  CASE WHEN n0 + n1 > 0 THEN (n1::DOUBLE - n0::DOUBLE)
+        |    * (n1::DOUBLE - n0::DOUBLE) / (n0::DOUBLE + n1::DOUBLE) > 3.841
+        |  END AS srm_flag
+        |FROM g""".stripMargin)),
+
+    // §2.2/323 — Cochran–Armitage trend test: does the fulfilled rate
+    // trend monotonically across the ordered priority tiers — the
+    // trend-powered alternative to the omnibus chi-square (225).
+    "q_trend_test" -> QueryDef(
+      // try_cast, not cast: a fuzz-poisoned priority string must yield
+      // NULL (dropped by the operator's listwise filter) on BOTH
+      // engines, not an ANSI cast error on one
+      (s, d) => operators.Stats.cochranArmitage(ds(s, d, "orders").toDF,
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)"),
+        col("o_orderstatus") === "F"),
+      Some("""WITH u AS (SELECT
+        |    TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+        |    (o_orderstatus = 'F') AS y FROM orders
+        |  WHERE o_orderstatus IS NOT NULL),
+        |c AS (SELECT s, count(*)::BIGINT AS n_i,
+        |    coalesce(sum(CASE WHEN y THEN 1 ELSE 0 END), 0)::BIGINT AS r_i
+        |  FROM u WHERE s IS NOT NULL AND y IS NOT NULL GROUP BY s),
+        |a AS (SELECT coalesce(sum(n_i), 0)::BIGINT AS n,
+        |    coalesce(sum(r_i), 0)::BIGINT AS r, count(*)::BIGINT AS k_levels,
+        |    coalesce(sum(s * n_i), 0)::BIGINT AS sn,
+        |    coalesce(sum(s * r_i), 0)::BIGINT AS sr,
+        |    coalesce(sum(s * s * n_i), 0)::BIGINT AS ssn FROM c)
+        |SELECT n, r, k_levels,
+        |  CASE WHEN r::DOUBLE * (n::DOUBLE - r::DOUBLE)
+        |      * (n::DOUBLE * ssn::DOUBLE - sn::DOUBLE * sn::DOUBLE) > 0 THEN
+        |    (n::DOUBLE * sr::DOUBLE - r::DOUBLE * sn::DOUBLE) * sqrt(n::DOUBLE)
+        |    / sqrt(r::DOUBLE * (n::DOUBLE - r::DOUBLE)
+        |      * (n::DOUBLE * ssn::DOUBLE - sn::DOUBLE * sn::DOUBLE))
+        |  END AS z_stat
+        |FROM a""".stripMargin)),
+
+    // §2.2/324 — Theil T inequality of customer revenue within each
+    // nation: the decomposable information-theoretic rail beside Gini
+    // (189), Lorenz (278) and HHI (273); quantized-ln terms weighted
+    // by exact cents, DECIMAL internal → guarded BIGINT.
+    "q_theil" -> QueryDef(
+      (s, d) => {
+        val o = ds(s, d, "orders").toDF
+        val c = ds(s, d, "customer").toDF
+        operators.Analytics.theilIndex(
+          o.join(c, o("o_custkey") === c("c_custkey")),
+          col("c_nationkey"), col("c_custkey"),
+          round(col("o_totalprice") * 100).cast("long"))
+      },
+      Some("""WITH f AS (SELECT c_nationkey AS mkt, c_custkey AS ent,
+        |    round(o_totalprice * 100)::BIGINT AS u
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey IS NOT NULL AND c_custkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |per AS (SELECT mkt, ent, sum(u)::BIGINT AS x FROM f GROUP BY 1, 2),
+        |pp AS (SELECT * FROM per WHERE x > 0),
+        |tot AS (SELECT mkt, count(*)::BIGINT AS n_entities,
+        |    sum(x)::BIGINT AS sum_units FROM pp GROUP BY mkt),
+        |t AS (SELECT pp.mkt, x::HUGEINT * floor(ln(x::DOUBLE
+        |      * n_entities::DOUBLE / sum_units::DOUBLE) * 1048576)::BIGINT
+        |      AS term, n_entities, sum_units
+        |  FROM pp JOIN tot ON pp.mkt = tot.mkt)
+        |SELECT mkt, min(n_entities)::BIGINT AS n_entities,
+        |  min(sum_units)::BIGINT AS sum_units,
+        |  coalesce(sum(term), 0)::BIGINT AS theil_q,
+        |  coalesce(sum(term), 0)::DOUBLE
+        |    / (min(sum_units)::DOUBLE * 1048576.0) AS theil
+        |FROM t GROUP BY mkt""".stripMargin)),
+
+    // §2.2/325 — Gini–Simpson lexical diversity per source: collision
+    // probability over token counts — the third diversity rail beside
+    // entropy (176-family) and TTR (262); pure integers + one double.
+    "text_simpson" -> QueryDef(
+      (s, d) => TfIdf.simpsonDiversity(ds(s, d, "documents").toDF,
+        "source", "text"),
+      Some("""WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE source IS NOT NULL),
+        |cnt AS (SELECT source, w, count(*)::BIGINT AS c FROM tok
+        |  WHERE len(w) > 0 GROUP BY 1, 2),
+        |a AS (SELECT source, coalesce(sum(c), 0)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_types,
+        |    coalesce(sum(c::HUGEINT * (c - 1)), 0)::HUGEINT AS cp
+        |  FROM cnt GROUP BY source)
+        |SELECT source, n_tokens, n_types, cp::BIGINT AS coll_pairs2,
+        |  CASE WHEN n_tokens > 1 THEN 1.0 - cp::DOUBLE
+        |    / (n_tokens::DOUBLE * (n_tokens::DOUBLE - 1.0)) END AS simpson
+        |FROM a""".stripMargin)),
+
+    // §2.2/326 — k-NN classification by retrieval (leave-one-out over
+    // the labeled corpus, k=5 cosine vote): "are these embeddings
+    // linearly useful" with no trained head; row 34's broadcast
+    // top-k shape, majority vote with (votes DESC, label ASC)
+    // tie-break.
+    "q_knn_classify" -> QueryDef(
+      (s, d) => {
+        val emb = ds(s, d, "embeddings").toDF
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+            graft.functions.VectorFunctions.allFinite(col("embedding")))
+        operators.Similarity.knnClassify(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", "label", k = 5)
+      },
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, embedding, label
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
+        |lab AS (SELECT * FROM e WHERE label IS NOT NULL),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, label AS tl
+        |  FROM e WHERE vec_id < 50),
+        |s AS (SELECT qid, vec_id AS nid, label AS nl,
+        |    list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS c
+        |  FROM q JOIN lab ON vec_id <> qid),
+        |top AS (SELECT qid, nl FROM (
+        |    SELECT qid, nl,
+        |      row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        |    FROM s WHERE c IS NOT NULL) t WHERE rank <= 5),
+        |v AS (SELECT qid, nl, count(*)::BIGINT AS n_votes FROM top GROUP BY 1, 2),
+        |p AS (SELECT qid, nl, n_votes FROM (
+        |    SELECT qid, nl, n_votes, row_number() OVER (PARTITION BY qid
+        |      ORDER BY n_votes DESC, nl) AS rk FROM v) z WHERE rk = 1)
+        |SELECT p.qid AS query_id, p.nl AS pred_label, n_votes,
+        |  q.tl AS true_label, p.nl = q.tl AS correct
+        |FROM p JOIN q ON q.qid = p.qid""".stripMargin)),
+
+    // §2.2/327 — price elasticity per brand: quantized log-log OLS of
+    // part demand (summed quantity) on retail price — the power-law
+    // fit kernel shared with row 316's Zipf (decimal-exact sums,
+    // non-positive observations excluded by contract).
+    "q_elasticity" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_partkey").isNotNull && col("l_quantity").isNotNull)
+          .groupBy("l_partkey")
+          .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+        val p = ds(s, d, "part").toDF
+        operators.Stats.quantLogFit(
+          p.join(li, p("p_partkey") === li("l_partkey")),
+          col("p_brand"), round(col("p_retailprice") * 100).cast("long"),
+          col("qty"))
+          .withColumnRenamed("g", "p_brand")
+      },
+      Some("""WITH li AS (SELECT l_partkey,
+        |    sum(round(l_quantity)::BIGINT)::BIGINT AS qty FROM lineitem
+        |  WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL GROUP BY 1),
+        |pts AS (SELECT p_brand AS g, round(p_retailprice * 100)::BIGINT AS xr,
+        |    qty AS yr FROM part JOIN li ON p_partkey = l_partkey),
+        |f AS (SELECT g, floor(ln(xr::DOUBLE) * 1048576)::BIGINT AS x,
+        |    floor(ln(yr::DOUBLE) * 1048576)::BIGINT AS y
+        |  FROM pts WHERE g IS NOT NULL AND xr IS NOT NULL AND yr IS NOT NULL
+        |    AND xr > 0 AND yr > 0),
+        |a AS (SELECT g, count(*)::BIGINT AS n_points, sum(x)::HUGEINT AS sx,
+        |    sum(y)::HUGEINT AS sy, sum(x::HUGEINT * y)::HUGEINT AS sxy,
+        |    sum(x::HUGEINT * x)::HUGEINT AS sxx,
+        |    sum(y::HUGEINT * y)::HUGEINT AS syy
+        |  FROM f GROUP BY g),
+        |ff AS (SELECT g, n_points,
+        |    n_points::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+        |    n_points::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS dx,
+        |    n_points::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS dy,
+        |    sx::DOUBLE AS sxd, sy::DOUBLE AS syd FROM a)
+        |SELECT g AS p_brand, n_points,
+        |  CASE WHEN n_points > 1 AND dx > 0 THEN num / dx END AS slope,
+        |  CASE WHEN n_points > 1 AND dx > 0 THEN
+        |    (syd - (num / dx) * sxd) / (n_points::DOUBLE * 1048576.0)
+        |  END AS intercept_nats,
+        |  CASE WHEN n_points > 1 AND dx > 0 AND dy > 0 THEN
+        |    num * num / (dx * dy) END AS r2
+        |FROM ff""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

@@ -942,4 +942,127 @@ object Analytics {
       .select(col("w").as("token"), col("tot"), col("n_docs_with"),
         col("fano_milli"))
   }
+
+  /** Decile lift/gains table for a score against a binary outcome —
+    * the model-targeting report ("mail the top 2 deciles") built on
+    * the same exact ntile machinery as [[rfmSegments]]: tiles over
+    * (score DESC, id ASC — a total order, so both engines split
+    * identically; size-dispatched to [[distributedNtile]] past the
+    * window bound), per-tile exact counts, and cumulative capture /
+    * lift as fixed double ratios of exact integers. The cumulative
+    * window runs over k rows. Output per tile: (tile, n_t, pos_t,
+    * rate, cum_n, cum_pos, cum_capture, lift) — lift NULL when the
+    * base rate is 0.
+    */
+  def liftTable(df: DataFrame, idCol: Column, scoreCol: Column,
+                labelCol: Column, k: Int = 10): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2, 1000], got $k")
+    val rows = df.select(idCol.as("id"), scoreCol.cast("long").as("s"),
+        labelCol.cast("boolean").as("y"))
+      .filter(col("id").isNotNull && col("s").isNotNull && col("y").isNotNull)
+      .localCheckpoint(true)
+    val n = rows.count()
+    val tiles = ntileScored(rows, n, k, Seq(col("s").desc, col("id").asc), "tile")
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_t"),
+        coalesce(sum(when(col("y"), 1L).otherwise(0L)), lit(0L)).as("pos_t"))
+    def dd(c: Column) = c.cast("double")
+    val cum = Window.orderBy("tile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow) // k rows
+    tiles
+      .withColumn("cum_n", sum("n_t").over(cum))
+      .withColumn("cum_pos", sum("pos_t").over(cum))
+      .crossJoin(broadcast(tiles.agg(
+        coalesce(sum("n_t"), lit(0L)).as("__n"),
+        coalesce(sum("pos_t"), lit(0L)).as("__pos"))))
+      .withColumn("rate", when(col("n_t") > 0, dd(col("pos_t")) / dd(col("n_t"))))
+      .withColumn("cum_capture", when(col("__pos") > 0,
+        dd(col("cum_pos")) / dd(col("__pos"))))
+      .withColumn("lift", when(col("__pos") > 0 && col("n_t") > 0,
+        dd(col("pos_t")) * dd(col("__n")) / (dd(col("n_t")) * dd(col("__pos")))))
+      .select(col("tile"), col("n_t"), col("pos_t"), col("rate"),
+        col("cum_n"), col("cum_pos"), col("cum_capture"), col("lift"))
+  }
+
+  /** Ordered event-type pair support within sessions — sequence
+    * mining's 2-step atom, and [[transitionMatrix]]'s "eventually
+    * follows" companion (Markov counts ADJACENT transitions; this
+    * counts a→b whenever a's FIRST occurrence strictly precedes b's
+    * first occurrence anywhere in the session, the funnel convention:
+    * ties at epoch resolution produce no pair, keeping both engines
+    * exact). Output per ordered pair: (from_type, to_type,
+    * n_sessions_pair, n_sessions, support) with support the fixed
+    * double ratio.
+    *
+    * Scale shape: sessions reduce to ≤|types| first-occurrence rows
+    * each via one combinable aggregation; the within-session pair
+    * join multiplies type-bounded frames (≤|types|² rows per
+    * session), never raw events.
+    */
+  def seqPairSupport(events: DataFrame, keyCol: String, tsCol: String,
+                     typeCol: String, gapSeconds: Long = 1800): DataFrame = {
+    val firsts = Sessionize.assignSessions(
+        events.filter(col(typeCol).isNotNull), keyCol, tsCol, gapSeconds)
+      .groupBy(col(keyCol).as("u"), col("session_id").as("sid"),
+        col(typeCol).as("t"))
+      .agg(min("__epoch").as("ft"))
+      .localCheckpoint(true)
+    val nSessions = firsts.select("u", "sid").distinct().count()
+    val pairs = firsts.as("a").join(firsts.as("b"),
+        col("a.u") === col("b.u") && col("a.sid") === col("b.sid") &&
+          col("a.ft") < col("b.ft"))
+      .groupBy(col("a.t").as("from_type"), col("b.t").as("to_type"))
+      .agg(count(lit(1)).as("n_sessions_pair"))
+    pairs
+      .withColumn("n_sessions", lit(nSessions))
+      .withColumn("support", when(col("n_sessions") > 0,
+        col("n_sessions_pair").cast("double") / col("n_sessions").cast("double")))
+  }
+
+  /** Theil T inequality index per market — the decomposable
+    * information-theoretic companion to [[giniCoefficient]] /
+    * [[hhiConcentration]] (T = 0 perfect equality, ln n full
+    * concentration): T = (1/S)·Σ x_i·ln(x_i·n/S) over per-entity
+    * positive totals x_i. Per-entity ln terms are floor-quantized at
+    * 2²⁰, weighted by the exact x_i and summed in DECIMAL(38,0)
+    * (x·qln passes int64 at whale entities) — order-free — then
+    * emitted as a guarded BIGINT; T is one fixed double
+    * theil_q / (S·2²⁰). ln's argument x_i·n/S is the same exact-int
+    * ratio on both engines. Output per market: (mkt, n_entities,
+    * sum_units, theil_q, theil).
+    *
+    * Scale shape: one combinable (market, entity) reduction, then a
+    * market-keyed totals join — the Gini construction without its
+    * rank window.
+    */
+  def theilIndex(facts: DataFrame, marketCol: Column, entityCol: Column,
+                 unitCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = facts.select(marketCol.as("mkt"), entityCol.as("ent"),
+        unitCol.cast("long").as("u"))
+      .filter(col("mkt").isNotNull && col("ent").isNotNull && col("u").isNotNull)
+      .groupBy("mkt", "ent").agg(sum("u").as("x"))
+      .filter(col("x") > 0)
+    val tot = per.groupBy("mkt").agg(count(lit(1)).as("n_entities"),
+      sum("x").as("sum_units"))
+    def dd(c: Column) = c.cast("double")
+    val maxLong = lit("9223372036854775807").cast(dec)
+    per.join(tot, "mkt")
+      .withColumn("__t", (col("x").cast(dec) *
+        floor(log(dd(col("x")) * dd(col("n_entities")) / dd(col("sum_units")))
+          * 1048576).cast("long").cast(dec)).cast(dec))
+      .groupBy("mkt")
+      .agg(min("n_entities").as("n_entities"), min("sum_units").as("sum_units"),
+        coalesce(sum(col("__t")).cast(dec), lit(0).cast(dec)).cast(dec)
+          .as("theil_q0"))
+      .withColumn("theil_q",
+        when(abs(col("theil_q0")) > maxLong, raise_error(lit(
+          "graft.theilIndex: theil_q overflows BIGINT at this scale — " +
+            "widen the emitted type")))
+          .otherwise(col("theil_q0").cast("long")))
+      .withColumn("theil", dd(col("theil_q")) /
+        (dd(col("sum_units")) * 1048576.0))
+      .select(col("mkt"), col("n_entities"), col("sum_units"), col("theil_q"),
+        col("theil"))
+  }
 }

@@ -107,4 +107,37 @@ object Association {
       .filter(col("rank") <= topK)
       .select("item", "neighbor", "cooc", "count_item", "count_neighbor", "score_q", "rank")
   }
+
+  /** Slope One collaborative filtering — the pairwise rating
+    * deviation matrix dev(i, j) = Σ_u (r_ui − r_uj) / n_ij over users
+    * who rated both items ([[itemSimilarity]] ranks by co-occurrence;
+    * Slope One carries MAGNITUDE, the "item i runs 4.2 units hotter
+    * than item j" model that predicts r̂_ui = avg_j (r_uj + dev(i,
+    * j))). Ratings are exact int64 intensities; duplicate (user,
+    * item) observations sum first (total-intensity rating — the only
+    * deterministic collapse). dev is the single fixed double division
+    * of exact integers. Output per ordered pair (i ≠ j): (item_i,
+    * item_j, n_common, dev_num, dev).
+    *
+    * Scale shape: the pair join is SELF-JOIN CO-PARTITIONED ON THE
+    * USER KEY — each user contributes ≤ |items-rated|² pairs, bounded
+    * by the per-user catalog slice, never a global item×item cross;
+    * the pair aggregation is map-side combinable.
+    */
+  def slopeOne(ratings: DataFrame, userCol: org.apache.spark.sql.Column,
+               itemCol: org.apache.spark.sql.Column,
+               ratingCol: org.apache.spark.sql.Column): DataFrame = {
+    val ui = ratings.select(userCol.as("u"), itemCol.cast("string").as("i"),
+        ratingCol.cast("long").as("r"))
+      .filter(col("u").isNotNull && col("i").isNotNull && col("r").isNotNull)
+      .groupBy("u", "i").agg(sum("r").as("r"))
+      .localCheckpoint(true)
+    ui.as("a").join(ui.as("b"),
+        col("a.u") === col("b.u") && col("a.i") =!= col("b.i"))
+      .groupBy(col("a.i").as("item_i"), col("b.i").as("item_j"))
+      .agg(count(lit(1)).as("n_common"),
+        coalesce(sum(col("a.r") - col("b.r")), lit(0L)).as("dev_num"))
+      .withColumn("dev",
+        col("dev_num").cast("double") / col("n_common").cast("double"))
+  }
 }

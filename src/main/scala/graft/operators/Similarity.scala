@@ -722,4 +722,33 @@ object Similarity {
     }
     asg.select(col("vid").as(idCol), col("cid").as("cluster_id"), col("dist_q"))
   }
+
+  /** k-NN classification by retrieval — leave-one-out label vote over
+    * the labeled corpus: each query's k nearest labeled neighbors by
+    * exact cosine ([[bruteForceTopK]]'s broadcast + combinable top-k
+    * shape — the corpus never shuffles), majority label with the
+    * deterministic (votes DESC, label ASC) tie-break, scored against
+    * the query's own label. The eval harness for "are these
+    * embeddings linearly useful" that needs no trained head. Output
+    * per query: (query_id, pred_label, n_votes, true_label, correct)
+    * — correct NULL when the query itself is unlabeled.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1, 100], got $k")
+    val labeled = corpus.filter(col(labelCol).isNotNull)
+    val top = bruteForceTopK(labeled, queries, idCol, vecCol, k)
+    val votes = top
+      .join(labeled.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl")), "neighbor_id")
+      .groupBy("query_id", "__nl").agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("n_votes").desc, col("__nl").asc)
+    votes.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("true_label")), "query_id")
+      .withColumn("correct", col("__nl") === col("true_label"))
+      .select(col("query_id"), col("__nl").as("pred_label"), col("n_votes"),
+        col("true_label"), col("correct"))
+  }
 }

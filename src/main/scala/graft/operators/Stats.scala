@@ -1091,4 +1091,594 @@ object Stats {
       .select(col("n"), asLong("c_pairs"), asLong("d_pairs"),
         asLong("ties_x"), asLong("ties_y"), col("tau"))
   }
+
+  /** Narrow an internal DECIMAL(38,0) to the registry's emitted BIGINT
+    * behind a named overflow guard (the kendallTau convention): values
+    * fit int64 at every verify/bench scale, and an overflow at extreme
+    * scale fails loudly with the operator's name, never wraps.
+    */
+  private def guardedLong(name: String, op: String): Column = {
+    val maxLong = lit("9223372036854775807").cast("decimal(38,0)")
+    when(col(name) > maxLong, raise_error(concat(
+      lit(s"graft.$op: $name overflows BIGINT at this scale ("),
+      col(name).cast("string"), lit(") — widen the emitted type"))))
+      .otherwise(col(name).cast("long")).as(name)
+  }
+
+  /** Cochran's Q test for k related binary treatments ("did the same
+    * units respond differently across the k conditions") — the
+    * k-treatment generalization of [[mcnemar]]. With column totals
+    * C_j, row totals R_i, grand total N over n complete units:
+    * Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²), χ²(k−1) under H0.
+    * Every sum is an exact int64 aggregate; Q is one fixed double
+    * expression (the k-term ΣC_j² is a written-order fold of exact
+    * integers, identical in the oracle). Units with any NULL treatment
+    * are excluded (listwise complete — Q requires complete blocks).
+    * Output one row: (n_units, k_treat, n_yes, r_sq, q_stat) —
+    * q_stat NULL when the denominator k·N − ΣR_i² = 0 (all rows
+    * all-yes or all-no: nothing varies within units).
+    *
+    * Scale shape: ONE combinable aggregation over the unit frame.
+    */
+  def cochranQ(units: DataFrame, treatments: Seq[(String, Column)]): DataFrame = {
+    require(treatments.size >= 2, s"cochranQ needs >= 2 treatments, got ${treatments.size}")
+    val k = treatments.size
+    val u = units.select(treatments.map { case (n, c) => c.cast("boolean").as(n) }: _*)
+      .filter(treatments.map { case (n, _) => col(n).isNotNull }.reduce(_ && _))
+    val rowSum = treatments.map { case (n, _) => when(col(n), 1L).otherwise(0L) }
+      .reduce(_ + _)
+    val aggs = Seq(count(lit(1)).as("n_units"),
+      coalesce(sum(rowSum), lit(0L)).as("n_yes"),
+      coalesce(sum(rowSum * rowSum), lit(0L)).as("r_sq")) ++
+      treatments.map { case (n, _) =>
+        coalesce(sum(when(col(n), 1L).otherwise(0L)), lit(0L)).as(s"__c_$n") }
+    def dd(c: Column) = c.cast("double")
+    val cSqDouble = treatments
+      .map { case (n, _) => dd(col(s"__c_$n")) * dd(col(s"__c_$n")) }
+      .reduce(_ + _)
+    u.agg(aggs.head, aggs.tail: _*)
+      .withColumn("k_treat", lit(k.toLong))
+      .withColumn("q_stat",
+        when(lit(k.toLong) * col("n_yes") - col("r_sq") > 0,
+          lit((k - 1).toDouble) * (lit(k.toDouble) * cSqDouble -
+            dd(col("n_yes")) * dd(col("n_yes"))) /
+            dd(lit(k.toLong) * col("n_yes") - col("r_sq"))))
+      .select(col("n_units"), col("k_treat"), col("n_yes"), col("r_sq"),
+        col("q_stat"))
+  }
+
+  /** Wilcoxon signed-rank test for paired integer measurements: drop
+    * zero differences, tie-average the ranks of |d| via the
+    * value-cardinality double-rank table (the [[kruskalWallis]]
+    * construction — dr(v) = 2·avgrank = 2w − t + 1, so every rank sum
+    * is an exact integer), W⁺ in 2×-rank units, and the normal
+    * approximation z = (2W⁺ − n(n+1)/2) / √(n(n+1)(2n+1)/6 − Στ/12)
+    * with tie correction Στ = Σ(t³ − t) — one fixed double expression
+    * over the exact sums. Στ is DECIMAL(38,0) internally (t³ passes
+    * int64 near t ≈ 2·10⁶ equal diffs) and emitted as a guarded
+    * BIGINT. Output one row: (n_pairs, n_zero, n_eff, w_plus2,
+    * tie_cub, z_stat) — z NULL when n_eff = 0 or the variance is 0.
+    *
+    * Scale shape: one combinable pair reduction, then everything runs
+    * on the |d|-value-cardinality cell table.
+    */
+  def wilcoxonSignedRank(units: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val diffs = units
+      .select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .select((col("x") - col("y")).as("diff"))
+    val counts = diffs.agg(count(lit(1)).as("n_pairs"),
+      coalesce(sum(when(col("diff") === 0L, 1L).otherwise(0L)), lit(0L)).as("n_zero"))
+    val cells = diffs.filter(col("diff") =!= 0L)
+      .groupBy(abs(col("diff")).as("a"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("diff") > 0, 1L).otherwise(0L)).as("p"))
+    val ranked = cells
+      .withColumn("w", sum("t").over(Window.orderBy("a")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dr", lit(2) * col("w") - col("t") + 1)
+    def dd(c: Column) = c.cast("double")
+    ranked.agg(
+        coalesce(sum("t"), lit(0L)).as("n_eff"),
+        coalesce(sum(col("p") * col("dr")), lit(0L)).as("w_plus2"),
+        coalesce(sum((col("t").cast(dec) * col("t") * col("t") - col("t")).cast(dec)),
+          lit(0).cast(dec)).cast(dec).as("tie_cub"))
+      .crossJoin(broadcast(counts))
+      .withColumn("__var4",
+        dd(col("n_eff")) * (dd(col("n_eff")) + 1.0) *
+          (lit(2.0) * dd(col("n_eff")) + 1.0)
+          / 6.0 - dd(col("tie_cub")) / 12.0)
+      .withColumn("z_stat", when(col("n_eff") > 0 && col("__var4") > 0,
+        (dd(col("w_plus2")) - dd(col("n_eff")) * (dd(col("n_eff")) + 1.0) / 2.0) /
+          sqrt(col("__var4"))))
+      .select(col("n_pairs"), col("n_zero"), col("n_eff"), col("w_plus2"),
+        guardedLong("tie_cub", "wilcoxonSignedRank"), col("z_stat"))
+  }
+
+  /** Friedman rank test over COMPLETE blocks (every block carries a
+    * value for every treatment — the caller zero-fills; a ragged
+    * frame raises a named error rather than silently mis-ranking):
+    * tie-averaged within-block double-ranks from the per-(block,
+    * value) tally table, per-treatment rank sums R2_j = 2·ΣR_j exact
+    * int64, and the tie-general statistic
+    * χ² = (k−1)·(ΣR2_j² − n²k(k+1)²) / (A4 − nk(k+1)²) with
+    * A4 = Σ over all cells of dr² (= 4·Σr²) — one fixed double
+    * expression (ΣR2_j² folds k written-order double terms in the
+    * oracle too). Output one row per treatment: (treat, n_blocks,
+    * r2_sum, chi2) — chi2 identical on every row, NULL when the
+    * denominator is 0 (all values tied within every block).
+    *
+    * Scale shape: ranking runs on per-block value tallies (≤ k cells
+    * per block, window PARTITIONED by block); the statistic reduces
+    * the treatment table (k rows).
+    */
+  def friedmanTest(cells: DataFrame, blockCol: Column, treatCol: Column,
+                   valueCol: Column): DataFrame = {
+    val rows = cells.select(blockCol.as("b"), treatCol.cast("string").as("j"),
+        valueCol.cast("long").as("v"))
+      .filter(col("b").isNotNull && col("j").isNotNull && col("v").isNotNull)
+    val vc = rows.groupBy("b", "v").agg(count(lit(1)).as("t"))
+    val rk = vc
+      .withColumn("w", sum("t").over(Window.partitionBy("b").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("b"), col("v"), (lit(2) * col("w") - col("t") + 1).as("dr"))
+    val dr = rows.join(rk, Seq("b", "v"))
+    // completeness guard: every block must have the same treatment
+    // count AND no duplicate (block, treatment) rows
+    val shape = rows.groupBy("b")
+      .agg(count(lit(1)).as("sz"), countDistinct("j").as("ts"))
+      .agg(count(lit(1)).as("n_blocks"),
+        countDistinct("sz").as("n_sizes"), min("sz").as("k_sz"),
+        coalesce(sum(when(col("sz") =!= col("ts"), 1L).otherwise(0L)), lit(0L))
+          .as("n_dup"))
+      .select(col("n_blocks"),
+        when(col("n_sizes") > 1 || col("n_dup") > 0, raise_error(lit(
+          "graft.friedmanTest: blocks are not complete/unique — zero-fill " +
+            "every (block, treatment) cell exactly once")))
+          .otherwise(col("k_sz")).as("k_treat"))
+    val perTreat = dr.groupBy("j").agg(count(lit(1)).as("n_blocks_t"),
+      coalesce(sum("dr"), lit(0L)).as("r2_sum"))
+    def dd(c: Column) = c.cast("double")
+    val stat = perTreat.agg(
+        coalesce(sum((col("r2_sum").cast("decimal(38,0)") * col("r2_sum"))
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__rsq0"))
+      .withColumn("__rsq", col("__rsq0").cast("double"))
+      .crossJoin(broadcast(dr.agg(
+        coalesce(sum(col("dr") * col("dr")), lit(0L)).as("__a4"))))
+      .crossJoin(broadcast(shape))
+      .withColumn("__kp1sq", (dd(col("k_treat")) + 1.0) * (dd(col("k_treat")) + 1.0))
+      .withColumn("__den", dd(col("__a4")) -
+        dd(col("n_blocks")) * dd(col("k_treat")) * col("__kp1sq"))
+      .withColumn("chi2", when(col("__den") > 0,
+        (dd(col("k_treat")) - 1.0) * (col("__rsq") -
+          dd(col("n_blocks")) * dd(col("n_blocks")) * dd(col("k_treat")) *
+            col("__kp1sq")) / col("__den")))
+      .select(col("n_blocks"), col("k_treat"), col("chi2"))
+    perTreat.select(col("j").as("treat"), col("n_blocks_t"), col("r2_sum"))
+      .crossJoin(broadcast(stat))
+  }
+
+  /** Cohen's d standardized effect size between two arms (pooled-SD
+    * form) with the small-sample Hedges' g correction
+    * g = d·(1 − 3/(4(n1+n2) − 9)): counts and value sums exact int64,
+    * squared sums DECIMAL(38,0) internal, d and g fixed double
+    * expressions over them. Output one row: (n1, n2, s1, s2, d_stat,
+    * g_stat) — NULL when either arm is empty or the pooled variance
+    * is 0. The significance companion is [[welchTTest]] /
+    * [[permutationTest]]; d answers "how big", not "how sure".
+    */
+  def cohensD(units: DataFrame, armCol: Column, valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val u = units.select(armCol.cast("boolean").as("g"), valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    def dd(c: Column) = c.cast("double")
+    u.agg(
+        coalesce(sum(when(col("g"), 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(!col("g"), 1L).otherwise(0L)), lit(0L)).as("n2"),
+        coalesce(sum(when(col("g"), col("v")).otherwise(0L)), lit(0L)).as("s1"),
+        coalesce(sum(when(!col("g"), col("v")).otherwise(0L)), lit(0L)).as("s2"),
+        coalesce(sum(when(col("g"), col("v").cast(dec) * col("v"))
+          .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).cast(dec).as("__q1"),
+        coalesce(sum(when(!col("g"), col("v").cast(dec) * col("v"))
+          .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).cast(dec).as("__q2"))
+      .withColumn("__pooled", when(col("n1") > 0 && col("n2") > 0 &&
+          col("n1") + col("n2") > 2,
+        (dd(col("__q1")) - dd(col("s1")) * dd(col("s1")) / dd(col("n1")) +
+          dd(col("__q2")) - dd(col("s2")) * dd(col("s2")) / dd(col("n2"))) /
+          (dd(col("n1")) + dd(col("n2")) - 2.0)))
+      .withColumn("d_stat", when(col("n1") > 0 && col("n2") > 0 && col("__pooled") > 0,
+        (dd(col("s1")) / dd(col("n1")) - dd(col("s2")) / dd(col("n2"))) /
+          sqrt(col("__pooled"))))
+      .withColumn("g_stat", col("d_stat") *
+        (lit(1.0) - lit(3.0) / (lit(4.0) * (dd(col("n1")) + dd(col("n2"))) - 9.0)))
+      .select(col("n1"), col("n2"), col("s1"), col("s2"), col("d_stat"),
+        col("g_stat"))
+  }
+
+  /** 2×2 exposure/outcome association battery: the exact cell counts
+    * (a = exposed∧outcome, b = exposed∧¬outcome, c, d), odds ratio
+    * ad/bc, relative risk (a/(a+b))/(c/(c+d)), and the Woolf 95% CI
+    * for the OR — exp(ln(OR) ± 1.96·√(1/a+1/b+1/c+1/d)). Cells are
+    * one combinable int64 aggregation; every ratio is a fixed double
+    * expression of exact integers (ln/exp/√ of identical doubles —
+    * engine-deterministic within the hash's float contract). OR/RR/CI
+    * NULL when any cell is 0 (the estimates are undefined; callers
+    * wanting Haldane's +0.5 can add it to the cells themselves).
+    * Output one row: (n_units, a, b, c, d, odds_ratio, risk_ratio,
+    * or_ci_lo, or_ci_hi).
+    */
+  def oddsRatio(units: DataFrame, expCol: Column, outCol: Column): DataFrame = {
+    val u = units.select(expCol.cast("boolean").as("e"), outCol.cast("boolean").as("o"))
+      .filter(col("e").isNotNull && col("o").isNotNull)
+    def dd(c: Column) = c.cast("double")
+    val anyZero = col("a") === 0L || col("b") === 0L || col("c") === 0L ||
+      col("d") === 0L
+    u.agg(count(lit(1)).as("n_units"),
+        coalesce(sum(when(col("e") && col("o"), 1L).otherwise(0L)), lit(0L)).as("a"),
+        coalesce(sum(when(col("e") && !col("o"), 1L).otherwise(0L)), lit(0L)).as("b"),
+        coalesce(sum(when(!col("e") && col("o"), 1L).otherwise(0L)), lit(0L)).as("c"),
+        coalesce(sum(when(!col("e") && !col("o"), 1L).otherwise(0L)), lit(0L)).as("d"))
+      .withColumn("odds_ratio", when(!anyZero,
+        dd(col("a")) * dd(col("d")) / (dd(col("b")) * dd(col("c")))))
+      .withColumn("risk_ratio", when(!anyZero,
+        dd(col("a")) * (dd(col("c")) + dd(col("d"))) /
+          (dd(col("c")) * (dd(col("a")) + dd(col("b"))))))
+      .withColumn("__se", when(!anyZero,
+        sqrt(lit(1.0) / dd(col("a")) + lit(1.0) / dd(col("b")) +
+          lit(1.0) / dd(col("c")) + lit(1.0) / dd(col("d")))))
+      .withColumn("or_ci_lo", exp(log(col("odds_ratio")) - lit(1.96) * col("__se")))
+      .withColumn("or_ci_hi", exp(log(col("odds_ratio")) + lit(1.96) * col("__se")))
+      .select(col("n_units"), col("a"), col("b"), col("c"), col("d"),
+        col("odds_ratio"), col("risk_ratio"), col("or_ci_lo"), col("or_ci_hi"))
+  }
+
+  /** Per-class one-vs-rest classifier evaluation battery from
+    * (actual, predicted) label pairs: exact confusion cells (tp, and
+    * fp/fn/tn via the broadcast marginals), precision/recall/F1/MCC
+    * per class, plus the global accuracy repeated on every row — the
+    * full eval table a model card needs, derivable ONLY from counts
+    * so the whole thing replays bit-exactly. The class spine is the
+    * UNION of actual and predicted labels, so a class the model never
+    * predicts (or invents) still gets its row. Ratios are NULL when
+    * their denominator is 0 (e.g. precision of a never-predicted
+    * class). Output per class: (cls, tp, fp, fn, tn, n_actual,
+    * n_pred, precision, recall, f1, mcc, accuracy).
+    *
+    * Scale shape: ONE combinable (actual, pred) count over the fact
+    * table; everything after runs on the |classes|²-bounded cell
+    * table (checkpointed so the scan runs once).
+    */
+  def confusionStats(df: DataFrame, actualCol: Column, predCol: Column): DataFrame = {
+    val p = df.select(actualCol.cast("string").as("actual"),
+        predCol.cast("string").as("pred"))
+      .filter(col("actual").isNotNull && col("pred").isNotNull)
+    val cells = p.groupBy("actual", "pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tot = cells.agg(coalesce(sum("n"), lit(0L)).as("total"),
+      coalesce(sum(when(col("actual") === col("pred"), col("n")).otherwise(0L)),
+        lit(0L)).as("correct"))
+    val classes = cells.select(col("actual").as("cls"))
+      .union(cells.select(col("pred").as("cls"))).distinct()
+    val tp = cells.filter(col("actual") === col("pred"))
+      .select(col("actual").as("cls"), col("n").as("tp0"))
+    val act = cells.groupBy(col("actual").as("cls")).agg(sum("n").as("n_actual0"))
+    val prd = cells.groupBy(col("pred").as("cls")).agg(sum("n").as("n_pred0"))
+    def dd(c: Column) = c.cast("double")
+    classes.join(tp, Seq("cls"), "left").join(act, Seq("cls"), "left")
+      .join(prd, Seq("cls"), "left").crossJoin(broadcast(tot))
+      .withColumn("tp", coalesce(col("tp0"), lit(0L)))
+      .withColumn("n_actual", coalesce(col("n_actual0"), lit(0L)))
+      .withColumn("n_pred", coalesce(col("n_pred0"), lit(0L)))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_actual") - col("tp"))
+      .withColumn("tn", col("total") - col("n_actual") - col("n_pred") + col("tp"))
+      .withColumn("precision", when(col("n_pred") > 0, dd(col("tp")) / dd(col("n_pred"))))
+      .withColumn("recall", when(col("n_actual") > 0, dd(col("tp")) / dd(col("n_actual"))))
+      .withColumn("f1", when(col("n_pred") + col("n_actual") > 0,
+        lit(2.0) * dd(col("tp")) / (dd(col("n_pred")) + dd(col("n_actual")))))
+      .withColumn("__mden", sqrt((dd(col("tp")) + dd(col("fp"))) *
+        (dd(col("tp")) + dd(col("fn"))) * (dd(col("tn")) + dd(col("fp"))) *
+        (dd(col("tn")) + dd(col("fn")))))
+      .withColumn("mcc", when(col("__mden") > 0,
+        (dd(col("tp")) * dd(col("tn")) - dd(col("fp")) * dd(col("fn"))) /
+          col("__mden")))
+      .withColumn("accuracy", when(col("total") > 0,
+        dd(col("correct")) / dd(col("total"))))
+      .select(col("cls"), col("tp"), col("fp"), col("fn"), col("tn"),
+        col("n_actual"), col("n_pred"), col("precision"), col("recall"),
+        col("f1"), col("mcc"), col("accuracy"))
+  }
+
+  /** Exact average precision (the PR-curve area under the standard
+    * AP definition): rank the scored set by (score DESC, id ASC — a
+    * total order, so ties are engine-identical), AP =
+    * (1/n_pos)·Σ_{positive ranks r} cumPos(r)/r. Per-positive terms
+    * are floor-quantized integrals (cumPos·2²⁰ div r) and
+    * integer-summed — order-free. The ROC companion is [[rocAuc]];
+    * AP weights early precision, the retrieval-facing metric.
+    * Output one row: (n, n_pos, ap_q, avg_precision).
+    *
+    * Scale shape: NO global single-task sort — the rank and the
+    * positive prefix count come from a range repartition on the sort
+    * key plus per-partition window offsets (the distributedNtile
+    * construction), so every stage is partition-parallel; the only
+    * partition-less window is the offset cumsum over
+    * ≤ shuffle-partition-count rows.
+    */
+  def averagePrecision(df: DataFrame, idCol: Column, scoreCol: Column,
+                       labelCol: Column): DataFrame = {
+    val rows = df.select(idCol.as("id"), scoreCol.cast("long").as("s"),
+        labelCol.cast("boolean").as("y"))
+      .filter(col("id").isNotNull && col("s").isNotNull && col("y").isNotNull)
+    val order = Seq(col("s").desc, col("id").asc)
+    val parted = rows.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parted.groupBy("__pid")
+      .agg(count(lit(1)).as("__c"),
+        coalesce(sum(when(col("y"), 1L).otherwise(0L)), lit(0L)).as("__p"))
+      .withColumn("__off", coalesce(sum("__c").over(offW), lit(0L)))
+      .withColumn("__poff", coalesce(sum("__p").over(offW), lit(0L)))
+      .select("__pid", "__off", "__poff")
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = parted.join(broadcast(offs), "__pid")
+      .withColumn("__r", row_number().over(w).cast("long") + col("__off"))
+      .withColumn("__cp", sum(when(col("y"), 1L).otherwise(0L)).over(cum) +
+        col("__poff"))
+      .filter(col("y"))
+      .select(expr("(__cp * 1048576) div __r").as("term"))
+    def dd(c: Column) = c.cast("double")
+    terms.agg(count(lit(1)).as("n_pos"),
+        coalesce(sum("term"), lit(0L)).as("ap_q"))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("n"))))
+      .withColumn("avg_precision", when(col("n_pos") > 0,
+        dd(col("ap_q")) / (dd(col("n_pos")) * 1048576.0)))
+      .select(col("n"), col("n_pos"), col("ap_q"), col("avg_precision"))
+  }
+
+  /** Exact lower weighted median per group (the first value whose
+    * cumulative weight reaches half the total — the standard
+    * inventory/latency percentile when rows carry multiplicity):
+    * per-(group, value) weight tallies, a PARTITIONED cumulative
+    * window, and min(v) over the qualifying tail. All int64;
+    * non-positive and NULL weights are excluded. Output per group:
+    * (g, w_median, total_weight, n_values).
+    */
+  def weightedMedian(df: DataFrame, groupCol: Column, valueCol: Column,
+                     weightCol: Column): DataFrame = {
+    val rows = df.select(groupCol.as("g"), valueCol.cast("long").as("v"),
+        weightCol.cast("long").as("w"))
+      .filter(col("g").isNotNull && col("v").isNotNull &&
+        col("w").isNotNull && col("w") > 0)
+    val cells = rows.groupBy("g", "v").agg(sum("w").as("wv"))
+    val tot = cells.groupBy("g").agg(sum("wv").as("total_weight"),
+      count(lit(1)).as("n_values"))
+    cells
+      .withColumn("cw", sum("wv").over(Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(tot, "g")
+      .filter(col("cw") * 2 >= col("total_weight"))
+      .groupBy("g").agg(min("v").as("w_median"),
+        min("total_weight").as("total_weight"), min("n_values").as("n_values"))
+  }
+
+  /** Seeded permutation test for a difference in arm means — the
+    * distribution-free significance companion to [[cohensD]] /
+    * [[welchTTest]]: `reps` label reassignments, each unit's replica-r
+    * arm from the engine-portable md5 hash of (id, r), per-replica
+    * mean difference from exact int64 sums, and the standard
+    * add-one p-value p = (1 + #{r : |Δ_r| ≥ |Δ_obs|}) / (reps + 1).
+    * Replica diffs and the observed diff are identical fixed double
+    * expressions of exact integers, so the ≥ comparison is
+    * engine-deterministic. Replicas with an empty side yield NULL Δ_r
+    * and never count as extreme. Output one row:
+    * (n_units, reps, obs_diff, n_ge, p_value).
+    *
+    * Scale shape: the exploded units×reps frame reduces through ONE
+    * map-side-combinable aggregation to `reps` rows (the
+    * [[poissonBootstrap]] shape) — no per-replica scans, no
+    * driver-side loop.
+    */
+  def permutationTest(units: DataFrame, idCol: Column, armCol: Column,
+                      valueCol: Column, reps: Int = 199): DataFrame = {
+    require(reps >= 1 && reps <= 100000, s"reps must be in [1, 100000], got $reps")
+    val u = units.select(idCol.cast("string").as("id"),
+        armCol.cast("boolean").as("arm"), valueCol.cast("long").as("v"))
+      .filter(col("id").isNotNull && col("arm").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true)
+    def dd(c: Column) = c.cast("double")
+    def diffOf(n1: Column, s1: Column, n0: Column, s0: Column): Column =
+      when(n1 > 0 && n0 > 0, dd(s1) / dd(n1) - dd(s0) / dd(n0))
+    val obs = u.agg(
+        count(lit(1)).as("n_units"),
+        coalesce(sum(when(col("arm"), 1L).otherwise(0L)), lit(0L)).as("__n1"),
+        coalesce(sum(when(col("arm"), col("v")).otherwise(0L)), lit(0L)).as("__s1"),
+        coalesce(sum(when(!col("arm"), 1L).otherwise(0L)), lit(0L)).as("__n0"),
+        coalesce(sum(when(!col("arm"), col("v")).otherwise(0L)), lit(0L)).as("__s0"))
+      .withColumn("obs_diff",
+        diffOf(col("__n1"), col("__s1"), col("__n0"), col("__s0")))
+      .select("n_units", "obs_diff")
+    val perRep = u
+      .select(col("id"), col("v"),
+        explode(sequence(lit(1), lit(reps))).as("rep"))
+      .withColumn("__arm_r",
+        graft.functions.HashFunctions.stableHash56(
+          concat(col("id"), lit(":"), col("rep"))) % 2L === 1L)
+      .groupBy("rep")
+      .agg(coalesce(sum(when(col("__arm_r"), 1L).otherwise(0L)), lit(0L)).as("__n1"),
+        coalesce(sum(when(col("__arm_r"), col("v")).otherwise(0L)), lit(0L)).as("__s1"),
+        coalesce(sum(when(!col("__arm_r"), 1L).otherwise(0L)), lit(0L)).as("__n0"),
+        coalesce(sum(when(!col("__arm_r"), col("v")).otherwise(0L)), lit(0L)).as("__s0"))
+      .select(diffOf(col("__n1"), col("__s1"), col("__n0"), col("__s0")).as("rdiff"))
+    // aggregate the replica frame FIRST, then attach the (always
+    // one-row) observed frame — an empty unit set must still emit one
+    // row with n_units = 0 on both engines
+    val ge = perRep.crossJoin(broadcast(obs))
+      .agg(coalesce(sum(when(abs(col("rdiff")) >= abs(col("obs_diff")), 1L)
+        .otherwise(0L)), lit(0L)).as("n_ge"))
+    ge.crossJoin(broadcast(obs))
+      .withColumn("reps", lit(reps.toLong))
+      .withColumn("p_value", when(col("obs_diff").isNotNull,
+        (dd(col("n_ge")) + 1.0) / (lit(reps.toDouble) + 1.0)))
+      .select(col("n_units"), col("reps"), col("obs_diff"), col("n_ge"),
+        col("p_value"))
+  }
+
+  /** Information-gain feature ranking: for each candidate categorical
+    * feature, IG = H(label) − H(label | feature) and the gain ratio
+    * IG / H(feature) — the decision-tree split criterion as a
+    * feature-selection report. All entropies live in exact
+    * N-scaled 2⁻²⁰-nat integer units (the q_entropy idiom:
+    * x·qln(x) with qln(x) = floor(ln x · 2²⁰), integer-summed —
+    * order-free): Hl_q = N·qln(N) − Σ_l c_l·qln(c_l), per feature
+    * Hf_q = N·qln(N) − Σ_v n_v·qln(n_v) and
+    * Hcond_q = Σ_v n_v·qln(n_v) − Σ_{v,l} c_vl·qln(c_vl); quantization
+    * may leave IG a hair negative on independent columns — emitted as
+    * computed. Output per feature: (feature, n, hl_q, hf_q, hcond_q,
+    * ig_q, gain_ratio) — gain_ratio NULL when Hf_q = 0 (constant
+    * feature).
+    *
+    * Scale shape: the features stack into ONE combinable
+    * (feature, value, label) count — one fact scan for ALL features;
+    * every later frame is cell-cardinality. Exactness bound:
+    * Σ c·qln(c) ≤ N·qln(N) stays in int64 through N ≈ 4·10¹¹ rows.
+    */
+  def infoGain(df: DataFrame, labelCol: Column,
+               features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "infoGain needs at least one feature")
+    def qln(c: Column) = floor(log(c.cast("double")) * 1048576).cast("long")
+    val stacked = features.map { case (fname, fcol) =>
+      df.select(labelCol.cast("string").as("l"), lit(fname).as("f"),
+        fcol.cast("string").as("v"))
+    }.reduce(_ unionAll _)
+      .filter(col("l").isNotNull && col("v").isNotNull)
+    val cells = stacked.groupBy("f", "v", "l").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val perVal = cells.groupBy("f", "v").agg(sum("c").as("nv"))
+    val perFeat = cells.groupBy("f").agg(
+      coalesce(sum(col("c") * qln(col("c"))), lit(0L)).as("cell_t"),
+      sum("c").as("n"))
+    val valT = perVal.groupBy("f").agg(
+      coalesce(sum(col("nv") * qln(col("nv"))), lit(0L)).as("val_t"))
+    // per-FEATURE label counts: each feature's IG is computed over its
+    // own non-null rows (listwise per feature), so the label entropy
+    // must come from the same row set — a shared label table would
+    // mix null-rate-dependent denominators
+    val labT = cells.groupBy("f", "l").agg(sum("c").as("cl"))
+      .groupBy("f")
+      .agg(coalesce(sum(col("cl") * qln(col("cl"))), lit(0L)).as("lab_t"))
+    def dd(c: Column) = c.cast("double")
+    perFeat.join(valT, "f").join(labT, "f")
+      .withColumn("__nqn", col("n") * qln(col("n")))
+      .withColumn("hl_q", col("__nqn") - col("lab_t"))
+      .withColumn("hf_q", col("__nqn") - col("val_t"))
+      .withColumn("hcond_q", col("val_t") - col("cell_t"))
+      .withColumn("ig_q", col("hl_q") - col("hcond_q"))
+      .withColumn("gain_ratio", when(col("hf_q") > 0,
+        dd(col("ig_q")) / dd(col("hf_q"))))
+      .select(col("f").as("feature"), col("n"), col("hl_q"), col("hf_q"),
+        col("hcond_q"), col("ig_q"), col("gain_ratio"))
+  }
+
+  /** Sample-ratio-mismatch guardrail for a deterministic 1:1 hash
+    * split — THE first check on any experiment readout: arm counts
+    * exact, the 1-df chi-square (n1 − n0)²/N one fixed double, and
+    * the standard α = 0.05 flag (χ²₁ critical value 3.841). A true
+    * SRM means the assignment or logging pipeline is broken and every
+    * downstream lift number is suspect. Output one row:
+    * (n0, n1, chi2, srm_flag).
+    */
+  def srmCheck(units: DataFrame, armCol: Column): DataFrame = {
+    val u = units.select(armCol.cast("boolean").as("arm"))
+      .filter(col("arm").isNotNull)
+    def dd(c: Column) = c.cast("double")
+    u.agg(coalesce(sum(when(!col("arm"), 1L).otherwise(0L)), lit(0L)).as("n0"),
+        coalesce(sum(when(col("arm"), 1L).otherwise(0L)), lit(0L)).as("n1"))
+      .withColumn("chi2", when(col("n0") + col("n1") > 0,
+        (dd(col("n1")) - dd(col("n0"))) * (dd(col("n1")) - dd(col("n0"))) /
+          (dd(col("n0")) + dd(col("n1")))))
+      .withColumn("srm_flag", col("chi2") > 3.841)
+      .select(col("n0"), col("n1"), col("chi2"), col("srm_flag"))
+  }
+
+  /** Cochran–Armitage trend test: is a binary outcome rate
+    * MONOTONICALLY associated with an ordered category (dose, tier,
+    * priority) — more powerful than the omnibus chi-square (row 225)
+    * when the alternative is a trend. With integer scores s_i, group
+    * sizes n_i, successes r_i, N = Σn, R = Σr:
+    * z = (N·Σs·r − R·Σs·n) · √N / √(R(N−R)(N·Σs²n − (Σsn)²)) — every
+    * sum an exact int64 aggregate over the ≤|categories| cell table,
+    * z one fixed double. Output one row: (n, r, k_levels, z_stat) —
+    * NULL when the outcome or the scores are constant.
+    */
+  def cochranArmitage(units: DataFrame, scoreCol: Column,
+                      outCol: Column): DataFrame = {
+    val u = units.select(scoreCol.cast("long").as("s"),
+        outCol.cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val cellsT = u.groupBy("s").agg(count(lit(1)).as("n_i"),
+      coalesce(sum(when(col("y"), 1L).otherwise(0L)), lit(0L)).as("r_i"))
+    def dd(c: Column) = c.cast("double")
+    cellsT.agg(
+        coalesce(sum("n_i"), lit(0L)).as("n"),
+        coalesce(sum("r_i"), lit(0L)).as("r"),
+        count(lit(1)).as("k_levels"),
+        coalesce(sum(col("s") * col("n_i")), lit(0L)).as("__sn"),
+        coalesce(sum(col("s") * col("r_i")), lit(0L)).as("__sr"),
+        coalesce(sum(col("s") * col("s") * col("n_i")), lit(0L)).as("__ssn"))
+      .withColumn("__var", dd(col("r")) * (dd(col("n")) - dd(col("r"))) *
+        (dd(col("n")) * dd(col("__ssn")) - dd(col("__sn")) * dd(col("__sn"))))
+      .withColumn("z_stat", when(col("__var") > 0,
+        (dd(col("n")) * dd(col("__sr")) - dd(col("r")) * dd(col("__sn"))) *
+          sqrt(dd(col("n"))) / sqrt(col("__var"))))
+      .select(col("n"), col("r"), col("k_levels"), col("z_stat"))
+  }
+
+  /** OLS of quantized ln(y) on quantized ln(x) per group — the
+    * log-log power-law fit behind price elasticity, Zipf exponents
+    * and allometric scaling: logs floor-quantized at 2²⁰ (the
+    * entropy idiom) so every sum is an exact DECIMAL(38,0) aggregate
+    * (the int64 [[olsPerGroup]] would wrap on Σ(qln)² past ~40k
+    * points per group); slope / intercept / r² fixed doubles over the
+    * double-cast exact sums. Requires x > 0, y > 0 (non-positive
+    * observations are excluded — no log domain error, ever). Output
+    * per group: (g, n_points, slope, intercept_nats, r2).
+    */
+  def quantLogFit(df: DataFrame, groupCol: Column, xCol: Column,
+                  yCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def qln(c: Column) = floor(log(c.cast("double")) * 1048576).cast("long")
+    val pts = df.select(groupCol.as("g"), xCol.cast("long").as("xr"),
+        yCol.cast("long").as("yr"))
+      .filter(col("g").isNotNull && col("xr").isNotNull && col("yr").isNotNull &&
+        col("xr") > 0 && col("yr") > 0)
+      .select(col("g"), qln(col("xr")).as("x"), qln(col("yr")).as("y"))
+    def dsum(c: Column) =
+      coalesce(sum(c.cast(dec)).cast(dec), lit(0).cast(dec)).cast(dec)
+    def dd(c: Column) = c.cast("double")
+    pts.groupBy("g")
+      .agg(count(lit(1)).as("n_points"),
+        dsum(col("x")).as("__sx"), dsum(col("y")).as("__sy"),
+        dsum((col("x").cast(dec) * col("y")).cast(dec)).as("__sxy"),
+        dsum((col("x").cast(dec) * col("x")).cast(dec)).as("__sxx"),
+        dsum((col("y").cast(dec) * col("y")).cast(dec)).as("__syy"))
+      .withColumn("__num", dd(col("n_points")) * dd(col("__sxy")) -
+        dd(col("__sx")) * dd(col("__sy")))
+      .withColumn("__dx", dd(col("n_points")) * dd(col("__sxx")) -
+        dd(col("__sx")) * dd(col("__sx")))
+      .withColumn("__dy", dd(col("n_points")) * dd(col("__syy")) -
+        dd(col("__sy")) * dd(col("__sy")))
+      .withColumn("slope", when(col("n_points") > 1 && col("__dx") > 0,
+        col("__num") / col("__dx")))
+      .withColumn("intercept_nats", when(col("slope").isNotNull,
+        (dd(col("__sy")) - col("slope") * dd(col("__sx"))) /
+          (dd(col("n_points")) * 1048576.0)))
+      .withColumn("r2", when(col("slope").isNotNull && col("__dy") > 0,
+        col("__num") * col("__num") / (col("__dx") * col("__dy"))))
+      .select(col("g"), col("n_points"), col("slope"), col("intercept_nats"),
+        col("r2"))
+  }
 }

@@ -233,4 +233,96 @@ object TfIdf {
       .agg(count(lit(1)).as("n_trigrams"),
         avg(-log((col("c123") + 1.0) / (col("ctx") + col("vsz")))).as("avg_nll"))
   }
+
+  /** Zipf law fit per corpus slice: OLS of ln(freq) on ln(rank) over
+    * the token frequency table (rank by count DESC, token ASC — the
+    * [[vocabTopN]] total order), the standard "is this source natural
+    * language or boilerplate" diagnostic (natural text ≈ slope −1;
+    * templated spam decays much faster or flatter). Per-token logs
+    * are floor-quantized at 2²⁰ (the entropy idiom) so Σx, Σy, Σxy,
+    * Σx², Σy² are exact DECIMAL(38,0) aggregates — order-free — and
+    * slope / intercept / r² are fixed double expressions over the
+    * (double-cast) exact sums. Output per group: (grp, n_types,
+    * slope, intercept_nats, r2) — NULL fit when n_types < 2 or the
+    * rank variance is 0.
+    *
+    * Scale shape: one explode + one combinable (grp, token) count;
+    * ranking is a window PARTITIONED by group over the
+    * vocabulary-sized frame; the fit reduces per group.
+    */
+  def zipfFit(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("grp", "w").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("c").desc, col("w"))
+    val pts = cnt
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("x", floor(log(col("rk").cast("double")) * 1048576).cast("long"))
+      .withColumn("y", floor(log(col("c").cast("double")) * 1048576).cast("long"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      coalesce(sum(c.cast(dec)).cast(dec), lit(0).cast(dec)).cast(dec)
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    pts.groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).as("n_types"),
+        dsum(col("x")).as("__sx"), dsum(col("y")).as("__sy"),
+        dsum((col("x").cast(dec) * col("y")).cast(dec)).as("__sxy"),
+        dsum((col("x").cast(dec) * col("x")).cast(dec)).as("__sxx"),
+        dsum((col("y").cast(dec) * col("y")).cast(dec)).as("__syy"))
+      .withColumn("__num", dd(col("n_types")) * dd(col("__sxy")) -
+        dd(col("__sx")) * dd(col("__sy")))
+      .withColumn("__dx", dd(col("n_types")) * dd(col("__sxx")) -
+        dd(col("__sx")) * dd(col("__sx")))
+      .withColumn("__dy", dd(col("n_types")) * dd(col("__syy")) -
+        dd(col("__sy")) * dd(col("__sy")))
+      .withColumn("slope", when(col("n_types") > 1 && col("__dx") > 0,
+        col("__num") / col("__dx")))
+      .withColumn("intercept_nats", when(col("slope").isNotNull,
+        (dd(col("__sy")) - col("slope") * dd(col("__sx"))) /
+          (dd(col("n_types")) * 1048576.0)))
+      .withColumn("r2", when(col("slope").isNotNull && col("__dy") > 0,
+        col("__num") * col("__num") / (col("__dx") * col("__dy"))))
+      .select(col(groupCol), col("n_types"), col("slope"),
+        col("intercept_nats"), col("r2"))
+  }
+
+  /** Gini–Simpson lexical diversity per corpus slice:
+    * D = 1 − Σ n_i(n_i − 1) / (N(N − 1)) over token counts — the
+    * probability two tokens drawn without replacement differ; the
+    * collision-based companion to entropy (which weights rare types
+    * log-much) and TTR (which ignores the distribution entirely).
+    * Σ n(n−1) is DECIMAL(38,0) internal (a stop-word at n ≈ 3·10⁹
+    * passes int64) emitted as a guarded BIGINT; D is one fixed double
+    * over exact integers. Output per group: (grp, n_tokens, n_types,
+    * coll_pairs2, simpson) — simpson NULL when N < 2.
+    */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("grp", "w").agg(count(lit(1)).as("c"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val maxLong = lit("9223372036854775807").cast(dec)
+    cnt.groupBy(col("grp").as(groupCol))
+      .agg(coalesce(sum("c"), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        coalesce(sum((col("c").cast(dec) * (col("c") - 1).cast(dec)).cast(dec)),
+          lit(0).cast(dec)).cast(dec).as("cp0"))
+      .withColumn("coll_pairs2",
+        when(col("cp0") > maxLong, raise_error(lit(
+          "graft.simpsonDiversity: coll_pairs2 overflows BIGINT at this " +
+            "scale — widen the emitted type")))
+          .otherwise(col("cp0").cast("long")))
+      .withColumn("simpson", when(col("n_tokens") > 1,
+        lit(1.0) - dd(col("coll_pairs2")) /
+          (dd(col("n_tokens")) * (dd(col("n_tokens")) - 1.0))))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        col("coll_pairs2"), col("simpson"))
+  }
 }

@@ -654,4 +654,125 @@ object TimeSeries {
       })
       .select("series", "n_above", "n_below", "runs", "z")
   }
+
+  /** Turning-points test of serial randomness per series ([[runsTest]]'s
+    * shape-sensitive sibling): over the daily-count series, count
+    * interior days that are a STRICT local max or min of their
+    * (prev, cur, next) triple — ties produce no turning point, the
+    * convention that keeps both engines exact — then the normal
+    * approximation z = (T − 2(n−2)/3) / √((16n−29)/90). Counts exact
+    * int64 via a PARTITIONED lag/lead window over per-(series, day)
+    * aggregates; z one fixed double expression. Output per series:
+    * (series, n_days, t_points, z) — z NULL when n < 4 (no variance).
+    */
+  def turningPoints(events: DataFrame, seriesCol: String,
+                    tsCol: String): DataFrame = {
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val byDay = Window.partitionBy("series").orderBy("day")
+    val flagged = daily
+      .withColumn("__pv", lag(col("x"), 1).over(byDay))
+      .withColumn("__nx", lead(col("x"), 1).over(byDay))
+      .withColumn("__tp", when(col("__pv").isNotNull && col("__nx").isNotNull &&
+        ((col("x") > col("__pv") && col("x") > col("__nx")) ||
+          (col("x") < col("__pv") && col("x") < col("__nx"))), 1L).otherwise(0L))
+    def dd(c: Column) = c.cast("double")
+    flagged.groupBy("series")
+      .agg(count(lit(1)).as("n_days"), sum("__tp").as("t_points"))
+      .withColumn("z", when(col("n_days") >= 4,
+        (dd(col("t_points")) - lit(2.0) * (dd(col("n_days")) - 2.0) / 3.0) /
+          sqrt((lit(16.0) * dd(col("n_days")) - 29.0) / 90.0)))
+      .select("series", "n_days", "t_points", "z")
+  }
+
+  /** Durbin–Watson autocorrelation test on per-series OLS trend
+    * residuals — "after removing the linear trend, do adjacent days
+    * still co-move" (DW ≈ 2 none, → 0 positive, → 4 negative):
+    * per-series slope/intercept from exact int64 sums over
+    * (day − min_day, count) points (the [[Stats.olsPerGroup]]
+    * algebra), residuals e_t fixed double expressions of exact
+    * integers, and both DW sums per-term floor-quantized at 2²⁰ and
+    * integer-summed (order-free) — dw = num_q / den_q one division.
+    * Lag runs under a PARTITIONED window over the day curve. Output
+    * per series: (series, n_days, num_q, den_q, dw) — NULL when the
+    * trend is undefined (constant day span) or den_q = 0 (perfect
+    * fit). Exactness bound: e² · 2²⁰ per term within int64 through
+    * |e| ≈ 9·10⁴ daily-count units.
+    */
+  def durbinWatson(events: DataFrame, seriesCol: String,
+                   tsCol: String): DataFrame = {
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val based = daily
+      .withColumn("x", col("day") - min("day").over(Window.partitionBy("series")))
+    def dd(c: Column) = c.cast("double")
+    val m = based.groupBy("series").agg(count(lit(1)).as("n_days"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val vx = dd(col("n_days")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+    val fit = m
+      .withColumn("slope", when(vx > 0,
+        (dd(col("n_days")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) / vx))
+      .withColumn("icept",
+        (dd(col("sy")) - col("slope") * dd(col("sx"))) / dd(col("n_days")))
+      .select("series", "n_days", "slope", "icept")
+    val byDay = Window.partitionBy("series").orderBy("day")
+    based.join(fit, "series")
+      .withColumn("e", dd(col("y")) - col("icept") - col("slope") * dd(col("x")))
+      .withColumn("__pe", lag(col("e"), 1).over(byDay))
+      .withColumn("__num_t", when(col("__pe").isNotNull,
+        floor((col("e") - col("__pe")) * (col("e") - col("__pe")) * 1048576.0)
+          .cast("long")).otherwise(0L))
+      .withColumn("__den_t", floor(col("e") * col("e") * 1048576.0).cast("long"))
+      .groupBy("series")
+      .agg(min("n_days").as("n_days"),
+        coalesce(sum("__num_t"), lit(0L)).as("num_q"),
+        coalesce(sum("__den_t"), lit(0L)).as("den_q"))
+      .withColumn("dw", when(col("den_q") > 0,
+        dd(col("num_q")) / dd(col("den_q"))))
+      .select("series", "n_days", "num_q", "den_q", "dw")
+  }
+
+  /** Seasonal strength of the weekly cycle per series:
+    * F = max(0, 1 − SS_within-day-of-week / SS_total) over the daily
+    * count curve — 0 means day-of-week explains nothing, → 1 means
+    * the weekly profile IS the series; the variance-decomposition
+    * companion to [[maseDiagnostic]]'s error-ratio view. Per-dow
+    * sum-of-squares terms are fixed double expressions of exact int64
+    * sums, floor-quantized at 2²⁰ and integer-summed over the ≤7-row
+    * dow table (order-free); SST is one fixed expression. Day-of-week
+    * is pmod(day, 7) — an arbitrary but engine-identical anchoring.
+    * Output per series: (series, n_days, ssw_q, strength) — NULL when
+    * SST = 0 (constant series).
+    */
+  def seasonalStrength(events: DataFrame, seriesCol: String,
+                       tsCol: String): DataFrame = {
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    def dd(c: Column) = c.cast("double")
+    val perDow = daily.groupBy("series", "dow").agg(count(lit(1)).as("n_d"),
+        sum("y").as("s_d"), sum(col("y") * col("y")).as("q_d"))
+      .withColumn("__ssw_t", floor((dd(col("q_d")) -
+        dd(col("s_d")) * dd(col("s_d")) / dd(col("n_d"))) * 1048576.0)
+        .cast("long"))
+    val tot = daily.groupBy("series").agg(count(lit(1)).as("n_days"),
+      sum("y").as("s"), sum(col("y") * col("y")).as("q"))
+    perDow.groupBy("series")
+      .agg(coalesce(sum("__ssw_t"), lit(0L)).as("ssw_q"))
+      .join(tot, "series")
+      .withColumn("__sst", dd(col("q")) - dd(col("s")) * dd(col("s")) / dd(col("n_days")))
+      .withColumn("strength", when(col("__sst") > 0,
+        greatest(lit(0.0), lit(1.0) - dd(col("ssw_q")) / (col("__sst") * 1048576.0))))
+      .select("series", "n_days", "ssw_q", "strength")
+  }
 }

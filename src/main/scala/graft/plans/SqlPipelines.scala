@@ -186,6 +186,57 @@ object SqlPipelines {
           col(strLit("graft_bootstrap", a(1))),
           col(strLit("graft_bootstrap", a(2))),
           replicates = intLit("graft_bootstrap", a(3)))
+      },
+    // ---- r13 batch-2 stats kernels over the wire --------------------
+    "graft_wilcoxon" ->
+      arity("graft_wilcoxon", 3, "'table', 'xCol', 'yCol'") { a =>
+        Stats.wilcoxonSignedRank(table("graft_wilcoxon", a(0)),
+          col(strLit("graft_wilcoxon", a(1))), col(strLit("graft_wilcoxon", a(2))))
+      },
+    "graft_cohens_d" ->
+      arity("graft_cohens_d", 3, "'table', 'armCol', 'valueCol'") { a =>
+        Stats.cohensD(table("graft_cohens_d", a(0)),
+          col(strLit("graft_cohens_d", a(1))), col(strLit("graft_cohens_d", a(2))))
+      },
+    "graft_odds_ratio" ->
+      arity("graft_odds_ratio", 3, "'table', 'expCol', 'outCol'") { a =>
+        Stats.oddsRatio(table("graft_odds_ratio", a(0)),
+          col(strLit("graft_odds_ratio", a(1))),
+          col(strLit("graft_odds_ratio", a(2))))
+      },
+    "graft_permutation" ->
+      arity("graft_permutation", 5, "'table', 'idCol', 'armCol', 'valueCol', reps") { a =>
+        Stats.permutationTest(table("graft_permutation", a(0)),
+          col(strLit("graft_permutation", a(1))),
+          col(strLit("graft_permutation", a(2))),
+          col(strLit("graft_permutation", a(3))),
+          reps = intLit("graft_permutation", a(4)))
+      },
+    "graft_confusion" ->
+      arity("graft_confusion", 3, "'table', 'actualCol', 'predCol'") { a =>
+        Stats.confusionStats(table("graft_confusion", a(0)),
+          col(strLit("graft_confusion", a(1))),
+          col(strLit("graft_confusion", a(2))))
+      },
+    "graft_avg_precision" ->
+      arity("graft_avg_precision", 4, "'table', 'idCol', 'scoreCol', 'labelCol'") { a =>
+        Stats.averagePrecision(table("graft_avg_precision", a(0)),
+          col(strLit("graft_avg_precision", a(1))),
+          col(strLit("graft_avg_precision", a(2))),
+          col(strLit("graft_avg_precision", a(3))))
+      },
+    "graft_weighted_median" ->
+      arity("graft_weighted_median", 4, "'table', 'groupCol', 'valueCol', 'weightCol'") { a =>
+        Stats.weightedMedian(table("graft_weighted_median", a(0)),
+          col(strLit("graft_weighted_median", a(1))),
+          col(strLit("graft_weighted_median", a(2))),
+          col(strLit("graft_weighted_median", a(3))))
+      },
+    "graft_trend_test" ->
+      arity("graft_trend_test", 3, "'table', 'scoreCol', 'outCol'") { a =>
+        Stats.cochranArmitage(table("graft_trend_test", a(0)),
+          col(strLit("graft_trend_test", a(1))),
+          col(strLit("graft_trend_test", a(2))))
       }
   )
 }

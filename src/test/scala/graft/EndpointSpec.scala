@@ -296,8 +296,10 @@ class EndpointSpec extends SparkSpecBase with BeforeAndAfterAll {
         "round(l_quantity) AS qty, round(l_discount * 100) AS disc_c, " +
         "round(l_tax * 100) AS tax_c, round(l_extendedprice) AS price_c, " +
         "CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS arm, " +
+        "l_orderkey % 2 = 0 AS arm_b, " +
         "l_returnflag = 'R' AS label, " +
-        "l_orderkey, l_linenumber, l_returnflag, l_linestatus, (l_partkey % 7)::STRING AS pk7 " +
+        "l_orderkey, l_linenumber, l_returnflag, l_linestatus, " +
+        "(l_partkey % 7)::STRING AS pk7, l_partkey % 7 AS pk7_n " +
         "FROM lineitem")
       val wireCalls: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
         "graft_kendall('stats_v', 'qty', 'disc_c')" ->
@@ -327,7 +329,32 @@ class EndpointSpec extends SparkSpecBase with BeforeAndAfterAll {
             col("l_returnflag"), col("l_linestatus"))),
         "graft_bootstrap('stats_v', 'l_orderkey', 'price_c', 8)" ->
           (() => operators.Stats.poissonBootstrap(spark.table("stats_v"),
-            col("l_orderkey"), col("price_c"), replicates = 8))
+            col("l_orderkey"), col("price_c"), replicates = 8)),
+        // r13 batch-2 kernels over the same wire contract
+        "graft_wilcoxon('stats_v', 'qty', 'disc_c')" ->
+          (() => operators.Stats.wilcoxonSignedRank(spark.table("stats_v"),
+            col("qty"), col("disc_c"))),
+        "graft_cohens_d('stats_v', 'label', 'price_c')" ->
+          (() => operators.Stats.cohensD(spark.table("stats_v"),
+            col("label"), col("price_c"))),
+        "graft_odds_ratio('stats_v', 'label', 'arm_b')" ->
+          (() => operators.Stats.oddsRatio(spark.table("stats_v"),
+            col("label"), col("arm_b"))),
+        "graft_permutation('stats_v', 'l_orderkey', 'label', 'price_c', 19)" ->
+          (() => operators.Stats.permutationTest(spark.table("stats_v"),
+            col("l_orderkey"), col("label"), col("price_c"), reps = 19)),
+        "graft_confusion('stats_v', 'l_returnflag', 'l_linestatus')" ->
+          (() => operators.Stats.confusionStats(spark.table("stats_v"),
+            col("l_returnflag"), col("l_linestatus"))),
+        "graft_avg_precision('stats_v', 'l_orderkey', 'price_c', 'label')" ->
+          (() => operators.Stats.averagePrecision(spark.table("stats_v"),
+            col("l_orderkey"), col("price_c"), col("label"))),
+        "graft_weighted_median('stats_v', 'l_returnflag', 'price_c', 'qty')" ->
+          (() => operators.Stats.weightedMedian(spark.table("stats_v"),
+            col("l_returnflag"), col("price_c"), col("qty"))),
+        "graft_trend_test('stats_v', 'pk7_n', 'label')" ->
+          (() => operators.Stats.cochranArmitage(spark.table("stats_v"),
+            col("pk7_n"), col("label")))
       )
       for ((call, local) <- wireCalls) {
         val rs = st.executeQuery(s"SELECT * FROM $call")

@@ -456,7 +456,13 @@ class PlanAuditSpec extends SparkSpecBase {
       "text_burstiness", // top-30 rank over vocabulary-cardinality totals
       // r13 additions, both bounded:
       "q_kruskal",       // rank cumsum over the distinct-VALUE table (spearman's frame)
-      "q_log_rank")      // cumulative risk over the ≤day-span lifetime table (survival's frame)
+      "q_log_rank",      // cumulative risk over the ≤day-span lifetime table (survival's frame)
+      // r13 batch 2, each bounded:
+      "q_wilcoxon",      // rank cumsum over the distinct-|diff| table (kruskal's frame)
+      "q_pr_auc",        // offset cumsum over ≤ shuffle-partition-count rows — the
+                         //   distributedNtile construction; the per-row rank window
+                         //   itself is PARTITIONED by range-partition id
+      "q_lift")          // ntile dual path (NtileSpec) + cumsum over k=10 tile rows
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = Queries.registry.flatMap { case (name, q) =>
       val df = q.build(spark, sf())
