@@ -7498,7 +7498,163 @@ object Queries {
         |  END AS intercept_nats,
         |  CASE WHEN n_points > 1 AND dx > 0 AND dy > 0 THEN
         |    num * num / (dx * dy) END AS r2
-        |FROM ff""".stripMargin))
+        |FROM ff""".stripMargin)),
+
+    // §2.2/328 — single changepoint per series by binary segmentation:
+    // WHERE the level shifted, where CUSUM (210) only shows drift;
+    // per-split variance-reduction gains from partitioned prefix sums,
+    // quantized argmax with earliest-day tie-break.
+    "q_changepoint" -> QueryDef(
+      (s, d) => operators.TimeSeries.changepointBinary(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts) / 86400)::BIGINT AS day, count(*)::BIGINT AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT series, day, y,
+        |    row_number() OVER (PARTITION BY series ORDER BY day) AS i,
+        |    sum(y) OVER (PARTITION BY series ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |    sum(y * y) OVER (PARTITION BY series ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq,
+        |    count(*) OVER (PARTITION BY series) AS n,
+        |    sum(y) OVER (PARTITION BY series) AS s,
+        |    sum(y * y) OVER (PARTITION BY series) AS q
+        |  FROM d),
+        |g AS (SELECT series, day, n,
+        |    q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE AS sst,
+        |    floor(((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+        |      - ((cq::DOUBLE - cs::DOUBLE * cs::DOUBLE / i::DOUBLE)
+        |        + (q::DOUBLE - cq::DOUBLE
+        |          - (s::DOUBLE - cs::DOUBLE) * (s::DOUBLE - cs::DOUBLE)
+        |            / (n::DOUBLE - i::DOUBLE)))) * 1048576.0)::BIGINT AS gain_q
+        |  FROM p WHERE i < n),
+        |b AS (SELECT series, day, n, sst, gain_q,
+        |    row_number() OVER (PARTITION BY series
+        |      ORDER BY gain_q DESC, day) AS rk FROM g)
+        |SELECT series, n::BIGINT AS n_days, day AS split_day, gain_q,
+        |  CASE WHEN sst > 0 THEN gain_q::DOUBLE / (sst * 1048576.0)
+        |    END AS gain_frac
+        |FROM b WHERE rk = 1""".stripMargin)),
+
+    // §2.2/329 — graph pseudo-diameter by double-sweep BFS over the
+    // co-purchase graph: two bfsHops sweeps instead of the all-pairs
+    // n·BFS an exact diameter needs — the 100 TB answer to "how wide
+    // is this graph"; deterministic min-id anchor, (dist DESC, id)
+    // far-node tie-break.
+    "q_diameter" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_quantity") >= 45)
+          .select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.ShortestPaths.pseudoDiameter(e, "src", "dst", maxHops = 32)
+      },
+      Some("""WITH RECURSIVE e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_quantity >= 45 AND y.l_quantity >= 45),
+        |u AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+        |st AS (SELECT min(s) AS sid FROM (SELECT s FROM u UNION SELECT t FROM u) z
+        |  ),
+        |s2 AS (SELECT sid FROM st WHERE sid IS NOT NULL),
+        |r1(n, dd) AS (SELECT sid, 0 FROM s2
+        |  UNION SELECT u.t, r1.dd + 1 FROM r1 JOIN u ON u.s = r1.n WHERE r1.dd < 32),
+        |d1 AS (SELECT n, min(dd) AS dd FROM r1 GROUP BY n),
+        |far AS (SELECT n AS fid, dd AS ecc FROM d1 ORDER BY dd DESC, n LIMIT 1),
+        |r2(n, dd) AS (SELECT fid, 0 FROM far
+        |  UNION SELECT u.t, r2.dd + 1 FROM r2 JOIN u ON u.s = r2.n WHERE r2.dd < 32),
+        |d2 AS (SELECT n, min(dd) AS dd FROM r2 GROUP BY n),
+        |agg2 AS (SELECT max(dd)::BIGINT AS pseudo_diameter,
+        |    count(*)::BIGINT AS n_reached FROM d2)
+        |SELECT s2.sid::BIGINT AS start_node, far.fid::BIGINT AS far_node,
+        |  far.ecc::BIGINT AS ecc_start, pseudo_diameter, n_reached
+        |FROM far CROSS JOIN s2 CROSS JOIN agg2""".stripMargin)),
+
+    // §2.2/330 — exact per-group mode with the deterministic
+    // (count DESC, value ASC) tie-break: the missing descriptive
+    // primitive beside weighted median (312); cell-table rank only.
+    "q_mode" -> QueryDef(
+      (s, d) => operators.Stats.modePerGroup(ds(s, d, "lineitem").toDF,
+          col("l_returnflag"), round(col("l_quantity")))
+        .withColumnRenamed("g", "l_returnflag"),
+      Some("""WITH cells AS (SELECT l_returnflag AS g,
+        |    round(l_quantity)::BIGINT AS v, count(*)::BIGINT AS c
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_quantity IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT g, count(*)::BIGINT AS n_distinct, sum(c)::BIGINT AS n_rows
+        |  FROM cells GROUP BY g),
+        |r AS (SELECT g, v, c,
+        |    row_number() OVER (PARTITION BY g ORDER BY c DESC, v) AS rk
+        |  FROM cells)
+        |SELECT r.g AS l_returnflag, v AS mode_value, c AS mode_count,
+        |  n_distinct, n_rows
+        |FROM r JOIN t ON r.g = t.g WHERE rk = 1""".stripMargin)),
+
+    // §2.2/331 — inter-event gap profile per user: exact epoch-second
+    // gaps under a user-partitioned lag ordered by the total
+    // (epoch, event_id) pair — the engagement-cadence report.
+    "q_gap_stats" -> QueryDef(
+      (s, d) => operators.Analytics.gapStats(ds(s, d, "events").toDF,
+        "user_id", "ts", "event_id"),
+      Some("""WITH e AS (SELECT user_id, floor(epoch(ts))::BIGINT AS ep,
+        |    event_id AS eid FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |g AS (SELECT user_id,
+        |    ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep, eid) AS gap
+        |  FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  coalesce(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END),
+        |    0)::BIGINT AS n_gaps,
+        |  min(gap)::BIGINT AS min_gap_s, max(gap)::BIGINT AS max_gap_s,
+        |  sum(gap)::BIGINT AS sum_gap_s,
+        |  CASE WHEN coalesce(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END),
+        |      0) > 0
+        |    THEN sum(gap)::DOUBLE
+        |      / sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |  END AS mean_gap_s
+        |FROM g GROUP BY user_id""".stripMargin)),
+
+    // §2.2/332 — content-defined chunking boilerplate report: CDC cut
+    // after any token whose 3-token-gram hash ≡ 0 (mod 32) — the
+    // insertion-robust sibling of fixed-chunk dedup (99); per doc the
+    // share of chunks whose content hash repeats corpus-wide.
+    "dedup_cdc" -> QueryDef(
+      (s, d) => operators.Dedup.cdcChunkReport(ds(s, d, "documents").toDF,
+        "doc_id", "text", modulus = 32),
+      Some("""WITH base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |nz AS (SELECT * FROM base WHERE len(toks) > 0),
+        |ex AS (SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks))) AS p FROM nz),
+        |c AS (SELECT doc_id, p - 1 AS pos,
+        |    CASE WHEN p >= 3 AND ('0x' || substring(md5(
+        |        toks[p-2] || chr(1) || toks[p-1] || chr(1) || toks[p]),
+        |        1, 14))::BIGINT % 32 = 0
+        |      THEN 1 ELSE 0 END AS cut
+        |  FROM ex),
+        |ch AS (SELECT doc_id, pos, coalesce(sum(cut) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM c),
+        |sp AS (SELECT doc_id, chunk_id, min(pos) AS st, count(*)::BIGINT AS ln
+        |  FROM ch GROUP BY 1, 2),
+        |chunks AS (SELECT sp.doc_id,
+        |    md5(array_to_string(list_slice(toks, st + 1, st + ln), ' ')) AS h
+        |  FROM sp JOIN nz ON sp.doc_id = nz.doc_id),
+        |occ AS (SELECT h, count(*)::BIGINT AS n_occ FROM chunks GROUP BY h),
+        |per AS (SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |    coalesce(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+        |      AS n_shared
+        |  FROM chunks JOIN occ USING (h) GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_shared,
+        |  n_shared::DOUBLE / n_chunks::DOUBLE AS shared_ratio
+        |FROM per""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

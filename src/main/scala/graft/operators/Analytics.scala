@@ -1065,4 +1065,34 @@ object Analytics {
       .select(col("mkt"), col("n_entities"), col("sum_units"), col("theil_q"),
         col("theil"))
   }
+
+  /** Inter-event gap profile per user — the engagement-cadence report
+    * ("how often does this user come back") a retention model consumes:
+    * per user the exact epoch-second gaps between CONSECUTIVE events
+    * (a lag window PARTITIONED by user over the event stream, ordered
+    * by the totally-ordered (epoch, event_id) pair so same-second
+    * events gap 0 deterministically), then min/max/sum exact int64 and
+    * the mean as one division. Users with one event emit n_gaps = 0
+    * and NULL gap stats. Output per user: (user_id, n_events, n_gaps,
+    * min_gap_s, max_gap_s, sum_gap_s, mean_gap_s).
+    */
+  def gapStats(events: DataFrame, keyCol: String, tsCol: String,
+               idCol: String): DataFrame = {
+    val e = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(keyCol).as("u"),
+        graft.functions.TimeFunctions.epochSec(col(tsCol)).as("ep"),
+        col(idCol).as("eid"))
+    val w = Window.partitionBy("u").orderBy(col("ep"), col("eid"))
+    def dd(c: Column) = c.cast("double")
+    e.withColumn("__gap", col("ep") - lag(col("ep"), 1).over(w))
+      .groupBy(col("u").as(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum(when(col("__gap").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_gaps"),
+        min("__gap").as("min_gap_s"), max("__gap").as("max_gap_s"),
+        sum("__gap").as("sum_gap_s"))
+      .withColumn("mean_gap_s", when(col("n_gaps") > 0,
+        dd(col("sum_gap_s")) / dd(col("n_gaps"))))
+  }
 }

@@ -1289,4 +1289,60 @@ object Dedup {
       acc.join(pick, Seq("cluster_id"), "left")
     }
   }
+
+  /** Content-defined chunking (CDC) boilerplate report — the
+    * insertion-robust sibling of [[chunkDedup]]'s FIXED token chunks:
+    * a chunk boundary falls after token i whenever the md5 hash of the
+    * 3-token gram ending at i ≡ 0 (mod `modulus`), so inserting a
+    * sentence shifts ONE chunk's content instead of re-phasing every
+    * chunk after it (the rsync/LBFS argument, token-level). Chunks are
+    * rebuilt by slicing the pinned token array with the span table
+    * (never re-tokenized), hashed, and counted corpus-wide; per doc
+    * the report says how much of it is chunk-level boilerplate.
+    * Output: (doc_id, n_chunks, n_shared, shared_ratio) — n_shared
+    * counts this doc's chunks whose content hash occurs ≥ 2 times in
+    * the corpus (including within-doc repeats, which ARE boilerplate).
+    *
+    * Scale shape: gram hashing and the cut cumsum are windows
+    * PARTITIONED by doc over exploded tokens; spans and occurrence
+    * counts are combinable aggregations; the slice join is doc-keyed.
+    * Expected chunk length = `modulus` tokens — size the modulus like
+    * a chunker, not a sampler.
+    */
+  def cdcChunkReport(df: DataFrame, idCol: String, textCol: String,
+                     modulus: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(modulus >= 2 && modulus <= 4096,
+      s"modulus must be in [2, 4096], got $modulus")
+    val toks = fanOut(df.filter(col(idCol).isNotNull && col(textCol).isNotNull))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .localCheckpoint(true) // scanned twice: explode + the slice join
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val cuts = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("__g", concat_ws("\u0001",
+        lag(col("tok"), 2).over(w), lag(col("tok"), 1).over(w), col("tok")))
+      .withColumn("__cut", when(col("pos") >= 2 &&
+        graft.functions.HashFunctions.stableHash56(col("__g"))
+          % modulus.toLong === 0L, 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(
+        sum("__cut").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val spans = cuts.groupBy("doc_id", "chunk_id")
+      .agg(min("pos").as("__start"), count(lit(1)).as("__len"))
+    val chunks = spans.join(toks, "doc_id")
+      .withColumn("__chunk", array_join(
+        slice(col("toks"), col("__start") + 1, col("__len")), " "))
+      .select(col("doc_id"), md5(col("__chunk")).as("h"))
+    val occ = chunks.groupBy("h").agg(count(lit(1)).as("__n_occ"))
+    chunks.join(occ, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        coalesce(sum(when(col("__n_occ") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_shared"))
+      .withColumn("shared_ratio",
+        col("n_shared").cast("double") / col("n_chunks").cast("double"))
+  }
 }

@@ -155,4 +155,47 @@ object ShortestPaths {
     adj.unpersist(blocking = false)
     dist
   }
+
+  /** Pseudo-diameter by the standard double-sweep: BFS from the
+    * smallest node id (a deterministic, engine-identical anchor), take
+    * the farthest reached node (dist DESC, id ASC tie-break), BFS
+    * again from it — the second eccentricity is the classic
+    * lower-bound diameter estimate, exact on trees and within a small
+    * factor on real graphs, at the cost of TWO BFS sweeps instead of
+    * the all-pairs n·BFS an exact diameter needs (the 100 TB answer).
+    * Both sweeps are [[bfsHops]] (frontier deltas, per-hop
+    * localCheckpoint, anti-join settled). The two one-row anchor
+    * collects are bounded by construction. Output one row:
+    * (start_node, far_node, ecc_start, pseudo_diameter, n_reached) —
+    * empty edge set emits no row.
+    */
+  def pseudoDiameter(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxHops: Int = 32): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nodes = edges.select(col(srcCol).cast("long").as("id"))
+      .union(edges.select(col(dstCol).cast("long").as("id")))
+      .filter(col("id").isNotNull).distinct()
+    val startRow = nodes.agg(min("id").as("id")).filter(col("id").isNotNull)
+      .collect()
+    if (startRow.isEmpty || startRow.head.isNullAt(0)) {
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("start_node", "far_node", "ecc_start", "pseudo_diameter",
+          "n_reached")
+    }
+    val start = startRow.head.getLong(0)
+    val sweep1 = bfsHops(edges, srcCol, dstCol,
+      Seq(start).toDF("id"), maxHops).localCheckpoint(true)
+    // farthest node: max dist, then min id — one bounded collect
+    val far = sweep1
+      .orderBy(col("dist").desc, col("node_id").asc).limit(1)
+      .collect().head
+    val farId = far.getLong(0)
+    val ecc1 = far.getInt(1).toLong // bfsHops dist is IntegerType
+    val sweep2 = bfsHops(edges, srcCol, dstCol, Seq(farId).toDF("id"), maxHops)
+    sweep2.agg(max(col("dist")).cast("long").as("pseudo_diameter"),
+        count(lit(1)).as("n_reached"))
+      .select(lit(start).as("start_node"), lit(farId).as("far_node"),
+        lit(ecc1).as("ecc_start"), col("pseudo_diameter"), col("n_reached"))
+  }
 }

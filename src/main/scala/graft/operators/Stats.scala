@@ -1681,4 +1681,24 @@ object Stats {
       .select(col("g"), col("n_points"), col("slope"), col("intercept_nats"),
         col("r2"))
   }
+
+  /** Exact per-group mode with the deterministic (count DESC, value
+    * ASC) tie-break — the missing member of the descriptive family
+    * beside [[weightedMedian]] and the profiling rows: one combinable
+    * (group, value) count, then a rank window over the
+    * value-cardinality cell table PARTITIONED by group. Output per
+    * group: (g, mode_value, mode_count, n_distinct, n_rows).
+    */
+  def modePerGroup(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val cells = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy("g").agg(count(lit(1)).as("n_distinct"),
+      sum("c").as("n_rows"))
+    val w = Window.partitionBy("g").orderBy(col("c").desc, col("v").asc)
+    cells.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .join(tot, "g")
+      .select(col("g"), col("v").as("mode_value"), col("c").as("mode_count"),
+        col("n_distinct"), col("n_rows"))
+  }
 }

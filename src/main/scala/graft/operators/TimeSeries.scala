@@ -775,4 +775,54 @@ object TimeSeries {
         greatest(lit(0.0), lit(1.0) - dd(col("ssw_q")) / (col("__sst") * 1048576.0))))
       .select("series", "n_days", "ssw_q", "strength")
   }
+
+  /** Single changepoint per series by binary segmentation — WHERE did
+    * the level shift, where [[cusumCurve]] only says THAT it drifts:
+    * for every split position i of the daily curve, the variance
+    * reduction gain(i) = SST − [SSE(1..i) + SSE(i+1..n)] from
+    * partitioned prefix sums (exact int64); per-candidate gains are
+    * floor-quantized at 2²⁰ and the argmax ties break to the EARLIEST
+    * day — engine-deterministic. Output per series: (series, n_days,
+    * split_day, gain_q, gain_frac) — the split is the last day of the
+    * LEFT segment; series with n < 2 emit no row, gain_frac NULL when
+    * SST = 0 (constant series).
+    *
+    * Scale shape: one combinable daily reduction; prefix sums and the
+    * argmax are windows PARTITIONED by series over day-curve frames.
+    */
+  def changepointBinary(events: DataFrame, seriesCol: String,
+                        tsCol: String): DataFrame = {
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val byDay = Window.partitionBy("series").orderBy("day")
+    val cum = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = Window.partitionBy("series")
+    def dd(c: Column) = c.cast("double")
+    val pre = daily
+      .withColumn("i", row_number().over(byDay).cast("long"))
+      .withColumn("cs", sum("y").over(cum))
+      .withColumn("cq", sum(col("y") * col("y")).over(cum))
+      .withColumn("n", count(lit(1)).over(per))
+      .withColumn("s", sum("y").over(per))
+      .withColumn("q", sum(col("y") * col("y")).over(per))
+      .filter(col("i") < col("n")) // split after i leaves a non-empty right
+      .withColumn("__sst", dd(col("q")) - dd(col("s")) * dd(col("s")) / dd(col("n")))
+      .withColumn("__sse",
+        (dd(col("cq")) - dd(col("cs")) * dd(col("cs")) / dd(col("i"))) +
+          (dd(col("q")) - dd(col("cq")) -
+            (dd(col("s")) - dd(col("cs"))) * (dd(col("s")) - dd(col("cs"))) /
+              (dd(col("n")) - dd(col("i")))))
+      .withColumn("gain_q",
+        floor((col("__sst") - col("__sse")) * 1048576.0).cast("long"))
+    val best = Window.partitionBy("series")
+      .orderBy(col("gain_q").desc, col("day").asc)
+    pre.withColumn("__rk", row_number().over(best)).filter(col("__rk") === 1)
+      .withColumn("gain_frac", when(col("__sst") > 0,
+        dd(col("gain_q")) / (col("__sst") * 1048576.0)))
+      .select(col("series"), col("n").as("n_days"), col("day").as("split_day"),
+        col("gain_q"), col("gain_frac"))
+  }
 }

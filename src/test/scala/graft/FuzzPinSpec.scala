@@ -229,4 +229,24 @@ class FuzzPinSpec extends SparkSpecBase {
     assert(Seq(2L, 3L, 4L).forall(id => clusters(id) === id),
       s"non-finite vectors must be singletons: $clusters")
   }
+
+  // ---- ANSI cast poisoning (r13 batch-2) ------------------------------
+
+  test("trend-test score derivation tolerates poisoned category strings") {
+    import spark.implicits._
+    // r13 seeds 2/3/7 q_trend_test: a mutated o_orderpriority of ""
+    // (or any non-digit head) crashed Spark's ANSI string->BIGINT cast
+    // while DuckDB's TRY_CAST returned NULL — "no spark output". The
+    // contract is try_cast on BOTH engines: poisoned scores become
+    // NULL and drop through the operator's listwise filter.
+    val df = Seq(("1-URGENT", "F"), ("", "F"), (" junk", "O"),
+      ("3-MEDIUM", "F"), ("5-LOW", "O"))
+      .toDF("o_orderpriority", "o_orderstatus")
+    val out = Stats.cochranArmitage(df,
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)"),
+        col("o_orderstatus") === "F")
+      .select("n", "k_levels").as[(Long, Long)].collect().head
+    assert(out === ((3L, 3L)),
+      s"poisoned rows must drop as NULL scores, not crash: $out")
+  }
 }
