@@ -39,7 +39,10 @@ class ConstructionShuffleSpec extends SparkSpecBase {
     "q_communities" -> 8,  // 3 label-propagation rounds + degree prep
     "q_kcore" -> 10,       // peeling rounds to fixpoint at sf0.001
     "dedup_cluster" -> 8,  // minhash bands + pointer-chasing rounds
-    "sim_kmeans" -> 10     // seeding + 2 Lloyd rounds (assign/update)
+    "sim_kmeans" -> 10,    // seeding + 2 Lloyd rounds (assign/update)
+    "q_diameter" -> 93     // two bfsHops sweeps: ~3 shuffles/hop (expand
+                           // distinct + settled anti-join) x ecc hops x 2
+                           // sweeps + anchors; ecc-dependent, measured 93
   )
 
   private def countShuffleStages(body: => Unit): Int = {

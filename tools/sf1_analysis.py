@@ -30,6 +30,16 @@ EXEMPT = {
     "q_substring_pairs": (120, "output 169,618 -> 97.3M rows (574x) per 10x "
         "input - the r4 quadratic pair-multiplicity contract; DuckDB replaying "
         "the identical oracle: 107s vs Spark 110s"),
+    # r13: back over the bar at 11.1x on the 290-query record, and this
+    # time the data term is MEASURED: SfScale replica images are
+    # pixel-identical, so the hamming PAIR form's output grows
+    # quadratically in replication - 32,623 -> 3,315,158 pairs (101.6x)
+    # per 10x input (runMain probe, r13). 11.1x wall for 101.6x output
+    # is sub-linear in output; the label/cluster forms stay the corpus
+    # path, same as simhash.
+    "dedup_phash": (30, "output 32,623 -> 3.32M pairs (101.6x) per 10x input "
+        "- pixel-identical replica images; pair form quadratic in duplicate "
+        "multiplicity by contract"),
 }
 # r12: the q_autocorr exemption (r11: 19.8s in-suite vs 4.07s isolated,
 # a suite-position artifact) is DELETED — Bench now drains every
