@@ -36,7 +36,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // compiling and the late (alphabetically last) queries run partly
   // interpreted — measured as 4-8x slowdowns on q_substring_*/text_*
   // with early queries unaffected. Headroom keeps the JIT on.
-  "-XX:ReservedCodeCacheSize=1g",
+  // r13: the 1g headroom SATURATED AGAIN at 290 registry queries —
+  // the same pathology one decade up: late-suite queries measured ~2x
+  // their isolated times at 1g and return to baseline at 2g
+  // (q_fk_discovery 13.2s -> 5.5s, text_winnow 1.6s -> 0.64s;
+  // shared-250 suite total 208.8s -> 173.2s, matching the r12 record's
+  // 168.3s). Default now 2g, env-tunable for the next decade.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "2g")}",
 )
 // Keep sbt's "[success] Total time ..." trailer off stdout: the bench
 // driver reads the LAST stdout line, which must be graft.Bench's JSON
