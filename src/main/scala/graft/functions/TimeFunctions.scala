@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
 object TimeFunctions {
 
   /** Epoch seconds as floor(epoch(ts)) — exact over the full timestamp
-    * range: the µs remainder is removed in int64 (pmod) and the then
-    * exactly-divisible quotient is taken through DECIMAL(38,0); a
-    * double division would round past 2^53 µs (~year 2255).
+    * range, entirely in int64: the µs remainder is removed (pmod) and
+    * the then exactly-divisible value goes through a truncating int64
+    * division, which on an exact multiple IS the floor ([[floorDiv]]);
+    * a double division would round past 2^53 µs (~year 2255).
     */
   def epochSec(ts: Column): Column =
     // the cast makes NTZ-read parquet (isAdjustedToUTC=false) usable:

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Whole-graph structural summaries (beside the per-node family:
@@ -18,9 +18,18 @@ object GraphMetrics {
     * bit-for-bit in SQL: scores live in micro-units (start hub = 10⁶
     * per source node), each half-step is an exact int64 sum over
     * in/out edges, and normalization is `score·10⁶ div max(score)`
-    * (max is order-free where a float L2 norm never is). Bound:
-    * Σ_in hub ≤ deg_max·10⁶ — int64-safe to ~9·10⁹-degree hubs.
-    * Per-round lineage is truncated with eager localCheckpoints (the
+    * with the multiply widened to DECIMAL(38,0) (max is order-free
+    * where a float L2 norm never is; the decimal widening matches the
+    * DuckDB oracle's HUGEINT arithmetic, so there is no wrap class at
+    * any degree). The binding int64 constraint is the half-step SUM
+    * itself: Σ hub ≤ deg_max·10⁶ must fit int64, i.e. hubs up to
+    * ~9·10¹² in-degree — the normalization multiply is no longer a
+    * bound. Each alternating half-step joins the edge table on `src`
+    * then on `dst`, so the edge set is persisted TWICE, co-partitioned
+    * on each join key (the [[PageRank]] one-time-repartition lesson
+    * applied to an alternating iteration): every half-step shuffles
+    * only the node-sized score table, never the edges. Per-round
+    * lineage is truncated with eager localCheckpoints (the
     * [[PageRank]] plan-hygiene lesson). Output one row per node:
     * (node_id, hub_micro, auth_micro) — zeros for nodes on one side
     * only.
@@ -32,30 +41,43 @@ object GraphMetrics {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+    // two co-partitioned copies: the auth half-step joins on src, the
+    // hub half-step joins on dst — one persisted partitioning each,
+    // reused every round (2×iters reuses), so per-round shuffle mass
+    // is the score table only
+    val eBySrc = e.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eByDst = e.repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // node set checkpointed eagerly: the final assembly must not
     // re-derive it after the edge cache is released
-    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val nodes = eBySrc.select(col("src").as("id"))
+      .union(eByDst.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
-    var hub = e.select(col("src").as("id")).distinct()
+    // score·10⁶ div max in DECIMAL(38,0) — exact at any degree (the
+    // int64 multiply would wrap silently once score·10⁶ > 2⁶³); the
+    // quotient is ≤ 10⁶ so the long narrowing is exact
+    def normalize(score: Column, mx: Column): Column =
+      graft.functions.TimeFunctions.truncDiv(
+        score.cast("decimal(38,0)") * lit(1000000L).cast("decimal(38,0)"),
+        mx.cast("decimal(38,0)"))
+    var hub = eBySrc.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1000000L).as("h"))
       .localCheckpoint(true)
     var auth: DataFrame = null
     for (_ <- 0 until iters) {
-      val rawAuth = e.join(hub.withColumnRenamed("id", "src"), "src")
+      val rawAuth = eBySrc.join(hub.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
       val amax = rawAuth.agg(max("a").as("amax"))
       auth = rawAuth.crossJoin(broadcast(amax))
-        .select(col("id"), graft.functions.TimeFunctions.truncDiv(col("a") * 1000000L, col("amax"))
-          .as("a"))
+        .select(col("id"), normalize(col("a"), col("amax")).as("a"))
         .localCheckpoint(true)
-      val rawHub = e.join(auth.withColumnRenamed("id", "dst"), "dst")
+      val rawHub = eByDst.join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum("a").as("h"))
       val hmax = rawHub.agg(max("h").as("hmax"))
       hub = rawHub.crossJoin(broadcast(hmax))
-        .select(col("id"), graft.functions.TimeFunctions.truncDiv(col("h") * 1000000L, col("hmax"))
-          .as("h"))
+        .select(col("id"), normalize(col("h"), col("hmax")).as("h"))
         .localCheckpoint(true)
     }
     val out = nodes
@@ -63,7 +85,8 @@ object GraphMetrics {
       .join(auth.select(col("id"), col("a").as("auth_micro")), Seq("id"), "left")
       .na.fill(0L, Seq("hub_micro", "auth_micro"))
       .select(col("id").as("node_id"), col("hub_micro"), col("auth_micro"))
-    e.unpersist(blocking = false)
+    eBySrc.unpersist(blocking = false)
+    eByDst.unpersist(blocking = false)
     out
   }
 

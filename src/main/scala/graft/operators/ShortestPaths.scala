@@ -24,9 +24,9 @@ import org.apache.spark.storage.StorageLevel
   * between hops is one (node, dist) row per settled node. Dedup,
   * symmetrize, and min are all map-side combinable; nothing is
   * collected to the driver. A hop whose frontier is empty terminates
-  * the loop early (one cheap `limit(1).isEmpty` probe per hop — the
-  * same convergence probe [[ConnectedComponents.propagateToFixpoint]]
-  * uses).
+  * the loop early (one cheap count over the hop's
+  * already-checkpointed merge — the same convergence probe
+  * [[ConnectedComponents.propagateToFixpoint]] uses).
   *
   * Semantics (replayable by a recursive-CTE oracle): `dist(v)` = the
   * minimum number of edges on any path from any source to `v`, capped
@@ -42,55 +42,100 @@ object ShortestPaths {
     */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               sources: DataFrame, maxHops: Int): DataFrame = {
-    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val spark = edges.sparkSession
-    import spark.implicits._
+    val adj = buildAdjacency(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try bfsHopsOnAdj(adj, sources, maxHops)
+    finally adj.unpersist(blocking = false)
+  }
+
+  /** Symmetrized, cleaned, deduplicated adjacency partitioned on
+    * `src` — built ONCE and shared when a caller runs several sweeps
+    * over the same graph ([[pseudoDiameter]]'s double sweep).
+    */
+  private def buildAdjacency(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame = {
     val s = col(srcCol).cast("long")
     val t = col(dstCol).cast("long")
     // symmetrize + clean: each undirected edge becomes two directed
     // rows; distinct collapses duplicates and reversed re-statements
-    val adj = edges.filter(s =!= t)
+    edges.filter(s =!= t)
       .select(s.as("src"), t.as("dst"))
       .union(edges.filter(s =!= t).select(t.as("src"), s.as("dst")))
       .distinct()
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [[bfsHops]] over a pre-built (already persisted) adjacency. */
+  private def bfsHopsOnAdj(adj: DataFrame, sources: DataFrame,
+                           maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val src0 = sources.select(sources.columns.head).distinct()
       .select(col(sources.columns.head).cast("long").as("node_id"),
         lit(0).as("dist"))
-    // Each settled layer is an eager localCheckpoint: hop h's plan
-    // references hop h-1 both as the frontier (expansion join) and
-    // inside `settled` (anti-join), so un-truncated lineage doubles
-    // per hop and Catalyst's driver-side optimization time grows
-    // exponentially with depth (the same pathology measured in
-    // [[PageRank]]). Checkpointed, every hop is ONE job over
-    // frontier-sized state, its count doubling as the empty-frontier
-    // termination probe; `settled` stays a union of layer scans —
-    // linear plan growth.
-    var frontier = src0.localCheckpoint(true)
-    val layers = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
-    var settled: DataFrame = frontier
+    // Each hop's merged distance table is an eager localCheckpoint:
+    // un-truncated lineage doubles per hop and Catalyst's driver-side
+    // optimization time grows exponentially with depth (the same
+    // pathology measured in [[PageRank]]).
+    //
+    // The per-round merge FUSES what r13 spent three shuffles on
+    // (candidate distinct + settled anti-join + frontier dedup) into
+    // ONE combinable min(dist) aggregation over settled ∪ candidates:
+    // a node already settled at d keeps d (min wins); a node first
+    // reached this round gets its layer label and the DEEPEST new
+    // layer IS the next frontier (`dist = deep` filter on the
+    // checkpointed merge — no recompute, no extra shuffle). Semantics
+    // are identical to distinct+anti-join: distances never increase
+    // and each node's final dist is its first-reached hop.
+    //
+    // STRIDE-3 rounds: each round expands the frontier THREE hops
+    // inside one job (frontier ⋈ adj → dedup → ⋈ adj → dedup → ⋈ adj;
+    // each dedup's hash(node_id) output co-partitions with adj's
+    // hash(src), so the follow-on joins add no exchange), then the
+    // min-merge labels k-hop candidates h+k. Correctness is the BFS
+    // layer argument, inductively: every true-(h+k)-node is adjacent
+    // to a true-(h+k−1)-node, which is contained in cand_{k−1} (the
+    // candidate superset of its layer), so it appears in cand_k;
+    // min() repairs any candidate whose true distance is smaller.
+    // A BFS's wall clock is serial rounds × per-round latency (the
+    // per-round data is frontier-sized and tiny next to the job
+    // fixed cost), so striding cuts the wall ~3× while total join
+    // work stays O(E) per hop exactly as before. The next frontier is
+    // the DEEPEST new layer only — a shallower new node was already
+    // expanded inside the round, and if the deepest layer is empty no
+    // deeper true layer can exist (it would need a deepest-layer
+    // neighbor). A maxHops tail shorter than the stride runs a
+    // truncated round. Measured on the sf0.1 diameter-30 graph:
+    // stride 1 = 13.4 s, 2 = 10.8 s, 3 = 9.7 s, 4 = 11.1 s (deeper
+    // strides pay more intra-round exchanges than they save rounds).
+    val stride = 3
+    var settled = src0.localCheckpoint(true)
+    var frontier = settled
     var h = 1
     var done = maxHops == 0 || frontier.count() == 0
     while (!done) {
-      // expand ONLY the frontier; anti-join drops already-settled
-      // nodes (their existing dist is <= h by construction)
-      val next = frontier.join(adj, frontier("node_id") === adj("src"))
-        .select(col("dst").as("node_id"))
-        .distinct()
-        .join(settled, Seq("node_id"), "left_anti")
-        .withColumn("dist", lit(h))
+      val s = math.min(stride, maxHops - h + 1)
+      var layerSrc: DataFrame = frontier
+      var acc: DataFrame = settled
+      for (k <- 0 until s) {
+        val cand = layerSrc.join(adj, layerSrc("node_id") === adj("src"))
+          .select(col("dst").as("node_id"), lit(h + k).as("dist"))
+        acc = acc.unionByName(cand)
+        if (k < s - 1) layerSrc = cand.select("node_id").distinct()
+      }
+      val merged = acc
+        .groupBy("node_id").agg(min("dist").as("dist"))
         .localCheckpoint(true)
-      if (next.count() == 0) done = true
+      val deep = h + s - 1
+      frontier = merged.filter(col("dist") === deep)
+      // merged can hold NEW shallower-layer nodes even when the deep
+      // layer is empty — it is always the new settled state
+      settled = merged
+      if (frontier.count() == 0) done = true
       else {
-        layers += next
-        settled = settled.union(next)
-        frontier = next
-        h += 1
+        h = deep + 1
         done = h > maxHops
       }
     }
-    adj.unpersist(blocking = false)
     settled
   }
 
@@ -163,9 +208,15 @@ object ShortestPaths {
     * lower-bound diameter estimate, exact on trees and within a small
     * factor on real graphs, at the cost of TWO BFS sweeps instead of
     * the all-pairs n·BFS an exact diameter needs (the 100 TB answer).
-    * Both sweeps are [[bfsHops]] (frontier deltas, per-hop
-    * localCheckpoint, anti-join settled). The two one-row anchor
-    * collects are bounded by construction. Output one row:
+    * Both sweeps are [[bfsHopsOnAdj]] (frontier deltas, per-hop
+    * localCheckpoint, fused min-merge) over ONE shared adjacency —
+    * symmetrized, deduplicated, and partitioned a single time instead
+    * of once per sweep. The second sweep cannot be cut short at sweep
+    * 1's eccentricity: ecc(far) ≥ ecc(start) always (far is at
+    * distance ecc_start from start), so the interesting hops are
+    * exactly the ones PAST ecc_start — an early exit there would
+    * under-report the oracle-visible pseudo_diameter. The two one-row
+    * anchor collects are bounded by construction. Output one row:
     * (start_node, far_node, ecc_start, pseudo_diameter, n_reached) —
     * empty edge set emits no row.
     */
@@ -184,18 +235,22 @@ object ShortestPaths {
           "n_reached")
     }
     val start = startRow.head.getLong(0)
-    val sweep1 = bfsHops(edges, srcCol, dstCol,
-      Seq(start).toDF("id"), maxHops).localCheckpoint(true)
-    // farthest node: max dist, then min id — one bounded collect
-    val far = sweep1
-      .orderBy(col("dist").desc, col("node_id").asc).limit(1)
-      .collect().head
-    val farId = far.getLong(0)
-    val ecc1 = far.getInt(1).toLong // bfsHops dist is IntegerType
-    val sweep2 = bfsHops(edges, srcCol, dstCol, Seq(farId).toDF("id"), maxHops)
-    sweep2.agg(max(col("dist")).cast("long").as("pseudo_diameter"),
-        count(lit(1)).as("n_reached"))
-      .select(lit(start).as("start_node"), lit(farId).as("far_node"),
-        lit(ecc1).as("ecc_start"), col("pseudo_diameter"), col("n_reached"))
+    val adj = buildAdjacency(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sweep1 = bfsHopsOnAdj(adj, Seq(start).toDF("id"), maxHops)
+      // farthest node: max dist, then min id — one bounded collect
+      val far = sweep1
+        .orderBy(col("dist").desc, col("node_id").asc).limit(1)
+        .collect().head
+      val farId = far.getLong(0)
+      val ecc1 = far.getInt(1).toLong // bfsHops dist is IntegerType
+      val sweep2 = bfsHopsOnAdj(adj, Seq(farId).toDF("id"), maxHops)
+      sweep2.agg(max(col("dist")).cast("long").as("pseudo_diameter"),
+          count(lit(1)).as("n_reached"))
+        .select(lit(start).as("start_node"), lit(farId).as("far_node"),
+          lit(ecc1).as("ecc_start"), col("pseudo_diameter"), col("n_reached"))
+        .localCheckpoint(true)
+    } finally adj.unpersist(blocking = false)
   }
 }

@@ -1076,12 +1076,7 @@ object Stats {
     // then narrowed to BIGINT behind a named guard (they fit int64
     // whenever n < ~4.3e9 — the guard names the operator so an
     // overflow at extreme scale fails loudly, never wraps).
-    val maxLong = lit("9223372036854775807").cast(dec)
-    def asLong(name: String): Column =
-      when(col(name) > maxLong, raise_error(concat(
-        lit(s"graft.kendallTau: $name overflows BIGINT at this scale ("),
-        col(name).cast("string"), lit(") — widen the emitted type"))))
-        .otherwise(col(name).cast("long")).as(name)
+    def asLong(name: String): Column = guardedLong(name, "kendallTau")
     margins.crossJoin(pairAgg).crossJoin(broadcast(txDf)).crossJoin(broadcast(tyDf))
       .withColumn("tau",
         when((col("n0") > col("ties_x")) && (col("n0") > col("ties_y")),
@@ -1097,7 +1092,7 @@ object Stats {
     * fit int64 at every verify/bench scale, and an overflow at extreme
     * scale fails loudly with the operator's name, never wraps.
     */
-  private def guardedLong(name: String, op: String): Column = {
+  private[graft] def guardedLong(name: String, op: String): Column = {
     val maxLong = lit("9223372036854775807").cast("decimal(38,0)")
     when(col(name) > maxLong, raise_error(concat(
       lit(s"graft.$op: $name overflows BIGINT at this scale ("),
@@ -1225,15 +1220,23 @@ object Stats {
       .select(col("b"), col("v"), (lit(2) * col("w") - col("t") + 1).as("dr"))
     val dr = rows.join(rk, Seq("b", "v"))
     // completeness guard: every block must have the same treatment
-    // count AND no duplicate (block, treatment) rows
+    // count, no duplicate (block, treatment) rows, AND every block's
+    // treatments must be the SAME set — uniform per-block distinct
+    // count alone admits equal-sized blocks drawn from different
+    // treatment subsets (b1={a,b}, b2={b,c}), whose rank sums are
+    // incomparable; requiring the GLOBAL distinct-treatment count to
+    // equal the per-block count pins every block to the full set
+    val kGlobal = rows.agg(countDistinct("j").as("k_global"))
     val shape = rows.groupBy("b")
       .agg(count(lit(1)).as("sz"), countDistinct("j").as("ts"))
       .agg(count(lit(1)).as("n_blocks"),
         countDistinct("sz").as("n_sizes"), min("sz").as("k_sz"),
         coalesce(sum(when(col("sz") =!= col("ts"), 1L).otherwise(0L)), lit(0L))
           .as("n_dup"))
+      .crossJoin(broadcast(kGlobal))
       .select(col("n_blocks"),
-        when(col("n_sizes") > 1 || col("n_dup") > 0, raise_error(lit(
+        when(col("n_sizes") > 1 || col("n_dup") > 0 ||
+            col("k_global") =!= col("k_sz"), raise_error(lit(
           "graft.friedmanTest: blocks are not complete/unique — zero-fill " +
             "every (block, treatment) cell exactly once")))
           .otherwise(col("k_sz")).as("k_treat"))

@@ -86,7 +86,7 @@ object GraftExtensions {
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> arity("cosine_sim", 2, "array<float>, array<float>")(
       c => CosineSimilarity(c(0), c(1))),
-    "all_finite" -> arity("all_finite", 1, "array<float>")(
+    "all_finite" -> arity("all_finite", 1, "array<float> | array<double>")(
       c => AllFinite(c(0))),
     "int_dot_q20" -> arity("int_dot_q20", 2, "array<float>, array<float>")(
       c => IntDotQ20(c(0), c(1))),

@@ -3,11 +3,11 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Pack, Sampling, Stats}
+import graft.operators.{Analytics, Dedup, GraphMetrics, Pack, Sampling, Similarity, Stats, TimeSeries}
 
 /** SQL table functions over the COMPOSED pipeline operators (r12,
   * verdict #5). The scalar kernels have had SQL names since r9
@@ -237,6 +237,99 @@ object SqlPipelines {
         Stats.cochranArmitage(table("graft_trend_test", a(0)),
           col(strLit("graft_trend_test", a(1))),
           col(strLit("graft_trend_test", a(2))))
+      },
+
+    // r14 (verdict #5): the r13 wave-2/3 kernels — changepoint,
+    // survival, graph eigen-ranking, retrieval eval, privacy EMD,
+    // descriptive and cadence profiles, CDC chunking — reachable by
+    // SQL name over the same delegation contract (zero forked logic)
+    "graft_changepoint" ->
+      arity("graft_changepoint", 3, "'table', 'seriesCol', 'tsCol'") { a =>
+        TimeSeries.changepointBinary(table("graft_changepoint", a(0)),
+          strLit("graft_changepoint", a(1)), strLit("graft_changepoint", a(2)))
+      },
+    "graft_log_rank" ->
+      arity("graft_log_rank", 4, "'table', 'keyCol', 'tsCol', censorDays") { a =>
+        // the arm is derived from the unit key's parity (the registry
+        // q_log_rank convention) because the Scala armCol parameter is
+        // an expression over the per-unit alias `u`, which a SQL
+        // column-name argument cannot express; a custom assignment
+        // goes through the Scala API
+        Analytics.logRankTest(table("graft_log_rank", a(0)),
+          strLit("graft_log_rank", a(1)), strLit("graft_log_rank", a(2)),
+          pmod(col("u"), lit(2L)),
+          censorDays = intLit("graft_log_rank", a(3)).toLong)
+      },
+    "graft_hits" ->
+      arity("graft_hits", 4, "'table', 'srcCol', 'dstCol', iters") { a =>
+        GraphMetrics.hits(table("graft_hits", a(0)),
+          strLit("graft_hits", a(1)), strLit("graft_hits", a(2)),
+          iters = intLit("graft_hits", a(3)))
+      },
+    "graft_map_at_k" ->
+      arity("graft_map_at_k", 6,
+          "'corpusTable', 'queriesTable', 'idCol', 'vecCol', 'labelCol', k") { a =>
+        Similarity.mapAtK(table("graft_map_at_k", a(0)),
+          table("graft_map_at_k", a(1)), strLit("graft_map_at_k", a(2)),
+          strLit("graft_map_at_k", a(3)), strLit("graft_map_at_k", a(4)),
+          k = intLit("graft_map_at_k", a(5)))
+      },
+    "graft_emd" ->
+      arity("graft_emd", 3, "'table', 'groupCol', 'valueCol'") { a =>
+        // the t-closeness primitive: per-group exact 1-D EMD vs corpus
+        Stats.emd1d(table("graft_emd", a(0)),
+          strLit("graft_emd", a(1)), strLit("graft_emd", a(2)))
+      },
+    "graft_mode" ->
+      arity("graft_mode", 3, "'table', 'groupCol', 'valueCol'") { a =>
+        Stats.modePerGroup(table("graft_mode", a(0)),
+          col(strLit("graft_mode", a(1))), col(strLit("graft_mode", a(2))))
+      },
+    "graft_gap_stats" ->
+      arity("graft_gap_stats", 4, "'table', 'keyCol', 'tsCol', 'idCol'") { a =>
+        Analytics.gapStats(table("graft_gap_stats", a(0)),
+          strLit("graft_gap_stats", a(1)), strLit("graft_gap_stats", a(2)),
+          strLit("graft_gap_stats", a(3)))
+      },
+    "graft_cdc_report" ->
+      arity("graft_cdc_report", 4, "'table', 'idCol', 'textCol', modulus") { a =>
+        Dedup.cdcChunkReport(table("graft_cdc_report", a(0)),
+          strLit("graft_cdc_report", a(1)), strLit("graft_cdc_report", a(2)),
+          modulus = intLit("graft_cdc_report", a(3)))
+      },
+    "graft_kruskal" ->
+      arity("graft_kruskal", 3, "'table', 'groupCol', 'valueCol'") { a =>
+        Stats.kruskalWallis(table("graft_kruskal", a(0)),
+          col(strLit("graft_kruskal", a(1))),
+          col(strLit("graft_kruskal", a(2))))
+      },
+    "graft_mcnemar" ->
+      arity("graft_mcnemar", 3, "'table', 'aCol', 'bCol'") { a =>
+        Stats.mcnemar(table("graft_mcnemar", a(0)),
+          col(strLit("graft_mcnemar", a(1))),
+          col(strLit("graft_mcnemar", a(2))))
+      },
+    "graft_mutual_info" ->
+      arity("graft_mutual_info", 3, "'table', 'aCol', 'bCol'") { a =>
+        Stats.mutualInformation(table("graft_mutual_info", a(0)),
+          col(strLit("graft_mutual_info", a(1))),
+          col(strLit("graft_mutual_info", a(2))))
+      },
+    "graft_srm" ->
+      arity("graft_srm", 2, "'table', 'armCol'") { a =>
+        Stats.srmCheck(table("graft_srm", a(0)),
+          col(strLit("graft_srm", a(1))))
+      },
+    "graft_theil_sen" ->
+      arity("graft_theil_sen", 3, "'table', 'seriesCol', 'tsCol'") { a =>
+        TimeSeries.theilSen(table("graft_theil_sen", a(0)),
+          strLit("graft_theil_sen", a(1)), strLit("graft_theil_sen", a(2)))
+      },
+    "graft_brier" ->
+      arity("graft_brier", 4, "'table', 'scoreCol', 'labelCol', nBins") { a =>
+        Stats.brierDecomposition(table("graft_brier", a(0)),
+          col(strLit("graft_brier", a(1))), col(strLit("graft_brier", a(2))),
+          nBins = intLit("graft_brier", a(3)))
       }
   )
 }

@@ -40,9 +40,16 @@ class ConstructionShuffleSpec extends SparkSpecBase {
     "q_kcore" -> 10,       // peeling rounds to fixpoint at sf0.001
     "dedup_cluster" -> 8,  // minhash bands + pointer-chasing rounds
     "sim_kmeans" -> 10,    // seeding + 2 Lloyd rounds (assign/update)
-    "q_diameter" -> 93     // two bfsHops sweeps: ~3 shuffles/hop (expand
-                           // distinct + settled anti-join) x ecc hops x 2
-                           // sweeps + anchors; ecc-dependent, measured 93
+    "q_diameter" -> 56,    // two bfsHopsOnAdj sweeps over ONE shared
+                           // adjacency, stride-3 rounds (3 expand joins +
+                           // one fused min-merge per round); ecc-dependent
+                           // — r13's 3-shuffle hops measured 93, r14's
+                           // fused stride-3 rounds 56
+    "q_hits" -> 19,        // 2 co-partitioned edge copies reused across
+                           // 2x2 half-steps; per-step shuffles = score
+                           // table only (r14, measured 19)
+    "q_bfs" -> 12,         // one stride-3 bfsHops sweep (r14)
+    "q_sssp" -> 27         // Bellman-Ford frontier deltas (r14)
   )
 
   private def countShuffleStages(body: => Unit): Int = {

@@ -372,6 +372,93 @@ class EndpointSpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  /** r14 (verdict #5): the r13 wave-2/3 kernels — changepoint,
+    * log-rank survival, HITS, MAP@k, EMD/t-closeness, mode, gap
+    * profile, CDC chunking, Kruskal–Wallis, McNemar, mutual info,
+    * SRM, Theil–Sen, Brier — reachable by SQL name with the identical
+    * wire==Scala contract as the first two waves.
+    */
+  test("a JDBC client runs the r13 wave-2/3 kernels (changepoint/log_rank/hits/map_at_k/...) over the wire") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val conn = DriverManager.getConnection(url, "graft", "")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW w3_li AS SELECT " +
+        "round(l_quantity) AS qty, round(l_extendedprice) AS price_c, " +
+        "l_returnflag = 'R' AS label, l_orderkey % 2 = 0 AS arm_b, " +
+        "l_returnflag, l_linestatus, l_orderkey FROM lineitem")
+      st.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW w3_edges AS SELECT " +
+        "o_custkey AS src, l_suppkey + 10000000 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey")
+      st.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW w3_emb AS SELECT * FROM embeddings " +
+        "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL " +
+        "AND all_finite(embedding)")
+      st.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW w3_q AS SELECT * FROM w3_emb " +
+        "WHERE vec_id < 8")
+      val wireCalls: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "graft_changepoint('events', 'event_type', 'ts')" ->
+          (() => operators.TimeSeries.changepointBinary(
+            spark.table("events"), "event_type", "ts")),
+        "graft_log_rank('events', 'user_id', 'ts', 1)" ->
+          (() => operators.Analytics.logRankTest(spark.table("events"),
+            "user_id", "ts", pmod(col("u"), lit(2L)), censorDays = 1)),
+        "graft_hits('w3_edges', 'src', 'dst', 2)" ->
+          (() => operators.GraphMetrics.hits(spark.table("w3_edges"),
+            "src", "dst", iters = 2)),
+        "graft_map_at_k('w3_emb', 'w3_q', 'vec_id', 'embedding', 'label', 10)" ->
+          (() => operators.Similarity.mapAtK(spark.table("w3_emb"),
+            spark.table("w3_q"), "vec_id", "embedding", "label", k = 10)),
+        "graft_emd('w3_li', 'l_returnflag', 'price_c')" ->
+          (() => operators.Stats.emd1d(spark.table("w3_li"),
+            "l_returnflag", "price_c")),
+        "graft_mode('w3_li', 'l_returnflag', 'qty')" ->
+          (() => operators.Stats.modePerGroup(spark.table("w3_li"),
+            col("l_returnflag"), col("qty"))),
+        "graft_gap_stats('events', 'user_id', 'ts', 'event_id')" ->
+          (() => operators.Analytics.gapStats(spark.table("events"),
+            "user_id", "ts", "event_id")),
+        "graft_cdc_report('documents', 'doc_id', 'text', 32)" ->
+          (() => operators.Dedup.cdcChunkReport(spark.table("documents"),
+            "doc_id", "text", modulus = 32)),
+        "graft_kruskal('w3_li', 'l_returnflag', 'price_c')" ->
+          (() => operators.Stats.kruskalWallis(spark.table("w3_li"),
+            col("l_returnflag"), col("price_c"))),
+        "graft_mcnemar('w3_li', 'label', 'arm_b')" ->
+          (() => operators.Stats.mcnemar(spark.table("w3_li"),
+            col("label"), col("arm_b"))),
+        "graft_mutual_info('w3_li', 'l_returnflag', 'l_linestatus')" ->
+          (() => operators.Stats.mutualInformation(spark.table("w3_li"),
+            col("l_returnflag"), col("l_linestatus"))),
+        "graft_srm('w3_li', 'arm_b')" ->
+          (() => operators.Stats.srmCheck(spark.table("w3_li"), col("arm_b"))),
+        "graft_theil_sen('events', 'event_type', 'ts')" ->
+          (() => operators.TimeSeries.theilSen(spark.table("events"),
+            "event_type", "ts")),
+        "graft_brier('w3_li', 'price_c', 'label', 8)" ->
+          (() => operators.Stats.brierDecomposition(spark.table("w3_li"),
+            col("price_c"), col("label"), nBins = 8))
+      )
+      for ((call, local) <- wireCalls) {
+        val rs = st.executeQuery(s"SELECT * FROM $call")
+        val ncols = rs.getMetaData.getColumnCount
+        val wire = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (1 to ncols).map(i => String.valueOf(r.getObject(i))).mkString("|"))
+          .toVector.sorted
+        val scalaSide = local().collect()
+          .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|"))
+          .toVector.sorted
+        assert(wire.nonEmpty, s"$call returned no rows")
+        assert(wire === scalaSide, s"$call: wire != Scala")
+      }
+      Seq("w3_li", "w3_edges", "w3_emb", "w3_q")
+        .foreach(v => st.execute(s"DROP VIEW IF EXISTS $v"))
+    } finally conn.close()
+  }
+
   /** The r11 concurrency soak (verdict #6): the 2-client test above
     * proves the wiring; this one holds N=16 mixed kernel+metrics
     * clients against the endpoint for a sustained window
