@@ -33,6 +33,7 @@ object ScaleProbe {
     if (args.length > 1 && args(1) == "bloom") { bloomBreakEven(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloomat") { bloomAt(spark, factor); spark.stop(); return }
     if (args.length > 1 && args(1) == "bloomcap") { bloomCap(spark, factor); spark.stop(); return }
+    if (args.length > 1 && args(1) == "ntile") { ntileCrossover(spark, factor); spark.stop(); return }
     val r4Only = args.length > 1 && args(1) == "r4"
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val big = (0 until factor).map { i =>
@@ -812,6 +813,43 @@ object ScaleProbe {
     * Run: `sbt "runMain graft.ScaleProbe 4 bloomcap"` (factor bounds
     * the largest multiple).
     */
+  /** r14 (verdict #6): measure the exact-ntile dispatch crossover
+    * instead of resting the 10M `NTILE_WINDOW_MAX` constant on one
+    * bench-scale pair. Times BOTH exact paths — the single-sort-task
+    * window form and the range-partitioned distributed rank — at
+    * n = factor/4, factor/2, factor MILLION synthetic entities
+    * (seeded-hash values so the sort is real), forced through an
+    * order-insensitive checksum that doubles as a bit-equality probe
+    * between the two paths.
+    * `sbt "runMain graft.ScaleProbe 30 ntile"` = legs at 7/15/30 M.
+    */
+  private def ntileCrossover(spark: SparkSession, factor: Int): Unit = {
+    val k = 5
+    val win = org.apache.spark.sql.expressions.Window
+    for (m <- Seq(factor / 4, factor / 2, factor).distinct if m >= 1) {
+      val n = m * 1000000L
+      val df = spark.range(n).select(col("id"),
+          pmod(xxhash64(col("id"), lit(14)), lit(1000000007L)).as("v"))
+        .cache()
+      df.count()
+      val order = Seq(col("v"), col("id"))
+      def checksum(d: org.apache.spark.sql.DataFrame): Long =
+        d.agg(sum(col("b") * pmod(col("id"), lit(97L)))).collect()(0).getLong(0)
+      def time(name: String)(f: => Long): Long = {
+        val t0 = System.nanoTime()
+        val cs = f
+        println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs checksum=$cs")
+        cs
+      }
+      val a = time(s"ntile_window n=${m}M")(checksum(
+        df.withColumn("b", ntile(k).over(win.orderBy(order: _*)).cast("long"))))
+      val b = time(s"ntile_distributed n=${m}M")(checksum(
+        graft.operators.Analytics.distributedNtile(df, k, order, "b")))
+      assert(a == b, s"paths disagree at ${m}M: $a vs $b")
+      df.unpersist(blocking = false)
+    }
+  }
+
   private def bloomCap(spark: SparkSession, factor: Int): Unit = {
     import org.apache.spark.sql.{Column, DataFrame}
     val w = 1 << 24

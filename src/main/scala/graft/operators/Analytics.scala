@@ -662,8 +662,16 @@ object Analytics {
     * (range-partitioned parallel ranking). Both produce EXACT ntile
     * output over the same total order (NtileSpec pins equality), so
     * the dispatch is a plan choice, never a result choice.
+    *
+    * The constant is MEASURED (r14, `ScaleProbe N ntile` — both paths
+    * timed on seeded 32-core data with a checksum equality probe):
+    * window/distributed seconds were 2.6/3.9 at 1M, 2.1/1.7 at 2M,
+    * 4.4/1.8 at 4M, 8.8/4.9 at 7M, 35.5/7.6 at 30M — the single sort
+    * task grows linearly while the distributed rank stays near-flat,
+    * crossing at ~2M rows (r13's provisional 10M rested on one
+    * bench-scale pair; the probe replaced it with the curve).
     */
-  private val NTILE_WINDOW_MAX = 10000000L
+  private val NTILE_WINDOW_MAX = 2000000L
   private def ntileScored(df: DataFrame, n: Long, k: Int,
                           order: Seq[Column], out: String): DataFrame =
     if (n <= NTILE_WINDOW_MAX)
@@ -683,8 +691,17 @@ object Analytics {
     */
   private[graft] def distributedNtile(df: DataFrame, k: Int, order: Seq[Column],
                                       out: String): DataFrame = {
+    // The partition ids feed BOTH the offset table and the final rank
+    // join; an un-materialized plan would recompute the range shuffle
+    // independently per branch, and partition ASSIGNMENT is not stable
+    // across recomputes (AQE may coalesce each branch differently and
+    // the range-bound sampling reruns) — the r14 ntile ScaleProbe
+    // caught exactly that as a checksum mismatch at 7M rows. The eager
+    // localCheckpoint pins one materialized assignment for every
+    // consumer.
     val parted = df.repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__c"))
     val offs = counts
       .withColumn("__off", coalesce(sum("__c").over(Window.orderBy("__pid")

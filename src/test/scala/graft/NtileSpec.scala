@@ -4,10 +4,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Pins the ntile dual-path equality (r13, ADVICE): q_rfm/q_lorenz
-  * size-dispatch between the single-window ntile (fast below 10M
+  * size-dispatch between the single-window ntile (fast below 2M
   * entities) and `distributedNtile` (range-partitioned parallel rank —
-  * the >10M scale path). This spec EXERCISES the scale path the
-  * dispatch would only take at 10M+ rows and asserts it equals Spark's
+  * the >2M scale path). This spec EXERCISES the scale path the
+  * dispatch would only take at 2M+ rows and asserts it equals Spark's
   * own ntile bit-for-bit, on sizes that cover every bucket-boundary
   * shape (n % k = 0, n < k, ragged).
   */
