@@ -7654,7 +7654,566 @@ object Queries {
         |  FROM chunks JOIN occ USING (h) GROUP BY doc_id)
         |SELECT doc_id, n_chunks, n_shared,
         |  n_shared::DOUBLE / n_chunks::DOUBLE AS shared_ratio
-        |FROM per""".stripMargin))
+        |FROM per""".stripMargin)),
+
+    // §2.2/333 — Brown–Forsythe variance-homogeneity test (r14): the
+    // robust Levene — |deviation from the group's exact LOWER median|
+    // fed through the oneWayAnova moment sums.
+    "q_brown_forsythe" -> QueryDef(
+      (s, d) => operators.Stats.brownForsythe(ds(s, d, "lineitem").toDF,
+        col("l_returnflag"), round(col("l_quantity"))),
+      Some("""WITH vals AS (SELECT l_returnflag AS g, round(l_quantity)::BIGINT AS v
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        |vc AS (SELECT g, v, count(*)::BIGINT AS c FROM vals GROUP BY 1, 2),
+        |cm AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS nn FROM vc),
+        |med AS (SELECT g, min(v)::BIGINT AS med FROM cm WHERE cum * 2 >= nn GROUP BY g),
+        |dev AS (SELECT vals.g AS g, abs(v - med)::BIGINT AS z
+        |  FROM vals JOIN med ON vals.g = med.g),
+        |gg AS (SELECT g, count(*)::BIGINT AS n_g, sum(z)::BIGINT AS s_g,
+        |    sum(z * z)::BIGINT AS q_g FROM dev GROUP BY g),
+        |t AS (SELECT count(*)::BIGINT AS k_groups, sum(n_g)::BIGINT AS n,
+        |    sum(s_g)::BIGINT AS s, sum(q_g)::BIGINT AS q,
+        |    sum(s_g * s_g // n_g)::BIGINT AS tsum FROM gg)
+        |SELECT k_groups, n, (tsum - s * s // n)::BIGINT AS ssb_q,
+        |  (q - tsum)::BIGINT AS ssw_q, (k_groups - 1)::BIGINT AS df_between,
+        |  (n - k_groups)::BIGINT AS df_within,
+        |  CASE WHEN k_groups > 1 AND n > k_groups AND q - tsum > 0
+        |    THEN ((tsum - s * s // n)::DOUBLE / (k_groups - 1)::DOUBLE)
+        |       / ((q - tsum)::DOUBLE / (n - k_groups)::DOUBLE) END AS f_stat
+        |FROM t""".stripMargin)),
+
+    // §2.2/334 — Bartlett's equal-variance test (r14): the
+    // normality-assuming sibling; per-group ln(s²) floor-quantized at
+    // 2²⁰, integer-summed, standard C correction.
+    "q_bartlett" -> QueryDef(
+      (s, d) => operators.Stats.bartlettTest(ds(s, d, "lineitem").toDF,
+        col("l_returnflag"), round(col("l_quantity"))),
+      Some("""WITH g0 AS (SELECT l_returnflag AS g, count(*)::BIGINT AS n_g,
+        |    sum(round(l_quantity)::BIGINT)::HUGEINT AS s_g,
+        |    sum(round(l_quantity)::BIGINT * round(l_quantity)::BIGINT)::HUGEINT AS q_g
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT g, n_g, (n_g::HUGEINT * q_g - s_g * s_g) AS m2 FROM g0),
+        |adm AS (SELECT g, n_g, m2,
+        |    floor(ln(m2::DOUBLE / (n_g::DOUBLE * (n_g::DOUBLE - 1.0))) * 1048576)::BIGINT AS ln_q
+        |  FROM m WHERE n_g >= 2 AND m2 > 0),
+        |dg AS (SELECT coalesce(sum(CASE WHEN n_g < 2 OR m2 <= 0 THEN 1 ELSE 0 END),
+        |    0)::BIGINT AS n_degenerate FROM m),
+        |t AS (SELECT count(*)::BIGINT AS k_groups, sum(n_g)::BIGINT AS n,
+        |    coalesce(sum((n_g - 1) * ln_q), 0)::BIGINT AS sum_ln_q,
+        |    coalesce(sum(1048576 // (n_g - 1)), 0)::BIGINT AS inv_q,
+        |    coalesce(sum(floor((m2::DOUBLE / n_g::DOUBLE) * 1048576)::BIGINT),
+        |      0)::BIGINT AS ssw_q2
+        |  FROM adm)
+        |SELECT k_groups, n, n_degenerate,
+        |  CASE WHEN k_groups >= 2 AND n > k_groups AND ssw_q2 > 0
+        |    THEN floor(ln((ssw_q2::DOUBLE / 1048576.0)
+        |      / (n::DOUBLE - k_groups::DOUBLE)) * 1048576)::BIGINT END AS lnsp_q,
+        |  sum_ln_q,
+        |  CASE WHEN k_groups >= 2 AND n > k_groups AND ssw_q2 > 0
+        |    THEN ((n::DOUBLE - k_groups::DOUBLE)
+        |        * floor(ln((ssw_q2::DOUBLE / 1048576.0)
+        |          / (n::DOUBLE - k_groups::DOUBLE)) * 1048576)::BIGINT::DOUBLE
+        |      - sum_ln_q::DOUBLE) / 1048576.0 END AS chi2_uncorr,
+        |  CASE WHEN k_groups >= 2 AND n > k_groups AND ssw_q2 > 0 AND k_groups > 1
+        |    THEN (((n::DOUBLE - k_groups::DOUBLE)
+        |        * floor(ln((ssw_q2::DOUBLE / 1048576.0)
+        |          / (n::DOUBLE - k_groups::DOUBLE)) * 1048576)::BIGINT::DOUBLE
+        |      - sum_ln_q::DOUBLE) / 1048576.0)
+        |      / (1.0 + (inv_q::DOUBLE / 1048576.0
+        |          - 1.0 / (n::DOUBLE - k_groups::DOUBLE))
+        |        / (3.0 * (k_groups::DOUBLE - 1.0))) END AS chi2
+        |FROM t CROSS JOIN dg""".stripMargin)),
+
+    // §2.2/335 — Jarque–Bera normality screen per group (r14): JB from
+    // exact DECIMAL(38,0) raw-moment sums, skew/kurtosis fixed doubles.
+    "q_jarque_bera" -> QueryDef(
+      (s, d) => operators.Stats.jarqueBera(ds(s, d, "lineitem").toDF,
+        col("l_returnflag"), round(col("l_quantity"))),
+      Some("""WITH b AS (SELECT l_returnflag AS g, round(l_quantity)::BIGINT AS x
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        |m AS (SELECT g, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s1,
+        |    sum(x * x)::HUGEINT AS s2,
+        |    sum(x::HUGEINT * x * x)::HUGEINT AS s3,
+        |    sum(x::HUGEINT * x * x * x)::HUGEINT AS s4
+        |  FROM b GROUP BY g),
+        |c AS (SELECT g, n, (n * s2 - s1 * s1) AS m2,
+        |    (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1) AS m3,
+        |    (n * n * n * s4 - 4 * n * n * s3 * s1 + 6 * n * s1 * s1 * s2
+        |      - 3 * s1 * s1 * s1 * s1) AS m4
+        |  FROM m)
+        |SELECT g, n::BIGINT AS n,
+        |  CASE WHEN m2 > 0 THEN sqrt(n::DOUBLE) * m3::DOUBLE / pow(m2::DOUBLE, 1.5) END
+        |    AS skewness,
+        |  CASE WHEN m2 > 0 THEN n::DOUBLE * m4::DOUBLE / (m2::DOUBLE * m2::DOUBLE) - 3.0 END
+        |    AS kurtosis_excess,
+        |  CASE WHEN m2 > 0 THEN n::DOUBLE / 6.0
+        |      * ((sqrt(n::DOUBLE) * m3::DOUBLE / pow(m2::DOUBLE, 1.5))
+        |         * (sqrt(n::DOUBLE) * m3::DOUBLE / pow(m2::DOUBLE, 1.5))
+        |        + (n::DOUBLE * m4::DOUBLE / (m2::DOUBLE * m2::DOUBLE) - 3.0)
+        |          * (n::DOUBLE * m4::DOUBLE / (m2::DOUBLE * m2::DOUBLE) - 3.0) / 4.0) END
+        |    AS jb_stat
+        |FROM c""".stripMargin)),
+
+    // §2.2/336 — Grubbs' single-outlier test per group (r14): suspect
+    // = argmax |n·x − Σx| (tie: smaller value), G one fixed double.
+    "q_grubbs" -> QueryDef(
+      (s, d) => operators.Stats.grubbsTest(ds(s, d, "lineitem").toDF,
+        col("l_returnflag"), round(col("l_extendedprice"))),
+      Some("""WITH b AS (SELECT l_returnflag AS g, round(l_extendedprice)::BIGINT AS x
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (SELECT g, count(*)::BIGINT AS n, sum(x)::HUGEINT AS s,
+        |    sum(x::HUGEINT * x)::HUGEINT AS q FROM b GROUP BY g),
+        |d AS (SELECT b.g AS g, x, n, s, q, abs(n::HUGEINT * x - s) AS dv
+        |  FROM b JOIN m ON b.g = m.g),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY dv DESC, x ASC) AS rk
+        |  FROM d)
+        |SELECT g, n, x AS suspect_value, dv::BIGINT AS maxdev_n,
+        |  CASE WHEN n >= 3 AND (n::HUGEINT * q - s * s) > 0
+        |    THEN (dv::DOUBLE / n::DOUBLE)
+        |      / sqrt((n::HUGEINT * q - s * s)::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0)))
+        |  END AS g_stat
+        |FROM r WHERE rk = 1""".stripMargin)),
+
+    // §2.2/337 — Fleiss' kappa multi-rater agreement (r14): orders as
+    // items, lineitems as raters, returnflag as category; items off
+    // the modal rating count are excluded and tallied.
+    "q_fleiss_kappa" -> QueryDef(
+      (s, d) => operators.Stats.fleissKappa(ds(s, d, "lineitem").toDF
+          .filter(col("l_orderkey").isNotNull && col("l_returnflag").isNotNull),
+        col("l_orderkey"), col("l_returnflag")),
+      Some("""WITH r AS (SELECT l_orderkey AS i, l_returnflag AS c FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL),
+        |pi AS (SELECT i, count(*)::BIGINT AS n_i FROM r GROUP BY i),
+        |md AS (SELECT n_i AS n_r FROM (SELECT n_i, count(*) AS cnt FROM pi GROUP BY n_i
+        |  ORDER BY cnt DESC, n_i DESC LIMIT 1) z),
+        |kept AS (SELECT r.i, r.c FROM r JOIN pi ON r.i = pi.i
+        |  CROSS JOIN md WHERE pi.n_i = md.n_r),
+        |cells AS (SELECT i, c, count(*)::BIGINT AS n_ij FROM kept GROUP BY 1, 2),
+        |s AS (SELECT count(DISTINCT i)::BIGINT AS n_items,
+        |    coalesce(sum(n_ij * n_ij), 0)::BIGINT AS sum_sq FROM cells),
+        |mg AS (SELECT count(*)::BIGINT AS k_cats,
+        |    coalesce(sum(c_j * c_j), 0)::BIGINT AS marg_sq
+        |  FROM (SELECT c, sum(n_ij)::BIGINT AS c_j FROM cells GROUP BY c) z),
+        |ex AS (SELECT count(*)::BIGINT AS n_excluded FROM pi CROSS JOIN md
+        |  WHERE pi.n_i <> md.n_r)
+        |SELECT n_items, n_r AS n_raters, k_cats, n_excluded, sum_sq,
+        |  CASE WHEN n_items > 0 AND n_r >= 2
+        |    THEN (sum_sq::DOUBLE - n_items::DOUBLE * n_r::DOUBLE)
+        |       / (n_items::DOUBLE * n_r::DOUBLE * (n_r::DOUBLE - 1.0)) END AS pbar,
+        |  CASE WHEN n_items > 0
+        |    THEN marg_sq::DOUBLE
+        |       / (n_items::DOUBLE * n_r::DOUBLE * n_items::DOUBLE * n_r::DOUBLE) END AS pe,
+        |  CASE WHEN n_items > 0 AND n_r >= 2
+        |      AND marg_sq::DOUBLE
+        |        / (n_items::DOUBLE * n_r::DOUBLE * n_items::DOUBLE * n_r::DOUBLE) < 1.0
+        |    THEN ((sum_sq::DOUBLE - n_items::DOUBLE * n_r::DOUBLE)
+        |        / (n_items::DOUBLE * n_r::DOUBLE * (n_r::DOUBLE - 1.0))
+        |      - marg_sq::DOUBLE
+        |        / (n_items::DOUBLE * n_r::DOUBLE * n_items::DOUBLE * n_r::DOUBLE))
+        |      / (1.0 - marg_sq::DOUBLE
+        |        / (n_items::DOUBLE * n_r::DOUBLE * n_items::DOUBLE * n_r::DOUBLE)) END
+        |    AS kappa
+        |FROM s CROSS JOIN mg CROSS JOIN md CROSS JOIN ex""".stripMargin)),
+
+    // §2.2/338 — G-test of independence (r14): the additive
+    // log-likelihood-ratio sibling of chi-square, per-cell quantized
+    // logs integer-weighted-summed.
+    "q_gtest" -> QueryDef(
+      (s, d) => operators.Stats.gTest(ds(s, d, "lineitem").toDF,
+        col("l_returnflag"), col("l_linestatus")),
+      Some("""WITH p AS (SELECT l_returnflag AS a, l_linestatus AS b FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL),
+        |cells AS (SELECT a, b, count(*)::BIGINT AS o FROM p GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o)::BIGINT AS r FROM cells GROUP BY a),
+        |cb AS (SELECT b, sum(o)::BIGINT AS c FROM cells GROUP BY b),
+        |nn AS (SELECT sum(o)::BIGINT AS n FROM cells),
+        |ka AS (SELECT count(*)::BIGINT AS k_a FROM ra),
+        |kb AS (SELECT count(*)::BIGINT AS k_b FROM cb),
+        |q AS (SELECT max(n)::BIGINT AS n,
+        |    coalesce(sum(o * floor(ln((o::DOUBLE * n::DOUBLE)
+        |      / (r::DOUBLE * c::DOUBLE)) * 1048576)::BIGINT), 0)::BIGINT AS g_q
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn)
+        |SELECT n, k_a, k_b, ((k_a - 1) * (k_b - 1))::BIGINT AS df, g_q,
+        |  2.0 * g_q::DOUBLE / 1048576.0 AS g_stat
+        |FROM q CROSS JOIN ka CROSS JOIN kb""".stripMargin)),
+
+    // §2.2/339 — Mood's median test (r14): global lower median splits
+    // each group ≤/>, per-group χ² terms quantized and integer-summed.
+    "q_mood_median" -> QueryDef(
+      (s, d) => operators.Stats.moodMedianTest(ds(s, d, "lineitem").toDF,
+        col("l_returnflag"), round(col("l_quantity"))),
+      Some("""WITH vals AS (SELECT l_returnflag AS g, round(l_quantity)::BIGINT AS v
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        |vc AS (SELECT v, count(*)::BIGINT AS c FROM vals GROUP BY v),
+        |cm AS (SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS nn FROM vc),
+        |gm AS (SELECT min(v)::BIGINT AS gmed FROM cm WHERE cum * 2 >= nn),
+        |pg AS (SELECT g,
+        |    sum(CASE WHEN v <= gmed THEN 1 ELSE 0 END)::BIGINT AS n_le,
+        |    sum(CASE WHEN v > gmed THEN 1 ELSE 0 END)::BIGINT AS n_gt,
+        |    max(gmed)::BIGINT AS global_median
+        |  FROM vals CROSS JOIN gm GROUP BY g),
+        |tt AS (SELECT sum(n_le)::BIGINT AS t_le, sum(n_gt)::BIGINT AS t_gt,
+        |    (sum(n_le) + sum(n_gt))::BIGINT AS nn FROM pg),
+        |tq AS (SELECT coalesce(sum(CASE WHEN t_le > 0 AND t_gt > 0 THEN floor((
+        |      (n_le::DOUBLE - (n_le + n_gt)::DOUBLE * t_le::DOUBLE / nn::DOUBLE)
+        |      * (n_le::DOUBLE - (n_le + n_gt)::DOUBLE * t_le::DOUBLE / nn::DOUBLE)
+        |      / ((n_le + n_gt)::DOUBLE * t_le::DOUBLE / nn::DOUBLE)
+        |    + (n_gt::DOUBLE - (n_le + n_gt)::DOUBLE * t_gt::DOUBLE / nn::DOUBLE)
+        |      * (n_gt::DOUBLE - (n_le + n_gt)::DOUBLE * t_gt::DOUBLE / nn::DOUBLE)
+        |      / ((n_le + n_gt)::DOUBLE * t_gt::DOUBLE / nn::DOUBLE)
+        |    ) * 1048576)::BIGINT END), NULL)::BIGINT AS chi2_q
+        |  FROM pg CROSS JOIN tt)
+        |SELECT g, n_le, n_gt, chi2_q, chi2_q::DOUBLE / 1048576.0 AS chi2,
+        |  global_median
+        |FROM pg CROSS JOIN tq""".stripMargin)),
+
+    // §2.2/340 — Page's trend test (r14): Friedman's directional
+    // sibling — L2 = Σ j·R2_j over the same tie-averaged double-ranks,
+    // no-ties null moments, one fixed z.
+    "q_page_trend" -> QueryDef(
+      (s, d) => {
+        val e = ds(s, d, "events").toDF
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        val counts = e.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+        val cells = e.select("user_id").distinct()
+          .crossJoin(broadcast(e.select("event_type").distinct()))
+          .join(counts, Seq("user_id", "event_type"), "left")
+          .select(col("user_id"), col("event_type"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        operators.Stats.pageTrendTest(cells, col("user_id"),
+          col("event_type"), col("c"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |cnt AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+        |  FROM e GROUP BY 1, 2),
+        |cells AS (SELECT u.user_id AS b, t.event_type AS j,
+        |    coalesce(c, 0)::BIGINT AS v
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+        |  LEFT JOIN cnt ON cnt.user_id = u.user_id
+        |    AND cnt.event_type = t.event_type),
+        |vc AS (SELECT b, v, count(*)::BIGINT AS t FROM cells GROUP BY 1, 2),
+        |rk AS (SELECT b, v, 2 * sum(t) OVER (PARTITION BY b ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1 AS dr
+        |  FROM vc),
+        |dr AS (SELECT cells.b, cells.j, rk.dr FROM cells
+        |  JOIN rk ON rk.b = cells.b AND rk.v = cells.v),
+        |shape AS (SELECT count(*)::BIGINT AS n_blocks, min(sz)::BIGINT AS k_treat
+        |  FROM (SELECT b, count(*) AS sz FROM cells GROUP BY b) z),
+        |pt AS (SELECT j, coalesce(sum(dr), 0)::BIGINT AS r2_sum FROM dr GROUP BY j),
+        |rkd AS (SELECT r2_sum, row_number() OVER (ORDER BY j)::BIGINT AS jr FROM pt),
+        |l2 AS (SELECT coalesce(sum(jr * r2_sum), 0)::BIGINT AS l2_sum FROM rkd)
+        |SELECT n_blocks, k_treat, l2_sum,
+        |  CASE WHEN n_blocks > 0 AND k_treat > 1 THEN
+        |    (l2_sum::DOUBLE / 2.0 - n_blocks::DOUBLE * k_treat::DOUBLE
+        |      * (k_treat::DOUBLE + 1.0) * (k_treat::DOUBLE + 1.0) / 4.0)
+        |    / sqrt(n_blocks::DOUBLE * k_treat::DOUBLE * k_treat::DOUBLE
+        |      * (k_treat::DOUBLE + 1.0)
+        |      * (k_treat::DOUBLE * k_treat::DOUBLE - 1.0) / 144.0) END AS z_stat
+        |FROM l2 CROSS JOIN shape""".stripMargin)),
+
+    // §2.2/341 — Bowker's k×k symmetry test (r14): McNemar's
+    // generalization over paired first/last lineitem categories per
+    // order; per-pair terms quantized + integer-summed.
+    "q_bowker" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_orderkey").isNotNull && col("l_returnflag").isNotNull &&
+            col("l_linenumber").isNotNull)
+        // struct min/max: the synthetic data re-uses linenumbers
+        // within an order, so the (linenumber, flag) PAIR is the
+        // total order both engines agree on
+        val units = li.groupBy("l_orderkey")
+          .agg(min(struct(col("l_linenumber"), col("l_returnflag")))
+              .getField("l_returnflag").as("a"),
+            max(struct(col("l_linenumber"), col("l_returnflag")))
+              .getField("l_returnflag").as("b"))
+        operators.Stats.bowkerTest(units, col("a"), col("b"))
+      },
+      Some("""WITH u AS (SELECT l_orderkey,
+        |    min({'k': l_linenumber, 'f': l_returnflag}).f AS a,
+        |    max({'k': l_linenumber, 'f': l_returnflag}).f AS b
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+        |    AND l_linenumber IS NOT NULL
+        |  GROUP BY l_orderkey),
+        |cells AS (SELECT a, b, count(*)::BIGINT AS o FROM u GROUP BY 1, 2),
+        |nn AS (SELECT count(*)::BIGINT AS n_units FROM u),
+        |kk AS (SELECT count(DISTINCT c)::BIGINT AS k_cats FROM
+        |  (SELECT a AS c FROM u UNION ALL SELECT b FROM u) z),
+        |sym AS (SELECT coalesce(x.a, y.a) AS a, coalesce(x.b, y.b) AS b,
+        |    coalesce(x.n_ij, 0)::BIGINT AS n_ij, coalesce(y.n_ji, 0)::BIGINT AS n_ji
+        |  FROM (SELECT a, b, o AS n_ij FROM cells WHERE a < b) x
+        |  FULL OUTER JOIN (SELECT b AS a, a AS b, o AS n_ji FROM cells WHERE a > b) y
+        |  ON x.a = y.a AND x.b = y.b),
+        |tq AS (SELECT count(*)::BIGINT AS df,
+        |    coalesce(sum(floor((n_ij::DOUBLE - n_ji::DOUBLE)
+        |      * (n_ij::DOUBLE - n_ji::DOUBLE)
+        |      / (n_ij::DOUBLE + n_ji::DOUBLE) * 1048576)::BIGINT), 0)::BIGINT AS chi2_q
+        |  FROM sym WHERE n_ij + n_ji > 0)
+        |SELECT n_units, k_cats, df, chi2_q,
+        |  chi2_q::DOUBLE / 1048576.0 AS chi2
+        |FROM tq CROSS JOIN nn CROSS JOIN kk""".stripMargin)),
+
+    // §2.2/342 — Ljung–Box portmanteau whiteness diagnostic (r14):
+    // Σ over lags 1..7 of quantized r²/n_pairs terms, Q one double.
+    "q_ljung_box" -> QueryDef(
+      (s, d) => operators.TimeSeries.ljungBox(ds(s, d, "events").toDF,
+        "event_type", "ts", maxLag = 7),
+      Some("""WITH ser AS (SELECT event_type AS g,
+        |    floor(epoch(ts) / 86400)::BIGINT AS d, count(*)::BIGINT AS v
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |l AS (SELECT unnest(range(1, 8))::BIGINT AS lag),
+        |p AS (SELECT a.g AS g, l.lag AS lag, a.v AS x, b.v AS y
+        |  FROM l, ser a, ser b WHERE a.g = b.g AND a.d = b.d + l.lag),
+        |m AS (SELECT g, lag, count(*)::BIGINT AS n_pairs, sum(x)::BIGINT AS sum_x,
+        |    sum(y)::BIGINT AS sum_y, sum(x * x)::BIGINT AS sum_xx,
+        |    sum(y * y)::BIGINT AS sum_yy, sum(x * y)::BIGINT AS sum_xy
+        |  FROM p GROUP BY 1, 2),
+        |ac AS (SELECT g, n_pairs,
+        |    CASE WHEN n_pairs::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE > 0
+        |          AND n_pairs::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE > 0
+        |      THEN (n_pairs::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE)
+        |         / (sqrt(n_pairs::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE)
+        |          * sqrt(n_pairs::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE))
+        |    END AS acf
+        |  FROM m),
+        |tq AS (SELECT g, coalesce(sum(CASE WHEN acf IS NOT NULL AND n_pairs > 0
+        |    THEN floor(acf * acf * 1099511627776.0 / n_pairs::DOUBLE)::BIGINT
+        |    ELSE 0 END), 0)::BIGINT AS lb_q FROM ac GROUP BY g),
+        |len AS (SELECT g, count(*)::BIGINT AS n_days FROM ser GROUP BY g)
+        |SELECT len.g AS series, n_days, 7::BIGINT AS m_lags,
+        |  coalesce(lb_q, 0)::BIGINT AS lb_q,
+        |  n_days::DOUBLE * (n_days::DOUBLE + 2.0) * coalesce(lb_q, 0)::DOUBLE
+        |    / 1099511627776.0 AS q_stat
+        |FROM len LEFT JOIN tq ON len.g = tq.g""".stripMargin)),
+
+    // §2.2/343 — sMAPE of the weekly seasonal-naive forecast (r14):
+    // the scale-free eval beside MASE, integer micro-units end to end.
+    "q_smape" -> QueryDef(
+      (s, d) => operators.TimeSeries.smapeSeasonal(ds(s, d, "events").toDF,
+        "event_type", "ts", season = 7),
+      Some("""WITH ser AS (SELECT event_type AS g,
+        |    floor(epoch(ts) / 86400)::BIGINT AS d, count(*)::BIGINT AS v
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a.g AS g, a.v AS y, b.v AS y7
+        |  FROM ser a JOIN ser b ON a.g = b.g AND a.d = b.d + 7)
+        |SELECT g AS series, count(*)::BIGINT AS n_pairs,
+        |  sum(abs(y - y7))::BIGINT AS abs_err_sum,
+        |  sum(y + y7)::BIGINT AS scale_sum,
+        |  CASE WHEN sum(y + y7) > 0
+        |    THEN ((2000000 * sum(abs(y - y7))) // sum(y + y7))::BIGINT END
+        |    AS smape_micro
+        |FROM p GROUP BY g""".stripMargin)),
+
+    // §2.2/344 — rolling z-score anomaly tally (r14): trailing 7-day
+    // full windows, |y−μ|>2σ tested entirely in integers.
+    "q_rolling_zscore" -> QueryDef(
+      (s, d) => operators.TimeSeries.rollingZscoreAnomalies(
+        ds(s, d, "events").toDF, "event_type", "ts", w = 7),
+      Some("""WITH ser AS (SELECT event_type AS g,
+        |    floor(epoch(ts) / 86400)::BIGINT AS d, count(*)::BIGINT AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT g, d, y,
+        |    count(*) OVER win AS k, sum(y) OVER win AS s, sum(y * y) OVER win AS q
+        |  FROM ser WINDOW win AS (PARTITION BY g ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT g, d,
+        |    (7 * y - s) * (7 * y - s) * 6 > 4 * 7 * (7 * q - s * s) AS anom
+        |  FROM w WHERE k = 7),
+        |n AS (SELECT g, count(*)::BIGINT AS n_days FROM ser GROUP BY g)
+        |SELECT f.g AS series, n_days, count(*)::BIGINT AS n_windows,
+        |  coalesce(sum(CASE WHEN anom THEN 1 ELSE 0 END), 0)::BIGINT AS n_anomalies,
+        |  min(CASE WHEN anom THEN d END)::BIGINT AS first_anomaly_day,
+        |  max(CASE WHEN anom THEN d END)::BIGINT AS last_anomaly_day
+        |FROM f JOIN n ON f.g = n.g GROUP BY f.g, n_days""".stripMargin)),
+
+    // §2.2/345 — Adamic–Adar link prediction (r14): the textbook
+    // log-discounted common-neighbor score beside row 220's RA form —
+    // wedge weight floor(2²⁰/ln(deg)), order-free int64 sums.
+    "q_adamic_adar" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_partkey") % 5 === 0)
+          .select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.LinkPrediction.adamicAdar(e, "src", "dst",
+          maxDegree = 64, minCommon = 2, topK = 5)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0),
+        |e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b FROM li x JOIN li y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |u AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |deg AS (SELECT a AS z, count(*)::BIGINT AS d FROM u GROUP BY 1),
+        |ctr AS (SELECT u.a AS z, u.b AS n, deg.d FROM u JOIN deg ON deg.z = u.a
+        |  WHERE deg.d BETWEEN 2 AND 64),
+        |wedge AS (SELECT x.n AS u, y.n AS v, x.d AS d FROM ctr x JOIN ctr y
+        |  ON x.z = y.z AND x.n < y.n),
+        |sc AS (SELECT u, v, count(*)::BIGINT AS cn,
+        |    sum(floor(1048576.0 / ln(d::DOUBLE))::BIGINT)::BIGINT AS aa_q
+        |  FROM wedge GROUP BY 1, 2 HAVING count(*) >= 2),
+        |cand AS (SELECT * FROM sc WHERE NOT EXISTS
+        |  (SELECT 1 FROM e0 WHERE e0.a = sc.u AND e0.b = sc.v)),
+        |dir AS (SELECT u AS node_id, v AS candidate_id, cn, aa_q FROM cand
+        |  UNION ALL SELECT v, u, cn, aa_q FROM cand)
+        |SELECT node_id, candidate_id, cn AS common_neighbors, aa_q, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY cn DESC, aa_q DESC, candidate_id)::INT AS rank FROM dir) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    // §2.2/346 — rich-club coefficient profile (r14): edge density
+    // among degree->k nodes per cutoff — all cutoffs one explode pass.
+    "q_rich_club" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_partkey") % 7 === 0)
+          .select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.GraphMetrics.richClub(e, "src", "dst", ks = Seq(1, 2, 4, 8, 16))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 7 = 0),
+        |eraw AS (SELECT x.l_partkey AS s, y.l_partkey AS t FROM li x JOIN li y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |e0 AS (SELECT DISTINCT least(s, t)::BIGINT AS a, greatest(s, t)::BIGINT AS b
+        |  FROM eraw WHERE s IS NOT NULL AND t IS NOT NULL AND s <> t),
+        |u AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT a AS z, count(*)::BIGINT AS d FROM u GROUP BY 1),
+        |ks AS (SELECT unnest([1, 2, 4, 8, 16])::BIGINT AS k),
+        |nk AS (SELECT k, coalesce(sum(CASE WHEN d > k THEN 1 ELSE 0 END), 0)::BIGINT
+        |    AS n_nodes FROM ks CROSS JOIN deg GROUP BY k),
+        |ew AS (SELECT e0.a, e0.b, d1.d AS da, d2.d AS db FROM e0
+        |  JOIN deg d1 ON d1.z = e0.a JOIN deg d2 ON d2.z = e0.b),
+        |ek AS (SELECT k, coalesce(sum(CASE WHEN da > k AND db > k THEN 1 ELSE 0 END),
+        |    0)::BIGINT AS n_edges FROM ks CROSS JOIN ew GROUP BY k)
+        |SELECT nk.k AS k, n_nodes, n_edges,
+        |  CASE WHEN n_nodes >= 2
+        |    THEN ((2000000 * n_edges) // (n_nodes * (n_nodes - 1)))::BIGINT END
+        |    AS phi_micro
+        |FROM nk JOIN ek ON nk.k = ek.k""".stripMargin)),
+
+    // §2.2/347 — query-likelihood LM retrieval, Dirichlet μ=2000
+    // (r14): the probabilistic ranker beside BM25; per-term and
+    // length components quantized at 2⁴⁰, exact int64 scores.
+    "text_qlm" -> QueryDef(
+      (s, d) => {
+        val docs = ds(s, d, "documents").toDF
+        val q = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 3), " ").as("qtext"))
+        Retrieval.queryLikelihoodTopK(docs, "doc_id", "text", q, k = 10)
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t),
+        |tf AS (SELECT doc_id, token, max(dl) AS dl, count(*) AS tf_cnt FROM tok GROUP BY 1, 2),
+        |cf AS (SELECT token, count(*) AS cf_cnt FROM tok GROUP BY 1),
+        |g AS (SELECT sum(len(toks)) AS c_tokens FROM t),
+        |q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:3])) AS token
+        |  FROM t WHERE doc_id < 5),
+        |qs AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),
+        |c AS (SELECT q.query_id, tf.doc_id, tf.dl,
+        |    floor(ln((tf_cnt::DOUBLE + 2000.0 * cf_cnt::DOUBLE / c_tokens::DOUBLE)
+        |      / (2000.0 * cf_cnt::DOUBLE / c_tokens::DOUBLE))
+        |      * 1099511627776.0)::BIGINT AS cs
+        |  FROM tf JOIN q USING (token) JOIN cf USING (token) CROSS JOIN g),
+        |s AS (SELECT query_id, doc_id, sum(cs)::BIGINT AS m, max(dl) AS dl
+        |  FROM c GROUP BY 1, 2),
+        |sc AS (SELECT query_id, doc_id,
+        |    (m - floor(n_terms::DOUBLE * ln(dl::DOUBLE + 2000.0)
+        |      * 1099511627776.0)::BIGINT)::BIGINT AS score_q
+        |  FROM s JOIN qs USING (query_id))
+        |SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id)::BIGINT AS rank,
+        |  score_q
+        |FROM sc QUALIFY rank <= 10""".stripMargin)),
+
+    // §2.2/348 — per-label centroid outliers (r14): the mislabeled-
+    // example screen — exact fixed-point distance to own centroid,
+    // top-5 per label, BIGINT-safe n-free dist2.
+    "sim_centroid_outliers" -> QueryDef(
+      (s, d) => operators.Similarity.centroidOutliers(
+        ds(s, d, "embeddings").toDF
+          .filter(graft.functions.VectorFunctions.allFinite(col("embedding"))),
+        "vec_id", "embedding", "label", topK = 5),
+      Some("""WITH e AS (SELECT vec_id, label,
+        |    unnest(range(len(embedding)))::INT AS pos, unnest(embedding) AS v
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
+        |    AND embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
+        |b AS (SELECT vec_id, label, pos, round(v::DOUBLE * 1048576)::BIGINT AS vq FROM e),
+        |cent AS (SELECT label, pos, count(*)::BIGINT AS n, sum(vq)::BIGINT AS sum_q
+        |  FROM b GROUP BY 1, 2),
+        |dist AS (SELECT b.label AS label, vec_id,
+        |    sum((cent.n::HUGEINT * vq - sum_q) * (cent.n::HUGEINT * vq - sum_q))::HUGEINT AS d2,
+        |    max(cent.n)::BIGINT AS n_label
+        |  FROM b JOIN cent ON b.label = cent.label AND b.pos = cent.pos
+        |  GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id,
+        |    (d2 // (n_label::HUGEINT * n_label))::BIGINT AS dist2_q, n_label FROM dist)
+        |SELECT label, vec_id, rank, dist2_q, n_label FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY dist2_q DESC, vec_id)::BIGINT AS rank FROM r) t
+        |WHERE rank <= 5""".stripMargin)),
+
+    // §2.2/349 — ε-DP noisy group counts (r14): seeded inverse-CDF
+    // Laplace from 52 md5 bits — the release gate beside the
+    // k-anon/l-div/t-close audit rails; fully replayable.
+    "q_dp_counts" -> QueryDef(
+      (s, d) => operators.Stats.dpNoisyCounts(ds(s, d, "documents").toDF,
+        col("source"), seed = 11),
+      Some("""WITH g AS (SELECT source AS g, count(*)::BIGINT AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |h AS (SELECT g, n,
+        |    ('0x' || substring(md5('dp:11:' || g), 1, 13))::BIGINT AS u52 FROM g),
+        |u AS (SELECT g, n,
+        |    (u52::DOUBLE + 0.5) / 4503599627370496.0 - 0.5 AS uu FROM h),
+        |nq AS (SELECT g, n,
+        |    floor((CASE WHEN uu >= 0 THEN -1.0 ELSE 1.0 END)
+        |      * (1000000.0 / 1000000.0)
+        |      * ln(1.0 - 2.0 * abs(uu)) * 1048576)::BIGINT AS noise_q FROM u)
+        |SELECT g,
+        |  greatest(0, n + floor((noise_q + 524288) / 1048576.0)::BIGINT)::BIGINT
+        |    AS n_released,
+        |  noise_q, 1000000::BIGINT AS epsilon_micro
+        |FROM nq""".stripMargin)),
+
+    // §2.2/350 — quota rebalancing to equal source shares (r14): the
+    // deterministic flatten-the-mix selector; kept_id_sum pins WHICH
+    // rows were selected, not just how many.
+    "q_quota_sample" -> QueryDef(
+      (s, d) => operators.Sampling.quotaRebalance(ds(s, d, "documents").toDF,
+        "source", "doc_id", seed = 3),
+      Some("""WITH b AS (SELECT source AS g, doc_id AS id FROM documents
+        |  WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+        |sz AS (SELECT g, count(*)::BIGINT AS n_before FROM b GROUP BY g),
+        |qt AS (SELECT (sum(n_before) // count(*))::BIGINT AS quota FROM sz),
+        |h AS (SELECT g, id,
+        |    ('0x' || substring(md5('quota:3:' || id::varchar), 1, 13))::BIGINT AS hh
+        |  FROM b),
+        |r AS (SELECT g, id,
+        |    row_number() OVER (PARTITION BY g ORDER BY hh ASC, id ASC) AS rn FROM h),
+        |kp AS (SELECT g, count(*)::BIGINT AS n_kept, sum(id)::BIGINT AS kept_id_sum
+        |  FROM r CROSS JOIN qt WHERE rn <= quota GROUP BY g)
+        |SELECT sz.g AS g, n_before, quota,
+        |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(kept_id_sum, 0)::BIGINT AS kept_id_sum
+        |FROM sz LEFT JOIN kp ON sz.g = kp.g CROSS JOIN qt""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

@@ -142,4 +142,47 @@ object GraphMetrics {
       .select("n_nodes", "n_edges", "m_directed", "sum_jk", "sum_j", "sum_j2",
         "assortativity")
   }
+
+  /** Rich-club coefficient profile (Zhou & Mondragón 2004): for each
+    * degree cutoff k, the edge density among the nodes of degree > k —
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) in micro-units. A rising φ(k) means
+    * the hubs form a densely-wired "club" (the router-core /
+    * power-user structure [[assortativity]] summarizes in one
+    * number, resolved by level). Entirely integer: degree counts, one
+    * degree join per edge endpoint, then ALL cutoffs in one
+    * explode+aggregate pass (|ks| rows per edge/node — cutoff lists
+    * are a handful of levels, so the blow-up is a small constant,
+    * never quadratic). Output per cutoff:
+    * (k, n_nodes, n_edges, phi_micro) — NULL φ when N_k < 2.
+    */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+               ks: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0), "cutoffs must be >= 0")
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
+    val kArr = array(ks.map(k => lit(k.toLong)): _*)
+    val nodesPerK = deg.select(explode(kArr).as("k"), col("d"))
+      .groupBy("k")
+      .agg(coalesce(sum(when(col("d") > col("k"), 1L).otherwise(0L)), lit(0L))
+        .as("n_nodes"))
+    val edgesPerK = e0
+      .join(deg.select(col("z").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("z").as("b"), col("d").as("db")), "b")
+      .select(explode(kArr).as("k"), col("da"), col("db"))
+      .groupBy("k")
+      .agg(coalesce(sum(when(col("da") > col("k") && col("db") > col("k"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_edges"))
+    nodesPerK.join(edgesPerK, "k")
+      .withColumn("phi_micro", when(col("n_nodes") >= 2,
+        graft.functions.TimeFunctions.truncDiv(
+          lit(2000000L) * col("n_edges"),
+          col("n_nodes") * (col("n_nodes") - 1L))))
+      .select(col("k"), col("n_nodes"), col("n_edges"), col("phi_micro"))
+  }
 }

@@ -231,4 +231,61 @@ object Retrieval {
           abs(col("p1") - col("p2")) <= window)
       .groupBy("w1", "w2", "doc_id").agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Query-likelihood language-model retrieval with Dirichlet
+    * smoothing (Zhai & Lafferty 2001) — the probabilistic alternative
+    * to [[bm25TopK]] a hybrid stack A/B-tests against it. A document
+    * scores ln Π_t p(t|d) with p(t|d) = (tf + μ·cf_t/|C|)/(dl + μ);
+    * dropping the query-constant Σ ln(μ·cf_t/|C|) gives the standard
+    * rank-equivalent decomposition score =
+    * Σ_matched ln((tf + μp_t)/(μp_t)) − |q|·ln(dl + μ), which only
+    * touches (doc, term) MATCHES plus one per-candidate length term —
+    * so the candidate set is "docs sharing ≥ 1 query term" (the
+    * inverted-index contract; a no-match doc's rank-by-shortness tail
+    * is noise, not retrieval). Both pieces are floor-quantized at
+    * 2⁴⁰ (the BM25 convention) so per-document scores are exact
+    * int64 sums — ties replay identically in SQL. Scale shape mirrors
+    * BM25: one (doc, token) tf aggregation, vocabulary-sized cf
+    * broadcast, broadcast query terms, map-side-combinable
+    * [[graft.functions.TopKAgg]] per query. Output:
+    * (query_id, doc_id, rank, score_q) — score_q in 2⁻⁴⁰ log-units.
+    */
+  def queryLikelihoodTopK(docs: DataFrame, idCol: String, textCol: String,
+                          queries: DataFrame, k: Int = 10,
+                          mu: Double = 2000.0): DataFrame = {
+    val toks = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+    val tok = toks.select(col("doc_id"), size(col("toks")).as("dl"),
+      explode(col("toks")).as("token"))
+    val tf = tok.groupBy("doc_id", "token")
+      .agg(max("dl").as("dl"), count(lit(1)).as("tf_cnt"))
+    val cf = tok.groupBy("token").agg(count(lit(1)).as("cf_cnt"))
+    val glob = toks.agg(sum(size(col("toks"))).as("c_tokens"))
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col("qtext")))).as("token"))
+    val qsize = qterms.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    // μ·p_t with p_t = cf/|C| — every input an exact integer, one
+    // fixed double expression per (doc, matched term)
+    val mup = lit(mu) * dd(col("cf_cnt")) / dd(col("c_tokens"))
+    val matched = tf
+      .join(broadcast(qterms), "token")
+      .join(broadcast(cf), "token")
+      .crossJoin(broadcast(glob))
+      .select(col("query_id"), col("doc_id"), col("dl"),
+        floor(log((dd(col("tf_cnt")) + mup) / mup) * lit(SCALE)).cast("long")
+          .as("cs"))
+    val scores = matched.groupBy("query_id", "doc_id")
+      .agg(sum("cs").as("m"), max("dl").as("dl"))
+      .join(broadcast(qsize), "query_id")
+      .withColumn("sc", col("m") -
+        floor(dd(col("n_terms")) * log(dd(col("dl")) + lit(mu)) * lit(SCALE))
+          .cast("long"))
+    val topk = scores.groupBy("query_id")
+      .agg(TopKAgg.topK(k)(col("doc_id"), col("sc").cast("double")).as("arr"))
+    topk.select(col("query_id"), posexplode(col("arr")))
+      .select(col("query_id"), col("col._1").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").cast("long").as("score_q"))
+  }
 }

@@ -507,4 +507,44 @@ object Sampling {
 
   private def bucket(idCol: String, den: Int) =
     HashFunctions.stableHash56(col(idCol).cast("string")) % den
+
+  /** Quota rebalancing to EQUAL group shares — the "flatten the
+    * source mix" selector beside [[temperatureMix]] (which reweights
+    * smoothly) and [[perGroupCap]] (which caps absolutely): each
+    * group's quota is its equal share of the total,
+    * floor(N / k_groups), clipped to what the group actually has;
+    * within a group the quota's seeded-hash-smallest ids win (the
+    * [[exactKSample]] selection rule, so membership is a pure
+    * function of (seed, id) and adding a NEW group never reshuffles
+    * an old group's kept set beyond the quota change). Groups smaller
+    * than the quota keep everything — the deterministic
+    * reproducible-corpus contract. Output per group:
+    * (g, n_before, quota, n_kept).
+    */
+  def quotaRebalance(df: DataFrame, groupCol: String, idCol: String,
+                     seed: Int): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).as("id"))
+    val sizes = base.groupBy("g").agg(count(lit(1)).as("n_before"))
+    val quota = sizes.agg(count(lit(1)).as("k_groups"), sum("n_before").as("n"))
+      .select(graft.functions.TimeFunctions.truncDiv(col("n"), col("k_groups"))
+        .as("quota"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("__h").asc, col("id").asc)
+    val kept = base
+      .withColumn("__h", HashFunctions.stableHash52(
+        concat(lit(s"quota:$seed:"), col("id").cast("string"))))
+      .withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(quota))
+      .filter(col("__rn") <= col("quota"))
+      // the id sum pins WHICH rows were kept, not just how many — a
+      // selection-rule regression cannot hide behind a correct count
+      .groupBy("g").agg(count(lit(1)).as("n_kept"),
+        sum(col("id").cast("long")).as("kept_id_sum"))
+    sizes.join(kept, Seq("g"), "left")
+      .na.fill(0L, Seq("n_kept", "kept_id_sum"))
+      .crossJoin(broadcast(quota))
+      .select(col("g"), col("n_before"), col("quota"), col("n_kept"),
+        col("kept_id_sum"))
+  }
 }

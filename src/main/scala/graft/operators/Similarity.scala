@@ -751,4 +751,48 @@ object Similarity {
       .select(col("query_id"), col("__nl").as("pred_label"), col("n_votes"),
         col("true_label"), col("correct"))
   }
+
+  /** Per-label centroid outliers — the mislabeled-example /
+    * contamination screen a labeled embedding corpus runs before
+    * training: each vector's squared distance to its OWN label's
+    * exact fixed-point centroid, top `topK` farthest per label.
+    * Entirely exact: per-dimension centroid mass is the
+    * q_embed_centroids sum (round(v·2²⁰), int64), a vector's
+    * distance numerator Σ_pos (n·v_q − sum_q)² accumulates in
+    * DECIMAL(38,0) (n·v_q ≤ 2⁵¹ per term at a billion-vector label;
+    * int64 would wrap at the square), and the emitted
+    * dist2_q = Σ(n·v_q − sum_q)² div n² is the BIGINT-safe n-free
+    * quantity (≤ dims·2⁴⁰). Ranking ties break on vec_id.
+    *
+    * Scale shape: one posexplode (vectors × dims rows) feeding a
+    * combinable per-(label, pos) centroid aggregation, broadcast of
+    * the (labels × dims)-sized centroid table back onto the same
+    * explode, one combinable per-vector distance aggregation, and a
+    * per-label top-k window. Output:
+    * (label, vec_id, rank, dist2_q, n_label).
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, topK: Int = 5): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(idCol).isNotNull && col(labelCol).isNotNull &&
+        col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("vq", round(col("v").cast("double") * (1 << 20)).cast("long"))
+    val cent = base.groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("vq").as("sum_q"))
+    val dist = base.join(broadcast(cent), Seq("label", "pos"))
+      .withColumn("__t", ((col("n").cast(dec) * col("vq") - col("sum_q"))
+        .cast(dec)))
+      .groupBy("label", "vec_id")
+      .agg(sum((col("__t") * col("__t")).cast(dec)).cast(dec).as("__d2"),
+        max("n").as("n_label"))
+      .withColumn("dist2_q", graft.functions.TimeFunctions.truncDiv(
+        col("__d2"), (col("n_label").cast(dec) * col("n_label")).cast(dec)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("dist2_q").desc, col("vec_id").asc)
+    dist.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("label"), col("vec_id"), col("rank").cast("long").as("rank"),
+        col("dist2_q"), col("n_label"))
+  }
 }

@@ -1704,4 +1704,438 @@ object Stats {
       .select(col("g"), col("v").as("mode_value"), col("c").as("mode_count"),
         col("n_distinct"), col("n_rows"))
   }
+
+  /** Exact per-group LOWER median of an integer column from the
+    * value-tally table: the smallest value whose cumulative count
+    * reaches ceil(n/2) — the same deterministic convention
+    * [[weightedMedian]] uses (no interpolation, so the result is a
+    * value the group actually contains and replays exactly in SQL).
+    * Returns (g, med) — the shared primitive under
+    * [[brownForsythe]] / [[moodMedianTest]].
+    */
+  private def groupLowerMedian(vals: DataFrame): DataFrame = {
+    val cells = vals.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum", sum("c").over(wc))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy("g").agg(min("v").as("med"))
+  }
+
+  /** Brown–Forsythe test (the robust Levene variant): "do the groups
+    * have the same SPREAD" — the variance-homogeneity gate that
+    * belongs in front of every [[oneWayAnova]]/[[welchTTest]] read.
+    * Each observation becomes its absolute deviation from its group's
+    * exact LOWER median (integer — the median-centered form is the
+    * outlier-robust one Brown & Forsythe 1974 recommend), then the
+    * one-way ANOVA F over those deviations IS the statistic, computed
+    * by the same exact int64 moment sums as [[oneWayAnova]].
+    *
+    * Scale shape: one (group, value) tally shuffle + a group-windowed
+    * cumsum for the medians (cells, not rows), one broadcast-sized
+    * median join back, one combinable moment aggregation. Output one
+    * row: (k_groups, n, ssb_q, ssw_q, df_between, df_within, f_stat).
+    */
+  def brownForsythe(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val vals = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val med = groupLowerMedian(vals)
+    val dev = vals.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") - col("med")).as("z"))
+    oneWayAnova(dev, col("g"), col("z"))
+  }
+
+  /** Bartlett's test for equal variances — the higher-power,
+    * normality-assuming sibling of [[brownForsythe]]:
+    * χ² = [(N−k)·ln(s_p²) − Σ(n_i−1)·ln(s_i²)] / C with the standard
+    * correction C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1)).
+    *
+    * Cross-engine exactness: per-group variances come from exact
+    * DECIMAL(38,0) moment sums ((n·q − s²) / (n·(n−1)) — both factors
+    * exact integers, ONE IEEE division each), each ln() is
+    * floor-quantized at 2²⁰ (the repo's qln convention) and the
+    * quantized logs are INTEGER-summed — order-free where a raw
+    * double Σ ln would drift with aggregation order. Groups with
+    * n_i < 2 or zero variance are excluded and reported in
+    * n_degenerate (ln(0) is a hard error in any engine). Output one
+    * row: (k_groups, n, n_degenerate, lnsp_q, sum_ln_q, chi2_uncorr,
+    * chi2) — NULLs when fewer than 2 admissible groups.
+    */
+  def bartlettTest(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val g0 = df.select(groupCol.as("g"), valueCol.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x").cast(dec)).cast(dec).as("s_g"),
+        sum((col("x").cast(dec) * col("x")).cast(dec)).cast(dec).as("q_g"))
+      .withColumn("m2", (col("n_g").cast(dec) * col("q_g") -
+        col("s_g") * col("s_g")).cast(dec))
+    val adm = g0.filter(col("n_g") >= 2 && col("m2") > 0)
+      // s_i² = m2 / (n·(n−1)): both operands exact, one IEEE division,
+      // then the quantized log — identical arithmetic in the oracle
+      .withColumn("ln_q", floor(log(dd(col("m2")) /
+        (dd(col("n_g")) * (dd(col("n_g")) - 1.0))) * 1048576).cast("long"))
+    val degen = g0.agg(coalesce(sum(when(col("n_g") < 2 || col("m2") <= 0, 1L)
+      .otherwise(0L)), lit(0L)).as("n_degenerate"))
+    adm.agg(count(lit(1)).as("k_groups"), sum("n_g").as("n"),
+        coalesce(sum((col("n_g") - 1) * col("ln_q")), lit(0L)).as("sum_ln_q"),
+        // Σ 1/(n_i−1) quantized at 2²⁰ by integer division — exact,
+        // order-free (the correction term's only group-indexed sum)
+        coalesce(sum(expr("1048576L div (n_g - 1)")), lit(0L)).as("inv_q"),
+        // pooled numerator Σ(n_i−1)s_i² = Σ m2_i/n_i: each group's
+        // term is one IEEE division of exact values, floor-quantized
+        // at 2²⁰ so the cross-group sum is order-free int64
+        coalesce(sum(floor((dd(col("m2")) / dd(col("n_g"))) * 1048576)
+          .cast("long")), lit(0L)).as("ssw_q2"))
+      .crossJoin(broadcast(degen))
+      .withColumn("lnsp_q", when(col("k_groups") >= 2 && col("n") > col("k_groups") &&
+          col("ssw_q2") > 0,
+        floor(log((dd(col("ssw_q2")) / 1048576.0) /
+          (dd(col("n")) - dd(col("k_groups")))) * 1048576).cast("long")))
+      .withColumn("chi2_uncorr", when(col("lnsp_q").isNotNull,
+        ((dd(col("n")) - dd(col("k_groups"))) * dd(col("lnsp_q")) -
+          dd(col("sum_ln_q"))) / 1048576.0))
+      .withColumn("chi2", when(col("chi2_uncorr").isNotNull && col("k_groups") > 1,
+        col("chi2_uncorr") / (lit(1.0) +
+          (dd(col("inv_q")) / 1048576.0 -
+            lit(1.0) / (dd(col("n")) - dd(col("k_groups")))) /
+          (lit(3.0) * (dd(col("k_groups")) - 1.0)))))
+      .select(col("k_groups"), col("n"), col("n_degenerate"),
+        col("lnsp_q"), col("sum_ln_q"), col("chi2_uncorr"), col("chi2"))
+  }
+
+  /** Jarque–Bera normality screen per group: JB = n/6·(g1² + g2²/4)
+    * from exact raw-moment sums in DECIMAL(38,0). The n-scaled central
+    * moments M2 = nΣx²−(Σx)², M3 = n²Σx³−3nΣxΣx²+2(Σx)³,
+    * M4 = n³Σx⁴−4n²Σx³Σx+6n(Σx)²Σx²−3(Σx)⁴ are EXACT decimals
+    * (bound: |Σx|⁴ < 10³⁸ → |Σx| < 3·10⁹ — quantity-scaled columns
+    * hold through sf100; an exact-integer-to-double conversion is
+    * deterministic IEEE on both engines), skewness g1 = √n·M3/M2^1.5
+    * and excess kurtosis g2 = n·M4/M2² − 3 are fixed double
+    * expressions. Output per group:
+    * (g, n, skewness, kurtosis_excess, jb_stat); zero variance → NULLs.
+    */
+  def jarqueBera(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    df.select(groupCol.as("g"), valueCol.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).cast(dec).as("s1"),
+        sum((col("x").cast(dec) * col("x")).cast(dec)).cast(dec).as("s2"),
+        sum((col("x").cast(dec) * col("x") * col("x")).cast(dec)).cast(dec).as("s3"),
+        sum((col("x").cast(dec) * col("x") * col("x") * col("x")).cast(dec))
+          .cast(dec).as("s4"))
+      .withColumn("m2", (col("n") * col("s2") - col("s1") * col("s1")).cast(dec))
+      .withColumn("m3", (col("n") * col("n") * col("s3") -
+        lit(3).cast(dec) * col("n") * col("s1") * col("s2") +
+        lit(2).cast(dec) * col("s1") * col("s1") * col("s1")).cast(dec))
+      .withColumn("m4", (col("n") * col("n") * col("n") * col("s4") -
+        lit(4).cast(dec) * col("n") * col("n") * col("s3") * col("s1") +
+        lit(6).cast(dec) * col("n") * col("s1") * col("s1") * col("s2") -
+        lit(3).cast(dec) * col("s1") * col("s1") * col("s1") * col("s1")).cast(dec))
+      .withColumn("skewness", when(col("m2") > 0,
+        sqrt(dd(col("n"))) * dd(col("m3")) / pow(dd(col("m2")), 1.5)))
+      .withColumn("kurtosis_excess", when(col("m2") > 0,
+        dd(col("n")) * dd(col("m4")) / (dd(col("m2")) * dd(col("m2"))) - 3.0))
+      .withColumn("jb_stat", when(col("m2") > 0,
+        dd(col("n")) / 6.0 * (col("skewness") * col("skewness") +
+          col("kurtosis_excess") * col("kurtosis_excess") / 4.0)))
+      .select(col("g"), col("n").cast("long").as("n"), col("skewness"),
+        col("kurtosis_excess"), col("jb_stat"))
+  }
+
+  /** Grubbs' test per group: the single most extreme observation's
+    * studentized distance G = max|x−x̄| / s, with the suspect value
+    * reported. The numerator max|n·x − Σx| and its arg are exact
+    * int64 (tie-break: smaller value); G is one fixed double from the
+    * exact moment sums: G = (maxdev/n) / √((nΣx²−(Σx)²)/(n(n−1))).
+    * Output per group: (g, n, suspect_value, maxdev_n, g_stat) —
+    * NULL g_stat when n < 3 or zero variance.
+    */
+  def grubbsTest(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val vals = df.select(groupCol.as("g"), valueCol.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+    val mom = vals.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).cast(dec).as("s"),
+        sum((col("x").cast(dec) * col("x")).cast(dec)).cast(dec).as("q"))
+    val dev = vals.join(broadcast(mom), "g")
+      // n·x − Σx in DECIMAL — |·| ≤ n·|x|, exact at any group size
+      .withColumn("d", abs((col("n").cast(dec) * col("x").cast(dec) -
+        col("s")).cast(dec)))
+    val suspect = dev
+      .withColumn("__rk", row_number().over(Window.partitionBy("g")
+        .orderBy(col("d").desc, col("x").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("g"), col("x").as("suspect_value"), col("d").as("maxdev_n"))
+    suspect.join(broadcast(mom), "g")
+      .withColumn("g_stat", when(col("n") >= 3 &&
+          (col("n").cast(dec) * col("q") - col("s") * col("s")) > 0,
+        (dd(col("maxdev_n")) / dd(col("n"))) /
+          sqrt(dd((col("n").cast(dec) * col("q") - col("s") * col("s")).cast(dec)) /
+            (dd(col("n")) * (dd(col("n")) - 1.0)))))
+      .select(col("g"), col("n"), col("suspect_value"),
+        col("maxdev_n").cast("long").as("maxdev_n"), col("g_stat"))
+  }
+
+  /** Fleiss' kappa — chance-corrected agreement for N items each
+    * rated by the SAME number of raters n into k categories (the
+    * multi-rater generalization of [[cohensKappa]], the QA gate on a
+    * crowd-labeling pipeline). Items whose rating count differs from
+    * the modal count are EXCLUDED and tallied (Fleiss requires
+    * constant n; the modal-n rule makes the operator total on dirty
+    * data instead of erroring). P̄−P_e needs only exact integer sums:
+    * Σ_ij n_ij², category marginals c_j, N, n —
+    * κ = (A − B) / (C − B) with A = n·N·(Σn_ij² − N·n),
+    * scaled to the common denominator N·n·(n−1)·(N·n)² … computed as
+    * the standard two-ratio form in ONE fixed double expression from
+    * the exact int64 terms. Output one row:
+    * (n_items, n_raters, k_cats, n_excluded, sum_sq, pbar, pe, kappa).
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: Column, catCol: Column): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val r = ratings.select(itemCol.as("i"), catCol.cast("string").as("c"))
+      .filter(col("i").isNotNull && col("c").isNotNull)
+    val perItem = r.groupBy("i").agg(count(lit(1)).as("n_i"))
+    // modal rating count (tie-break: larger n — more raters wins)
+    val modal = perItem.groupBy("n_i").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("n_i").desc).limit(1)
+      .select(col("n_i").as("n_r"))
+    val kept = r.join(broadcast(perItem), "i")
+      .join(broadcast(modal), col("n_i") === col("n_r"))
+    val cells = kept.groupBy("i", "c").agg(count(lit(1)).as("n_ij"))
+    val sums = cells.agg(
+      countDistinct("i").as("n_items"),
+      coalesce(sum(col("n_ij") * col("n_ij")), lit(0L)).as("sum_sq"))
+    val marg = cells.groupBy("c").agg(sum("n_ij").as("c_j"))
+      .agg(count(lit(1)).as("k_cats"),
+        coalesce(sum(col("c_j") * col("c_j")), lit(0L)).as("marg_sq"))
+    val excluded = perItem.join(broadcast(modal),
+        col("n_i") =!= col("n_r"), "left_semi")
+      .agg(count(lit(1)).as("n_excluded"))
+    sums.crossJoin(broadcast(marg)).crossJoin(broadcast(modal))
+      .crossJoin(broadcast(excluded))
+      .withColumn("pbar", when(col("n_items") > 0 && col("n_r") >= 2,
+        (dd(col("sum_sq")) - dd(col("n_items")) * dd(col("n_r"))) /
+          (dd(col("n_items")) * dd(col("n_r")) * (dd(col("n_r")) - 1.0))))
+      .withColumn("pe", when(col("n_items") > 0,
+        dd(col("marg_sq")) /
+          (dd(col("n_items")) * dd(col("n_r")) * dd(col("n_items")) * dd(col("n_r")))))
+      .withColumn("kappa", when(col("pbar").isNotNull && col("pe") < 1.0,
+        (col("pbar") - col("pe")) / (lit(1.0) - col("pe"))))
+      .select(col("n_items"), col("n_r").as("n_raters"), col("k_cats"),
+        col("n_excluded"), col("sum_sq"), col("pbar"), col("pe"), col("kappa"))
+  }
+
+  /** G-test of independence (the log-likelihood-ratio sibling of
+    * [[chiSquareCells]] — additive across partitions of the table,
+    * which χ² is not): G = 2·Σ O·ln(O·N / (R·C)) over nonzero cells.
+    * Each cell's ln is one IEEE log of a ratio of exact int64
+    * products (bounds: O·N and R·C < 2⁶³ → N < ~3·10⁹ rows),
+    * floor-quantized at 2²⁰ and INTEGER-weighted-summed (order-free);
+    * G is the one final double. Output one row:
+    * (n, k_a, k_b, df, g_q, g_stat).
+    */
+  def gTest(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val pairs = df.select(aCol.cast("string").as("a"), bCol.cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val cells = pairs.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum("o").as("r"))
+    val cb = cells.groupBy("b").agg(sum("o").as("c"))
+    val n = cells.agg(sum("o").as("n"), count(lit(1)).as("n_cells"))
+    val ka = ra.agg(count(lit(1)).as("k_a"))
+    val kb = cb.agg(count(lit(1)).as("k_b"))
+    cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(n))
+      .withColumn("q", floor(log((dd(col("o")) * dd(col("n"))) /
+        (dd(col("r")) * dd(col("c")))) * 1048576).cast("long"))
+      .agg(max("n").as("n"),
+        coalesce(sum(col("o") * col("q")), lit(0L)).as("g_q"))
+      .crossJoin(broadcast(ka)).crossJoin(broadcast(kb))
+      .withColumn("df", (col("k_a") - 1) * (col("k_b") - 1))
+      .withColumn("g_stat", lit(2.0) * dd(col("g_q")) / 1048576.0)
+      .select(col("n"), col("k_a"), col("k_b"), col("df"), col("g_q"),
+        col("g_stat"))
+  }
+
+  /** Mood's median test: "do the groups share a common median" — the
+    * distribution-free coarse sibling of [[kruskalWallis]] (it only
+    * looks at above/below, so it survives arbitrary outliers). The
+    * GLOBAL lower median splits every group into ≤/> counts; the
+    * statistic is the standard χ² over the k×2 table, computed from
+    * exact integer margins in one fixed double sum per group then
+    * integer-quantized … χ² here is Σ (O−E)²/E over 2k cells with
+    * E = row·col/N: each group's two terms are a fixed double
+    * expression of exact ints, floor-quantized at 2²⁰ and summed as
+    * int64 (order-free). Output per group:
+    * (g, n_le, n_gt, chi2_q, chi2, global_median) — chi2 identical on
+    * every row, NULL when either global side is empty.
+    */
+  def moodMedianTest(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val vals = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val gm = groupLowerMedian(vals.select(lit("__all").as("g"), col("v")))
+      .select(col("med").as("gmed"))
+    val perG = vals.crossJoin(broadcast(gm))
+      .groupBy("g")
+      .agg(sum(when(col("v") <= col("gmed"), 1L).otherwise(0L)).as("n_le"),
+        sum(when(col("v") > col("gmed"), 1L).otherwise(0L)).as("n_gt"),
+        max("gmed").as("global_median"))
+    val tot = perG.agg(sum("n_le").as("t_le"), sum("n_gt").as("t_gt"),
+      (sum("n_le") + sum("n_gt")).as("nn"))
+    val terms = perG.crossJoin(broadcast(tot))
+      .withColumn("__tq", when(col("t_le") > 0 && col("t_gt") > 0, floor((
+        (dd(col("n_le")) - dd(col("n_le") + col("n_gt")) * dd(col("t_le")) / dd(col("nn"))) *
+        (dd(col("n_le")) - dd(col("n_le") + col("n_gt")) * dd(col("t_le")) / dd(col("nn"))) /
+          (dd(col("n_le") + col("n_gt")) * dd(col("t_le")) / dd(col("nn"))) +
+        (dd(col("n_gt")) - dd(col("n_le") + col("n_gt")) * dd(col("t_gt")) / dd(col("nn"))) *
+        (dd(col("n_gt")) - dd(col("n_le") + col("n_gt")) * dd(col("t_gt")) / dd(col("nn"))) /
+          (dd(col("n_le") + col("n_gt")) * dd(col("t_gt")) / dd(col("nn")))
+        ) * 1048576).cast("long")))
+    val chi = terms.agg(sum("__tq").as("chi2_q"))
+      .withColumn("chi2", dd(col("chi2_q")) / 1048576.0)
+    perG.crossJoin(broadcast(chi))
+      .select(col("g"), col("n_le"), col("n_gt"), col("chi2_q"), col("chi2"),
+        col("global_median"))
+  }
+
+  /** Bowker's symmetry test over PAIRED categorical readings (the k×k
+    * generalization of [[mcnemar]]): for every unordered category
+    * pair {i, j}, χ² accumulates (n_ij − n_ji)² / (n_ij + n_ji) —
+    * "did the re-rating move mass asymmetrically anywhere". Each
+    * pair's term is one fixed double from two exact int64 counts,
+    * floor-quantized at 2²⁰ and integer-summed; df counts the
+    * discordant pairs (n_ij + n_ji > 0, i ≠ j). Output one row:
+    * (n_units, k_cats, df, chi2_q, chi2).
+    */
+  def bowkerTest(units: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val pairs = units.select(aCol.cast("string").as("a"), bCol.cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val cells = pairs.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val n = pairs.agg(count(lit(1)).as("n_units"))
+    val k = pairs.select(col("a").as("c")).unionByName(pairs.select(col("b").as("c")))
+      .agg(countDistinct("c").as("k_cats"))
+    val sym = cells.filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("o").as("n_ij"))
+      .join(cells.filter(col("a") > col("b"))
+        .select(col("b").as("a"), col("a").as("b"), col("o").as("n_ji")),
+        Seq("a", "b"), "full_outer")
+      .na.fill(0L, Seq("n_ij", "n_ji"))
+      .filter(col("n_ij") + col("n_ji") > 0)
+      .withColumn("__tq", floor(
+        (dd(col("n_ij")) - dd(col("n_ji"))) * (dd(col("n_ij")) - dd(col("n_ji"))) /
+          (dd(col("n_ij")) + dd(col("n_ji"))) * 1048576).cast("long"))
+    sym.agg(count(lit(1)).as("df"),
+        coalesce(sum("__tq"), lit(0L)).as("chi2_q"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(k))
+      .withColumn("chi2", dd(col("chi2_q")) / 1048576.0)
+      .select(col("n_units"), col("k_cats"), col("df"), col("chi2_q"),
+        col("chi2"))
+  }
+
+  /** Page's trend test for ORDERED alternatives over complete blocks
+    * — [[friedmanTest]]'s directional sibling ("are the treatments
+    * not just different but MONOTONE in the hypothesized order"):
+    * L = Σ_j rank(j)·R_j with treatments ordered ascending by name
+    * (the hypothesized order is the caller's column encoding). Uses
+    * the same tie-averaged double-ranks and the same completeness
+    * guard as Friedman, so L2 = Σ j·R2_j stays exact int64; the
+    * large-sample z uses the NO-TIES null moments
+    * E[L] = n·k(k+1)²/4, Var[L] = n·k²(k+1)(k²−1)/144 (the standard
+    * tabulated form), one fixed double expression. Output one row:
+    * (n_blocks, k_treat, l2_sum, z_stat).
+    */
+  def pageTrendTest(cells: DataFrame, blockCol: Column, treatCol: Column,
+                    valueCol: Column): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val rows = cells.select(blockCol.as("b"), treatCol.cast("string").as("j"),
+        valueCol.cast("long").as("v"))
+      .filter(col("b").isNotNull && col("j").isNotNull && col("v").isNotNull)
+    val vc = rows.groupBy("b", "v").agg(count(lit(1)).as("t"))
+    val rk = vc
+      .withColumn("w", sum("t").over(Window.partitionBy("b").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("b"), col("v"), (lit(2) * col("w") - col("t") + 1).as("dr"))
+    val dr = rows.join(rk, Seq("b", "v"))
+    val kGlobal = rows.agg(countDistinct("j").as("k_global"))
+    val shape = rows.groupBy("b")
+      .agg(count(lit(1)).as("sz"), countDistinct("j").as("ts"))
+      .agg(count(lit(1)).as("n_blocks"),
+        countDistinct("sz").as("n_sizes"), min("sz").as("k_sz"),
+        coalesce(sum(when(col("sz") =!= col("ts"), 1L).otherwise(0L)), lit(0L))
+          .as("n_dup"))
+      .crossJoin(broadcast(kGlobal))
+      .select(col("n_blocks"),
+        when(col("n_sizes") > 1 || col("n_dup") > 0 ||
+            col("k_global") =!= col("k_sz"), raise_error(lit(
+          "graft.pageTrendTest: blocks are not complete/unique — zero-fill " +
+            "every (block, treatment) cell exactly once")))
+          .otherwise(col("k_sz")).as("k_treat"))
+    val perTreat = dr.groupBy("j").agg(coalesce(sum("dr"), lit(0L)).as("r2_sum"))
+    // the hypothesized order: treatments ascending by name — rank them
+    val ranked = perTreat
+      .withColumn("jr", row_number().over(Window.orderBy("j")).cast("long"))
+    ranked.agg(coalesce(sum(col("jr") * col("r2_sum")), lit(0L)).as("l2_sum"))
+      .crossJoin(broadcast(shape))
+      .withColumn("z_stat", when(col("n_blocks") > 0 && col("k_treat") > 1,
+        (dd(col("l2_sum")) / 2.0 -
+          dd(col("n_blocks")) * dd(col("k_treat")) *
+            (dd(col("k_treat")) + 1.0) * (dd(col("k_treat")) + 1.0) / 4.0) /
+          sqrt(dd(col("n_blocks")) * dd(col("k_treat")) * dd(col("k_treat")) *
+            (dd(col("k_treat")) + 1.0) *
+            (dd(col("k_treat")) * dd(col("k_treat")) - 1.0) / 144.0)))
+      .select(col("n_blocks"), col("k_treat"), col("l2_sum"), col("z_stat"))
+  }
+
+  /** ε-differentially-private group counts by seeded inverse-CDF
+    * Laplace noise — the release gate beside the audit rails
+    * ([[kAnonymityAudit]], l-diversity, t-closeness): each group's
+    * count is perturbed by Lap(1/ε) derived DETERMINISTICALLY from
+    * the md5 of its key and a caller seed (a keyed PRF standing in
+    * for the sampler — the point here is the release PIPELINE:
+    * noise scale, post-processing floor, replayability; a production
+    * deployment swaps the PRF for a CSPRNG draw). u ∈ (−½, ½) comes
+    * from 52 md5 bits (exact dyadic rational — both engines convert
+    * it to the identical double), noise = −sign(u)·(1/ε)·ln(1−2|u|)
+    * floor-quantized at 2²⁰, released = max(0, n + round(noise)).
+    * Output per group: (g, n_true…only for the spec; emitted columns
+    * are the RELEASABLE set) → (g, n_released, noise_q, epsilon_micro).
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: Column, seed: Int,
+                    epsilonMicro: Long = 1000000L): DataFrame = {
+    require(epsilonMicro > 0, s"epsilonMicro must be > 0, got $epsilonMicro")
+    def dd(c: Column) = c.cast("double")
+    df.select(groupCol.cast("string").as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      // 52 bits of md5(seed || key) → u52 ∈ [0, 2^52); the +½ centers
+      // each lattice cell so u ∈ (−½, ½) strictly — ln(1−2|u|) can
+      // never hit ln(0). Every quantity is an exact dyadic double on
+      // both engines.
+      .withColumn("__u52", graft.functions.HashFunctions.stableHash52(
+        concat(lit(s"dp:$seed:"), col("g"))))
+      .withColumn("__u",
+        (dd(col("__u52")) + lit(0.5)) / lit(4503599627370496.0) - lit(0.5))
+      .withColumn("noise_q", floor(
+        when(col("__u") >= 0, lit(-1.0)).otherwise(lit(1.0)) *
+          (lit(1000000.0) / dd(lit(epsilonMicro))) *
+          log(lit(1.0) - lit(2.0) * abs(col("__u"))) * 1048576).cast("long"))
+      // round(noise) = floor(noise + ½) — floorDiv, NOT truncDiv:
+      // truncation toward zero would bias negative noise upward
+      .withColumn("n_released", greatest(lit(0L),
+        col("n") + graft.functions.TimeFunctions.floorDiv(
+          col("noise_q") + lit(524288L), 1048576L)))
+      .select(col("g"), col("n_released"), col("noise_q"),
+        lit(epsilonMicro).as("epsilon_micro"))
+  }
 }

@@ -825,4 +825,115 @@ object TimeSeries {
       .select(col("series"), col("n").as("n_days"), col("day").as("split_day"),
         col("gain_q"), col("gain_frac"))
   }
+
+  /** Portmanteau whiteness diagnostic in the Ljung–Box form over the
+    * daily-count series: Q = n(n+2)·Σ_{k=1..m} r_k²/(n_k) — "is there
+    * ANY autocorrelation left across the first m lags" (the
+    * one-number residual-whiteness gate beside the per-lag
+    * [[autocorrelation]] rows and [[durbinWatson]]'s lag-1 view).
+    * r_k is the lag-k pairwise-complete Pearson the autocorrelation
+    * kernel already defines (exact int64 moment sums; robust to
+    * calendar gaps, documented in place of the textbook fixed-mean
+    * acf), n_k its pair count. Each lag's term
+    * floor(r_k²·2⁴⁰ / n_k) is an exact int64, so the Σ over lags is
+    * order-free; Q is the one final double. Output per series:
+    * (series, n_days, m_lags, lb_q, q_stat).
+    */
+  def ljungBox(events: DataFrame, seriesCol: String, tsCol: String,
+               maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 28, s"maxLag must be in [1, 28], got $maxLag")
+    def dd(c: Column) = c.cast("double")
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("g"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("d"))
+      .agg(count(lit(1)).as("v"))
+    val acf = autocorrelation(daily, "g", "d", "v", (1 to maxLag))
+      .withColumn("__tq", when(col("acf").isNotNull && col("n_pairs") > 0,
+        floor(col("acf") * col("acf") * lit(1099511627776.0) /
+          dd(col("n_pairs"))).cast("long")).otherwise(lit(0L)))
+    val terms = acf.groupBy("g")
+      .agg(coalesce(sum("__tq"), lit(0L)).as("lb_q"))
+    val len = daily.groupBy("g").agg(count(lit(1)).as("n_days"))
+    len.join(terms, Seq("g"), "left")
+      .na.fill(0L, Seq("lb_q"))
+      .withColumn("q_stat",
+        dd(col("n_days")) * (dd(col("n_days")) + lit(2.0)) *
+          dd(col("lb_q")) / lit(1099511627776.0))
+      .select(col("g").as("series"), col("n_days"),
+        lit(maxLag.toLong).as("m_lags"), col("lb_q"), col("q_stat"))
+  }
+
+  /** sMAPE of the weekly seasonal-naive forecast per series — the
+    * scale-free companion to [[maseDiagnostic]] (same lag-7 naive
+    * baseline, symmetric-percentage units): over days with a
+    * observation 7 days earlier, smape_micro =
+    * 2·10⁶·Σ|y_d − y_{d−7}| div Σ(y_d + y_{d−7}). Counts are
+    * integers so both sums are exact; the one division is integer
+    * micro-units. Output per series:
+    * (series, n_pairs, abs_err_sum, scale_sum, smape_micro).
+    */
+  def smapeSeasonal(events: DataFrame, seriesCol: String, tsCol: String,
+                    season: Int = 7): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("g"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("d"))
+      .agg(count(lit(1)).as("v"))
+      .localCheckpoint(true)
+    daily.as("a").join(daily.as("b"),
+        col("a.g") === col("b.g") && col("a.d") === col("b.d") + lit(season.toLong))
+      .select(col("a.g").as("g"), col("a.v").as("y"), col("b.v").as("y7"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("y") - col("y7"))).as("abs_err_sum"),
+        sum(col("y") + col("y7")).as("scale_sum"))
+      .withColumn("smape_micro", when(col("scale_sum") > 0,
+        graft.functions.TimeFunctions.truncDiv(
+          lit(2000000L) * col("abs_err_sum"), col("scale_sum"))))
+      .select(col("g").as("series"), col("n_pairs"), col("abs_err_sum"),
+        col("scale_sum"), col("smape_micro"))
+  }
+
+  /** Rolling z-score anomaly tally per series — the fixed-window
+    * sibling of [[ewmaSmooth]]'s adaptive flag and the per-day form
+    * of the seasonal-baseline tally: over the trailing `w`-day ROWS
+    * frame (full windows only), a day is anomalous when
+    * |y − μ| > 2σ, tested ENTIRELY in integers:
+    * (w·y − S)²·(w−1) > 4·w·(w·Q − S²) — both sides exact int64
+    * (bound: w³·y² < 2⁶³ → daily counts to ~10⁸ at w = 7). Output
+    * per series: (series, n_days, n_windows, n_anomalies,
+    * first_anomaly_day, last_anomaly_day).
+    */
+  def rollingZscoreAnomalies(events: DataFrame, seriesCol: String,
+                             tsCol: String, w: Int = 7): DataFrame = {
+    require(w >= 2 && w <= 60, s"w must be in [2, 60], got $w")
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("g"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("d"))
+      .agg(count(lit(1)).as("y"))
+    val win = Window.partitionBy("g").orderBy("d")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val scored = daily
+      .withColumn("k", count(lit(1)).over(win))
+      .withColumn("s", sum("y").over(win))
+      .withColumn("q", sum(col("y") * col("y")).over(win))
+      .filter(col("k") === w)
+      .withColumn("anom",
+        (lit(w.toLong) * col("y") - col("s")) *
+          (lit(w.toLong) * col("y") - col("s")) * lit((w - 1).toLong) >
+        lit(4L) * lit(w.toLong) *
+          (lit(w.toLong) * col("q") - col("s") * col("s")))
+    val n = daily.groupBy("g").agg(count(lit(1)).as("n_days"))
+    scored.groupBy("g")
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum(when(col("anom"), 1L).otherwise(0L)), lit(0L)).as("n_anomalies"),
+        min(when(col("anom"), col("d"))).as("first_anomaly_day"),
+        max(when(col("anom"), col("d"))).as("last_anomaly_day"))
+      .join(n, "g")
+      .select(col("g").as("series"), col("n_days"), col("n_windows"),
+        col("n_anomalies"), col("first_anomaly_day"), col("last_anomaly_day"))
+  }
 }

@@ -462,7 +462,11 @@ class PlanAuditSpec extends SparkSpecBase {
       "q_pr_auc",        // offset cumsum over ≤ shuffle-partition-count rows — the
                          //   distributedNtile construction; the per-row rank window
                          //   itself is PARTITIONED by range-partition id
-      "q_lift")          // ntile dual path (NtileSpec) + cumsum over k=10 tile rows
+      "q_lift",          // ntile dual path (NtileSpec) + cumsum over k=10 tile rows
+      // r14 additions, both bounded:
+      "q_page_trend",    // hypothesized-order rank over k treatment rows
+      "q_mood_median")   // global-median cumsum over the distinct-VALUE tally
+                         //   (the literal "__all" partition key is folded away)
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = Queries.registry.flatMap { case (name, q) =>
       val df = q.build(spark, sf())
