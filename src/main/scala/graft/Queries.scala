@@ -1647,7 +1647,8 @@ object Queries {
         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY 1, 2),
         |c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  avg(-ln((c12 + 1.0) / (c1 + vsz))) AS avg_nll
+        |  sum(floor(-ln((c12 + 1.0) / (c1 + vsz)) * 1048576)::BIGINT)::DOUBLE
+        |    / (count(*)::DOUBLE * 1048576.0) AS avg_nll
         |FROM occ JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY doc_id""".stripMargin)),
 
@@ -1706,7 +1707,8 @@ object Queries {
         |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM occ GROUP BY 1, 2, 3),
         |c12 AS (SELECT w1, w2, sum(c123)::BIGINT AS ctx FROM c123 GROUP BY 1, 2)
         |SELECT doc_id, count(*) AS n_trigrams,
-        |  avg(-ln((c123 + 1.0) / (ctx + vsz))) AS avg_nll
+        |  sum(floor(-ln((c123 + 1.0) / (ctx + vsz)) * 1048576)::BIGINT)::DOUBLE
+        |    / (count(*)::DOUBLE * 1048576.0) AS avg_nll
         |FROM occ JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2) CROSS JOIN v
         |GROUP BY doc_id""".stripMargin)),
 
@@ -1849,7 +1851,8 @@ object Queries {
         |   // 4096)::BIGINT AS batch_id
         |FROM (SELECT doc_id, source,
         |    COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0)::INT AS n_tokens
-        |  FROM documents) t""".stripMargin)),
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL) t""".stripMargin)),
 
     // §2.3/68 — deterministic hash sampling (the stable train/test
     // split): 10% bucket of documents by md5-derived id hash
@@ -2477,15 +2480,16 @@ object Queries {
     "q_markov" -> QueryDef(
       (s, d) => operators.Analytics.transitionMatrix(ds(s, d, "events").toDF,
         "user_id", "ts", "event_type", 1800),
-      Some("""WITH sess AS (SELECT user_id, ts, event_type,
+      Some("""WITH sess AS (SELECT user_id, ts, event_id, event_type,
         |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
-        |  FROM (SELECT user_id, ts, event_type,
+        |  FROM (SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
         |         OVER (PARTITION BY user_id ORDER BY ts) > 1800
-        |    THEN 1 ELSE 0 END AS brk FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) x),
+        |    THEN 1 ELSE 0 END AS brk FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |      AND event_id IS NOT NULL) x),
         |p AS (SELECT event_type AS from_type,
-        |    lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts) AS to_type
+        |    lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS to_type
         |  FROM sess),
         |c AS (SELECT from_type, to_type, count(*) AS n FROM p
         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
@@ -2706,9 +2710,9 @@ object Queries {
       Some("""WITH img AS (SELECT doc_id FROM documents
         |    WHERE doc_id % 3 = 0 AND doc_id % 9 IN (0, 6)),
         |px AS (SELECT doc_id, x, y,
-        |    (((doc_id*31 + x*7 + y*13) % 256)
-        |     + ((doc_id*31 + x*7 + y*13 + 101) % 256)
-        |     + ((doc_id*31 + x*7 + y*13 + 202) % 256)) // 3 AS gray
+        |    ((((doc_id*31 + x*7 + y*13) % 256) + 256) % 256
+        |     + (((doc_id*31 + x*7 + y*13 + 101) % 256) + 256) % 256
+        |     + (((doc_id*31 + x*7 + y*13 + 202) % 256) + 256) % 256) // 3 AS gray
         |  FROM img, generate_series(0, 7) gx(x), generate_series(0, 5) gy(y)),
         |bits AS (SELECT a.doc_id, (a.y * 7 + a.x) AS i,
         |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
@@ -3838,9 +3842,14 @@ object Queries {
     // incremental path lost nothing.
     "q_ivm_refresh" -> QueryDef(
       (s, d) => {
+        // NULL price contributes 0, not NULL: the IVM state is an
+        // additive group (insert+delete must net exactly), and a SQL
+        // NULL-absorbing sum would diverge from the state arithmetic
+        // on all-NULL groups (r14 sf0.1 fuzz)
         val ord = ds(s, d, "orders").toDF
           .select(col("o_orderkey"), col("o_custkey"),
-            round(col("o_totalprice") * 100).cast("long").as("cents"))
+            coalesce(round(col("o_totalprice") * 100).cast("long"), lit(0L))
+              .as("cents"))
         val state = operators.Ivm.groupState(
           ord.filter(col("o_orderkey") % 10 =!= 0), Seq("o_custkey"), "cents")
         val ins = ord.filter(col("o_orderkey") % 10 === 0).withColumn("__op", lit("I"))
@@ -3850,7 +3859,8 @@ object Queries {
             Seq("o_custkey"), "cents")
           .select(col("o_custkey"), col("sum_cents"), col("n_rows"))
       },
-      Some("""SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+      Some("""SELECT o_custkey,
+        |  sum(coalesce(round(o_totalprice * 100)::BIGINT, 0))::BIGINT AS sum_cents,
         |  count(*)::BIGINT AS n_rows
         |FROM orders
         |WHERE (o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0)
@@ -8213,7 +8223,107 @@ object Queries {
         |SELECT sz.g AS g, n_before, quota,
         |  coalesce(n_kept, 0)::BIGINT AS n_kept,
         |  coalesce(kept_id_sum, 0)::BIGINT AS kept_id_sum
-        |FROM sz LEFT JOIN kp ON sz.g = kp.g CROSS JOIN qt""".stripMargin))
+        |FROM sz LEFT JOIN kp ON sz.g = kp.g CROSS JOIN qt""".stripMargin)),
+
+    // §2.2/351 — monthly VWAP per flag (r14): the execution-quality
+    // benchmark beside OHLC (175) — exact integer cents end to end.
+    "q_vwap" -> QueryDef(
+      (s, d) => operators.Analytics.vwap(ds(s, d, "lineitem").toDF,
+        col("l_returnflag"), col("l_shipdate"),
+        round(col("l_extendedprice") * 100), round(col("l_quantity"))),
+      Some("""SELECT l_returnflag AS grp,
+        |  date_trunc('month', l_shipdate)::VARCHAR AS month,
+        |  count(*)::BIGINT AS n_fills,
+        |  sum(round(l_quantity)::BIGINT)::BIGINT AS qty_sum,
+        |  sum(round(l_extendedprice * 100)::BIGINT * round(l_quantity)::BIGINT)::BIGINT
+        |    AS notional_cents,
+        |  CASE WHEN sum(round(l_quantity)::BIGINT) > 0
+        |    THEN (sum(round(l_extendedprice * 100)::BIGINT * round(l_quantity)::BIGINT)
+        |      // sum(round(l_quantity)::BIGINT))::BIGINT END AS vwap_cents
+        |FROM lineitem
+        |WHERE l_returnflag IS NOT NULL AND l_shipdate IS NOT NULL
+        |  AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // §2.2/352 — Jonckheere–Terpstra ordered-alternative test (r14):
+    // tally-based dominance counts in DECIMAL, guarded-BIGINT 2J,
+    // no-ties null moments, one fixed z.
+    "q_jonckheere" -> QueryDef(
+      (s, d) => operators.Stats.jonckheereTerpstra(ds(s, d, "lineitem").toDF,
+        col("l_returnflag"), round(col("l_quantity"))),
+      Some("""WITH cells AS (SELECT l_returnflag AS g, round(l_quantity)::BIGINT AS v,
+        |    count(*)::BIGINT AS c
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2),
+        |j AS (SELECT coalesce(sum(CASE WHEN a.v < b.v THEN 2::HUGEINT * a.c * b.c
+        |    WHEN a.v = b.v THEN a.c::HUGEINT * b.c ELSE 0::HUGEINT END),
+        |    0::HUGEINT)::HUGEINT AS j2
+        |  FROM cells a JOIN cells b ON a.g < b.g),
+        |sz AS (SELECT count(*)::BIGINT AS k_groups, sum(n_g)::BIGINT AS n,
+        |    sum(n_g::HUGEINT * n_g)::HUGEINT AS sum_sq,
+        |    sum(n_g::HUGEINT * n_g * (2::HUGEINT * n_g + 3))::HUGEINT AS sum_sq3
+        |  FROM (SELECT g, sum(c)::BIGINT AS n_g FROM cells GROUP BY g) z)
+        |SELECT k_groups, n, j2::BIGINT AS j2,
+        |  ((n::HUGEINT * n - sum_sq)::DOUBLE / 2.0) / 2.0 AS e_j,
+        |  CASE WHEN (n::DOUBLE * n::DOUBLE * (2.0 * n::DOUBLE + 3.0)
+        |      - sum_sq3::DOUBLE) / 72.0 > 0
+        |    THEN (j2::DOUBLE / 2.0 - ((n::HUGEINT * n - sum_sq)::DOUBLE / 2.0) / 2.0)
+        |      / sqrt((n::DOUBLE * n::DOUBLE * (2.0 * n::DOUBLE + 3.0)
+        |        - sum_sq3::DOUBLE) / 72.0) END AS z_stat
+        |FROM j CROSS JOIN sz""".stripMargin)),
+
+    // §2.2/353 — Cliff's delta ordinal effect size (r14): tally-based
+    // dominance between returned and kept lineitems, fixed double δ.
+    "q_cliffs_delta" -> QueryDef(
+      (s, d) => operators.Stats.cliffsDelta(ds(s, d, "lineitem").toDF,
+        col("l_returnflag") === "R", round(col("l_quantity"))),
+      Some("""WITH cells AS (SELECT (l_returnflag = 'R') AS arm,
+        |    round(l_quantity)::BIGINT AS v, count(*)::BIGINT AS c
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT coalesce(sum(CASE WHEN NOT arm THEN c ELSE 0 END), 0)::BIGINT AS n0,
+        |    coalesce(sum(CASE WHEN arm THEN c ELSE 0 END), 0)::BIGINT AS n1 FROM cells),
+        |d AS (SELECT
+        |    coalesce(sum(CASE WHEN a.v > b.v THEN a.c::HUGEINT * b.c ELSE 0 END),
+        |      0)::HUGEINT AS n_gt,
+        |    coalesce(sum(CASE WHEN a.v < b.v THEN a.c::HUGEINT * b.c ELSE 0 END),
+        |      0)::HUGEINT AS n_lt,
+        |    coalesce(sum(CASE WHEN a.v = b.v THEN a.c::HUGEINT * b.c ELSE 0 END),
+        |      0)::HUGEINT AS n_tie
+        |  FROM (SELECT v, c FROM cells WHERE arm) a
+        |  CROSS JOIN (SELECT v, c FROM cells WHERE NOT arm) b)
+        |SELECT n0, n1, n_gt::BIGINT AS n_gt, n_lt::BIGINT AS n_lt,
+        |  n_tie::BIGINT AS n_tie,
+        |  CASE WHEN n0 > 0 AND n1 > 0
+        |    THEN (n_gt::DOUBLE - n_lt::DOUBLE) / (n1::DOUBLE * n0::DOUBLE) END
+        |    AS delta
+        |FROM d CROSS JOIN sz""".stripMargin)),
+
+    // §2.2/354 — Gumbel extreme-value fit per series (r14): weekly
+    // block maxima, method-of-moments μ/β, once-a-year return level.
+    "q_gumbel" -> QueryDef(
+      (s, d) => operators.TimeSeries.gumbelBlockMaxima(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH daily AS (SELECT event_type AS g,
+        |    floor(epoch(ts) / 86400)::BIGINT AS d, count(*)::BIGINT AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |blocks AS (SELECT g, floor(d / 7)::BIGINT AS w, max(y)::BIGINT AS m
+        |  FROM daily GROUP BY 1, 2),
+        |mm AS (SELECT g, count(*)::BIGINT AS n_blocks, sum(m)::BIGINT AS sum_m,
+        |    sum(m * m)::BIGINT AS sumsq_m FROM blocks GROUP BY g),
+        |v AS (SELECT *, CASE WHEN n_blocks >= 2 THEN
+        |    (n_blocks::DOUBLE * sumsq_m::DOUBLE - sum_m::DOUBLE * sum_m::DOUBLE)
+        |      / (n_blocks::DOUBLE * (n_blocks::DOUBLE - 1.0)) END AS var FROM mm),
+        |b AS (SELECT *, CASE WHEN var > 0
+        |    THEN sqrt(var) * (sqrt(6.0) / pi()) END AS beta FROM v),
+        |u AS (SELECT *, CASE WHEN beta IS NOT NULL
+        |    THEN sum_m::DOUBLE / n_blocks::DOUBLE - 0.5772156649015329 * beta END
+        |    AS mu FROM b)
+        |SELECT g AS series, n_blocks, sum_m, sumsq_m, beta, mu,
+        |  CASE WHEN beta IS NOT NULL
+        |    THEN mu - beta * ln(-ln(1.0 - 1.0 / 52.0)) END AS r52
+        |FROM u""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

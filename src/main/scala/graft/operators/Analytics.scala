@@ -73,9 +73,16 @@ object Analytics {
     * the second-floored session epoch.
     */
   def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
-                       typeCol: String, gapSeconds: Long = 1800): DataFrame = {
-    val sess = Sessionize.assignSessions(events, keyCol, tsCol, gapSeconds)
-    val w = Window.partitionBy(col(keyCol), col("session_id")).orderBy(col(tsCol))
+                       typeCol: String, gapSeconds: Long = 1800,
+                       idCol: String = "event_id"): DataFrame = {
+    // (ts, id) is the TOTAL order — equal timestamps exist in real
+    // event data (r14 sf0.1 fuzz: lead() over bare ts handed each
+    // engine a different successor on ties); NULL-id rows are dropped
+    // on both sides per the NULL-order-key contract
+    val sess = Sessionize.assignSessions(
+      events.filter(col(idCol).isNotNull), keyCol, tsCol, gapSeconds)
+    val w = Window.partitionBy(col(keyCol), col("session_id"))
+      .orderBy(col(tsCol), col(idCol))
     val counts = sess
       .withColumn("__next", lead(col(typeCol), 1).over(w))
       .filter(col("__next").isNotNull)
@@ -1111,5 +1118,31 @@ object Analytics {
         sum("__gap").as("sum_gap_s"))
       .withColumn("mean_gap_s", when(col("n_gaps") > 0,
         dd(col("sum_gap_s")) / dd(col("n_gaps"))))
+  }
+
+  /** Volume-weighted average price per (group, calendar month) — the
+    * standard execution-quality / fair-value benchmark beside the
+    * OHLC bars: vwap_cents = Σ(price_cents·qty) div Σqty, entirely
+    * exact integers (one combinable aggregation; the division is the
+    * only non-sum op and stays in int64 cents). Output per cell:
+    * (grp, month, n_fills, qty_sum, notional_cents, vwap_cents) —
+    * NULL vwap when the month traded zero quantity.
+    */
+  def vwap(fills: DataFrame, groupCol: Column, dateCol: Column,
+           priceCentsCol: Column, qtyCol: Column): DataFrame = {
+    val p = priceCentsCol.cast("long")
+    val q = qtyCol.cast("long")
+    fills.filter(groupCol.isNotNull && dateCol.isNotNull &&
+        p.isNotNull && q.isNotNull)
+      .groupBy(groupCol.as("grp"),
+        trunc(dateCol, "month").as("month"))
+      .agg(count(lit(1)).as("n_fills"), sum(q).as("qty_sum"),
+        sum(p * q).as("notional_cents"))
+      .withColumn("vwap_cents", when(col("qty_sum") > 0,
+        graft.functions.TimeFunctions.truncDiv(
+          col("notional_cents"), col("qty_sum"))))
+      .select(col("grp"), col("month").cast("string").as("month"),
+        col("n_fills"), col("qty_sum"), col("notional_cents"),
+        col("vwap_cents"))
   }
 }

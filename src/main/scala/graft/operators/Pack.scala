@@ -34,8 +34,12 @@ object Pack {
       .rowsBetween(Window.unboundedPreceding, -1)
     // NULL text counts as 0 tokens (not NULL): engines disagree on
     // NULL placement in DESC ordering, and a packing assignment must
-    // be deterministic and replayable
-    df.select(col(idCol), col(groupCol),
+    // be deterministic and replayable. NULL ids/groups are excluded
+    // for the same reason (r14 sf0.1 fuzz: a NULL id in the ORDER BY
+    // tiebreak swapped batch assignments between engines — Spark
+    // sorts NULLS FIRST ascending, DuckDB NULLS LAST).
+    df.filter(col(idCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(idCol), col(groupCol),
         coalesce(TextFunctions.tokenCount(col(textCol)), lit(0)).as("n_tokens"))
       .withColumn("__prev", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("batch_id", expr(s"__prev DIV $budget"))

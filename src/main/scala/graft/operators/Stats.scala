@@ -2097,6 +2097,102 @@ object Stats {
       .select(col("n_blocks"), col("k_treat"), col("l2_sum"), col("z_stat"))
   }
 
+  /** Jonckheere–Terpstra test for ORDERED group alternatives — the
+    * between-groups sibling of [[pageTrendTest]] ("do the groups not
+    * just differ but INCREASE in the hypothesized order", groups
+    * ordered ascending by name): J = Σ_{i<j} [#(x_i < x_j) + ½·ties].
+    * Computed on the (group, value) TALLY table, so the pairwise
+    * work is value-cardinality², never rows² — doubled to stay
+    * integer (j2 = 2J exact int64), with the NO-TIES null moments
+    * E[2J] = (n² − Σn_i²)/2 and Var[J] = (n²(2n+3) − Σn_i²(2n_i+3))/72
+    * (the standard tabulated form; document ties via the tie counts
+    * the tally already carries). Output one row:
+    * (k_groups, n, j2, e2, z_stat).
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: Column,
+                         valueCol: Column): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val cells = df.select(groupCol.cast("string").as("g"),
+        valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val dec = "decimal(38,0)"
+    // dominance counts and the cubic null moments accumulate in
+    // DECIMAL(38,0): n_g²(2n_g+3) wraps int64 already at ~1.7M-row
+    // groups, and Σ pair products crosses 2⁶³ past ~3e9 rows — the
+    // kendallTau convention, with the same guarded-BIGINT emission
+    val j2 = cells.as("a").join(cells.as("b"), col("a.g") < col("b.g"))
+      .agg(coalesce(sum(
+        when(col("a.v") < col("b.v"),
+          (lit(2).cast(dec) * col("a.c") * col("b.c")).cast(dec))
+          .when(col("a.v") === col("b.v"),
+            (col("a.c").cast(dec) * col("b.c")).cast(dec))
+          .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).cast(dec).as("j2"))
+    val sizes = cells.groupBy("g").agg(sum("c").as("n_g"))
+      .agg(count(lit(1)).as("k_groups"), sum("n_g").as("n"),
+        sum((col("n_g").cast(dec) * col("n_g")).cast(dec)).cast(dec).as("sum_sq"),
+        sum((col("n_g").cast(dec) * col("n_g") *
+          (lit(2).cast(dec) * col("n_g") + lit(3).cast(dec))).cast(dec))
+          .cast(dec).as("sum_sq3"))
+    j2.crossJoin(broadcast(sizes))
+      .withColumn("e2", (col("n").cast(dec) * col("n") - col("sum_sq"))
+        .cast(dec).cast("double") / lit(2.0))
+      .withColumn("__var", (dd(col("n")) * dd(col("n")) *
+        (lit(2.0) * dd(col("n")) + 3.0) - dd(col("sum_sq3"))) / 72.0)
+      .withColumn("z_stat", when(col("__var") > 0,
+        (dd(col("j2")) / 2.0 - col("e2") / 2.0) / sqrt(col("__var"))))
+      .select(col("k_groups"), col("n"), guardedLong("j2", "jonckheereTerpstra"),
+        (col("e2") / 2.0).as("e_j"), col("z_stat"))
+  }
+
+  /** Cliff's delta ordinal effect size between TWO arms — "how often
+    * does a draw from arm 1 exceed a draw from arm 0" minus the
+    * reverse, the distribution-free magnitude companion to
+    * [[cohensD]] (which assumes interval scale) and the effect-size
+    * view of [[mannWhitney]]-style dominance. Tally-based like
+    * [[jonckheereTerpstra]] (value-cardinality² cell pairs, never
+    * rows²), exact int64 dominance counts, delta = (gt − lt)/(n1·n0)
+    * one fixed double. Output one row:
+    * (n0, n1, n_gt, n_lt, n_tie, delta).
+    */
+  def cliffsDelta(df: DataFrame, armCol: Column, valueCol: Column): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val cells = df.select(armCol.cast("boolean").as("arm"),
+        valueCol.cast("long").as("v"))
+      .filter(col("arm").isNotNull && col("v").isNotNull)
+      .groupBy("arm", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val a1 = cells.filter(col("arm")).select(col("v").as("v1"), col("c").as("c1"))
+    val a0 = cells.filter(!col("arm")).select(col("v").as("v0"), col("c").as("c0"))
+    val sizes = cells.agg(
+      coalesce(sum(when(!col("arm"), col("c")).otherwise(lit(0L))), lit(0L)).as("n0"),
+      coalesce(sum(when(col("arm"), col("c")).otherwise(lit(0L))), lit(0L)).as("n1"))
+    // value-cardinality² cell pairs via a non-equi join — bounded by
+    // the tally, not the rows; the BNLJ build side is the smaller
+    // tally table (PlanShapeSpec's ≤64k driver-rows contract)
+    val dec = "decimal(38,0)"
+    // DECIMAL dominance sums (pair counts cross 2⁶³ past ~3e9 rows),
+    // guarded-BIGINT emission — the kendallTau convention
+    a1.join(broadcast(a0), lit(true))
+      .agg(coalesce(sum(when(col("v1") > col("v0"),
+          (col("c1").cast(dec) * col("c0")).cast(dec))
+          .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).cast(dec).as("n_gt"),
+        coalesce(sum(when(col("v1") < col("v0"),
+          (col("c1").cast(dec) * col("c0")).cast(dec))
+          .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).cast(dec).as("n_lt"),
+        coalesce(sum(when(col("v1") === col("v0"),
+          (col("c1").cast(dec) * col("c0")).cast(dec))
+          .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).cast(dec).as("n_tie"))
+      .crossJoin(broadcast(sizes))
+      .withColumn("delta", when(col("n0") > 0 && col("n1") > 0,
+        (col("n_gt").cast("double") - col("n_lt").cast("double")) /
+          (dd(col("n1")) * dd(col("n0")))))
+      .select(col("n0"), col("n1"), guardedLong("n_gt", "cliffsDelta"),
+        guardedLong("n_lt", "cliffsDelta"), guardedLong("n_tie", "cliffsDelta"),
+        col("delta"))
+  }
+
   /** ε-differentially-private group counts by seeded inverse-CDF
     * Laplace noise — the release gate beside the audit rails
     * ([[kAnonymityAudit]], l-diversity, t-closeness): each group's

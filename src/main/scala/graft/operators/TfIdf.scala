@@ -201,8 +201,16 @@ object TfIdf {
     occ.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
+      // each occurrence's nll is floor-quantized at 2^20 and
+      // INTEGER-summed (a raw float avg() is aggregation-order-
+      // dependent — the r14 sf0.1 fuzz caught 1-ulp drift misaligning
+      // the comparator's sorted rows); avg_nll is ONE final division
       .agg(count(lit(1)).as("n_bigrams"),
-        avg(-log((col("c12") + 1.0) / (col("c1") + col("vsz")))).as("avg_nll"))
+        sum(floor(-log((col("c12") + 1.0) / (col("c1") + col("vsz"))) * 1048576)
+          .cast("long")).as("__nll_q"))
+      .withColumn("avg_nll", col("__nll_q").cast("double") /
+        (col("n_bigrams").cast("double") * 1048576.0))
+      .drop("__nll_q")
   }
 
   /** Trigram LM surprisal: `avg(-ln p(w3 | w1 w2))` with add-one
@@ -230,8 +238,13 @@ object TfIdf {
     occ.join(c123, Seq("w1", "w2", "w3")).join(c12, Seq("w1", "w2"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
+      // quantized order-free sum — the bigramSurprisal r14 contract
       .agg(count(lit(1)).as("n_trigrams"),
-        avg(-log((col("c123") + 1.0) / (col("ctx") + col("vsz")))).as("avg_nll"))
+        sum(floor(-log((col("c123") + 1.0) / (col("ctx") + col("vsz"))) * 1048576)
+          .cast("long")).as("__nll_q"))
+      .withColumn("avg_nll", col("__nll_q").cast("double") /
+        (col("n_trigrams").cast("double") * 1048576.0))
+      .drop("__nll_q")
   }
 
   /** Zipf law fit per corpus slice: OLS of ln(freq) on ln(rank) over

@@ -896,6 +896,51 @@ object TimeSeries {
         col("scale_sum"), col("smape_micro"))
   }
 
+  /** Gumbel extreme-value fit per series by weekly block maxima — the
+    * capacity-planning tail estimate ("what daily peak should we
+    * provision for once a year") beside the central-tendency
+    * forecasts: weekly maxima m_w of the daily counts, method-of-
+    * moments Gumbel parameters β = s·√6/π and μ = m̄ − γ·β
+    * (Euler–Mascheroni γ), and the T-block return level
+    * R_T = μ − β·ln(−ln(1 − 1/T)) at T = 52 (the once-a-year peak
+    * from weekly blocks). Block maxima and their moment sums are
+    * exact int64; β/μ/R are fixed double expressions over them.
+    * Output per series: (series, n_blocks, sum_m, sumsq_m, beta, mu,
+    * r52) — NULL fit when fewer than 2 blocks or zero variance.
+    */
+  def gumbelBlockMaxima(events: DataFrame, seriesCol: String,
+                        tsCol: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val daily = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("g"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("d"))
+      .agg(count(lit(1)).as("y"))
+    val blocks = daily
+      .groupBy(col("g"), graft.functions.TimeFunctions.floorDiv(col("d"), 7L)
+        .as("w"))
+      .agg(max("y").as("m"))
+    blocks.groupBy("g")
+      .agg(count(lit(1)).as("n_blocks"), sum("m").as("sum_m"),
+        sum(col("m") * col("m")).as("sumsq_m"))
+      .withColumn("__var", when(col("n_blocks") >= 2,
+        (dd(col("n_blocks")) * dd(col("sumsq_m")) -
+          dd(col("sum_m")) * dd(col("sum_m"))) /
+          (dd(col("n_blocks")) * (dd(col("n_blocks")) - 1.0))))
+      // sqrt(6)/π is computed in-engine on BOTH sides (sqrt and the
+      // pi() literal are IEEE-identical), not as a hand-written
+      // decimal literal that could miss the exact double
+      .withColumn("beta", when(col("__var") > 0,
+        sqrt(col("__var")) * (sqrt(lit(6.0)) / lit(math.Pi))))
+      .withColumn("mu", when(col("beta").isNotNull,
+        dd(col("sum_m")) / dd(col("n_blocks")) -
+          lit(0.5772156649015329) * col("beta")))
+      .withColumn("r52", when(col("beta").isNotNull,
+        col("mu") - col("beta") * log(-log(lit(1.0) - lit(1.0) / lit(52.0)))))
+      .select(col("g").as("series"), col("n_blocks"), col("sum_m"),
+        col("sumsq_m"), col("beta"), col("mu"), col("r52"))
+  }
+
   /** Rolling z-score anomaly tally per series — the fixed-window
     * sibling of [[ewmaSmooth]]'s adaptive flag and the per-day form
     * of the seasonal-baseline tally: over the trailing `w`-day ROWS

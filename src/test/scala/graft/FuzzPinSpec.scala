@@ -249,4 +249,94 @@ class FuzzPinSpec extends SparkSpecBase {
     assert(out === ((3L, 3L)),
       s"poisoned rows must drop as NULL scores, not crash: $out")
   }
+
+  // ---- r14 sf0.1 seed-14 classes --------------------------------------
+
+  test("transitionMatrix breaks timestamp ties by event id") {
+    import spark.implicits._
+    // r14 seed-14 q_markov: two events at the SAME timestamp gave each
+    // engine a different lead() successor — the pair set depended on
+    // tie luck. With the (ts, event_id) total order the successor of
+    // id 1 is id 2 ('b'), then 'c': exactly two transitions.
+    val t0 = ts("2024-03-01 10:00:00")
+    val df = Seq((7L, t0, 1L, "a"), (7L, t0, 2L, "b"),
+      (7L, ts("2024-03-01 10:00:01"), 3L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = operators.Analytics.transitionMatrix(df, "user_id", "ts",
+        "event_type", 1800)
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+    assert(out === Set(("a", "b"), ("b", "c")),
+      s"tie order must be (ts, event_id): $out")
+  }
+
+  test("packByTokenBudget excludes NULL ids and NULL groups") {
+    import spark.implicits._
+    // r14 seed-14 q_pack_batches: a NULL doc_id inside the ORDER BY
+    // tiebreak swapped batch assignments between engines (Spark sorts
+    // NULLS FIRST ascending, DuckDB NULLS LAST)
+    val df = Seq[(java.lang.Long, String, String)](
+      (1L, "a b c", "s"), (null, "d e f", "s"), (2L, "g h", null))
+      .toDF("doc_id", "text", "source")
+    val out = operators.Pack.packByTokenBudget(df, "doc_id", "text",
+      "source", budget = 4).select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L), s"NULL id/group rows must be excluded: $out")
+  }
+
+  test("n-gram surprisal sums are quantized, not a float avg") {
+    import spark.implicits._
+    // r14 seed-14 text_trigram_lm (and latently text_bigram_lm): a raw
+    // avg() over per-occurrence doubles is aggregation-order-dependent
+    // — 1-ulp drift at sf0.1 misaligned the comparator's sorted rows.
+    // The quantized contract makes avg_nll a pure function of counts:
+    // one repeated trigram, c123 = 2, ctx = 2, vsz = 3 →
+    // nll_q = floor(-ln(3/5)·2²⁰) summed over 2 occurrences.
+    val docs = Seq((1L, "x y z x y z")).toDF("doc_id", "text")
+    val out = operators.TfIdf.trigramSurprisal(docs, "doc_id", "text")
+      .select("n_trigrams", "avg_nll").as[(Long, Double)].collect().head
+    val expected = {
+      val q = math.floor(-math.log((2.0 + 1.0) / (2.0 + 3.0)) * 1048576)
+      // doc has 4 trigrams: xyz, yzx, zxy, xyz — two distinct counts
+      val q1 = math.floor(-math.log((1.0 + 1.0) / (1.0 + 3.0)) * 1048576)
+      (2 * q + 2 * q1) / (4.0 * 1048576.0)
+    }
+    assert(out._1 === 4L && out._2 === expected,
+      s"avg_nll must be the quantized closed form: $out vs $expected")
+  }
+
+  test("dhash oracle parity holds for NEGATIVE doc ids") {
+    import spark.implicits._
+    // r14 seed-14 dedup_phash: the synthetic pixel formula uses pmod
+    // (non-negative) in Scala while the oracle's plain % kept the sign
+    // on fuzz-injected negative ids — different gray ramps, different
+    // hashes, 66 phantom pairs. Pin: a negative id's dhash equals the
+    // pmod closed form the (fixed) oracle replays.
+    val doc = Seq((-4428L, "img")).toDF("doc_id", "text")
+    val hashed = operators.Multimodal.imageDHash(spark,
+        operators.Multimodal.attachMediaPayload(doc, "doc_id", "text"))
+      .select("dhash").as[Long].collect().head
+    def pm(v: Long) = (((v % 256) + 256) % 256).toInt
+    val gray = Array.tabulate(6, 8) { (y, x) =>
+      (pm(-4428L * 31 + x * 7 + y * 13) + pm(-4428L * 31 + x * 7 + y * 13 + 101) +
+        pm(-4428L * 31 + x * 7 + y * 13 + 202)) / 3
+    }
+    var expect = 0L
+    for (y <- 0 until 6; x <- 0 until 7)
+      if (gray(y)(x + 1) > gray(y)(x)) expect |= 1L << (y * 7 + x)
+    assert(hashed === expect,
+      s"negative-id dhash must match the pmod closed form: $hashed vs $expect")
+  }
+
+  test("IVM group state treats NULL values as additive zero") {
+    import spark.implicits._
+    // r14 seed-14 q_ivm_refresh: a group whose only surviving row had
+    // a NULL value reported 0 from the state arithmetic but NULL from
+    // the oracle's NULL-absorbing sum; the contract is coalesce(v, 0)
+    // AT INGESTION (the state is an additive group), mirrored in SQL.
+    val base = Seq[(Long, java.lang.Long)]((1L, null))
+      .toDF("k", "v").select(col("k"), coalesce(col("v"), lit(0L)).as("v"))
+    val st = operators.Ivm.groupState(base, Seq("k"), "v")
+    val out = st.select("k", "sum_v", "n_rows")
+      .as[(Long, Long, Long)].collect().head
+    assert(out === ((1L, 0L, 1L)), s"NULL value must ingest as 0: $out")
+  }
 }

@@ -51,6 +51,61 @@ class Round14Spec extends SparkSpecBase {
       s"expected the named completeness error, got: ${ex.getMessage}")
   }
 
+  test("jonckheereTerpstra recovers the textbook dominance count") {
+    import spark.implicits._
+    // groups a={1,2}, b={3,4}, c={5,6} in the hypothesized order:
+    // every cross-group pair is strictly increasing -> J = 4+4+4 = 12,
+    // j2 = 24; E[J] = (36 - 12)/4 = 6
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L)).toDF("g", "v")
+    val r = operators.Stats.jonckheereTerpstra(df, col("g"), col("v"))
+      .select("k_groups", "n", "j2", "e_j").as[(Long, Long, Long, Double)]
+      .collect().head
+    assert(r === ((3L, 6L, 24L, 6.0)))
+  }
+
+  test("cliffsDelta is +1 on complete dominance and 0 on identical arms") {
+    import spark.implicits._
+    val dom = Seq((true, 10L), (true, 11L), (false, 1L), (false, 2L))
+      .toDF("arm", "v")
+    val d1 = operators.Stats.cliffsDelta(dom, col("arm"), col("v"))
+      .select("delta").as[Double].collect().head
+    assert(d1 === 1.0)
+    val same = Seq((true, 5L), (true, 7L), (false, 5L), (false, 7L))
+      .toDF("arm", "v")
+    val d0 = operators.Stats.cliffsDelta(same, col("arm"), col("v"))
+      .select("delta").as[Double].collect().head
+    assert(d0 === 0.0)
+  }
+
+  test("gumbelBlockMaxima reports NULL fit below 2 blocks or zero variance") {
+    import spark.implicits._
+    // one series with constant weekly maxima (zero variance), one with
+    // a single block: both must emit rows with NULL beta/mu/r52
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(day: Int) = new java.sql.Timestamp(ts.getTime + day * 86400000L)
+    val events = (0 until 28).map(d => ("flat", at(d))) ++ Seq(("single", at(0)))
+    val out = operators.TimeSeries.gumbelBlockMaxima(
+        events.toDF("event_type", "ts"), "event_type", "ts")
+      .select("series", "beta").collect()
+      .map(r => (r.getString(0), r.isNullAt(1))).toMap
+    assert(out === Map("flat" -> true, "single" -> true))
+  }
+
+  test("quotaRebalance keeps whole small groups and exact quotas on large ones") {
+    import spark.implicits._
+    // 3 groups of sizes 6/3/3 -> quota = 12/3 = 4: big group keeps 4,
+    // small groups keep everything; kept_id_sum pins the selection
+    val rows = (1L to 6L).map(i => ("big", i)) ++
+      (7L to 9L).map(i => ("s1", i)) ++ (10L to 12L).map(i => ("s2", i))
+    val out = operators.Sampling.quotaRebalance(
+        rows.toDF("source", "doc_id"), "source", "doc_id", seed = 3)
+      .select("g", "n_before", "quota", "n_kept")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out === Set(("big", 6L, 4L, 4L), ("s1", 3L, 4L, 3L),
+      ("s2", 3L, 4L, 3L)))
+  }
+
   test("hits normalization is exact past the old int64 wrap point") {
     import spark.implicits._
     // one authority with in-degree large enough that sum(h)·10⁶ would
