@@ -7,7 +7,8 @@ class AnalyticsSpec extends SparkSpecBase {
 
   private def ev(rows: Seq[(Long, Long, String)]) = {
     import spark.implicits._
-    rows.toDF("user_id", "sec", "event_type")
+    rows.zipWithIndex.map { case ((u, s, t), i) => (u, s, t, i.toLong) }
+      .toDF("user_id", "sec", "event_type", "event_id")
       .withColumn("ts", timestamp_seconds(col("sec")))
   }
 
