@@ -8323,7 +8323,711 @@ object Queries {
         |SELECT g AS series, n_blocks, sum_m, sumsq_m, beta, mu,
         |  CASE WHEN beta IS NOT NULL
         |    THEN mu - beta * ln(-ln(1.0 - 1.0 / 52.0)) END AS r52
-        |FROM u""".stripMargin))
+        |FROM u""".stripMargin)),
+
+    // §2.2/355 — Moran's I + Geary's C with same-nation membership
+    // weights (r14): "is supplier wealth geographically clustered" —
+    // per-group moment tallies only, the weight matrix never
+    // materializes; HUGEINT/DECIMAL exact through the final ratios.
+    "q_moran" -> QueryDef(
+      (s, d) => operators.Stats.spatialAutocorr(ds(s, d, "supplier").toDF,
+        col("s_nationkey"), round(col("s_acctbal") * 100)),
+      Some("""WITH v AS (SELECT s_nationkey AS g, round(s_acctbal*100)::BIGINT AS x
+        |  FROM supplier WHERE s_nationkey IS NOT NULL AND s_acctbal IS NOT NULL),
+        |tot AS (SELECT count(*)::BIGINT AS n, coalesce(sum(x), 0)::HUGEINT AS t FROM v),
+        |z AS (SELECT g, (tot.n::HUGEINT * x - tot.t)::HUGEINT AS z FROM v CROSS JOIN tot),
+        |pg AS (SELECT g, count(*)::BIGINT AS m, sum(z)::HUGEINT AS s,
+        |    sum(z*z)::HUGEINT AS q FROM z GROUP BY g),
+        |a AS (SELECT count(*)::BIGINT AS n_groups,
+        |    coalesce(sum(m::HUGEINT*(m-1)), 0::HUGEINT) AS w_pairs,
+        |    coalesce(sum(s*s - q), 0::HUGEINT) AS num_i,
+        |    coalesce(sum(2*(m::HUGEINT*q - s*s)), 0::HUGEINT) AS num_c,
+        |    coalesce(sum(q), 0::HUGEINT) AS den_q
+        |  FROM pg)
+        |SELECT tot.n AS n, a.n_groups, a.w_pairs::BIGINT AS w_pairs,
+        |  a.num_i::DOUBLE AS num_i, a.num_c::DOUBLE AS num_c,
+        |  a.den_q::DOUBLE AS den_q,
+        |  CASE WHEN a.w_pairs > 0 AND a.den_q > 0
+        |    THEN tot.n::DOUBLE * a.num_i::DOUBLE / (a.w_pairs::DOUBLE * a.den_q::DOUBLE)
+        |    END AS moran_i,
+        |  CASE WHEN a.w_pairs > 0 AND a.den_q > 0
+        |    THEN (tot.n::DOUBLE - 1.0) * a.num_c::DOUBLE
+        |      / (2.0 * a.w_pairs::DOUBLE * a.den_q::DOUBLE) END AS geary_c,
+        |  CASE WHEN tot.n > 1 THEN -1.0 / (tot.n::DOUBLE - 1.0) END AS e_i
+        |FROM a CROSS JOIN tot""".stripMargin)),
+
+    // §2.2/356 — ordinal association battery (r14): gamma / Somers'
+    // d / Stuart tau-c from ONE cell-tally concordance join (beside
+    // row 287's tau-b) — quantity band vs price band.
+    "q_ordinal_assoc" -> QueryDef(
+      (s, d) => operators.Stats.ordinalAssociation(ds(s, d, "lineitem").toDF,
+        least(lit(9L), expr("cast(round(l_quantity) as bigint) div 5")),
+        least(lit(9L), expr("cast(round(l_extendedprice) as bigint) div 10000"))),
+      Some("""WITH v AS (SELECT least(9, round(l_quantity)::BIGINT // 5) AS x,
+        |    least(9, round(l_extendedprice)::BIGINT // 10000) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cells AS (SELECT x, y, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        |sz AS (SELECT coalesce(sum(c), 0)::BIGINT AS n,
+        |    count(DISTINCT x)::BIGINT AS kx, count(DISTINCT y)::BIGINT AS ky FROM cells),
+        |t AS (SELECT
+        |    coalesce(sum(CASE WHEN a.x < b.x AND a.y < b.y
+        |      THEN a.c::HUGEINT * b.c ELSE 0::HUGEINT END), 0::HUGEINT) AS n_conc,
+        |    coalesce(sum(CASE WHEN a.x < b.x AND a.y > b.y
+        |      THEN a.c::HUGEINT * b.c ELSE 0::HUGEINT END), 0::HUGEINT) AS n_disc,
+        |    coalesce(sum(CASE WHEN a.x < b.x AND a.y = b.y
+        |      THEN a.c::HUGEINT * b.c ELSE 0::HUGEINT END), 0::HUGEINT) AS t_y,
+        |    coalesce(sum(CASE WHEN a.x = b.x
+        |      THEN a.c::HUGEINT * b.c ELSE 0::HUGEINT END), 0::HUGEINT) AS t_x
+        |  FROM cells a JOIN cells b
+        |    ON a.x < b.x OR (a.x = b.x AND a.y < b.y))
+        |SELECT n, kx, ky, n_conc::BIGINT AS n_conc, n_disc::BIGINT AS n_disc,
+        |  t_x::BIGINT AS t_x, t_y::BIGINT AS t_y,
+        |  CASE WHEN n_conc + n_disc > 0 THEN (n_conc::DOUBLE - n_disc::DOUBLE)
+        |    / (n_conc::DOUBLE + n_disc::DOUBLE) END AS gamma,
+        |  CASE WHEN n_conc + n_disc + t_y > 0 THEN (n_conc::DOUBLE - n_disc::DOUBLE)
+        |    / (n_conc::DOUBLE + n_disc::DOUBLE + t_y::DOUBLE) END AS somers_dyx,
+        |  CASE WHEN n_conc + n_disc + t_x > 0 THEN (n_conc::DOUBLE - n_disc::DOUBLE)
+        |    / (n_conc::DOUBLE + n_disc::DOUBLE + t_x::DOUBLE) END AS somers_dxy,
+        |  CASE WHEN n > 0 AND least(kx, ky) > 1
+        |    THEN 2.0 * least(kx, ky)::DOUBLE * (n_conc::DOUBLE - n_disc::DOUBLE)
+        |      / (n::DOUBLE * n::DOUBLE * (least(kx, ky)::DOUBLE - 1.0)) END AS tau_c
+        |FROM t CROSS JOIN sz""".stripMargin)),
+
+    // §2.2/357 — Cohen's weighted kappa, quadratic weights (r14): the
+    // ordinal agreement rail beside 281/337 — disagreement form, so
+    // numerator and denominator stay pure integers.
+    "q_weighted_kappa" -> QueryDef(
+      (s, d) => operators.Stats.weightedKappa(ds(s, d, "lineitem").toDF,
+        least(lit(4L), expr("cast(round(l_quantity) as bigint) div 10")),
+        least(lit(4L), expr("cast(round(l_extendedprice) as bigint) div 20000"))),
+      Some("""WITH v AS (SELECT least(4, round(l_quantity)::BIGINT // 10) AS a,
+        |    least(4, round(l_extendedprice)::BIGINT // 20000) AS b
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cells AS (SELECT a, b, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        |nn AS (SELECT coalesce(sum(c), 0)::BIGINT AS n,
+        |    count(DISTINCT a)::BIGINT AS k_a, count(DISTINCT b)::BIGINT AS k_b FROM cells),
+        |o AS (SELECT coalesce(sum((a-b)*(a-b)*c), 0)::HUGEINT AS dis_obs FROM cells),
+        |ra AS (SELECT a, sum(c)::BIGINT AS ra FROM cells GROUP BY a),
+        |cb AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY b),
+        |e AS (SELECT coalesce(sum((a-b)*(a-b)::HUGEINT * ra * cb), 0::HUGEINT)
+        |    AS dis_exp FROM ra CROSS JOIN cb)
+        |SELECT n, k_a, k_b, dis_obs::BIGINT AS dis_obs, dis_exp::DOUBLE AS dis_exp,
+        |  CASE WHEN dis_exp > 0
+        |    THEN 1.0 - n::DOUBLE * dis_obs::DOUBLE / dis_exp::DOUBLE END AS kappa_w
+        |FROM nn CROSS JOIN o CROSS JOIN e""".stripMargin)),
+
+    // §2.2/358 — Cronbach's alpha (r14): internal consistency of four
+    // per-order "items" (lines, quantity, discount cents, tax cents) —
+    // all variance numerators DECIMAL-exact, shared denominators
+    // cancel.
+    "q_cronbach" -> QueryDef(
+      (s, d) => {
+        val units = ds(s, d, "lineitem").toDF.groupBy("l_orderkey").agg(
+          count(lit(1)).as("i_lines"),
+          sum(expr("cast(round(l_quantity) as bigint)")).as("i_qty"),
+          sum(expr("cast(round(l_discount*100) as bigint)")).as("i_disc"),
+          sum(expr("cast(round(l_tax*100) as bigint)")).as("i_tax"))
+        operators.Stats.cronbachAlpha(units, Seq(
+          "i_lines" -> col("i_lines"), "i_qty" -> col("i_qty"),
+          "i_disc" -> col("i_disc"), "i_tax" -> col("i_tax")))
+      },
+      Some("""WITH u AS (SELECT l_orderkey, count(*)::BIGINT AS i1,
+        |    sum(round(l_quantity)::BIGINT)::BIGINT AS i2,
+        |    sum(round(l_discount*100)::BIGINT)::BIGINT AS i3,
+        |    sum(round(l_tax*100)::BIGINT)::BIGINT AS i4
+        |  FROM lineitem GROUP BY l_orderkey),
+        |cc AS (SELECT i1, i2, i3, i4, (i1+i2+i3+i4)::BIGINT AS tt FROM u
+        |  WHERE i1 IS NOT NULL AND i2 IS NOT NULL AND i3 IS NOT NULL
+        |    AND i4 IS NOT NULL),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(i1)::HUGEINT AS s1, sum(i1::HUGEINT*i1)::HUGEINT AS q1,
+        |    sum(i2)::HUGEINT AS s2, sum(i2::HUGEINT*i2)::HUGEINT AS q2,
+        |    sum(i3)::HUGEINT AS s3, sum(i3::HUGEINT*i3)::HUGEINT AS q3,
+        |    sum(i4)::HUGEINT AS s4, sum(i4::HUGEINT*i4)::HUGEINT AS q4,
+        |    sum(tt)::HUGEINT AS st, sum(tt::HUGEINT*tt)::HUGEINT AS qt FROM cc)
+        |SELECT n, 4::BIGINT AS k_items,
+        |  ((n*q1 - s1*s1) + (n*q2 - s2*s2) + (n*q3 - s3*s3) + (n*q4 - s4*s4))::DOUBLE
+        |    AS item_var_num,
+        |  (n*qt - st*st)::DOUBLE AS total_var_num,
+        |  CASE WHEN n > 1 AND (n*qt - st*st)::DOUBLE > 0
+        |    THEN (4::BIGINT::DOUBLE / (4::BIGINT::DOUBLE - 1.0))
+        |      * (1.0 - ((n*q1 - s1*s1) + (n*q2 - s2*s2) + (n*q3 - s3*s3)
+        |        + (n*q4 - s4*s4))::DOUBLE / (n*qt - st*st)::DOUBLE) END AS alpha
+        |FROM m""".stripMargin)),
+
+    // §2.2/359 — ICC(1,1) one-way intraclass correlation (r14): how
+    // much of event-value variance is BETWEEN users; per-group S²/m
+    // quantized at 2²⁰ before summing, unequal-size k₀ correction.
+    "q_icc" -> QueryDef(
+      (s, d) => operators.Stats.iccOneWay(ds(s, d, "events").toDF,
+        col("user_id"), round(col("value") * 100)),
+      Some("""WITH v AS (SELECT user_id AS g, round(value*100)::BIGINT AS x FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |pg AS (SELECT g, count(*)::BIGINT AS m, sum(x)::BIGINT AS s,
+        |    sum(x::HUGEINT*x)::HUGEINT AS q FROM v GROUP BY g),
+        |a AS (SELECT coalesce(sum(m), 0)::BIGINT AS n, count(*)::BIGINT AS n_groups,
+        |    coalesce(sum(s), 0)::HUGEINT AS t, coalesce(sum(q), 0::HUGEINT) AS qq,
+        |    coalesce(sum(m::HUGEINT*m), 0::HUGEINT) AS m2,
+        |    coalesce(sum(floor(s::DOUBLE*s::DOUBLE/m::DOUBLE*1048576)::HUGEINT),
+        |      0::HUGEINT) AS a_q
+        |  FROM pg),
+        |s2 AS (SELECT n, n_groups, t::DOUBLE AS t_sum,
+        |    qq::DOUBLE - a_q::DOUBLE/1048576.0 AS ssw,
+        |    a_q::DOUBLE/1048576.0 - t::DOUBLE*t::DOUBLE/n::DOUBLE AS ssb,
+        |    m2 FROM a),
+        |b AS (SELECT n, n_groups, t_sum, ssw, ssb,
+        |    CASE WHEN n_groups > 1
+        |      THEN (n::DOUBLE - m2::DOUBLE/n::DOUBLE)/(n_groups::DOUBLE - 1.0) END AS k0,
+        |    CASE WHEN n_groups > 1 THEN ssb/(n_groups::DOUBLE - 1.0) END AS msb,
+        |    CASE WHEN n > n_groups THEN ssw/(n::DOUBLE - n_groups::DOUBLE) END AS msw
+        |  FROM s2)
+        |SELECT n, n_groups, t_sum, ssw, ssb, k0, msb, msw,
+        |  CASE WHEN msb IS NOT NULL AND msw IS NOT NULL
+        |      AND (msb + (k0 - 1.0)*msw) <> 0
+        |    THEN (msb - msw)/(msb + (k0 - 1.0)*msw) END AS icc1
+        |FROM b""".stripMargin)),
+
+    // §2.2/360 — Mantel–Haenszel pooled OR + CMH χ² across strata
+    // (r14): deep-discount → return association stratified by line
+    // status; per-stratum terms quantized at 2²⁰ before summing.
+    "q_mantel_haenszel" -> QueryDef(
+      (s, d) => operators.Stats.mantelHaenszel(ds(s, d, "lineitem").toDF,
+        col("l_linestatus"), col("l_discount") >= 0.05, col("l_returnflag") === "R"),
+      Some("""WITH cells0 AS (SELECT l_linestatus AS st,
+        |    sum(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R' THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R' THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM lineitem WHERE l_linestatus IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_returnflag IS NOT NULL GROUP BY 1),
+        |cells AS (SELECT *, (a+b+c+d)::BIGINT AS nn FROM cells0 WHERE a+b+c+d > 1),
+        |t AS (SELECT a,
+        |    floor(a::DOUBLE*d::DOUBLE/nn::DOUBLE*1048576)::BIGINT AS r_q,
+        |    floor(b::DOUBLE*c::DOUBLE/nn::DOUBLE*1048576)::BIGINT AS s_q,
+        |    floor((a+b)::DOUBLE*(a+c)::DOUBLE/nn::DOUBLE*1048576)::BIGINT AS e_q,
+        |    floor((a+b)::DOUBLE*(c+d)::DOUBLE*(a+c)::DOUBLE*(b+d)::DOUBLE
+        |      /(nn::DOUBLE*nn::DOUBLE*(nn::DOUBLE-1.0))*1048576)::BIGINT AS v_q
+        |  FROM cells)
+        |SELECT count(*)::BIGINT AS k_strata,
+        |  coalesce(sum(a), 0)::BIGINT AS sum_a,
+        |  coalesce(sum(r_q), 0)::BIGINT AS r_sum_q,
+        |  coalesce(sum(s_q), 0)::BIGINT AS s_sum_q,
+        |  coalesce(sum(e_q), 0)::BIGINT AS e_sum_q,
+        |  coalesce(sum(v_q), 0)::BIGINT AS v_sum_q,
+        |  CASE WHEN coalesce(sum(s_q), 0) > 0
+        |    THEN coalesce(sum(r_q), 0)::DOUBLE / coalesce(sum(s_q), 0)::DOUBLE
+        |    END AS or_mh,
+        |  CASE WHEN coalesce(sum(v_q), 0) > 0
+        |    THEN (coalesce(sum(a), 0)::DOUBLE * 1048576.0 - coalesce(sum(e_q), 0)::DOUBLE)
+        |      * (coalesce(sum(a), 0)::DOUBLE * 1048576.0 - coalesce(sum(e_q), 0)::DOUBLE)
+        |      / (coalesce(sum(v_q), 0)::DOUBLE * 1048576.0) END AS chi2_cmh
+        |FROM t""".stripMargin)),
+
+    // §2.2/361 — classifier log-loss / cross-entropy (r14): linear
+    // score→probability map, per-CELL quantized ln so aggregation
+    // order never moves the float; beside Brier (295) and AUC (226).
+    "q_log_loss" -> QueryDef(
+      (s, d) => operators.Stats.linearLogLoss(ds(s, d, "documents").toDF,
+        col("n_chars"), col("lang") === "en"),
+      Some("""WITH v AS (SELECT n_chars::BIGINT AS s, (lang = 'en') AS y FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM v),
+        |cells AS (SELECT (s - mn + 1)::BIGINT AS num, (mx - mn + 2)::BIGINT AS den,
+        |    y, count(*)::BIGINT AS c
+        |  FROM v CROSS JOIN mm GROUP BY 1, 2, 3)
+        |SELECT coalesce(sum(c), 0)::BIGINT AS n,
+        |  coalesce(sum(CASE WHEN y THEN c ELSE 0 END), 0)::BIGINT AS n_pos,
+        |  coalesce(sum(c * floor(-ln(CASE WHEN y THEN num::DOUBLE/den::DOUBLE
+        |    ELSE 1.0 - num::DOUBLE/den::DOUBLE END)*1048576)::BIGINT), 0)::BIGINT
+        |    AS loss_q,
+        |  CASE WHEN coalesce(sum(c), 0) > 0
+        |    THEN coalesce(sum(c * floor(-ln(CASE WHEN y THEN num::DOUBLE/den::DOUBLE
+        |      ELSE 1.0 - num::DOUBLE/den::DOUBLE END)*1048576)::BIGINT), 0)::DOUBLE
+        |      / coalesce(sum(c), 0)::DOUBLE / 1048576.0 END AS mean_logloss
+        |FROM cells""".stripMargin)),
+
+    // §2.2/362 — Hosmer–Lemeshow fit + expected calibration error
+    // (r14): row 239's bins judged — exact rational E₁ per bin, HL
+    // terms quantized, ECE pure integer to its one closing division.
+    "q_hosmer_lemeshow" -> QueryDef(
+      (s, d) => operators.Stats.hosmerLemeshow(ds(s, d, "documents").toDF,
+        col("n_chars"), col("lang") === "en", nBins = 10),
+      Some("""WITH v AS (SELECT n_chars::BIGINT AS s, (lang = 'en') AS y FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM v),
+        |bins AS (SELECT least(9, (s - mn) * 10 // (mx - mn + 1)) AS bin,
+        |    count(*)::BIGINT AS n_b,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS o1,
+        |    sum(s - mn + 1)::BIGINT AS e1_num,
+        |    max(mx - mn + 2)::BIGINT AS den
+        |  FROM v CROSS JOIN mm GROUP BY 1),
+        |t AS (SELECT bin, n_b, o1, e1_num, den,
+        |    CASE WHEN e1_num::DOUBLE/den::DOUBLE > 0
+        |        AND e1_num::DOUBLE/den::DOUBLE < n_b::DOUBLE
+        |      THEN floor((o1::DOUBLE - e1_num::DOUBLE/den::DOUBLE)
+        |        * (o1::DOUBLE - e1_num::DOUBLE/den::DOUBLE)
+        |        / ((e1_num::DOUBLE/den::DOUBLE)
+        |          * (1.0 - (e1_num::DOUBLE/den::DOUBLE) / n_b::DOUBLE))
+        |        * 1048576)::BIGINT ELSE 0 END AS hl_term_q,
+        |    abs(o1 * den - e1_num)::BIGINT AS abs_err_num
+        |  FROM bins),
+        |tot AS (SELECT coalesce(sum(n_b), 0)::BIGINT AS n,
+        |    coalesce(sum(hl_term_q), 0)::DOUBLE / 1048576.0 AS hl_chi2,
+        |    CASE WHEN coalesce(sum(n_b), 0) > 0
+        |      THEN coalesce(sum(abs_err_num), 0)::DOUBLE
+        |        / (max(den)::DOUBLE * coalesce(sum(n_b), 0)::DOUBLE) END AS ece
+        |  FROM t)
+        |SELECT bin, n_b, o1, e1_num, den, hl_term_q, n, hl_chi2, ece
+        |FROM t CROSS JOIN tot""".stripMargin)),
+
+    // §2.2/363 — Harrell's concordance index (r14): does activity
+    // level rank user lifetimes correctly — right-censored pairs over
+    // banded (t, ev, risk) cells, never rows²; beside 271/299.
+    "q_cindex" -> QueryDef(
+      (s, d) => {
+        val e = ds(s, d, "events").toDF
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        val day = graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col("ts")), 86400L)
+        val pu = e.groupBy("user_id").agg(min(day).as("fd"), max(day).as("ld"),
+          count(lit(1)).as("n_ev"))
+        val mx = pu.agg(max("ld").as("maxd"))
+        val units = pu.crossJoin(broadcast(mx))
+          .select((col("ld") - col("fd")).as("t"),
+            (col("ld") <= col("maxd") - 7).as("ev"), col("n_ev").as("r0"))
+        operators.Stats.concordanceIndex(units, col("t"), col("ev"), col("r0"),
+          scoreBands = 10)
+      },
+      Some("""WITH pu AS (SELECT user_id,
+        |    min(floor(epoch(ts)/86400)::BIGINT) AS fd,
+        |    max(floor(epoch(ts)/86400)::BIGINT) AS ld, count(*)::BIGINT AS n_ev
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |mxx AS (SELECT max(ld) AS maxd FROM pu),
+        |u AS (SELECT (ld - fd)::BIGINT AS t, (ld <= maxd - 7) AS ev, n_ev AS r0
+        |  FROM pu CROSS JOIN mxx),
+        |mm AS (SELECT min(r0) AS mn, max(r0) AS mx FROM u),
+        |cells AS (SELECT t, ev, least(9, (r0 - mn) * 10 // (mx - mn + 1)) AS r,
+        |    count(*)::BIGINT AS c
+        |  FROM u CROSS JOIN mm GROUP BY 1, 2, 3),
+        |nu AS (SELECT count(*)::BIGINT AS n_units,
+        |    sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS n_events FROM u),
+        |p AS (SELECT
+        |    coalesce(sum(a.c::HUGEINT * b.c), 0::HUGEINT) AS n_comparable,
+        |    coalesce(sum(CASE WHEN a.r > b.r THEN a.c::HUGEINT*b.c
+        |      ELSE 0::HUGEINT END), 0::HUGEINT) AS n_concordant,
+        |    coalesce(sum(CASE WHEN a.r = b.r THEN a.c::HUGEINT*b.c
+        |      ELSE 0::HUGEINT END), 0::HUGEINT) AS n_tied
+        |  FROM (SELECT * FROM cells WHERE ev) a JOIN cells b ON a.t < b.t)
+        |SELECT n_units, n_events, n_comparable::BIGINT AS n_comparable,
+        |  n_concordant::BIGINT AS n_concordant, n_tied::BIGINT AS n_tied,
+        |  CASE WHEN n_comparable > 0
+        |    THEN (n_concordant::DOUBLE + 0.5 * n_tied::DOUBLE)
+        |      / n_comparable::DOUBLE END AS c_index
+        |FROM p CROSS JOIN nu""".stripMargin)),
+
+    // §2.2/364 — Bartels rank von Neumann randomness test per series
+    // (r14): rank-based serial drift detector beside runs (289) and
+    // turning points (318); doubled integer ranks, exact sums.
+    "q_bartels" -> QueryDef(
+      (s, d) => operators.TimeSeries.bartelsRankTest(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts)/86400)::BIGINT AS day, count(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |vc AS (SELECT series, x, count(*)::BIGINT AS t FROM d GROUP BY 1, 2),
+        |dr AS (SELECT series, x,
+        |    2*sum(t) OVER (PARTITION BY series ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1 AS dr
+        |  FROM vc),
+        |r AS (SELECT d.series, d.day, dr.dr,
+        |    count(*) OVER (PARTITION BY d.series)::BIGINT AS nn
+        |  FROM d JOIN dr ON dr.series = d.series AND dr.x = d.x),
+        |l AS (SELECT series, dr, nn,
+        |    lead(dr) OVER (PARTITION BY series ORDER BY day) AS nxt FROM r),
+        |a AS (SELECT series, max(nn)::BIGINT AS n_days,
+        |    coalesce(sum(CASE WHEN nxt IS NOT NULL
+        |      THEN (dr-nxt)*(dr-nxt) ELSE 0 END), 0)::BIGINT AS nm2,
+        |    coalesce(sum((dr - (nn+1))*(dr - (nn+1))), 0)::BIGINT AS dn2
+        |  FROM l GROUP BY 1)
+        |SELECT series, n_days, nm2, dn2,
+        |  CASE WHEN dn2 > 0 THEN nm2::DOUBLE / dn2::DOUBLE END AS rvn,
+        |  CASE WHEN dn2 > 0 AND n_days >= 3
+        |      AND (4.0*(n_days::DOUBLE-2.0)
+        |        *(5.0*n_days::DOUBLE*n_days::DOUBLE - 2.0*n_days::DOUBLE - 9.0)
+        |        /(5.0*n_days::DOUBLE*(n_days::DOUBLE+1.0)
+        |          *(n_days::DOUBLE-1.0)*(n_days::DOUBLE-1.0))) > 0
+        |    THEN (nm2::DOUBLE / dn2::DOUBLE - 2.0)
+        |      / sqrt(4.0*(n_days::DOUBLE-2.0)
+        |        *(5.0*n_days::DOUBLE*n_days::DOUBLE - 2.0*n_days::DOUBLE - 9.0)
+        |        /(5.0*n_days::DOUBLE*(n_days::DOUBLE+1.0)
+        |          *(n_days::DOUBLE-1.0)*(n_days::DOUBLE-1.0))) END AS z_stat
+        |FROM a""".stripMargin)),
+
+    // §2.2/365 — ε-DP noisy SUMS with clipping (r14): row 349's
+    // release pipeline for magnitudes — clip to [0, 2000] chars,
+    // Lap(clip/ε) from the same keyed-PRF inverse CDF.
+    "q_dp_sum" -> QueryDef(
+      (s, d) => operators.Stats.dpNoisySums(ds(s, d, "documents").toDF,
+        col("source"), col("n_chars"), clipAt = 2000L, seed = 7),
+      Some("""WITH b AS (SELECT source AS g, least(greatest(n_chars, 0), 2000)::BIGINT AS cx
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |gr AS (SELECT g, count(*)::BIGINT AS n, sum(cx)::BIGINT AS cs FROM b GROUP BY 1),
+        |h AS (SELECT g, n, cs,
+        |    ('0x' || substring(md5('dpsum:7:' || g), 1, 13))::BIGINT AS u52 FROM gr),
+        |u AS (SELECT g, n, cs,
+        |    (u52::DOUBLE + 0.5) / 4503599627370496.0 - 0.5 AS uu FROM h),
+        |nq AS (SELECT g, n, cs,
+        |    floor((CASE WHEN uu >= 0 THEN -1.0 ELSE 1.0 END)
+        |      * (2000.0 * 1000000.0 / 1000000.0)
+        |      * ln(1.0 - 2.0 * abs(uu)) * 1048576)::BIGINT AS noise_q FROM u)
+        |SELECT g, n,
+        |  greatest(0, cs + floor((noise_q + 524288) / 1048576.0)::BIGINT)::BIGINT
+        |    AS sum_released,
+        |  noise_q, 2000::BIGINT AS clip_at, 1000000::BIGINT AS epsilon_micro
+        |FROM nq""".stripMargin)),
+
+    // §2.2/366 — Theil's U2 forecast-accuracy ratio per series (r14):
+    // seasonal lag-7 model vs lag-1 naive over COMMON calendar
+    // support; the "does seasonality add value" companion to 298.
+    "q_theil_u" -> QueryDef(
+      (s, d) => operators.TimeSeries.theilU(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts)/86400)::BIGINT AS day, count(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT d.series AS series, count(*)::BIGINT AS n_common,
+        |  sum((d.x - l7.x)*(d.x - l7.x))::BIGINT AS sse_model,
+        |  sum((d.x - l1.x)*(d.x - l1.x))::BIGINT AS sse_naive,
+        |  CASE WHEN sum((d.x - l1.x)*(d.x - l1.x)) > 0
+        |    THEN sqrt(sum((d.x - l7.x)*(d.x - l7.x))::DOUBLE
+        |      / sum((d.x - l1.x)*(d.x - l1.x))::DOUBLE) END AS u2
+        |FROM d JOIN d l1 ON l1.series = d.series AND l1.day = d.day - 1
+        |  JOIN d l7 ON l7.series = d.series AND l7.day = d.day - 7
+        |GROUP BY 1""".stripMargin)),
+
+    // §2.2/367 — pinball (quantile) loss at τ = 0.9 per series (r14):
+    // empirical-quantile constant forecast, loss in exact tenths —
+    // the quantile-forecast eval beside 366/298.
+    "q_pinball" -> QueryDef(
+      (s, d) => operators.TimeSeries.pinballLoss(
+        ds(s, d, "events").toDF, "event_type", "ts", num = 9, den = 10),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts)/86400)::BIGINT AS day, count(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |sz AS (SELECT series, count(*)::BIGINT AS n_days FROM d GROUP BY 1),
+        |rk AS (SELECT series, day, x,
+        |    row_number() OVER (PARTITION BY series ORDER BY x, day) AS rn FROM d),
+        |f AS (SELECT rk.series, rk.x AS f FROM rk JOIN sz USING (series)
+        |  WHERE rk.rn = (sz.n_days * 9 + 9) // 10)
+        |SELECT d.series AS series, count(*)::BIGINT AS n_days,
+        |  max(f.f)::BIGINT AS forecast,
+        |  sum(CASE WHEN d.x >= f.f THEN 9*(d.x - f.f) ELSE (f.f - d.x) END)::BIGINT
+        |    AS loss_den,
+        |  CASE WHEN count(*) > 0 THEN
+        |    sum(CASE WHEN d.x >= f.f THEN 9*(d.x - f.f) ELSE (f.f - d.x) END)::DOUBLE
+        |      / count(*)::DOUBLE / 10.0 END AS mean_pinball
+        |FROM d JOIN f ON f.series = d.series GROUP BY 1""".stripMargin)),
+
+    // §2.2/368 — maximum drawdown per series (r14): running peak minus
+    // cumulative daily cents, exact integers; trough day = earliest
+    // day attaining the max (window max + conditional min, no
+    // engine-private arg ordering).
+    "q_drawdown" -> QueryDef(
+      (s, d) => operators.TimeSeries.maxDrawdown(
+        ds(s, d, "events").toDF, "event_type", "ts", round(col("value") * 100)),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts)/86400)::BIGINT AS day,
+        |    sum(round(value*100)::BIGINT)::BIGINT AS dv
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT series, day, sum(dv) OVER (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |r AS (SELECT series, day, cum, max(cum) OVER (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax FROM c),
+        |x AS (SELECT series, day, cum, runmax - cum AS dd_c,
+        |    max(runmax - cum) OVER (PARTITION BY series) AS mx FROM r)
+        |SELECT series, count(*)::BIGINT AS n_days, max(cum)::BIGINT AS peak_cum,
+        |  max(dd_c)::BIGINT AS max_drawdown,
+        |  min(CASE WHEN dd_c = mx THEN day END)::BIGINT AS trough_day
+        |FROM x GROUP BY 1""".stripMargin)),
+
+    // §2.2/369 — interval union / coverage per user (r14): events as
+    // 15-min spans, overlapping spans merged into islands (running-max
+    // end break rule) — the activity-coverage report; exact epoch
+    // seconds.
+    "q_interval_merge" -> QueryDef(
+      (s, d) => operators.Analytics.intervalUnion(
+        ds(s, d, "events").toDF, "user_id", "ts", "event_id", spanSeconds = 900),
+      Some("""WITH b AS (SELECT user_id, floor(epoch(ts))::BIGINT AS s0, event_id,
+        |    floor(epoch(ts))::BIGINT + 900 AS e0
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |f AS (SELECT *, CASE WHEN max(e0) OVER w IS NULL OR s0 > max(e0) OVER w
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY s0, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s0, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f),
+        |pi AS (SELECT user_id, island, count(*)::BIGINT AS n_ev,
+        |    min(s0) AS i_start, max(e0) AS i_end FROM i GROUP BY 1, 2)
+        |SELECT user_id, sum(n_ev)::BIGINT AS n_events, count(*)::BIGINT AS n_islands,
+        |  sum(i_end - i_start)::BIGINT AS covered_sec,
+        |  max(i_end - i_start)::BIGINT AS max_island_sec
+        |FROM pi GROUP BY 1""".stripMargin)),
+
+    // §2.2/370 — cohort LTV curve (r14): customers cohorted by first
+    // order month, cumulative revenue per month-age over the cohort
+    // size — integer epoch-months, exact cents, truncating ltv.
+    "q_cohort_ltv" -> QueryDef(
+      (s, d) => operators.Analytics.cohortLtv(ds(s, d, "orders").toDF,
+        "o_custkey", "o_orderdate", round(col("o_totalprice") * 100)),
+      Some("""WITH o AS (SELECT o_custkey AS cust,
+        |    (year(o_orderdate)*12 + month(o_orderdate) - 1)::BIGINT AS em,
+        |    round(o_totalprice*100)::BIGINT AS cents FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |fs AS (SELECT cust, min(em) AS cm FROM o GROUP BY 1),
+        |ag AS (SELECT cm, (em - cm)::BIGINT AS age_months,
+        |    sum(cents)::BIGINT AS rev_cents, count(DISTINCT o.cust)::BIGINT AS n_active
+        |  FROM o JOIN fs USING (cust) GROUP BY 1, 2),
+        |sz AS (SELECT cm, count(DISTINCT cust)::BIGINT AS cohort_size FROM fs GROUP BY 1)
+        |SELECT ag.cm AS cohort_month, cohort_size, age_months, n_active, rev_cents,
+        |  sum(rev_cents) OVER (PARTITION BY ag.cm ORDER BY age_months
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_rev_cents,
+        |  (sum(rev_cents) OVER (PARTITION BY ag.cm ORDER BY age_months
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) // cohort_size)::BIGINT
+        |    AS ltv_cents
+        |FROM ag JOIN sz USING (cm)""".stripMargin)),
+
+    // §2.2/371 — linear multi-touch attribution (r14): row 177's
+    // fractional-credit form — every touch in a converted session
+    // shares rev/k, one truncating division per session so micro-cent
+    // sums are exact.
+    "q_attribution_linear" -> QueryDef(
+      (s, d) => operators.Analytics.linearAttribution(
+        ds(s, d, "events").toDF, "user_id", "ts", "event_type", "value"),
+      Some("""WITH s AS (SELECT user_id, event_type, value, event_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM (SELECT *, CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |        OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM events
+        |    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+        |      AND event_type IS NOT NULL) x),
+        |sess AS (SELECT user_id, session_id, count(*)::BIGINT AS k,
+        |    sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |      THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS rev_cents
+        |  FROM s GROUP BY 1, 2),
+        |cr AS (SELECT user_id, session_id,
+        |    (rev_cents * 1048576 // k)::BIGINT AS cpt FROM sess)
+        |SELECT s.event_type AS channel, count(*)::BIGINT AS n_touches,
+        |  count(DISTINCT s.user_id::VARCHAR || ':' || s.session_id::VARCHAR)::BIGINT
+        |    AS n_sessions_touched,
+        |  sum(cr.cpt)::BIGINT AS credit_q,
+        |  sum(cr.cpt)::DOUBLE / 1048576.0 AS credit_cents
+        |FROM s JOIN cr USING (user_id, session_id) GROUP BY 1""".stripMargin)),
+
+    // §2.2/372 — directed-edge reciprocity + dyad census (r14): the
+    // part→next-part order-sequence graph — one distinct pass + one
+    // reversed semi-join, no iteration.
+    "q_reciprocity" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_orderkey").isNotNull && col("l_linenumber").isNotNull &&
+            col("l_partkey").isNotNull)
+        // (orderkey, linenumber) is NOT unique in the synthetic data
+        // (the Bowker row's lesson) — the partkey tie-break makes the
+        // successor sequence a function of the row VALUES on both
+        // engines
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber"), col("l_partkey"))
+        val e = li.withColumn("nxt", lead("l_partkey", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("l_partkey").as("src"), col("nxt").as("dst"))
+        operators.GraphMetrics.reciprocity(e, "src", "dst")
+      },
+      Some("""WITH e0 AS (SELECT l_partkey AS src,
+        |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |    AND l_partkey IS NOT NULL),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst IS NOT NULL AND src <> dst),
+        |r AS (SELECT count(*)::BIGINT AS n_reciprocal FROM e
+        |  WHERE EXISTS (SELECT 1 FROM e x WHERE x.src = e.dst AND x.dst = e.src)),
+        |n AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+        |SELECT n_edges, n_reciprocal, (n_reciprocal // 2)::BIGINT AS n_mutual_dyads,
+        |  (n_edges - n_reciprocal)::BIGINT AS n_asymmetric_dyads,
+        |  CASE WHEN n_edges > 0 THEN n_reciprocal::DOUBLE / n_edges::DOUBLE END
+        |    AS reciprocity
+        |FROM n CROSS JOIN r""".stripMargin)),
+
+    // §2.2/373 — per-edge embeddedness / tie strength (r14): common
+    // neighbors per co-purchase edge = triangles through it — the
+    // corner explode of row 150's oriented pipeline, top-20 bounded.
+    "q_embeddedness" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF.select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.Triangles.edgeEmbeddedness(e, "src", "dst", topK = 20)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT id, count(*) AS dg FROM
+        |  (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN da.dg*100000000 + a < db.dg*100000000 + b THEN a ELSE b END AS u,
+        |    CASE WHEN da.dg*100000000 + a < db.dg*100000000 + b THEN b ELSE a END AS v,
+        |    greatest(da.dg*100000000 + a, db.dg*100000000 + b) AS kv
+        |  FROM e0 JOIN deg da ON a = da.id JOIN deg db ON b = db.id),
+        |w AS (SELECT e1.u AS u, e1.v AS x, e2.v AS y FROM o e1
+        |  JOIN o e2 ON e1.u = e2.u AND e1.kv < e2.kv),
+        |tri AS (SELECT w.u, w.x, w.y FROM w JOIN o ON w.x = o.u AND w.y = o.v),
+        |mem AS (SELECT least(u, x) AS a, greatest(u, x) AS b FROM tri
+        |  UNION ALL SELECT least(u, y), greatest(u, y) FROM tri
+        |  UNION ALL SELECT least(x, y), greatest(x, y) FROM tri),
+        |emb AS (SELECT a, b, count(*)::BIGINT AS embeddedness FROM mem GROUP BY 1, 2)
+        |SELECT a, b, embeddedness, rank FROM (
+        |  SELECT *, row_number() OVER (ORDER BY embeddedness DESC, a, b)::BIGINT AS rank
+        |  FROM emb) t
+        |WHERE rank <= 20""".stripMargin)),
+
+    // §2.2/374 — hop-bounded harmonic centrality for anchor seeds
+    // (r14): per-seed BFS sweeps over row 152's graph sharing ONE
+    // adjacency; harmonic mass as exact per-layer integer tallies.
+    "q_harmonic" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_quantity") >= 45)
+          .select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.ShortestPaths.harmonicCentrality(e, "src", "dst",
+          seedMod = 500L, nSeeds = 3, maxHops = 4)
+      },
+      Some("""WITH RECURSIVE e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_quantity >= 45 AND y.l_quantity >= 45),
+        |u AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+        |seeds AS (SELECT DISTINCT s FROM u WHERE s % 500 = 0 ORDER BY s LIMIT 3),
+        |r(seed, n, d) AS (SELECT s, s, 0 FROM seeds
+        |  UNION SELECT r.seed, u.t, r.d + 1 FROM r JOIN u ON u.s = r.n WHERE r.d < 4),
+        |md AS (SELECT seed, n, min(d) AS dist FROM r GROUP BY 1, 2)
+        |SELECT seed, count(*)::BIGINT AS n_reached,
+        |  sum(1048576 // dist)::BIGINT AS harmonic_q,
+        |  (sum(1048576 // dist)::BIGINT)::DOUBLE / 1048576.0 AS harmonic
+        |FROM md WHERE dist > 0 GROUP BY seed""".stripMargin)),
+
+    // §2.2/375 — simplified silhouette per label (r14): the
+    // clustering-quality eval beside 292/348 — exact fixed-point
+    // centroid distances, per-row s quantized at 2²⁰ then
+    // integer-averaged.
+    "sim_silhouette" -> QueryDef(
+      (s, d) => operators.Similarity.silhouette(
+        ds(s, d, "embeddings").toDF
+          .filter(graft.functions.VectorFunctions.allFinite(col("embedding"))),
+        "vec_id", "embedding", "label"),
+      Some("""WITH e AS (SELECT vec_id, label,
+        |    unnest(range(len(embedding)))::INT AS pos, unnest(embedding) AS v
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
+        |    AND embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
+        |b AS (SELECT vec_id, label, pos, round(v::DOUBLE * 1048576)::BIGINT AS vq FROM e),
+        |cent AS (SELECT label AS clabel, pos, count(*)::BIGINT AS cn,
+        |    sum(vq)::BIGINT AS csum FROM b GROUP BY 1, 2),
+        |dist AS (SELECT b.label AS label, vec_id, cent.clabel AS clabel,
+        |    sum((cent.cn::HUGEINT * vq - csum) * (cent.cn::HUGEINT * vq - csum))::HUGEINT
+        |      AS d2r,
+        |    max(cent.cn)::BIGINT AS cn
+        |  FROM b JOIN cent ON b.pos = cent.pos GROUP BY 1, 2, 3),
+        |dq AS (SELECT label, vec_id, clabel,
+        |    (d2r // (cn::HUGEINT * cn))::BIGINT AS d2 FROM dist),
+        |pv AS (SELECT label, vec_id,
+        |    min(CASE WHEN clabel = label THEN d2 END) AS a2,
+        |    min(CASE WHEN clabel <> label THEN d2 END) AS b2
+        |  FROM dq GROUP BY 1, 2),
+        |sil AS (SELECT label,
+        |    CASE WHEN greatest(sqrt(a2::DOUBLE), sqrt(b2::DOUBLE)) > 0
+        |      THEN floor((sqrt(b2::DOUBLE) - sqrt(a2::DOUBLE))
+        |        / greatest(sqrt(a2::DOUBLE), sqrt(b2::DOUBLE)) * 1048576)::BIGINT
+        |      ELSE 0 END AS sil_q
+        |  FROM pv WHERE a2 IS NOT NULL AND b2 IS NOT NULL)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |  (sum(sil_q) // count(*))::BIGINT AS mean_sil_q,
+        |  ((sum(sil_q) // count(*))::BIGINT)::DOUBLE / 1048576.0 AS mean_silhouette
+        |FROM sil GROUP BY label""".stripMargin)),
+
+    // §2.3/376 — char-bigram entropy per source (r14): the
+    // encoding/noise screen beside the deflate signal (158) — MULTISET
+    // bigrams, groupEntropy ln quantization, two integer divisions.
+    "text_char_entropy" -> QueryDef(
+      (s, d) => operators.TfIdf.charBigramEntropy(
+        ds(s, d, "documents").toDF, "source", "doc_id", "text"),
+      Some("""WITH g AS (SELECT source, doc_id, substring(text, i, 2) AS bg
+        |  FROM (SELECT source, doc_id, text,
+        |      unnest(range(1, length(text)))::INT AS i FROM documents
+        |    WHERE source IS NOT NULL AND doc_id IS NOT NULL) z),
+        |c AS (SELECT source, doc_id, bg, count(*)::BIGINT AS c FROM g GROUP BY 1, 2, 3),
+        |pd AS (SELECT source, doc_id, sum(c)::BIGINT AS n,
+        |    sum(c * floor(ln(c::DOUBLE)*1048576)::BIGINT)::BIGINT AS sum_clnc_q
+        |  FROM c GROUP BY 1, 2),
+        |h AS (SELECT source,
+        |    (floor(ln(n::DOUBLE)*1048576)::BIGINT - sum_clnc_q // n)::BIGINT AS h_q
+        |  FROM pd)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(h_q)::BIGINT AS sum_h_q,
+        |  ((sum(h_q) // count(*))::BIGINT)::DOUBLE / 1048576.0 AS mean_entropy
+        |FROM h GROUP BY 1""".stripMargin)),
+
+    // §2.3/377 — source-pair cosine similarity over unigram count
+    // vectors (r14): "which feeds write alike" beside KL/JS/PSI drift
+    // — integer dot products and norms, one float per pair.
+    "text_source_cosine" -> QueryDef(
+      (s, d) => operators.TfIdf.groupCosine(
+        ds(s, d, "documents").toDF, "source", "text"),
+      Some("""WITH tok AS (SELECT source AS g,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE source IS NOT NULL),
+        |cnt AS (SELECT g, w, count(*)::BIGINT AS c FROM tok
+        |  WHERE length(w) > 0 GROUP BY 1, 2),
+        |nrm AS (SELECT g, sum(c*c)::BIGINT AS norm_sq FROM cnt GROUP BY 1),
+        |p AS (SELECT a.g AS g1, b.g AS g2, sum(a.c*b.c)::BIGINT AS dot
+        |  FROM cnt a JOIN cnt b ON a.w = b.w AND a.g < b.g GROUP BY 1, 2)
+        |SELECT g1, g2, dot, n1.norm_sq AS norm1_sq, n2.norm_sq AS norm2_sq,
+        |  CASE WHEN n1.norm_sq > 0 AND n2.norm_sq > 0
+        |    THEN dot::DOUBLE / (sqrt(n1.norm_sq::DOUBLE) * sqrt(n2.norm_sq::DOUBLE))
+        |    END AS cosine
+        |FROM p JOIN nrm n1 ON n1.g = p.g1 JOIN nrm n2 ON n2.g = p.g2""".stripMargin)),
+
+    // §2.2/378 — curriculum interleave (r14): easy→hard within source,
+    // round-robin across sources, position by pure arithmetic (no
+    // global sort); the checksum pins the entire assignment.
+    "q_curriculum" -> QueryDef(
+      (s, d) => operators.Sampling.curriculumInterleave(
+        ds(s, d, "documents").toDF, "source", "doc_id", col("n_chars")),
+      Some("""WITH b AS (SELECT source AS g, doc_id AS id, n_chars::BIGINT AS d
+        |  FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |dims AS (SELECT g, row_number() OVER (ORDER BY g)::BIGINT AS grp_index
+        |  FROM (SELECT DISTINCT g FROM b) z),
+        |ng AS (SELECT count(*)::BIGINT AS n_groups FROM dims),
+        |rk AS (SELECT g, id,
+        |    row_number() OVER (PARTITION BY g ORDER BY d, id)::BIGINT AS rank_g FROM b),
+        |pos AS (SELECT rk.g, rk.id, (rank_g - 1) * n_groups + grp_index AS position,
+        |    grp_index
+        |  FROM rk JOIN dims USING (g) CROSS JOIN ng)
+        |SELECT g AS source, max(grp_index)::BIGINT AS grp_index,
+        |  count(*)::BIGINT AS n_rows,
+        |  min(position)::BIGINT AS first_pos, max(position)::BIGINT AS last_pos,
+        |  sum(position::HUGEINT * ((id % 1000003 + 1000003) % 1000003))::BIGINT
+        |    AS pos_id_checksum
+        |FROM pos GROUP BY 1""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

@@ -192,6 +192,17 @@ object TextFunctions {
     * are not). Empty result for texts shorter than k (guarded: Spark's
     * `sequence(1, 0)` would count DOWN, not produce an empty range).
     */
+  /** ALL overlapping character k-grams — the MULTISET companion to
+    * [[charShingles]] (which dedups for Jaccard): positional repeats
+    * are kept, so frequency statistics (entropy, burstiness) see the
+    * true counts.
+    */
+  def charGrams(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      transform(sequence(lit(1), length(c) - (k - 1)),
+        i => c.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
   def charShingles(c: Column, k: Int): Column =
     when(length(c) >= k,
       array_distinct(transform(sequence(lit(1), length(c) - (k - 1)),

@@ -1145,4 +1145,111 @@ object Analytics {
         col("n_fills"), col("qty_sum"), col("notional_cents"),
         col("vwap_cents"))
   }
+
+  /** Linear multi-touch attribution — the fractional-credit companion
+    * to [[firstTouchAttribution]]: every event in a converted
+    * gap-session shares the session's purchase revenue equally, so a
+    * channel's credit is Σ over touches of rev/k (k = session touch
+    * count). Exactness: each touch's credit is the integer
+    * `rev_cents·2²⁰ div k` (one truncating division per SESSION,
+    * identical for every touch in it), so per-channel sums are exact
+    * int64 micro-cents and aggregation order cannot drift them. One
+    * user-key shuffle to build sessions, one channel rollup.
+    * Output: (channel, n_touches, n_sessions_touched, credit_q,
+    * credit_cents).
+    */
+  def linearAttribution(events: DataFrame, keyCol: String, tsCol: String,
+                        typeCol: String, valueCol: String,
+                        idCol: String = "event_id",
+                        gapSeconds: Long = 1800): DataFrame = {
+    val s = Sessionize.assignSessions(
+      events.filter(col(idCol).isNotNull && col(typeCol).isNotNull),
+      keyCol, tsCol, gapSeconds)
+    val sess = s.groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col(typeCol) === "purchase" && col(valueCol).isNotNull,
+          round(col(valueCol) * 100).cast("long")).otherwise(lit(0L)))
+          .as("rev_cents"))
+      .withColumn("credit_per_touch_q",
+        expr("rev_cents * 1048576 div k"))
+    s.join(sess.select(col(keyCol), col("session_id"),
+        col("credit_per_touch_q")), Seq(keyCol, "session_id"))
+      .groupBy(col(typeCol).as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col(keyCol), col("session_id")).as("n_sessions_touched"),
+        sum("credit_per_touch_q").as("credit_q"))
+      .withColumn("credit_cents", col("credit_q").cast("double") / 1048576.0)
+  }
+
+  /** Cohort LTV curve: customers cohorted by their FIRST order month,
+    * cumulative average revenue by month age — "what is a January
+    * customer worth after k months". Month arithmetic is pure integer
+    * (epoch-month index y·12+m), revenue exact cents; the cumulative
+    * window runs over the (cohort, age) rollup (cohorts×ages rows,
+    * tiny), and ltv is integer cents via truncating division.
+    * Output: (cohort_month, cohort_size, age_months, rev_cents,
+    * cum_rev_cents, ltv_cents).
+    */
+  def cohortLtv(orders: DataFrame, custCol: String, dateCol: String,
+                amountCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = orders.select(col(custCol).as("cust"),
+        (year(col(dateCol)) * 12 + month(col(dateCol)) - 1).cast("long").as("em"),
+        amountCol.cast("long").as("cents"))
+      .filter(col("cust").isNotNull && col("em").isNotNull && col("cents").isNotNull)
+    val first = o.groupBy("cust").agg(min("em").as("cm"))
+    val aged = o.join(first, "cust")
+      .groupBy(col("cm"), (col("em") - col("cm")).as("age_months"))
+      .agg(sum("cents").as("rev_cents"),
+        countDistinct("cust").as("n_active"))
+    val sizes = first.groupBy("cm").agg(countDistinct("cust").as("cohort_size"))
+    val w = Window.partitionBy("cm").orderBy("age_months")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged.join(sizes, "cm")
+      .withColumn("cum_rev_cents", sum("rev_cents").over(w))
+      .withColumn("ltv_cents", expr("cum_rev_cents div cohort_size"))
+      .select(col("cm").as("cohort_month"), col("cohort_size"),
+        col("age_months"), col("n_active"), col("rev_cents"),
+        col("cum_rev_cents"), col("ltv_cents"))
+  }
+
+
+
+  /** Interval union per key (gaps-and-islands over INTERVALS): each
+    * event spans [t, t+spanSeconds); overlapping/touching spans merge
+    * into islands, and the per-key report is the classic coverage
+    * summary — how many disjoint activity islands, how many seconds
+    * they cover, the longest one. The island break uses the running
+    * max of interval ENDS over preceding rows (ties on start are
+    * harmless: equal starts share equal ends, so either order yields
+    * the same flags); everything is exact epoch-second integers.
+    * One key shuffle, two windows over the same sort.
+    * Output: (key, n_events, n_islands, covered_sec, max_island_sec).
+    */
+  def intervalUnion(events: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String = "event_id",
+                    spanSeconds: Long = 900): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        graft.functions.TimeFunctions.epochSec(col(tsCol)).as("s0"),
+        col(idCol).as("eid"))
+      .withColumn("e0", col("s0") + spanSeconds)
+    val ord = Window.partitionBy("k").orderBy(col("s0"), col("eid"))
+    val prevMax = Window.partitionBy("k").orderBy(col("s0"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isl = base
+      .withColumn("__brk", when(max(col("e0")).over(prevMax).isNull ||
+        col("s0") > max(col("e0")).over(prevMax), 1L).otherwise(0L))
+      .withColumn("island", sum("__brk").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perIsland = isl.groupBy("k", "island")
+      .agg(count(lit(1)).as("n_ev"), min("s0").as("i_start"), max("e0").as("i_end"))
+    perIsland.groupBy(col("k").as(keyCol))
+      .agg(sum("n_ev").as("n_events"), count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_sec"),
+        max(col("i_end") - col("i_start")).as("max_island_sec"))
+  }
+
 }

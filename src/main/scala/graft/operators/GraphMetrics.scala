@@ -185,4 +185,32 @@ object GraphMetrics {
           col("n_nodes") * (col("n_nodes") - 1L))))
       .select(col("k"), col("n_nodes"), col("n_edges"), col("phi_micro"))
   }
+
+  /** Directed-graph reciprocity — the fraction of directed edges whose
+    * reverse edge also exists ("do links get returned"), plus the
+    * dyad census (mutual / asymmetric): one distinct pass over the
+    * edge list and ONE self-semi-join on the reversed key — both
+    * shuffles on the edge key, no node table, no iteration. Output
+    * one row: (n_edges, n_reciprocal, n_mutual_dyads,
+    * n_asymmetric_dyads, reciprocity).
+    */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val nRecip = e.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(nRecip))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("n_reciprocal div 2").as("n_mutual_dyads"),
+        (col("n_edges") - col("n_reciprocal")).as("n_asymmetric_dyads"))
+      .withColumn("reciprocity", when(col("n_edges") > 0,
+        dd(col("n_reciprocal")) / dd(col("n_edges"))))
+  }
+
 }

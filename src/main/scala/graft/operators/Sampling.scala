@@ -547,4 +547,45 @@ object Sampling {
       .select(col("g"), col("n_before"), col("quota"), col("n_kept"),
         col("kept_id_sum"))
   }
+
+  /** Curriculum interleave — a deterministic global training ORDER
+    * that is (a) sorted easy→hard WITHIN each group and (b)
+    * round-robin ACROSS groups, without ever running a global sort:
+    * position = (rank_g − 1)·n_groups + index_g, where rank_g is the
+    * within-group rank by (difficulty ASC, id ASC) (one group-keyed
+    * window) and index_g is the group's position in the sorted group
+    * list (a broadcast dim). Emits the per-group summary with a
+    * position⊗id checksum that pins the WHOLE assignment (the
+    * quotaRebalance kept-id-sum convention) — any swap anywhere
+    * changes it. Output: (group, grp_index, n_rows, first_pos,
+    * last_pos, pos_id_checksum).
+    */
+  def curriculumInterleave(df: DataFrame, groupCol: String, idCol: String,
+                           difficultyCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        difficultyCol.cast("long").as("d"))
+      .filter(col("g").isNotNull && col("id").isNotNull && col("d").isNotNull)
+    val dims = base.select("g").distinct()
+      .withColumn("grp_index", row_number().over(
+        Window.orderBy("g")).cast("long"))
+    val nG = dims.agg(count(lit(1)).as("n_groups"))
+    val ranked = base.withColumn("rank_g", row_number().over(
+        Window.partitionBy("g").orderBy(col("d"), col("id"))).cast("long"))
+      .join(broadcast(dims), "g")
+      .crossJoin(broadcast(nG))
+      .withColumn("position",
+        (col("rank_g") - 1) * col("n_groups") + col("grp_index"))
+    ranked.groupBy(col("g").as(groupCol))
+      .agg(max("grp_index").as("grp_index"), count(lit(1)).as("n_rows"),
+        min("position").as("first_pos"), max("position").as("last_pos"),
+        coalesce(sum((col("position").cast(dec) * pmod(col("id"), lit(1000003L)))
+          .cast(dec)), lit(0).cast(dec)).cast(dec).as("__ck"))
+      .select(col(groupCol), col("grp_index"), col("n_rows"), col("first_pos"),
+        col("last_pos"),
+        graft.operators.Stats.guardedLong("__ck", "curriculumInterleave")
+          .as("pos_id_checksum"))
+  }
+
 }

@@ -253,4 +253,49 @@ object ShortestPaths {
         .localCheckpoint(true)
     } finally adj.unpersist(blocking = false)
   }
+
+  /** Hop-bounded harmonic centrality for a deterministic seed set —
+    * "which anchors reach the most of the graph, weighted by
+    * closeness": for each of the (at most `nSeeds`) seed nodes
+    * (the smallest node ids ≡ 0 mod `seedMod`), one BFS sweep over a
+    * SHARED persisted adjacency (the [[pseudoDiameter]] pattern), and
+    * harmonic mass H(s) = Σ_{0<d(s,v)≤maxHops} ⌊2²⁰/d⌋ — an exact
+    * integer tally per (seed, hop-layer), so the float never exists.
+    * The seed collect is ≤ `nSeeds` rows (the bounded-anchor
+    * contract). Output per seed: (seed, n_reached, harmonic_q,
+    * harmonic) where n_reached excludes the seed itself.
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         seedMod: Long, nSeeds: Int, maxHops: Int): DataFrame = {
+    require(nSeeds >= 1 && nSeeds <= 16, s"nSeeds must be in [1,16], got $nSeeds")
+    val adj = buildAdjacency(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds: Array[Long] = adj.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(seedMod)) === 0)
+        .orderBy("id").limit(nSeeds)
+        .collect().map(_.getLong(0))
+      val spark = edges.sparkSession
+      if (seeds.isEmpty) {
+        import spark.implicits._
+        return Seq.empty[(Long, Long, Long, Double)]
+          .toDF("seed", "n_reached", "harmonic_q", "harmonic")
+      }
+      val perSeed = seeds.map { s =>
+        import spark.implicits._
+        val src = Seq(s).toDF("id")
+        bfsHopsOnAdj(adj, src, maxHops)
+          .filter(col("dist") > 0)
+          .groupBy("dist").agg(count(lit(1)).as("n_at"))
+          .agg(coalesce(sum("n_at"), lit(0L)).as("n_reached"),
+            coalesce(sum(col("n_at") * expr("1048576 div dist")),
+              lit(0L)).as("harmonic_q"))
+          .select(lit(s).as("seed"), col("n_reached"), col("harmonic_q"))
+      }
+      perSeed.reduce(_.unionByName(_))
+        .withColumn("harmonic", col("harmonic_q").cast("double") / 1048576.0)
+        .orderBy("seed")
+    } finally adj.unpersist(blocking = false)
+  }
+
 }

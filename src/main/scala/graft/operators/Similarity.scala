@@ -795,4 +795,51 @@ object Similarity {
       .select(col("label"), col("vec_id"), col("rank").cast("long").as("rank"),
         col("dist2_q"), col("n_label"))
   }
+
+  /** Simplified (centroid) silhouette per label — the clustering
+    * quality eval: a(v) = distance to OWN label centroid, b(v) = min
+    * distance to any OTHER label centroid, s(v) = (b−a)/max(a,b).
+    * Distances are the [[centroidOutliers]] n-free exact fixed-point
+    * dist² (DECIMAL cross-moment per (vector, centroid), truncated to
+    * quantized-unit² scale so different-sized centroids compare), the
+    * min over other centroids is an exact integer min, and s is ONE
+    * fixed float from two integer sqrt's, floor-quantized at 2²⁰ and
+    * integer-summed per label. The centroid table is labels×dims —
+    * broadcast; the fact table is touched once.
+    * Output per label: (label, n_vecs, mean_sil_q, mean_silhouette).
+    */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val base = df.filter(col(idCol).isNotNull && col(labelCol).isNotNull &&
+        col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("vq", round(col("v").cast("double") * (1 << 20)).cast("long"))
+    val cent = base.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(count(lit(1)).as("cn"), sum("vq").as("csum"))
+    val dist = base.join(broadcast(cent), Seq("pos"))
+      .withColumn("__t", (col("cn").cast(dec) * col("vq") - col("csum")).cast(dec))
+      .groupBy("label", "vec_id", "clabel")
+      .agg(sum((col("__t") * col("__t")).cast(dec)).cast(dec).as("__d2"),
+        max("cn").as("cn"))
+      .withColumn("d2", graft.functions.TimeFunctions.truncDiv(
+        col("__d2"), (col("cn").cast(dec) * col("cn")).cast(dec)))
+    val perVec = dist.groupBy("label", "vec_id")
+      .agg(min(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+      .filter(col("a2").isNotNull && col("b2").isNotNull)
+      .withColumn("__a", sqrt(dd(col("a2"))))
+      .withColumn("__b", sqrt(dd(col("b2"))))
+      .withColumn("sil_q", when(greatest(col("__a"), col("__b")) > 0,
+        floor((col("__b") - col("__a")) / greatest(col("__a"), col("__b"))
+          * 1048576).cast("long")).otherwise(lit(0L)))
+    perVec.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("sil_q").as("sum_sil_q"))
+      .withColumn("mean_sil_q", expr("sum_sil_q div n_vecs"))
+      .withColumn("mean_silhouette", dd(col("mean_sil_q")) / 1048576.0)
+      .select(col("label"), col("n_vecs"), col("mean_sil_q"), col("mean_silhouette"))
+  }
+
 }

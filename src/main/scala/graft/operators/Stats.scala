@@ -2234,4 +2234,428 @@ object Stats {
       .select(col("g"), col("n_released"), col("noise_q"),
         lit(epsilonMicro).as("epsilon_micro"))
   }
+  // ===== round 14 wave 2 =====
+
+  /** Group-weighted spatial autocorrelation — Moran's I and Geary's C
+    * with the membership weight matrix w_ij = 1 iff i ≠ j share a
+    * group (the "same nation / same shard / same cell" contiguity
+    * surrogate; reference analogue: the partition-local aggregation
+    * the QPU index classes do per shard): the classic "is the value
+    * clustered by geography" screen. Exactness: with T = Σx and
+    * centered values scaled by N (Z_i = N·x_i − T, so z_i = Z_i/N and
+    * every N² cancels inside both ratios), the quadratic forms are
+    * DECIMAL(38,0) tallies of per-group moments —
+    *   Σ_w Z_i Z_j      = Σ_g (S_g² − Q_g)
+    *   Σ_w (Z_i − Z_j)² = Σ_g 2(m_g·Q_g − S_g²)
+    *   Σ Z_i²           = Σ_g Q_g            (S_g = ΣZ, Q_g = ΣZ²)
+    * and each statistic is ONE fixed float expression over their
+    * decimal→double casts: I = N·Σ_w ZZ / (W·Q),
+    * C = (N−1)·Σ_w ΔZ² / (2W·Q), E[I] = −1/(N−1), W = Σ m_g(m_g−1).
+    * Bound: |Z| ≤ 2N·max|x| keeps Q ≤ 4N³·max|x|² — inside
+    * DECIMAL(38,0) through ~10⁸ rows of 10⁷-unit values; shard the
+    * test by region beyond that.
+    *
+    * Scale shape: one combinable per-group moment pass over the fact
+    * table plus a broadcast one-row total on each side — no pair join
+    * ever forms; the weight matrix exists only algebraically.
+    */
+  def spatialAutocorr(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val v = df.select(groupCol.as("g"), valueCol.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+    val tot = v.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("x").cast(dec)), lit(0).cast(dec)).cast(dec).as("t"))
+    val perG = v.crossJoin(broadcast(tot))
+      .withColumn("z", (col("n").cast(dec) * col("x") - col("t")).cast(dec))
+      .groupBy("g").agg(count(lit(1)).as("m"),
+        sum(col("z")).cast(dec).as("s"),
+        sum((col("z") * col("z")).cast(dec)).cast(dec).as("q"),
+        max("n").as("n"))
+    perG.agg(
+        max("n").as("n"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum((col("m").cast(dec) * (col("m") - 1)).cast(dec)),
+          lit(0).cast(dec)).cast(dec).as("w_pairs"),
+        coalesce(sum((col("s") * col("s") - col("q")).cast(dec)),
+          lit(0).cast(dec)).cast(dec).as("num_i"),
+        coalesce(sum((lit(2).cast(dec) *
+          (col("m").cast(dec) * col("q") - col("s") * col("s"))).cast(dec)),
+          lit(0).cast(dec)).cast(dec).as("num_c"),
+        coalesce(sum(col("q")), lit(0).cast(dec)).cast(dec).as("den_q"))
+      .select(col("n"), col("n_groups"),
+        guardedLong("w_pairs", "spatialAutocorr"),
+        dd(col("num_i")).as("num_i"), dd(col("num_c")).as("num_c"),
+        dd(col("den_q")).as("den_q"))
+      .withColumn("moran_i", when(col("w_pairs") > 0 && col("den_q") > 0,
+        dd(col("n")) * col("num_i") / (dd(col("w_pairs")) * col("den_q"))))
+      .withColumn("geary_c", when(col("w_pairs") > 0 && col("den_q") > 0,
+        (dd(col("n")) - 1.0) * col("num_c") /
+          (lit(2.0) * dd(col("w_pairs")) * col("den_q"))))
+      .withColumn("e_i", when(col("n") > 1, lit(-1.0) / (dd(col("n")) - 1.0)))
+  }
+
+  /** Ordinal–ordinal association battery from one concordance tally:
+    * Goodman–Kruskal gamma, Somers' d_yx / d_xy, and Stuart's tau-c —
+    * the three standard companions to [[kendallTau]]'s tau-b, all
+    * derived from the same four DECIMAL pair counts (concordant C,
+    * discordant D, tied-on-x-only T_x, tied-on-y-only T_y):
+    * gamma = (C−D)/(C+D), d_yx = (C−D)/(C+D+T_y),
+    * d_xy = (C−D)/(C+D+T_x), tau_c = 2m(C−D)/(n²(m−1)), m = min(kx, ky).
+    * One value-cell join bounded by band cardinality² (never rows²);
+    * guarded-BIGINT emission per the kendallTau convention.
+    */
+  def ordinalAssociation(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val cells = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val sz = cells.agg(coalesce(sum("c"), lit(0L)).as("n"),
+      countDistinct("x").as("kx"), countDistinct("y").as("ky"))
+    val a = cells.select(col("x").as("x1"), col("y").as("y1"), col("c").as("c1"))
+    val b = cells.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
+    def tally(cond: Column) = coalesce(sum(when(cond,
+      (col("c1").cast(dec) * col("c2")).cast(dec)).otherwise(lit(0).cast(dec))),
+      lit(0).cast(dec)).cast(dec)
+    // each unordered pair of distinct cells meets exactly once
+    a.join(broadcast(b),
+        col("x1") < col("x2") || (col("x1") === col("x2") && col("y1") < col("y2")))
+      .agg(
+        tally(col("x1") < col("x2") && col("y1") < col("y2")).as("n_conc"),
+        tally(col("x1") < col("x2") && col("y1") > col("y2")).as("n_disc"),
+        tally(col("x1") < col("x2") && col("y1") === col("y2")).as("t_y"),
+        tally(col("x1") === col("x2")).as("t_x"))
+      .crossJoin(broadcast(sz))
+      .select(col("n"), col("kx"), col("ky"),
+        guardedLong("n_conc", "ordinalAssociation"),
+        guardedLong("n_disc", "ordinalAssociation"),
+        guardedLong("t_x", "ordinalAssociation"),
+        guardedLong("t_y", "ordinalAssociation"))
+      .withColumn("gamma", when(col("n_conc") + col("n_disc") > 0,
+        (dd(col("n_conc")) - dd(col("n_disc"))) /
+          (dd(col("n_conc")) + dd(col("n_disc")))))
+      .withColumn("somers_dyx",
+        when(col("n_conc") + col("n_disc") + col("t_y") > 0,
+          (dd(col("n_conc")) - dd(col("n_disc"))) /
+            (dd(col("n_conc")) + dd(col("n_disc")) + dd(col("t_y")))))
+      .withColumn("somers_dxy",
+        when(col("n_conc") + col("n_disc") + col("t_x") > 0,
+          (dd(col("n_conc")) - dd(col("n_disc"))) /
+            (dd(col("n_conc")) + dd(col("n_disc")) + dd(col("t_x")))))
+      .withColumn("tau_c", when(col("n") > 0 && least(col("kx"), col("ky")) > 1,
+        lit(2.0) * dd(least(col("kx"), col("ky"))) *
+          (dd(col("n_conc")) - dd(col("n_disc"))) /
+          (dd(col("n")) * dd(col("n")) * (dd(least(col("kx"), col("ky"))) - 1.0))))
+  }
+
+  /** Cohen's weighted kappa with quadratic weights in DISAGREEMENT
+    * form — the inter-rater agreement statistic for ORDINAL ratings
+    * (beside [[fleissKappa]]'s nominal multi-rater form and the plain
+    * kappa of row 281): because quadratic weights are
+    * w_ij = 1 − (i−j)²/(k−1)², the normalizer cancels and
+    * κ_w = 1 − N·Σ(i−j)²·n_ij / Σ(i−j)²·r_i·c_j — pure integer
+    * numerator and denominator (DECIMAL tallies: observed over the
+    * cell table, expected over the marginal product), ONE final IEEE
+    * division. Marginal cross product is broadcast-sized (k² cells).
+    */
+  def weightedKappa(units: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val cells = units.select(aCol.cast("long").as("a"), bCol.cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val n = cells.agg(coalesce(sum("c"), lit(0L)).as("n"),
+      countDistinct("a").as("k_a"), countDistinct("b").as("k_b"))
+    val disObs = cells.agg(coalesce(sum(((col("a") - col("b")) * (col("a") - col("b"))
+      .cast(dec) * col("c")).cast(dec)), lit(0).cast(dec)).cast(dec).as("dis_obs"))
+    val ra = cells.groupBy("a").agg(sum("c").as("ra"))
+    val cb = cells.groupBy("b").agg(sum("c").as("cb"))
+    val disExp = ra.join(broadcast(cb), lit(true))
+      .agg(coalesce(sum(((col("a") - col("b")) * (col("a") - col("b"))).cast(dec)
+        * col("ra") * col("cb")), lit(0).cast(dec)).cast(dec).as("dis_exp"))
+    broadcast(n).crossJoin(broadcast(disObs)).crossJoin(disExp)
+      .select(col("n"), col("k_a"), col("k_b"),
+        guardedLong("dis_obs", "weightedKappa"), dd(col("dis_exp")).as("dis_exp"))
+      .withColumn("kappa_w", when(col("dis_exp") > 0,
+        lit(1.0) - dd(col("n")) * dd(col("dis_obs")) / col("dis_exp")))
+  }
+
+  /** Cronbach's alpha internal-consistency reliability over K fixed
+    * item columns per unit (complete-case): α = K/(K−1)·(1 − ΣV_i/V_T)
+    * where every variance NUMERATOR V = n·Σx² − (Σx)² is an exact
+    * DECIMAL(38,0) moment (the shared n(n−1) denominator cancels in
+    * the ratio), so α is one fixed float expression over exact
+    * integers. One combinable moment pass; item count is the schema,
+    * not data.
+    */
+  def cronbachAlpha(units: DataFrame, items: Seq[(String, Column)]): DataFrame = {
+    require(items.size >= 2, s"cronbachAlpha needs >= 2 items, got ${items.size}")
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val sel = units.select(items.map { case (nm, c) => c.cast("long").as(nm) }: _*)
+      .filter(items.map { case (nm, _) => col(nm).isNotNull }.reduce(_ && _))
+      .withColumn("__tot", items.map { case (nm, _) => col(nm) }.reduce(_ + _))
+    def vnum(s: Column, q: Column, n: Column): Column =
+      (n.cast(dec) * q - s * s).cast(dec)
+    val aggs: Seq[Column] =
+      items.flatMap { case (nm, _) => Seq(
+        coalesce(sum(col(nm).cast(dec)), lit(0).cast(dec)).cast(dec).as(s"__s_$nm"),
+        coalesce(sum((col(nm).cast(dec) * col(nm)).cast(dec)),
+          lit(0).cast(dec)).cast(dec).as(s"__q_$nm"))
+      } ++ Seq(
+        coalesce(sum(col("__tot").cast(dec)), lit(0).cast(dec)).cast(dec).as("__s_tot"),
+        coalesce(sum((col("__tot").cast(dec) * col("__tot")).cast(dec)),
+          lit(0).cast(dec)).cast(dec).as("__q_tot"))
+    val m = sel.agg(count(lit(1)).as("n"), aggs: _*)
+    val withV = m
+      .withColumn("__v_items", items.map { case (nm, _) =>
+        vnum(col(s"__s_$nm"), col(s"__q_$nm"), col("n")) }
+        .reduce((x, y) => (x + y).cast(dec)))
+      .withColumn("__v_tot", vnum(col("__s_tot"), col("__q_tot"), col("n")))
+    withV.select(col("n"), lit(items.size).cast("long").as("k_items"),
+        dd(col("__v_items")).as("item_var_num"), dd(col("__v_tot")).as("total_var_num"))
+      .withColumn("alpha", when(col("n") > 1 && col("total_var_num") > 0,
+        (dd(col("k_items")) / (dd(col("k_items")) - 1.0)) *
+          (lit(1.0) - col("item_var_num") / col("total_var_num"))))
+  }
+
+  /** ICC(1,1) one-way random-effects intraclass correlation with the
+    * unequal-group-size k₀ correction — "how much of the variance is
+    * BETWEEN groups": MSB/MSW from per-group exact moments (m, S, Q
+    * int64/DECIMAL), the per-group S²/m terms floor-quantized at 2²⁰
+    * and integer-summed so no float ever depends on aggregation
+    * order; k₀ = (N − Σm²/N)/(g−1). Exactness bound: S_g² must stay
+    * double-exact, i.e. per-group value sums ≤ ~9.5·10⁷ units.
+    */
+  def iccOneWay(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val perG = df.select(groupCol.as("g"), valueCol.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("m"), sum("x").as("s"),
+        sum((col("x").cast(dec) * col("x")).cast(dec)).cast(dec).as("q"))
+    val agg = perG.agg(
+      coalesce(sum("m"), lit(0L)).as("n"),
+      count(lit(1)).as("n_groups"),
+      coalesce(sum(col("s").cast(dec)), lit(0).cast(dec)).cast(dec).as("t"),
+      coalesce(sum(col("q")), lit(0).cast(dec)).cast(dec).as("qq"),
+      coalesce(sum((col("m").cast(dec) * col("m")).cast(dec)),
+        lit(0).cast(dec)).cast(dec).as("m2"),
+      coalesce(sum(floor(dd(col("s")) * dd(col("s")) / dd(col("m")) * 1048576)
+        .cast(dec)), lit(0).cast(dec)).cast(dec).as("a_q"))
+    agg
+      .withColumn("ssw", dd(col("qq")) - dd(col("a_q")) / 1048576.0)
+      .withColumn("ssb", dd(col("a_q")) / 1048576.0 -
+        dd(col("t")) * dd(col("t")) / dd(col("n")))
+      .withColumn("k0", when(col("n_groups") > 1,
+        (dd(col("n")) - dd(col("m2")) / dd(col("n"))) / (dd(col("n_groups")) - 1.0)))
+      .withColumn("msb", when(col("n_groups") > 1,
+        col("ssb") / (dd(col("n_groups")) - 1.0)))
+      .withColumn("msw", when(col("n") > col("n_groups"),
+        col("ssw") / (dd(col("n")) - dd(col("n_groups")))))
+      .withColumn("icc1", when(col("msb").isNotNull && col("msw").isNotNull &&
+          (col("msb") + (col("k0") - 1.0) * col("msw")) =!= 0.0,
+        (col("msb") - col("msw")) / (col("msb") + (col("k0") - 1.0) * col("msw"))))
+      .select(col("n"), col("n_groups"), dd(col("t")).as("t_sum"),
+        col("ssw"), col("ssb"), col("k0"), col("msb"), col("msw"), col("icc1"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio + Cochran–MH χ² across strata
+    * — "is the exposure→outcome association real once the confounder
+    * is stratified away" (the epidemiology rail beside [[oddsRatio]]'s
+    * single 2×2): per-stratum a·d/n, b·c/n, E[a] = n₁m₁/n and
+    * V[a] = n₁n₀m₁m₀/(n²(n−1)) are each ONE fixed float from exact
+    * int64 cell counts, floor-quantized at 2²⁰ and integer-summed —
+    * stratum order can never drift the sums. OR_MH and the χ² are two
+    * final float expressions; strata with n ≤ 1 contribute nothing.
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: Column, expCol: Column,
+                     outCol: Column): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val cells = df.select(stratumCol.as("st"), expCol.cast("boolean").as("e"),
+        outCol.cast("boolean").as("y"))
+      .filter(col("st").isNotNull && col("e").isNotNull && col("y").isNotNull)
+      .groupBy("st").agg(
+        sum(when(col("e") && col("y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") && !col("y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("e") && col("y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("e") && !col("y"), 1L).otherwise(0L)).as("d"))
+      .withColumn("nn", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("nn") > 1)
+    val terms = cells.select(col("a"),
+      floor(dd(col("a")) * dd(col("d")) / dd(col("nn")) * 1048576).cast("long").as("r_q"),
+      floor(dd(col("b")) * dd(col("c")) / dd(col("nn")) * 1048576).cast("long").as("s_q"),
+      floor(dd(col("a") + col("b")) * dd(col("a") + col("c")) / dd(col("nn"))
+        * 1048576).cast("long").as("e_q"),
+      floor(dd(col("a") + col("b")) * dd(col("c") + col("d")) *
+        dd(col("a") + col("c")) * dd(col("b") + col("d")) /
+        (dd(col("nn")) * dd(col("nn")) * (dd(col("nn")) - 1.0))
+        * 1048576).cast("long").as("v_q"))
+    terms.agg(count(lit(1)).as("k_strata"),
+        coalesce(sum("a"), lit(0L)).as("sum_a"),
+        coalesce(sum("r_q"), lit(0L)).as("r_sum_q"),
+        coalesce(sum("s_q"), lit(0L)).as("s_sum_q"),
+        coalesce(sum("e_q"), lit(0L)).as("e_sum_q"),
+        coalesce(sum("v_q"), lit(0L)).as("v_sum_q"))
+      .withColumn("or_mh", when(col("s_sum_q") > 0,
+        dd(col("r_sum_q")) / dd(col("s_sum_q"))))
+      .withColumn("chi2_cmh", when(col("v_sum_q") > 0,
+        (dd(col("sum_a")) * 1048576.0 - dd(col("e_sum_q"))) *
+          (dd(col("sum_a")) * 1048576.0 - dd(col("e_sum_q"))) /
+          (dd(col("v_sum_q")) * 1048576.0)))
+  }
+
+  /** Classifier log-loss (cross-entropy) of a LINEAR score→probability
+    * map against a boolean label: p = (s−min+1)/(max−min+2) — an exact
+    * per-row rational with one corpus-wide denominator, so identical
+    * rows share identical p and the per-CELL −ln(p) / −ln(1−p) is
+    * floor-quantized at 2²⁰ and count-weighted into an exact integer
+    * sum (aggregation order can never move the float). Mean is one
+    * final division. The probability floor/ceiling (+1/+2 Laplace
+    * smoothing) keeps ln finite by construction.
+    */
+  def linearLogLoss(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val v = df.select(scoreCol.cast("long").as("s"), labelCol.cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val mm = v.agg(min("s").as("mn"), max("s").as("mx"))
+    v.crossJoin(broadcast(mm))
+      .select((col("s") - col("mn") + 1).as("num"),
+        (col("mx") - col("mn") + 2).as("den"), col("y"))
+      .groupBy("num", "den", "y").agg(count(lit(1)).as("c"))
+      .withColumn("__p", dd(col("num")) / dd(col("den")))
+      .withColumn("__nll_q", floor(-log(when(col("y"), col("__p"))
+        .otherwise(lit(1.0) - col("__p"))) * 1048576).cast("long"))
+      .agg(coalesce(sum("c"), lit(0L)).as("n"),
+        coalesce(sum(when(col("y"), col("c")).otherwise(lit(0L))), lit(0L)).as("n_pos"),
+        coalesce(sum(col("c") * col("__nll_q")), lit(0L)).as("loss_q"))
+      .withColumn("mean_logloss", when(col("n") > 0,
+        dd(col("loss_q")) / dd(col("n")) / 1048576.0))
+  }
+
+  /** Hosmer–Lemeshow goodness-of-fit + expected calibration error over
+    * the equal-width integer bins of [[calibrationBins]], with the
+    * linear score→probability map of [[linearLogLoss]]: per bin the
+    * expected positives E₁ = Σp is an exact RATIONAL (numerator
+    * Σ(s−mn+1), one corpus denominator), the HL term
+    * (O₁−E₁)²/(E₁(1−E₁/n_b)) is one fixed float quantized at 2²⁰, and
+    * ECE = Σ_b|O₁·den − E₁num| / (den·N) is pure integer right up to
+    * its single closing division. Emits the per-bin rows with the two
+    * totals attached (broadcast one-row join).
+    */
+  def hosmerLemeshow(df: DataFrame, scoreCol: Column, labelCol: Column,
+                     nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    def dd(c: Column) = c.cast("double")
+    val v = df.select(scoreCol.cast("long").as("s"), labelCol.cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val mm = v.agg(min("s").as("mn"), max("s").as("mx"))
+    val bins = v.crossJoin(broadcast(mm))
+      .withColumn("bin", least(lit(nBins - 1L),
+        expr(s"(s - mn) * $nBins div (mx - mn + 1)")))
+      .groupBy("bin").agg(count(lit(1)).as("n_b"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("o1"),
+        sum(col("s") - col("mn") + 1).as("e1_num"),
+        max(col("mx") - col("mn") + 2).as("den"))
+    val terms = bins
+      .withColumn("__e1", dd(col("e1_num")) / dd(col("den")))
+      .withColumn("hl_term_q", when(col("__e1") > 0 && col("__e1") < dd(col("n_b")),
+        floor((dd(col("o1")) - col("__e1")) * (dd(col("o1")) - col("__e1")) /
+          (col("__e1") * (lit(1.0) - col("__e1") / dd(col("n_b")))) * 1048576)
+          .cast("long")).otherwise(lit(0L)))
+      .withColumn("abs_err_num", abs(col("o1") * col("den") - col("e1_num")))
+    val tot = terms.agg(coalesce(sum("n_b"), lit(0L)).as("n"),
+      coalesce(sum("hl_term_q"), lit(0L)).as("hl_q"),
+      coalesce(sum("abs_err_num"), lit(0L)).as("ece_num"),
+      max("den").as("__den"))
+      .withColumn("hl_chi2", dd(col("hl_q")) / 1048576.0)
+      .withColumn("ece", when(col("n") > 0,
+        dd(col("ece_num")) / (dd(col("__den")) * dd(col("n")))))
+      .select(col("n"), col("hl_chi2"), col("ece"))
+    terms.select(col("bin"), col("n_b"), col("o1"), col("e1_num"), col("den"),
+        col("hl_term_q"))
+      .crossJoin(broadcast(tot))
+  }
+
+  /** Harrell's concordance index for a right-censored outcome and an
+    * integer RISK score (higher score ⇒ predicted shorter time):
+    * usable pairs are (i, j) with t_i < t_j and event_i observed;
+    * concordant when r_i > r_j, score ties count ½. Scores are
+    * banded into `scoreBands` equal-width integer buckets FIRST, so
+    * the pair space is a (t, ev, band)-cell tally join bounded by
+    * cells², never rows² — DECIMAL pair mass, guarded-BIGINT emission,
+    * one final float division.
+    */
+  def concordanceIndex(units: DataFrame, timeCol: Column, eventCol: Column,
+                       riskCol: Column, scoreBands: Int = 10): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val u = units.select(timeCol.cast("long").as("t"),
+        eventCol.cast("boolean").as("ev"), riskCol.cast("long").as("r0"))
+      .filter(col("t").isNotNull && col("ev").isNotNull && col("r0").isNotNull)
+    val mm = u.agg(min("r0").as("mn"), max("r0").as("mx"))
+    val cells = u.crossJoin(broadcast(mm))
+      .withColumn("r", least(lit(scoreBands - 1L),
+        expr(s"(r0 - mn) * $scoreBands div (mx - mn + 1)")))
+      .groupBy("t", "ev", "r").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val aC = cells.filter(col("ev"))
+      .select(col("t").as("t1"), col("r").as("r1"), col("c").as("c1"))
+    val bC = cells.select(col("t").as("t2"), col("r").as("r2"), col("c").as("c2"))
+    def tally(cond: Column) = coalesce(sum(when(cond,
+      (col("c1").cast(dec) * col("c2")).cast(dec)).otherwise(lit(0).cast(dec))),
+      lit(0).cast(dec)).cast(dec)
+    val nUnits = u.agg(count(lit(1)).as("n_units"),
+      sum(when(col("ev"), 1L).otherwise(0L)).as("n_events"))
+    aC.join(broadcast(bC), col("t1") < col("t2"))
+      .agg(tally(lit(true)).as("n_comparable"),
+        tally(col("r1") > col("r2")).as("n_concordant"),
+        tally(col("r1") === col("r2")).as("n_tied"))
+      .crossJoin(broadcast(nUnits))
+      .select(col("n_units"), col("n_events"),
+        guardedLong("n_comparable", "concordanceIndex"),
+        guardedLong("n_concordant", "concordanceIndex"),
+        guardedLong("n_tied", "concordanceIndex"))
+      .withColumn("c_index", when(col("n_comparable") > 0,
+        (dd(col("n_concordant")) + dd(col("n_tied")) * 0.5) / dd(col("n_comparable"))))
+  }
+
+  /** ε-DP noisy group SUMS with per-record clipping — the release
+    * companion to [[dpNoisyCounts]] for magnitudes: each record's
+    * value is clipped into [0, clipAt] (bounding the L1 sensitivity
+    * at clipAt), the exact clipped sum is perturbed by
+    * Lap(clipAt/ε) drawn from the same md5 keyed-PRF inverse-CDF
+    * construction (replayable by design; a production deployment
+    * swaps in a CSPRNG), and the release is floored at 0. Output:
+    * (g, n, sum_released, noise_q, clip_at, epsilon_micro) — the
+    * exact clipped sum itself stays out of the released set.
+    */
+  def dpNoisySums(df: DataFrame, groupCol: Column, valueCol: Column,
+                  clipAt: Long, seed: Int,
+                  epsilonMicro: Long = 1000000L): DataFrame = {
+    require(clipAt > 0, s"clipAt must be > 0, got $clipAt")
+    require(epsilonMicro > 0, s"epsilonMicro must be > 0, got $epsilonMicro")
+    def dd(c: Column) = c.cast("double")
+    df.select(groupCol.cast("string").as("g"), valueCol.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+      .withColumn("__cx", least(greatest(col("x"), lit(0L)), lit(clipAt)))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("__cx").as("__cs"))
+      .withColumn("__u52", graft.functions.HashFunctions.stableHash52(
+        concat(lit(s"dpsum:$seed:"), col("g"))))
+      .withColumn("__u",
+        (dd(col("__u52")) + lit(0.5)) / lit(4503599627370496.0) - lit(0.5))
+      .withColumn("noise_q", floor(
+        when(col("__u") >= 0, lit(-1.0)).otherwise(lit(1.0)) *
+          (dd(lit(clipAt)) * 1000000.0 / dd(lit(epsilonMicro))) *
+          log(lit(1.0) - lit(2.0) * abs(col("__u"))) * 1048576).cast("long"))
+      .withColumn("sum_released", greatest(lit(0L),
+        col("__cs") + graft.functions.TimeFunctions.floorDiv(
+          col("noise_q") + lit(524288L), 1048576L)))
+      .select(col("g"), col("n"), col("sum_released"), col("noise_q"),
+        lit(clipAt).as("clip_at"), lit(epsilonMicro).as("epsilon_micro"))
+  }
+
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** TF-IDF weighting over a document corpus — the standard feature
@@ -338,4 +338,65 @@ object TfIdf {
       .select(col(groupCol), col("n_tokens"), col("n_types"),
         col("coll_pairs2"), col("simpson"))
   }
+
+  /** Pairwise cosine similarity between per-group unigram COUNT
+    * vectors — "which sources write alike": per-(group, token) counts
+    * are exact int64, each unordered group pair's dot product and the
+    * per-group squared norms are exact integer tallies, and the cosine
+    * is one final float over their exact doubles. The pair join runs
+    * on the token key (vocabulary-sized, groups² fan-out per token —
+    * groups is small by contract); norms ride a broadcast.
+    * Output per pair: (g1, g2, dot, norm1_sq, norm2_sq, cosine).
+    */
+  def groupCosine(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val toks = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val cnt = toks.groupBy("g", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val norms = cnt.groupBy("g").agg(sum(col("c") * col("c")).as("norm_sq"))
+    val pairs = cnt.as("a").join(cnt.as("b"),
+        col("a.w") === col("b.w") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    pairs
+      .join(broadcast(norms.select(col("g").as("g1"), col("norm_sq").as("norm1_sq"))), "g1")
+      .join(broadcast(norms.select(col("g").as("g2"), col("norm_sq").as("norm2_sq"))), "g2")
+      .withColumn("cosine", when(col("norm1_sq") > 0 && col("norm2_sq") > 0,
+        dd(col("dot")) / (sqrt(dd(col("norm1_sq"))) * sqrt(dd(col("norm2_sq"))))))
+      .select(col("g1"), col("g2"), col("dot"), col("norm1_sq"), col("norm2_sq"),
+        col("cosine"))
+  }
+
+  /** Per-group mean character-bigram Shannon entropy of documents —
+    * the encoding/noise screen beside the deflate compression signal:
+    * a doc's bigram entropy H = ln(n) − (Σ c·ln c)/n is computed with
+    * the [[Analytics.groupEntropy]] integer-scaled contract
+    * (floor-quantized ln at 2²⁰, integer division by n), then
+    * averaged per group with ONE more integer division. Docs shorter
+    * than 2 chars have no bigrams and are excluded (both engines).
+    * Output: (group, n_docs, sum_h_q, mean_entropy).
+    */
+  def charBigramEntropy(df: DataFrame, groupCol: String, idCol: String,
+                        textCol: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val grams = df.filter(col(groupCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.charGrams(col(textCol), 2)).as("bg"))
+    val cells = grams.groupBy("g", "id", "bg").agg(count(lit(1)).as("c"))
+    val perDoc = cells.groupBy("g", "id")
+      .agg(sum("c").as("n"),
+        sum(col("c") * floor(log(col("c").cast("double")) * 1048576).cast("long"))
+          .as("sum_clnc_q"))
+      .withColumn("h_q",
+        floor(log(col("n").cast("double")) * 1048576).cast("long") -
+          expr("sum_clnc_q div n"))
+    perDoc.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum("h_q").as("sum_h_q"))
+      .withColumn("mean_entropy",
+        dd(expr("sum_h_q div n_docs")) / 1048576.0)
+  }
+
 }

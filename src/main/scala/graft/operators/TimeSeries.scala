@@ -981,4 +981,145 @@ object TimeSeries {
       .select(col("g").as("series"), col("n_days"), col("n_windows"),
         col("n_anomalies"), col("first_anomaly_day"), col("last_anomaly_day"))
   }
+  // ===== round 14 wave 2 (TimeSeries) =====
+
+  /** Theil's U2 forecast-accuracy ratio per series — "does the
+    * seasonal model beat the naive walk": daily count series, model =
+    * calendar lag-7 (the [[maseDiagnostic]] seasonal convention),
+    * naive = calendar lag-1, both as existing-day joins; the two
+    * squared-error sums run over the COMMON support (days having both
+    * lags — asymmetric support would bias the ratio) in exact int64,
+    * U2 = √(SSE_model/SSE_naive) one final float. U2 < 1 ⇒ the
+    * seasonal forecast adds value over persistence.
+    */
+  def theilU(events: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val d = events.select(col(seriesCol).as("series"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
+      .filter(col("series").isNotNull && col("day").isNotNull)
+      .groupBy("series", "day").agg(count(lit(1)).as("x"))
+    val l1 = d.select(col("series"), (col("day") + 1).as("day"), col("x").as("x1"))
+    val l7 = d.select(col("series"), (col("day") + 7).as("day"), col("x").as("x7"))
+    d.join(l1, Seq("series", "day")).join(l7, Seq("series", "day"))
+      .groupBy("series")
+      .agg(count(lit(1)).as("n_common"),
+        sum((col("x") - col("x7")) * (col("x") - col("x7"))).as("sse_model"),
+        sum((col("x") - col("x1")) * (col("x") - col("x1"))).as("sse_naive"))
+      .withColumn("u2", when(col("sse_naive") > 0,
+        sqrt(dd(col("sse_model")) / dd(col("sse_naive")))))
+  }
+
+  /** Pinball (quantile) loss of the per-series empirical τ = num/den
+    * quantile used as a constant forecast — the eval number behind
+    * quantile forecasting and SLA sizing ("how costly is calling the
+    * p90 level"): the forecast per series is the LOWER empirical
+    * quantile (smallest daily count with cum-count ≥ ⌈n·num/den⌉,
+    * pure integer selection both engines agree on), and the loss is
+    * kept in den-ths — L·den = Σ num·(y−f)⁺ + (den−num)·(f−y)⁺ —
+    * exact int64 end to end; mean is one final division.
+    */
+  def pinballLoss(events: DataFrame, seriesCol: String, tsCol: String,
+                  num: Int = 9, den: Int = 10): DataFrame = {
+    require(num > 0 && num < den, s"need 0 < num < den, got $num/$den")
+    def dd(c: Column) = c.cast("double")
+    val d = events.select(col(seriesCol).as("series"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
+      .filter(col("series").isNotNull && col("day").isNotNull)
+      .groupBy("series", "day").agg(count(lit(1)).as("y"))
+      .localCheckpoint(true)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("series").orderBy(col("y"), col("day"))
+    val sz = d.groupBy("series").agg(count(lit(1)).as("n_days"))
+    // target rank ⌈n·num/den⌉ = (n·num + den − 1) div den
+    val f = d.withColumn("rk", row_number().over(w))
+      .join(sz, "series")
+      .filter(col("rk") === expr(s"(n_days * $num + ${den - 1}) div $den"))
+      .select(col("series"), col("y").as("f"))
+    d.join(f, "series")
+      .groupBy("series")
+      .agg(count(lit(1)).as("n_days"), max("f").as("forecast"),
+        sum(when(col("y") >= col("f"), lit(num.toLong) * (col("y") - col("f")))
+          .otherwise(lit((den - num).toLong) * (col("f") - col("y")))).as("loss_den"))
+      .withColumn("mean_pinball", when(col("n_days") > 0,
+        dd(col("loss_den")) / dd(col("n_days")) / lit(den.toDouble)))
+  }
+
+  /** Maximum drawdown per series over the daily cumulative value
+    * curve — the risk/health number behind "how far below its peak
+    * did the cumulative metric fall": cum = running Σ of exact daily
+    * cents, runmax = running max, drawdown = runmax − cum; emits the
+    * max drawdown with its peak and trough days (earliest-day
+    * tie-break via min_by over the packed (−drawdown, day) order —
+    * all integer). Two windows over one day-keyed shuffle; the curve
+    * itself is never materialized driver-side.
+    */
+  def maxDrawdown(events: DataFrame, seriesCol: String, tsCol: String,
+                  valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = events.select(col(seriesCol).as("series"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"),
+        valueCol.cast("long").as("v"))
+      .filter(col("series").isNotNull && col("day").isNotNull && col("v").isNotNull)
+      .groupBy("series", "day").agg(sum("v").as("dv"))
+    val w = Window.partitionBy("series").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = d.withColumn("cum", sum("dv").over(w))
+      .withColumn("runmax", max("cum").over(w))
+      .withColumn("dd_c", col("runmax") - col("cum"))
+      .withColumn("__mx", max("dd_c").over(Window.partitionBy("series")))
+    curve.groupBy("series")
+      .agg(count(lit(1)).as("n_days"), max("cum").as("peak_cum"),
+        max("dd_c").as("max_drawdown"),
+        min(when(col("dd_c") === col("__mx"), col("day"))).as("trough_day"))
+  }
+
+  /** Bartels' rank version of the von Neumann ratio — the
+    * distribution-free serial-RANDOMNESS test per series (beside
+    * [[runsTest]]'s sign form and [[turningPoints]]' local form,
+    * sensitive to slow drifts both miss): daily counts get
+    * tie-averaged DOUBLED ranks (the Friedman 2·cum−t+1 integer
+    * construction, so no half ever exists), RVN = Σ(R_i−R_{i+1})² /
+    * Σ(R_i−R̄)² computes on the doubled ranks where the 4's cancel and
+    * 2R̄ = n+1 is integer — both sums exact int64 — and the
+    * asymptotic z uses Var[RVN] = 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²).
+    * Output per series: (series, n_days, nm2, dn2, rvn, z_stat).
+    */
+  def bartelsRankTest(events: DataFrame, seriesCol: String,
+                      tsCol: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val d = events.select(col(seriesCol).as("series"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
+      .filter(col("series").isNotNull && col("day").isNotNull)
+      .groupBy("series", "day").agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val vc = d.groupBy("series", "x").agg(count(lit(1)).as("t"))
+    val wv = Window.partitionBy("series").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dr = vc.withColumn("dr", lit(2) * sum("t").over(wv) - col("t") + 1)
+      .select(col("series"), col("x"), col("dr"))
+    val wd = Window.partitionBy("series").orderBy("day")
+    val l = d.join(dr, Seq("series", "x"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("series")))
+      .withColumn("nxt", lead("dr", 1).over(wd))
+    def varRvn(n: Column): Column =
+      lit(4.0) * (dd(n) - 2.0) *
+        (lit(5.0) * dd(n) * dd(n) - lit(2.0) * dd(n) - 9.0) /
+        (lit(5.0) * dd(n) * (dd(n) + 1.0) * (dd(n) - 1.0) * (dd(n) - 1.0))
+    l.groupBy("series")
+      .agg(max("nn").as("n_days"),
+        coalesce(sum(when(col("nxt").isNotNull,
+          (col("dr") - col("nxt")) * (col("dr") - col("nxt")))
+          .otherwise(lit(0L))), lit(0L)).as("nm2"),
+        coalesce(sum((col("dr") - (col("nn") + 1)) *
+          (col("dr") - (col("nn") + 1))), lit(0L)).as("dn2"))
+      .withColumn("rvn", when(col("dn2") > 0, dd(col("nm2")) / dd(col("dn2"))))
+      .withColumn("z_stat", when(col("dn2") > 0 && col("n_days") >= 3 &&
+          varRvn(col("n_days")) > 0,
+        (dd(col("nm2")) / dd(col("dn2")) - 2.0) / sqrt(varRvn(col("n_days")))))
+  }
+
 }

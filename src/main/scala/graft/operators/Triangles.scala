@@ -178,4 +178,41 @@ object Triangles {
       .select("u", "x", "y")
     (tri, deg)
   }
+
+  /** Per-EDGE embeddedness (Granovetter tie strength): the number of
+    * common neighbors of an edge's endpoints = the number of triangles
+    * the edge participates in. Reuses the degree-ordered-oriented
+    * corner pipeline of [[triangleCount]] — each triangle found once
+    * at its apex explodes into its THREE unordered member edges
+    * (triangle-sized, tiny next to the wedge set), one combinable
+    * count per edge, and a top-K by (embeddedness DESC, a, b) so the
+    * output is bounded no matter the graph. Edges in no triangle have
+    * embeddedness 0 and never rank above the K-th triangle edge —
+    * emitting only triangle edges keeps the explode linear in
+    * triangles. Output: (a, b, embeddedness, rank).
+    */
+  def edgeEmbeddedness(edges: DataFrame, srcCol: String, dstCol: String,
+                       topK: Int = 20,
+                       saltFactor: Int = 8, hotThreshold: Int = 4096,
+                       bloomWords: Int = 0): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val (tri, _) = corners(edges, srcCol, dstCol, saltFactor, hotThreshold,
+      bloomWords)
+    val memberEdges = tri.select(explode(array(
+        struct(least(col("u"), col("x")).as("a"), greatest(col("u"), col("x")).as("b")),
+        struct(least(col("u"), col("y")).as("a"), greatest(col("u"), col("y")).as("b")),
+        struct(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("embeddedness"))
+    import org.apache.spark.sql.expressions.Window
+    // top-K via TakeOrdered (distributed partial sort), never a global
+    // single-partition window over the edge table; the rank window
+    // then runs over topK rows only
+    val top = memberEdges
+      .orderBy(col("embeddedness").desc, col("a"), col("b")).limit(topK)
+    val w = Window.orderBy(col("embeddedness").desc, col("a"), col("b"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
 }

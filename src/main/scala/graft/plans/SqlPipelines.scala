@@ -330,6 +330,76 @@ object SqlPipelines {
         Stats.brierDecomposition(table("graft_brier", a(0)),
           col(strLit("graft_brier", a(1))), col(strLit("graft_brier", a(2))),
           nBins = intLit("graft_brier", a(3)))
+      },
+    // round-14 wave 2: the new stats/eval/graph kernels on the wire
+    "graft_moran" ->
+      arity("graft_moran", 3, "'table', 'groupCol', 'valueCol'") { a =>
+        Stats.spatialAutocorr(table("graft_moran", a(0)),
+          col(strLit("graft_moran", a(1))), col(strLit("graft_moran", a(2))))
+      },
+    "graft_ordinal_assoc" ->
+      arity("graft_ordinal_assoc", 3, "'table', 'xCol', 'yCol'") { a =>
+        Stats.ordinalAssociation(table("graft_ordinal_assoc", a(0)),
+          col(strLit("graft_ordinal_assoc", a(1))),
+          col(strLit("graft_ordinal_assoc", a(2))))
+      },
+    "graft_weighted_kappa" ->
+      arity("graft_weighted_kappa", 3, "'table', 'aCol', 'bCol'") { a =>
+        Stats.weightedKappa(table("graft_weighted_kappa", a(0)),
+          col(strLit("graft_weighted_kappa", a(1))),
+          col(strLit("graft_weighted_kappa", a(2))))
+      },
+    "graft_icc" ->
+      arity("graft_icc", 3, "'table', 'groupCol', 'valueCol'") { a =>
+        Stats.iccOneWay(table("graft_icc", a(0)),
+          col(strLit("graft_icc", a(1))), col(strLit("graft_icc", a(2))))
+      },
+    "graft_mantel_haenszel" ->
+      arity("graft_mantel_haenszel", 4, "'table', 'stratumCol', 'expCol', 'outCol'") { a =>
+        Stats.mantelHaenszel(table("graft_mantel_haenszel", a(0)),
+          col(strLit("graft_mantel_haenszel", a(1))),
+          col(strLit("graft_mantel_haenszel", a(2))),
+          col(strLit("graft_mantel_haenszel", a(3))))
+      },
+    "graft_log_loss" ->
+      arity("graft_log_loss", 3, "'table', 'scoreCol', 'labelCol'") { a =>
+        Stats.linearLogLoss(table("graft_log_loss", a(0)),
+          col(strLit("graft_log_loss", a(1))), col(strLit("graft_log_loss", a(2))))
+      },
+    "graft_hosmer_lemeshow" ->
+      arity("graft_hosmer_lemeshow", 4, "'table', 'scoreCol', 'labelCol', nBins") { a =>
+        Stats.hosmerLemeshow(table("graft_hosmer_lemeshow", a(0)),
+          col(strLit("graft_hosmer_lemeshow", a(1))),
+          col(strLit("graft_hosmer_lemeshow", a(2))),
+          nBins = intLit("graft_hosmer_lemeshow", a(3)))
+      },
+    "graft_bartels" ->
+      arity("graft_bartels", 3, "'table', 'seriesCol', 'tsCol'") { a =>
+        TimeSeries.bartelsRankTest(table("graft_bartels", a(0)),
+          strLit("graft_bartels", a(1)), strLit("graft_bartels", a(2)))
+      },
+    "graft_theil_u" ->
+      arity("graft_theil_u", 3, "'table', 'seriesCol', 'tsCol'") { a =>
+        TimeSeries.theilU(table("graft_theil_u", a(0)),
+          strLit("graft_theil_u", a(1)), strLit("graft_theil_u", a(2)))
+      },
+    "graft_drawdown" ->
+      arity("graft_drawdown", 4, "'table', 'seriesCol', 'tsCol', 'valueCol'") { a =>
+        TimeSeries.maxDrawdown(table("graft_drawdown", a(0)),
+          strLit("graft_drawdown", a(1)), strLit("graft_drawdown", a(2)),
+          col(strLit("graft_drawdown", a(3))))
+      },
+    "graft_interval_union" ->
+      arity("graft_interval_union", 4, "'table', 'keyCol', 'tsCol', 'idCol'") { a =>
+        Analytics.intervalUnion(table("graft_interval_union", a(0)),
+          strLit("graft_interval_union", a(1)),
+          strLit("graft_interval_union", a(2)),
+          strLit("graft_interval_union", a(3)))
+      },
+    "graft_reciprocity" ->
+      arity("graft_reciprocity", 3, "'table', 'srcCol', 'dstCol'") { a =>
+        GraphMetrics.reciprocity(table("graft_reciprocity", a(0)),
+          strLit("graft_reciprocity", a(1)), strLit("graft_reciprocity", a(2)))
       }
   )
 }

@@ -459,6 +459,88 @@ class EndpointSpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("a JDBC client runs the r14 wave-2 kernels (moran/ordinal/kappa/icc/.../reciprocity) over the wire") {
+    import org.apache.spark.sql.functions.col
+    val conn = DriverManager.getConnection(url, "graft", "")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW w4_li AS SELECT " +
+        "least(9, cast(round(l_quantity) as bigint) div 5) AS xb, " +
+        "least(9, cast(round(l_extendedprice) as bigint) div 10000) AS yb, " +
+        "least(4, cast(round(l_quantity) as bigint) div 10) AS a4, " +
+        "least(4, cast(round(l_extendedprice) as bigint) div 20000) AS b4, " +
+        "l_linestatus, l_discount >= 0.05 AS expo, l_returnflag = 'R' AS ret " +
+        "FROM lineitem")
+      st.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW w4_sup AS SELECT s_nationkey, " +
+        "cast(round(s_acctbal*100) as bigint) AS bal_c FROM supplier")
+      st.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW w4_docs AS SELECT n_chars, " +
+        "lang = 'en' AS is_en FROM documents")
+      st.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW w4_ev AS SELECT event_type, ts, " +
+        "user_id, event_id, cast(round(value*100) as bigint) AS v_c FROM events")
+      st.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW w4_edges AS SELECT src, dst FROM " +
+        "(SELECT l_partkey AS src, lead(l_partkey) OVER " +
+        "(PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst " +
+        "FROM lineitem) WHERE dst IS NOT NULL")
+      val wireCalls: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "graft_moran('w4_sup', 's_nationkey', 'bal_c')" ->
+          (() => operators.Stats.spatialAutocorr(spark.table("w4_sup"),
+            col("s_nationkey"), col("bal_c"))),
+        "graft_ordinal_assoc('w4_li', 'xb', 'yb')" ->
+          (() => operators.Stats.ordinalAssociation(spark.table("w4_li"),
+            col("xb"), col("yb"))),
+        "graft_weighted_kappa('w4_li', 'a4', 'b4')" ->
+          (() => operators.Stats.weightedKappa(spark.table("w4_li"),
+            col("a4"), col("b4"))),
+        "graft_icc('w4_ev', 'user_id', 'v_c')" ->
+          (() => operators.Stats.iccOneWay(spark.table("w4_ev"),
+            col("user_id"), col("v_c"))),
+        "graft_mantel_haenszel('w4_li', 'l_linestatus', 'expo', 'ret')" ->
+          (() => operators.Stats.mantelHaenszel(spark.table("w4_li"),
+            col("l_linestatus"), col("expo"), col("ret"))),
+        "graft_log_loss('w4_docs', 'n_chars', 'is_en')" ->
+          (() => operators.Stats.linearLogLoss(spark.table("w4_docs"),
+            col("n_chars"), col("is_en"))),
+        "graft_hosmer_lemeshow('w4_docs', 'n_chars', 'is_en', 10)" ->
+          (() => operators.Stats.hosmerLemeshow(spark.table("w4_docs"),
+            col("n_chars"), col("is_en"), nBins = 10)),
+        "graft_bartels('events', 'event_type', 'ts')" ->
+          (() => operators.TimeSeries.bartelsRankTest(spark.table("events"),
+            "event_type", "ts")),
+        "graft_theil_u('events', 'event_type', 'ts')" ->
+          (() => operators.TimeSeries.theilU(spark.table("events"),
+            "event_type", "ts")),
+        "graft_drawdown('w4_ev', 'event_type', 'ts', 'v_c')" ->
+          (() => operators.TimeSeries.maxDrawdown(spark.table("w4_ev"),
+            "event_type", "ts", col("v_c"))),
+        "graft_interval_union('events', 'user_id', 'ts', 'event_id')" ->
+          (() => operators.Analytics.intervalUnion(spark.table("events"),
+            "user_id", "ts", "event_id")),
+        "graft_reciprocity('w4_edges', 'src', 'dst')" ->
+          (() => operators.GraphMetrics.reciprocity(spark.table("w4_edges"),
+            "src", "dst"))
+      )
+      for ((call, local) <- wireCalls) {
+        val rs = st.executeQuery(s"SELECT * FROM $call")
+        val ncols = rs.getMetaData.getColumnCount
+        val wire = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (1 to ncols).map(i => String.valueOf(r.getObject(i))).mkString("|"))
+          .toVector.sorted
+        val scalaSide = local().collect()
+          .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|"))
+          .toVector.sorted
+        assert(wire.nonEmpty, s"$call returned no rows")
+        assert(wire === scalaSide, s"$call: wire != Scala")
+      }
+      Seq("w4_li", "w4_sup", "w4_docs", "w4_ev", "w4_edges")
+        .foreach(v => st.execute(s"DROP VIEW IF EXISTS $v"))
+    } finally conn.close()
+  }
+
   /** The r11 concurrency soak (verdict #6): the 2-client test above
     * proves the wiring; this one holds N=16 mixed kernel+metrics
     * clients against the endpoint for a sustained window
