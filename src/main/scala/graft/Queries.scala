@@ -9027,7 +9027,342 @@ object Queries {
         |  min(position)::BIGINT AS first_pos, max(position)::BIGINT AS last_pos,
         |  sum(position::HUGEINT * ((id % 1000003 + 1000003) % 1000003))::BIGINT
         |    AS pos_id_checksum
-        |FROM pos GROUP BY 1""".stripMargin))
+        |FROM pos GROUP BY 1""".stripMargin)),
+
+    // §2.2/379 — Ansari–Bradley rank dispersion test (r14): do
+    // returned lineitems differ in quantity SPREAD — closed-form
+    // fold-scores over the value tally, doubled integer scores,
+    // tie-general moments.
+    "q_ansari" -> QueryDef(
+      (s, d) => operators.Stats.ansariBradley(ds(s, d, "lineitem").toDF,
+        col("l_returnflag") === "R", round(col("l_quantity"))),
+      Some("""WITH cells AS (SELECT round(l_quantity)::BIGINT AS v,
+        |    count(*)::BIGINT AS c,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS c1
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT coalesce(sum(c), 0)::BIGINT AS n,
+        |    coalesce(sum(c1), 0)::BIGINT AS n1 FROM cells),
+        |pos AS (SELECT v, c, c1, n, n1,
+        |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS u
+        |  FROM cells CROSS JOIN tot),
+        |sc AS (SELECT *, u - c + 1 AS l, (n + 1) // 2 AS m FROM pos),
+        |sx AS (SELECT *, least(u, m) AS u1, greatest(l, m + 1) AS l2 FROM sc),
+        |s2 AS (SELECT *,
+        |    (CASE WHEN u1 >= l THEN (u1 - l + 1) * (l + u1) ELSE 0 END
+        |     + CASE WHEN u >= l2 THEN (u - l2 + 1) * (2 * (n + 1))
+        |         - (u - l2 + 1) * (l2 + u) ELSE 0 END)::BIGINT AS s2x
+        |  FROM sx),
+        |a AS (SELECT max(n)::BIGINT AS n, max(n1)::BIGINT AS n1,
+        |    coalesce(sum((c1::HUGEINT * s2x * 1048576) // c), 0::HUGEINT)::BIGINT
+        |      AS ab_q2,
+        |    coalesce(sum(s2x), 0)::BIGINT AS sum_a2,
+        |    coalesce(sum((s2x::HUGEINT * s2x * 1048576) // c), 0::HUGEINT)
+        |      AS sum_aa4_q
+        |  FROM s2)
+        |SELECT (n - n1)::BIGINT AS n0, n1, ab_q2,
+        |  CASE WHEN n > 0
+        |    THEN floor(n1::DOUBLE * sum_a2::DOUBLE / n::DOUBLE * 1048576)::BIGINT
+        |    END AS e_q2,
+        |  sum_a2,
+        |  CASE WHEN n > 1 AND (n - n1) > 0 AND n1 > 0
+        |      AND (n::DOUBLE * sum_aa4_q::DOUBLE / 1048576.0
+        |        - sum_a2::DOUBLE * sum_a2::DOUBLE) > 0
+        |    THEN (ab_q2::DOUBLE - floor(n1::DOUBLE * sum_a2::DOUBLE / n::DOUBLE
+        |        * 1048576)::BIGINT::DOUBLE) / 1048576.0
+        |      / sqrt(n1::DOUBLE * (n - n1)::DOUBLE
+        |        * (n::DOUBLE * sum_aa4_q::DOUBLE / 1048576.0
+        |          - sum_a2::DOUBLE * sum_a2::DOUBLE)
+        |        / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0))) END AS z_stat
+        |FROM a""".stripMargin)),
+
+    // §2.2/380 — Pettitt rank changepoint per series (r14): WHERE the
+    // level shifted, nonparametrically — doubled-rank U-curve, exact
+    // int64, earliest argmax day, classic p approximation.
+    "q_pettitt" -> QueryDef(
+      (s, d) => operators.TimeSeries.pettittTest(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts)/86400)::BIGINT AS day, count(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |vc AS (SELECT series, x, count(*)::BIGINT AS t FROM d GROUP BY 1, 2),
+        |dr AS (SELECT series, x,
+        |    2*sum(t) OVER (PARTITION BY series ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1 AS dr
+        |  FROM vc),
+        |r AS (SELECT d.series, d.day, dr.dr,
+        |    count(*) OVER (PARTITION BY d.series)::BIGINT AS nn
+        |  FROM d JOIN dr ON dr.series = d.series AND dr.x = d.x),
+        |u AS (SELECT series, day, nn,
+        |    abs(sum(dr) OVER wd - (count(*) OVER wd) * (nn + 1))::BIGINT AS au2
+        |  FROM r WINDOW wd AS (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT *, max(au2) OVER (PARTITION BY series) AS mx FROM u)
+        |SELECT series, max(nn)::BIGINT AS n_days, max(au2)::BIGINT AS k2_stat,
+        |  min(CASE WHEN au2 = mx THEN day END)::BIGINT AS t_star_day,
+        |  CASE WHEN max(nn) > 1
+        |    THEN 2.0 * exp(-1.5 * max(au2)::DOUBLE * max(au2)::DOUBLE
+        |      / (max(nn)::DOUBLE * max(nn)::DOUBLE * max(nn)::DOUBLE
+        |        + max(nn)::DOUBLE * max(nn)::DOUBLE)) END AS p_approx
+        |FROM m GROUP BY 1""".stripMargin)),
+
+    // §2.2/381 — lag-1 Granger-causality F between event-type series
+    // (r14): does yesterday's X improve today's Y beyond yesterday's
+    // Y — closed-form nested OLS from N-scaled DECIMAL moments.
+    "q_granger" -> QueryDef(
+      (s, d) => operators.Stats.grangerLag1(
+        ds(s, d, "events").toDF, "event_type", "ts"),
+      Some("""WITH d AS (SELECT event_type AS series,
+        |    floor(epoch(ts)/86400)::BIGINT AS day, count(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |rows0 AS (SELECT xl.series AS xs, yt.series AS ys, yt.x AS w,
+        |    yl.x AS u, xl.x AS v
+        |  FROM d yt JOIN d yl ON yl.series = yt.series AND yl.day = yt.day - 1
+        |  JOIN d xl ON xl.day = yt.day - 1 AND xl.series <> yt.series),
+        |m AS (SELECT xs, ys, count(*)::BIGINT AS n,
+        |    sum(u)::BIGINT AS su, sum(v)::BIGINT AS sv, sum(w)::BIGINT AS sw,
+        |    sum(u::HUGEINT*u)::HUGEINT AS suu, sum(v::HUGEINT*v)::HUGEINT AS svv,
+        |    sum(w::HUGEINT*w)::HUGEINT AS sww, sum(u::HUGEINT*v)::HUGEINT AS suv,
+        |    sum(u::HUGEINT*w)::HUGEINT AS suw, sum(v::HUGEINT*w)::HUGEINT AS svw
+        |  FROM rows0 GROUP BY 1, 2),
+        |c AS (SELECT xs, ys, n,
+        |    n::DOUBLE * suu::DOUBLE - su::DOUBLE * su::DOUBLE AS cuu,
+        |    n::DOUBLE * svv::DOUBLE - sv::DOUBLE * sv::DOUBLE AS cvv,
+        |    n::DOUBLE * sww::DOUBLE - sw::DOUBLE * sw::DOUBLE AS cww,
+        |    n::DOUBLE * suv::DOUBLE - su::DOUBLE * sv::DOUBLE AS cuv,
+        |    n::DOUBLE * suw::DOUBLE - su::DOUBLE * sw::DOUBLE AS cuw,
+        |    n::DOUBLE * svw::DOUBLE - sv::DOUBLE * sw::DOUBLE AS cvw
+        |  FROM m),
+        |f AS (SELECT xs, ys, n, cuu * cvv - cuv * cuv AS det_d,
+        |    CASE WHEN cuu > 0 THEN cww - cuw * cuw / cuu END AS rss1,
+        |    CASE WHEN cuu * cvv - cuv * cuv > 0
+        |      THEN cww - (cuw * cuw * cvv - 2.0 * cuw * cvw * cuv
+        |        + cvw * cvw * cuu) / (cuu * cvv - cuv * cuv) END AS rss2
+        |  FROM c)
+        |SELECT xs AS x_series, ys AS y_series, n AS n_days, det_d,
+        |  CASE WHEN rss2 > 0 THEN rss1 / rss2 END AS rss_ratio,
+        |  CASE WHEN n > 3 AND rss2 > 0 AND rss1 IS NOT NULL
+        |    THEN (rss1 - rss2) * (n::DOUBLE - 3.0) / rss2 END AS f_stat
+        |FROM f""".stripMargin)),
+
+    // §2.2/382 — one-sample KS vs the discrete uniform (r14): is each
+    // source's length distribution flat over the corpus range —
+    // cross-multiplied integer sup, one closing division.
+    "q_ks_uniform" -> QueryDef(
+      (s, d) => operators.Stats.ksUniform(ds(s, d, "documents").toDF,
+        col("source"), col("n_chars")),
+      Some("""WITH v AS (SELECT source AS g, n_chars::BIGINT AS x FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |mm AS (SELECT min(x) AS mn, (max(x) - min(x) + 1)::BIGINT AS v_range FROM v),
+        |cells AS (SELECT g, x, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        |cum AS (SELECT g, x, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS ng
+        |  FROM cells),
+        |dev AS (SELECT g, ng, mm.v_range,
+        |    abs(cum * mm.v_range - (x - mm.mn + 1) * ng)::BIGINT AS dev
+        |  FROM cum CROSS JOIN mm)
+        |SELECT g, max(ng)::BIGINT AS n, max(v_range)::BIGINT AS v_range,
+        |  max(dev)::BIGINT AS d_num,
+        |  CASE WHEN max(ng) > 0 AND max(v_range) > 0
+        |    THEN max(dev)::DOUBLE / (max(ng)::DOUBLE * max(v_range)::DOUBLE) END
+        |    AS d_stat
+        |FROM dev GROUP BY 1""".stripMargin)),
+
+    // §2.3/383 — Yule's characteristic K per source (r14): the
+    // size-robust repetitiveness constant beside TTR/hapax/Simpson —
+    // pure frequency-spectrum integers, one float.
+    "text_yule_k" -> QueryDef(
+      (s, d) => operators.TfIdf.yuleK(ds(s, d, "documents").toDF,
+        "source", "text"),
+      Some("""WITH tok AS (SELECT source AS g,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE source IS NOT NULL),
+        |cnt AS (SELECT g, w, count(*)::BIGINT AS c FROM tok
+        |  WHERE length(w) > 0 GROUP BY 1, 2)
+        |SELECT g AS source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |  sum(c*c)::BIGINT AS sum_c2,
+        |  CASE WHEN sum(c) > 0 THEN 10000.0 * (sum(c*c)::DOUBLE - sum(c)::DOUBLE)
+        |    / (sum(c)::DOUBLE * sum(c)::DOUBLE) END AS yule_k
+        |FROM cnt GROUP BY 1""".stripMargin)),
+
+    // §2.2/384 — Davies–Bouldin clustering index (r14): worst-neighbor
+    // compactness/separation beside the silhouette (375) — exact
+    // fixed-point σ and centroid gaps, labels² pair work only.
+    "sim_db_index" -> QueryDef(
+      (s, d) => operators.Similarity.daviesBouldin(
+        ds(s, d, "embeddings").toDF
+          .filter(graft.functions.VectorFunctions.allFinite(col("embedding"))),
+        "vec_id", "embedding", "label"),
+      Some("""WITH e AS (SELECT vec_id, label,
+        |    unnest(range(len(embedding)))::INT AS pos, unnest(embedding) AS v
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
+        |    AND embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
+        |b AS (SELECT vec_id, label, pos, round(v::DOUBLE * 1048576)::BIGINT AS vq FROM e),
+        |cent AS (SELECT label, pos, count(*)::BIGINT AS cn, sum(vq)::BIGINT AS csum
+        |  FROM b GROUP BY 1, 2),
+        |own AS (SELECT b.label AS label, vec_id,
+        |    sum((cent.cn::HUGEINT * vq - csum) * (cent.cn::HUGEINT * vq - csum))::HUGEINT
+        |      AS d2r,
+        |    max(cent.cn)::BIGINT AS cn
+        |  FROM b JOIN cent ON b.label = cent.label AND b.pos = cent.pos
+        |  GROUP BY 1, 2),
+        |dq AS (SELECT label, vec_id,
+        |    (d2r // (cn::HUGEINT * cn))::BIGINT AS d2 FROM own),
+        |sig AS (SELECT label, count(*)::BIGINT AS n_vecs,
+        |    sum(floor(sqrt(d2::DOUBLE))::BIGINT)::BIGINT AS sum_sqrt_q
+        |  FROM dq GROUP BY 1),
+        |sg AS (SELECT label, n_vecs, sum_sqrt_q,
+        |    (sum_sqrt_q // n_vecs)::BIGINT AS sigma_q FROM sig),
+        |pr AS (SELECT a.label AS li, b.label AS lj,
+        |    sum((a.csum::HUGEINT * b.cn - b.csum::HUGEINT * a.cn)
+        |      * (a.csum::HUGEINT * b.cn - b.csum::HUGEINT * a.cn))::HUGEINT AS num2,
+        |    max(a.cn)::BIGINT AS ni, max(b.cn)::BIGINT AS nj
+        |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+        |  GROUP BY 1, 2),
+        |dij AS (SELECT li, lj,
+        |    floor(sqrt(num2::DOUBLE) / (ni::DOUBLE * nj::DOUBLE))::BIGINT AS dij_q
+        |  FROM pr),
+        |rr AS (SELECT li AS label,
+        |    max(CASE WHEN dij_q > 0
+        |      THEN ((si.sigma_q + sj.sigma_q) * 1048576) // dij_q END)::BIGINT
+        |      AS r_max_q
+        |  FROM dij JOIN sg si ON si.label = dij.li JOIN sg sj ON sj.label = dij.lj
+        |  GROUP BY 1),
+        |db AS (SELECT (sum(r_max_q) // count(*))::BIGINT AS db_q FROM rr)
+        |SELECT sg.label AS label, n_vecs, sigma_q, r_max_q, db.db_q,
+        |  db.db_q::DOUBLE / 1048576.0 AS db
+        |FROM sg JOIN rr ON rr.label = sg.label CROSS JOIN db""".stripMargin)),
+
+    // §2.2/385 — degree-distribution power-law exponent (r14): the
+    // scale-free screen beside assortativity (269) — Clauset MLE at
+    // d_min = 2, cell-quantized ln, one combinable pass.
+    "q_degree_powerlaw" -> QueryDef(
+      (s, d) => {
+        val li = ds(s, d, "lineitem").toDF
+          .filter(col("l_quantity") >= 45)
+          .select("l_orderkey", "l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        operators.GraphMetrics.degreePowerLaw(e, "src", "dst", dMin = 2)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_quantity >= 45 AND y.l_quantity >= 45),
+        |deg AS (SELECT id, count(*)::BIGINT AS dg FROM
+        |  (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |cells AS (SELECT dg, count(*)::BIGINT AS cnt FROM deg GROUP BY 1),
+        |a AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n_nodes,
+        |    coalesce(sum(CASE WHEN dg >= 2 THEN cnt ELSE 0 END), 0)::BIGINT AS n_tail,
+        |    coalesce(max(dg), 0)::BIGINT AS max_degree,
+        |    coalesce(sum(CASE WHEN dg >= 2
+        |      THEN cnt * floor(ln(dg::DOUBLE / 1.5) * 1048576)::BIGINT
+        |      ELSE 0 END), 0)::BIGINT AS lnsum_q
+        |  FROM cells)
+        |SELECT n_nodes, n_tail, max_degree, lnsum_q,
+        |  CASE WHEN lnsum_q > 0
+        |    THEN 1.0 + n_tail::DOUBLE * 1048576.0 / lnsum_q::DOUBLE END AS alpha
+        |FROM a""".stripMargin)),
+
+    // §2.2/386 — inter-event gap memory coefficient per series (r14):
+    // Goh–Barabási memory beside the gap profile (331) — consecutive-
+    // gap Pearson r from exact DECIMAL moments.
+    "q_gap_memory" -> QueryDef(
+      (s, d) => operators.TimeSeries.gapMemory(
+        ds(s, d, "events").toDF, "event_type", "ts", "event_id"),
+      Some("""WITH e AS (SELECT event_type AS series, floor(epoch(ts))::BIGINT AS ep,
+        |    event_id FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
+        |g1 AS (SELECT series, ep, event_id,
+        |    lead(ep) OVER w AS nxt FROM e
+        |  WINDOW w AS (PARTITION BY series ORDER BY ep, event_id)),
+        |g2 AS (SELECT series, (nxt - ep)::BIGINT AS tau, ep, event_id FROM g1
+        |  WHERE nxt IS NOT NULL),
+        |g3 AS (SELECT series, tau,
+        |    lead(tau) OVER (PARTITION BY series ORDER BY ep, event_id) AS tau2
+        |  FROM g2),
+        |p AS (SELECT series, tau, tau2 FROM g3 WHERE tau2 IS NOT NULL),
+        |m AS (SELECT series, count(*)::BIGINT AS n_pairs,
+        |    sum(tau)::BIGINT AS sx, sum(tau2)::BIGINT AS sy,
+        |    sum(tau::HUGEINT*tau)::HUGEINT AS sxx,
+        |    sum(tau2::HUGEINT*tau2)::HUGEINT AS syy,
+        |    sum(tau::HUGEINT*tau2)::HUGEINT AS sxy
+        |  FROM p GROUP BY 1)
+        |SELECT series, n_pairs, sx AS gap_sum,
+        |  CASE WHEN n_pairs > 1
+        |      AND (n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+        |      AND (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+        |    THEN (n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |        * sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |    END AS r_memory
+        |FROM m""".stripMargin)),
+
+    // §2.2/387 — Atkinson inequality index per market segment (r14):
+    // 1 − geomean/mean of per-customer revenue — the welfare-weighted
+    // rail beside HHI/Gini/Theil; quantized ln, one exp.
+    "q_atkinson" -> QueryDef(
+      (s, d) => {
+        val o = ds(s, d, "orders").toDF
+        val c = ds(s, d, "customer").toDF
+        operators.Stats.atkinsonIndex(
+          o.join(c, o("o_custkey") === c("c_custkey")),
+          col("c_mktsegment"), col("o_custkey"),
+          round(col("o_totalprice") * 100))
+      },
+      Some("""WITH rev AS (SELECT c.c_mktsegment AS mkt, o.o_custkey AS ent,
+        |    sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IS NOT NULL AND o.o_custkey IS NOT NULL
+        |    AND o.o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2 HAVING sum(round(o.o_totalprice * 100)::BIGINT) > 0)
+        |SELECT mkt, count(*)::BIGINT AS n_entities, sum(rev)::BIGINT AS rev_sum,
+        |  sum(floor(ln(rev::DOUBLE) * 1048576)::BIGINT)::BIGINT AS lnsum_q,
+        |  CASE WHEN count(*) > 0 AND sum(rev) > 0
+        |    THEN 1.0 - exp((sum(floor(ln(rev::DOUBLE) * 1048576)::BIGINT)
+        |        // count(*))::DOUBLE / 1048576.0)
+        |      * count(*)::DOUBLE / sum(rev)::DOUBLE END AS atkinson
+        |FROM rev GROUP BY 1""".stripMargin)),
+
+    // §2.2/388 — rank-biased overlap between two top-20 document
+    // rankings (r14): do length and token count surface the same docs
+    // — exact 9ᵈ/10ᵈ rational weights, one truncating DECIMAL
+    // division per depth.
+    "q_rbo" -> QueryDef(
+      (s, d) => operators.TfIdf.rankBiasedOverlap(
+        ds(s, d, "documents").toDF
+          .withColumn("__bpe", TextFunctions.bpeTokenCount(col("text"))),
+        "doc_id", col("n_chars"), col("__bpe"), k = 20),
+      Some("""WITH RECURSIVE base AS (SELECT doc_id AS id, n_chars::BIGINT AS sa,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+        |      AS sb
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |    AND text IS NOT NULL),
+        |ra AS (SELECT id, row_number() OVER (ORDER BY sa DESC, id)::BIGINT AS r_sa
+        |  FROM base QUALIFY r_sa <= 20),
+        |rb AS (SELECT id, row_number() OVER (ORDER BY sb DESC, id)::BIGINT AS r_sb
+        |  FROM base QUALIFY r_sb <= 20),
+        |j AS (SELECT coalesce(ra.id, rb.id) AS id, r_sa, r_sb
+        |  FROM ra FULL OUTER JOIN rb ON ra.id = rb.id),
+        |pw(d, p9, p10) AS (SELECT 1::BIGINT, 1::HUGEINT, 1::HUGEINT
+        |  UNION ALL SELECT d + 1, p9 * 9, p10 * 10 FROM pw WHERE d < 20),
+        |xd AS (SELECT pw.d, pw.p9, pw.p10,
+        |    coalesce(sum(CASE WHEN r_sa <= pw.d AND r_sb <= pw.d THEN 1 ELSE 0 END),
+        |      0)::BIGINT AS x_d
+        |  FROM pw LEFT JOIN j ON true GROUP BY 1, 2, 3),
+        |t AS (SELECT d, x_d,
+        |    ((p9 * 1048576 * x_d) // (p10 * d))::BIGINT AS term_q FROM xd)
+        |SELECT 20::BIGINT AS k,
+        |  coalesce(max(CASE WHEN d = 20 THEN x_d END), 0)::BIGINT AS x_k,
+        |  coalesce(sum(term_q), 0)::BIGINT AS rbo_q,
+        |  coalesce(sum(term_q), 0)::DOUBLE / 1048576.0 / 10.0 AS rbo
+        |FROM t""".stripMargin))
   )
 
   lazy val asMap: Map[String, QueryDef] = registry.toMap

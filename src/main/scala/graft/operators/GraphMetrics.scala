@@ -213,4 +213,39 @@ object GraphMetrics {
         dd(col("n_reciprocal")) / dd(col("n_edges"))))
   }
 
+
+  /** Discrete power-law exponent of the degree distribution (Clauset–
+    * Shalizi–Newman continuous-MLE approximation at fixed d_min):
+    * α = 1 + n_tail / Σ ln(d/(d_min−½)) over nodes with degree ≥
+    * d_min — the "is this graph scale-free" screen beside
+    * assortativity (269) and the rich-club profile. The ln runs once
+    * per DEGREE VALUE (cell-quantized at 2²⁰, count-weighted integer
+    * sum); undirected degrees from one distinct-edge pass.
+    * Output one row: (n_nodes, n_tail, max_degree, lnsum_q, alpha).
+    */
+  def degreePowerLaw(edges: DataFrame, srcCol: String, dstCol: String,
+                     dMin: Int = 2): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1, got $dMin")
+    def dd(c: Column) = c.cast("double")
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val cells = deg.groupBy("dg").agg(count(lit(1)).as("cnt"))
+    cells.agg(
+        coalesce(sum("cnt"), lit(0L)).as("n_nodes"),
+        coalesce(sum(when(col("dg") >= dMin, col("cnt")).otherwise(lit(0L))),
+          lit(0L)).as("n_tail"),
+        coalesce(max("dg"), lit(0L)).as("max_degree"),
+        coalesce(sum(when(col("dg") >= dMin,
+          col("cnt") * floor(log(dd(col("dg")) / lit(dMin - 0.5)) * 1048576)
+            .cast("long")).otherwise(lit(0L))), lit(0L)).as("lnsum_q"))
+      .withColumn("alpha", when(col("lnsum_q") > 0,
+        lit(1.0) + dd(col("n_tail")) * 1048576.0 / dd(col("lnsum_q"))))
+  }
+
 }

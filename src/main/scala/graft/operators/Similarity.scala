@@ -842,4 +842,66 @@ object Similarity {
       .select(col("label"), col("n_vecs"), col("mean_sil_q"), col("mean_silhouette"))
   }
 
+
+  /** Davies–Bouldin index over the label clustering — the
+    * worst-neighbor compactness/separation ratio beside the
+    * silhouette: σ_i = mean distance to own centroid (the
+    * [[silhouette]] exact fixed-point distances, √ quantized per
+    * vector and integer-averaged), centroid–centroid distances from
+    * the exact moment table ((s_i·n_j − s_j·n_i) DECIMAL numerators),
+    * R_ij = (σ_i+σ_j)/d_ij quantized at 2²⁰, DB = mean of per-label
+    * max R. The per-pair work is labels² — broadcast-tiny.
+    * Output per label: (label, n_vecs, sigma_q, r_max_q, db_q, db).
+    */
+  def daviesBouldin(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val base = df.filter(col(idCol).isNotNull && col(labelCol).isNotNull &&
+        col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("vq", round(col("v").cast("double") * (1 << 20)).cast("long"))
+    val cent = base.groupBy("label", "pos")
+      .agg(count(lit(1)).as("cn"), sum("vq").as("csum"))
+      .localCheckpoint(true)
+    val own = base.join(broadcast(cent), Seq("label", "pos"))
+      .withColumn("__t", (col("cn").cast(dec) * col("vq") - col("csum")).cast(dec))
+      .groupBy("label", "vec_id")
+      .agg(sum((col("__t") * col("__t")).cast(dec)).cast(dec).as("__d2"),
+        max("cn").as("cn"))
+      .withColumn("d2", graft.functions.TimeFunctions.truncDiv(
+        col("__d2"), (col("cn").cast(dec) * col("cn")).cast(dec)))
+    val sig = own.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(sqrt(dd(col("d2")))).cast("long")).as("sum_sqrt_q"))
+      .withColumn("sigma_q", expr("sum_sqrt_q div n_vecs"))
+    val pairs = cent.as("a").join(cent.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") =!= col("b.label"))
+      .select(col("a.label").as("li"), col("b.label").as("lj"),
+        ((col("a.csum").cast(dec) * col("b.cn") -
+          col("b.csum").cast(dec) * col("a.cn")).cast(dec)).as("num"),
+        col("a.cn").as("ni"), col("b.cn").as("nj"))
+      .groupBy("li", "lj")
+      .agg(sum((col("num") * col("num")).cast(dec)).cast(dec).as("num2"),
+        max("ni").as("ni"), max("nj").as("nj"))
+      .withColumn("dij_q", floor(sqrt(dd(col("num2"))) /
+        (dd(col("ni")) * dd(col("nj")))).cast("long"))
+    val r = pairs
+      .join(broadcast(sig.select(col("label").as("li"),
+        col("sigma_q").as("si"))), "li")
+      .join(broadcast(sig.select(col("label").as("lj"),
+        col("sigma_q").as("sj"))), "lj")
+      .withColumn("r_q", when(col("dij_q") > 0,
+        expr("(si + sj) * 1048576 div dij_q")).otherwise(lit(Long.MaxValue)))
+      .groupBy(col("li").as("label")).agg(max("r_q").as("r_max_q"))
+    val db = r.agg(coalesce(sum(expr("r_max_q")), lit(0L)).as("__s"),
+        count(lit(1)).as("__k"))
+      .select(expr("__s div __k").as("db_q"))
+      .withColumn("db", dd(col("db_q")) / 1048576.0)
+    sig.join(r, "label").crossJoin(broadcast(db))
+      .select(col("label"), col("n_vecs"), col("sigma_q"), col("r_max_q"),
+        col("db_q"), col("db"))
+  }
+
 }

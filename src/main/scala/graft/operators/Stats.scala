@@ -2658,4 +2658,206 @@ object Stats {
         lit(clipAt).as("clip_at"), lit(epsilonMicro).as("epsilon_micro"))
   }
 
+  // ===== round 14 wave 3 =====
+
+  /** Ansari–Bradley rank dispersion test — "do the two arms differ in
+    * SPREAD around a common center" (the scale companion to the
+    * location tests: Welch 245, Mann–Whitney via AUC 226, Mood 339):
+    * pooled values get Ansari scores a_r = min(r, n+1−r) (small at the
+    * extremes, large in the middle), tie blocks take the block-average
+    * score. Everything runs on the (value, count, arm1-count) TALLY:
+    * a block occupying positions [l, u] has the closed-form score sum
+    * S(l,u) = Σ min(r, n+1−r) (two arithmetic series split at the
+    * fold (n+1)/2), the arm-1 statistic accumulates c₁·S·2²⁰ div c
+    * per block (ONE truncating division each — order-free), Σa = ΣS
+    * exactly, and Σa² = Σ S²/c block-quantized in DECIMAL. z uses the
+    * tie-general moments E = n₁Σa/n,
+    * V = n₁n₀(nΣa² − (Σa)²)/(n²(n−1)).
+    * Output one row: (n0, n1, ab_q, e_q, sum_a, z_stat).
+    */
+  def ansariBradley(df: DataFrame, armCol: Column, valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val cells = df.select(armCol.cast("boolean").as("arm"),
+        valueCol.cast("long").as("v"))
+      .filter(col("arm").isNotNull && col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"),
+        sum(when(col("arm"), 1L).otherwise(0L)).as("c1"))
+      .localCheckpoint(true)
+    val tot = cells.agg(coalesce(sum("c"), lit(0L)).as("n"),
+      coalesce(sum("c1"), lit(0L)).as("n1"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    // value cells are bounded (value-cardinality rows), so the global
+    // cumulative window runs over a tally, never the fact table
+    val pos = cells.withColumn("u", sum("c").over(w))
+      .withColumn("l", col("u") - col("c") + 1)
+      .crossJoin(broadcast(tot))
+    // S(l, u) = Σ_{r=l..min(u,m)} r + Σ_{r=max(l,m+1)..u} (n+1−r),
+    // m = (n+1) div 2 — both closed-form arithmetic series, kept
+    // DOUBLED so the /2 never truncates
+    val scored = pos
+      .withColumn("m", expr("(n + 1) div 2"))
+      .withColumn("u1", least(col("u"), col("m")))
+      .withColumn("l2", greatest(col("l"), col("m") + 1))
+      .withColumn("s_lo", when(col("u1") >= col("l"),
+        ((col("u1") - col("l") + 1) * (col("l") + col("u1"))).cast("long")).otherwise(lit(0L)))
+      .withColumn("s_hi", when(col("u") >= col("l2"),
+        ((col("u") - col("l2") + 1) * (lit(2L) * (col("n") + 1)) -
+          (col("u") - col("l2") + 1) * (col("l2") + col("u"))).cast("long"))
+        .otherwise(lit(0L)))
+      // s2x = 2·S (the range sums above are kept doubled so the /2 of
+      // the arithmetic series never truncates)
+      .withColumn("s2x", col("s_lo") + col("s_hi"))
+    val agg = scored.agg(
+      max("n").as("n"), max("n1").as("n1"),
+      // AB·2²¹ (score doubled): Σ c1·(2S)·2²⁰ div c — the per-block
+      // product crosses 2⁶³ past ~50k rows, so it runs in DECIMAL and
+      // lands back in a guarded BIGINT (the kendallTau convention)
+      // IntegralDivide lands back in int64, so each quotient re-widens
+      // to DECIMAL before the sum (the per-block S²·2²⁰/c quotients
+      // alone cross 2⁶³ in aggregate)
+      coalesce(sum(graft.functions.TimeFunctions.truncDiv(
+        (col("c1").cast(dec) * col("s2x") * lit(1048576L)).cast(dec),
+        col("c").cast(dec)).cast(dec)), lit(0).cast(dec)).cast(dec).as("ab_q2"),
+      // Σ(2a) = Σ 2S exact; Σ(2a)² = Σ (2S)²/c block-quantized DECIMAL
+      coalesce(sum(col("s2x")), lit(0L)).as("sum_a2"),
+      coalesce(sum(graft.functions.TimeFunctions.truncDiv(
+        (col("s2x").cast(dec) * col("s2x") * lit(1048576L)).cast(dec),
+        col("c").cast(dec)).cast(dec)), lit(0).cast(dec)).cast(dec).as("sum_aa4_q"))
+    agg.select(
+        (col("n") - col("n1")).as("n0"), col("n1"),
+        guardedLong("ab_q2", "ansariBradley"), col("sum_a2"),
+        dd(col("sum_aa4_q")).as("sum_aa4_q"),
+        col("n"))
+      .withColumn("e_q2", when(col("n") > 0,
+        floor(dd(col("n1")) * dd(col("sum_a2")) / dd(col("n")) * 1048576)
+          .cast("long")))
+      .withColumn("z_stat", when(col("n") > 1 && col("n0") > 0 && col("n1") > 0 &&
+          (dd(col("n")) * col("sum_aa4_q") / 1048576.0 -
+            dd(col("sum_a2")) * dd(col("sum_a2"))) > 0,
+        (dd(col("ab_q2")) - dd(col("e_q2"))) / 1048576.0 /
+          sqrt(dd(col("n1")) * dd(col("n0")) *
+            (dd(col("n")) * col("sum_aa4_q") / 1048576.0 -
+              dd(col("sum_a2")) * dd(col("sum_a2"))) /
+            (dd(col("n")) * dd(col("n")) * (dd(col("n")) - 1.0)))))
+      .select(col("n0"), col("n1"), col("ab_q2"), col("e_q2"), col("sum_a2"),
+        col("z_stat"))
+  }
+
+  /** One-sample Kolmogorov–Smirnov distance vs the discrete uniform on
+    * the corpus [min, max] — "is this group's distribution flat":
+    * per group the sup runs over the group's value atoms with every
+    * comparison CROSS-MULTIPLIED — |cum·range − (x−mn+1)·n_g| — so the
+    * max is chosen over exact integers and only the final
+    * D = num/(n_g·range) is a float. The two-sample form is row 218;
+    * this is the absolute-reference screen.
+    * Output per group: (g, n, range, d_num, d_stat).
+    */
+  def ksUniform(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val v = df.select(groupCol.as("g"), valueCol.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+    val mm = v.agg(min("x").as("mn"), (max("x") - min("x") + 1).as("v_range"))
+    val cells = v.groupBy("g", "x").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(mm))
+      .withColumn("ng", sum("c").over(Window.partitionBy("g")))
+      .withColumn("dev", abs(col("cum") * col("v_range") -
+        (col("x") - col("mn") + 1) * col("ng")))
+      .groupBy("g")
+      .agg(max("ng").as("n"), max("v_range").as("v_range"),
+        max("dev").as("d_num"))
+      .withColumn("d_stat", when(col("n") > 0 && col("v_range") > 0,
+        dd(col("d_num")) / (dd(col("n")) * dd(col("v_range")))))
+  }
+
+  /** Lag-1 Granger-causality F test between every ordered pair of
+    * event-type daily-count series — "does yesterday's X count improve
+    * today's Y prediction beyond yesterday's Y": restricted model
+    * w ~ u (u = y lag-1) vs full model w ~ u + v (v = x lag-1), both
+    * solved in closed form from N-scaled centered moments
+    * (S_ab = nΣab − ΣaΣb, exact DECIMAL integers), F = (RSS₁−RSS₂)·
+    * (n−3)/RSS₂ with the common scale canceling. The day support is
+    * the intersection where BOTH series have today and yesterday —
+    * asymmetric support would leak phantom significance. Everything
+    * until F is one combinable moment pass per pair over the
+    * (pairs × days) join of the tiny daily rollup.
+    * Output per pair: (x_series, y_series, n_days, det_d, rss_ratio,
+    * f_stat).
+    */
+  def grangerLag1(events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val d = events.select(col(typeCol).as("series"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
+      .filter(col("series").isNotNull && col("day").isNotNull)
+      .groupBy("series", "day").agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val yT = d.select(col("series").as("ys"), col("day"), col("x").as("w"))
+    val yL = d.select(col("series").as("ys"), (col("day") + 1).as("day"),
+      col("x").as("u"))
+    val xL = d.select(col("series").as("xs"), (col("day") + 1).as("day"),
+      col("x").as("v"))
+    val rows = yT.join(yL, Seq("ys", "day"))
+      .join(xL, Seq("day"))
+      .filter(col("xs") =!= col("ys"))
+    def s2(a: String, b: String) = coalesce(
+      sum((col(a).cast(dec) * col(b)).cast(dec)), lit(0).cast(dec)).cast(dec)
+    val m = rows.groupBy("xs", "ys").agg(count(lit(1)).as("n"),
+      coalesce(sum("u"), lit(0L)).as("su"), coalesce(sum("v"), lit(0L)).as("sv"),
+      coalesce(sum("w"), lit(0L)).as("sw"),
+      s2("u", "u").as("suu"), s2("v", "v").as("svv"), s2("w", "w").as("sww"),
+      s2("u", "v").as("suv"), s2("u", "w").as("suw"), s2("v", "w").as("svw"))
+    def cm(ab: Column, a: Column, b: Column): Column =
+      dd(col("n")) * dd(ab) - dd(a) * dd(b)
+    m.withColumn("cuu", cm(col("suu"), col("su"), col("su")))
+      .withColumn("cvv", cm(col("svv"), col("sv"), col("sv")))
+      .withColumn("cww", cm(col("sww"), col("sw"), col("sw")))
+      .withColumn("cuv", cm(col("suv"), col("su"), col("sv")))
+      .withColumn("cuw", cm(col("suw"), col("su"), col("sw")))
+      .withColumn("cvw", cm(col("svw"), col("sv"), col("sw")))
+      .withColumn("det_d", col("cuu") * col("cvv") - col("cuv") * col("cuv"))
+      .withColumn("rss1", when(col("cuu") > 0,
+        col("cww") - col("cuw") * col("cuw") / col("cuu")))
+      .withColumn("rss2", when(col("det_d") > 0,
+        col("cww") - (col("cuw") * col("cuw") * col("cvv") -
+          lit(2.0) * col("cuw") * col("cvw") * col("cuv") +
+          col("cvw") * col("cvw") * col("cuu")) / col("det_d")))
+      .withColumn("rss_ratio", when(col("rss2") > 0, col("rss1") / col("rss2")))
+      .withColumn("f_stat", when(col("n") > 3 && col("rss2") > 0 &&
+          col("rss1").isNotNull,
+        (col("rss1") - col("rss2")) * (dd(col("n")) - 3.0) / col("rss2")))
+      .select(col("xs").as("x_series"), col("ys").as("y_series"), col("n")
+        .as("n_days"), col("det_d"), col("rss_ratio"), col("f_stat"))
+  }
+
+  /** Atkinson inequality index (ε = 1) per market — 1 − geomean/mean
+    * of per-entity revenue, the welfare-weighted companion to HHI
+    * (273) / Gini (189) / Theil (324): ln(rev) floor-quantized at 2²⁰
+    * per entity and integer-summed, ONE integer division by n before
+    * the single exp — aggregation order can never move the float.
+    * Zero/negative revenues are excluded (ln undefined — documented).
+    * Output per market: (mkt, n_entities, rev_sum, lnsum_q, atkinson).
+    */
+  def atkinsonIndex(df: DataFrame, marketCol: Column, entityCol: Column,
+                    amountCol: Column): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val rev = df.select(marketCol.as("mkt"), entityCol.as("ent"),
+        amountCol.cast("long").as("a"))
+      .filter(col("mkt").isNotNull && col("ent").isNotNull && col("a").isNotNull)
+      .groupBy("mkt", "ent").agg(sum("a").as("rev"))
+      .filter(col("rev") > 0)
+    rev.groupBy("mkt")
+      .agg(count(lit(1)).as("n_entities"),
+        sum("rev").as("rev_sum"),
+        sum(floor(log(dd(col("rev"))) * 1048576).cast("long")).as("lnsum_q"))
+      .withColumn("atkinson", when(col("n_entities") > 0 && col("rev_sum") > 0,
+        lit(1.0) - exp(dd(expr("lnsum_q div n_entities")) / 1048576.0) *
+          dd(col("n_entities")) / dd(col("rev_sum"))))
+  }
+
 }

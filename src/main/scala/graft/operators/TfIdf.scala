@@ -399,4 +399,80 @@ object TfIdf {
         dd(expr("sum_h_q div n_docs")) / 1048576.0)
   }
 
+
+  /** Yule's characteristic K per group — the sample-size-robust
+    * lexical-repetitiveness constant beside TTR (262), hapax (284),
+    * and Gini–Simpson (325): K = 10⁴·(Σc² − N)/N² over the token
+    * frequency spectrum — every term an exact integer, K one float.
+    * Output: (group, n_tokens, n_types, sum_c2, yule_k).
+    */
+  def yuleK(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val cnt = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("g").as(groupCol))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .withColumn("yule_k", when(col("n_tokens") > 0,
+        lit(10000.0) * (dd(col("sum_c2")) - dd(col("n_tokens"))) /
+          (dd(col("n_tokens")) * dd(col("n_tokens")))))
+  }
+
+  /** Rank-biased overlap (p = 9/10) between two top-k document
+    * rankings — "do two quality signals surface the same documents",
+    * the top-weighted list-comparison eval (Webber et al. 2010)
+    * beside the rank correlations (263/287): RBO@k =
+    * (1−p)·Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d, with every p-power an exact
+    * 9^{d−1}/10^{d−1} rational — each depth term is ONE truncating
+    * DECIMAL division (9^{d−1}·2²⁰·X_d div (10^{d−1}·d)) so the sum
+    * is an exact integer and only the final (1−p) scaling is float.
+    * Both top-k lists come from distributed TakeOrdered (never a
+    * global window); the depth×member join is k² tiny.
+    * Output one row: (k, x_k, rbo_q, rbo).
+    */
+  def rankBiasedOverlap(df: DataFrame, idCol: String,
+                        scoreA: Column, scoreB: Column,
+                        k: Int = 20): DataFrame = {
+    require(k >= 1 && k <= 30, s"k must be in [1,30], got $k")
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), scoreA.cast("long").as("sa"),
+        scoreB.cast("long").as("sb"))
+      .filter(col("id").isNotNull && col("sa").isNotNull && col("sb").isNotNull)
+      .localCheckpoint(true)
+    def topBy(s: String) = {
+      val t = base.orderBy(col(s).desc, col("id")).limit(k)
+      t.withColumn(s"r_$s", row_number().over(
+        Window.orderBy(col(s).desc, col("id"))).cast("long"))
+        .select(col("id"), col(s"r_$s"))
+    }
+    val joined = topBy("sa").join(topBy("sb"), Seq("id"), "full_outer")
+    // 9^(d−1) / 10^(d−1) as EXACT driver-side BigInt literals — a
+    // float pow loses exactness past 9^16 and would break the oracle's
+    // HUGEINT doubling chain
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val depthDim = broadcast((1 to k).map(d0 => (d0.toLong,
+        BigInt(9).pow(d0 - 1).toString, BigInt(10).pow(d0 - 1).toString))
+      .toDF("d", "p9s", "p10s")
+      .select(col("d"), col("p9s").cast(dec).as("p9"),
+        col("p10s").cast(dec).as("p10")))
+    val depths = joined.crossJoin(depthDim)
+      .groupBy("d", "p9", "p10")
+      .agg(sum(when(col("r_sa") <= col("d") && col("r_sb") <= col("d"), 1L)
+        .otherwise(lit(0L))).as("x_d"))
+    val terms = depths.withColumn("term_q",
+      graft.functions.TimeFunctions.truncDiv(
+        (col("p9") * lit(1048576L) * col("x_d")).cast(dec),
+        (col("p10") * col("d")).cast(dec)))
+    terms.agg(lit(k.toLong).as("k"),
+        coalesce(max(when(col("d") === k, col("x_d"))), lit(0L)).as("x_k"),
+        coalesce(sum("term_q"), lit(0L)).as("rbo_q"))
+      .withColumn("rbo", dd(col("rbo_q")) / 1048576.0 / 10.0)
+  }
+
 }

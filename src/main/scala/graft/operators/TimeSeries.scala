@@ -1122,4 +1122,86 @@ object TimeSeries {
         (dd(col("nm2")) / dd(col("dn2")) - 2.0) / sqrt(varRvn(col("n_days")))))
   }
 
+
+  /** Pettitt changepoint test per series — the rank-based (level-shift)
+    * companion to the binary-segmentation mean split (328) and CUSUM
+    * (210): with doubled tie-averaged ranks dr ([[bartelsRankTest]]'s
+    * integer construction), U2_t = Σ_{i≤t} dr_i − t·(n+1) is EXACTLY
+    * 2·U_t — pure int64 — K2 = max|U2_t| with the earliest attaining
+    * day as the changepoint estimate, and the classic approximation
+    * p ≈ 2·exp(−1.5·K2²/(n³+n²)) is one fixed float.
+    * Output per series: (series, n_days, k2_stat, t_star_day, p_approx).
+    */
+  def pettittTest(events: DataFrame, seriesCol: String,
+                  tsCol: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val d = events.select(col(seriesCol).as("series"),
+        graft.functions.TimeFunctions.floorDiv(
+          graft.functions.TimeFunctions.epochSec(col(tsCol)), 86400L).as("day"))
+      .filter(col("series").isNotNull && col("day").isNotNull)
+      .groupBy("series", "day").agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val vc = d.groupBy("series", "x").agg(count(lit(1)).as("t"))
+    val wv = Window.partitionBy("series").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dr = vc.withColumn("dr", lit(2) * sum("t").over(wv) - col("t") + 1)
+      .select(col("series"), col("x"), col("dr"))
+    val wd = Window.partitionBy("series").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = d.join(dr, Seq("series", "x"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("series")))
+      .withColumn("tix", count(lit(1)).over(wd))
+      .withColumn("u2", sum("dr").over(wd) - col("tix") * (col("nn") + 1))
+      .withColumn("au2", abs(col("u2")))
+      .withColumn("mx", max(abs(col("u2"))).over(Window.partitionBy("series")))
+    u.groupBy("series")
+      .agg(max("nn").as("n_days"), max("au2").as("k2_stat"),
+        min(when(col("au2") === col("mx"), col("day"))).as("t_star_day"))
+      .withColumn("p_approx", when(col("n_days") > 1,
+        lit(2.0) * exp(lit(-1.5) * dd(col("k2_stat")) * dd(col("k2_stat")) /
+          (dd(col("n_days")) * dd(col("n_days")) * dd(col("n_days")) +
+            dd(col("n_days")) * dd(col("n_days"))))))
+  }
+
+  /** Inter-event gap memory coefficient per series — the Goh–Barabási
+    * companion to the gap burstiness profile (331): Pearson r between
+    * consecutive gaps (τ_i, τ_{i+1}) over the (epoch, id)-totally-
+    * ordered stream, all moments exact integers in DECIMAL, r one
+    * fixed float. Positive memory = long gaps follow long gaps
+    * (sessions); ~0 = memoryless arrivals.
+    * Output per series: (series, n_pairs, gap_sum, r_memory).
+    */
+  def gapMemory(events: DataFrame, seriesCol: String, tsCol: String,
+                idCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dd(c: Column) = c.cast("double")
+    val e = events.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(seriesCol).as("series"),
+        graft.functions.TimeFunctions.epochSec(col(tsCol)).as("ep"),
+        col(idCol).as("eid"))
+    val w = Window.partitionBy("series").orderBy(col("ep"), col("eid"))
+    val gaps = e.withColumn("nxt", lead("ep", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("tau", col("nxt") - col("ep"))
+      .withColumn("tau2", lead("tau", 1).over(w))
+      .filter(col("tau2").isNotNull)
+    def s2(a: String, b: String) = coalesce(
+      sum((col(a).cast(dec) * col(b)).cast(dec)), lit(0).cast(dec)).cast(dec)
+    gaps.groupBy("series")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum("tau"), lit(0L)).as("sx"),
+        coalesce(sum("tau2"), lit(0L)).as("sy"),
+        s2("tau", "tau").as("sxx"), s2("tau2", "tau2").as("syy"),
+        s2("tau", "tau2").as("sxy"))
+      .withColumn("gap_sum", col("sx"))
+      .withColumn("r_memory", when(col("n_pairs") > 1 &&
+          (dd(col("n_pairs")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))) > 0 &&
+          (dd(col("n_pairs")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))) > 0,
+        (dd(col("n_pairs")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+          (sqrt(dd(col("n_pairs")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))) *
+            sqrt(dd(col("n_pairs")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))))))
+      .select(col("series"), col("n_pairs"), col("gap_sum"), col("r_memory"))
+  }
+
 }
