@@ -49,7 +49,10 @@ class ConstructionShuffleSpec extends SparkSpecBase {
                            // 2x2 half-steps; per-step shuffles = score
                            // table only (r14, measured 19)
     "q_bfs" -> 12,         // one stride-3 bfsHops sweep (r14)
-    "q_sssp" -> 27         // Bellman-Ford frontier deltas (r14)
+    "q_sssp" -> 27,        // Bellman-Ford frontier deltas (r14)
+    "q_harmonic" -> 12     // 3 seed sweeps over ONE shared persisted
+                           // adjacency (r14; measured 12 — the
+                           // adjacency build pays once)
   )
 
   private def countShuffleStages(body: => Unit): Int = {

@@ -465,8 +465,15 @@ class PlanAuditSpec extends SparkSpecBase {
       "q_lift",          // ntile dual path (NtileSpec) + cumsum over k=10 tile rows
       // r14 additions, both bounded:
       "q_page_trend",    // hypothesized-order rank over k treatment rows
-      "q_mood_median")   // global-median cumsum over the distinct-VALUE tally
+      "q_mood_median",   // global-median cumsum over the distinct-VALUE tally
                          //   (the literal "__all" partition key is folded away)
+      // r14 wave 2/3, each bounded:
+      "q_embeddedness",  // rank over ≤topK rows AFTER the distributed
+                         //   TakeOrdered limit — the window never sees the edge table
+      "q_curriculum",    // grp_index rank over the distinct-GROUP dim (source cardinality)
+      "q_ansari",        // position cumsum over the distinct-VALUE tally
+                         //   (kruskal/spearman's frame)
+      "q_rbo")           // rank over ≤k rows post-limit, twice (vocabTopN's shape)
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = Queries.registry.flatMap { case (name, q) =>
       val df = q.build(spark, sf())
