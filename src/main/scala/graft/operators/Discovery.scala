@@ -45,17 +45,39 @@ object Discovery {
                           k: Int = 128, tauPct: Int = 95): DataFrame = {
     require(cols.size >= 2, "need at least two columns to compare")
     require(k >= 2 && k <= 128, s"kmv k must be in [2, 128], got $k")
-    val dv = cols.map { case (label, df, c) =>
-      df.select(col(c).cast("string").as("v"))
+    // ONE scan + ONE distinct per TABLE, not per column (guide §1.2 /
+    // §6): columns sharing a source frame explode into (col_name,
+    // value) rows in the same pass, and distinct-per-(col_name, value)
+    // is exactly the union of the per-column distincts — same dv set,
+    // m-columns-per-table fewer scans and exchanges.
+    val byDf: Seq[(DataFrame, Seq[(String, String)])] = {
+      val buf = scala.collection.mutable.LinkedHashMap
+        .empty[DataFrame, scala.collection.mutable.ArrayBuffer[(String, String)]]
+      cols.foreach { case (label, df, c) =>
+        buf.getOrElseUpdate(df, scala.collection.mutable.ArrayBuffer.empty)
+          .append((label, c))
+      }
+      buf.toSeq.map { case (df, lcs) => (df, lcs.toSeq) }
+    }
+    val dv = byDf.map { case (df, lcs) =>
+      df.select(explode(array(lcs.map { case (label, c) =>
+          struct(lit(label).as("col_name"), col(c).cast("string").as("v"))
+        }: _*)).as("e"))
+        .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
         .filter(col("v").isNotNull).distinct()
-        .select(lit(label).as("col_name"),
+        .select(col("col_name"),
           graft.functions.HashFunctions.stableHash56(col("v")).as("hv"))
     }.reduce(_.unionByName(_))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nd = dv.groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
-    val sk = dv.groupBy(col("col_name").as("col_a"))
-      .agg(graft.functions.KMinAgg.kMin(k)(col("hv")).as("__mins"))
-      .select(col("col_a"), explode(col("__mins")).as("hv"))
+    // distinct count and bottom-k sketch in ONE aggregation pass over
+    // the pinned dv (they used to be two scans + two shuffles)
+    val ndSk = dv.groupBy("col_name")
+      .agg(count(lit(1)).as("n_distinct"),
+        graft.functions.KMinAgg.kMin(k)(col("hv")).as("__mins"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = ndSk.select(col("col_name"), col("n_distinct"))
+    val sk = ndSk.select(col("col_name").as("col_a"),
+      explode(col("__mins")).as("hv"))
     val hits = broadcast(sk)
       .join(dv.select(col("col_name").as("col_b"), col("hv")), "hv")
       .filter(col("col_a") =!= col("col_b"))
@@ -74,6 +96,7 @@ object Discovery {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     dv.unpersist()
+    ndSk.unpersist()
     out
   }
 

@@ -38,8 +38,15 @@ object LabelPropagation {
     require(rounds >= 1, "label propagation needs at least one round")
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    // partitioned ONCE on the per-round join key ("b" carries the
+    // neighbor whose label is gathered) and persisted — the
+    // PageRank/HITS one-time-repartition lesson: every sweep's label
+    // join then moves only the node-sized label table, never the
+    // edge set (at bench scale AQE broadcasts the label table either
+    // way; at 100 TB labels shuffle node-sized and the edges stay put)
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))

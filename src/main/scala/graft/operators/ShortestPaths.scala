@@ -139,6 +139,61 @@ object ShortestPaths {
     settled
   }
 
+  /** [[bfsHopsOnAdj]] generalized to MANY independent sources swept
+    * TOGETHER: frontier/settled rows carry a `seed` label and the
+    * min-merge groups on (seed, node_id), so the per-seed distance
+    * trajectories are exactly the single-source ones (layers never mix
+    * across seeds) while the serial round count — the wall-clock term
+    * of any BFS (guide §1.3: wall = rounds × job latency, per-round
+    * data is tiny) — is paid ONCE instead of once per seed.
+    * [[harmonicCentrality]] used to run `nSeeds` sequential sweeps;
+    * at 3 seeds this cuts the serial job chain 3×. Input `seeds`:
+    * (seed, id) rows. Output: (seed, node_id, dist).
+    */
+  private def bfsHopsMultiOnAdj(adj: DataFrame, seeds: DataFrame,
+                                maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val src0 = seeds
+      .select(col("seed").cast("long").as("seed"),
+        col("id").cast("long").as("node_id"), lit(0).as("dist"))
+      .distinct()
+    val stride = 3
+    var settled = src0.localCheckpoint(true)
+    var frontier = settled
+    var h = 1
+    var done = maxHops == 0 || frontier.count() == 0
+    while (!done) {
+      val s = math.min(stride, maxHops - h + 1)
+      var layerSrc: DataFrame = frontier
+      var acc: DataFrame = settled
+      for (k <- 0 until s) {
+        val cand = layerSrc.join(adj, layerSrc("node_id") === adj("src"))
+          .select(col("seed"), col("dst").as("node_id"), lit(h + k).as("dist"))
+        acc = acc.unionByName(cand)
+        // repartition on node_id ALONE: hash(node_id) satisfies the
+        // (seed, node_id) dedup/agg by the subset rule AND co-partitions
+        // the follow-on frontier⋈adj join — one exchange serves both
+        // (hash(seed, node_id) from a plain groupBy would satisfy only
+        // the agg and re-exchange at the join)
+        if (k < s - 1) layerSrc = cand.select("seed", "node_id")
+          .repartition(col("node_id")).distinct()
+      }
+      val merged = acc
+        .repartition(col("node_id"))
+        .groupBy("seed", "node_id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      val deep = h + s - 1
+      frontier = merged.filter(col("dist") === deep)
+      settled = merged
+      if (frontier.count() == 0) done = true
+      else {
+        h = deep + 1
+        done = h > maxHops
+      }
+    }
+    settled
+  }
+
   /** Hop-bounded WEIGHTED shortest paths (Bellman–Ford with frontier
     * deltas): `dist(v)` = the minimum total integer edge weight over
     * any path of at most `maxHops` edges from any source — the
@@ -281,18 +336,27 @@ object ShortestPaths {
         return Seq.empty[(Long, Long, Long, Double)]
           .toDF("seed", "n_reached", "harmonic_q", "harmonic")
       }
-      val perSeed = seeds.map { s =>
-        import spark.implicits._
-        val src = Seq(s).toDF("id")
-        bfsHopsOnAdj(adj, src, maxHops)
-          .filter(col("dist") > 0)
-          .groupBy("dist").agg(count(lit(1)).as("n_at"))
-          .agg(coalesce(sum("n_at"), lit(0L)).as("n_reached"),
-            coalesce(sum(col("n_at") * expr("1048576 div dist")),
-              lit(0L)).as("harmonic_q"))
-          .select(lit(s).as("seed"), col("n_reached"), col("harmonic_q"))
-      }
-      perSeed.reduce(_.unionByName(_))
+      // ONE labeled multi-source sweep instead of nSeeds sequential
+      // sweeps (bfsHopsMultiOnAdj doc): per-seed distances identical,
+      // serial rounds paid once. A seed with no row after the dist>0
+      // filter (isolated or degree-0 mod-seed) must still report a
+      // zero row — the left join against the seed list restores it,
+      // exactly as the old per-seed aggregate-over-empty did.
+      import spark.implicits._
+      val seedsDf = seeds.toSeq.toDF("seed")
+        .select(col("seed"), col("seed").as("id"))
+      val sweep = bfsHopsMultiOnAdj(adj, seedsDf, maxHops)
+      val perSeed = sweep
+        .filter(col("dist") > 0)
+        .groupBy("seed", "dist").agg(count(lit(1)).as("n_at"))
+        .groupBy("seed")
+        .agg(coalesce(sum("n_at"), lit(0L)).as("n_reached"),
+          coalesce(sum(col("n_at") * expr("1048576 div dist")),
+            lit(0L)).as("harmonic_q"))
+      seedsDf.select("seed").join(perSeed, Seq("seed"), "left")
+        .select(col("seed"),
+          coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+          coalesce(col("harmonic_q"), lit(0L)).as("harmonic_q"))
         .withColumn("harmonic", col("harmonic_q").cast("double") / 1048576.0)
         .orderBy("seed")
     } finally adj.unpersist(blocking = false)

@@ -573,35 +573,53 @@ object Stats {
     * past n ≈ 1.3M rows; decimal128 holds to n ≈ 10¹²), and ρ is the
     * one fixed double formula over those exact sums.
     *
-    * Scale shape: per column, the rank map is built on the DISTINCT-
-    * value table (groupBy value, then a cumulative window over values
-    * — value-cardinality, not row-cardinality) and hash-joined back;
-    * the pair sums are one combinable aggregation. Rows with a NULL in
-    * ANY column are excluded first so all columns rank the same row
-    * set.
+    * Scale shape: ONE combinable joint value tally (cells ≤ rows) is
+    * the only row-sized shuffle; each column's rank map is built on
+    * its DISTINCT-value marginal of the cells (groupBy value, then a
+    * cumulative window over values — value-cardinality, not
+    * row-cardinality) and hash-joined back onto the CELL table; the
+    * pair sums are one cell-sized combinable aggregation weighted by
+    * the cell counts. Rows with a NULL in ANY column are excluded
+    * first so all columns rank the same row set.
     */
   def spearmanMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
     val names = cols.map(_._1)
-    var rows = df.select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val rows = df.select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
       .filter(names.map(col(_).isNotNull).reduce(_ && _))
+    // JOINT value tally first (guide §2.3 — shuffle tallies, not rows):
+    // cells ≤ rows always, and for the discrete columns this operator
+    // targets it is orders of magnitude smaller, so the single
+    // combinable groupBy here replaces k row-sized rank joins + one
+    // row-sized final aggregation with cell-sized everything. Each
+    // column's rank map is the same distinct-value cumulative the old
+    // shape used (marginalized from the cells), joined back onto the
+    // CELL table; every Σ is weighted by the cell count — identical
+    // exact integers, k·(k−1)/2 pair sums unchanged.
+    val cells = rows.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    var t = cells
     for (n <- names) {
-      val ranks = rows.groupBy(col(n).as("__v"))
-        .agg(count(lit(1)).as("__cnt"))
-        .withColumn("__w", sum("__cnt").over(
+      val ranks = cells.groupBy(col(n).as("__v"))
+        .agg(sum("__cnt").as("__c"))
+        .withColumn("__w", sum("__c").over(
           Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("__v").as(n), (lit(2) * col("__w") - col("__cnt") + 1).as(s"__r_$n"))
-      rows = rows.join(ranks, n)
+        .select(col("__v").as(n), (lit(2) * col("__w") - col("__c") + 1).as(s"__r_$n"))
+      t = t.join(ranks, n)
     }
     def dec(c: Column) = c.cast("decimal(18,0)")
+    def dec38(c: Column) = c.cast("decimal(38,0)")
+    val cnt = dec(col("__cnt"))
     val sums = names.flatMap { n =>
-      Seq(sum(dec(col(s"__r_$n"))).as(s"s_$n"),
-        sum(dec(col(s"__r_$n")) * dec(col(s"__r_$n"))).as(s"q_$n"))
+      Seq(sum(dec38(dec(col(s"__r_$n")) * cnt)).as(s"s_$n"),
+        sum(dec38(dec38(dec(col(s"__r_$n")) * dec(col(s"__r_$n"))) * cnt))
+          .as(s"q_$n"))
     } ++ names.combinations(2).map { case Seq(a, b) =>
-      sum(dec(col(s"__r_$a")) * dec(col(s"__r_$b"))).as(s"p_${a}_$b")
+      sum(dec38(dec38(dec(col(s"__r_$a")) * dec(col(s"__r_$b"))) * cnt))
+        .as(s"p_${a}_$b")
     }
-    val allAggs = count(lit(1)).as("n") +: sums
-    val m = rows.agg(allAggs.head, allAggs.tail: _*)
+    val allAggs = sum(col("__cnt")).as("n") +: sums
+    val m = t.agg(allAggs.head, allAggs.tail: _*)
     def dd(c: Column) = c.cast("double")
     val pairs = names.combinations(2).map { case Seq(a, b) =>
       val va = dd(col("n")) * dd(col(s"q_$a")) - dd(col(s"s_$a")) * dd(col(s"s_$a"))
@@ -1696,13 +1714,17 @@ object Stats {
     val cells = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
-    val tot = cells.groupBy("g").agg(count(lit(1)).as("n_distinct"),
-      sum("c").as("n_rows"))
-    val w = Window.partitionBy("g").orderBy(col("c").desc, col("v").asc)
-    cells.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
-      .join(tot, "g")
-      .select(col("g"), col("v").as("mode_value"), col("c").as("mode_count"),
-        col("n_distinct"), col("n_rows"))
+    // argmax by (count DESC, value ASC) as one combinable struct max
+    // (negated value in exact decimal — -Long.MinValue would wrap),
+    // fused into the same aggregation as the totals: the former rank
+    // window + join back cost an extra shuffle and sorted whole groups
+    // in #groups tasks.
+    cells.groupBy("g")
+      .agg(count(lit(1)).as("n_distinct"), sum("c").as("n_rows"),
+        max(struct(col("c").as("c"),
+          (-col("v").cast("decimal(20,0)")).as("nv"))).as("__k"))
+      .select(col("g"), (-col("__k.nv")).cast("long").as("mode_value"),
+        col("__k.c").as("mode_count"), col("n_distinct"), col("n_rows"))
   }
 
   /** Exact per-group LOWER median of an integer column from the
@@ -1870,11 +1892,18 @@ object Stats {
       // n·x − Σx in DECIMAL — |·| ≤ n·|x|, exact at any group size
       .withColumn("d", abs((col("n").cast(dec) * col("x").cast(dec) -
         col("s")).cast(dec)))
+    // argmax by (d DESC, x ASC) as ONE combinable max over a packed
+    // struct (negated x turns the ASC tie-break into a max; decimal
+    // negation is exact where -Long.MinValue would wrap). The former
+    // row_number window partitioned by g sorted whole groups in
+    // #groups tasks — a §2.5 skew funnel when groups are few and fat;
+    // the struct max is map-side combinable and fully parallel.
     val suspect = dev
-      .withColumn("__rk", row_number().over(Window.partitionBy("g")
-        .orderBy(col("d").desc, col("x").asc)))
-      .filter(col("__rk") === 1)
-      .select(col("g"), col("x").as("suspect_value"), col("d").as("maxdev_n"))
+      .groupBy("g")
+      .agg(max(struct(col("d").as("d"),
+        (-col("x").cast("decimal(20,0)")).as("nx"))).as("__k"))
+      .select(col("g"), (-col("__k.nx")).cast("long").as("suspect_value"),
+        col("__k.d").as("maxdev_n"))
     suspect.join(broadcast(mom), "g")
       .withColumn("g_stat", when(col("n") >= 3 &&
           (col("n").cast(dec) * col("q") - col("s") * col("s")) > 0,

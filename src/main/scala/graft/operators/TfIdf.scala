@@ -382,17 +382,17 @@ object TfIdf {
   def charBigramEntropy(df: DataFrame, groupCol: String, idCol: String,
                         textCol: String): DataFrame = {
     def dd(c: Column) = c.cast("double")
-    val grams = df.filter(col(groupCol).isNotNull && col(idCol).isNotNull)
-      .select(col(groupCol).as("g"), col(idCol).as("id"),
-        explode(graft.functions.TextFunctions.charGrams(col(textCol), 2)).as("bg"))
-    val cells = grams.groupBy("g", "id", "bg").agg(count(lit(1)).as("c"))
-    val perDoc = cells.groupBy("g", "id")
-      .agg(sum("c").as("n"),
-        sum(col("c") * floor(log(col("c").cast("double")) * 1048576).cast("long"))
-          .as("sum_clnc_q"))
-      .withColumn("h_q",
-        floor(log(col("n").cast("double")) * 1048576).cast("long") -
-          expr("sum_clnc_q div n"))
+    // per-doc entropy is a pure function of one row's text, so it runs
+    // in the codegen CharBigramEntropyQ kernel (one pass per string,
+    // bit-identical micro-nat value — see the kernel's doc) instead of
+    // exploding ~(chars − 1) gram rows per document through two
+    // exchanges; the only shuffle left is the per-source aggregation.
+    // NULL h_q = no bigram (NULL/short text) — those documents never
+    // produced a cell row in the exploded shape either.
+    val perDoc = df.filter(col(groupCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        graft.plans.CharBigramEntropyQ(col(textCol)).as("h_q"))
+      .filter(col("h_q").isNotNull)
     perDoc.groupBy(col("g").as(groupCol))
       .agg(count(lit(1)).as("n_docs"), sum("h_q").as("sum_h_q"))
       .withColumn("mean_entropy",

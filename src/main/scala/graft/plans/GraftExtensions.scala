@@ -94,6 +94,8 @@ object GraftExtensions {
       arity("sorted_intersect_count", 2, "array<bigint>, array<bigint>")(
         c => SortedIntersectCount(c(0), c(1))),
     "simhash56" -> arity("simhash56", 1, "array<bigint>")(c => SimHash56(c(0))),
+    "char_bigram_entropy_q" ->
+      arity("char_bigram_entropy_q", 1, "string")(c => CharBigramEntropyQ(c(0))),
     "minhash_sig" -> arity("minhash_sig", 2, "array<string>, int literal")(
       c => MinhashSig(c(0), intLit("minhash_sig")(c(1)))),
     "md5_hash56_array" ->

@@ -36,7 +36,9 @@ class ConstructionShuffleSpec extends SparkSpecBase {
   private val EXPECTED: Map[String, Int] = Map(
     "q_pagerank" -> 19,    // 5 power-iteration rounds over the reused co-partitioned edges
     "q_components" -> 12,  // hash-min sweeps to fixpoint + final assembly
-    "q_communities" -> 8,  // 3 label-propagation rounds + degree prep
+    "q_communities" -> 9,  // 3 label-propagation rounds + degree prep
+                           // + the one-time repartition-on-join-key of
+                           // the persisted edge set (r14)
     "q_kcore" -> 10,       // peeling rounds to fixpoint at sf0.001
     "dedup_cluster" -> 8,  // minhash bands + pointer-chasing rounds
     "sim_kmeans" -> 10,    // seeding + 2 Lloyd rounds (assign/update)
@@ -50,9 +52,10 @@ class ConstructionShuffleSpec extends SparkSpecBase {
                            // table only (r14, measured 19)
     "q_bfs" -> 12,         // one stride-3 bfsHops sweep (r14)
     "q_sssp" -> 27,        // Bellman-Ford frontier deltas (r14)
-    "q_harmonic" -> 12     // 3 seed sweeps over ONE shared persisted
-                           // adjacency (r14; measured 12 — the
-                           // adjacency build pays once)
+    "q_harmonic" -> 13     // ONE labeled multi-source sweep for all 3
+                           // seeds over the shared persisted adjacency
+                           // (r14 opt: serial rounds paid once instead
+                           // of once per seed; measured 13 at sf0.001)
   )
 
   private def countShuffleStages(body: => Unit): Int = {
