@@ -1283,9 +1283,16 @@ object Dedup {
     fields.foldLeft(base) { (acc, f) =>
       val cnt = mem.filter(col(f).isNotNull)
         .groupBy(col("cluster_id"), col(f)).agg(count(lit(1)).as("__c"))
-      val mx = cnt.groupBy("cluster_id").agg(max("__c").as("__m"))
-      val pick = cnt.join(mx, "cluster_id").filter(col("__c") === col("__m"))
-        .groupBy("cluster_id").agg(min(col(f)).as(f))
+      // the (max count, ties → min value) vote as ONE combinable
+      // min_by over the cell table — the ordering key (−count, value)
+      // is total because cells are distinct per value and count ≥ 1 is
+      // never null; min_by's struct ordering handles ANY orderable
+      // value type, so this keeps the type-agnostic contract the old
+      // two-step (max join + min over null-safe maxima) existed for,
+      // at one aggregation instead of agg + join + agg per field
+      // (guide §1.3 — job count is these node-sized plans' wall clock)
+      val pick = cnt.groupBy("cluster_id")
+        .agg(min_by(col(f), struct((-col("__c")).as("nc"), col(f))).as(f))
       acc.join(pick, Seq("cluster_id"), "left")
     }
   }

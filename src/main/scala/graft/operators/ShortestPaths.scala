@@ -239,16 +239,23 @@ object ShortestPaths {
       val cand = frontier.join(adj, frontier("node_id") === adj("src"))
         .select(col("dst").as("node_id"), (col("dist") + col("w")).as("dist"))
         .groupBy("node_id").agg(min("dist").as("dist"))
-      val merged = dist.unionByName(cand)
-        .groupBy("node_id").agg(min("dist").as("dist"))
+      // the improved set falls out of the SAME min-merge that builds
+      // the new distance table: tagging the old rows lets one
+      // aggregation carry (new dist, old dist) side by side, so the
+      // former frontier join + its second eager checkpoint (two extra
+      // jobs per round — the wall-clock term of a bounded relaxation,
+      // guide §1.3) collapse into a filter over the round's checkpoint
+      val merged = dist.select(col("node_id"), col("dist"),
+          col("dist").as("__old"))
+        .unionByName(cand.withColumn("__old",
+          lit(null).cast("long")))
+        .groupBy("node_id").agg(min("dist").as("dist"),
+          min("__old").as("__old"))
         .localCheckpoint(true)
-      frontier = merged.join(
-          dist.select(col("node_id"), col("dist").as("__old")),
-          Seq("node_id"), "left")
+      frontier = merged
         .filter(col("__old").isNull || col("dist") < col("__old"))
         .select("node_id", "dist")
-        .localCheckpoint(true)
-      dist = merged
+      dist = merged.select("node_id", "dist")
       h += 1
       done = h >= maxHops || frontier.count() == 0
     }

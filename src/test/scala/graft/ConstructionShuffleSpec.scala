@@ -51,7 +51,10 @@ class ConstructionShuffleSpec extends SparkSpecBase {
                            // 2x2 half-steps; per-step shuffles = score
                            // table only (r14, measured 19)
     "q_bfs" -> 12,         // one stride-3 bfsHops sweep (r14)
-    "q_sssp" -> 27,        // Bellman-Ford frontier deltas (r14)
+    "q_sssp" -> 19,        // Bellman-Ford frontier deltas; the improved
+                           // set now falls out of the min-merge itself
+                           // (r14 opt: 27 → 19 — the per-round frontier
+                           // join + second checkpoint are gone)
     "q_harmonic" -> 13     // ONE labeled multi-source sweep for all 3
                            // seeds over the shared persisted adjacency
                            // (r14 opt: serial rounds paid once instead
