@@ -250,13 +250,49 @@ object Bench {
     // Locale.ROOT everywhere: the default f-interpolator is
     // locale-sensitive and a comma-decimal locale would corrupt the one
     // JSON line the driver parses
-    val headline = Seq("q1_agg", "q3_shipping", "dedup_minhash", "q_substring_clusters")
-      .flatMap(k => official.get(k).map(v => s""""$k":${f(v)}"""))
-      .mkString("{", ",", "}")
+    // r15 (VERDICT next-round #2): the driver's round-over-round PERF
+    // comparison reads per-query seconds from THIS final stdout line
+    // only — BENCH.json carries all of them, but PERF_r14 compared
+    // just the 4 headline queries, so the r14 round's 10 real wins
+    // were invisible to the driver. ADDITIONS-ONLY widening: the 4
+    // original keys stay first (never removed or renamed), then the
+    // suite's historically most expensive queries (fixed list, from
+    // the r14 clean record's cost ranking) are appended under a BYTE
+    // BUDGET — the driver captures a 2000-char stdout tail (measured:
+    // BENCH_r14.json "tail" is exactly 2000 chars) and a final line
+    // longer than the tail starts mid-JSON and parses as nothing, so
+    // entries are dropped from the END of the extended list until the
+    // line fits 1850 bytes (margin for contaminated runs' extra
+    // over_ceiling names).
+    val headlineBase = Seq("q1_agg", "q3_shipping", "dedup_minhash", "q_substring_clusters")
+    val headlineExt = Seq(
+      "q_diameter", "q_embeddedness", "q_modularity", "q_triangles",
+      "q_components", "q_pagerank", "q_communities", "q_substring_pairs",
+      "q_adamic_adar", "q_hits", "q_link_predict", "q_golden_record",
+      "dedup_canonical", "dedup_yield", "q_fk_discovery", "dedup_shingle",
+      "dedup_minhash_accuracy", "dedup_cluster", "sim_mmr_rerank",
+      "dedup_simhash", "q_cluster_split", "q_lsh_recall", "q_item_sim",
+      "dedup_semantic", "q_clustering_coeff", "multimodal_decode",
+      "q_autocorr", "q_bfs", "q_basket_rules", "q_editdist",
+      "pipeline_corpus_v2", "dedup_lsh_tuning", "q_sssp",
+      "dedup_containment", "sim_embed_cluster", "dedup_cdc",
+      "text_trigram_lm", "dedup_incremental", "q_fd_discovery",
+      "q_harmonic")
     // over_ceiling names are capped in the SUMMARY (full list in detail
     // artifact) so the final stdout line stays well under the 2 kB tail
     val ocSummary = overCeiling.sorted.take(6).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"contaminated":$contaminated,"reruns":$reruns,"over_ceiling":$ocSummary,$envJson,"storage_leaks":${storageLeaks.size},"storage_hwm_mb":${storageHwm / 1048576},"queries":$headline,"sf":"$sfDir","detail":"$outName"}"""
+    def summaryWith(keys: Seq[String]): String = {
+      val headline = keys
+        .flatMap(k => official.get(k).map(v => s""""$k":${f(v)}"""))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"contaminated":$contaminated,"reruns":$reruns,"over_ceiling":$ocSummary,$envJson,"storage_leaks":${storageLeaks.size},"storage_hwm_mb":${storageHwm / 1048576},"queries":$headline,"sf":"$sfDir","detail":"$outName"}"""
+    }
+    var headlineKeys = headlineBase ++ headlineExt
+    var summary = summaryWith(headlineKeys)
+    while (summary.length > 1850 && headlineKeys.length > headlineBase.length) {
+      headlineKeys = headlineKeys.dropRight(1)
+      summary = summaryWith(headlineKeys)
+    }
     println(summary)
   }
 }

@@ -17,8 +17,14 @@ object PlanQ {
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val registry = Queries.asMap
+    val unknown = names.filterNot(registry.contains)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+        s"${unknown.mkString(", ")} — valid names:\n" +
+        registry.keysIterator.toSeq.sorted.mkString(", "))
     names.foreach { name =>
-      val df = Queries.asMap(name).build(spark, sfDir)
+      val df = registry(name).build(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val lines = plan.linesIterator.toSeq

@@ -50,6 +50,13 @@ object Discovery {
     // value) rows in the same pass, and distinct-per-(col_name, value)
     // is exactly the union of the per-column distincts — same dv set,
     // m-columns-per-table fewer scans and exchanges.
+    // NOTE (r15, ADVICE): grouping keys on DataFrame REFERENCE
+    // identity (Dataset equality is Object equality), so the same
+    // logical table passed as two separate DataFrame instances falls
+    // back to one scan per instance — results stay correct, only the
+    // one-scan-per-table fusion degrades. Callers (fkDiscoveryReport
+    // builds each table's frame once and reuses it) must pass the
+    // SAME instance for columns meant to share a scan.
     val byDf: Seq[(DataFrame, Seq[(String, String)])] = {
       val buf = scala.collection.mutable.LinkedHashMap
         .empty[DataFrame, scala.collection.mutable.ArrayBuffer[(String, String)]]

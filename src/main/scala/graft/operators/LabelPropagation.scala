@@ -35,20 +35,49 @@ object LabelPropagation {
     */
   def communities(edges: DataFrame, srcCol: String, dstCol: String,
                   rounds: Int = 3): DataFrame = {
-    require(rounds >= 1, "label propagation needs at least one round")
+    val und = buildUnd(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try communitiesOnUnd(und, rounds)
+    finally und.unpersist()
+  }
+
+  /** Cleaned, symmetrized, deduplicated edge set partitioned ONCE on
+    * the per-round join key ("b" carries the neighbor whose label is
+    * gathered) — the PageRank/HITS one-time-repartition lesson: every
+    * sweep's label join then moves only the node-sized label table,
+    * never the edge set (at bench scale AQE broadcasts the label
+    * table either way; at 100 TB labels shuffle node-sized and the
+    * edges stay put). Callers persist.
+    */
+  private def buildUnd(edges: DataFrame, srcCol: String,
+                       dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-    // partitioned ONCE on the per-round join key ("b" carries the
-    // neighbor whose label is gathered) and persisted — the
-    // PageRank/HITS one-time-repartition lesson: every sweep's label
-    // join then moves only the node-sized label table, never the
-    // edge set (at bench scale AQE broadcasts the label table either
-    // way; at 100 TB labels shuffle node-sized and the edges stay put)
-    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .repartition(col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select(col("a").as("id")).distinct()
+    // conf escape hatch exists ONLY so ScaleProbe's `lpa` mode can
+    // measure both arms of the r14 one-time-repartition decision on
+    // the real operator (VERDICT what's-wrong #5); results never
+    // depend on it
+    if (edges.sparkSession.conf
+        .get("spark.graft.lpa.copartition", "true").toBoolean)
+      sym.repartition(col("b"))
+    else sym
+  }
+
+  /** [[communities]] over a pre-built (already persisted) symmetrized
+    * adjacency — shared with [[modularity]], which also derives the
+    * degree table from the SAME persisted frame (r15: one symmetrize
+    * + shuffle instead of two).
+    */
+  private def communitiesOnUnd(und: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "label propagation needs at least one round")
+    // initial labels distinct on "b", not "a": und is symmetrized (both
+    // endpoints appear on both sides) so the value set is identical,
+    // but und is hash(b)-partitioned — the alias-aware planner drops
+    // the distinct's exchange entirely (r15; distinct-on-a re-shuffled
+    // the edge-sized projection every call)
+    var labels = und.select(col("b").as("id")).distinct()
       .withColumn("label", col("id"))
     for (_ <- 0 until rounds) {
       // localCheckpoint per sweep — the PageRank/KCore lineage
@@ -69,7 +98,6 @@ object LabelPropagation {
     val out = labels.select(col("id").as("node_id"), col("label").as("community"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    und.unpersist()
     out
   }
 
@@ -103,14 +131,25 @@ object LabelPropagation {
         greatest(col("x"), col("y")).as("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val labels = communities(canon, "a", "b", rounds)
+    // ONE symmetrized build shared by the sweeps AND the degree prep
+    // (r15, guide §2.2): canon is already distinct canonical a<b
+    // pairs, so the a<b and b>a halves of the union are disjoint and
+    // the symmetrized set needs NO distinct pass — communities(canon,
+    // ...) used to re-run exactly that distinct exchange over the
+    // edge set, and the degree prep re-symmetrized canon into ANOTHER
+    // edge-sized shuffle.
+    val und = canon
+      .unionByName(canon.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = communitiesOnUnd(und, rounds)
       .select(col("node_id").as("id"), col("community").as("c"))
     val m = canon.agg(count(lit(1)).as("m"))
-    // D_c: degree over the symmetrized distinct edge set, then one
-    // label join + combinable sum; n_nodes rides the same aggregation
-    val deg = canon.select(col("a").as("id"))
-      .unionByName(canon.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // D_c: degree straight off the persisted und — hash(b)-partitioned,
+    // so the groupBy plans NO exchange (deg(n) = |rows with b = n|,
+    // exactly the symmetrized-distinct degree); then one label join +
+    // combinable sum; n_nodes rides the same aggregation
+    val deg = und.groupBy(col("b").as("id")).agg(count(lit(1)).as("deg"))
     val dC = deg.join(labels, "id")
       .groupBy(col("c")).agg(count(lit(1)).as("n_nodes"),
         sum("deg").as("degree_sum"))
@@ -134,6 +173,7 @@ object LabelPropagation {
         (lit(4.0) * col("__m").cast("double") * col("__m").cast("double")))
       .select(col("c").as("community"), col("n_nodes"), col("in_edges"),
         col("degree_sum"), col("m"), col("contrib_num"), col("modularity"))
+    und.unpersist()
     canon.unpersist()
     out
   }

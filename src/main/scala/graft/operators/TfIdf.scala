@@ -378,6 +378,19 @@ object TfIdf {
     * averaged per group with ONE more integer division. Docs shorter
     * than 2 chars have no bigrams and are excluded (both engines).
     * Output: (group, n_docs, sum_h_q, mean_entropy).
+    *
+    * INPUT CONTRACT (r15, ADVICE): each input ROW is one document —
+    * (groupCol, idCol) must not repeat. Since the r14 kernel rewrite,
+    * entropy is a per-row function and `idCol` is only a NULL filter:
+    * rows sharing an id are scored as independent documents, where
+    * the replaced explode+groupBy pipeline (and the registered DuckDB
+    * oracle, which groups bigrams by (source, doc_id)) would merge
+    * their bigram multisets into one pseudo-document first. The
+    * registry's documents table keys rows by doc_id so both shapes
+    * agree there; Round15OptSpec pins the per-row semantics on a
+    * duplicated id so the contract is visible. A true multiset merge
+    * cannot be done post-kernel (entropy is not additive) — callers
+    * with repeating ids must pre-merge their rows.
     */
   def charBigramEntropy(df: DataFrame, groupCol: String, idCol: String,
                         textCol: String): DataFrame = {

@@ -36,9 +36,11 @@ class ConstructionShuffleSpec extends SparkSpecBase {
   private val EXPECTED: Map[String, Int] = Map(
     "q_pagerank" -> 19,    // 5 power-iteration rounds over the reused co-partitioned edges
     "q_components" -> 12,  // hash-min sweeps to fixpoint + final assembly
-    "q_communities" -> 9,  // 3 label-propagation rounds + degree prep
-                           // + the one-time repartition-on-join-key of
-                           // the persisted edge set (r14)
+    "q_communities" -> 8,  // 3 label-propagation rounds + the one-time
+                           // repartition-on-join-key of the persisted
+                           // edge set (r14); r15: initial labels
+                           // distinct on the partition key "b" rides
+                           // the und partitioning (9 → 8)
     "q_kcore" -> 10,       // peeling rounds to fixpoint at sf0.001
     "dedup_cluster" -> 8,  // minhash bands + pointer-chasing rounds
     "sim_kmeans" -> 10,    // seeding + 2 Lloyd rounds (assign/update)
@@ -55,6 +57,14 @@ class ConstructionShuffleSpec extends SparkSpecBase {
                            // set now falls out of the min-merge itself
                            // (r14 opt: 27 → 19 — the per-round frontier
                            // join + second checkpoint are gone)
+    "q_modularity" -> 12,  // r15: ONE symmetrized+repartitioned edge
+                           // build shared by the LPA sweeps AND the
+                           // degree prep (degree = exchange-free groupBy
+                           // on the hash(b)-partitioned und); initial
+                           // labels distinct on the partition key. The
+                           // r14 shape measured 15 (re-distinct inside
+                           // communities + a second symmetrize/shuffle
+                           // for degrees); sf0.1 A/B 8.1 → 6.0 s
     "q_harmonic" -> 13     // ONE labeled multi-source sweep for all 3
                            // seeds over the shared persisted adjacency
                            // (r14 opt: serial rounds paid once instead
