@@ -870,7 +870,15 @@ object ScaleProbe {
             (col("dst") + lit(i.toLong * 100000000L)).as("dst"))
         }.reduce(_.unionByName(_)).cache()
         println(s"--- x$k: edges=${e.count()}")
-        for (copart <- Seq(true, false)) {
+        // SPARK_GRAFT_LPA_ARM_ORDER=reverse flips which arm runs first
+        // per decade — the first arm pays JIT/cache warmup, so a fair
+        // wall-time read needs both orders (the bytes metric is
+        // order-insensitive)
+        val arms =
+          if (sys.env.get("SPARK_GRAFT_LPA_ARM_ORDER").contains("reverse"))
+            Seq(false, true)
+          else Seq(true, false)
+        for (copart <- arms) {
           spark.conf.set("spark.graft.lpa.copartition", copart.toString)
           run(s"communities_x${k}_copart=$copart")(
             operators.LabelPropagation.communities(e, "src", "dst", rounds = 3)
